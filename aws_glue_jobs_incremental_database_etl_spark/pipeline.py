@@ -1,0 +1,279 @@
+"""Per-table incremental ETL orchestration.
+
+The engine's equivalent of the reference's ``Driver.run_transform`` +
+``Transform._transform`` (``jdbc_incremental.py:564-639, 175-229``),
+stage for stage (SURVEY.md §3):
+
+  config → catalog resolve → DDL branch (create / evolve) →
+  incremental scan (bookmark filter, pushed down) → empty probe →
+  apply_mapping (cast to catalog types) → drop_null_fields →
+  partition discovery (distinct) → partitioned append write →
+  partition registration → lineage stamp → single end-of-job
+  bookmark commit (at-least-once, reference ``:639``).
+
+Scale design:
+- the bookmark predicate is a Catalyst filter → pushed to the parquet
+  row-group / JDBC WHERE level; the incremental batch, not the table,
+  is what flows through the job;
+- the batch is cached once and reused by the three consumers that
+  need a pass (non-null counts, partition discovery, write) instead of
+  re-scanning the source three times;
+- partition registration collects only the *distinct partition
+  tuples* (bounded by partition cardinality, not data size);
+- the write is a distributed ``partitionBy`` append — no per-partition
+  driver round-trips.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .bookmarks import BookmarkStore
+from .catalog import FileCatalog
+from .config import TableConfig
+from .sharding import select_tables
+from .sinks import write_partitioned
+from .sources import read_table
+from .transforms import (
+    apply_mapping,
+    count_non_nulls,
+    drop_null_fields,
+    identity_mappings,
+)
+from .types import schema_to_columns
+
+
+@dataclass
+class PipelineResult:
+    """Outcome of one table's run (for tests / observability)."""
+
+    table: str
+    rows_written: int = 0
+    skipped_empty: bool = False
+    created_table: bool = False
+    evolved_schema: bool = False
+    partitions_registered: list[str] = field(default_factory=list)
+
+
+class IncrementalPipeline:
+    """Multi-table bookmark-driven incremental loader.
+
+    ``source_locations`` maps source table name → file path (the local
+    stand-in for the JDBC/catalog source of the reference); targets are
+    written under ``target_location/{target_prefix}{name}`` mirroring
+    the reference's naming (``jdbc_incremental.py:68, 575-577``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: FileCatalog,
+        bookmarks: BookmarkStore,
+        target_location: str,
+        target_database: str = "target",
+        target_format: str = "parquet",
+        target_prefix: str = "",
+        source_format: str = "parquet",
+        job_name: str = "job",
+        job_run_id: str = "run-0",
+        job_index: int = 0,
+        num_jobs: int = 1,
+        creator_arn: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.bookmarks = bookmarks
+        self.target_location = target_location.rstrip("/") + "/"
+        self.target_database = target_database
+        self.target_format = target_format
+        self.target_prefix = target_prefix
+        self.source_format = source_format
+        self.job_name = job_name
+        self.job_run_id = job_run_id
+        self.job_index = job_index
+        self.num_jobs = num_jobs
+        self.creator_arn = creator_arn
+
+    # -- naming (reference :68, 575-577) -----------------------------------
+
+    def target_table_name(self, source_name: str) -> str:
+        return self.target_prefix + source_name
+
+    def target_path(self, source_name: str) -> str:
+        return self.target_location + self.target_table_name(source_name)
+
+    # -- orchestration (reference :564-639) --------------------------------
+
+    def run(
+        self, configs: list[TableConfig], source_locations: dict[str, str]
+    ) -> list[PipelineResult]:
+        """Run every table owned by this job shard, then commit ALL
+        bookmarks once (at-least-once semantics, reference ``:639``)."""
+        owned = set(
+            select_tables([c.table_name for c in configs], self.job_index, self.num_jobs)
+        )
+        results = []
+        for cfg in configs:
+            if cfg.table_name not in owned:
+                continue
+            results.append(self.run_table(cfg, source_locations[cfg.table_name]))
+        # Single commit AFTER the loop — a mid-loop failure replays all
+        # tables next run (duplicated appends = at-least-once), exactly
+        # like the reference's lone job.commit().
+        self.bookmarks.commit()
+        return results
+
+    def run_table(self, cfg: TableConfig, source_path: str) -> PipelineResult:
+        res = PipelineResult(table=cfg.table_name)
+        t0 = dt.datetime.now(dt.timezone.utc)
+        ctx = f"datasource0_{self.target_table_name(cfg.table_name)}"
+
+        # (1) scan + bookmark filter — both pushed into the source scan.
+        src = read_table(self.spark, source_path, self.source_format)
+        batch = self.bookmarks.filter_new(src, ctx, cfg.bookmark_keys, cfg.sort_order)
+
+        # DDL branch (reference :604-615): create target if absent,
+        # else merge the (possibly evolved) source schema into it.
+        source_columns = schema_to_columns(src.schema)
+        tgt_name = self.target_table_name(cfg.table_name)
+        created = not self.catalog.table_exists(self.target_database, tgt_name)
+        if created:
+            data_cols = [
+                c for c in source_columns if c["Name"] not in cfg.partition_spec
+            ]
+            part_cols = [
+                c for c in source_columns if c["Name"] in cfg.partition_spec
+            ]
+            # preserve partition_spec order (reference :96-102, 389-399)
+            part_cols.sort(key=lambda c: cfg.partition_spec.index(c["Name"]))
+            self.catalog.create_table(
+                self.target_database,
+                tgt_name,
+                data_cols,
+                self.target_path(cfg.table_name),
+                fmt=self.target_format,
+                partition_keys=part_cols,
+                parameters={
+                    "CreatedByJob": self.job_name,
+                    "CreatedByJobRun": self.job_run_id,
+                },
+            )
+            res.created_table = True
+        else:
+            from .evolution import merge_schemas
+
+            tgt = self.catalog.get_table(self.target_database, tgt_name)
+            existing = tgt["StorageDescriptor"]["Columns"]
+            src_data_cols = [
+                c for c in source_columns if c["Name"] not in cfg.partition_spec
+            ]
+            merged = merge_schemas(src_data_cols, existing, cfg.partition_spec)
+            if merged != existing:
+                self.catalog.update_table_columns(self.target_database, tgt_name, merged)
+                res.evolved_schema = True
+
+        # (2) empty probe (reference :194-197) — LIMIT 1 against the
+        # already-filtered scan, so it costs one row-group touch.
+        if len(batch.take(1)) == 0:
+            res.skipped_empty = True
+            return res
+
+        # (3) map/cast to catalog types (reference :199-203).
+        mapped = apply_mapping(batch, identity_mappings(source_columns))
+
+        # Cache the batch once: counted (4), distinct-ed (5), written
+        # (6).  At 100 TB use DISK_ONLY or recompute — here MEMORY_AND_DISK.
+        mapped.persist()
+        try:
+            # (4) drop all-null columns (reference :205-208) — runs
+            # BEFORE partition discovery and the write, same ordering.
+            pruned = drop_null_fields(mapped, count_non_nulls(mapped))
+
+            # (5) partition discovery (reference :210-220): distinct
+            # partition tuples only — bounded driver traffic.
+            if cfg.partition_spec:
+                values = (
+                    pruned.select(*cfg.partition_spec).distinct().collect()
+                )
+                for row in values:
+                    self.catalog.add_partition(
+                        self.target_database,
+                        tgt_name,
+                        cfg.partition_spec,
+                        row.asDict(),
+                        fmt=self.target_format,
+                    )
+                    res.partitions_registered.append(
+                        "/".join(str(row[k]) for k in cfg.partition_spec)
+                    )
+
+            # (6) partitioned append write (reference :222-229).
+            write_partitioned(
+                pruned,
+                self.target_path(cfg.table_name),
+                fmt=self.target_format,
+                partition_spec=cfg.partition_spec,
+                mode="append",
+            )
+            res.rows_written = pruned.count()
+
+            # Stage the new watermark from THIS batch; committed with
+            # all the others in run().
+            new_wm = self.bookmarks.compute_next(
+                mapped, cfg.bookmark_keys, cfg.sort_order
+            )
+            self.bookmarks.stage(ctx, new_wm)
+        finally:
+            mapped.unpersist()
+
+        # lineage stamp (reference :617-623, 480-503)
+        t1 = dt.datetime.now(dt.timezone.utc)
+        self.catalog.update_table_job_info(
+            self.target_database,
+            tgt_name,
+            self.job_name,
+            self.job_run_id,
+            transform_time=str(t1 - t0),
+            completed_on=t1.isoformat(),
+        )
+        # first-creation grant (reference :626-637)
+        if res.created_table:
+            self.catalog.grant_all_permissions_to_creator(
+                self.target_database, tgt_name, self.creator_arn
+            )
+        return res
+
+    # -- reading back ------------------------------------------------------
+
+    def read_target(self, source_name: str) -> DataFrame:
+        """Read a target table back using the CATALOG's evolved schema.
+
+        This is how Hive/Glue reads evolved tables: the catalog schema
+        (not per-file inference) drives the scan.  Spark 4's parquet
+        reader supports the widening promotions schema evolution can
+        produce (int→bigint, float→double); columns appended after a
+        file was written read as NULL in that file — matching the
+        reference's "old data stays queryable" contract (E2).
+        """
+        path = self.target_path(source_name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        from pyspark.sql import types as T
+
+        from .types import hive_to_spark
+
+        t = self.catalog.get_table(
+            self.target_database, self.target_table_name(source_name)
+        )
+        fields = [
+            T.StructField(c["Name"], hive_to_spark(c["Type"]))
+            for c in t["StorageDescriptor"]["Columns"] + t.get("PartitionKeys", [])
+        ]
+        reader = self.spark.read.schema(T.StructType(fields))
+        if self.target_format == "csv":
+            reader = reader.option("header", "true")
+        return reader.format(self.target_format).load(path)

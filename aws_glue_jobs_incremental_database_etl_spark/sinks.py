@@ -1,0 +1,57 @@
+"""Partitioned multi-format append sink.
+
+Parity with the reference's catalog sink
+(``write_dynamic_frame.from_catalog`` with ``partitionKeys``,
+``jdbc_incremental.py:222-229``): Hive-style ``k=v`` directory layout,
+append mode (each incremental run adds files), formats parquet / csv
+(with header) / json, and rejection of unknown formats
+(``jdbc_incremental.py:350-353``).
+
+Scale notes: ``partitionBy`` writes are executed by the distributed
+file committer — no driver round-trips per partition (unlike the
+reference's one boto3 ``create_partition`` call per distinct tuple,
+flagged as a hazard in SURVEY.md §3.3).  For very high-cardinality
+partition columns, repartition by the partition keys first so each
+task writes few files (avoids the small-files explosion).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+SUPPORTED_FORMATS = ("parquet", "csv", "json")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_spec: Sequence[str] | None = None,
+    mode: str = "append",
+    cluster_by_partitions: bool = False,
+) -> None:
+    """Append ``df`` under ``path`` Hive-partitioned by ``partition_spec``.
+
+    ``cluster_by_partitions=True`` repartitions on the partition keys
+    before writing — one shuffle that collapses the output to one file
+    per (task, partition-value) instead of (#input-tasks ×
+    #partition-values) small files; worth it once either side is big.
+    """
+    fmt = fmt.lower()
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"Unknown format: {fmt}")
+
+    spec = list(partition_spec or [])
+    if cluster_by_partitions and spec:
+        df = df.repartition(*spec)
+
+    writer = df.write.mode(mode)
+    if spec:
+        writer = writer.partitionBy(*spec)
+    if fmt == "csv":
+        # Reference CSV tables carry skip.header.line.count=1
+        # (jdbc_incremental.py:411-412) → write the header.
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)

@@ -1,0 +1,73 @@
+"""File-format source readers (parquet / csv / json).
+
+The driver testdata is one parquet file per table
+(``/root/testdata/sf*/{name}.parquet``); production layouts are
+directories, possibly Hive-partitioned — ``spark.read`` handles both.
+Filters composed on top of these reads are pushed into the scan by
+Catalyst (parquet row-group min/max skipping, partition pruning), which
+is what makes the bookmark filter cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """Parquet scan; ``merge_schema=True`` on evolved-schema tables so
+    files written before a column was appended still union cleanly
+    (read-side of schema evolution, SURVEY.md E2)."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan with header handling.
+
+    Mirrors the reference's CSV wiring: LazySimpleSerDe with
+    ``field.delim=','`` and ``skip.header.line.count=1``
+    (``jdbc_incremental.py:142-152, 411-412``) — i.e. comma-delimited
+    with a header row that readers must skip.  An explicit schema
+    avoids the inference pre-scan (a full extra read at scale).
+    """
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan (the reference's catalog accepts a ``json``
+    target format as a stub, ``jdbc_incremental.py:346-349``)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", **kwargs
+) -> DataFrame:
+    """Format-dispatched read with the same format validation as the
+    writer factory (SURVEY.md S9)."""
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        return read_parquet(spark, path, **kwargs)
+    if fmt == "csv":
+        return read_csv(spark, path, **kwargs)
+    if fmt == "json":
+        return read_json(spark, path, **kwargs)
+    raise ValueError(f"Unknown source format: {fmt}")

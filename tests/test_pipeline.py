@@ -1,0 +1,171 @@
+"""End-to-end incremental pipeline tests (SURVEY.md §3, §5.2;
+FIXTURES.md scenarios 1, 3, 4, 5).
+
+Run the pipeline over a source that grows between runs; assert run 2
+reads only the delta, output is append-only, the watermark advances,
+an empty delta short-circuits, and schema evolution follows E2.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_jobs_incremental_database_etl_spark.bookmarks import BookmarkStore
+from aws_glue_jobs_incremental_database_etl_spark.catalog import FileCatalog
+from aws_glue_jobs_incremental_database_etl_spark.config import TableConfig
+from aws_glue_jobs_incremental_database_etl_spark.pipeline import IncrementalPipeline
+
+
+@pytest.fixture()
+def env(tmp_path, spark):
+    def make(**kw):
+        return IncrementalPipeline(
+            spark,
+            FileCatalog(str(tmp_path / "catalog")),
+            BookmarkStore(str(tmp_path / "bookmarks.json")),
+            target_location=str(tmp_path / "lake"),
+            target_prefix="tgt_",
+            **kw,
+        )
+
+    return tmp_path, make
+
+
+def _write_source(spark, sf_dir, tmp_path, predicate=None):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if predicate:
+        src = src.filter(predicate)
+    p = str(tmp_path / "src_orders")
+    src.write.mode("overwrite").parquet(p)
+    return p
+
+
+CFG = TableConfig("orders", ["o_orderkey"], "ASC", ["o_orderstatus"])
+
+
+def test_two_run_incremental_load(env, spark, sf_dir):
+    tmp_path, make = env
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    median = full.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+
+    # run 1: first half
+    src = _write_source(spark, sf_dir, tmp_path, f"o_orderkey <= {median}")
+    pipe = make(job_run_id="run-1")
+    (r1,) = pipe.run([CFG], {"orders": src})
+    assert r1.created_table
+    n1 = full.filter(f"o_orderkey <= {median}").count()
+    assert r1.rows_written == n1
+
+    # run 2: full table — only the delta is read/written
+    src = _write_source(spark, sf_dir, tmp_path)
+    pipe2 = make(job_run_id="run-2")
+    (r2,) = pipe2.run([CFG], {"orders": src})
+    assert not r2.created_table
+    assert r2.rows_written == full.count() - n1
+
+    # target now equals the full source exactly (append-only union)
+    out = pipe2.read_target("orders")
+    assert out.count() == full.count()
+    assert set(out.columns) == set(full.columns)
+    src_sum = full.agg(F.sum("o_totalprice")).first()[0]
+    out_sum = out.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(src_sum - out_sum) < 1e-6
+
+    # run 3: no new data → short-circuit, nothing appended
+    pipe3 = make(job_run_id="run-3")
+    (r3,) = pipe3.run([CFG], {"orders": src})
+    assert r3.skipped_empty
+    assert pipe3.read_target("orders").count() == full.count()
+
+
+def test_partitioned_layout_and_registration(env, spark, sf_dir):
+    tmp_path, make = env
+    src = _write_source(spark, sf_dir, tmp_path)
+    pipe = make()
+    (res,) = pipe.run([CFG], {"orders": src})
+
+    statuses = [
+        r.o_orderstatus
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderstatus").distinct().collect()
+    ]
+    # hive-style k=v dirs on disk
+    tgt = str(tmp_path / "lake" / "tgt_orders")
+    for s in statuses:
+        assert os.path.isdir(os.path.join(tgt, f"o_orderstatus={s}"))
+    # catalog partitions registered (create-else-update, idempotent)
+    parts = pipe.catalog.get_partitions("target", "tgt_orders")
+    assert sorted(parts.keys()) == sorted(str(s) for s in statuses)
+    assert sorted(res.partitions_registered) == sorted(str(s) for s in statuses)
+    # partition column not in data columns (hive layout stores it in the path)
+    cols = [
+        c["Name"]
+        for c in pipe.catalog.get_table("target", "tgt_orders")["StorageDescriptor"]["Columns"]
+    ]
+    assert "o_orderstatus" not in cols
+
+
+def test_all_null_column_dropped_from_output(env, spark, sf_dir):
+    tmp_path, make = env
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "ghost", F.lit(None).cast("string")
+    )
+    p = str(tmp_path / "src_customer")
+    src.write.mode("overwrite").parquet(p)
+    pipe = make()
+    cfg = TableConfig("customer", ["c_custkey"])
+    pipe.run([cfg], {"customer": p})
+    # the written FILES must not contain the all-null column
+    # (DropNullFields runs before the write, reference :205-229)
+    files = spark.read.parquet(str(tmp_path / "lake" / "tgt_customer"))
+    assert "ghost" not in files.columns
+    assert files.count() == src.count()
+    # ...but the catalog keeps it (DDL happens from the source schema,
+    # before DropNullFields), so reads surface it as all-NULL
+    out = pipe.read_target("customer")
+    assert "ghost" in out.columns
+    assert out.filter("ghost IS NOT NULL").count() == 0
+
+
+def test_schema_evolution_run_over_run(env, spark, sf_dir):
+    tmp_path, make = env
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = str(tmp_path / "src_part")
+    cfg = TableConfig("part", ["p_partkey"])
+
+    part.write.mode("overwrite").parquet(p)
+    make(job_run_id="run-1").run([cfg], {"part": p})
+
+    # v2 source: drop p_brand, retype p_size int->bigint, append p_comment
+    v2 = (
+        part.drop("p_brand")
+        .withColumn("p_size", F.col("p_size").cast("bigint"))
+        .withColumn("p_comment", F.lit("c"))
+        .withColumn("p_partkey", F.col("p_partkey") + 1_000_000)
+    )
+    v2.write.mode("overwrite").parquet(p)
+    pipe2 = make(job_run_id="run-2")
+    (r2,) = pipe2.run([cfg], {"part": p})
+    assert r2.evolved_schema
+
+    cols = pipe2.catalog.get_table("target", "tgt_part")["StorageDescriptor"]["Columns"]
+    names = [c["Name"] for c in cols]
+    # order stable, dropped retained, new appended at end
+    assert names == ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                     "p_retailprice", "p_comment"]
+    assert dict((c["Name"], c["Type"]) for c in cols)["p_size"] == "bigint"
+    # data read-back unions old+new files (mergeSchema)
+    out = pipe2.read_target("part")
+    assert out.count() == part.count() * 2
+    assert "p_comment" in out.columns
+
+
+def test_sharding_skips_unowned_tables(env, spark, sf_dir):
+    tmp_path, make = env
+    src = _write_source(spark, sf_dir, tmp_path)
+    pipe = make(job_index=0, num_jobs=2)
+    pipe2 = make(job_index=1, num_jobs=2)
+    res_all = pipe.run([CFG], {"orders": src}) + pipe2.run([CFG], {"orders": src})
+    # exactly one of the two job instances owns "orders"
+    assert len(res_all) == 1
