@@ -1,0 +1,85 @@
+"""Text-analysis scalar expressions (language-ID, quality, tokens,
+fingerprints) — all pure Catalyst expressions (SURVEY.md §2.11).
+
+Every function here has an exact ANSI-SQL mirror (used by the DuckDB
+oracles in ``__spark_entry__``), so the semantics are pinned by the
+correctness gate, and everything runs JVM-side at scan speed — at
+100 TB these run as map-only passes with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed English stopword set — part of the operator contract
+# (mirrored verbatim in the SQL oracles).
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: split(trim(text), '\\s+')."""
+    return F.split(F.trim(_c(text)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Number of whitespace-delimited tokens (0 for empty/blank)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation ([.,!?;:])."""
+    t = _c(text)
+    n = F.length(t)
+    stripped = F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    return F.when(n > 0, (n - stripped) / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    sw = [s.lower() for s in (stopwords or EN_STOPWORDS)]
+    toks = tokens(F.lower(_c(text)))
+    hits = F.size(F.filter(toks, lambda x: x.isin(sw)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] document-quality heuristic.
+
+    0.5·min(tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.2·min(4·stopword_ratio, 1)
+    — length, cleanliness, and natural-language-ness terms; the exact
+    formula is the contract (mirrored in the SQL oracle).
+    """
+    length_term = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    clean_term = F.lit(1.0) - punct_ratio(text)
+    natural_term = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    return 0.5 * length_term + 0.3 * clean_term + 0.2 * natural_term
+
+
+def language_id(text: Column | str, threshold: float = 0.05) -> Column:
+    """N-gram/stopword language heuristic: 'en' when the English
+    stopword ratio clears ``threshold``, else 'unknown'."""
+    return F.when(stopword_ratio(text) > threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, trim,
+    collapse internal whitespace."""
+    return F.lower(F.trim(F.regexp_replace(_c(text), r"\s+", " ")))
+
+
+def text_fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint = md5(normalized text).
+
+    md5 is identical across Spark/DuckDB/Python → oracle-checkable and
+    stable across cluster topologies (unlike hash/xxhash64 seeds)."""
+    return F.md5(normalized_text(text))

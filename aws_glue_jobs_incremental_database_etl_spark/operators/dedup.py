@@ -1,0 +1,318 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.11).
+
+All hash-based variants use Spark's deterministic hash functions
+(``hash``/``xxhash64`` — seed-stable across executors and runs), so
+results are reproducible cluster-wide.
+
+Scale design notes (the point of each algorithm):
+
+- **exact**: one hash-aggregate shuffle on the key — the cheapest.
+- **MinHash + LSH**: shingle → B·R minhashes → band buckets →
+  candidate pairs ONLY within buckets (the O(n²) all-pairs compare
+  never materializes) → exact Jaccard verify on candidates.
+- **SimHash**: one 64-bit signature per doc (map-only), near-dup =
+  Hamming ≤ k, found by banding the signature into chunks so
+  candidates share a chunk — again no all-pairs.
+- **n-gram Jaccard**: exact verify kernel, also usable standalone on
+  a bounded candidate set.
+- **embedding near-dup**: cosine ≥ τ pairs via the similarity module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, subset: list[str], order_by: list[str] | None = None) -> DataFrame:
+    """Keep one row per key.
+
+    Without ``order_by``: ``dropDuplicates(subset)`` (arbitrary
+    survivor, cheapest — partial aggregation map-side).  With
+    ``order_by``: deterministic survivor = first row in that order
+    (row_number window, one shuffle on the key).
+    """
+    if not order_by:
+        return df.dropDuplicates(subset)
+    w = Window.partitionBy(*subset).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingles(text_col, k: int = 3):
+    """k-token shingles as an array column (distinct), via pure
+    Catalyst HOFs — tokenization happens once, shingling is an array
+    transform over index positions (no UDF)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_jaccard(a_col, b_col) -> "F.Column":
+    """Exact Jaccard similarity between two shingle-array columns."""
+    inter = F.size(F.array_intersect(a_col, b_col))
+    union = F.size(F.array_union(a_col, b_col))
+    return F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+
+
+# -------------------------------------------------------- MinHash + LSH
+
+def minhash_signature(shingle_col, num_hashes: int = 32):
+    """Array of ``num_hashes`` minhashes: min over shingles of
+    hash(shingle, seed_i).  ``F.hash`` with a per-function literal seed
+    column gives independent deterministic hash families.
+
+    Single ``aggregate`` pass over the shingle array with an
+    array-of-mins accumulator — one traversal computing all families
+    (the naive num_hashes× ``array_min(transform(...))`` formulation
+    re-walks the array per family and is ~10× slower)."""
+    init = F.array_repeat(F.lit(2147483647), num_hashes)
+
+    def merge(acc, s):
+        hs = F.array(*[F.hash(s, F.lit(i)) for i in range(num_hashes)])
+        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+
+    return F.aggregate(shingle_col, init, merge)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
+    MinHash-LSH banding.
+
+    Plan shape: map (shingle+sign) → explode B bands → shuffle on
+    (band, band_signature) → within-bucket self-join → exact Jaccard
+    verify on the candidate set only.  With B bands of R rows a pair
+    with similarity s collides with prob 1-(1-s^R)^B — tune bands for
+    the target threshold; false positives are removed by the verify,
+    false negatives are the (documented) LSH tradeoff.
+    """
+    rows = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .withColumn("sh", shingles(F.col("text"), shingle_k))
+        .withColumn("mh", minhash_signature(F.col("sh"), num_hashes))
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("mh", b * rows + 1, rows)).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.bsig")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, **kw
+) -> DataFrame:
+    """Drop near-duplicates: from each similar pair keep the smaller id
+    (connected via pairwise edges; one LSH pass — transitive closure is
+    intentionally not chased, matching standard one-pass dedup
+    practice)."""
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, threshold, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# -------------------------------------------------------------- SimHash
+
+def simhash64(text_col, shingle_k: int = 2):
+    """64-bit SimHash of a document, fully in Catalyst.
+
+    Token hashes once (xxhash64), then per-bit weighted sign sums; bit
+    i of the result = sign of Σ(±1 over tokens).
+
+    ONE ``aggregate`` pass with a 64-long array-of-sums accumulator
+    (bit masks are two's-complement literals; the HOF lambda uses only
+    Column methods — F.shiftright/shiftleft don't accept the lambda
+    variable).  The per-bit-aggregate formulation walks the token array
+    64 times and compiles 64 huge codegen blocks — measured ~50×
+    slower.  Map-only, no shuffle, no UDF.
+    """
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    hs = F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+
+    def merge(acc, h):
+        contrib = F.array(
+            *[F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1) for m in masks]
+        )
+        return F.zip_with(acc, contrib, lambda a, b: a + b)
+
+    sums = F.aggregate(hs, F.array_repeat(F.lit(0), 64), merge)
+    sig = F.lit(0).cast("bigint")
+    for i, m in enumerate(masks):
+        sig = sig.bitwiseXOR(
+            F.when(F.element_at(sums, i + 1) > 0, F.lit(m))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+    return sig
+
+
+def hamming64(a, b) -> "F.Column":
+    """Hamming distance between two 64-bit signatures (popcount of XOR
+    via bin()-string counting — no UDF)."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k, via 4×16-bit banding:
+    any pair within distance ≤ 3 shares at least one exact 16-bit
+    chunk (pigeonhole), so candidates come from equality buckets —
+    no all-pairs."""
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("sig")
+    )
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sig", "ck.chunk", "ck.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------- embedding near-dup
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Pairs of rows whose embeddings have cosine ≥ threshold — exact.
+
+    One side is collected to a numpy matrix and broadcast; the scan
+    side streams through an Arrow-batched ``mapInPandas`` doing a
+    single ``batch @ matrixᵀ`` matmul per batch (BLAS).  The pairwise
+    cosine kernel is the textbook case where a vectorized Pandas UDF
+    beats per-pair Catalyst HOF expressions ~50×.
+
+    Scale contract: the BROADCAST side must be bounded (≤ ~1M × dim
+    floats); for corpus×corpus at 100 TB, LSH-bucket first
+    (``similarity.hyperplane_lsh_bucket``) and run this kernel within
+    buckets.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ref = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in ref], dtype=np.int64)
+    mat = np.array([r[1] for r in ref], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ref_ids, ref_mat = b_ids.value, b_mat.value
+        for pdf in it:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ ref_mat.T
+            qi = pdf[id_col].to_numpy()
+            rows_i, cols_j = np.nonzero(sims >= threshold)
+            keep = qi[rows_i] < ref_ids[cols_j]
+            yield pd.DataFrame(
+                {
+                    "id_a": qi[rows_i][keep],
+                    "id_b": ref_ids[cols_j][keep],
+                    "cosine": np.round(sims[rows_i, cols_j][keep], 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(batches, out_schema)

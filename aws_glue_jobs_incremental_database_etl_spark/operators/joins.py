@@ -1,0 +1,105 @@
+"""Join operators Spark lacks as single primitives: as-of and range.
+
+The reference has no joins at all (SURVEY.md §2.3); these are the
+[EXT] surface, built as compositions of built-in operators so Catalyst
+still owns the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_dim(df: DataFrame) -> DataFrame:
+    """Explicit broadcast marker for dimension tables — at 100 TB the
+    difference between a map-side hash join and shuffling the fact
+    table."""
+    return F.broadcast(df)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts < left_ts`` (``<=`` when ``strict=False``), per ``on`` key.
+
+    Implementation is the scalable sort-based union trick (not a range
+    cross-join): tag both sides, union by key+time, carry right values
+    forward with ``last(..., ignorenulls)`` over an ordered window,
+    keep left rows.  Cost = one shuffle on the key + a sort within
+    partitions — the same cost profile as a sort-merge join, and no
+    pair explosion regardless of time-density.  (Spark 4's
+    ``DataFrame.joinAsOf`` would be the built-in alternative; this
+    composition keeps us independent of its availability and supports
+    the strict/non-strict variants symmetrically.)
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    lcols = [c for c in left.columns]
+
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).select(*[F.col(c) for c in lcols], "__t", "__is_left", *[f"__r_{c}" for c in value_cols])
+
+    unioned = l_tagged.unionByName(r_tagged)
+    # Order so that at equal timestamps the RIGHT row sorts first for
+    # non-strict (<=, right value visible to the left row) and LAST for
+    # strict (<, not visible).
+    tie = F.col("__is_left").asc() if strict else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__t",
+        "__is_left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *lcols, *[F.col(f"__v_{c}").alias(c) for c in value_cols]
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    equi_keys: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Theta/range join: boolean-expression join, with optional equi
+    keys so Catalyst plans a sort-merge/hash join on the keys and only
+    applies the range predicate as a post-filter (a pure theta join is
+    a broadcast-nested-loop — fine for a small side, fatal at scale)."""
+    if equi_keys:
+        eq = [left[k] == right[k] for k in equi_keys]
+        cond = eq[0]
+        for e in eq[1:]:
+            cond = cond & e
+        return left.join(right, cond & condition, how)
+    return left.join(right, condition, how)

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (SURVEY.md §2.11).
+
+- ``cosine_topk``          — exact brute force: map-only cosine pass +
+                             ``TakeOrderedAndProject`` (no full sort,
+                             no shuffle of the data — only k rows per
+                             partition reach the driver-side merge).
+- ``cosine_topk_many``     — batched exact top-k for MANY query
+                             vectors: broadcast the queries, one pass
+                             over the corpus, per-query window top-k.
+- ``hyperplane_lsh_bucket``— random-hyperplane signatures for
+                             LSH-bucketed ANN: at 100 TB, search only
+                             the query's bucket (+ optional multiprobe
+                             neighbors) instead of the corpus.
+- ``cosine_topk_lsh``      — ANN top-k = bucket restrict → exact rank.
+
+Hyperplanes are generated from a fixed seed so signatures are
+deterministic across runs and executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity, dot_product
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k rows most cosine-similar to one query vector.
+
+    The query is a literal array (broadcast by value into the plan), so
+    this is a single map-only scan followed by a global top-k — the
+    optimal exact plan at any scale.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_many(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k per query vector, for a (small, broadcastable) query
+    set: broadcast-cross-join then per-query window top-k.  Corpus is
+    scanned once regardless of query count."""
+    joined = corpus.join(F.broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append a 2^num_planes-way LSH bucket id: bit i = sign(v·hᵢ).
+
+    Cosine-similar vectors land in the same bucket with probability
+    (1 − θ/π)^planes; the hyperplanes are literal arrays folded into
+    the plan (no UDF, no join).
+    """
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot_product(F.col(vec_col), h) >= 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict to the query's LSH bucket, then
+    exact-rank inside it.  Recall < 1 by design; the scale win is that
+    the candidate set is ~corpus/2^planes.  (Multiprobe = also search
+    buckets at Hamming distance 1 from the query signature — left as a
+    bucket-set parameter at call sites that need higher recall.)"""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, num_planes, seed)
+    qsig = 0
+    qv = np.asarray(query_vec)
+    for i, p in enumerate(planes):
+        if float(qv @ p) >= 0:
+            qsig |= 1 << i
+    bucketed = hyperplane_lsh_bucket(corpus, vec_col, dim, num_planes, seed)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == qsig), query_vec, k, id_col, vec_col
+    )

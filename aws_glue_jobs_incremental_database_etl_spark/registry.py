@@ -1,0 +1,958 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) →
+DataFrame callable, with a matching DuckDB oracle SQL where the
+semantics are ANSI-SQL-expressible (SURVEY.md §2 inventory →
+``__spark_entry__.queries()`` / ``oracle_sql()``).
+
+Conventions keeping the driver's order-insensitive value-hash stable
+across Spark and DuckDB:
+- every computed column is aliased IDENTICALLY in both;
+- floating-point aggregates are rounded (sums → 2, ratios/avgs → 4-6);
+- vector math is cast to double on BOTH sides before accumulating;
+- time arithmetic uses exact integer microseconds (unix_micros /
+  epoch_us), never fractional-second doubles;
+- deterministic tie-breakers on every top-k boundary.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .tables import load_table
+
+Q = {}  # name -> callable(spark, sf_dir) -> DataFrame
+O = {}  # name -> oracle SQL (DuckDB); absent => rows-only check
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if oracle is not None:
+            O[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Relational: aggregations
+# =====================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (SURVEY.md §2.4 [EXT] hash agg).
+
+    Map-side partial aggregation → tiny shuffle (one row per
+    flag/status pair) regardless of fact-table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_lineitem_stats",
+    """
+    SELECT COUNT(*)                   AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           ROUND(MIN(l_quantity), 2)  AS min_qty,
+           ROUND(MAX(l_quantity), 2)  AS max_qty,
+           ROUND(AVG(l_quantity), 4)  AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Global aggregate incl. exact COUNT DISTINCT (expand+2-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "rollup_order_priorities",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark, sf_dir):
+    """ROLLUP grouping sets (SURVEY.md §2.4 [EXT])."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_rf(spark, sf_dir):
+    """CUBE grouping sets."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "distinct_mktsegments",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_seg(spark, sf_dir):
+    """Distinct = the reference's partition-value discovery aggregate (A1)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# =====================================================================
+# Relational: joins
+# =====================================================================
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    """TPC-H Q3-style: selective dim filter → fact joins → top-k.
+
+    customer is broadcast (small side); orders⋈lineitem sort-merge on
+    the key; final TakeOrderedAndProject avoids a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5(spark, sf_dir):
+    """TPC-H Q5-style star join: broadcast the whole dim chain
+    (region→nation→customer), shuffle only orders⋈lineitem."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "left_join_order_counts",
+    """
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey)                    AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS revenue
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def left_join_counts(spark, sf_dir):
+    """Left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def semi_join(spark, sf_dir):
+    """left_semi join = EXISTS (no row multiplication, build side only
+    emits the key)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join(spark, sf_dir):
+    """left_anti join = NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "range_join_shipped_30d",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_items
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderstatus
+    """,
+)
+def range_join_q(spark, sf_dir):
+    """Range join WITH equi keys: Catalyst plans the equi join and
+    applies the interval predicate as a filter — no nested-loop
+    explosion (operators.joins.range_join)."""
+    from .operators.joins import range_join
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
+        F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    joined = range_join(
+        l.select("l_orderkey", "l_shipdate").withColumnRenamed("l_orderkey", "o_orderkey"),
+        o.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        cond,
+        equi_keys=["o_orderkey"],
+    )
+    return joined.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+@query(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_q(spark, sf_dir):
+    """As-of join (operators.joins.asof_join): latest click at-or-before
+    each purchase, per user — sort-based union trick, one shuffle."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts"],
+        strict=False,
+    )
+
+
+# =====================================================================
+# Relational: windows, sorts, set ops
+# =====================================================================
+
+@query(
+    "window_top_orders_per_customer",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_topn(spark, sf_dir):
+    """Ranking window: top-3 orders per customer (row_number)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_event_gaps",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS gap_us
+    FROM events
+    """,
+)
+def window_gaps(spark, sf_dir):
+    """Analytic window (lag): exact µs gap to the previous event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+@query(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+    FROM orders
+    """,
+)
+def window_running(spark, sf_dir):
+    """Aggregate window with an explicit ROWS frame (running total)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk(spark, sf_dir):
+    """Global top-k → TakeOrderedAndProject (per-partition heap + merge
+    of k rows; no full sort, no full shuffle)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_RICH = "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000"
+_BIG = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000"
+
+
+@query("setop_union", f"{_RICH} UNION {_BIG}")
+def setop_union(spark, sf_dir):
+    """UNION (distinct) — row-level analogue of the schema union in E2."""
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@query("setop_intersect", f"{_RICH} INTERSECT {_BIG}")
+def setop_intersect(spark, sf_dir):
+    a, b = _setop_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("setop_except", f"{_RICH} EXCEPT {_BIG}")
+def setop_except(spark, sf_dir):
+    a, b = _setop_sides(spark, sf_dir)
+    return a.exceptAll(b).distinct()
+
+
+def _setop_sides(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a, b
+
+
+# =====================================================================
+# Scalar function library
+# =====================================================================
+
+@query(
+    "scalar_string_part",
+    r"""
+    SELECT p_partkey,
+           UPPER(p_brand)                        AS brand_upper,
+           SUBSTR(p_name, 1, 8)                  AS name_prefix,
+           LENGTH(p_name)                        AS name_len,
+           regexp_extract(p_type, '^(\w+)', 1)   AS type_first,
+           ROUND(p_retailprice * 1.1, 2)         AS price_bump,
+           (p_size >= 25)                        AS is_large,
+           (p_name LIKE '%a%')                   AS has_a
+    FROM part
+    """,
+)
+def scalar_string(spark, sf_dir):
+    """String/math scalar surface (SURVEY.md §2.8 [EXT]) — all
+    codegen'd built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_bump"),
+        (F.col("p_size") >= 25).alias("is_large"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+@query(
+    "scalar_date_orders",
+    """
+    SELECT o_orderkey,
+           YEAR(o_orderdate)                                   AS y,
+           MONTH(o_orderdate)                                  AS m,
+           CAST(date_trunc('month', o_orderdate) AS DATE)      AS month_start,
+           date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE))                AS days_since_95
+    FROM orders
+    """,
+)
+def scalar_date(spark, sf_dir):
+    """Date scalar surface: year/month/trunc/diff."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@query(
+    "json_events_sum",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_events(spark, sf_dir):
+    """Row-level JSON extraction (get_json_object) + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# =====================================================================
+# ETL parity (the reference's own pipeline, end-to-end)
+# =====================================================================
+
+@query("etl_incremental_reload", "SELECT * FROM orders")
+def etl_reload(spark, sf_dir):
+    """Full reference pipeline parity: two bookmark-delimited
+    incremental runs over a growing `orders` source must reconstruct
+    exactly the full table (scan→probe→cast→null-prune→partitioned
+    append→watermark commit; SURVEY.md §3.3)."""
+    from .bookmarks import BookmarkStore
+    from .catalog import FileCatalog
+    from .config import TableConfig
+    from .pipeline import IncrementalPipeline
+
+    work = tempfile.mkdtemp(prefix="etl_reload_")
+    full = load_table(spark, sf_dir, "orders")
+    mid = full.agg((F.max("o_orderkey") / 2).cast("bigint")).first()[0]
+    src = f"{work}/src_orders"
+    full.filter(F.col("o_orderkey") <= mid).write.mode("overwrite").parquet(src)
+
+    def mk(run):
+        return IncrementalPipeline(
+            spark,
+            FileCatalog(f"{work}/catalog"),
+            BookmarkStore(f"{work}/bm.json"),
+            target_location=f"{work}/lake",
+            target_prefix="tgt_",
+            job_run_id=run,
+        )
+
+    cfg = TableConfig("orders", ["o_orderkey"], "ASC", ["o_orderstatus"])
+    mk("run-1").run([cfg], {"orders": src})
+    full.write.mode("overwrite").parquet(src)
+    pipe = mk("run-2")
+    pipe.run([cfg], {"orders": src})
+    return pipe.read_target("orders").select(*full.columns)
+
+
+@query(
+    "etl_apply_mapping",
+    """
+    SELECT CAST(o_orderkey AS INTEGER) AS ok_int,
+           CAST(o_orderdate AS DATE)   AS odate,
+           o_orderstatus               AS status,
+           o_totalprice                AS price
+    FROM orders
+    """,
+)
+def etl_mapping(spark, sf_dir):
+    """ApplyMapping parity (P1): project+rename+cast via catalog types."""
+    from .transforms import apply_mapping
+
+    o = load_table(spark, sf_dir, "orders")
+    return apply_mapping(
+        o,
+        [
+            ("o_orderkey", "ok_int", "int"),
+            ("o_orderdate", "odate", "date"),
+            ("o_orderstatus", "status", "string"),
+            ("o_totalprice", "price", "double"),
+        ],
+    )
+
+
+@query(
+    "etl_drop_null_fields",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 2 = 0 THEN 'x' END AS half
+    FROM customer
+    """,
+)
+def etl_dropnull(spark, sf_dir):
+    """DropNullFields parity (P2): the injected all-null column
+    vanishes, the half-null column survives."""
+    from .transforms import drop_null_fields
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("string").alias("ghost"),
+        F.when(F.col("c_custkey") % 2 == 0, "x").alias("half"),
+    )
+    return drop_null_fields(c)
+
+
+@query(
+    "etl_bookmark_filter",
+    "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderkey > 1000",
+)
+def etl_bookmark(spark, sf_dir):
+    """Bookmark predicate parity (P4): strictly-greater watermark
+    filter, pushed down to the parquet scan."""
+    from .bookmarks import BookmarkStore
+
+    work = tempfile.mkdtemp(prefix="bm_")
+    bs = BookmarkStore(f"{work}/bm.json")
+    bs.stage("orders_ctx", {"o_orderkey": 1000})
+    bs.commit()
+    o = load_table(spark, sf_dir, "orders")
+    return bs.filter_new(o, "orders_ctx", ["o_orderkey"]).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+# =====================================================================
+# Streaming (batch-mode window algebra — identical exprs run on streams)
+# =====================================================================
+
+@query(
+    "events_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts)                   AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           COUNT(*)                                 AS n_events,
+           ROUND(SUM(value), 2)                     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling(spark, sf_dir):
+    """Tumbling event-time windows (streaming.windows.tumbling_window_agg)."""
+    from .streaming import tumbling_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    """
+    SELECT g.ws                        AS window_start,
+           g.ws + INTERVAL 1 HOUR      AS window_end,
+           COUNT(*)                    AS n_events
+    FROM generate_series(TIMESTAMP '2023-12-31 23:30:00',
+                         TIMESTAMP '2024-02-01 00:00:00',
+                         INTERVAL 30 MINUTE) AS g(ws)
+    JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def sliding(spark, sf_dir):
+    """Sliding windows (1h window / 30m slide): each event lands in 2
+    windows; Spark's window() explodes inline — the oracle
+    reconstructs the same windows with generate_series."""
+    from .streaming import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev, "ts", "1 hour", "30 minutes", [F.count(F.lit(1)).alias("n_events")]
+    )
+
+
+@query(
+    "events_sessionize_30m",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_q(spark, sf_dir):
+    """Gap-based sessionization (streaming.windows.sessionize), 30-min
+    gap, exact µs arithmetic; session-level rollup."""
+    from .streaming import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap_seconds=1800)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query("events_session_window_native")  # rows-only: engine-native session merge
+def session_native(spark, sf_dir):
+    """Spark-native session_window (merge semantics differ subtly from
+    the lag/cumsum formulation at exact-gap boundaries → rows-only
+    check; the oracle-checked variant is events_sessionize_30m)."""
+    from .streaming import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        [F.count(F.lit(1)).alias("n_events")],
+        extra_keys=["user_id"],
+    )
+
+
+# =====================================================================
+# LLM-pipeline operators: dedup / similarity / text / multimodal
+# =====================================================================
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY lang, source)
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup with deterministic survivor (min doc_id per key)."""
+    from .operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, ["lang", "source"], order_by=["doc_id"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "doc_text_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS praw
+      FROM documents
+    ), u AS (
+      SELECT doc_id, text, praw,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(list_transform(toks, x -> lower(x)),
+                           x -> x IN ('the','a','of','and','to','in','is','it'))) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS sraw
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(praw, 6) AS punct_ratio,
+           ROUND(sraw, 6) AS stopword_ratio,
+           ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.3 * (1.0 - praw)
+                 + 0.2 * LEAST(4 * sraw, 1.0), 6) AS quality,
+           CASE WHEN sraw > 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM u
+    """,
+)
+def doc_stats_q(spark, sf_dir):
+    """Text analysis: token count, punct/stopword ratios, quality
+    score, language-ID heuristic, md5 fingerprint — all map-only."""
+    from .operators.text import document_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return document_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+@query(
+    "cosine_topk_embeddings",
+    """
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def cosine_topk_q(spark, sf_dir):
+    """Exact brute-force cosine top-k (operators.similarity.cosine_topk):
+    map-only scan + TakeOrdered; double-precision on both sides."""
+    from .operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = cosine_topk(emb, qvec, k=20)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@query(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+    """,
+)
+def emb_near_dup_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact verify kernel)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+@query("minhash_near_dup_docs")  # rows-only: Spark-hash-specific signatures
+def minhash_q(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (banded; candidates only from shared
+    buckets, exact-Jaccard verified)."""
+    from .operators.dedup import minhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.2, shingle_k=1, num_hashes=32, bands=16
+    )
+
+
+@query("simhash_near_dup_docs")  # rows-only: Spark-hash-specific signatures
+def simhash_q(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit signatures, 16-bit banding)."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6, shingle_k=1)
+
+
+@query("lsh_topk_embeddings")  # rows-only: approximate by design
+def lsh_topk_q(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH bucket restriction."""
+    from .operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk_lsh(emb, qvec, k=10, num_planes=6)
+
+
+@query("multimodal_image_features")  # rows-only: synthetic media, stubbed decode
+def multimodal_q(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas
+    feature extraction (decode kernel stubbed deterministically)."""
+    from .operators.multimodal import extract_image_features, make_fake_media
+
+    media = make_fake_media(spark, n=64)
+    feats = extract_image_features(media, dim=16)
+    return feats.select(
+        "media_id", "mime", "decode_ok", F.size("feature").alias("feat_dim")
+    )
+
+
+@query("multimodal_frame_sample")  # rows-only: synthetic media
+def frames_q(spark, sf_dir):
+    """Video/audio frame-sampling plan (sequence+explode, no UDF)."""
+    from .operators.multimodal import make_fake_media, sample_frames
+
+    media = make_fake_media(spark, n=64)
+    return sample_frames(media.filter(F.col("mime") != "image/png"), every_ms=500)

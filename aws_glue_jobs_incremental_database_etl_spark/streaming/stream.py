@@ -1,0 +1,67 @@
+"""True Structured Streaming pipelines.
+
+``incremental_file_stream`` is the streaming twin of the batch
+bookmark pipeline: a file-source stream with ``Trigger.AvailableNow``
++ checkpoint IS the reference's bookmark-per-run model (SURVEY.md
+§2.10) with exactly-once sink semantics instead of at-least-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def incremental_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Streaming read of a growing directory (schema must be supplied —
+    streaming sources don't infer)."""
+    return spark.readStream.format(fmt).schema(schema).load(source_dir)
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Windowed streaming counts with late-data handling: watermark
+    bounds state (windows older than max(event_time) − watermark are
+    finalized and dropped from the state store — this is what keeps
+    unbounded streams at bounded memory)."""
+    keys = [F.window(F.col(ts_col), duration)] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(k) for k in (extra_keys or [])],
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, out_dir: str) -> None:
+    """Drain everything currently available, then stop — the streaming
+    equivalent of one bookmark-delimited batch run of the reference
+    job.  Re-invoking later processes only new files (checkpoint =
+    bookmark), with exactly-once output."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -33,9 +33,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with canonical column types."""
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, NOT `/`: float division rounds 19-digit nano
+        # values (> 2^53) and corrupts the microsecond by ±1
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": "headline_queries_total", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}``
+
+Each query is forced with a ``noop``-format write (full distributed
+execution, zero driver-side collect cost), matching how a production
+job would consume the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "left_join_order_counts",
+    "asof_join_purchase_click",
+    "window_top_orders_per_customer",
+    "rollup_order_priorities",
+    "etl_incremental_reload",
+    "events_tumbling_hourly",
+    "events_sessionize_30m",
+    "doc_text_stats",
+    "dedup_exact_docs",
+    "minhash_near_dup_docs",
+    "simhash_near_dup_docs",
+    "cosine_topk_embeddings",
+    "embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from aws_glue_jobs_incremental_database_etl_spark.session import get_spark
+    from aws_glue_jobs_incremental_database_etl_spark import registry
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once with the cheapest query
+    registry.Q["topk_orders"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        registry.Q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
