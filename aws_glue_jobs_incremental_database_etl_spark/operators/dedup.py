@@ -153,6 +153,58 @@ def minhash_near_dup_pairs(
     )
 
 
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs (id_a < id_b, j ≥ threshold)
+    via an inverted shingle index — no LSH false negatives.
+
+    Plan: explode distinct shingles → self-join on shingle (candidate =
+    any pair sharing ≥1 shingle; every pair with j > 0 shares one, so
+    recall is exact) → count shared shingles per pair in the SAME
+    aggregation (no re-walk) → j = shared / (|a| + |b| − shared).
+
+    Scale levers: stop-shingles appearing in > ``max_postings`` docs are
+    dropped from the index (a pair made ONLY of such shingles has
+    j ≈ 0 at any realistic threshold); the pair-count aggregate is a
+    single shuffle keyed by (id_a, id_b).
+    """
+    sized = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    postings = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    rare = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_postings)
+        .select("shingle")
+    )
+    postings = postings.join(rare, "shingle")
+    a, b = postings.alias("a"), postings.alias("b")
+    pair_shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+    return (
+        pair_shared.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_dedup(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, **kw
 ) -> DataFrame:

@@ -62,9 +62,10 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged)
     # Order so that at equal timestamps the RIGHT row sorts first for
-    # non-strict (<=, right value visible to the left row) and LAST for
-    # strict (<, not visible).
-    tie = F.col("__is_left").asc() if strict else F.col("__is_left").desc()
+    # non-strict (<=, right value visible to the left row via the
+    # to-current-row frame) and AFTER the left row for strict (<, the
+    # to-previous-row frame then can't see it).
+    tie = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__t").asc(), tie)

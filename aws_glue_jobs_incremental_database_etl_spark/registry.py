@@ -365,6 +365,131 @@ def asof_q(spark, sf_dir):
     )
 
 
+@query(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           YEAR(l_shipdate) AS l_year,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+    """,
+)
+def q7(spark, sf_dir):
+    """TPC-H Q7-style bi-nation volume: both nation dims broadcast on
+    different keys; lineitem⋈orders is the only big shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS amount
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+)
+def q9(spark, sf_dir):
+    """TPC-H Q9-style product profit by supplier nation and year
+    (part filter broadcast into the fact scan)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(n, s.s_nationkey == n.n_nationkey)), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).alias("amount")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    """TPC-H Q10-style returned-item ranking: top-20 customers by lost
+    revenue (TakeOrderedAndProject, no global sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.join(n, c.c_nationkey == n.n_nationkey)), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # =====================================================================
 # Relational: windows, sorts, set ops
 # =====================================================================
@@ -568,6 +693,40 @@ def json_events(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "scalar_array_vectors",
+    """
+    SELECT vec_id,
+           len(embedding)                                             AS dim,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum'), 4)                            AS vec_sum,
+           ROUND(list_aggregate(list_transform(list_slice(embedding, 1, 8),
+                                               x -> CAST(x AS DOUBLE)),
+                                'sum'), 4)                            AS head_sum,
+           ROUND(CAST(list_sort(embedding)[len(embedding)] AS DOUBLE), 4) AS vec_max,
+           len(list_filter(embedding, x -> x > 0))                    AS n_pos
+    FROM embeddings
+    """,
+)
+def scalar_array(spark, sf_dir):
+    """Array-function surface (SURVEY.md §2.8 [EXT]): size / slice /
+    sort / filter / aggregate HOFs — all Catalyst, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
     )
 
 
@@ -906,22 +1065,57 @@ def emb_near_dup_q(spark, sf_dir):
 @query("minhash_near_dup_docs")  # rows-only: Spark-hash-specific signatures
 def minhash_q(spark, sf_dir):
     """MinHash-LSH near-dup pairs (banded; candidates only from shared
-    buckets, exact-Jaccard verified)."""
+    buckets, exact-Jaccard verified).  3-gram shingles + τ=0.7 target
+    the driver data's injected near-dups (j≈0.98) — 16 bands × 4 rows
+    puts the S-curve threshold at (1/16)^(1/4) ≈ 0.5, so recall at
+    0.98 is ~1 while random pairs (j≈0) never collide."""
     from .operators.dedup import minhash_near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
-        d, "doc_id", "text", threshold=0.2, shingle_k=1, num_hashes=32, bands=16
+        d, "doc_id", "text", threshold=0.7, shingle_k=3, num_hashes=64, bands=16
     )
+
+
+@query(
+    "jaccard_near_dup_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+               i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS sh
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    """,
+)
+def jaccard_q(spark, sf_dir):
+    """EXACT n-gram-Jaccard near-dup pairs via inverted shingle index
+    (zero false negatives — the DuckDB oracle does the O(n²) compare;
+    the Spark plan only ever scores pairs sharing a shingle)."""
+    from .operators.dedup import jaccard_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_near_dup_pairs(d, "doc_id", "text", threshold=0.7, shingle_k=3)
 
 
 @query("simhash_near_dup_docs")  # rows-only: Spark-hash-specific signatures
 def simhash_q(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit signatures, 16-bit banding)."""
+    """SimHash near-dup pairs (64-bit signatures, 16-bit banding; the
+    4×16 pigeonhole guarantees full recall at Hamming ≤ 3)."""
     from .operators.dedup import simhash_near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6, shingle_k=1)
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, shingle_k=3)
 
 
 @query("lsh_topk_embeddings")  # rows-only: approximate by design

@@ -14,9 +14,9 @@ Spark-native equivalents, in preference order:
    predicate is ``MOD(ABS(<hash>(col)), N) = i`` evaluated *in the
    source database*, one partition per executor-side query.
 
-No database ships in this container, so ``read_jdbc`` is exercised in
-tests only through predicate generation; the read path itself is the
-stock ``spark.read.jdbc`` API.
+The read path is the stock ``spark.read.jdbc`` API; tests exercise it
+end-to-end against the embedded Apache Derby engine that ships in
+Spark's jars (``tests/test_jdbc_source.py``).
 """
 
 from __future__ import annotations
@@ -39,6 +39,8 @@ def hash_partition_predicates(
         "mysql": f"CRC32({hashfield})",
         "postgresql": f"ABS(HASHTEXT({hashfield}::text))",
         "ansi": f"ABS(CAST(CONV(SUBSTR(MD5({hashfield}), 1, 8), 16, 10) AS BIGINT))",
+        # integer keys on strict-ANSI engines (Derby, DB2): plain MOD
+        "mod": f"ABS({hashfield})",
     }.get(dialect.lower())
     if h is None:
         raise ValueError(f"unsupported JDBC dialect: {dialect}")

@@ -24,6 +24,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
     "left_join_order_counts",
     "asof_join_purchase_click",
     "window_top_orders_per_customer",
@@ -34,6 +37,7 @@ HEADLINE = [
     "doc_text_stats",
     "dedup_exact_docs",
     "minhash_near_dup_docs",
+    "jaccard_near_dup_docs",
     "simhash_near_dup_docs",
     "cosine_topk_embeddings",
     "embedding_near_dup",

@@ -1,0 +1,257 @@
+"""Unit tests for the [EXT] operator library: joins, dedup,
+similarity, text (SURVEY.md §2.3/§2.11)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_near_dup_pairs,
+    minhash_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard,
+    shingles,
+    simhash_near_dup_pairs,
+)
+from aws_glue_jobs_incremental_database_etl_spark.operators.joins import (
+    asof_join,
+    range_join,
+)
+from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    cosine_topk_many,
+    hyperplane_lsh_bucket,
+)
+
+
+# --------------------------------------------------------------- joins
+
+def _asof_fixture(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 150, "c")],
+        ["key", "t", "trade"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 100, 2.0), (1, 199, 3.0), (2, 300, 9.0)],
+        ["key", "t", "px"],
+    )
+    return trades, quotes
+
+
+def test_asof_join_strict(spark):
+    trades, quotes = _asof_fixture(spark)
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="t", right_ts="t", value_cols=["px"],
+        strict=True,
+    )
+    got = {(r.key, r.t): r.px for r in out.collect()}
+    # strict <: the t=100 quote is NOT visible to the t=100 trade
+    assert got == {(1, 100): 1.0, (1, 200): 3.0, (2, 150): None}
+
+
+def test_asof_join_non_strict(spark):
+    trades, quotes = _asof_fixture(spark)
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="t", right_ts="t", value_cols=["px"],
+        strict=False,
+    )
+    got = {(r.key, r.t): r.px for r in out.collect()}
+    assert got == {(1, 100): 2.0, (1, 200): 3.0, (2, 150): None}
+
+
+def test_asof_join_keeps_all_left_rows(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        value_cols=["click_ts"], strict=False,
+    )
+    assert out.count() == purchases.count()
+    bad = out.filter(F.col("click_ts") > F.col("ts")).count()
+    assert bad == 0
+
+
+def test_range_join_with_equi_keys_no_bnlj(spark):
+    left = spark.createDataFrame([(1, 5), (1, 50), (2, 5)], ["k", "x"])
+    right = spark.createDataFrame([(1, 0, 10), (2, 10, 20)], ["k", "lo", "hi"])
+    cond = (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    out = range_join(left, right, cond, equi_keys=["k"])
+    rows = {(r.k, r.x) for r in out.select(left.k, "x").collect()}
+    assert rows == {(1, 5)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------- dedup
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "a"), (9, "b")], ["id", "k"]
+    )
+    out = exact_dedup(df, ["k"], order_by=["id"]).collect()
+    assert {(r.id, r.k) for r in out} == {(1, "a"), (9, "b")}
+    # without order_by: one arbitrary survivor per key
+    assert exact_dedup(df, ["k"]).count() == 2
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("the quick brown fox",)], ["t"])
+    out = df.select(shingles(F.col("t"), 2).alias("sh")).first()
+    assert sorted(out.sh) == ["brown fox", "quick brown", "the quick"]
+    # short text falls back to whole-string shingle
+    short = spark.createDataFrame([("hello",)], ["t"])
+    assert short.select(shingles(F.col("t"), 3).alias("sh")).first().sh == ["hello"]
+    # jaccard of identical sets = 1
+    j = (
+        df.select(
+            ngram_jaccard(shingles(F.col("t"), 2), shingles(F.col("t"), 2)).alias("j")
+        )
+        .first()
+        .j
+    )
+    assert j == 1.0
+
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 0
+    (2, "one two three four five six seven eight nine"),
+    (3, "completely different words entirely unrelated text here now"),
+    (4, "one two three four five six seven eight ten"),    # near-dup of 2
+]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(
+        df, "doc_id", "text", threshold=0.5, shingle_k=2, num_hashes=64, bands=16
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1), (2, 4)}
+
+
+def test_jaccard_exact_matches_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = jaccard_near_dup_pairs(df, "doc_id", "text", threshold=0.5, shingle_k=2)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert set(got) == {(0, 1), (2, 4)}
+    # 2-shingles: 7 per doc, 6 shared → j = 6/8
+    assert got[(0, 1)] == pytest.approx(0.75)
+
+
+def test_minhash_dedup_drops_losers(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    kept = minhash_dedup(
+        df, "doc_id", "text", threshold=0.5, shingle_k=2, num_hashes=64, bands=16
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 2, 3]
+
+
+def test_simhash_near_dups_and_hamming(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=10, shingle_k=2)
+    rows = pairs.collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    # only planted near-dup pairs may surface (banding recall on tiny
+    # 7-shingle docs is not guaranteed past hamming 3, so subset not
+    # equality), and every reported pair honors the threshold
+    assert got and got <= {(0, 1), (2, 4)}
+    assert all(r.hamming <= 10 and r.id_a < r.id_b for r in rows)
+    # hamming64 sanity: 0b111 vs 0 → 3
+    row = spark.range(1).select(hamming64(F.lit(7), F.lit(0)).alias("h")).first()
+    assert row.h == 3
+
+
+# ----------------------------------------------------------- similarity
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows])
+    q = mat[0]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(sims, 6)))[:5]
+    expect = list(ids[order])
+    got = [r.vec_id for r in cosine_topk(emb, list(q), k=5).collect()]
+    assert got == expect
+
+
+def test_cosine_topk_many_per_query(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_many(emb, queries, k=3)
+    counts = {r.query_id: r.n for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 3, 1: 3}
+    # each query's own vector appears in its top-3 (self-cosine = 1)
+    selfs = out.filter(F.col("query_id") == F.col("vec_id"))
+    assert selfs.count() == 2
+
+
+def test_lsh_bucket_deterministic_and_topk_subset(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    b1 = hyperplane_lsh_bucket(emb, num_planes=6).select("vec_id", "bucket")
+    b2 = hyperplane_lsh_bucket(emb, num_planes=6).select("vec_id", "bucket")
+    assert b1.exceptAll(b2).count() == 0
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    ann = cosine_topk_lsh(emb, list(q), k=10, num_planes=6)
+    ann_ids = {r.vec_id for r in ann.collect()}
+    assert 0 in ann_ids  # query's own bucket contains itself
+    assert len(ann_ids) <= 10
+    # ANN candidates all come from the query's bucket
+    qsig_bucket = (
+        hyperplane_lsh_bucket(emb, num_planes=6)
+        .filter(F.col("vec_id") == 0)
+        .first()
+        .bucket
+    )
+    bucket_ids = {
+        r.vec_id
+        for r in hyperplane_lsh_bucket(emb, num_planes=6)
+        .filter(F.col("bucket") == qsig_bucket)
+        .collect()
+    }
+    assert ann_ids <= bucket_ids
+
+
+# ----------------------------------------------------------------- text
+
+def test_document_stats_properties(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import document_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat. It is a cat!"),
+            (2, ""),
+            (3, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in document_stats(df).collect()}
+    assert out[1].n_tokens == 10
+    assert out[1].lang_pred == "en"
+    assert out[2].n_tokens == 0
+    assert out[3].stopword_ratio == 0.0
+    assert 0.0 <= out[1].quality <= 1.0
+    # fingerprint is whitespace/case-insensitive
+    df2 = spark.createDataFrame([(1, "  the CAT  sat on the mat.  it is a cat!")], ["doc_id", "text"])
+    fp2 = document_stats(df2).first().fingerprint
+    assert fp2 == out[1].fingerprint

@@ -1,0 +1,131 @@
+"""Streaming tests: batch/stream-shared window algebra on
+hand-computed fixtures, plus a REAL Structured Streaming run
+(file source → availableNow → checkpoint) proving the checkpoint
+behaves like the reference's job bookmark (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from aws_glue_jobs_incremental_database_etl_spark.streaming import (
+    session_window_agg,
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+    incremental_file_stream,
+    run_available_now,
+    stream_tumbling_counts,
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def _events(spark):
+    rows = [
+        (1, _ts(0), 10.0),
+        (2, _ts(4), 20.0),
+        (3, _ts(5), 30.0),   # second 5-min window
+        (4, _ts(14), 40.0),  # third
+    ]
+    return spark.createDataFrame(rows, ["event_id", "ts", "value"])
+
+
+def test_tumbling_window_agg(spark):
+    out = tumbling_window_agg(
+        _events(spark), "ts", "5 minutes",
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")],
+    )
+    got = {r.window_start.minute: (r.n, r.s) for r in out.collect()}
+    assert got == {0: (2, 30.0), 5: (1, 30.0), 10: (1, 40.0)}
+    ends = {r.window_start.minute: r.window_end.minute for r in out.collect()}
+    assert ends == {0: 5, 5: 10, 10: 15}
+
+
+def test_sliding_window_agg(spark):
+    out = sliding_window_agg(
+        _events(spark), "ts", "10 minutes", "5 minutes",
+        [F.count(F.lit(1)).alias("n")],
+    )
+    got = {(r.window_start.hour, r.window_start.minute): r.n for r in out.collect()}
+    # event@10:00 → windows starting 09:55 and 10:00; @10:04 same;
+    # @10:05 → 10:00, 10:05; @10:14 → 10:05, 10:10
+    assert got == {(9, 55): 2, (10, 0): 3, (10, 5): 2, (10, 10): 1}
+
+
+def test_sessionize_and_native_session_window_agree(spark):
+    rows = [
+        (1, 100, _ts(0)),
+        (2, 100, _ts(10)),   # same session (gap 10m < 30m)
+        (3, 100, _ts(50)),   # new session (gap 40m)
+        (4, 200, _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    s = sessionize(df, "ts", "user_id", gap_seconds=1800)
+    per_session = (
+        s.groupBy("user_id", "session_seq").count().orderBy("user_id", "session_seq")
+    )
+    got = [(r.user_id, r.session_seq, r["count"]) for r in per_session.collect()]
+    assert got == [(100, 1, 2), (100, 2, 1), (200, 1, 1)]
+
+    native = session_window_agg(
+        df, "ts", "30 minutes", [F.count(F.lit(1)).alias("n")], extra_keys=["user_id"]
+    )
+    ngot = sorted((r.user_id, r.n) for r in native.collect())
+    assert ngot == [(100, 1), (100, 2), (200, 1)]
+
+
+def test_streaming_availablenow_checkpoint_is_a_bookmark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    batch1 = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (2, _ts(1), 2.0)], ["event_id", "ts", "value"]
+    )
+    batch1.write.mode("append").parquet(src)
+
+    stream = incremental_file_stream(spark, src, batch1.schema)
+    assert stream.isStreaming
+    run_available_now(stream, ckpt, out)
+    assert spark.read.parquet(out).count() == 2
+
+    # new file arrives; a second availableNow run processes ONLY it
+    spark.createDataFrame([(3, _ts(2), 3.0)], ["event_id", "ts", "value"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = incremental_file_stream(spark, src, batch1.schema)
+    run_available_now(stream2, ckpt, out)
+    result = spark.read.parquet(out)
+    assert result.count() == 3  # exactly-once: no reprocessing of batch 1
+    assert sorted(r.event_id for r in result.collect()) == [1, 2, 3]
+
+
+def test_stream_tumbling_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "s2")
+    ckpt = str(tmp_path / "c2")
+    out = str(tmp_path / "o2")
+    os.makedirs(src)
+    df = _events(spark)
+    df.write.mode("append").parquet(src)
+
+    stream = incremental_file_stream(spark, src, df.schema)
+    counts = stream_tumbling_counts(stream, "ts", "5 minutes", watermark="1 hour")
+    assert counts.isStreaming
+    run_available_now(counts, ckpt, out)
+    got = {
+        r.window_start.minute: r.n_events for r in spark.read.parquet(out).collect()
+    }
+    # append mode emits only windows closed by the watermark; with one
+    # availableNow drain the final watermark is max(ts) - 1h, so at
+    # minimum the algebra must produce a subset of the batch answer
+    batch = {0: 2, 5: 1, 10: 1}
+    assert all(batch[k] == v for k, v in got.items())
