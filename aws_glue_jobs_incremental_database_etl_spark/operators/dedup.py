@@ -20,6 +20,8 @@ Scale design notes (the point of each algorithm):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -43,6 +45,18 @@ def exact_dedup(df: DataFrame, subset: list[str], order_by: list[str] | None = N
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition ahead of CPU-heavy per-row work (shingling, hashing,
+    signatures).  A small-file corpus arrives as one scan partition —
+    fine for IO, fatal for a compute-bound map stage that would
+    otherwise run on a single core.  The shuffle moves raw text once
+    (~bytes-per-doc), far cheaper than serializing the compute.  At
+    real scale the scan already yields many partitions and this is a
+    cheap hash exchange that also co-locates by id."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, F.col(key))
 
 
 # ------------------------------------------------------------- shingles
@@ -72,20 +86,29 @@ def ngram_jaccard(a_col, b_col) -> "F.Column":
 
 def minhash_signature(shingle_col, num_hashes: int = 32):
     """Array of ``num_hashes`` minhashes: min over shingles of
-    hash(shingle, seed_i).  ``F.hash`` with a per-function literal seed
-    column gives independent deterministic hash families.
+    hash_i(shingle).  Families are derived from ONE xxhash64 of each
+    shingle string re-mixed with ``F.hash(h, seed_i)`` (murmur3 over 8
+    bytes) — hashing the variable-length string once instead of
+    ``num_hashes`` times cuts per-shingle work ~10× and keeps every
+    family deterministic cluster-wide.
 
-    Single ``aggregate`` pass over the shingle array with an
+    Single ``aggregate`` pass over the pre-hashed array with an
     array-of-mins accumulator — one traversal computing all families
     (the naive num_hashes× ``array_min(transform(...))`` formulation
-    re-walks the array per family and is ~10× slower)."""
+    re-walks the array per family)."""
+    hashed = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return minhash_signature_hashed(hashed, num_hashes)
+
+
+def minhash_signature_hashed(hashed_col, num_hashes: int = 32):
+    """minhash_signature over an already-xxhash64'd shingle array."""
     init = F.array_repeat(F.lit(2147483647), num_hashes)
 
-    def merge(acc, s):
-        hs = F.array(*[F.hash(s, F.lit(i)) for i in range(num_hashes)])
+    def merge(acc, h):
+        hs = F.array(*[F.hash(h, F.lit(i)) for i in range(num_hashes)])
         return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
 
-    return F.aggregate(shingle_col, init, merge)
+    return F.aggregate(hashed_col, init, merge)
 
 
 def minhash_near_dup_pairs(
@@ -108,10 +131,16 @@ def minhash_near_dup_pairs(
     false negatives are the (documented) LSH tradeoff.
     """
     rows = num_hashes // bands
+    # "sh" is the xxhash64'd shingle set: band join and exact-Jaccard
+    # verify both run on 8-byte longs, never re-shuffling shingle text
     sig = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .withColumn("sh", shingles(F.col("text"), shingle_k))
-        .withColumn("mh", minhash_signature(F.col("sh"), num_hashes))
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
+        .withColumn(
+            "sh",
+            F.transform(shingles(F.col("text"), shingle_k), lambda s: F.xxhash64(s)),
+        )
+        .withColumn("mh", minhash_signature_hashed(F.col("sh"), num_hashes))
+        .drop("text")
     )
     banded = sig.select(
         "id",
@@ -174,8 +203,18 @@ def jaccard_near_dup_pairs(
     j ≈ 0 at any realistic threshold); the pair-count aggregate is a
     single shuffle keyed by (id_a, id_b).
     """
+    # postings carry 8-byte xxhash64 values, not shingle strings — set
+    # equality is all Jaccard needs, and the shuffle shrinks ~3× (a
+    # 64-bit collision inside one near-dup pair is ~1e-9 at corpus
+    # sizes where the exact algorithm is even applicable)
     sized = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh"))
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
+        .select(
+            "id",
+            F.transform(
+                shingles(F.col("text"), shingle_k), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
         .withColumn("n_sh", F.size("sh"))
     )
     postings = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
@@ -219,37 +258,48 @@ def minhash_dedup(
 
 # -------------------------------------------------------------- SimHash
 
-def simhash64(text_col, shingle_k: int = 2):
-    """64-bit SimHash of a document, fully in Catalyst.
+def _simhash_from_hashes_udf():
+    """Pandas UDF: array<long> of shingle hashes → 64-bit SimHash.
 
-    Token hashes once (xxhash64), then per-bit weighted sign sums; bit
-    i of the result = sign of Σ(±1 over tokens).
-
-    ONE ``aggregate`` pass with a 64-long array-of-sums accumulator
-    (bit masks are two's-complement literals; the HOF lambda uses only
-    Column methods — F.shiftright/shiftleft don't accept the lambda
-    variable).  The per-bit-aggregate formulation walks the token array
-    64 times and compiles 64 huge codegen blocks — measured ~50×
-    slower.  Map-only, no shuffle, no UDF.
+    The shingle hashes are computed JVM-side (xxhash64, deterministic
+    cluster-wide); only the per-bit ±1 popcount runs in Python, fully
+    vectorized — ``np.unpackbits`` over the little-endian byte view
+    yields an (n_shingles × 64) bit matrix, column sums give the sign
+    per bit.  An earlier all-Catalyst formulation (64-wide
+    array-of-sums ``aggregate`` lambda) spent ~10 s per query just
+    compiling the generated code and evaluated ~5× slower — this is
+    the documented "vectorized kernel" exception to the built-ins-first
+    rule.
     """
-    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_from_hashes(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            a = np.asarray(arr, dtype=np.int64)
+            # bytes little-endian → unpackbits(bitorder="little") puts
+            # bit j of hash h at column j of the (n, 64) matrix
+            bits = np.unpackbits(
+                a.view(np.uint8).reshape(len(a), 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            votes = 2 * bits.sum(axis=0) - len(a)  # Σ(±1) per bit
+            sig_bits = (votes > 0).astype(np.uint8)
+            out[i] = np.packbits(sig_bits, bitorder="little").view(np.int64)[0]
+        return pd.Series(out)
+
+    return simhash_from_hashes
+
+
+def simhash64(text_col, shingle_k: int = 2):
+    """64-bit SimHash of a document: bit i of the result = sign of
+    Σ over shingles of (±1 if bit i of xxhash64(shingle)).
+
+    Shingling + hashing stay in Catalyst (map-only, no shuffle); the
+    bit-vote reduction is an Arrow-batched vectorized kernel
+    (``_simhash_from_hashes_udf``)."""
     hs = F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
-
-    def merge(acc, h):
-        contrib = F.array(
-            *[F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1) for m in masks]
-        )
-        return F.zip_with(acc, contrib, lambda a, b: a + b)
-
-    sums = F.aggregate(hs, F.array_repeat(F.lit(0), 64), merge)
-    sig = F.lit(0).cast("bigint")
-    for i, m in enumerate(masks):
-        sig = sig.bitwiseXOR(
-            F.when(F.element_at(sums, i + 1) > 0, F.lit(m))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-        )
-    return sig
+    return _simhash_from_hashes_udf()(hs)
 
 
 def hamming64(a, b) -> "F.Column":
@@ -270,9 +320,9 @@ def simhash_near_dup_pairs(
     any pair within distance ≤ 3 shares at least one exact 16-bit
     chunk (pigeonhole), so candidates come from equality buckets —
     no all-pairs."""
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("sig")
-    )
+    sig = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id"
+    ).select("id", simhash64(F.col("text"), shingle_k).alias("sig"))
     chunks = sig.select(
         "id",
         "sig",

@@ -1,0 +1,104 @@
+"""Physical-plan audits: correctness tests prove WHAT is computed,
+these prove HOW — broadcasts where expected, filters pushed into the
+parquet scan, no nested-loop joins, pruned read schemas.  Each
+assertion is a property that matters at 100 TB and would silently
+degrade without a test pinning it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_glue_jobs_incremental_database_etl_spark import registry
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name):
+        return plan_of(registry.Q[name](spark, sf_dir))
+
+    return get
+
+
+def test_q3_broadcasts_dimension_and_topk(plans):
+    p = plans("q3_shipping_priority")
+    assert "BroadcastHashJoin" in p  # customer side never shuffles lineitem
+    assert "TakeOrderedAndProject" in p  # top-k without a global sort
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q5_star_join_single_fact_shuffle(plans):
+    p = plans("q5_region_revenue")
+    # the whole dim chain broadcasts; only lineitem⋈orders may shuffle
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q1_partial_aggregation(plans):
+    p = plans("q1_pricing_summary")
+    # map-side partial agg before the exchange: two HashAggregate levels
+    assert p.count("HashAggregate") >= 2
+    assert "partial_" in p
+
+
+def test_bookmark_filter_reaches_parquet_scan(plans):
+    p = plans("etl_bookmark_filter")
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey," in p
+
+
+def test_scan_schema_is_pruned(spark, sf_dir):
+    df = registry.Q["distinct_mktsegments"](spark, sf_dir)
+    p = plan_of(df)
+    # only the single projected column is read from parquet
+    assert "ReadSchema: struct<c_mktsegment:string>" in p
+
+
+def test_semi_and_anti_joins_stay_hash_joins(plans):
+    for name in ("semi_join_active_customers", "anti_join_inactive_customers"):
+        p = plans(name)
+        assert "NestedLoop" not in p
+
+
+def test_range_join_uses_equi_keys(plans):
+    p = plans("range_join_shipped_30d")
+    assert "NestedLoop" not in p  # interval predicate rides the equi join
+
+
+def test_topk_is_take_ordered(plans):
+    p = plans("topk_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_no_python_row_udfs_anywhere(spark, sf_dir):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned from the
+    registry; only Arrow-batched eval (ArrowEvalPython / mapInPandas)
+    may appear."""
+    offenders = []
+    for name, fn in registry.Q.items():
+        try:
+            p = plan_of(fn(spark, sf_dir))
+        except Exception:
+            continue
+        if "BatchEvalPython" in p:
+            offenders.append(name)
+    assert not offenders
+
+
+def test_cosine_topk_no_shuffle_before_limit(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.first().embedding
+    p = plan_of(cosine_topk(emb, list(q), k=5))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # map-only scan + per-partition heap
