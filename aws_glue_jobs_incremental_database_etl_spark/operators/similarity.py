@@ -109,6 +109,63 @@ def hyperplane_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: KMeans (pyspark.ml, seeded) over the
+    corpus; returns (corpus + ``cluster`` column, centroid matrix).
+
+    This is the build side of an IVF index.  At 100 TB the cluster
+    column becomes the partition key (``.write.partitionBy("cluster")``),
+    so a query touches only nprobe/k of the data files — the classic
+    inverted-file layout expressed as Spark partition pruning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn("__feat", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="__feat",
+        predictionCol="cluster",
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__feat")
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: rank centroids by cosine to the query, scan
+    only the ``nprobe`` nearest inverted lists, exact-rank within them.
+
+    Recall grows with nprobe (nprobe == n_clusters → exact); the scale
+    win is scanning ~nprobe/n_clusters of the corpus.  In production
+    the assignment is precomputed once (``ivf_assign`` + partitioned
+    write), not per query — kept inline here so the operator is
+    self-contained.
+    """
+    assigned, centroids = ivf_assign(corpus, n_clusters, vec_col, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    norms = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
+    sims = (centroids @ q) / np.maximum(norms, 1e-12)
+    probe = np.argsort(-sims)[:nprobe].tolist()
+    return cosine_topk(
+        assigned.filter(F.col("cluster").isin(probe)), query_vec, k, id_col, vec_col
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     query_vec: list[float],

@@ -1130,6 +1130,19 @@ def lsh_topk_q(spark, sf_dir):
     return cosine_topk_lsh(emb, qvec, k=10, num_planes=6)
 
 
+@query("ivf_topk_embeddings")  # rows-only: approximate by design
+def ivf_topk_q(spark, sf_dir):
+    """ANN top-k via IVF (seeded KMeans coarse quantizer, nprobe=2 of
+    8 inverted lists — at scale the lists are partition-pruned files)."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk_ivf(emb, qvec, k=10, n_clusters=8, nprobe=2)
+
+
 @query("multimodal_image_features")  # rows-only: synthetic media, stubbed decode
 def multimodal_q(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas

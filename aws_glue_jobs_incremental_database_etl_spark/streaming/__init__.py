@@ -18,6 +18,7 @@ from .windows import (
     tumbling_window_agg,
 )
 from .stream import incremental_file_stream, stream_tumbling_counts
+from .stateful import running_user_totals
 
 __all__ = [
     "tumbling_window_agg",
@@ -26,4 +27,5 @@ __all__ = [
     "sessionize",
     "incremental_file_stream",
     "stream_tumbling_counts",
+    "running_user_totals",
 ]

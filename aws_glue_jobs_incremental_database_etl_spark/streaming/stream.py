@@ -51,17 +51,34 @@ def stream_tumbling_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, checkpoint: str, out_dir: str) -> None:
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_dir: str,
+    output_mode: str = "append",
+) -> None:
     """Drain everything currently available, then stop — the streaming
     equivalent of one bookmark-delimited batch run of the reference
     job.  Re-invoking later processes only new files (checkpoint =
-    bookmark), with exactly-once output."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("checkpointLocation", checkpoint)
-        .option("path", out_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    bookmark), with exactly-once output.
+
+    ``output_mode="update"`` (stateful operators) routes through
+    ``foreachBatch`` because file sinks only accept append — each
+    micro-batch's updated rows land as one parquet append."""
+    if output_mode == "append":
+        writer = (
+            stream_df.writeStream.format("parquet")
+            .option("checkpointLocation", checkpoint)
+            .option("path", out_dir)
+            .outputMode("append")
+        )
+    else:
+        writer = (
+            stream_df.writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+        )
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()

@@ -232,6 +232,26 @@ def test_lsh_bucket_deterministic_and_topk_subset(spark, sf_dir):
     assert ann_ids <= bucket_ids
 
 
+def test_ivf_topk_full_probe_matches_exact(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    exact = [r.vec_id for r in cosine_topk(emb, list(q), k=5).collect()]
+    # probing every cluster must reproduce the exact answer
+    full = cosine_topk_ivf(
+        emb, list(q), k=5, n_clusters=4, nprobe=4
+    )
+    assert [r.vec_id for r in full.collect()] == exact
+    # restricted probe returns k results that are a subset of the corpus
+    ann = cosine_topk_ivf(emb, list(q), k=5, n_clusters=4, nprobe=1)
+    got = [r.vec_id for r in ann.collect()]
+    assert 0 < len(got) <= 5
+    assert 0 in got  # query vector's own cluster is always probed
+
+
 # ----------------------------------------------------------------- text
 
 def test_document_stats_properties(spark):

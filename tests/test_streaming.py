@@ -109,6 +109,39 @@ def test_streaming_availablenow_checkpoint_is_a_bookmark(spark, tmp_path):
     assert sorted(r.event_id for r in result.collect()) == [1, 2, 3]
 
 
+def test_stateful_running_totals_across_two_drains(spark, tmp_path):
+    """applyInPandasWithState keeps per-user totals across micro-batch
+    runs: a second availableNow drain resumes from the state store."""
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "s3")
+    ckpt = str(tmp_path / "c3")
+    out = str(tmp_path / "o3")
+    os.makedirs(src)
+    schema = "user_id long, ts timestamp, value double"
+
+    spark.createDataFrame(
+        [(100, _ts(0), 1.0), (100, _ts(1), 2.0), (200, _ts(2), 5.0)], schema
+    ).write.mode("append").parquet(src)
+    stream = incremental_file_stream(spark, src, spark.read.parquet(src).schema)
+    run_available_now(running_user_totals(stream), ckpt, out, output_mode="update")
+
+    spark.createDataFrame([(100, _ts(3), 4.0)], schema).write.mode("append").parquet(src)
+    stream2 = incremental_file_stream(spark, src, spark.read.parquet(src).schema)
+    run_available_now(running_user_totals(stream2), ckpt, out, output_mode="update")
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = max(
+            latest.get(r.user_id, (0, 0.0)), (r.n_events, r.sum_value)
+        )
+    assert latest[100] == (3, 7.0)  # state carried: 2 events + 1 more
+    assert latest[200] == (1, 5.0)
+
+
 def test_stream_tumbling_counts_with_watermark(spark, tmp_path):
     src = str(tmp_path / "s2")
     ckpt = str(tmp_path / "c2")
