@@ -33,6 +33,22 @@ def token_count(text: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# Subword-ish tokenization contract: letter runs, single digits
+# (GPT-style digit splitting), and single non-alphanumeric glyphs.
+# Plain regex alternation (no lookarounds) so Spark (Java regex) and
+# DuckDB (RE2) count identically.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate = count of ``BPE_ISH_PATTERN`` matches.
+
+    A cheap stand-in for a real tokenizer's token count (the usual
+    budget/sampling signal in training-data pipelines) that runs as a
+    single JVM-side ``regexp_count`` — no UDF, no vocab lookup."""
+    return F.regexp_count(_c(text), F.lit(BPE_ISH_PATTERN))
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are punctuation ([.,!?;:])."""
     t = _c(text)

@@ -730,6 +730,33 @@ def scalar_array(spark, sf_dir):
     )
 
 
+@query(
+    "doc_token_counts",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+               AS bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def doc_token_counts_q(spark, sf_dir):
+    """Token budgeting surface: whitespace tokens + BPE-ish subword
+    estimate (functions.text.bpe_token_count), both map-only regex
+    counts."""
+    from .functions.text import bpe_token_count, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        "n_chars",
+    )
+
+
 # =====================================================================
 # ETL parity (the reference's own pipeline, end-to-end)
 # =====================================================================

@@ -51,6 +51,24 @@ def stream_tumbling_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming deduplication on ``keys``.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    key state once the watermark passes it — bounded state on unbounded
+    streams, which plain ``dropDuplicates`` (state grows forever) can't
+    give you.  Batch DataFrames fall back to plain ``dropDuplicates``
+    (same result set; the watermark clause is meaningless at rest)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint: str,

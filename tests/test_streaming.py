@@ -162,3 +162,28 @@ def test_stream_tumbling_counts_with_watermark(spark, tmp_path):
     # minimum the algebra must produce a subset of the batch answer
     batch = {0: 2, 5: 1, 10: 1}
     assert all(batch[k] == v for k, v in got.items())
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        stream_dedup,
+    )
+
+    src = str(tmp_path / "s4")
+    ckpt = str(tmp_path / "c4")
+    out = str(tmp_path / "o4")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(1), 1.0), (2, _ts(2), 2.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    df.write.mode("append").parquet(src)
+    stream = incremental_file_stream(spark, src, df.schema)
+    deduped = stream_dedup(stream, ["event_id"], "ts", "1 hour")
+    assert deduped.isStreaming
+    run_available_now(deduped, ckpt, out)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+    # batch fallback keeps the same key set
+    batch = stream_dedup(df, ["event_id"])
+    assert batch.count() == 2
