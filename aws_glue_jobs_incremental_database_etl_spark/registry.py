@@ -617,6 +617,38 @@ def _setop_sides(spark, sf_dir):
     return a, b
 
 
+@query(
+    "sql_top_suppliers",
+    """
+    SELECT s_suppkey, s_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name
+    ORDER BY revenue DESC, s_suppkey ASC
+    LIMIT 15
+    """,
+)
+def sql_top_suppliers(spark, sf_dir):
+    """The spark.sql entry point (same ANSI text the oracle runs):
+    registered temp views + SQL parser + Catalyst — proving the SQL
+    surface, not just the DataFrame DSL, is first-class."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+        ORDER BY revenue DESC, s_suppkey ASC
+        LIMIT 15
+        """
+    )
+
+
 # =====================================================================
 # Scalar function library
 # =====================================================================
@@ -747,8 +779,9 @@ def doc_token_counts_q(spark, sf_dir):
     estimate (functions.text.bpe_token_count), both map-only regex
     counts."""
     from .functions.text import bpe_token_count, token_count
+    from .operators.dedup import _spread
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("ws_tokens"),
@@ -1024,10 +1057,13 @@ def dedup_exact_q(spark, sf_dir):
 )
 def doc_stats_q(spark, sf_dir):
     """Text analysis: token count, punct/stopword ratios, quality
-    score, language-ID heuristic, md5 fingerprint — all map-only."""
+    score, language-ID heuristic, md5 fingerprint — all map-only.
+    The corpus arrives as one small file → spread the regex-heavy map
+    across cores (same rationale as dedup._spread)."""
+    from .operators.dedup import _spread
     from .operators.text import document_stats
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return document_stats(d).select(
         "doc_id",
         "n_tokens",
