@@ -149,6 +149,46 @@ def cube_rf(spark, sf_dir):
 
 
 @query(
+    "agg_percentiles_orders",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           APPROX_COUNT_DISTINCT(o_custkey) > 0       AS acd_positive
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (F.percentile ≡ quantile_cont)
+    plus the approx_count_distinct surface (HLL sketches differ across
+    engines, so only its positivity is part of the oracle contract —
+    the exact-match twin is agg_lineitem_stats' COUNT DISTINCT)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        (F.approx_count_distinct("o_custkey") > 0).alias("acd_positive"),
+    )
+
+
+@query(
+    "explode_embedding_head",
+    """
+    SELECT vec_id, i - 1 AS pos,
+           ROUND(CAST(embedding[i] AS DOUBLE), 4) AS v
+    FROM embeddings, range(1, 5) t(i)
+    """,
+)
+def explode_head(spark, sf_dir):
+    """posexplode over an array column (lateral-view surface): first 4
+    embedding components as (vec_id, pos, value) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "raw")
+    ).select("vec_id", "pos", F.round(F.col("raw").cast("double"), 4).alias("v"))
+
+
+@query(
     "distinct_mktsegments",
     "SELECT DISTINCT c_mktsegment FROM customer",
 )

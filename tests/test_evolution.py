@@ -74,3 +74,65 @@ def test_merge_is_idempotent_and_order_stable_random():
         assert [c["Name"] for c in merged[: len(target)]] == names
         # idempotent on re-merge
         assert merge_schemas(src, merged) == merged
+
+
+# ---------------------------------------------------------------------------
+# Property-based: random schema deltas never violate the E2 invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TYPES = ["int", "bigint", "double", "string", "timestamp", "boolean"]
+_names = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=0,
+    max_size=8, unique=True,
+)
+
+
+@st.composite
+def _delta(draw):
+    """A target schema and a randomly-evolved source schema."""
+    tgt_names = draw(_names)
+    target = [
+        {"Name": n, "Type": draw(st.sampled_from(_TYPES))} for n in tgt_names
+    ]
+    kept = [n for n in tgt_names if draw(st.booleans())]       # others dropped
+    added = [n for n in draw(_names) if n not in tgt_names]
+    source = [
+        {"Name": n, "Type": draw(st.sampled_from(_TYPES))} for n in kept + added
+    ]
+    partition = [n for n in added if draw(st.booleans())]
+    return source, target, partition
+
+
+@given(_delta())
+@settings(max_examples=200, deadline=None)
+def test_merge_invariants(delta):
+    source, target, partition = delta
+    merged = merge_schemas(source, target, partition)
+    src = {c["Name"]: c["Type"] for c in source}
+    tgt_names = [c["Name"] for c in target]
+    merged_names = [c["Name"] for c in merged]
+
+    # 1. target order is a stable prefix
+    assert merged_names[: len(tgt_names)] == tgt_names
+    # 2. dropped source columns retained with their old types
+    for c in target:
+        if c["Name"] not in src:
+            assert {"Name": c["Name"], "Type": c["Type"]} in merged
+    # 3. retypes happen in place
+    for c in target:
+        if c["Name"] in src:
+            i = tgt_names.index(c["Name"])
+            assert merged[i]["Type"] == src[c["Name"]]
+    # 4. new columns appended at the end, minus partition keys
+    new = [n for n in merged_names[len(tgt_names):]]
+    expected_new = [
+        c["Name"] for c in source
+        if c["Name"] not in tgt_names and c["Name"] not in partition
+    ]
+    assert new == expected_new
+    # 5. no duplicates, idempotent re-merge
+    assert len(set(merged_names)) == len(merged_names)
+    assert merge_schemas(source, merged, partition) == merged
