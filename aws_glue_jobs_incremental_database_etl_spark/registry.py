@@ -1165,7 +1165,26 @@ def emb_near_dup_q(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
-@query("minhash_near_dup_docs")  # rows-only: Spark-hash-specific signatures
+@query(
+    "minhash_near_dup_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+               i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS sh
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7""",
+)
 def minhash_q(spark, sf_dir):
     """MinHash-LSH near-dup pairs (banded; candidates only from shared
     buckets, exact-Jaccard verified).  3-gram shingles + τ=0.7 target
