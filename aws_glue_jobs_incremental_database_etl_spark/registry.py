@@ -607,6 +607,58 @@ def window_running(spark, sf_dir):
 
 
 @query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_orderkey
+                                         RANGE BETWEEN 1000 PRECEDING
+                                               AND CURRENT ROW), 2) AS rolling_1k
+    FROM orders
+    """,
+)
+def window_range(spark, sf_dir):
+    """RANGE frame (value-based, vs the ROWS frame in
+    window_running_revenue): rolling revenue over an orderkey span."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_orderkey").asc())
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_1k")
+    )
+
+
+@query(
+    "window_rank_family",
+    """
+    SELECT o_orderkey,
+           DENSE_RANK() OVER w AS drank,
+           NTILE(4)     OVER w AS quartile,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_ranks(spark, sf_dir):
+    """Ranking/analytic family: dense_rank + ntile + lead over one
+    fully-ordered partition spec (deterministic ntile)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+@query(
     "topk_orders",
     """
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders
@@ -645,6 +697,30 @@ def setop_intersect(spark, sf_dir):
 def setop_except(spark, sf_dir):
     a, b = _setop_sides(spark, sf_dir)
     return a.exceptAll(b).distinct()
+
+
+@query(
+    "setop_union_by_name",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, NULL AS status
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, NULL AS price, o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def setop_union_by_name(spark, sf_dir):
+    """unionByName(allowMissingColumns=True) — the ROW analogue of E2
+    schema evolution: mismatched column sets align by name, absentees
+    null-fill (SURVEY.md §2.7)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
 
 
 def _setop_sides(spark, sf_dir):
@@ -765,6 +841,29 @@ def json_events(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "events_props_map",
+    """
+    SELECT event_id,
+           list_sort(json_keys(props))                        AS keys,
+           len(json_keys(props))                              AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_val
+    FROM events
+    """,
+)
+def events_props_map(spark, sf_dir):
+    """MapType surface (map_keys / element_at / size over a parsed
+    JSON map — SURVEY.md §2.8 [EXT] map functions)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
     )
 
 
