@@ -189,6 +189,34 @@ def explode_head(spark, sf_dir):
 
 
 @query(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_q(spark, sf_dir):
+    """Pivot surface: groupBy().pivot(values).count() with explicit
+    pivot values (no extra distinct-discovery pass — the two-phase
+    pivot without values needs a first job just to enumerate columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+@query(
     "distinct_mktsegments",
     "SELECT DISTINCT c_mktsegment FROM customer",
 )
