@@ -313,6 +313,80 @@ def q5(spark, sf_dir):
 
 
 @query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    """TPC-H Q6-style: pure filter + global agg — every predicate
+    reaches the parquet scan (PushedFilters), zero joins, 1-row shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(18,6)))
+             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))),
+             4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+    """,
+)
+def q14(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: broadcast part into the
+    filtered fact scan; conditional aggregation in exact decimal."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01 00:00:00").cast("timestamp_ntz"))
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = (
+        F.when(F.col("p_type").like("PROMO%"), F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .otherwise(F.lit(0))
+        .cast("decimal(18,6)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 4).alias("promo_pct")
+        )
+    )
+
+
+@query(
     "left_join_order_counts",
     """
     SELECT c_custkey, c_name,

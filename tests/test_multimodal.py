@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: binary payload columns through
+Arrow-batched mapInPandas feature extraction and Catalyst frame
+sampling (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+    extract_image_features,
+    make_fake_media,
+    sample_frames,
+)
+
+
+def test_fake_media_shape(spark):
+    media = make_fake_media(spark, n=30)
+    assert media.count() == 30
+    row = media.first()
+    assert isinstance(row.payload, bytearray | bytes)
+    assert len(row.payload) == 128
+
+
+def test_extract_image_features_deterministic(spark):
+    media = make_fake_media(spark, n=30)
+    f1 = extract_image_features(media, dim=8)
+    rows = {r.media_id: r for r in f1.collect()}
+    # only image/* rows pass the metadata pre-filter (no decode wasted)
+    assert set(rows) == {i for i in range(30) if i % 3 != 2}
+    assert all(len(r.feature) == 8 and r.decode_ok for r in rows.values())
+    # deterministic across runs (stable for cluster-wide retries)
+    rows2 = {r.media_id: r.feature for r in extract_image_features(media, dim=8).collect()}
+    assert {k: list(v) for k, v in rows2.items()} == {
+        k: list(r.feature) for k, r in rows.items()
+    }
+
+
+def test_extract_real_decoder_is_explicit_stub(spark):
+    media = make_fake_media(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media, decoder="real")
+    with pytest.raises(ValueError):
+        extract_image_features(media, decoder="libvips")
+
+
+def test_feature_plan_is_arrow_not_row_python(spark):
+    media = make_fake_media(spark, n=6)
+    plan = (
+        extract_image_features(media, dim=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sample_frames_timestamps(spark):
+    media = make_fake_media(spark, n=12).filter(F.col("mime") == "audio/wav")
+    frames = sample_frames(media, every_ms=500, max_frames=4)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    durations = {r.media_id: r.duration_ms for r in media.collect()}
+    for mid, ts in got.items():
+        expect_n = min(durations[mid] // 500 + 1, 4)
+        assert sorted(ts) == [i * 500 for i in range(expect_n)]
