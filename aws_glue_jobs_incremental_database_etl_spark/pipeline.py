@@ -83,6 +83,7 @@ class IncrementalPipeline:
         job_index: int = 0,
         num_jobs: int = 1,
         creator_arn: str | None = None,
+        source_options: dict | None = None,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -97,6 +98,9 @@ class IncrementalPipeline:
         self.job_index = job_index
         self.num_jobs = num_jobs
         self.creator_arn = creator_arn
+        # forwarded to the source reader (e.g. JDBC driver properties,
+        # hashfield/hashpartitions — the reference's additional_options)
+        self.source_options = dict(source_options or {})
 
     # -- naming (reference :68, 575-577) -----------------------------------
 
@@ -132,8 +136,11 @@ class IncrementalPipeline:
         t0 = dt.datetime.now(dt.timezone.utc)
         ctx = f"datasource0_{self.target_table_name(cfg.table_name)}"
 
-        # (1) scan + bookmark filter — both pushed into the source scan.
-        src = read_table(self.spark, source_path, self.source_format)
+        # (1) scan + bookmark filter — both pushed into the source scan
+        # (parquet row-group skipping / JDBC WHERE pushdown).
+        src = read_table(
+            self.spark, source_path, self.source_format, **self.source_options
+        )
         batch = self.bookmarks.filter_new(src, ctx, cfg.bookmark_keys, cfg.sort_order)
 
         # DDL branch (reference :604-615): create target if absent,

@@ -62,7 +62,13 @@ def read_table(
     spark: SparkSession, path: str, fmt: str = "parquet", **kwargs
 ) -> DataFrame:
     """Format-dispatched read with the same format validation as the
-    writer factory (SURVEY.md S9)."""
+    writer factory (SURVEY.md S9).
+
+    ``fmt="jdbc"`` treats ``path`` as ``<jdbc-url>::<table>`` and
+    forwards the reference's parallel-read options (hashfield /
+    hashpartitions / partition_column bounds) to ``sources.jdbc`` —
+    the actual JDBC→lake shape of the reference job.
+    """
     fmt = fmt.lower()
     if fmt == "parquet":
         return read_parquet(spark, path, **kwargs)
@@ -70,4 +76,13 @@ def read_table(
         return read_csv(spark, path, **kwargs)
     if fmt == "json":
         return read_json(spark, path, **kwargs)
+    if fmt == "jdbc":
+        from .jdbc import read_jdbc
+
+        url, _, table = path.rpartition("::")
+        if not url:
+            raise ValueError(
+                "jdbc source path must be '<jdbc-url>::<table>', got " + path
+            )
+        return read_jdbc(spark, url, table, **kwargs)
     raise ValueError(f"Unknown source format: {fmt}")
