@@ -86,6 +86,34 @@ def asof_join(
     return out
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: salt the big side's key, replicate the
+    small side across every salt value, join on (key, salt).
+
+    AQE's skew-join split handles most skew automatically; explicit
+    salting is for the pathological case — one key holding a double-
+    digit percentage of the rows — where even a split partition
+    overwhelms a task.  The big side gets a uniform random-free salt
+    (hash of the full row via ``monotonically_increasing_id`` would be
+    nondeterministic across retries; ``pmod(hash(all columns), n)`` is
+    deterministic), the small side explodes ×``salt_buckets`` — only
+    acceptable because it is the SMALL side.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_s.join(small_s, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

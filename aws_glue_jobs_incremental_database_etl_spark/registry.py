@@ -632,6 +632,114 @@ def q10(spark, sf_dir):
     )
 
 
+@query(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT YEAR(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                    JOIN region   ON n1.n_regionkey = r_regionkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8(spark, sf_dir):
+    """TPC-H Q8-style market share: one nation's revenue fraction of a
+    region's customer volume by year — conditional decimal aggregation
+    over a broadcast-dim star join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust_dim = F.broadcast(
+        c.join(n1, c.c_nationkey == F.col("c_nk")).join(
+            r, F.col("c_rk") == r.r_regionkey
+        )
+    )
+    supp_dim = F.broadcast(s.join(n2, s.s_nationkey == F.col("s_nk")))
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    vol = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust_dim, o.o_custkey == c.c_custkey)
+        .join(supp_dim, l.l_suppkey == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+                    zero
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           ROUND(t.sum_qty, 2)    AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING SUM(l_quantity) > 300) t
+           ON o_orderkey = t.l_orderkey
+    """,
+)
+def q18(spark, sf_dir):
+    """TPC-H Q18-style large-volume orders: pre-aggregated HAVING
+    subquery joined back to the dims (agg-before-join keeps the join
+    input at one row per qualifying order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("raw_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
 # =====================================================================
 # Relational: windows, sorts, set ops
 # =====================================================================

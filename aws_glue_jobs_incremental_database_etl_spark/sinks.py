@@ -55,3 +55,28 @@ def write_partitioned(
         # (jdbc_incremental.py:411-412) → write the header.
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) so
+    subsequent equi joins / aggregations on those columns skip the
+    shuffle entirely (both sides bucketed the same way → zipped
+    scan-side join).
+
+    The pre-paid shuffle at write time is the whole point: at 100 TB a
+    fact table joined repeatedly on one key should be stored bucketed
+    on it.  Bucketing requires ``saveAsTable`` (bucket metadata lives
+    in the session catalog, not the directory layout).
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -275,3 +275,51 @@ def test_document_stats_properties(spark):
     df2 = spark.createDataFrame([(1, "  the CAT  sat on the mat.  it is a cat!")], ["doc_id", "text"])
     fp2 = document_stats(df2).first().fingerprint
     assert fp2 == out[1].fingerprint
+
+
+# --------------------------------------------------------- scale helpers
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import (
+        salted_join,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, ["o_custkey"]).select("o_orderkey", "c_name")
+    salted = salted_join(o, c, ["o_custkey"], salt_buckets=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
+    import uuid
+
+    from aws_glue_jobs_incremental_database_etl_spark.sinks import (
+        write_bucketed_table,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    # tables land in the session warehouse dir (gitignored
+    # spark-warehouse/); dropped in finally
+    a = spark.range(1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(1000).withColumn("w", F.col("id") * 3)
+    ta, tb = f"bk_a_{suffix}", f"bk_b_{suffix}"
+    write_bucketed_table(a, ta, ["id"], num_buckets=8)
+    write_bucketed_table(b, tb, ["id"], num_buckets=8)
+    try:
+        joined = spark.table(ta).join(spark.table(tb), "id")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides bucketed on the join key -> shuffle-free join
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
