@@ -740,6 +740,50 @@ def q18(spark, sf_dir):
     )
 
 
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+    """,
+)
+def q19(spark, sf_dir):
+    """TPC-H Q19-style disjunctive predicate join: the OR-of-ANDs rides
+    the broadcast hash join as one post-join filter (Catalyst extracts
+    the common l_partkey equi key; no plan explosion per branch)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    branch = lambda brand, lo, hi, qty: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(lo, hi)
+        & (F.col("l_quantity") >= qty)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(
+            branch("Brand#1", 1, 15, 10)
+            | branch("Brand#2", 10, 30, 20)
+            | branch("Brand#3", 20, 50, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # =====================================================================
 # Relational: windows, sorts, set ops
 # =====================================================================
@@ -1547,6 +1591,38 @@ def simhash_q(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, shingle_k=3)
+
+
+@query(
+    "cosine_topk_many_embeddings",
+    """
+    WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id < 3),
+         c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             ROUND(list_cosine_similarity(c.v, q.v), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(c.v, q.v), 6) DESC,
+                        c.vec_id ASC) AS rn
+      FROM q CROSS JOIN c) t
+    WHERE rn <= 5
+    """,
+)
+def cosine_topk_many_q(spark, sf_dir):
+    """Batched exact top-k for several query vectors in ONE corpus scan
+    (broadcast queries + per-query window top-k)."""
+    from .operators.similarity import cosine_topk_many
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_many(emb, queries, k=5)
 
 
 @query("lsh_topk_embeddings")  # rows-only: approximate by design
