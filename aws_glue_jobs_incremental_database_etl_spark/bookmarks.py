@@ -24,6 +24,7 @@ aggregate (map-side partial + 1-row final), not a sort.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import json
 import os
 import tempfile
@@ -42,6 +43,11 @@ def _encode(v: Any) -> Any:
         return {"__ts__": v.isoformat()}
     if isinstance(v, dt.date):
         return {"__date__": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        # Untagged, json.dump's default=str would reload this as a
+        # plain string and the next run's predicate would compare a
+        # decimal column to a string literal.
+        return {"__dec__": str(v)}
     return v
 
 
@@ -51,6 +57,8 @@ def _decode(v: Any) -> Any:
             return dt.datetime.fromisoformat(v["__ts__"])
         if "__date__" in v:
             return dt.date.fromisoformat(v["__date__"])
+        if "__dec__" in v:
+            return decimal.Decimal(v["__dec__"])
     return v
 
 
@@ -133,7 +141,23 @@ class BookmarkStore:
             self._staged[self._key(ctx)] = merged
 
     def commit(self) -> None:
-        """Atomically persist ALL staged watermarks (the one job.commit())."""
+        """Atomically persist ALL staged watermarks (the one job.commit()).
+
+        Re-reads and merges the on-disk state first so two job shards
+        (``job_index``/``num_jobs`` > 1) sharing one bookmark path
+        don't clobber each other's contexts: this instance only owns
+        the contexts it staged; everything else on disk is preserved.
+        Staged entries win over disk for the contexts they cover.
+        """
+        if os.path.exists(self.path):
+            try:
+                with open(self.path) as f:
+                    on_disk = json.load(f)
+                for ctx, wm in on_disk.items():
+                    if ctx not in self._staged:
+                        self._state[ctx] = {k: _decode(v) for k, v in wm.items()}
+            except (json.JSONDecodeError, OSError):
+                pass  # unreadable state → keep our in-memory view
         self._state.update(self._staged)
         self._staged.clear()
         payload = {

@@ -33,18 +33,26 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k rows most cosine-similar to one query vector.
 
     The query is a literal array (broadcast by value into the plan), so
     this is a single map-only scan followed by a global top-k — the
     optimal exact plan at any scale.
+
+    ``round_to`` is the precision of the RANKING key, not just the
+    output: ordering is (round(cosine, round_to) DESC, id ASC), so a
+    caller comparing against an oracle that rounds before ORDER BY must
+    pass the same precision — otherwise rows tied at the oracle's
+    precision but distinct at ours are ranked differently near the
+    k-boundary.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         corpus.select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(cosine_similarity(F.col(vec_col), q), round_to).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)

@@ -30,7 +30,8 @@ import datetime as dt
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .bookmarks import BookmarkStore
 from .catalog import FileCatalog
@@ -185,8 +186,13 @@ class IncrementalPipeline:
 
         # (2) empty probe (reference :194-197) — LIMIT 1 against the
         # already-filtered scan, so it costs one row-group touch.
+        # The lineage stamp + creator grant still run (reference calls
+        # update_table_job_info and the first-creation grant
+        # unconditionally after transform(), :617-637 — an empty
+        # incremental batch must not leave a created table unstamped).
         if len(batch.take(1)) == 0:
             res.skipped_empty = True
+            self._stamp_lineage_and_grant(res, tgt_name, t0)
             return res
 
         # (3) map/cast to catalog types (reference :199-203).
@@ -218,15 +224,18 @@ class IncrementalPipeline:
                         "/".join(str(row[k]) for k in cfg.partition_spec)
                     )
 
-            # (6) partitioned append write (reference :222-229).
+            # (6) partitioned append write (reference :222-229).  The
+            # row count rides on the write via Observation — no second
+            # pass over the batch for metrics.
+            obs = Observation()
             write_partitioned(
-                pruned,
+                pruned.observe(obs, F.count(F.lit(1)).alias("n")),
                 self.target_path(cfg.table_name),
                 fmt=self.target_format,
                 partition_spec=cfg.partition_spec,
                 mode="append",
             )
-            res.rows_written = pruned.count()
+            res.rows_written = obs.get["n"]
 
             # Stage the new watermark from THIS batch; committed with
             # all the others in run().
@@ -237,7 +246,15 @@ class IncrementalPipeline:
         finally:
             mapped.unpersist()
 
-        # lineage stamp (reference :617-623, 480-503)
+        self._stamp_lineage_and_grant(res, tgt_name, t0)
+        return res
+
+    def _stamp_lineage_and_grant(
+        self, res: PipelineResult, tgt_name: str, t0: dt.datetime
+    ) -> None:
+        """Lineage stamp (reference :617-623, 480-503) and
+        first-creation grant (reference :626-637); runs for empty and
+        non-empty batches alike."""
         t1 = dt.datetime.now(dt.timezone.utc)
         self.catalog.update_table_job_info(
             self.target_database,
@@ -247,12 +264,10 @@ class IncrementalPipeline:
             transform_time=str(t1 - t0),
             completed_on=t1.isoformat(),
         )
-        # first-creation grant (reference :626-637)
         if res.created_table:
             self.catalog.grant_all_permissions_to_creator(
                 self.target_database, tgt_name, self.creator_arn
             )
-        return res
 
     # -- reading back ------------------------------------------------------
 

@@ -315,8 +315,8 @@ def q5(spark, sf_dir):
 @query(
     "q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
-               AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -344,7 +344,9 @@ def q6(spark, sf_dir):
                     )
                 ),
                 2,
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -512,7 +514,7 @@ def asof_q(spark, sf_dir):
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            YEAR(l_shipdate) AS l_year,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
                   JOIN orders   ON o_orderkey = l_orderkey
                   JOIN customer ON c_custkey = o_custkey
@@ -551,7 +553,9 @@ def q7(spark, sf_dir):
                     )
                 ),
                 2,
-            ).alias("revenue")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -560,7 +564,7 @@ def q7(spark, sf_dir):
     "q9_product_profit",
     """
     SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS amount
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS amount
     FROM part JOIN lineitem ON p_partkey = l_partkey
               JOIN supplier ON s_suppkey = l_suppkey
               JOIN orders   ON o_orderkey = l_orderkey
@@ -590,7 +594,9 @@ def q9(spark, sf_dir):
                     )
                 ),
                 2,
-            ).alias("amount")
+            )
+            .cast("double")
+            .alias("amount")
         )
     )
 
@@ -648,9 +654,9 @@ def q10(spark, sf_dir):
       WHERE r_name = 'ASIA'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
                           ELSE CAST(0 AS DECIMAL(18,6)) END)
-                 / SUM(volume), 6) AS mkt_share
+                 / SUM(volume), 6) AS DOUBLE) AS mkt_share
     FROM vol GROUP BY o_year
     """,
 )
@@ -698,7 +704,9 @@ def q8(spark, sf_dir):
             )
             / F.sum("volume"),
             6,
-        ).alias("mkt_share")
+        )
+        .cast("double")
+        .alias("mkt_share")
     )
 
 
@@ -743,8 +751,8 @@ def q18(spark, sf_dir):
 @query(
     "q19_disjunctive_revenue",
     """
-    SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
-               AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
@@ -778,7 +786,9 @@ def q19(spark, sf_dir):
                     )
                 ),
                 2,
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -949,8 +959,11 @@ def setop_intersect(spark, sf_dir):
 
 @query("setop_except", f"{_RICH} EXCEPT {_BIG}")
 def setop_except(spark, sf_dir):
+    # EXCEPT DISTINCT: subtract() removes a row from the output if it
+    # appears in b at all.  (exceptAll().distinct() is NOT the same —
+    # a row occurring twice in a and once in b would survive it.)
     a, b = _setop_sides(spark, sf_dir)
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 @query(
@@ -1083,7 +1096,7 @@ def scalar_date(spark, sf_dir):
     "json_events_sum",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -1102,7 +1115,7 @@ def json_events(spark, sf_dir):
     "events_props_map",
     """
     SELECT event_id,
-           list_sort(json_keys(props))                        AS keys,
+           array_to_string(list_sort(json_keys(props)), ',')  AS keys,
            len(json_keys(props))                              AS n_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_val
     FROM events
@@ -1110,12 +1123,14 @@ def json_events(spark, sf_dir):
 )
 def events_props_map(spark, sf_dir):
     """MapType surface (map_keys / element_at / size over a parsed
-    JSON map — SURVEY.md §2.8 [EXT] map functions)."""
+    JSON map — SURVEY.md §2.8 [EXT] map functions). The sorted key
+    list is emitted as a comma-joined scalar: the correctness gate's
+    canonicalizer cannot hash array cells."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys"),
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "k").cast("bigint").alias("k_val"),
     )
@@ -1361,7 +1376,8 @@ def sliding(spark, sf_dir):
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM g
     )
-    SELECT user_id, session_seq, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM s GROUP BY user_id, session_seq
     """,
@@ -1490,8 +1506,10 @@ def cosine_topk_q(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = cosine_topk(emb, qvec, k=20)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    # round_to=4 matches the oracle's ROUND(...,4)-before-ORDER-BY, so
+    # the ranking key (and its vec_id tie-break) is identical on both
+    # sides at any scale factor.
+    return cosine_topk(emb, qvec, k=20, round_to=4)
 
 
 @query(

@@ -67,6 +67,33 @@ def test_timestamp_watermark_roundtrip(tmp_path, spark, sf_dir):
     assert bs2.filter_new(df, "ctx", ["ts"]).count() == 0
 
 
+def test_decimal_watermark_roundtrip(tmp_path):
+    import decimal
+
+    path = str(tmp_path / "bm.json")
+    bs = BookmarkStore(path)
+    bs.stage("ctx", {"amount": decimal.Decimal("123.450")})
+    bs.commit()
+    v = BookmarkStore(path).get("ctx")["amount"]
+    assert isinstance(v, decimal.Decimal) and v == decimal.Decimal("123.450")
+
+
+def test_sharded_commits_merge_not_clobber(tmp_path):
+    """Two shard instances sharing one bookmark path: the second
+    commit must preserve the first shard's contexts (last-writer-wins
+    would silently drop them → full re-read + duplicate appends)."""
+    path = str(tmp_path / "bm.json")
+    a = BookmarkStore(path)
+    b = BookmarkStore(path)  # opened before a commits — sees nothing
+    a.stage("table_a", {"k": 10})
+    a.commit()
+    b.stage("table_b", {"k": 20})
+    b.commit()
+    final = BookmarkStore(path)
+    assert final.get("table_a") == {"k": 10}
+    assert final.get("table_b") == {"k": 20}
+
+
 def test_staged_not_visible_until_commit(tmp_path, spark, sf_dir):
     path = str(tmp_path / "bm.json")
     bs = BookmarkStore(path)

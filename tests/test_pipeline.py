@@ -77,6 +77,24 @@ def test_two_run_incremental_load(env, spark, sf_dir):
     (r3,) = pipe3.run([CFG], {"orders": src})
     assert r3.skipped_empty
     assert pipe3.read_target("orders").count() == full.count()
+    # lineage still stamped on the empty run (reference stamps
+    # unconditionally after transform, jdbc_incremental.py:617-623)
+    params = pipe3.catalog.get_table("target", "tgt_orders")["Parameters"]
+    assert params["LastUpdatedByJobRun"] == "run-3"
+
+
+def test_empty_first_run_still_stamps_and_grants(env, spark, sf_dir):
+    """A created-but-empty table gets lineage parameters and the
+    creator grant (reference runs both unconditionally, :617-637)."""
+    tmp_path, make = env
+    src = _write_source(spark, sf_dir, tmp_path, "o_orderkey < 0")  # empty
+    pipe = make(job_run_id="run-empty", creator_arn="arn:creator")
+    (res,) = pipe.run([CFG], {"orders": src})
+    assert res.created_table and res.skipped_empty
+    params = pipe.catalog.get_table("target", "tgt_orders")["Parameters"]
+    assert params["LastUpdatedByJobRun"] == "run-empty"
+    assert "TransformTime" in params
+    assert params["PermissionsGrantedTo"] == "arn:creator"
 
 
 def test_partitioned_layout_and_registration(env, spark, sf_dir):

@@ -9,6 +9,18 @@ rows, sorted).  Usage::
     python tools/check_oracle.py            # all queries at sf0.01
     python tools/check_oracle.py q1 topk    # substring-filtered subset
     SF_DIR=/root/testdata/sf0.001 python tools/check_oracle.py
+
+Driver-parity rules (learned from round 1, where this replica said
+60/60 while the driver failed 5 queries):
+
+* the driver's pandas canonicalizer preserves type distinctions —
+  ``Decimal('123.40')`` != ``123.4`` != ``123`` — so ``canon`` here
+  must NOT collapse Decimal→float or round floats;
+* the driver crashes (``unhashable type: 'list'``) on array/map cells,
+  and DuckDB renders DECIMAL/HUGEINT aggregates through pandas as
+  floats while Spark keeps Decimals — so gate outputs must contain
+  only double/bigint/int/string/bool/date/timestamp columns.
+  ``lint_schema`` enforces that on BOTH engines before comparing.
 """
 
 from __future__ import annotations
@@ -29,6 +41,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v) -> str:
+    """Canonical cell string that preserves type distinctions.
+
+    int 5234 → '5234', float 5234.0 → '5234.0', Decimal('5234.00') →
+    "Decimal('5234.00')" — three different strings, as the driver's
+    pandas-based canon would see three different values."""
     if v is None:
         return "∅"
     if isinstance(v, bool):
@@ -36,10 +53,9 @@ def canon(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "nan"
-        # canonical float: kill -0.0 and trailing noise
-        return repr(round(v + 0.0, 9))
+        return repr(v + 0.0)  # kills -0.0; no rounding — driver doesn't round
     if isinstance(v, decimal.Decimal):
-        return canon(float(v))
+        return f"Decimal('{v}')"
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):
@@ -61,6 +77,38 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def lint_spark_schema(sdf) -> list[str]:
+    """Gate-unsafe Spark output types: array/map/struct crash the
+    driver's canonicalizer; decimal stringifies differently than
+    DuckDB's pandas float rendering; binary is ambiguous."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in sdf.schema.fields:
+        if isinstance(
+            f.dataType,
+            (T.ArrayType, T.MapType, T.StructType, T.DecimalType, T.BinaryType),
+        ):
+            bad.append(f"spark col `{f.name}` is {f.dataType.simpleString()} (gate-unsafe)")
+    return bad
+
+
+def lint_duckdb_schema(con, sql: str) -> list[str]:
+    """Gate-unsafe DuckDB output types: DECIMAL/HUGEINT reach pandas
+    as floats (mismatching Spark bigint/decimal); LIST/STRUCT/MAP
+    crash the canonicalizer."""
+    bad = []
+    rel = con.sql(sql)
+    for cname, ctype in zip(rel.columns, rel.types):
+        ts = str(ctype).upper()
+        if (
+            ts.startswith(("DECIMAL", "HUGEINT", "STRUCT", "MAP", "UNION"))
+            or "[" in ts
+        ):
+            bad.append(f"duckdb col `{cname}` is {ts} (gate-unsafe)")
+    return bad
+
+
 def main() -> int:
     filters = sys.argv[1:]
     import __spark_entry__ as entry_mod
@@ -78,6 +126,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
+            problems = [] if name not in oracles else lint_spark_schema(sdf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
@@ -88,6 +137,7 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows (rows-only check) [{time.time()-t0:.1f}s]")
             continue
         try:
+            problems += lint_duckdb_schema(con, oracles[name])
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -95,7 +145,6 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             failures += 1
             continue
-        problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
