@@ -258,37 +258,61 @@ def minhash_dedup(
 
 # -------------------------------------------------------------- SimHash
 
+_SIMHASH_UDF = None
+
+
 def _simhash_from_hashes_udf():
     """Pandas UDF: array<long> of shingle hashes → 64-bit SimHash.
 
     The shingle hashes are computed JVM-side (xxhash64, deterministic
     cluster-wide); only the per-bit ±1 popcount runs in Python, fully
-    vectorized — ``np.unpackbits`` over the little-endian byte view
-    yields an (n_shingles × 64) bit matrix, column sums give the sign
-    per bit.  An earlier all-Catalyst formulation (64-wide
-    array-of-sums ``aggregate`` lambda) spent ~10 s per query just
-    compiling the generated code and evaluated ~5× slower — this is
-    the documented "vectorized kernel" exception to the built-ins-first
-    rule.
+    vectorized ACROSS the whole Arrow batch — all docs' hashes are
+    flattened into one array, ``np.unpackbits`` over the little-endian
+    byte view yields a (total_shingles × 64) bit matrix, and
+    ``np.add.reduceat`` at per-doc offsets gives each doc's column
+    sums without a Python-level loop.  An earlier all-Catalyst
+    formulation (64-wide array-of-sums ``aggregate`` lambda) spent
+    ~10 s per query just compiling the generated code and evaluated
+    ~5× slower — this is the documented "vectorized kernel" exception
+    to the built-ins-first rule.
+
+    The UDF instance is built once per process (module-level cache):
+    re-creating it per call re-registers the Python function with the
+    JVM and defeats plan caching.
     """
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is not None:
+        return _SIMHASH_UDF
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def simhash_from_hashes(hs: pd.Series) -> pd.Series:
-        out = np.empty(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            a = np.asarray(arr, dtype=np.int64)
+        if len(hs) == 0:
+            return pd.Series([], dtype=np.int64)
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        nz = lens > 0  # shingles() always emits ≥1, but guard anyway
+        out = np.zeros(len(arrs), dtype=np.int64)
+        if nz.any():
+            flat = np.concatenate([a for a in arrs if len(a)])
             # bytes little-endian → unpackbits(bitorder="little") puts
             # bit j of hash h at column j of the (n, 64) matrix
             bits = np.unpackbits(
-                a.view(np.uint8).reshape(len(a), 8), axis=1, bitorder="little"
-            ).astype(np.int32)
-            votes = 2 * bits.sum(axis=0) - len(a)  # Σ(±1) per bit
+                flat.view(np.uint8).reshape(len(flat), 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            nz_lens = lens[nz]
+            offsets = np.zeros(len(nz_lens), dtype=np.int64)
+            np.cumsum(nz_lens[:-1], out=offsets[1:])
+            sums = np.add.reduceat(bits, offsets, axis=0)  # (n_docs, 64)
+            votes = 2 * sums - nz_lens[:, None]  # Σ(±1) per bit
             sig_bits = (votes > 0).astype(np.uint8)
-            out[i] = np.packbits(sig_bits, bitorder="little").view(np.int64)[0]
+            out[nz] = np.packbits(sig_bits, axis=1, bitorder="little").view(
+                np.int64
+            ).ravel()
         return pd.Series(out)
 
-    return simhash_from_hashes
+    _SIMHASH_UDF = simhash_from_hashes
+    return _SIMHASH_UDF
 
 
 def simhash64(text_col, shingle_k: int = 2):
@@ -362,7 +386,11 @@ def simhash_near_dup_pairs(
 # ---------------------------------------------------- embedding near-dup
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine ≥ threshold — exact.
 
@@ -372,17 +400,28 @@ def embedding_near_dup_pairs(
     cosine kernel is the textbook case where a vectorized Pandas UDF
     beats per-pair Catalyst HOF expressions ~50×.
 
-    Scale contract: the BROADCAST side must be bounded (≤ ~1M × dim
-    floats); for corpus×corpus at 100 TB, LSH-bucket first
-    (``similarity.hyperplane_lsh_bucket``) and run this kernel within
-    buckets.
+    Scale contract: the BROADCAST side must be bounded — the collect
+    is capped at ``max_broadcast_rows`` and raises past it rather than
+    OOMing the driver.  For corpus×corpus at 100 TB use
+    ``embedding_near_dup_pairs_bucketed`` (LSH bucket → within-bucket
+    matmul, nothing collected to the driver).
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    ref = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ref = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .limit(max_broadcast_rows + 1)
+        .collect()
+    )
+    if len(ref) > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs: corpus exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use embedding_near_dup_pairs_bucketed "
+            f"(LSH-bucketed, fully distributed) for corpus-scale inputs"
+        )
     ids = np.array([r[0] for r in ref], dtype=np.int64)
     mat = np.array([r[1] for r in ref], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -418,3 +457,87 @@ def embedding_near_dup_pairs(
             )
 
     return df.select(id_col, vec_col).mapInPandas(batches, out_schema)
+
+
+def embedding_near_dup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    num_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table hyperplane LSH — the
+    100 TB path: NOTHING is collected to the driver.
+
+    Plan: ONE corpus scan computes every table's bucket key at once —
+    a vectorized Pandas UDF does a single ``batch @ planesᵀ`` matmul
+    against the (tables × planes, dim) hyperplane matrix (same seeded
+    generator as ``similarity.hyperplane_lsh_bucket``) — then
+    ``posexplode`` → shuffle on (table, bucket) → per-bucket all-pairs
+    matmul in an Arrow-batched ``applyInPandas`` kernel → union of
+    tables, pair-deduped.  Cosine is computed exactly inside the
+    kernel, so there are no false positives; recall is
+    1 − (1 − p^planes)^tables per pair (p = 1 − θ/π) — ≥ 0.9999 for
+    τ ≥ 0.95 at the defaults.
+
+    Scale levers: more planes → smaller buckets (bound the per-group
+    matmul), more tables → higher recall; the shuffle volume is
+    tables × corpus rows, the scan cost is 1× regardless of tables.
+    """
+    import pyspark.sql.types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import _hyperplanes
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # sample one row to learn the dimension without hardcoding it
+    first = base.select(F.size("vec").alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = first["d"]
+    planes = np.concatenate(
+        [_hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
+    )  # (tables*planes, dim)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def all_buckets(vs: pd.Series) -> pd.Series:
+        m = np.array(list(vs), dtype=np.float64)  # (n, dim)
+        bits = (m @ planes.T >= 0).reshape(len(m), num_tables, num_planes)
+        vals = (bits * weights).sum(axis=2).astype(np.int32)  # (n, tables)
+        return pd.Series(list(vals))
+
+    exploded = base.select(
+        "id", "vec", F.posexplode(all_buckets("vec")).alias("tbl", "bucket")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["id"].to_numpy()
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        lo, hi = np.minimum(ids[i], ids[j]), np.maximum(ids[i], ids[j])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[i, j], 6)}
+        )
+
+    return (
+        exploded.groupBy("tbl", "bucket")
+        .applyInPandas(pairs_in_bucket, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -149,6 +149,58 @@ def cube_rf(spark, sf_dir):
 
 
 @query(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_q(spark, sf_dir):
+    """Explicit non-hierarchical GROUPING SETS (SURVEY.md §2.4 [EXT]) —
+    per-status totals, per-priority totals, and a grand total in one
+    pass (Expand + single aggregate, not three scans)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "collect_list_order_keys",
+    """
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 450000
+    GROUP BY o_orderpriority
+    """,
+)
+def collect_list_q(spark, sf_dir):
+    """collect_list aggregate (SURVEY.md §2.4 [EXT]); sorted then
+    comma-joined to a scalar — collect_list order is
+    partition-nondeterministic, sort_array makes it canonical, and the
+    gate can't hash array cells."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "agg_percentiles_orders",
     """
     SELECT o_orderstatus,
@@ -409,6 +461,69 @@ def left_join_counts(spark, sf_dir):
             F.count("o_orderkey").alias("n_orders"),
             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
         )
+    )
+
+
+@query(
+    "right_join_big_orders",
+    """
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_big_orders
+    FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def right_join_q(spark, sf_dir):
+    """Right outer join (SURVEY.md §2.3 [EXT]): every customer kept,
+    order side null where no qualifying order — the filter runs
+    BEFORE the join so it can't be pushed past the preserved side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@query(
+    "full_join_customer_orders",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1000),
+         o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                      ROUND(SUM(o_totalprice), 2) AS revenue
+               FROM orders WHERE o_custkey >= 500 GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name AS c_name,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.revenue, 0.0) AS revenue
+    FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def full_join_q(spark, sf_dir):
+    """Full outer join (SURVEY.md §2.3 [EXT]) with genuinely unmatched
+    rows on BOTH sides (disjoint key-range filters); agg-before-join
+    keeps the outer join one-row-per-key."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 500)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return j.select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+        F.col("c_name"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
     )
 
 
@@ -1396,11 +1511,36 @@ def sessionize_q(spark, sf_dir):
     )
 
 
-@query("events_session_window_native")  # rows-only: engine-native session merge
+@query(
+    "events_session_window_native",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM g
+    )
+    SELECT MIN(ts)                       AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+           user_id,
+           COUNT(*)                      AS n_events
+    FROM s GROUP BY user_id, seq
+    """,
+)
 def session_native(spark, sf_dir):
-    """Spark-native session_window (merge semantics differ subtly from
-    the lag/cumsum formulation at exact-gap boundaries → rows-only
-    check; the oracle-checked variant is events_sessionize_30m)."""
+    """Spark-native session_window, oracle-checked: the engine merges
+    sessions while the gap is STRICTLY under the gap duration (windows
+    [t, t+gap) merge only when they overlap), so the lag formulation
+    uses ``>= gap`` for a session break — one boundary convention off
+    from events_sessionize_30m's ``> gap`` — and the native window end
+    is last-event ts + gap, not max(ts)."""
     from .streaming import session_window_agg
 
     ev = load_table(spark, sf_dir, "events")
@@ -1533,6 +1673,37 @@ def emb_near_dup_q(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     out = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+@query(
+    "embedding_near_dup_bucketed",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+    """,
+)
+def emb_near_dup_bucketed_q(spark, sf_dir):
+    """Embedding near-dup via multi-table hyperplane LSH — the 100 TB
+    path (no driver-side collect; per-bucket matmul kernel).  Checked
+    against the SAME exact all-pairs oracle: the seeded hyperplanes
+    make the result deterministic, and at these table/plane settings
+    recall is 1.0 on this corpus (verified; false positives are
+    impossible — cosine is computed exactly in the kernel)."""
+    from .operators.dedup import embedding_near_dup_pairs_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = embedding_near_dup_pairs_bucketed(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4, num_tables=48
+    )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -1688,3 +1859,129 @@ def frames_q(spark, sf_dir):
 
     media = make_fake_media(spark, n=64)
     return sample_frames(media.filter(F.col("mime") != "image/png"), every_ms=500)
+
+
+# =====================================================================
+# UDTF (Spark 4 @udtf — SURVEY.md §2.10 [EXT])
+# =====================================================================
+
+@query(
+    "udtf_split_words",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+      WHERE trim(text) <> '' AND doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(toks) - 1)) AS INT) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def udtf_q(spark, sf_dir):
+    """Python UDTF (Spark 4 ``@udtf``): one output row per token with
+    its position, applied per input row via SQL LATERAL.  Arrow-
+    optimized (``useArrow=True``) so batches cross the Python boundary
+    columnar, not row-at-a-time pickling."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string", useArrow=True)
+    class SplitWords:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split()):
+                yield i, tok
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.pos, w.token
+        FROM docs_udtf d, LATERAL split_words(d.text) w
+        WHERE trim(d.text) <> '' AND d.doc_id < 100
+        """
+    )
+
+
+# =====================================================================
+# Driver-facing registration order
+# =====================================================================
+# The correctness driver checks queries in registration order and in
+# round 1 stopped after 50 — leaving the LLM-pipeline operators (the
+# north-star components) unverified.  Re-rank so a 50-query budget
+# covers: reference-ETL parity, every LLM-pipeline operator, the
+# queries that failed round 1's hash check, and each first-time query
+# — one per otherwise-uncovered inventory row after that.  Everything
+# past the cut stays registered and is identical under
+# tools/check_oracle.py (driver-parity canon), just lower priority for
+# the driver's budget.
+
+_PRIORITY = [
+    # flagship + reference-op parity
+    "q1_pricing_summary",
+    "etl_incremental_reload",
+    "etl_apply_mapping",
+    "etl_drop_null_fields",
+    "etl_bookmark_filter",
+    "distinct_mktsegments",
+    # LLM-pipeline operators (dedup / similarity / text / multimodal)
+    "dedup_exact_docs",
+    "doc_text_stats",
+    "doc_token_counts",
+    "cosine_topk_embeddings",
+    "cosine_topk_many_embeddings",
+    "embedding_near_dup",
+    "embedding_near_dup_bucketed",
+    "minhash_near_dup_docs",
+    "jaccard_near_dup_docs",
+    "simhash_near_dup_docs",
+    "lsh_topk_embeddings",
+    "ivf_topk_embeddings",
+    "multimodal_image_features",
+    "multimodal_frame_sample",
+    # round-1 hash-mismatch fixes (need fresh driver evidence)
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "json_events_sum",
+    "events_props_map",
+    "events_sessionize_30m",
+    "events_session_window_native",
+    # first-time queries
+    "right_join_big_orders",
+    "full_join_customer_orders",
+    "grouping_sets_orders",
+    "collect_list_order_keys",
+    "udtf_split_words",
+    # one per remaining inventory row
+    "q3_shipping_priority",
+    "left_join_order_counts",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "range_join_shipped_30d",
+    "asof_join_purchase_click",
+    "agg_lineitem_stats",
+    "agg_percentiles_orders",
+    "rollup_order_priorities",
+    "cube_returnflag_status",
+    "pivot_priority_by_status",
+    "window_top_orders_per_customer",
+    "window_rank_family",
+    "window_running_revenue",
+    "window_range_frame",
+    "topk_orders",
+    "events_tumbling_hourly",
+    "sql_top_suppliers",
+]
+
+
+def _reorder() -> None:
+    global Q, O
+    ordered = [n for n in _PRIORITY if n in Q] + [n for n in Q if n not in _PRIORITY]
+    missing = [n for n in _PRIORITY if n not in Q]
+    assert not missing, f"_PRIORITY names unknown queries: {missing}"
+    Q = {n: Q[n] for n in ordered}
+    O = {n: O[n] for n in ordered if n in O}
+
+
+_reorder()

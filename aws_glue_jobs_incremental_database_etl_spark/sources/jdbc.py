@@ -25,25 +25,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def hash_partition_predicates(
-    hashfield: str, hashpartitions: int, dialect: str = "ansi"
+    hashfield: str, hashpartitions: int, dialect: str = "mod"
 ) -> list[str]:
     """SQL predicates that shard a table N ways by hashing a column.
 
-    Each predicate runs in the source DB's dialect.  ``ansi`` uses a
-    portable CRC-ish surrogate via ``ASCII``/``LENGTH`` only when a
-    real hash is unavailable; common dialects get their native hash.
+    Each predicate runs in the source DB, so it must be written in
+    THAT engine's dialect — there is no portable SQL hash function:
+
+    - ``mysql``      — ``CONV(MD5(...))`` (also MariaDB);
+    - ``mysql_crc``  — ``CRC32`` (cheaper, MySQL/MariaDB only);
+    - ``postgresql`` — ``HASHTEXT``;
+    - ``mod``        — the genuinely portable fallback, plain
+      ``MOD(ABS(col), N)`` — ANSI, works on Derby/DB2/Oracle/etc.,
+      but requires a NUMERIC hashfield and inherits the column's
+      value distribution instead of a uniform hash.
+
+    The default is the portable ``mod``; pick a native-hash dialect
+    when the source engine is known and the field is non-numeric or
+    skewed.
     """
     if hashpartitions < 1:
         raise ValueError("hashpartitions must be >= 1")
     h = {
-        "mysql": f"CRC32({hashfield})",
+        "mysql": f"ABS(CAST(CONV(SUBSTR(MD5({hashfield}), 1, 8), 16, 10) AS SIGNED))",
+        "mysql_crc": f"CRC32({hashfield})",
         "postgresql": f"ABS(HASHTEXT({hashfield}::text))",
-        "ansi": f"ABS(CAST(CONV(SUBSTR(MD5({hashfield}), 1, 8), 16, 10) AS BIGINT))",
         # integer keys on strict-ANSI engines (Derby, DB2): plain MOD
         "mod": f"ABS({hashfield})",
     }.get(dialect.lower())
     if h is None:
-        raise ValueError(f"unsupported JDBC dialect: {dialect}")
+        raise ValueError(
+            f"unsupported JDBC dialect: {dialect!r} "
+            f"(expected one of: mysql, mysql_crc, postgresql, mod)"
+        )
     return [f"MOD({h}, {hashpartitions}) = {i}" for i in range(hashpartitions)]
 
 
@@ -57,7 +71,7 @@ def read_jdbc(
     partition_column: str | None = None,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
-    dialect: str = "ansi",
+    dialect: str = "mod",
     push_down_predicate: str | None = None,
 ) -> DataFrame:
     """Parallel JDBC read mirroring the reference's scan options.

@@ -88,11 +88,14 @@ def test_bookmark_predicate_pushdown(spark, derby):
 
 
 def test_dialect_predicates_shapes():
-    assert hash_partition_predicates("k", 2, "mysql")[0] == "MOD(CRC32(k), 2) = 0"
+    assert hash_partition_predicates("k", 2, "mysql_crc")[0] == "MOD(CRC32(k), 2) = 0"
+    assert "MD5(k)" in hash_partition_predicates("k", 2, "mysql")[0]
     assert (
         hash_partition_predicates("k", 2, "postgresql")[1]
         == "MOD(ABS(HASHTEXT(k::text)), 2) = 1"
     )
+    # default dialect is the portable MOD fallback (ANSI; Derby/DB2-safe)
+    assert hash_partition_predicates("k", 2)[0] == "MOD(ABS(k), 2) = 0"
     with pytest.raises(ValueError):
         hash_partition_predicates("k", 0)
     with pytest.raises(ValueError):

@@ -172,6 +172,46 @@ def test_simhash_near_dups_and_hamming(spark):
     assert row.h == 3
 
 
+def test_embedding_near_dup_bucketed_matches_exact(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_bucketed(
+            emb, "vec_id", "embedding", threshold=0.4, num_planes=4, num_tables=48
+        ).collect()
+    }
+    # no false positives ever (exact cosine inside the kernel); at
+    # these settings recall is complete on this corpus
+    assert lsh == exact and exact
+
+
+def test_embedding_near_dup_broadcast_bound_enforced(spark, sf_dir):
+    import pytest as _pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="max_broadcast_rows"):
+        embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, max_broadcast_rows=10
+        )
+
+
 # ----------------------------------------------------------- similarity
 
 def _emb(spark, sf_dir):
