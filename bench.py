@@ -41,6 +41,7 @@ HEADLINE = [
     "simhash_near_dup_docs",
     "cosine_topk_embeddings",
     "embedding_near_dup",
+    "embedding_near_dup_bucketed",
 ]
 
 
@@ -56,6 +57,22 @@ def main() -> None:
     registry.Q["topk_orders"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # warm the Python-worker/Arrow path too: executors on a real
+    # cluster are long-lived, but a fresh local JVM pays one-time
+    # worker fork + numpy/pandas import + Arrow codegen (~6-8 s at 32
+    # cores) on the FIRST pandas_udf it meets — setup cost, not query
+    # cost, so it is paid here where every query can share it.
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf's signature inference rejects
+    _warm = pandas_udf(lambda s: s, "long")
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spark.range(0, 1024, 1, n_parts).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
