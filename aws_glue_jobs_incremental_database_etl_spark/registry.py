@@ -1904,6 +1904,91 @@ def udtf_q(spark, sf_dir):
 
 
 # =====================================================================
+# Inventory-completing variants (lower priority: each is a sibling of
+# an already-gated row — first/last frames, EXCEPT ALL multiset
+# semantics, to_json/json_tuple round-trip)
+# =====================================================================
+
+@query(
+    "window_first_last_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderdate) OVER w AS first_order,
+           LAST_VALUE(o_orderdate)  OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_q(spark, sf_dir):
+    """first/last analytic functions (SURVEY.md §2.5 [EXT]) over an
+    unbounded frame; o_orderkey tie-break keeps the frame order
+    deterministic on equal dates."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_order"),
+        F.last("o_orderdate").over(w).alias("last_order"),
+    )
+
+
+@query(
+    "setop_except_all",
+    """
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    EXCEPT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def setop_except_all_q(spark, sf_dir):
+    """EXCEPT ALL (SURVEY.md §2.7 [EXT]): multiset subtraction — each
+    right occurrence cancels ONE left occurrence, so the duplicate
+    counts (not just membership) must match the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select("o_orderstatus", "o_orderpriority")
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return a.exceptAll(b)
+
+
+@query(
+    "json_roundtrip_events",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           to_json(struct_pack(event_type := event_type,
+                               k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+               AS packed
+    FROM events
+    """,
+)
+def json_roundtrip_q(spark, sf_dir):
+    """json_tuple extraction + to_json struct serialization
+    (SURVEY.md §2.8 [EXT]) — both engines emit the compact
+    {"a":...} form, so the string compares exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type", F.json_tuple("props", "k").alias("k_str"))
+        .select(
+            "event_id",
+            "k_str",
+            F.to_json(
+                F.struct(
+                    F.col("event_type"), F.col("k_str").cast("bigint").alias("k")
+                )
+            ).alias("packed"),
+        )
+    )
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in

@@ -75,6 +75,32 @@ def test_topk_is_take_ordered(plans):
     assert "Exchange rangepartitioning" not in p  # no global sort
 
 
+def test_right_join_broadcasts_filtered_side(plans):
+    p = plans("right_join_big_orders")
+    # the filtered (small) order side builds the broadcast table; the
+    # preserved customer side streams — no shuffle of either input
+    assert "BroadcastHashJoin" in p and "RightOuter" in p
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in p
+
+
+def test_full_join_aggregates_before_join(plans):
+    p = plans("full_join_customer_orders")
+    # full outer can't broadcast: sort-merge, with the orders side
+    # pre-aggregated to one row per key and both range filters pushed
+    assert "FullOuter" in p
+    assert "partial_count" in p  # agg below the join, not above
+    assert "LessThanOrEqual(c_custkey,1000)" in p
+    assert "GreaterThanOrEqual(o_custkey,500)" in p
+
+
+def test_grouping_sets_single_expand_single_exchange(plans):
+    p = plans("grouping_sets_orders")
+    # one Expand + partial/final agg — not one scan per grouping set
+    assert p.count("Expand") == 1
+    assert p.count("FileScan") == 1
+    assert "partial_" in p
+
+
 def test_no_python_row_udfs_anywhere(spark, sf_dir):
     """Row-at-a-time Python UDFs (BatchEvalPython) are banned from the
     registry; only Arrow-batched eval (ArrowEvalPython / mapInPandas)
