@@ -1814,7 +1814,43 @@ def cosine_topk_many_q(spark, sf_dir):
     return cosine_topk_many(emb, queries, k=5)
 
 
-@query("lsh_topk_embeddings")  # rows-only: approximate by design
+def _lsh_topk_oracle() -> str:
+    """DuckDB replica of cosine_topk_lsh's exact semantics: the seeded
+    hyperplanes are literal doubles, so the bucket assignment (sign of
+    each plane dot product) is reproducible engine-to-engine — the
+    'approximate' operator is deterministic and carries a full oracle."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, num_planes=6, seed=42)
+
+    def lst(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    def bucket(var):
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({var}, {lst(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(e, (SELECT qe FROM q)), 6) AS cosine
+    FROM c
+    WHERE ({bucket('e')}) = (SELECT {bucket('qe')} FROM q)
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("lsh_topk_embeddings", None)  # oracle attached below (generated SQL)
 def lsh_topk_q(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH bucket restriction."""
     from .operators.similarity import cosine_topk_lsh
@@ -1824,6 +1860,9 @@ def lsh_topk_q(spark, sf_dir):
     )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return cosine_topk_lsh(emb, qvec, k=10, num_planes=6)
+
+
+O["lsh_topk_embeddings"] = _lsh_topk_oracle()
 
 
 @query("ivf_topk_embeddings")  # rows-only: approximate by design

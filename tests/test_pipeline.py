@@ -97,6 +97,43 @@ def test_empty_first_run_still_stamps_and_grants(env, spark, sf_dir):
     assert params["PermissionsGrantedTo"] == "arn:creator"
 
 
+def test_mid_run_failure_is_at_least_once(env, spark, sf_dir):
+    """E7 semantics (reference: lone job.commit() at :639): a failure
+    AFTER table A wrote but BEFORE the end-of-run commit leaves no
+    watermark, so the next run re-reads everything — table A's rows
+    are appended twice.  At-least-once, exactly like the reference."""
+    tmp_path, make = env
+    src_orders = _write_source(spark, sf_dir, tmp_path)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    cfg_a = TableConfig("orders", ["o_orderkey"], "ASC", [])
+    cfg_b = TableConfig("lineitem", ["l_orderkey"], "ASC", [])
+
+    pipe = make(job_run_id="r1")
+    with pytest.raises(Exception):
+        # lineitem's source path doesn't exist → run_table raises after
+        # orders already appended, before the single commit
+        pipe.run(
+            [cfg_a, cfg_b],
+            {"orders": src_orders, "lineitem": str(tmp_path / "nope")},
+        )
+    assert pipe.read_target("orders").count() == n_orders  # A's write landed
+    # ...but nothing committed: a restarted job sees no watermark
+    fresh = BookmarkStore(str(tmp_path / "bookmarks.json"))
+    assert fresh.get("datasource0_tgt_orders") is None
+
+    src_li = str(tmp_path / "src_lineitem")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.parquet(src_li)
+    pipe2 = make(job_run_id="r2")
+    pipe2.run([cfg_a, cfg_b], {"orders": src_orders, "lineitem": src_li})
+    # run 2 re-read orders in full → duplicated append (at-least-once)
+    assert pipe2.read_target("orders").count() == 2 * n_orders
+    # run 3 is incremental again: empty delta everywhere
+    (r3a, r3b) = make(job_run_id="r3").run(
+        [cfg_a, cfg_b], {"orders": src_orders, "lineitem": src_li}
+    )
+    assert r3a.skipped_empty and r3b.skipped_empty
+
+
 def test_partitioned_layout_and_registration(env, spark, sf_dir):
     tmp_path, make = env
     src = _write_source(spark, sf_dir, tmp_path)
