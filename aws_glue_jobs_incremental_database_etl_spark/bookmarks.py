@@ -140,6 +140,20 @@ class BookmarkStore:
             merged.update(watermark)
             self._staged[self._key(ctx)] = merged
 
+    def staged_snapshot(self) -> dict[str, dict[str, Any]]:
+        """Staged-but-uncommitted watermarks, keyed by FULL context key
+        (``job::ctx``) — consumed by the staged-commit manifest
+        (txn.py) so recovery can replay the commit."""
+        return {ctx: dict(wm) for ctx, wm in self._staged.items()}
+
+    def stage_raw(self, full_key: str, watermark: dict[str, Any]) -> None:
+        """Stage by full context key (manifest replay path — the key
+        was produced by :meth:`_key` in the original run)."""
+        if watermark:
+            merged = dict(self._state.get(full_key) or {})
+            merged.update(watermark)
+            self._staged[full_key] = merged
+
     def commit(self) -> None:
         """Atomically persist ALL staged watermarks (the one job.commit()).
 

@@ -85,6 +85,7 @@ class IncrementalPipeline:
         num_jobs: int = 1,
         creator_arn: str | None = None,
         source_options: dict | None = None,
+        exactly_once: bool = False,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -102,6 +103,12 @@ class IncrementalPipeline:
         # forwarded to the source reader (e.g. JDBC driver properties,
         # hashfield/hashpartitions — the reference's additional_options)
         self.source_options = dict(source_options or {})
+        # OFF by default for reference parity (at-least-once, :639);
+        # ON = staged-commit protocol (txn.py): batches land in a
+        # private staging dir and publish atomically with the bookmark
+        # commit behind one manifest rename.
+        self.exactly_once = exactly_once
+        self._txn = None
 
     # -- naming (reference :68, 575-577) -----------------------------------
 
@@ -117,7 +124,14 @@ class IncrementalPipeline:
         self, configs: list[TableConfig], source_locations: dict[str, str]
     ) -> list[PipelineResult]:
         """Run every table owned by this job shard, then commit ALL
-        bookmarks once (at-least-once semantics, reference ``:639``)."""
+        bookmarks once (at-least-once semantics, reference ``:639``;
+        or staged exactly-once when ``exactly_once=True``)."""
+        if self.exactly_once:
+            from .txn import StagedCommit, recover_pending
+
+            # finish any crashed-but-committed predecessor first
+            recover_pending(self.target_location, self.bookmarks)
+            self._txn = StagedCommit(self.target_location, self.job_run_id)
         owned = set(
             select_tables([c.table_name for c in configs], self.job_index, self.num_jobs)
         )
@@ -128,8 +142,13 @@ class IncrementalPipeline:
             results.append(self.run_table(cfg, source_locations[cfg.table_name]))
         # Single commit AFTER the loop — a mid-loop failure replays all
         # tables next run (duplicated appends = at-least-once), exactly
-        # like the reference's lone job.commit().
-        self.bookmarks.commit()
+        # like the reference's lone job.commit().  In exactly_once mode
+        # the same single-commit shape holds, but data publish and
+        # bookmark commit ride one atomic manifest rename instead.
+        if self.exactly_once:
+            self._txn.commit(self.bookmarks)
+        else:
+            self.bookmarks.commit()
         return results
 
     def run_table(self, cfg: TableConfig, source_path: str) -> PipelineResult:
@@ -226,15 +245,28 @@ class IncrementalPipeline:
 
             # (6) partitioned append write (reference :222-229).  The
             # row count rides on the write via Observation — no second
-            # pass over the batch for metrics.
+            # pass over the batch for metrics.  In exactly_once mode
+            # the batch lands in the run's private staging dir and is
+            # published at commit (txn.py).
             obs = Observation()
-            write_partitioned(
-                pruned.observe(obs, F.count(F.lit(1)).alias("n")),
-                self.target_path(cfg.table_name),
-                fmt=self.target_format,
-                partition_spec=cfg.partition_spec,
-                mode="append",
-            )
+            observed = pruned.observe(obs, F.count(F.lit(1)).alias("n"))
+            if self.exactly_once:
+                write_partitioned(
+                    observed,
+                    self._txn.staging_path(tgt_name),
+                    fmt=self.target_format,
+                    partition_spec=cfg.partition_spec,
+                    mode="overwrite",
+                )
+                self._txn.register(tgt_name, self.target_path(cfg.table_name))
+            else:
+                write_partitioned(
+                    observed,
+                    self.target_path(cfg.table_name),
+                    fmt=self.target_format,
+                    partition_spec=cfg.partition_spec,
+                    mode="append",
+                )
             res.rows_written = obs.get["n"]
 
             # Stage the new watermark from THIS batch; committed with

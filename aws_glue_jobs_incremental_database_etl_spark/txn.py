@@ -1,0 +1,165 @@
+"""Staged-commit protocol: the optional exactly-once upgrade over the
+reference's at-least-once delivery (SURVEY.md §4 "Write atomicity",
+§7 "optional staging-commit upgrade flag kept OFF for parity").
+
+The reference appends per-table data as it goes and commits every
+bookmark once at job end (``jdbc_incremental.py:222-229, 639``), so a
+mid-run failure replays all tables and duplicates whatever already
+landed.  This module closes that window with a miniature transaction
+log — the same atomic-metadata-swap idea as Iceberg/Delta commits,
+reduced to one manifest file:
+
+1.  Every table's batch is written to a PRIVATE staging directory
+    (``<target>/_staging/<run_id>/<table>``) — invisible to readers
+    (Spark ignores ``_``/``.``-prefixed paths during discovery).
+2.  After ALL tables stage successfully, a manifest listing every
+    (staged-file → final-file) move AND the new bookmark watermarks is
+    written and atomically renamed into ``<target>/_txn/`` — this
+    rename IS the commit point.
+3.  The moves are executed (``os.rename`` per file — idempotent: a
+    file is either still in staging or already at its destination),
+    the bookmarks from the manifest are committed, and the manifest +
+    staging are deleted.
+
+Crash anywhere before step 2: no manifest, no visible data, no
+watermark — the rerun re-stages from scratch; leftover staging is
+garbage-collected.  Crash during/after step 2: :func:`recover_pending`
+(called at the start of the next run) finishes the moves and the
+bookmark commit from the manifest — the run's effects happen exactly
+once.
+
+Scale note: the commit point is one filesystem rename regardless of
+data volume; publish is O(#files) metadata moves, no data copy.  On
+object stores without atomic rename, step 2's rename maps to a
+conditional PUT of the manifest key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from .bookmarks import BookmarkStore, _decode, _encode
+
+_SPARK_SIDECARS = ("_SUCCESS", "_committed", "_started", ".crc")
+
+
+def _is_data_file(name: str) -> bool:
+    return not name.startswith((".", "_")) and not name.endswith(".crc")
+
+
+class StagedCommit:
+    """One run's staging state: register per-table staged writes, then
+    :meth:`commit` them all behind a single manifest rename."""
+
+    def __init__(self, target_location: str, run_id: str) -> None:
+        self.target_location = target_location.rstrip("/")
+        self.run_id = run_id
+        self._tables: list[dict[str, str]] = []
+
+    # -- staging -----------------------------------------------------------
+
+    def staging_path(self, table_name: str) -> str:
+        return f"{self.target_location}/_staging/{self.run_id}/{table_name}"
+
+    def register(self, table_name: str, final_path: str) -> None:
+        """Record that ``table_name``'s batch is fully staged and must
+        be published into ``final_path`` at commit."""
+        self._tables.append(
+            {"table": table_name, "staging": self.staging_path(table_name),
+             "final": final_path.rstrip("/")}
+        )
+
+    def _collect_moves(self) -> list[tuple[str, str]]:
+        moves: list[tuple[str, str]] = []
+        for t in self._tables:
+            staging, final = t["staging"], t["final"]
+            for root, _dirs, files in os.walk(staging):
+                rel = os.path.relpath(root, staging)
+                for f in files:
+                    if not _is_data_file(f):
+                        continue
+                    dst_dir = final if rel == "." else os.path.join(final, rel)
+                    moves.append((os.path.join(root, f), os.path.join(dst_dir, f)))
+        return moves
+
+    # -- commit ------------------------------------------------------------
+
+    def commit(self, bookmarks: BookmarkStore) -> None:
+        """Publish every staged table and the staged watermarks.
+
+        The manifest rename is the all-or-nothing point; everything
+        after it is idempotent and replayable by recover_pending().
+        """
+        moves = self._collect_moves()
+        manifest = {
+            "run_id": self.run_id,
+            "moves": moves,
+            "staging_root": f"{self.target_location}/_staging/{self.run_id}",
+            "bookmarks": {
+                ctx: {k: _encode(v) for k, v in wm.items()}
+                for ctx, wm in bookmarks.staged_snapshot().items()
+            },
+        }
+        txn_dir = f"{self.target_location}/_txn"
+        os.makedirs(txn_dir, exist_ok=True)
+        tmp = f"{txn_dir}/manifest-{self.run_id}.json.tmp"
+        dst = f"{txn_dir}/manifest-{self.run_id}.json"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, dst)  # COMMIT POINT
+        _apply_manifest(dst, manifest, bookmarks)
+
+
+def _apply_manifest(
+    manifest_path: str, manifest: dict[str, Any], bookmarks: BookmarkStore
+) -> None:
+    """Replay a committed manifest: finish the moves (idempotent),
+    commit its bookmarks, clean up.  Safe to call any number of times."""
+    for src, dst in manifest["moves"]:
+        if os.path.exists(dst):
+            continue  # already published by an earlier attempt
+        if not os.path.exists(src):
+            raise RuntimeError(
+                f"staged file lost before publish: {src} (manifest "
+                f"{manifest_path}) — staging must not be cleaned manually"
+            )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+    for ctx, wm in manifest["bookmarks"].items():
+        bookmarks.stage_raw(ctx, {k: _decode(v) for k, v in wm.items()})
+    bookmarks.commit()
+    shutil.rmtree(manifest["staging_root"], ignore_errors=True)
+    parent = os.path.dirname(manifest["staging_root"].rstrip("/"))
+    if os.path.isdir(parent) and not os.listdir(parent):
+        os.rmdir(parent)  # drop the now-empty _staging root
+    os.unlink(manifest_path)
+
+
+def recover_pending(target_location: str, bookmarks: BookmarkStore) -> list[str]:
+    """Complete any committed-but-unpublished run, then garbage-collect
+    staging left by runs that died BEFORE their commit point.
+
+    Returns the run_ids that were recovered (published).
+    """
+    loc = target_location.rstrip("/")
+    txn_dir, staging_dir = f"{loc}/_txn", f"{loc}/_staging"
+    recovered: list[str] = []
+    if os.path.isdir(txn_dir):
+        for name in sorted(os.listdir(txn_dir)):
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue  # .tmp = never committed; ignored and GC'd below
+            path = os.path.join(txn_dir, name)
+            with open(path) as f:
+                manifest = json.load(f)
+            _apply_manifest(path, manifest, bookmarks)
+            recovered.append(manifest["run_id"])
+        for name in os.listdir(txn_dir):
+            if name.endswith(".tmp"):
+                os.unlink(os.path.join(txn_dir, name))
+    if os.path.isdir(staging_dir):
+        # anything still here has no manifest → the run never committed
+        shutil.rmtree(staging_dir, ignore_errors=True)
+    return recovered

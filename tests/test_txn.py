@@ -1,0 +1,137 @@
+"""Staged-commit (exactly-once) protocol tests — txn.py.
+
+The upgrade over the reference's at-least-once delivery: data publish
+and bookmark commit ride one atomic manifest rename, so a mid-run
+failure duplicates nothing and a crash after the commit point is
+completed by recovery.
+"""
+
+import json
+import os
+
+import pytest
+
+from aws_glue_jobs_incremental_database_etl_spark.bookmarks import BookmarkStore
+from aws_glue_jobs_incremental_database_etl_spark.catalog import FileCatalog
+from aws_glue_jobs_incremental_database_etl_spark.config import TableConfig
+from aws_glue_jobs_incremental_database_etl_spark.pipeline import IncrementalPipeline
+from aws_glue_jobs_incremental_database_etl_spark.txn import recover_pending
+
+CFG = TableConfig("orders", ["o_orderkey"], "ASC", ["o_orderstatus"])
+
+
+@pytest.fixture()
+def env(tmp_path, spark):
+    def make(run_id):
+        return IncrementalPipeline(
+            spark,
+            FileCatalog(str(tmp_path / "catalog")),
+            BookmarkStore(str(tmp_path / "bookmarks.json")),
+            target_location=str(tmp_path / "lake"),
+            target_prefix="tgt_",
+            job_run_id=run_id,
+            exactly_once=True,
+        )
+
+    return tmp_path, make
+
+
+def _src(spark, sf_dir, tmp_path, predicate=None):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if predicate:
+        df = df.filter(predicate)
+    p = str(tmp_path / "src_orders")
+    df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_exactly_once_two_run_incremental(env, spark, sf_dir):
+    tmp_path, make = env
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = _src(spark, sf_dir, tmp_path, "o_orderkey <= 750")
+    (r1,) = make("r1").run([CFG], {"orders": src})
+    assert r1.created_table and r1.rows_written > 0
+
+    src = _src(spark, sf_dir, tmp_path)
+    p2 = make("r2")
+    (r2,) = p2.run([CFG], {"orders": src})
+    assert p2.read_target("orders").count() == full.count()
+    # protocol housekeeping: no leftover staging or manifests
+    assert not os.path.exists(str(tmp_path / "lake" / "_staging"))
+    assert not any(
+        n.endswith(".json") for n in os.listdir(str(tmp_path / "lake" / "_txn"))
+    )
+
+
+def test_failure_before_commit_duplicates_nothing(env, spark, sf_dir):
+    """THE exactly-once property: table A staged, table B failed → no
+    manifest → rerun re-reads everything but the target never sees A's
+    first attempt, so no duplicate rows (contrast with the at-least-
+    once test in test_pipeline.py)."""
+    tmp_path, make = env
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = _src(spark, sf_dir, tmp_path)
+    cfg_b = TableConfig("lineitem", ["l_orderkey"], "ASC", [])
+
+    with pytest.raises(Exception):
+        make("r1").run(
+            [CFG, cfg_b], {"orders": src, "lineitem": str(tmp_path / "nope")}
+        )
+    # nothing visible, nothing committed
+    assert BookmarkStore(str(tmp_path / "bookmarks.json")).get(
+        "datasource0_tgt_orders"
+    ) is None
+
+    src_li = str(tmp_path / "src_li")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.parquet(src_li)
+    p2 = make("r2")
+    p2.run([CFG, cfg_b], {"orders": src, "lineitem": src_li})
+    # exactly the source row count — NOT 2× (the at-least-once outcome)
+    assert p2.read_target("orders").count() == full.count()
+
+
+def test_recovery_completes_committed_manifest(env, spark, sf_dir, tmp_path):
+    """Crash AFTER the manifest rename but before publish: recovery
+    must finish the moves, commit the manifest's bookmarks, clean up —
+    and be idempotent."""
+    lake = tmp_path / "lake"
+    staging = lake / "_staging" / "r9" / "tgt_orders" / "o_orderstatus=O"
+    os.makedirs(staging)
+    (staging / "part-0001.parquet").write_bytes(b"data")
+    os.makedirs(lake / "_txn")
+    manifest = {
+        "run_id": "r9",
+        "moves": [
+            [
+                str(staging / "part-0001.parquet"),
+                str(lake / "tgt_orders" / "o_orderstatus=O" / "part-0001.parquet"),
+            ]
+        ],
+        "staging_root": str(lake / "_staging" / "r9"),
+        "bookmarks": {"job::datasource0_tgt_orders": {"o_orderkey": 750}},
+    }
+    mpath = lake / "_txn" / "manifest-r9.json"
+    mpath.write_text(json.dumps(manifest))
+
+    bs = BookmarkStore(str(tmp_path / "bookmarks.json"))
+    assert recover_pending(str(lake), bs) == ["r9"]
+    assert (lake / "tgt_orders" / "o_orderstatus=O" / "part-0001.parquet").exists()
+    assert not mpath.exists()
+    assert not (lake / "_staging").exists()
+    # watermark from the manifest is committed and durable
+    assert BookmarkStore(str(tmp_path / "bookmarks.json")).get(
+        "datasource0_tgt_orders"
+    ) == {"o_orderkey": 750}
+    # second recovery is a no-op
+    assert recover_pending(str(lake), bs) == []
+
+
+def test_uncommitted_tmp_manifest_and_staging_are_garbage_collected(tmp_path):
+    lake = tmp_path / "lake"
+    os.makedirs(lake / "_staging" / "dead-run" / "tgt_x")
+    os.makedirs(lake / "_txn")
+    (lake / "_txn" / "manifest-dead.json.tmp").write_text("{}")
+    bs = BookmarkStore(str(tmp_path / "bm.json"))
+    assert recover_pending(str(lake), bs) == []
+    assert not (lake / "_staging").exists()
+    assert not (lake / "_txn" / "manifest-dead.json.tmp").exists()
