@@ -2027,6 +2027,42 @@ def json_roundtrip_q(spark, sf_dir):
     )
 
 
+@query(
+    "pandas_udaf_event_stats",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+    ), r AS (
+      SELECT event_type, k_val,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY k_val) AS rn,
+             COUNT(*)    OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_type,
+           ROUND(AVG(CAST(k_val AS DOUBLE)), 4) AS mean_k,
+           ROUND(AVG(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                          THEN CAST(k_val AS DOUBLE) END), 4) AS trimmed_k
+    FROM r GROUP BY event_type
+    """,
+)
+def pandas_udaf_q(spark, sf_dir):
+    """Grouped-aggregate Pandas UDFs (SURVEY.md §2.10 [EXT]): a plain
+    mean (Arrow ships each group's column to Python once) and a
+    10%-trimmed mean — an aggregate Catalyst has no built-in for.
+    Trimming by rank with floor counts makes it order-of-ties
+    independent (tied boundary values are equal), so the rank-filtered
+    DuckDB AVG reproduces it exactly."""
+    from .operators.udafs import mean_udaf, trimmed_mean_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.round(mean_udaf(k), 4).alias("mean_k"),
+        F.round(trimmed_mean_udaf(k), 4).alias("trimmed_k"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -2077,6 +2113,7 @@ _PRIORITY = [
     "grouping_sets_orders",
     "collect_list_order_keys",
     "udtf_split_words",
+    "pandas_udaf_event_stats",
     # one per remaining inventory row
     "q3_shipping_priority",
     "left_join_order_counts",
@@ -2091,7 +2128,6 @@ _PRIORITY = [
     "pivot_priority_by_status",
     "window_top_orders_per_customer",
     "window_rank_family",
-    "window_running_revenue",
     "window_range_frame",
     "topk_orders",
     "events_tumbling_hourly",
