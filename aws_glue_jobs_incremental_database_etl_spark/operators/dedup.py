@@ -132,7 +132,10 @@ def minhash_near_dup_pairs(
     """
     rows = num_hashes // bands
     # "sh" is the xxhash64'd shingle set: band join and exact-Jaccard
-    # verify both run on 8-byte longs, never re-shuffling shingle text
+    # verify both run on 8-byte longs, never re-shuffling shingle text.
+    # persist(): the banded frame feeds BOTH sides of the self-join —
+    # without the cache Spark recomputes shingling + signatures per
+    # branch (measured 2-3× the whole query's cost).
     sig = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
         .withColumn(
@@ -141,6 +144,7 @@ def minhash_near_dup_pairs(
         )
         .withColumn("mh", minhash_signature_hashed(F.col("sh"), num_hashes))
         .drop("text")
+        .persist()
     )
     banded = sig.select(
         "id",
@@ -206,7 +210,10 @@ def jaccard_near_dup_pairs(
     # postings carry 8-byte xxhash64 values, not shingle strings — set
     # equality is all Jaccard needs, and the shuffle shrinks ~3× (a
     # 64-bit collision inside one near-dup pair is ~1e-9 at corpus
-    # sizes where the exact algorithm is even applicable)
+    # sizes where the exact algorithm is even applicable).
+    # persist(): four plan branches consume this frame (both self-join
+    # sides + both stop-shingle count branches); uncached, Spark
+    # re-shingles the corpus once PER BRANCH (measured 3× slower).
     sized = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
         .select(
@@ -216,6 +223,7 @@ def jaccard_near_dup_pairs(
             ).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
+        .persist()
     )
     postings = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
     rare = (
@@ -239,6 +247,72 @@ def jaccard_near_dup_pairs(
     j = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
     return (
         pair_shared.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def jaccard_near_dup_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs via PREFIX FILTERING — the
+    classic set-similarity-join optimization (SSJoin/PPJoin family,
+    public literature): under any single consistent global ordering of
+    shingles, two sets with Jaccard ≥ τ MUST share an element within
+    their first ``|A| − ⌈τ·|A|⌉ + 1`` elements, so only that prefix is
+    indexed.  At τ=0.7 the inverted index shrinks ~70% and candidate
+    pairs shrink quadratically; a length filter (τ·|A| ≤ |B| ≤ |A|/τ)
+    prunes further.  Candidates are verified with the exact
+    intersection over the FULL hashed-shingle arrays — recall is exact,
+    like ``jaccard_near_dup_pairs``, without its stop-shingle cap.
+
+    Plan: map (shingle+hash+sort) → explode prefix → shuffle on
+    shingle → length-filtered self-join → pair dedup → verify join
+    back to the signatures → exact Jaccard.
+    """
+    sized = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
+        .select(
+            "id",
+            # global order = sorted hash values; any consistent total
+            # order is valid for the prefix theorem
+            F.array_sort(
+                F.transform(shingles(F.col("text"), shingle_k), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .persist()  # consumed by the prefix index AND both verify joins
+    )
+    # prefix length |A| - ceil(τ|A|) + 1
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(float(threshold))).cast(
+        "int"
+    ) + 1
+    prefix = sized.select(
+        "id", "n_sh", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: τ|A| ≤ |B| ≤ |A|/τ (symmetric via min/max)
+            & (F.col("b.n_sh") * F.lit(float(threshold)) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(float(threshold)) <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sig_b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -344,9 +418,15 @@ def simhash_near_dup_pairs(
     any pair within distance ≤ 3 shares at least one exact 16-bit
     chunk (pigeonhole), so candidates come from equality buckets —
     no all-pairs."""
-    sig = _spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id"
-    ).select("id", simhash64(F.col("text"), shingle_k).alias("sig"))
+    # persist(): both self-join sides read the signatures; the cache
+    # halves the Pandas-UDF evaluations.
+    sig = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id"
+        )
+        .select("id", simhash64(F.col("text"), shingle_k).alias("sig"))
+        .persist()
+    )
     chunks = sig.select(
         "id",
         "sig",

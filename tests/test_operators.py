@@ -157,6 +157,25 @@ def test_minhash_dedup_drops_losers(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [0, 2, 3]
 
 
+def test_jaccard_prefix_filter_matches_postings_variant(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+        jaccard_near_dup_pairs,
+        jaccard_near_dup_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_near_dup_pairs(docs, "doc_id", "text", 0.7).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_near_dup_pairs_prefix(docs, "doc_id", "text", 0.7).collect()
+    }
+    # prefix filtering is exact: same pairs, same similarities
+    assert pref == full and full
+
+
 def test_simhash_near_dups_and_hamming(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=10, shingle_k=2)
