@@ -22,10 +22,26 @@ from aws_glue_jobs_incremental_database_etl_spark import registry  # noqa: E402
 
 
 def _prepare(spark: SparkSession) -> None:
-    # events.ts is parquet TIMESTAMP(NANOS); the driver may hand us a
-    # session without our tuned config — set what queries rely on.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver may hand us a session without our tuned config — set
+    # every runtime-settable conf the queries rely on (correctness:
+    # nanos timestamps, UTC; performance: AQE, right-sized shuffles,
+    # dim-table broadcasts, Arrow for the pandas-UDF operators).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for k, v in {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": cpus,
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session build — keep going
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1908,9 +1908,9 @@ def frames_q(spark, sf_dir):
     "udtf_split_words",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents
-      WHERE trim(text) <> '' AND doc_id < 100
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
            CAST(unnest(generate_series(0, len(toks) - 1)) AS INT) AS pos,
@@ -1922,14 +1922,24 @@ def udtf_q(spark, sf_dir):
     """Python UDTF (Spark 4 ``@udtf``): one output row per token with
     its position, applied per input row via SQL LATERAL.  Arrow-
     optimized (``useArrow=True``) so batches cross the Python boundary
-    columnar, not row-at-a-time pickling."""
+    columnar, not row-at-a-time pickling.  Tokenization is ASCII-\\s+
+    (``re.ASCII``) to match the oracle's RE2 ``\\s`` exactly — Python's
+    default ``str.split()`` also splits on unicode whitespace, which
+    RE2 does not."""
+    import re
+
     from pyspark.sql.functions import udtf
+
+    ws = re.compile(r"\s+", re.ASCII)
 
     @udtf(returnType="pos: int, token: string", useArrow=True)
     class SplitWords:
         def eval(self, text: str):
-            for i, tok in enumerate((text or "").split()):
-                yield i, tok
+            pos = 0
+            for tok in ws.split(text or ""):
+                if tok:
+                    yield pos, tok
+                    pos += 1
 
     spark.udtf.register("split_words", SplitWords)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
@@ -1937,7 +1947,7 @@ def udtf_q(spark, sf_dir):
         """
         SELECT d.doc_id, w.pos, w.token
         FROM docs_udtf d, LATERAL split_words(d.text) w
-        WHERE trim(d.text) <> '' AND d.doc_id < 100
+        WHERE d.doc_id < 100
         """
     )
 
