@@ -1,0 +1,81 @@
+"""Property-based checks for the near-dup operators: against random
+small corpora, the Spark implementations must agree with a plain
+Python brute force (exact ops) or be a sound subset of it (LSH ops).
+
+Few examples × real SparkSession jobs — each example costs a Spark
+job, so max_examples stays small; the value is in the weird corpora
+hypothesis finds (empty docs, single tokens, all-identical docs,
+whitespace runs), not in volume.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+    jaccard_near_dup_pairs,
+    jaccard_near_dup_pairs_prefix,
+    minhash_near_dup_pairs,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _doc():
+    return st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join)
+
+
+def _corpus():
+    return st.lists(_doc(), min_size=2, max_size=8)
+
+
+def _brute_force(texts, k=3, threshold=0.7):
+    """Reference semantics: k-token shingles (distinct; whole doc if
+    fewer than k tokens), exact Jaccard, pairs id_a < id_b."""
+    shingle_sets = []
+    for t in texts:
+        toks = t.strip().lower().split()
+        if len(toks) >= k:
+            sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        else:
+            sh = {" ".join(toks)}
+        shingle_sets.append(sh)
+    out = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = shingle_sets[i], shingle_sets[j]
+            union = len(a | b)
+            jac = (len(a & b) / union) if union else 0.0
+            if jac >= threshold:
+                out.add((i, j))
+    return out
+
+
+@given(_corpus())
+@settings(max_examples=15, deadline=None)
+def test_exact_jaccard_variants_match_brute_force(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    expect = _brute_force(texts)
+    got_postings = {
+        (r.id_a, r.id_b)
+        for r in jaccard_near_dup_pairs(df, "doc_id", "text", 0.7).collect()
+    }
+    got_prefix = {
+        (r.id_a, r.id_b)
+        for r in jaccard_near_dup_pairs_prefix(df, "doc_id", "text", 0.7).collect()
+    }
+    assert got_postings == expect
+    assert got_prefix == expect
+
+
+@given(_corpus())
+@settings(max_examples=10, deadline=None)
+def test_minhash_is_sound_subset_of_exact(spark, texts):
+    """MinHash banding may MISS pairs (LSH recall < 1) but the exact
+    verify guarantees it never reports a pair below the threshold."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    expect = _brute_force(texts)
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(df, "doc_id", "text", 0.7).collect()
+    }
+    assert got <= expect
