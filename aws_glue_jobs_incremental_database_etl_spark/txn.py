@@ -127,15 +127,24 @@ def _apply_manifest(
                 f"{manifest_path}) — staging must not be cleaned manually"
             )
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.rename(src, dst)
+        try:
+            os.rename(src, dst)
+        except FileNotFoundError:
+            # a concurrent recovery moved it between our checks — fine
+            # as long as the destination materialized
+            if not os.path.exists(dst):
+                raise
     for ctx, wm in manifest["bookmarks"].items():
         bookmarks.stage_raw(ctx, {k: _decode(v) for k, v in wm.items()})
     bookmarks.commit()
     shutil.rmtree(manifest["staging_root"], ignore_errors=True)
     parent = os.path.dirname(manifest["staging_root"].rstrip("/"))
-    if os.path.isdir(parent) and not os.listdir(parent):
-        os.rmdir(parent)  # drop the now-empty _staging root
-    os.unlink(manifest_path)
+    try:
+        if os.path.isdir(parent) and not os.listdir(parent):
+            os.rmdir(parent)  # drop the now-empty _staging root
+        os.unlink(manifest_path)
+    except FileNotFoundError:
+        pass  # concurrent recovery finished cleanup first
 
 
 def recover_pending(target_location: str, bookmarks: BookmarkStore) -> list[str]:

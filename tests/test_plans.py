@@ -116,6 +116,28 @@ def test_no_python_row_udfs_anywhere(spark, sf_dir):
     assert not offenders
 
 
+def test_ivf_partitioned_corpus_prunes_at_file_level(spark, sf_dir, tmp_path):
+    """The IVF scale story (SCALE.md): store the corpus partitioned by
+    cluster id; an nprobe query's cluster filter becomes PARTITION
+    pruning — only the probed lists' files are read at all."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    assigned, _ = ivf_assign(emb, n_clusters=4)
+    loc = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("cluster").parquet(loc)
+    pruned = spark.read.parquet(loc).filter(F.col("cluster").isin([0, 2]))
+    p = plan_of(pruned)
+    assert "PartitionFilters" in p and "cluster" in p.split("PartitionFilters", 1)[1]
+    # the filter never appears as a post-scan row filter — it is
+    # resolved against the directory layout
+    assert pruned.count() == assigned.filter(F.col("cluster").isin([0, 2])).count()
+
+
 def test_cosine_topk_no_shuffle_before_limit(spark, sf_dir):
     from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
         cosine_topk,
