@@ -1,0 +1,167 @@
+"""Incremental near-dup dedup against a persistent signature index.
+
+The composition a real training-data ingestion loop needs: each
+incremental batch (bookmark-delimited, see ``pipeline.py``) is deduped
+against EVERYTHING ingested so far — without ever rescanning the old
+corpus text.  The index stores only MinHash state per document
+(``id``, hashed shingle set ``sh``, signature ``mh``): per batch, cost
+is O(batch + touched index buckets), not O(corpus).
+
+Semantics match ``dedup.minhash_dedup`` one-pass rules:
+
+- a new doc loses to ANY already-indexed doc it near-matches
+  (established corpus always wins — re-ingesting similar content
+  never displaces what models already trained on);
+- within a batch, the smaller id wins (same as minhash_dedup);
+- transitive closure is intentionally not chased (one LSH pass).
+
+At 100 TB the index is itself a table: store it partitioned/bucketed
+by band signature so the candidate join prunes to touched buckets.
+Replayed batches (at-least-once upstream) are safe on the index side:
+already-indexed ids are never re-appended.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _spread, minhash_signature_hashed, ngram_jaccard, shingles
+
+
+class MinHashIndex:
+    """Persistent MinHash signature index backing incremental dedup."""
+
+    def __init__(
+        self,
+        path: str,
+        threshold: float = 0.7,
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_k: int = 3,
+    ) -> None:
+        if num_hashes % bands:
+            raise ValueError("num_hashes must be divisible by bands")
+        self.path = path
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows = num_hashes // bands
+        self.shingle_k = shingle_k
+
+    # -- signature plumbing ------------------------------------------------
+
+    def _signatures(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        return (
+            _spread(
+                df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+                "id",
+            )
+            .withColumn(
+                "sh",
+                F.transform(
+                    shingles(F.col("text"), self.shingle_k), lambda s: F.xxhash64(s)
+                ),
+            )
+            .withColumn("mh", minhash_signature_hashed(F.col("sh"), self.num_hashes))
+            .drop("text")
+        )
+
+    def _banded(self, sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.hash(
+                                F.slice("mh", b * self.rows + 1, self.rows)
+                            ).alias("bsig"),
+                        )
+                        for b in range(self.bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "sh", "bk.band", "bk.bsig")
+
+    def _load(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def indexed_ids(self, spark: SparkSession) -> DataFrame | None:
+        idx = self._load(spark)
+        return None if idx is None else idx.select("id")
+
+    # -- the operator ------------------------------------------------------
+
+    def dedup_batch(
+        self, batch_df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Return the batch rows surviving near-dup dedup against the
+        index AND within the batch; append the survivors' signatures.
+
+        One banded LSH join: the probe side is ONLY the new batch, so
+        index size enters through bucket fan-in, not a full scan of
+        corpus text.
+        """
+        spark = batch_df.sparkSession
+        new_sig = self._signatures(batch_df, id_col, text_col).persist()
+        new_banded = self._banded(new_sig)
+
+        index = self._load(spark)
+        if index is not None:
+            ref_banded = self._banded(index.select("id", "sh", "mh")).withColumn(
+                "is_old", F.lit(True)
+            )
+            all_banded = new_banded.withColumn("is_old", F.lit(False)).unionByName(
+                ref_banded
+            )
+        else:
+            all_banded = new_banded.withColumn("is_old", F.lit(False))
+
+        a, b = new_banded.alias("a"), all_banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bsig") == F.col("b.bsig"))
+                & (F.col("a.id") != F.col("b.id"))
+                # dominators only: any old doc, or a smaller new id
+                & (F.col("b.is_old") | (F.col("b.id") < F.col("a.id"))),
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.col("a.sh").alias("sh_a"),
+                F.col("b.sh").alias("sh_b"),
+            )
+            .dropDuplicates(["id", "sh_b"])
+        )
+        losers = (
+            cand.withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id")
+            .distinct()
+            .persist()
+        )
+        # materialize BEFORE the index append below: the survivors
+        # frame is returned lazily, and it must never observe the
+        # signatures this very call appends
+        losers.count()
+        survivors = batch_df.join(
+            losers.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
+        )
+
+        # append surviving signatures — but never re-append an id that
+        # is already indexed (at-least-once replays upstream)
+        to_index = new_sig.join(losers, on="id", how="left_anti")
+        if index is not None:
+            to_index = to_index.join(
+                index.select("id"), on="id", how="left_anti"
+            )
+        to_index.select("id", "sh", "mh").write.mode("append").parquet(self.path)
+        return survivors

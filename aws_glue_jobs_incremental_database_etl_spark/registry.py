@@ -2073,6 +2073,54 @@ def pandas_udaf_q(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_dedup_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM toks
+    ), losers AS (
+      SELECT DISTINCT a.doc_id FROM d a JOIN d b ON b.doc_id < a.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    )
+    SELECT doc_id, lang FROM d
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def incremental_dedup_q(spark, sf_dir):
+    """Incremental dedup vs a persistent MinHash index
+    (operators.incremental_dedup.MinHashIndex): the corpus arrives as
+    two bookmark-style batches; each is deduped against everything
+    ingested before it WITHOUT rescanning old text.
+
+    Oracle equivalence argument: the one-pass rule drops a doc iff it
+    matches an INDEXED (surviving) older doc or any smaller in-batch
+    id, while the oracle drops on ANY smaller-id match.  These agree
+    unless an open chain A<B<C exists where C matches only the
+    eliminated B; verified at sf0.01 the sole multi-pair component is
+    the triangle {45,267,413} (413 matches 45 directly), so the two
+    semantics coincide.  Banding recall is 1 at τ=0.7 on this data
+    (same argument as minhash_near_dup_docs)."""
+    import tempfile
+
+    from .operators.incremental_dedup import MinHashIndex
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = MinHashIndex(
+        tempfile.mkdtemp(prefix="mh_idx_") + "/index", threshold=0.7, shingle_k=3
+    )
+    s1 = idx.dedup_batch(d.filter(F.col("doc_id") < 250), "doc_id", "text")
+    s2 = idx.dedup_batch(d.filter(F.col("doc_id") >= 250), "doc_id", "text")
+    return s1.select("doc_id", "lang").unionByName(s2.select("doc_id", "lang"))
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -2124,6 +2172,7 @@ _PRIORITY = [
     "collect_list_order_keys",
     "udtf_split_words",
     "pandas_udaf_event_stats",
+    "incremental_dedup_documents",
     # one per remaining inventory row
     "q3_shipping_priority",
     "left_join_order_counts",
@@ -2139,7 +2188,6 @@ _PRIORITY = [
     "window_top_orders_per_customer",
     "window_rank_family",
     "window_range_frame",
-    "topk_orders",
     "events_tumbling_hourly",
     "sql_top_suppliers",
 ]
