@@ -2328,6 +2328,96 @@ def incremental_dedup_q(spark, sf_dir):
     return s1.select("doc_id", "lang").unionByName(s2.select("doc_id", "lang"))
 
 
+@query(
+    "merge_upsert_orders",
+    """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(1 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey <= 14000
+    ), ups AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+             CAST(2 AS BIGINT) AS v, FALSE AS deleted
+      FROM orders WHERE o_orderkey BETWEEN 12001 AND 15000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 42.0, CAST(3 AS BIGINT), FALSE
+      FROM orders WHERE o_orderkey = 12001
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(2 AS BIGINT), TRUE
+      FROM orders WHERE o_orderkey <= 1000
+    ), latest AS (
+      SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                                  ORDER BY v DESC) AS rn
+                     FROM ups) WHERE rn = 1
+    ), merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, v FROM tgt
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, v FROM latest
+      WHERE NOT deleted
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_q(spark, sf_dir):
+    """CDC MERGE (merge.merge_upsert): updates + a superseding later
+    version + delete tombstones applied to a Hive-partitioned target;
+    only touched partition directories are rewritten.  The oracle
+    replays the same merge in SQL (latest-per-key via ROW_NUMBER —
+    version orders are unique per key here, so it matches the
+    operator's total-order struct collapse)."""
+    from .merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    loc = tempfile.mkdtemp(prefix="merge_tgt_") + "/orders"
+    o.filter("o_orderkey <= 14000").withColumn(
+        "v", F.lit(1).cast("bigint")
+    ).write.partitionBy("o_orderstatus").parquet(loc)
+
+    ups = (
+        o.filter("o_orderkey BETWEEN 12001 AND 15000")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("v", F.lit(2).cast("bigint"))
+        .withColumn("deleted", F.lit(False))
+    )
+    newest = (
+        o.filter("o_orderkey = 12001")
+        .withColumn("o_totalprice", F.lit(42.0))
+        .withColumn("v", F.lit(3).cast("bigint"))
+        .withColumn("deleted", F.lit(False))
+    )
+    tomb = (
+        o.filter("o_orderkey <= 1000")
+        .withColumn("v", F.lit(2).cast("bigint"))
+        .withColumn("deleted", F.lit(True))
+    )
+    merge_upsert(
+        spark,
+        loc,
+        ups.unionByName(newest).unionByName(tomb),
+        ["o_orderkey"],
+        partition_spec=["o_orderstatus"],
+        version_col="v",
+        delete_col="deleted",
+    )
+    return (
+        spark.read.parquet(loc)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.sum("v").alias("sum_v"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -2385,6 +2475,7 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
     "q15_top_supplier",
+    "merge_upsert_orders",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",
