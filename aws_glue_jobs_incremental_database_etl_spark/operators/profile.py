@@ -1,0 +1,74 @@
+"""Column profiling: per-column stats for data-quality gating.
+
+An incremental ETL pipeline (reference scope: blind pass-through of
+whatever the JDBC source ships, ``jdbc_incremental.py:199-208``)
+needs a cheap profile of each batch before publishing: null explosions,
+distinct-count collapses, and range drift are the standard signals a
+replication bug upstream has corrupted a table.
+
+One aggregate pass produces every column's stats simultaneously (one
+wide row → ``inline`` unpivot to one row per column) — never one job
+per column.  Scale note: multiple exact ``COUNT(DISTINCT col)``
+aggregates expand the input ×k columns before the shuffle (Spark's
+Expand operator); at 100 TB profile with ``exact_distinct=False`` —
+``approx_count_distinct`` is a plain (non-distinct) HLL aggregate, so
+the Expand disappears and the pass stays map-side-partial.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+    numeric_decimals: int | None = None,
+) -> DataFrame:
+    """Per-column profile: ``(col_name, n_rows, n_nulls, n_distinct,
+    min_val, max_val)``, one row per column, one pass over ``df``.
+
+    ``min_val``/``max_val`` are computed on the native type (NOT
+    lexicographically) and rendered as strings for a uniform schema.
+    ``numeric_decimals`` renders float/double extrema via
+    ``decimal(18, n)`` so the string form is engine-portable.
+    """
+    cols = list(columns or df.columns)
+    types = dict(df.dtypes)
+
+    def _render(c: str, agg) -> F.Column:
+        if numeric_decimals is not None and types[c] in ("float", "double"):
+            agg = agg.cast(f"decimal(18,{numeric_decimals})")
+        return agg.cast("string")
+
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct(F.col(c)).alias(f"{c}__distinct"),
+            _render(c, F.min(F.col(c))).alias(f"{c}__min"),
+            _render(c, F.max(F.col(c))).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select("n_rows", F.inline(rows)).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+    )

@@ -2329,6 +2329,50 @@ def incremental_dedup_q(spark, sf_dir):
 
 
 @query(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_q(spark, sf_dir):
+    """Column profiler (operators.profile): every column's
+    nulls/distinct/min/max in ONE aggregate pass, unpivoted via
+    inline().  The oracle is the per-column UNION ALL replica."""
+    from .operators.profile import profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile(
+        o,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        numeric_decimals=2,
+    )
+
+
+@query(
     "merge_upsert_orders",
     """
     WITH tgt AS (
@@ -2476,6 +2520,7 @@ _PRIORITY = [
     "q22_dormant_customers",
     "q15_top_supplier",
     "merge_upsert_orders",
+    "profile_orders",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",

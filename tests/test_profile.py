@@ -1,0 +1,40 @@
+"""Column profiler tests (operators/profile.py)."""
+
+from pyspark.sql import functions as F
+
+from aws_glue_jobs_incremental_database_etl_spark.operators.profile import profile
+
+
+def test_profile_counts_nulls_distinct_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", 0.25)],
+        "id long, s string, x double",
+    )
+    out = {r["col_name"]: r.asDict() for r in profile(df).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_nulls"] == 0
+    assert out["id"]["n_distinct"] == 4
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_val"] == "a" and out["s"]["max_val"] == "b"
+    # numeric min/max on the native type, not lexicographic
+    assert out["x"]["min_val"] == "0.25" and out["x"]["max_val"] == "2.5"
+    assert out["x"]["n_nulls"] == 1
+
+
+def test_profile_one_job_not_per_column(spark):
+    """The whole profile is ONE aggregate: a single collect executes
+    it; the plan contains exactly one Aggregate over the scan."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m"), F.col("id").cast("string").alias("s")
+    )
+    plan = profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2  # partial+final pair, not 3 per column
+
+
+def test_profile_approx_distinct_skips_expand(spark):
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 13).alias("m"))
+    exact_plan = profile(df)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # multiple COUNT(DISTINCT) expands input
+    assert "Expand" not in approx_plan  # HLL path stays single-pass
+    row = {r["col_name"]: r for r in profile(df, exact_distinct=False).collect()}
+    assert abs(row["id"]["n_distinct"] - 1000) / 1000 < 0.1
