@@ -49,6 +49,14 @@ _FORMAT_WIRING: dict[str, dict[str, Any]] = {
         "OutputFormat": "",
         "SerdeInfo": {},
     },
+    "orc": {  # [EXT] beyond the reference; standard Hive ORC wiring
+        "InputFormat": "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+        "OutputFormat": "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat",
+        "SerdeInfo": {
+            "SerializationLibrary": "org.apache.hadoop.hive.ql.io.orc.OrcSerde",
+            "Parameters": {"serialization.format": "1"},
+        },
+    },
 }
 
 

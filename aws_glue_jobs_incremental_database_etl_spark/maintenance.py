@@ -53,6 +53,7 @@ def compact_partitioned_table(
     fmt: str = "parquet",
     partition_spec: Sequence[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: Sequence[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite ``path`` (optionally Hive-partitioned) into
     ~``target_file_bytes`` files and atomically swap it in.
@@ -63,12 +64,21 @@ def compact_partitioned_table(
     distributed across partition values by hashing (partition keys +
     a spreading index), so each partition directory ends with roughly
     bytes(partition)/target files without a per-partition plan.
+
+    ``cluster_by`` sorts the rewrite by those columns (Delta/Iceberg
+    ``OPTIMIZE ... ZORDER``'s single-dimension case): without a
+    partition spec the data is range-partitioned so each output FILE
+    covers a narrow key range and selective scans skip whole files via
+    parquet/ORC footer min-max; with a spec, rows are sorted within
+    each write task so skipping happens at row-group granularity
+    inside each partition directory.
     """
     fmt = fmt.lower()
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"Unknown format: {fmt}")
     path = path.rstrip("/")
     spec = list(partition_spec or [])
+    cluster = list(cluster_by or [])
 
     in_bytes = _dir_bytes(path)
     files_before = _data_file_count(path)
@@ -84,6 +94,11 @@ def compact_partitioned_table(
     # dirs (bounds small-file fan-out when spec is present)
     if spec:
         df = df.repartition(n_out, *[F.col(c) for c in spec])
+        if cluster:
+            df = df.sortWithinPartitions(*spec, *cluster)
+    elif cluster:
+        df = df.repartitionByRange(n_out, *[F.col(c) for c in cluster])
+        df = df.sortWithinPartitions(*cluster)
     else:
         df = df.repartition(n_out)
 

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def write_partitioned(

@@ -58,6 +58,16 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """ORC scan — the other columnar lake format Glue catalogs commonly
+    carry; same pushdown story as parquet (stripe-level min/max skip,
+    Hive partition pruning), handled natively by Spark."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.orc(path)
+
+
 def read_table(
     spark: SparkSession, path: str, fmt: str = "parquet", **kwargs
 ) -> DataFrame:
@@ -76,6 +86,8 @@ def read_table(
         return read_csv(spark, path, **kwargs)
     if fmt == "json":
         return read_json(spark, path, **kwargs)
+    if fmt == "orc":
+        return read_orc(spark, path, **kwargs)
     if fmt == "jdbc":
         from .jdbc import read_jdbc
 

@@ -65,3 +65,38 @@ def test_compaction_unpartitioned_and_target_sizing(spark, sf_dir, tmp_path):
 def test_compaction_rejects_unknown_format(spark, tmp_path):
     with pytest.raises(ValueError):
         compact_partitioned_table(spark, str(tmp_path), fmt="avro")
+
+
+def test_clustered_compaction_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """cluster_by range-partitions the rewrite: each output file's
+    parquet footer covers a narrow o_custkey range, so a selective
+    scan skips whole files on min/max stats."""
+    import pyarrow.parquet as pq
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    loc = str(tmp_path / "orders_clustered")
+    src.repartition(20).write.parquet(loc)  # shuffled: every file spans the domain
+
+    compact_partitioned_table(
+        spark, loc, target_file_bytes=8_000, cluster_by=["o_custkey"]
+    )
+    ranges = []
+    for f in _files(loc):
+        meta = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "o_custkey"
+        )
+        stats = [meta.row_group(g).column(idx).statistics for g in range(meta.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) >= 3
+    domain = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+    # every file covers a small slice, and slices barely overlap
+    assert all((hi - lo) <= domain / (len(ranges) - 1) * 1.5 for lo, hi in ranges)
+    ranges.sort()
+    overlaps = sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b)
+    assert overlaps <= len(ranges) // 3
+
+    # rows and values intact
+    out = spark.read.parquet(loc)
+    assert out.count() == src.count()

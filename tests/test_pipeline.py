@@ -226,10 +226,11 @@ def test_sharding_skips_unowned_tables(env, spark, sf_dir):
     assert len(res_all) == 1
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_csv_json_target_formats_roundtrip(env, spark, sf_dir, fmt):
-    """S6-S9 parity: csv (with header, read back via catalog schema)
-    and json targets produce the same rows as the parquet source."""
+    """S6-S9 parity: csv (with header, read back via catalog schema),
+    json, and orc targets produce the same rows as the parquet
+    source."""
     tmp_path, make = env
     src = _write_source(spark, sf_dir, tmp_path)
     pipe = make(job_run_id="run-1", target_format=fmt)
