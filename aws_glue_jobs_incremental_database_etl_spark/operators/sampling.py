@@ -1,0 +1,77 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training-data pipelines need splits with properties ``df.sample``
+(seeded RNG, partition-order dependent) cannot give:
+
+- a row's assignment NEVER changes as the corpus grows or files are
+  rewritten/repartitioned — train/test contamination can't creep in
+  across incremental runs;
+- the assignment is reproducible across engines and languages — the
+  md5 hex digest of the key is the contract (same choice the
+  reference makes for its job sharding, ``jdbc_incremental.py:
+  319-325``; see ``sharding.py`` for the table-level twin).
+
+Mechanics: bucket = first 8 md5 hex digits of the key as an integer,
+mod ``buckets`` (md5's avalanche makes the high 32 bits uniform, so
+bucket/buckets is a uniform [0,1) draw per key).  All JVM-side
+Catalyst expressions — no UDF, no shuffle; the split column is a
+map-stage projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Deterministic uniform bucket in ``[0, buckets)`` from a key."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float],
+    buckets: int = DEFAULT_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a stable split label (e.g. ``{"train": .8,
+    "val": .1, "test": .1}``) keyed on ``key_col``.
+
+    Fractions must sum to 1; thresholds are cumulative in mapping
+    order, so the same mapping always yields the same assignment.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    b = hash_bucket(key_col, buckets)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, last)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Stable ~``fraction`` sample: keeps exactly the rows whose key
+    bucket falls below the threshold — repeatable across runs, engines,
+    and any repartitioning, and monotone in ``fraction`` (a 1% sample
+    is a subset of a 10% sample)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_bucket(key_col, buckets) < int(round(fraction * buckets)))

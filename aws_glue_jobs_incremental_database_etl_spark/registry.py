@@ -2329,6 +2329,39 @@ def incremental_dedup_q(spark, sf_dir):
 
 
 @query(
+    "hash_split_documents",
+    """
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 AS b
+            FROM documents) t
+    ) GROUP BY split
+    """,
+)
+def hash_split_q(spark, sf_dir):
+    """Deterministic train/val/test split (operators.sampling): the
+    md5-hex-prefix bucket is the cross-engine contract, so DuckDB
+    reproduces the exact assignment — a row's split never changes as
+    the corpus grows, unlike seeded RNG sampling.  Pure map-stage
+    projection (no UDF, no shuffle before the aggregation)."""
+    from .operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@query(
     "near_dup_components",
     """
     WITH RECURSIVE toks AS (
@@ -2565,6 +2598,7 @@ _PRIORITY = [
     "merge_upsert_orders",
     "profile_orders",
     "near_dup_components",
+    "hash_split_documents",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",

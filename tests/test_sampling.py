@@ -1,0 +1,57 @@
+"""Deterministic hash sampling / split tests (operators/sampling.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    hash_split,
+)
+
+
+def _py_bucket(key, buckets=10_000):
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % buckets
+
+
+def test_bucket_matches_hashlib_contract(spark):
+    df = spark.range(200).select(F.col("id"))
+    got = {r["id"]: r["b"] for r in df.withColumn("b", hash_bucket("id")).collect()}
+    assert got == {i: _py_bucket(i) for i in range(200)}
+
+
+def test_split_stable_under_growth_and_repartition(spark):
+    small = spark.range(500)
+    big = spark.range(2000).repartition(13)
+    s1 = {r["id"]: r["split"] for r in hash_split(small, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    s2 = {r["id"]: r["split"] for r in hash_split(big, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # growth never reassigns
+    counts = {}
+    for v in s2.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+
+
+def test_sample_monotone_in_fraction(spark):
+    df = spark.range(1000)
+    s10 = {r["id"] for r in deterministic_sample(df, "id", 0.10).collect()}
+    s01 = {r["id"] for r in deterministic_sample(df, "id", 0.01).collect()}
+    assert s01 <= s10  # smaller sample is a subset of the larger
+    assert 60 <= len(s10) <= 140
+
+
+def test_split_fraction_validation(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(df, "id", 1.5)
+
+
+def test_split_is_pure_projection_no_shuffle(spark):
+    df = spark.range(100)
+    plan = hash_split(df, "id", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
