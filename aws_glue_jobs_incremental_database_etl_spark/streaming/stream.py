@@ -100,3 +100,52 @@ def run_available_now(
         )
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def run_cdc_merge(
+    stream_df: DataFrame,
+    checkpoint: str,
+    target_path: str,
+    keys: list[str],
+    *,
+    partition_spec: list[str] | None = None,
+    version_col: str | None = None,
+    delete_col: str | None = None,
+) -> None:
+    """Streaming CDC apply: continuously MERGE a change stream into a
+    Hive-partitioned target (``merge.merge_upsert`` inside
+    ``foreachBatch``) — the streaming shape of incremental *database*
+    replication, where the source ships updates and deletes rather
+    than append-only inserts.
+
+    Semantics per micro-batch: collapse to latest-per-key by
+    ``version_col``, replace/insert/delete, rewrite only touched
+    partition directories.  The checkpoint makes each batch processed
+    once; the merge itself is idempotent for replays of the same batch
+    (same keys → same final row state), so recovery after a crash
+    between merge and checkpoint-commit converges to the same table.
+    ``Trigger.AvailableNow`` drains what exists and stops — one
+    bookmark-style run; schedule repeatedly for continuous apply.
+    """
+    from ..merge import merge_upsert
+
+    def _apply(batch: DataFrame, _id: int) -> None:
+        if not batch.isEmpty():
+            merge_upsert(
+                batch.sparkSession,
+                target_path,
+                batch,
+                keys,
+                partition_spec=partition_spec,
+                version_col=version_col,
+                delete_col=delete_col,
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

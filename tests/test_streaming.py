@@ -187,3 +187,49 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch fallback keeps the same key set
     batch = stream_dedup(df, ["event_id"])
     assert batch.count() == 2
+
+
+def test_streaming_cdc_merge_applies_changes_once(spark, tmp_path):
+    """run_cdc_merge: a change stream (upserts + tombstones) merges
+    into a partitioned target; the checkpoint guarantees a drained
+    batch is never re-applied."""
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        run_cdc_merge,
+    )
+
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    tgt = str(tmp_path / "tgt")
+    os.makedirs(src)
+    cols = ["k", "part", "val", "v", "deleted"]
+
+    spark.createDataFrame(
+        [(1, "a", 10.0, 1, False), (2, "a", 20.0, 1, False), (3, "b", 30.0, 1, False)],
+        cols,
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_cdc_merge(
+        incremental_file_stream(spark, src, schema), ckpt, tgt,
+        ["k"], partition_spec=["part"], version_col="v", delete_col="deleted",
+    )
+    assert spark.read.parquet(tgt).count() == 3
+
+    # changes: update k=1, delete k=2, insert k=4; two versions of k=4
+    spark.createDataFrame(
+        [(1, "a", 11.0, 2, False), (2, "a", 0.0, 2, True),
+         (4, "b", 40.0, 2, False), (4, "b", 44.0, 3, False)],
+        cols,
+    ).write.mode("append").parquet(src)
+    run_cdc_merge(
+        incremental_file_stream(spark, src, schema), ckpt, tgt,
+        ["k"], partition_spec=["part"], version_col="v", delete_col="deleted",
+    )
+    out = {r["k"]: (r["val"], r["v"]) for r in spark.read.parquet(tgt).collect()}
+    assert out == {1: (11.0, 2), 3: (30.0, 1), 4: (44.0, 3)}
+
+    # a third drain with no new files is a no-op (checkpoint bookmark)
+    run_cdc_merge(
+        incremental_file_stream(spark, src, schema), ckpt, tgt,
+        ["k"], partition_spec=["part"], version_col="v", delete_col="deleted",
+    )
+    assert {r["k"] for r in spark.read.parquet(tgt).collect()} == {1, 3, 4}
