@@ -102,6 +102,38 @@ def run_available_now(
     q.awaitTermination()
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi join with an event-time interval bound:
+    right rows match left rows with the same key whose timestamp falls
+    in ``[left_ts, left_ts + max_lag]`` (the click-after-impression
+    shape).
+
+    Both sides carry watermarks and the join condition bounds the
+    time skew, which is what lets Spark EXPIRE buffered rows — an
+    unconstrained stream-stream join must hold every past row forever.
+    State per side ≈ watermark + max_lag of data.  Outer variants
+    additionally need the bound to know when an unmatched row can be
+    emitted; Spark enforces it at analysis time.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def run_cdc_merge(
     stream_df: DataFrame,
     checkpoint: str,

@@ -233,3 +233,37 @@ def test_streaming_cdc_merge_applies_changes_once(spark, tmp_path):
         ["k"], partition_spec=["part"], version_col="v", delete_col="deleted",
     )
     assert {r["k"] for r in spark.read.parquet(tgt).collect()} == {1, 3, 4}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impressions joined to clicks within 30 minutes, both streaming:
+    the watermark + interval bound make the join's buffered state
+    expirable (a mandatory condition Spark checks at analysis time)."""
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        stream_interval_join,
+    )
+
+    imp_dir = str(tmp_path / "imp"); clk_dir = str(tmp_path / "clk")
+    ckpt = str(tmp_path / "ckpt"); out = str(tmp_path / "out")
+
+    imps = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(10)), (3, _ts(20))], ["ad_id", "ts"]
+    )
+    clks = spark.createDataFrame(
+        [(1, _ts(5)),      # within 30 min of imp 1 → match
+         (2, _ts(55)),     # 45 min after imp 2 → no match
+         (3, _ts(15))],    # BEFORE imp 3 → no match
+        ["ad_id", "ts"],
+    )
+    imps.write.parquet(imp_dir); clks.write.parquet(clk_dir)
+
+    j = stream_interval_join(
+        incremental_file_stream(spark, imp_dir, imps.schema),
+        incremental_file_stream(spark, clk_dir, clks.schema),
+        "ad_id", max_lag="30 minutes",
+    ).select(F.col("l.ad_id").alias("ad_id"), F.col("r.ts").alias("click_ts"))
+    assert j.isStreaming
+    run_available_now(j, ckpt, out)
+
+    got = spark.read.parquet(out).collect()
+    assert [(r["ad_id"], r["click_ts"]) for r in got] == [(1, _ts(5))]
