@@ -24,6 +24,53 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram: ``(bin, bin_lo, bin_hi, n)`` for the
+    non-empty bins of ``col``.
+
+    With explicit ``lo``/``hi`` this is ONE map-side-partial
+    aggregation pass (the production shape: bounds come from a prior
+    profile or domain knowledge).  Without them a min/max pre-pass
+    runs first — two scans, still no extra shuffle.  Values at ``hi``
+    land in the last bin; out-of-range rows are dropped (count them
+    upstream if that matters).  All arithmetic is plain double
+    expressions, so any engine reproduces the exact bin edges.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+        ).first()
+        lo = lo if lo is not None else row[0]
+        hi = hi if hi is not None else row[1]
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (F.lit(float(hi)) - F.lit(float(lo))) / F.lit(float(bins))
+    x = F.col(col).cast("double")
+    b = F.least(
+        F.lit(bins - 1), F.floor((x - F.lit(float(lo))) / width)
+    ).cast("bigint")
+    return (
+        df.filter((x >= float(lo)) & (x <= float(hi)))
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 def profile(
     df: DataFrame,
     columns: Sequence[str] | None = None,

@@ -2449,6 +2449,31 @@ def profile_q(spark, sf_dir):
 
 
 @query(
+    "histogram_totalprice",
+    """
+    SELECT bin,
+           0.0 + bin * (500000.0 - 0.0) / 20.0       AS bin_lo,
+           0.0 + (bin + 1) * (500000.0 - 0.0) / 20.0 AS bin_hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT LEAST(19, CAST(FLOOR((o_totalprice - 0.0)
+                                  / ((500000.0 - 0.0) / 20.0)) AS BIGINT)) AS bin
+      FROM orders
+      WHERE o_totalprice >= 0.0 AND o_totalprice <= 500000.0
+    ) GROUP BY bin
+    """,
+)
+def histogram_q(spark, sf_dir):
+    """Equi-width histogram (operators.profile.histogram) with fixed
+    bounds — one map-side-partial aggregation pass; bin edges are
+    plain double arithmetic so DuckDB reproduces them exactly."""
+    from .operators.profile import histogram
+
+    o = load_table(spark, sf_dir, "orders")
+    return histogram(o, "o_totalprice", bins=20, lo=0.0, hi=500_000.0)
+
+
+@query(
     "merge_upsert_orders",
     """
     WITH tgt AS (
@@ -2599,6 +2624,7 @@ _PRIORITY = [
     "profile_orders",
     "near_dup_components",
     "hash_split_documents",
+    "histogram_totalprice",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",

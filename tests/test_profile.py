@@ -38,3 +38,18 @@ def test_profile_approx_distinct_skips_expand(spark):
     assert "Expand" not in approx_plan  # HLL path stays single-pass
     row = {r["col_name"]: r for r in profile(df, exact_distinct=False).collect()}
     assert abs(row["id"]["n_distinct"] - 1000) / 1000 < 0.1
+
+
+def test_histogram_bins_and_bounds(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        histogram,
+    )
+
+    df = spark.createDataFrame([(float(x),) for x in range(101)], "x double")
+    out = {r["bin"]: r for r in histogram(df, "x", bins=10, lo=0.0, hi=100.0).collect()}
+    assert len(out) == 10
+    assert out[0]["n"] == 10 and out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 10.0
+    assert out[9]["n"] == 11  # value at hi folds into the last bin
+    # auto-bounds path (min/max pre-pass) agrees
+    auto = {r["bin"]: r["n"] for r in histogram(df, "x", bins=10).collect()}
+    assert auto == {b: r["n"] for b, r in out.items()}
