@@ -99,3 +99,24 @@ def text_fingerprint(text: Column | str) -> Column:
     md5 is identical across Spark/DuckDB/Python → oracle-checkable and
     stable across cluster topologies (unlike hash/xxhash64 seeds)."""
     return F.md5(normalized_text(text))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask common PII shapes before text enters a training corpus:
+    emails → ``<EMAIL>``, 7+-digit runs (phone/account/card numbers,
+    allowing space/dash/dot separators) → ``<NUMBER>``, IPv4-ish
+    addresses → ``<IP>``.
+
+    Deliberately backreference-free patterns (portable between Java
+    regex and RE2) chained as three JVM-side ``regexp_replace`` calls
+    — a map-only projection, no UDF.  This is shape-based masking, not
+    NER: names/addresses need a model pass, which belongs behind the
+    multimodal-style stub boundary, not here.
+    """
+    c = _c(text)
+    c = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    c = F.regexp_replace(c, r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>")
+    c = F.regexp_replace(c, r"\b(?:\d[ .-]?){7,}\d\b", "<NUMBER>")
+    return c

@@ -20,10 +20,11 @@ map-stage projection.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_BUCKETS = 10_000
 
@@ -63,6 +64,34 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, last)
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    strata: Sequence[str],
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by md5
+    order of the key — a deterministic per-group reservoir ("k docs
+    per language" for a balanced eval set).  The md5 hex string is the
+    sort key (tie-broken by the key itself), so the selection is
+    engine-portable and stable across reruns, unlike ``sampleBy``
+    whose seeded RNG depends on partition layout.
+
+    One window shuffle keyed on the strata; each group's state is a
+    running counter, not a buffer."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c = F.col(key_col)
+    w = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(
+        F.md5(c.cast("string")), c
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def deterministic_sample(

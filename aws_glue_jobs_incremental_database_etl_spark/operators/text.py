@@ -39,3 +39,55 @@ def quality_filter(
 ) -> DataFrame:
     """Keep documents above a quality threshold (pipeline building block)."""
     return df.filter(quality_score(F.col(text_col)) >= min_quality)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional
+    overlap — the context-window prep step of an LLM training
+    pipeline: ``(id, chunk_id, n_chunk_tokens, chunk_text)``, chunk i
+    covering tokens ``[i·stride, i·stride + chunk_tokens)`` where
+    ``stride = chunk_tokens − overlap_tokens``.
+
+    Pure Catalyst (split → sequence → posexplode → slice →
+    array_join): a map-only pass whose output fan-out is
+    rows × ⌈tokens/stride⌉ — no UDF, no shuffle, and the explode
+    happens AFTER the per-document token array is built once.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # 1 chunk when n <= chunk_tokens, else 1 + ceil((n - chunk)/stride)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        1 + F.floor((n - chunk_tokens + stride - 1) / F.lit(stride))
+    )
+    out = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "_one"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(
+                F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+            ).alias("_chunk"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("_chunk").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+    return out

@@ -2329,6 +2329,61 @@ def incremental_dedup_q(spark, sf_dir):
 
 
 @query(
+    "chunk_documents_64",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), nc AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= 64 THEN 1
+                  ELSE 1 + (len(w) - 64 + 47) // 48 END AS n_chunks
+      FROM toks
+    )
+    , ex AS (
+      SELECT doc_id, w, unnest(range(0, n_chunks)) AS i FROM nc
+    )
+    SELECT doc_id, i AS chunk_id,
+           len(list_slice(w, i * 48 + 1, i * 48 + 64)) AS n_chunk_tokens,
+           array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Context-window chunking (operators.text.chunk_documents):
+    64-token windows with 16-token overlap (stride 48) — pure Catalyst
+    split→sequence→posexplode→slice, exactly reproduced by the DuckDB
+    lateral-range + list_slice oracle."""
+    from .operators.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, "doc_id", "text", chunk_tokens=64, overlap_tokens=16
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic per-stratum reservoir (operators.sampling.
+    stratified_sample_k): exactly 5 docs per language chosen by md5
+    order of the key — engine-portable and layout-independent, unlike
+    seeded sampleBy.  One window shuffle keyed on the strata."""
+    from .operators.sampling import stratified_sample_k
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample_k(d, ["lang"], "doc_id", 5).select("doc_id", "lang")
+
+
+@query(
     "hash_split_documents",
     """
     SELECT split, COUNT(*) AS n_docs,
@@ -2625,6 +2680,8 @@ _PRIORITY = [
     "near_dup_components",
     "hash_split_documents",
     "histogram_totalprice",
+    "chunk_documents_64",
+    "stratified_sample_docs",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",

@@ -382,3 +382,41 @@ def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap_tokens=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["chunk_id"], r["chunk_text"]))
+    # doc 1: stride 3 → starts 0,3,6,9 → 1+ceil((10-4)/3)=3 chunks;
+    # starts 0,3,6 cover w0..w9
+    assert by_doc[1] == [
+        (0, "w0 w1 w2 w3"),
+        (1, "w3 w4 w5 w6"),
+        (2, "w6 w7 w8 w9"),
+    ]
+    assert by_doc[2] == [(0, "a b")]  # short doc: one partial chunk
+
+
+def test_redact_pii_masks_shapes_and_keeps_prose(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "contact jane.doe+x@corp.example.org for details"),
+        (2, "call 415-555-0199 x2 or 4111 1111 1111 1111"),
+        (3, "server at 10.0.42.7 responded"),
+        (4, "ordinary text with numbers like 42 and 2024 stays"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["out"] for r in df.select("id", redact_pii("t").alias("out")).collect()}
+    assert got[1] == "contact <EMAIL> for details"
+    assert got[2] == "call <NUMBER> x2 or <NUMBER>"
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == rows[3][1]  # short numbers untouched

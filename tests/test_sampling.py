@@ -55,3 +55,20 @@ def test_split_is_pure_projection_no_shuffle(spark):
     df = spark.range(100)
     plan = hash_split(df, "id", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_exact_k_per_group(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        stratified_sample_k,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)] + [(100, "tiny")],
+        "id long, g string",
+    )
+    out = stratified_sample_k(df, ["g"], "id", 4)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}  # min(k, |stratum|)
+    # deterministic: same selection on a reshuffled frame
+    again = stratified_sample_k(df.repartition(7), ["g"], "id", 4)
+    assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}
