@@ -1312,6 +1312,69 @@ def setop_union_by_name(spark, sf_dir):
     return a.unionByName(b, allowMissingColumns=True)
 
 
+@query(
+    "unpivot_customer_measures",
+    """
+    SELECT c_custkey, measure, CAST(ROUND(value, 2) AS DOUBLE) AS value
+    FROM (
+      SELECT c_custkey, c_acctbal AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer WHERE c_custkey < 100
+    ) UNPIVOT (value FOR measure IN (acctbal, nationkey))
+    """,
+)
+def unpivot_q(spark, sf_dir):
+    """unpivot/melt (inverse of pivot, SURVEY.md §2.4 family): wide
+    measure columns become (key, measure, value) rows.  Spark 4's
+    native DataFrame.unpivot is a map-side Expand — no shuffle, the
+    exact dual of the pivot aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    wide = c.filter(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        ["c_custkey"], ["acctbal", "nationkey"], "measure", "raw"
+    ).select(
+        "c_custkey", "measure", F.round("raw", 2).cast("double").alias("value")
+    )
+
+
+@query(
+    "vocab_top_terms",
+    """
+    SELECT term, n_occurrences, n_docs FROM (
+      SELECT term, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term
+    ) ORDER BY n_occurrences DESC, term ASC LIMIT 20
+    """,
+)
+def vocab_q(spark, sf_dir):
+    """Corpus vocabulary head: exact term + document frequencies for
+    the 20 most frequent terms (tie-broken by term).  explode → one
+    partial-aggregated shuffle on the term; the distinct doc count
+    rides the same aggregation.  The standard first look at a training
+    corpus (stopword skew, boilerplate detection)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def _setop_sides(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -2682,6 +2745,8 @@ _PRIORITY = [
     "histogram_totalprice",
     "chunk_documents_64",
     "stratified_sample_docs",
+    "unpivot_customer_measures",
+    "vocab_top_terms",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",

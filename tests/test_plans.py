@@ -150,3 +150,40 @@ def test_cosine_topk_no_shuffle_before_limit(spark, sf_dir):
     p = plan_of(cosine_topk(emb, list(q), k=5))
     assert "TakeOrderedAndProject" in p
     assert "Exchange" not in p  # map-only scan + per-partition heap
+
+
+def test_q4_exists_is_semi_join_with_pushed_quarter_filter(plans):
+    p = plans("q4_priority_late_ship")
+    assert "LeftSemi" in p  # EXISTS never duplicates orders
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q17_correlated_subquery_is_one_window_after_broadcast(plans):
+    p = plans("q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in p  # brand-filtered part dim broadcasts
+    assert p.count("Window") == 1  # the per-part avg, computed once
+    assert "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#4)" in p
+
+
+def test_q22_not_exists_is_anti_join_on_prefiltered_build(plans):
+    p = plans("q22_dormant_customers")
+    assert "LeftAnti" in p
+    # urgent-priority filter pushed into the orders scan under the anti join
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p
+    # exactly ONE nested-loop join: the 1-row scalar-subquery cross join
+    # (broadcasting a single aggregate row is the right plan); the real
+    # joins all stay hash joins
+    assert p.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_unpivot_is_expand_no_shuffle(plans):
+    p = plans("unpivot_customer_measures")
+    assert "Expand" in p
+    assert "Exchange" not in p  # melt is a map-side operator
+
+
+def test_chunking_is_map_only(plans):
+    p = plans("chunk_documents_64")
+    assert "Generate" in p  # posexplode
+    assert "Exchange" not in p.split("Generate")[0]  # no shuffle feeding it
