@@ -96,6 +96,8 @@ class StagedCommit:
         moves = self._collect_moves()
         manifest = {
             "run_id": self.run_id,
+            "seq": _next_seq(self.target_location),
+            "tables": {t["table"]: t["final"] for t in self._tables},
             "moves": moves,
             "staging_root": f"{self.target_location}/_staging/{self.run_id}",
             "bookmarks": {
@@ -142,9 +144,96 @@ def _apply_manifest(
     try:
         if os.path.isdir(parent) and not os.listdir(parent):
             os.rmdir(parent)  # drop the now-empty _staging root
-        os.unlink(manifest_path)
+        # retain the manifest as this run's immutable publish record —
+        # the table's transaction history (see published_history /
+        # read_table_asof); _txn/ itself keeps only pending manifests
+        applied_dir = os.path.join(os.path.dirname(manifest_path), "applied")
+        os.makedirs(applied_dir, exist_ok=True)
+        os.replace(
+            manifest_path,
+            os.path.join(applied_dir, os.path.basename(manifest_path)),
+        )
     except FileNotFoundError:
         pass  # concurrent recovery finished cleanup first
+
+
+def _applied_manifests(target_location: str) -> list[dict[str, Any]]:
+    applied = f"{target_location.rstrip('/')}/_txn/applied"
+    out: list[dict[str, Any]] = []
+    if os.path.isdir(applied):
+        for name in os.listdir(applied):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                with open(os.path.join(applied, name)) as f:
+                    out.append(json.load(f))
+    out.sort(key=lambda m: m.get("seq", 0))
+    return out
+
+
+def _next_seq(target_location: str) -> int:
+    loc = target_location.rstrip("/")
+    seqs = [m.get("seq", 0) for m in _applied_manifests(loc)]
+    txn_dir = f"{loc}/_txn"
+    if os.path.isdir(txn_dir):  # committed-but-unpublished runs count too
+        for name in os.listdir(txn_dir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                with open(os.path.join(txn_dir, name)) as f:
+                    seqs.append(json.load(f).get("seq", 0))
+    return max(seqs, default=0) + 1
+
+
+def published_history(target_location: str) -> list[dict[str, Any]]:
+    """The table group's commit log, oldest first: one entry per
+    published run — ``{"seq", "run_id", "tables": {name: n_files}}``.
+
+    This is what the retained manifests buy: an audit trail of exactly
+    which files each run added (the reference's lineage properties
+    record only the LAST job; this records all of them)."""
+    hist = []
+    for m in _applied_manifests(target_location):
+        counts: dict[str, int] = {}
+        for _src, dst in m.get("moves", []):
+            for table, final in m.get("tables", {}).items():
+                if dst.startswith(final.rstrip("/") + "/") or os.path.dirname(dst) == final.rstrip("/"):
+                    counts[table] = counts.get(table, 0) + 1
+                    break
+        hist.append(
+            {"run_id": m["run_id"], "seq": m.get("seq", 0), "tables": counts}
+        )
+    return hist
+
+
+def read_table_asof(
+    spark,
+    target_location: str,
+    table_name: str,
+    seq: int,
+    fmt: str = "parquet",
+):
+    """Snapshot read: the table as it stood after commit ``seq`` —
+    exactly the files published by runs with seq ≤ ``seq`` (Iceberg
+    "time travel" reduced to the retained manifests).  The file list
+    is metadata-only; the scan itself is a normal distributed read
+    with partition columns recovered via ``basePath``."""
+    files: list[str] = []
+    final = None
+    for m in _applied_manifests(target_location):
+        if m.get("seq", 0) > seq:
+            continue
+        t_final = m.get("tables", {}).get(table_name)
+        if t_final is None:
+            continue
+        final = t_final
+        root = t_final.rstrip("/")
+        files += [
+            dst
+            for _src, dst in m.get("moves", [])
+            if dst.startswith(root + "/") or os.path.dirname(dst) == root
+        ]
+    if final is None:
+        raise ValueError(
+            f"no published run ≤ seq {seq} covers table {table_name!r}"
+        )
+    return spark.read.format(fmt).option("basePath", final).load(files)
 
 
 def recover_pending(target_location: str, bookmarks: BookmarkStore) -> list[str]:

@@ -135,3 +135,34 @@ def test_uncommitted_tmp_manifest_and_staging_are_garbage_collected(tmp_path):
     assert recover_pending(str(lake), bs) == []
     assert not (lake / "_staging").exists()
     assert not (lake / "_txn" / "manifest-dead.json.tmp").exists()
+
+
+def test_published_history_and_asof_read(env, spark, sf_dir, tmp_path):
+    """Retained manifests form a commit log: published_history lists
+    every run's files, and read_table_asof reconstructs the table as
+    of any earlier commit (time travel over plain directories)."""
+    from aws_glue_jobs_incremental_database_etl_spark.txn import (
+        published_history,
+        read_table_asof,
+    )
+
+    tmp_path, make = env
+    src = _src(spark, sf_dir, tmp_path, predicate="o_orderkey <= 700")
+    (r1,) = make("r1").run([CFG], {"orders": src})
+    src = _src(spark, sf_dir, tmp_path)  # full table → delta run
+    p2 = make("r2")
+    (r2,) = p2.run([CFG], {"orders": src})
+
+    loc = str(tmp_path / "lake")
+    hist = published_history(loc)
+    assert [h["run_id"] for h in hist] == ["r1", "r2"]
+    assert hist[0]["seq"] < hist[1]["seq"]
+    assert hist[0]["tables"]["tgt_orders"] > 0 and hist[1]["tables"]["tgt_orders"] > 0
+
+    snap1 = read_table_asof(spark, loc, "tgt_orders", hist[0]["seq"])
+    snap2 = read_table_asof(spark, loc, "tgt_orders", hist[1]["seq"])
+    assert snap1.count() == r1.rows_written
+    assert snap2.count() == r1.rows_written + r2.rows_written
+    assert snap2.count() == p2.read_target("orders").count()
+    # partition column recovered through basePath
+    assert "o_orderstatus" in snap1.columns
