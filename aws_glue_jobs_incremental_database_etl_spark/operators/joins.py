@@ -27,9 +27,16 @@ def asof_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     strict: bool = True,
+    tolerance: str | float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts < left_ts`` (``<=`` when ``strict=False``), per ``on`` key.
+
+    ``tolerance`` bounds how stale a match may be (pandas
+    ``merge_asof(tolerance=...)``): a string is an interval for
+    timestamp keys (``"30 minutes"``), a number is a plain difference
+    for numeric keys.  Left rows whose only candidate is older than
+    the tolerance keep NULL values rather than a stale match.
 
     Implementation is the scalable sort-based union trick (not a range
     cross-join): tag both sides, union by key+time, carry right values
@@ -46,19 +53,33 @@ def asof_join(
     ]
     lcols = [c for c in left.columns]
 
+    # the right row travels as ONE struct so the match is row-atomic:
+    # values and the matched timestamp always come from the same row
+    # (per-column ignorenulls carries could mix rows when a later
+    # right row holds nulls)
+    r_struct = F.struct(
+        F.col(right_ts).alias("__mt"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    null_struct = F.lit(None).cast(
+        "struct<__mt:"
+        + right.schema[right_ts].dataType.simpleString()
+        + ","
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
+        + ">"
+    )
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        null_struct.alias("__r"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-    ).select(*[F.col(c) for c in lcols], "__t", "__is_left", *[f"__r_{c}" for c in value_cols])
+        r_struct.alias("__r"),
+    ).select(*[F.col(c) for c in lcols], "__t", "__is_left", "__r")
 
     unioned = l_tagged.unionByName(r_tagged)
     # Order so that at equal timestamps the RIGHT row sorts first for
@@ -75,13 +96,18 @@ def asof_join(
         *lcols,
         "__t",
         "__is_left",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     )
+    if tolerance is not None:
+        bound = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        fresh = (F.col("__t") - F.col("__m.__mt")) <= bound
+        carried = carried.withColumn("__m", F.when(fresh, F.col("__m")))
     out = carried.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col(f"__v_{c}").alias(c) for c in value_cols]
+        *lcols, *[F.col(f"__m.{c}").alias(c) for c in value_cols]
     )
     return out
 

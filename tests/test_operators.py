@@ -420,3 +420,23 @@ def test_redact_pii_masks_shapes_and_keeps_prose(spark):
     assert got[2] == "call <NUMBER> x2 or <NUMBER>"
     assert got[3] == "server at <IP> responded"
     assert got[4] == rows[3][1]  # short numbers untouched
+
+
+def test_asof_join_tolerance_rejects_stale_matches(spark):
+    import datetime as dt
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", T(10)), ("k", T(50))], "id string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", T(5), 1.0), ("k", T(12), 2.0)], "id string, rts timestamp, v double"
+    )
+    out = asof_join(
+        left, right, ["id"], "lts", "rts", tolerance="10 minutes"
+    )
+    got = {r["lts"].minute: r["v"] for r in out.collect()}
+    assert got[10] == 1.0   # 5 min stale ≤ tolerance
+    assert got[50] is None  # latest match is 38 min stale → masked
