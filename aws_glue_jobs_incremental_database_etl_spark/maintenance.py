@@ -126,3 +126,33 @@ def compact_partitioned_table(
         "files_after": _data_file_count(path),
         "bytes": in_bytes,
     }
+
+
+_TEMP_MARKERS = (".__compact_", ".__trash_", ".__merge_", ".__merge_trash_")
+
+
+def vacuum_temp_trees(path: str, older_than_seconds: float = 24 * 3600) -> list[str]:
+    """Remove orphaned temp/trash trees a crashed compaction or merge
+    left beside ``path`` (``<table>.__compact_*``, ``<table>.__merge_*``,
+    ``<table>.__trash_*``...), keeping anything younger than
+    ``older_than_seconds`` in case a job is mid-swap right now.
+
+    The swap protocols are crash-safe for the LIVE tree (old or new
+    complete state); what a crash can leak is disk, and this is the
+    scheduled reclaim.  Returns the removed paths.
+    """
+    path = path.rstrip("/")
+    parent, base = os.path.split(path)
+    cutoff = time.time() - older_than_seconds
+    removed = []
+    if not os.path.isdir(parent):
+        return removed
+    for name in os.listdir(parent):
+        full = os.path.join(parent, name)
+        if not os.path.isdir(full):
+            continue
+        if any(name.startswith(base + m) for m in _TEMP_MARKERS):
+            if os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+    return removed

@@ -101,3 +101,37 @@ def read_jdbc(
         preds = hash_partition_predicates(hashfield, hashpartitions or 7, dialect)
         return spark.read.jdbc(url, src, predicates=preds, properties=props)
     return spark.read.jdbc(url, src, properties=props)
+
+
+def write_jdbc(
+    df,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """Reverse-ETL sink: write a DataFrame back to a database table —
+    the lake→JDBC direction the reference never needed ([EXT]; its
+    pipeline is JDBC→lake only, ``jdbc_incremental.py:222-229``).
+
+    Every partition opens one connection and streams batched INSERTs
+    (``batchsize`` rows per round-trip); ``num_partitions`` caps the
+    concurrent connections — at 100 TB the DATABASE is the bottleneck,
+    so coalesce to what the target's connection pool tolerates rather
+    than letting a thousand executors dog-pile it.
+    """
+    props = dict(properties or {})
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in props.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -163,3 +163,21 @@ def test_jdbc_incremental_pipeline_end_to_end(spark, tmp_path):
     # run 3: no new rows → empty probe short-circuits
     (r3,) = mk("r3").run([cfg], loc)
     assert r3.skipped_empty
+
+
+def test_jdbc_write_roundtrip(spark, derby):
+    """Reverse ETL: DataFrame → Derby → read back identical."""
+    from aws_glue_jobs_incremental_database_etl_spark.sources.jdbc import write_jdbc
+
+    df = spark.range(50).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id * 2.5 AS DOUBLE) AS score"
+    )
+    write_jdbc(df, derby, "scores_out", properties=PROPS, mode="overwrite",
+               num_partitions=2)
+    back = read_jdbc(spark, derby, "scores_out", properties=PROPS)
+    assert back.count() == 50
+    assert back.agg({"score": "sum"}).first()[0] == sum(i * 2.5 for i in range(50))
+
+    # append mode accumulates
+    write_jdbc(df, derby, "scores_out", properties=PROPS, mode="append")
+    assert read_jdbc(spark, derby, "scores_out", properties=PROPS).count() == 100

@@ -100,3 +100,30 @@ def test_clustered_compaction_gives_disjoint_file_ranges(spark, sf_dir, tmp_path
     # rows and values intact
     out = spark.read.parquet(loc)
     assert out.count() == src.count()
+
+
+def test_vacuum_removes_only_old_orphan_trees(spark, sf_dir, tmp_path):
+    import time as _time
+
+    from aws_glue_jobs_incremental_database_etl_spark.maintenance import (
+        vacuum_temp_trees,
+    )
+
+    loc = str(tmp_path / "orders")
+    spark.range(5).write.parquet(loc)
+    old = f"{loc}.__merge_trash_123"
+    fresh = f"{loc}.__compact_456"
+    unrelated = str(tmp_path / "other_table")
+    for d in (old, fresh, unrelated):
+        os.makedirs(d)
+        with open(os.path.join(d, "f"), "w") as fh:
+            fh.write("x")
+    past = _time.time() - 100_000
+    os.utime(old, (past, past))
+
+    removed = vacuum_temp_trees(loc, older_than_seconds=3600)
+    assert removed == [old]
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)       # too young — a job may be mid-swap
+    assert os.path.exists(unrelated)   # different table untouched
+    assert spark.read.parquet(loc).count() == 5
