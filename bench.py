@@ -42,6 +42,12 @@ HEADLINE = [
     "cosine_topk_embeddings",
     "embedding_near_dup",
     "embedding_near_dup_bucketed",
+    # round-2 operators (cheap representatives; heavier ones — CDC merge
+    # ~6 s, component resolution ~8 s at sf0.1 — are timed in their tests)
+    "chunk_documents_64",
+    "profile_orders",
+    "vocab_top_terms",
+    "hash_split_documents",
 ]
 
 
