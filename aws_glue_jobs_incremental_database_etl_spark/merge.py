@@ -139,7 +139,10 @@ def merge_upsert(
         }
 
     # ---- 2. partition-pruned read of the touched slice ----------------
-    target = spark.read.format(fmt).load(path)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    target = reader.load(path)
     affected: list = []
     if spec:
         affected = collapsed.select(*spec).distinct().collect()

@@ -164,4 +164,10 @@ class MinHashIndex:
                 index.select("id"), on="id", how="left_anti"
             )
         to_index.select("id", "sh", "mh").write.mode("append").parquet(self.path)
+        # the index append was new_sig's last consumer → drop its cache.
+        # losers stays cached deliberately: the survivors frame is
+        # returned LAZY and anti-joins it — uncached it would recompute
+        # AFTER the append above and could observe this call's own
+        # signatures.  It is only the batch's duplicate-id list (small).
+        new_sig.unpersist()
         return survivors
