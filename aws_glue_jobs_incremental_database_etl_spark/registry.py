@@ -1245,6 +1245,32 @@ def window_ranks(spark, sf_dir):
 
 
 @query(
+    "window_distribution_family",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CUME_DIST()    OVER w, 6) AS DOUBLE) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions (percent_rank / cume_dist) —
+    the remaining members of the ranking family, over a fully-ordered
+    (hence deterministic) partition spec."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+    )
+
+
+@query(
     "topk_orders",
     """
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders
@@ -2747,6 +2773,7 @@ _PRIORITY = [
     "stratified_sample_docs",
     "unpivot_customer_measures",
     "vocab_top_terms",
+    "window_distribution_family",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",
