@@ -267,3 +267,42 @@ def test_stream_stream_interval_join(spark, tmp_path):
 
     got = spark.read.parquet(out).collect()
     assert [(r["ad_id"], r["click_ts"]) for r in got] == [(1, _ts(5))]
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: impressions with no click inside
+    the interval surface with NULL click columns once the watermark
+    passes their join window — Spark requires the time bound precisely
+    so it can know when an unmatched row is final."""
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        stream_interval_join,
+    )
+
+    imp_dir = str(tmp_path / "imp"); clk_dir = str(tmp_path / "clk")
+    ckpt = str(tmp_path / "ckpt"); out = str(tmp_path / "out")
+
+    # a late sentinel row on BOTH sides pushes the watermark far past
+    # the join windows of the real rows, forcing unmatched emission
+    imps = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(10)), (999, dt.datetime(2024, 1, 1, 20, 0))],
+        ["ad_id", "ts"]
+    )
+    clks = spark.createDataFrame(
+        [(1, _ts(5)), (998, dt.datetime(2024, 1, 1, 20, 0))], ["ad_id", "ts"]
+    )
+    imps.write.parquet(imp_dir); clks.write.parquet(clk_dir)
+
+    j = stream_interval_join(
+        incremental_file_stream(spark, imp_dir, imps.schema),
+        incremental_file_stream(spark, clk_dir, clks.schema),
+        "ad_id", watermark="1 minute", max_lag="30 minutes", how="left_outer",
+    ).select(
+        F.col("l.ad_id").alias("ad_id"),
+        F.col("r.ts").alias("click_ts"),
+    )
+    run_available_now(j, ckpt, out)
+
+    got = {r["ad_id"]: r["click_ts"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == _ts(5)     # matched inside the interval
+    assert got[2] is None       # no click → emitted with NULL after watermark
+    assert 2 in got
