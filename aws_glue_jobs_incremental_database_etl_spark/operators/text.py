@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     language_id,
@@ -39,6 +40,48 @@ def quality_filter(
 ) -> DataFrame:
     """Keep documents above a quality threshold (pipeline building block)."""
     return df.filter(quality_score(F.col(text_col)) >= min_quality)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF:
+    ``(id, term, n_term, tfidf)``; ``idf = ln((N+1)/(df+1)) + 1``
+    (the smoothed scikit-learn convention), tie-broken by term so the
+    ranking is total.
+
+    Plan shape: one explode → two partial-aggregated shuffles (term
+    counts per doc; document frequency per term) → the per-term idf
+    table joins back BROADCAST (vocabulary ≪ corpus) → one window
+    top-k per doc.  No UDF anywhere; the only all-corpus state is the
+    vocabulary aggregate.
+    """
+    n_docs = df.count()  # scalar; drives a literal in the idf expression
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("n_term"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = docfreq.select(
+        "term",
+        (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "id", "term", "n_term",
+        F.round(F.col("n_term") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def chunk_documents(

@@ -2473,6 +2473,44 @@ def stratified_sample_q(spark, sf_dir):
 
 
 @query(
+    "tfidf_top_terms_docs",
+    """
+    WITH terms AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS n_term FROM terms GROUP BY id, term
+    ), idf AS (
+      SELECT term,
+             LN(((SELECT COUNT(*) FROM documents) + 1.0)
+                / (COUNT(*) + 1.0)) + 1.0 AS idf
+      FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.id, tf.term, tf.n_term,
+             ROUND(tf.n_term * idf.idf, 6) AS tfidf
+      FROM tf JOIN idf ON tf.term = idf.term
+    )
+    SELECT id AS doc_id, term, n_term, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_q(spark, sf_dir):
+    """TF-IDF characteristic terms (operators.text.tfidf_top_terms):
+    explode → per-doc term counts → vocabulary document frequencies →
+    broadcast idf join → windowed top-3 per document, deterministic by
+    (score desc, term).  The whole thing is Catalyst expressions; the
+    smoothed idf makes scores engine-exact doubles."""
+    from .operators.text import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3).withColumnRenamed("id", "doc_id")
+
+
+@query(
     "hash_split_documents",
     """
     SELECT split, COUNT(*) AS n_docs,
@@ -2774,6 +2812,7 @@ _PRIORITY = [
     "unpivot_customer_measures",
     "vocab_top_terms",
     "window_distribution_family",
+    "tfidf_top_terms_docs",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",

@@ -440,3 +440,25 @@ def test_asof_join_tolerance_rejects_stale_matches(spark):
     got = {r["lts"].minute: r["v"] for r in out.collect()}
     assert got[10] == 1.0   # 5 min stale ≤ tolerance
     assert got[50] is None  # latest match is 38 min stale → masked
+
+
+def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common common common"),
+            (3, "common unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=1)
+    top = {r["id"]: r["term"] for r in out.collect()}
+    # "common" appears in every doc → lowest idf; doc-specific terms win
+    assert top[1] == "rare"
+    assert top[3] == "unique"
+    assert top[2] == "common"  # only term it has
+    assert out.count() == 3  # exactly k=1 per doc
