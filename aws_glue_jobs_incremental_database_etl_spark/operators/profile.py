@@ -24,6 +24,68 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def column_checksums(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    buckets: int = 1 << 32,
+) -> DataFrame:
+    """Order-independent per-column checksums for replication
+    validation: one row ``(col_name, n_rows, checksum)`` per column,
+    where ``checksum = Σ md5-int64(value string)`` (nulls hash a
+    sentinel).
+
+    The md5 contract makes the digest ENGINE-PORTABLE: any system that
+    can md5 strings computes the identical number, so source-database
+    and lake-target checksums can be compared without moving data —
+    the end-to-end "did replication corrupt anything" test.  Sums are
+    commutative, so row order, partitioning, and parallelism never
+    change the result.  One aggregate pass, map-side partial.
+    """
+    cols = list(columns or df.columns)
+
+    def digest(c: str) -> F.Column:
+        s = F.coalesce(F.col(c).cast("string"), F.lit("∅null∅"))
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(digest(c)).alias(f"{c}__sum") for c in cols
+    ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"), F.col(f"{c}__sum").alias("checksum")
+            )
+            for c in cols
+        ]
+    )
+    return wide.select("n_rows", F.inline(rows)).select(
+        "col_name", "n_rows", "checksum"
+    )
+
+
+def zscore_outliers(
+    df: DataFrame, col: str, threshold: float = 3.0
+) -> DataFrame:
+    """Flag rows whose ``col`` deviates more than ``threshold``
+    population standard deviations from the mean: adds ``zscore``
+    (rounded to 6) and keeps only the outliers.
+
+    Two passes by necessity (mean/stddev are corpus facts), both cheap:
+    a 1-row aggregate broadcast back via cross join, then a map-only
+    filter — no window over the whole table."""
+    stats = df.agg(
+        F.avg(F.col(col)).alias("_mu"), F.stddev_pop(F.col(col)).alias("_sigma")
+    )
+    z = (F.col(col) - F.col("_mu")) / F.col("_sigma")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("zscore", F.round(z, 6))
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("_mu", "_sigma")
+    )
+
+
 def histogram(
     df: DataFrame,
     col: str,

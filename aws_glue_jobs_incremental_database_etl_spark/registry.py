@@ -2656,6 +2656,58 @@ def histogram_q(spark, sf_dir):
 
 
 @query(
+    "table_checksum_orders",
+    """
+    WITH d AS (
+      SELECT CAST(('0x' || substring(md5(COALESCE(CAST(o_orderkey AS VARCHAR), '∅null∅')), 1, 8)) AS BIGINT) AS c_key,
+             CAST(('0x' || substring(md5(COALESCE(o_orderstatus, '∅null∅')), 1, 8)) AS BIGINT) AS c_status,
+             CAST(('0x' || substring(md5(COALESCE(CAST(o_orderdate AS VARCHAR), '∅null∅')), 1, 8)) AS BIGINT) AS c_date
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(c_key) AS BIGINT) AS checksum FROM d
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), CAST(SUM(c_status) AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), CAST(SUM(c_date) AS BIGINT) FROM d
+    """,
+)
+def checksum_q(spark, sf_dir):
+    """Cross-engine table checksums (operators.profile.column_checksums):
+    Σ md5-int64 of each value's canonical string — commutative, so row
+    order/partitioning never matter, and md5 makes the number portable
+    to any engine (the source database can compute its own side for an
+    end-to-end replication consistency check without moving data)."""
+    from .operators.profile import column_checksums
+
+    o = load_table(spark, sf_dir, "orders")
+    return column_checksums(o, ["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+
+@query(
+    "outliers_totalprice",
+    """
+    WITH s AS (SELECT AVG(o_totalprice) AS mu,
+                      STDDEV_POP(o_totalprice) AS sigma FROM orders)
+    SELECT o_orderkey,
+           CAST(ROUND((o_totalprice - mu) / sigma, 6) AS DOUBLE) AS zscore
+    FROM orders, s
+    WHERE ABS(ROUND((o_totalprice - mu) / sigma, 6)) > 1.5
+    """,
+)
+def outliers_q(spark, sf_dir):
+    """Z-score outlier flags (operators.profile.zscore_outliers): the
+    1-row mean/stddev aggregate broadcasts back via cross join, then a
+    map-only filter — no full-table window."""
+    from .operators.profile import zscore_outliers
+
+    o = load_table(spark, sf_dir, "orders")
+    return zscore_outliers(o, "o_totalprice", threshold=1.5).select(
+        "o_orderkey", "zscore"
+    )
+
+
+@query(
     "merge_upsert_orders",
     """
     WITH tgt AS (
@@ -2813,6 +2865,8 @@ _PRIORITY = [
     "vocab_top_terms",
     "window_distribution_family",
     "tfidf_top_terms_docs",
+    "table_checksum_orders",
+    "outliers_totalprice",
     # one per remaining inventory row (r1-green entries displaced by the
     # first-time queries above keep their r1 evidence)
     "q3_shipping_priority",

@@ -53,3 +53,32 @@ def test_histogram_bins_and_bounds(spark):
     # auto-bounds path (min/max pre-pass) agrees
     auto = {r["bin"]: r["n"] for r in histogram(df, "x", bins=10).collect()}
     assert auto == {b: r["n"] for b, r in out.items()}
+
+
+def test_column_checksums_invariant_under_layout(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        column_checksums,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, s string"
+    )
+    a = {r["col_name"]: r["checksum"] for r in column_checksums(df).collect()}
+    b = {r["col_name"]: r["checksum"] for r in column_checksums(df.repartition(7)).collect()}
+    assert a == b  # order/partitioning never change the digest
+    # any value change changes the digest
+    df2 = spark.createDataFrame([(1, "a"), (2, None), (3, "X")], "id long, s string")
+    c = {r["col_name"]: r["checksum"] for r in column_checksums(df2).collect()}
+    assert c["id"] == a["id"] and c["s"] != a["s"]
+
+
+def test_zscore_outliers_flags_extremes_only(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        zscore_outliers,
+    )
+
+    vals = [float(x) for x in range(100)] + [10_000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = zscore_outliers(df, "x", threshold=3.0).collect()
+    assert [r["x"] for r in out] == [10_000.0]
+    assert out[0]["zscore"] > 3.0
