@@ -4,11 +4,27 @@ Relational operators (joins/aggregates/windows/set-ops) are Spark
 built-ins and are exercised directly through the DataFrame API in the
 query registry; this package holds the operators Spark does NOT ship:
 
-- ``joins``      — as-of join, range join (composition of built-ins)
+- ``joins``      — as-of join (tolerance-bounded), range join
 - ``dedup``      — exact, MinHash-LSH, SimHash, n-gram Jaccard
+- ``incremental_dedup`` — persistent MinHash index for batch streams
+- ``components`` — connected components / cluster-level dedup
 - ``similarity`` — cosine top-k (brute force + LSH-bucketed ANN)
-- ``text``       — document-level text analysis
+- ``text``       — text analysis, TF-IDF, context-window chunking
+- ``sampling``   — deterministic md5 splits / stratified reservoirs
+- ``profile``    — column profiler, histograms, checksums, outliers
+- ``udafs``      — grouped-aggregate pandas UDFs (import lazily — its
+                   module-level ``pandas_udf`` needs an active session)
 - ``multimodal`` — binary media columns: plumbing + stubbed decoders
 """
 
-from . import dedup, joins, multimodal, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    components,
+    dedup,
+    incremental_dedup,
+    joins,
+    multimodal,
+    profile,
+    sampling,
+    similarity,
+    text,
+)
