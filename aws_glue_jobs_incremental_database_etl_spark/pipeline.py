@@ -210,6 +210,18 @@ class IncrementalPipeline:
             from .evolution import merge_schemas
 
             tgt = self.catalog.get_table(self.target_database, tgt_name)
+            # partition layout is immutable once data exists: a changed
+            # partitionSpec would silently write a SECOND directory
+            # layout under the same table root (half the files
+            # k1=v/..., half k2=v/... — unreadable as one table)
+            existing_spec = [c["Name"] for c in tgt.get("PartitionKeys", [])]
+            if existing_spec != list(cfg.partition_spec):
+                raise ValueError(
+                    f"table {cfg.table_name!r}: partitionSpec changed from "
+                    f"{existing_spec} to {list(cfg.partition_spec)}; partition "
+                    "layout is immutable — create a new table (or rewrite via "
+                    "maintenance.compact_partitioned_table) to repartition"
+                )
             existing = tgt["StorageDescriptor"]["Columns"]
             src_data_cols = [
                 c for c in source_columns_ddl if c["Name"] not in cfg.partition_spec

@@ -31,6 +31,7 @@ def write_partitioned(
     partition_spec: Sequence[str] | None = None,
     mode: str = "append",
     cluster_by_partitions: bool = False,
+    compression: str | None = None,
 ) -> None:
     """Append ``df`` under ``path`` Hive-partitioned by ``partition_spec``.
 
@@ -38,6 +39,10 @@ def write_partitioned(
     before writing — one shuffle that collapses the output to one file
     per (task, partition-value) instead of (#input-tasks ×
     #partition-values) small files; worth it once either side is big.
+
+    ``compression`` overrides the codec (e.g. ``"zstd"`` — better
+    ratio than the snappy default at similar scan speed; at 100 TB the
+    codec choice is multiple PB of storage and scan IO).
     """
     fmt = fmt.lower()
     if fmt not in SUPPORTED_FORMATS:
@@ -54,6 +59,8 @@ def write_partitioned(
         # Reference CSV tables carry skip.header.line.count=1
         # (jdbc_incremental.py:411-412) → write the header.
         writer = writer.option("header", "true")
+    if compression is not None:
+        writer = writer.option("compression", compression)
     writer.format(fmt).save(path)
 
 

@@ -342,3 +342,26 @@ def test_cdc_merge_mode_rejects_exactly_once(env, spark, sf_dir):
     spark.read.parquet(f"{sf_dir}/orders.parquet").limit(10).write.parquet(src)
     with pytest.raises(ValueError, match="mergeKeys is incompatible"):
         pipe.run(cfg, {"orders": src})
+
+
+def test_partition_spec_change_rejected(env, spark, sf_dir):
+    """Changing a table's partitionSpec between runs would write a
+    second directory layout under the same root — rejected."""
+    tmp_path, make = env
+    src = _write_source(spark, sf_dir, tmp_path)
+    make(job_run_id="r1").run([CFG], {"orders": src})
+
+    changed = TableConfig("orders", ["o_orderkey"], "ASC", ["o_orderpriority"])
+    with pytest.raises(ValueError, match="partitionSpec changed"):
+        make(job_run_id="r2").run([changed], {"orders": src})
+
+
+def test_sink_compression_codec(spark, sf_dir, tmp_path):
+    from aws_glue_jobs_incremental_database_etl_spark.sinks import write_partitioned
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    loc = str(tmp_path / "zstd_out")
+    write_partitioned(df, loc, compression="zstd", mode="overwrite")
+    files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    assert spark.read.parquet(loc).count() == 100
