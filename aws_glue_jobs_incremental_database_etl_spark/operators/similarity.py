@@ -199,3 +199,54 @@ def cosine_topk_lsh(
     return cosine_topk(
         bucketed.filter(F.col("bucket") == qsig), query_vec, k, id_col, vec_col
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    id_col: str | None = None,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Deterministic ±1 random projection to ``out_dim`` dimensions
+    (Achlioptas-style sparse JL transform with the md5 contract as the
+    sign source): ``out[j] = Σ_i sign(i, j) · vec[i]``.
+
+    Dimension reduction is the standard prelude to ANN at 100 TB —
+    distances are approximately preserved (Johnson-Lindenstrauss)
+    while bucketing/scan cost drops by dim/out_dim.  The sign matrix
+    is derived per (i, j) from md5, so ANY engine reproduces the exact
+    projection (no seeded RNG, no broadcast weight matrix — the
+    "matrix" is an expression).  Pure Catalyst: transform+aggregate
+    HOFs, map-only, no UDF.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    v = F.col(vec_col)
+
+    def sign(i: F.Column, j: int) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", i.cast("string"), F.lit(str(j)))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h % 2) * 2 - 1  # ∈ {-1, +1}
+
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: x.cast("double") * sign(i, j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_p{j}")
+        for j in range(out_dim)
+    ]
+    keep = [id_col] if id_col else list(df.columns)
+    return df.select(*keep, *comps).select(
+        *keep, F.array(*[f"_p{j}" for j in range(out_dim)]).alias(out_col)
+    )

@@ -2656,6 +2656,43 @@ def histogram_q(spark, sf_dir):
 
 
 @query(
+    "random_projection_embeddings",
+    """
+    WITH ex AS (
+      SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i
+    ), signed AS (
+      SELECT vec_id, i, x,
+             (CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || j.j), 1, 8))
+                   AS BIGINT) % 2) * 2 - 1 AS s,
+             j.j AS j
+      FROM ex, (SELECT unnest(['0','1','2','3']) AS j) j
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS dim,
+           CAST(ROUND(SUM(x * s), 4) AS DOUBLE) AS component
+    FROM signed GROUP BY vec_id, j
+    """,
+)
+def random_projection_q(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 projection 64→4 dims
+    (operators.similarity.random_projection): the sign matrix derives
+    per (i, j) from md5, so DuckDB reproduces the exact projection —
+    no seeded RNG, no weight broadcast.  Output unpivoted to
+    (vec_id, dim, component) rows for a scalar-only gate."""
+    from .operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "embedding", 4, id_col="vec_id")
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim", "raw")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round("raw", 4).cast("double").alias("component"),
+    )
+
+
+@query(
     "table_checksum_orders",
     """
     WITH d AS (
@@ -2867,6 +2904,7 @@ _PRIORITY = [
     "tfidf_top_terms_docs",
     "table_checksum_orders",
     "outliers_totalprice",
+    "random_projection_embeddings",
     # representative r1-green rows (the rest keep their r1 evidence and
     # stay registered below the cut for tools/check_oracle.py)
     "q3_shipping_priority",

@@ -462,3 +462,32 @@ def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
     assert top[3] == "unique"
     assert top[2] == "common"  # only term it has
     assert out.count() == 3  # exactly k=1 per doc
+
+
+def test_random_projection_deterministic_and_distance_preserving(spark):
+    import math
+    import random
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        random_projection,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    p1 = {r["vec_id"]: r["projected"] for r in random_projection(df, "embedding", 16, id_col="vec_id").collect()}
+    p2 = {r["vec_id"]: r["projected"] for r in random_projection(df.repartition(5), "embedding", 16, id_col="vec_id").collect()}
+    assert p1 == p2  # layout-independent, no RNG
+
+    # JL sanity: projected distances correlate with the originals
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    orig = {r[0]: r[1] for r in rows}
+    pairs = [(i, j) for i in range(0, 10) for j in range(i + 1, 10)]
+    d_orig = [dist(orig[i], orig[j]) for i, j in pairs]
+    d_proj = [dist(p1[i], p1[j]) / math.sqrt(16) for i, j in pairs]
+    # normalized projected distance within 2x of original for most pairs
+    ok = sum(1 for a, b in zip(d_orig, d_proj) if 0.4 < b / a < 2.5)
+    assert ok >= int(0.8 * len(pairs))
