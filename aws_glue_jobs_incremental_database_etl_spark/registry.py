@@ -2751,6 +2751,44 @@ def random_projection_q(spark, sf_dir):
 
 
 @query(
+    "incremental_aggregate_orders",
+    """
+    SELECT o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_aggregate_q(spark, sf_dir):
+    """Incremental aggregate maintenance (aggregates.
+    IncrementalAggregate): the summary is folded from three
+    bookmark-style batches — the fact table is never re-scanned — and
+    must equal the direct full aggregate (the oracle).  Sum parity via
+    the decimal-summand rule; the stored running sum is decimal so
+    batch-fold order cannot drift the doubles."""
+    from .aggregates import IncrementalAggregate
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,6)")
+    )
+    agg = IncrementalAggregate(
+        tempfile.mkdtemp(prefix="inc_agg_") + "/summary",
+        ["o_custkey"],
+        {"price_dec": "sum", "o_orderkey": "count"},
+    )
+    for lo, hi in [(0, 5000), (5000, 11000), (11000, 1 << 40)]:
+        agg.apply_batch(
+            o.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        )
+    return agg.read(spark).select(
+        "o_custkey",
+        F.round(F.col("price_dec_sum"), 2).cast("double").alias("revenue"),
+        F.col("o_orderkey_count").alias("n_orders"),
+    )
+
+
+@query(
     "table_checksum_orders",
     """
     WITH d AS (
@@ -2964,6 +3002,7 @@ _PRIORITY = [
     "outliers_totalprice",
     "random_projection_embeddings",
     "funnel_view_click_purchase",
+    "incremental_aggregate_orders",
     # representative r1-green rows (the rest keep their r1 evidence and
     # stay registered below the cut for tools/check_oracle.py)
     "q3_shipping_priority",
