@@ -2751,6 +2751,48 @@ def random_projection_q(spark, sf_dir):
 
 
 @query(
+    "cohort_weekly_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((a.active_week - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def cohort_q(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in each subsequent active week — the standard retention
+    triangle.  Two user-keyed aggregations + one user-keyed join;
+    distinct-per-week collapses activity before the join so the join
+    input is one row per (user, week), not per event."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
     "incremental_aggregate_orders",
     """
     SELECT o_custkey,
@@ -3003,6 +3045,7 @@ _PRIORITY = [
     "random_projection_embeddings",
     "funnel_view_click_purchase",
     "incremental_aggregate_orders",
+    "cohort_weekly_retention",
     # representative r1-green rows (the rest keep their r1 evidence and
     # stay registered below the cut for tools/check_oracle.py)
     "q3_shipping_priority",
