@@ -12,10 +12,13 @@ aggregates.
 
 Only decomposable aggregates participate (sum/count/min/max — a
 batch's partial combines with the running value associatively).
-AVG is derived: maintain sum+count, divide at read time.  Non-mergeable
-aggregates (exact distinct, percentile) need their full input and
-don't belong in an incrementally-maintained summary; use sketches
-(HLL, t-digest) if approximations suffice.
+AVG is derived: maintain sum+count, divide at read time.  COUNT
+DISTINCT is non-mergeable exactly, so the ``approx_distinct`` kind
+stores its mergeable form instead: a Datasketches HLL sketch
+(``hll_sketch_agg``), unioned per batch and estimated at read time —
+exact for small cardinalities, ~2% error at any scale, constant
+state.  Exact distinct and percentiles need their full input and
+don't belong in an incrementally-maintained summary.
 
 Caveat matching the pipeline's at-least-once default: replaying a
 batch DOUBLE-counts into sums/counts (unlike merge_upsert, combining
@@ -34,7 +37,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MERGEABLE = ("sum", "count", "min", "max")
+_MERGEABLE = ("sum", "count", "min", "max", "approx_distinct")
 
 
 class IncrementalAggregate:
@@ -69,8 +72,15 @@ class IncrementalAggregate:
     def _partial(self, batch: DataFrame) -> DataFrame:
         aggs = []
         for col, kind in self.agg_spec.items():
-            fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[kind]
-            aggs.append(fn(F.col(col)).alias(self._out_name(col, kind)))
+            if kind == "approx_distinct":
+                # an HLL sketch IS the mergeable form of COUNT DISTINCT
+                # (exact distinct is the canonical non-mergeable
+                # aggregate); stored as the Datasketches binary
+                agg = F.hll_sketch_agg(F.col(col))
+            else:
+                fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[kind]
+                agg = fn(F.col(col))
+            aggs.append(agg.alias(self._out_name(col, kind)))
         return batch.groupBy(*self.keys).agg(*aggs)
 
     def _combine(self, current: DataFrame, partial: DataFrame) -> DataFrame:
@@ -82,8 +92,14 @@ class IncrementalAggregate:
                 expr = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
             elif kind == "min":
                 expr = F.least(F.coalesce(a, b), F.coalesce(b, a))
-            else:  # max
+            elif kind == "max":
                 expr = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
+            else:  # approx_distinct: sketch union (hll_union rejects null)
+                expr = (
+                    F.when(a.isNull(), b)
+                    .when(b.isNull(), a)
+                    .otherwise(F.hll_union(a, b))
+                )
             merged_cols.append(expr.alias(n))
         return current.alias("cur").join(
             partial.alias("new"), on=self.keys, how="full_outer"
@@ -128,5 +144,14 @@ class IncrementalAggregate:
             "existed": 1,
         }
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+    def read(self, spark: SparkSession, estimate_sketches: bool = True) -> DataFrame:
+        """The current summary.  ``estimate_sketches`` surfaces each
+        HLL column as its cardinality estimate (bigint); pass False to
+        get the raw binary sketches (e.g. to union further downstream)."""
+        df = spark.read.parquet(self.path)
+        if estimate_sketches:
+            for col, kind in self.agg_spec.items():
+                if kind == "approx_distinct":
+                    n = self._out_name(col, kind)
+                    df = df.withColumn(n, F.hll_sketch_estimate(F.col(n)))
+        return df

@@ -47,3 +47,35 @@ def test_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
 def test_non_mergeable_aggregate_rejected(tmp_path):
     with pytest.raises(ValueError, match="not mergeable"):
         IncrementalAggregate(str(tmp_path / "x"), ["k"], {"v": "median"})
+
+
+def test_hll_distinct_folds_across_batches(spark, sf_dir, tmp_path):
+    """approx_distinct maintains a mergeable HLL sketch: folding
+    batches then estimating equals the exact distinct count (HLL is
+    exact at these cardinalities)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = IncrementalAggregate(
+        str(tmp_path / "hll"),
+        ["l_returnflag"],
+        {"l_partkey": "approx_distinct", "l_quantity": "sum"},
+    )
+    for lo, hi in [(0, 500), (500, 10**9)]:
+        agg.apply_batch(
+            li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+        )
+    got = {
+        r["l_returnflag"]: r["l_partkey_approx_distinct"]
+        for r in agg.read(spark).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["exact"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:  # HLL default lgK=12: ≈exact below ~2k, ≤2% above
+        assert abs(got[k] - want[k]) <= max(1, int(0.02 * want[k]))
+    # raw sketches still retrievable for further union downstream
+    raw = agg.read(spark, estimate_sketches=False)
+    assert dict(raw.dtypes)["l_partkey_approx_distinct"] == "binary"
