@@ -2831,6 +2831,39 @@ def incremental_aggregate_q(spark, sf_dir):
 
 
 @query(
+    "hll_distinct_priorities",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def hll_q(spark, sf_dir):
+    """Mergeable HLL distinct counts (aggregates.IncrementalAggregate
+    'approx_distinct'): the summary folds TWO batches, each
+    contributing an hll_sketch_agg partial unioned into the running
+    sketch.  At ≤5 distinct values per group the HLL estimate is
+    EXACT, so this hash-matches the COUNT(DISTINCT) oracle — proving
+    the sketch union path end-to-end, not just approximately."""
+    from .aggregates import IncrementalAggregate
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = IncrementalAggregate(
+        tempfile.mkdtemp(prefix="hll_agg_") + "/summary",
+        ["o_orderstatus"],
+        {"o_orderpriority": "approx_distinct", "o_orderkey": "count"},
+    )
+    agg.apply_batch(o.filter("o_orderkey < 8000"))
+    agg.apply_batch(o.filter("o_orderkey >= 8000"))
+    return agg.read(spark).select(
+        "o_orderstatus",
+        F.col("o_orderpriority_approx_distinct").alias("n_priorities"),
+        F.col("o_orderkey_count").alias("n_rows"),
+    )
+
+
+@query(
     "table_checksum_orders",
     """
     WITH d AS (
@@ -3046,6 +3079,7 @@ _PRIORITY = [
     "funnel_view_click_purchase",
     "incremental_aggregate_orders",
     "cohort_weekly_retention",
+    "hll_distinct_priorities",
     # representative r1-green rows (the rest keep their r1 evidence and
     # stay registered below the cut for tools/check_oracle.py)
     "q3_shipping_priority",

@@ -134,6 +134,36 @@ def stream_interval_join(
     return lw.join(rw, cond, how)
 
 
+def run_aggregate_maintenance(
+    stream_df: DataFrame,
+    checkpoint: str,
+    aggregate,
+) -> None:
+    """Continuously fold a stream into an incrementally-maintained
+    summary (``aggregates.IncrementalAggregate`` inside
+    ``foreachBatch``).
+
+    This composition is what discharges the aggregate's replay caveat:
+    combining is not idempotent, but the streaming checkpoint delivers
+    every micro-batch to ``foreachBatch`` exactly once across restarts,
+    so nothing double-counts.  ``Trigger.AvailableNow`` drains what
+    exists and stops — schedule repeatedly for continuous maintenance.
+    """
+
+    def _fold(batch: DataFrame, _id: int) -> None:
+        if not batch.isEmpty():
+            aggregate.apply_batch(batch)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_cdc_merge(
     stream_df: DataFrame,
     checkpoint: str,

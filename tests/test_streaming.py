@@ -306,3 +306,38 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     assert got[1] == _ts(5)     # matched inside the interval
     assert got[2] is None       # no click → emitted with NULL after watermark
     assert 2 in got
+
+
+def test_streaming_aggregate_maintenance_no_double_count(spark, tmp_path):
+    """The checkpoint delivers each micro-batch once, so the summary
+    equals the full aggregate even across two drains and a no-op
+    third (the non-idempotent combine never sees a replay)."""
+    from aws_glue_jobs_incremental_database_etl_spark.aggregates import (
+        IncrementalAggregate,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        run_aggregate_maintenance,
+    )
+
+    src = str(tmp_path / "facts")
+    ckpt = str(tmp_path / "ckpt")
+    agg = IncrementalAggregate(
+        str(tmp_path / "summary"), ["k"], {"v": "sum", "id": "count"}
+    )
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)], "id long, k string, v double"
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_aggregate_maintenance(incremental_file_stream(spark, src, schema), ckpt, agg)
+
+    spark.createDataFrame([(4, "a", 1.0)], "id long, k string, v double").write.mode(
+        "append"
+    ).parquet(src)
+    run_aggregate_maintenance(incremental_file_stream(spark, src, schema), ckpt, agg)
+    run_aggregate_maintenance(  # no new files → must not re-fold
+        incremental_file_stream(spark, src, schema), ckpt, agg
+    )
+
+    got = {r["k"]: (r["v_sum"], r["id_count"]) for r in agg.read(spark).collect()}
+    assert got == {"a": (31.0, 3), "b": (5.0, 1)}
