@@ -64,6 +64,50 @@ def collapse_latest(
     )
 
 
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the change feed between two snapshots: rows of ``new``
+    tagged ``insert``/``update`` plus deleted keys tagged ``delete``
+    (payload from ``old``) — the inverse of :func:`merge_upsert`
+    (``merge_upsert(old, table_diff(old, new), ...)`` reproduces
+    ``new``), and the standard way to bootstrap CDC from systems that
+    only give you periodic full dumps.
+
+    One full-outer join on the keys; change detection compares the
+    packed payload structs (null-safe single comparison, not N
+    per-column ORs).  Unchanged rows are dropped.
+    """
+    keys = list(keys)
+    payload = [c for c in new.columns if c not in keys]
+    if payload != [c for c in old.columns if c not in keys]:
+        raise ValueError(
+            "old/new schemas differ; align columns before diffing "
+            f"(old={old.columns}, new={new.columns})"
+        )
+    o = old.select(
+        *keys, F.struct(*[F.col(c) for c in payload]).alias("__old")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in payload]).alias("__new")
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
+    )
+    body = F.coalesce(F.col("__new"), F.col("__old"))
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())  # unchanged rows drop out
+        .select(*keys, *[body[c].alias(c) for c in payload], op_col)
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

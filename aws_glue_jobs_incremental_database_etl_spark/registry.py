@@ -2831,6 +2831,55 @@ def incremental_aggregate_q(spark, sf_dir):
 
 
 @query(
+    "table_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 12000
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 5000 AND 5199
+                  THEN 1.5 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey >= 1000
+    )
+    SELECT op, COUNT(*) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                       THEN 'update' END AS op
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) WHERE op IS NOT NULL GROUP BY op
+    """,
+)
+def table_diff_q(spark, sf_dir):
+    """Snapshot diff → change feed (merge.table_diff): rows of the new
+    snapshot tagged insert/update/delete vs the old — CDC bootstrap
+    from periodic full dumps, and merge_upsert's inverse (their
+    round-trip is pinned in tests).  One full-outer key join; change
+    detection is a single null-safe struct comparison."""
+    from .merge import table_diff
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o.filter("o_orderkey <= 12000")
+    new = o.filter("o_orderkey >= 1000").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey").between(5000, 5199), 1.5).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return (
+        table_diff(old, new, ["o_orderkey"])
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )
+
+
+@query(
     "hll_distinct_priorities",
     """
     SELECT o_orderstatus,
@@ -3080,6 +3129,7 @@ _PRIORITY = [
     "incremental_aggregate_orders",
     "cohort_weekly_retention",
     "hll_distinct_priorities",
+    "table_diff_orders",
     # representative r1-green rows (the rest keep their r1 evidence and
     # stay registered below the cut for tools/check_oracle.py)
     "q3_shipping_priority",

@@ -144,3 +144,45 @@ def test_merge_schema_evolution_union_by_name(spark, sf_dir, tmp_path):
     # old rows in the SAME rewritten partition read back null for the new col
     part = out.filter("o_orderkey <> 1").filter("source_region is not null")
     assert part.count() == 0
+
+
+def test_table_diff_derives_change_feed_and_roundtrips(spark, sf_dir, tmp_path):
+    from aws_glue_jobs_incremental_database_etl_spark.merge import (
+        merge_upsert,
+        table_diff,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter("o_orderkey <= 500")
+    new = (
+        orders.filter("o_orderkey between 101 and 600")  # 0..100 deleted
+        .withColumn(  # 200..210 price change
+            "o_totalprice",
+            F.when(F.col("o_orderkey").between(200, 210), F.lit(9.99)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    feed = table_diff(old, new, ["o_orderkey"])
+    ops = {r["op"]: 0 for r in feed.select("op").distinct().collect()}
+    for r in feed.groupBy("op").count().collect():
+        ops[r["op"]] = r["count"]
+    assert ops == {"insert": 100, "update": 11, "delete": 101}
+
+    # round-trip: applying the feed to old reproduces new exactly
+    loc = str(tmp_path / "rt")
+    old.write.parquet(loc)
+    merge_upsert(
+        spark,
+        loc,
+        feed.withColumn("deleted", F.col("op") == "delete").drop("op"),
+        ["o_orderkey"],
+        delete_col="deleted",
+    )
+    got = spark.read.parquet(loc)
+    assert got.count() == new.count()
+    assert (
+        got.exceptAll(new).count() == 0 and new.exceptAll(got).count() == 0
+    )
