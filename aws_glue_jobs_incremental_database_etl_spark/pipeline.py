@@ -184,15 +184,21 @@ class IncrementalPipeline:
             source_columns_ddl = source_columns
         tgt_name = self.target_table_name(cfg.table_name)
         created = not self.catalog.table_exists(self.target_database, tgt_name)
+        # name matching is case-insensitive, like Spark's own column
+        # resolution — JDBC catalogs (Derby, Oracle, DB2) report
+        # upper-cased names that must still match a lower-case spec
+        spec_lower = [s.lower() for s in cfg.partition_spec]
         if created:
             data_cols = [
-                c for c in source_columns_ddl if c["Name"] not in cfg.partition_spec
+                c
+                for c in source_columns_ddl
+                if c["Name"].lower() not in spec_lower
             ]
             part_cols = [
-                c for c in source_columns_ddl if c["Name"] in cfg.partition_spec
+                c for c in source_columns_ddl if c["Name"].lower() in spec_lower
             ]
             # preserve partition_spec order (reference :96-102, 389-399)
-            part_cols.sort(key=lambda c: cfg.partition_spec.index(c["Name"]))
+            part_cols.sort(key=lambda c: spec_lower.index(c["Name"].lower()))
             self.catalog.create_table(
                 self.target_database,
                 tgt_name,
@@ -215,7 +221,7 @@ class IncrementalPipeline:
             # layout under the same table root (half the files
             # k1=v/..., half k2=v/... — unreadable as one table)
             existing_spec = [c["Name"] for c in tgt.get("PartitionKeys", [])]
-            if existing_spec != list(cfg.partition_spec):
+            if [k.lower() for k in existing_spec] != spec_lower:
                 raise ValueError(
                     f"table {cfg.table_name!r}: partitionSpec changed from "
                     f"{existing_spec} to {list(cfg.partition_spec)}; partition "
@@ -224,7 +230,9 @@ class IncrementalPipeline:
                 )
             existing = tgt["StorageDescriptor"]["Columns"]
             src_data_cols = [
-                c for c in source_columns_ddl if c["Name"] not in cfg.partition_spec
+                c
+                for c in source_columns_ddl
+                if c["Name"].lower() not in spec_lower
             ]
             merged = merge_schemas(src_data_cols, existing, cfg.partition_spec)
             if merged != existing:

@@ -3068,14 +3068,12 @@ def merge_upsert_q(spark, sf_dir):
 # the driver's budget.
 
 _PRIORITY = [
-    # flagship + reference-op parity
     "q1_pricing_summary",
     "etl_incremental_reload",
     "etl_apply_mapping",
     "etl_drop_null_fields",
     "etl_bookmark_filter",
     "distinct_mktsegments",
-    # LLM-pipeline operators (dedup / similarity / text / multimodal)
     "dedup_exact_docs",
     "doc_text_stats",
     "doc_token_counts",
@@ -3090,7 +3088,6 @@ _PRIORITY = [
     "ivf_topk_embeddings",
     "multimodal_image_features",
     "multimodal_frame_sample",
-    # round-1 hash-mismatch fixes (need fresh driver evidence)
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
@@ -3098,40 +3095,37 @@ _PRIORITY = [
     "events_props_map",
     "events_sessionize_30m",
     "events_session_window_native",
-    # first-time queries
+    "merge_upsert_orders",
+    "incremental_dedup_documents",
+    "near_dup_components",
+    "profile_orders",
+    "hash_split_documents",
+    "stratified_sample_docs",
+    "chunk_documents_64",
+    "tfidf_top_terms_docs",
+    "table_checksum_orders",
+    "histogram_totalprice",
+    "outliers_totalprice",
+    "incremental_aggregate_orders",
+    "hll_distinct_priorities",
+    "table_diff_orders",
+    "random_projection_embeddings",
+    "udtf_split_words",
+    "pandas_udaf_event_stats",
     "right_join_big_orders",
     "full_join_customer_orders",
     "grouping_sets_orders",
     "collect_list_order_keys",
-    "udtf_split_words",
-    "pandas_udaf_event_stats",
-    "incremental_dedup_documents",
     "q4_priority_late_ship",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
     "q15_top_supplier",
-    "merge_upsert_orders",
-    "profile_orders",
-    "near_dup_components",
-    "hash_split_documents",
-    "histogram_totalprice",
-    "chunk_documents_64",
-    "stratified_sample_docs",
     "unpivot_customer_measures",
     "vocab_top_terms",
     "window_distribution_family",
-    "tfidf_top_terms_docs",
-    "table_checksum_orders",
-    "outliers_totalprice",
-    "random_projection_embeddings",
     "funnel_view_click_purchase",
-    "incremental_aggregate_orders",
     "cohort_weekly_retention",
-    "hll_distinct_priorities",
-    "table_diff_orders",
-    # representative r1-green rows (the rest keep their r1 evidence and
-    # stay registered below the cut for tools/check_oracle.py)
     "q3_shipping_priority",
     "asof_join_purchase_click",
     "sql_top_suppliers",
