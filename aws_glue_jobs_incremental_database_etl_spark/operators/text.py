@@ -42,6 +42,55 @@ def quality_filter(
     return df.filter(quality_score(F.col(text_col)) >= min_quality)
 
 
+def lexicon_score(
+    df: DataFrame,
+    lexicon: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Dictionary-based document scoring (the sentiment-lexicon
+    pattern, SURVEY.md §2.11): explode tokens, BROADCAST-join the
+    term→weight lexicon, sum weights per document —
+    ``(id, n_matched, score)``.
+
+    The lexicon is thousands of rows against a corpus of billions, the
+    canonical broadcast side; the aggregation is partial map-side, so
+    the whole operator is one small shuffle keyed on the document.
+    Documents with zero lexicon hits keep a 0.0 score via the final
+    left join (they'd silently vanish from the inner join)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_t"),
+    )
+    hits = (
+        toks.join(
+            F.broadcast(
+                lexicon.select(
+                    F.lower(F.col(term_col)).alias("_t"),
+                    F.col(weight_col).alias("_w"),
+                )
+            ),
+            "_t",
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum("_w"), 6).alias("score"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2831,6 +2831,44 @@ def incremental_aggregate_q(spark, sf_dir):
 
 
 @query(
+    "lexicon_score_docs",
+    """
+    WITH lex(term, weight) AS (
+      VALUES ('join', 1.5), ('hash', -0.5), ('scan', 2.0),
+             ('filter', -1.0), ('batch', 0.25)
+    ), toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), hits AS (
+      SELECT id, COUNT(*) AS n_matched,
+             ROUND(SUM(CAST(weight AS DOUBLE)), 6) AS score
+      FROM toks JOIN lex USING (term) GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(h.n_matched, 0) AS n_matched,
+           COALESCE(h.score, 0.0) AS score
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+    """,
+)
+def lexicon_q(spark, sf_dir):
+    """Lexicon scoring (operators.text.lexicon_score — the SURVEY
+    §2.11 sentiment-dictionary pattern): tokens broadcast-join a
+    term→weight dictionary, weights sum per document, zero-hit docs
+    keep score 0.  One doc-keyed shuffle; the lexicon never leaves the
+    broadcast."""
+    from .operators.text import lexicon_score
+
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [("join", 1.5), ("hash", -0.5), ("scan", 2.0),
+         ("filter", -1.0), ("batch", 0.25)],
+        "term string, weight double",
+    )
+    return lexicon_score(d, lex)
+
+
+@query(
     "table_diff_orders",
     """
     WITH old AS (
@@ -3109,6 +3147,7 @@ _PRIORITY = [
     "incremental_aggregate_orders",
     "hll_distinct_priorities",
     "table_diff_orders",
+    "lexicon_score_docs",
     "random_projection_embeddings",
     "udtf_split_words",
     "pandas_udaf_event_stats",

@@ -491,3 +491,21 @@ def test_random_projection_deterministic_and_distance_preserving(spark):
     # normalized projected distance within 2x of original for most pairs
     ok = sum(1 for a, b in zip(d_orig, d_proj) if 0.4 < b / a < 2.5)
     assert ok >= int(0.8 * len(pairs))
+
+
+def test_lexicon_score_broadcast_and_zero_hits(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        lexicon_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Good good bad"), (2, "neutral words only"), (3, "BAD")],
+        "doc_id long, text string",
+    )
+    lex = spark.createDataFrame(
+        [("good", 1.0), ("bad", -2.0)], "term string, weight double"
+    )
+    out = {r["id"]: (r["n_matched"], r["score"]) for r in lexicon_score(docs, lex).collect()}
+    assert out == {1: (3, 0.0), 2: (0, 0.0), 3: (1, -2.0)}  # case-folded; zero-hit kept
+    plan = lexicon_score(docs, lex)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # lexicon never shuffles the corpus
