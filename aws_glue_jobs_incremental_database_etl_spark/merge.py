@@ -108,6 +108,126 @@ def table_diff(
     )
 
 
+def scd2_apply(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    *,
+    version_col: str,
+    delete_col: str | None = None,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> dict[str, int]:
+    """Slowly-changing-dimension Type 2 apply: instead of overwriting
+    (:func:`merge_upsert` is Type 1), every change CLOSES the current
+    row (``valid_to`` = new version) and appends a new one
+    (``valid_from`` = new version, ``valid_to`` NULL = current) — the
+    warehouse-dimension history pattern, so any past state remains
+    queryable with ``valid_from <= v AND (valid_to IS NULL OR
+    valid_to > v)``.
+
+    Per batch: collapse to latest-per-key (intermediate versions
+    within one batch are not historized — feed finer batches if every
+    hop matters), no-op keys whose payload is unchanged, close+append
+    for changed keys, close-only for tombstones.  History rows
+    (already closed) stream through untouched.
+
+    Rewrite is whole-table behind an atomic swap — dimensions are
+    small next to facts.  At large dimension cardinality store the
+    history bucketed by key hash and prune like ``merge_upsert``.
+    Returns ``{"rows_total", "rows_closed", "rows_appended"}``.
+    """
+    keys = list(keys)
+    collapsed = collapse_latest(updates, keys, version_col)
+    if delete_col is not None:
+        is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        collapsed = collapsed.withColumn("__del", is_del).drop(delete_col)
+    else:
+        collapsed = collapsed.withColumn("__del", F.lit(False))
+    payload = [
+        c for c in collapsed.columns if c not in keys and c not in (version_col, "__del")
+    ]
+
+    if not os.path.exists(path):
+        fresh = (
+            collapsed.filter(~F.col("__del"))
+            .select(
+                *keys,
+                *payload,
+                F.col(version_col).alias(from_col),
+                F.lit(None).cast(collapsed.schema[version_col].dataType).alias(to_col),
+            )
+        )
+        fresh.write.parquet(path)
+        n = spark.read.parquet(path).count()
+        return {"rows_total": n, "rows_closed": 0, "rows_appended": n}
+
+    tgt = spark.read.parquet(path)
+    history = tgt.filter(F.col(to_col).isNotNull())
+    current = tgt.filter(F.col(to_col).isNull())
+
+    cur_pack = current.select(
+        *keys, F.struct(*[F.col(c) for c in payload]).alias("__cur"),
+        F.col(from_col),
+    )
+    new_pack = collapsed.select(
+        *keys, F.struct(*[F.col(c) for c in payload]).alias("__new"),
+        F.col(version_col).alias("__v"), "__del",
+    )
+    j = cur_pack.join(new_pack, on=keys, how="full_outer")
+
+    changed = (~F.col("__cur").eqNullSafe(F.col("__new"))) | F.col("__del")
+    # current rows: keep open if no batch row or payload unchanged;
+    # close at the batch version otherwise
+    kept_current = j.filter(F.col("__cur").isNotNull()).select(
+        *keys,
+        *[F.col("__cur")[c].alias(c) for c in payload],
+        F.col(from_col),
+        F.when(F.col("__new").isNull() | ~changed, F.lit(None)).otherwise(
+            F.col("__v")
+        ).cast(tgt.schema[to_col].dataType).alias(to_col),
+    )
+    # new versions: inserts, and updates whose payload actually changed
+    appended = j.filter(
+        F.col("__new").isNotNull()
+        & ~F.col("__del")
+        & (F.col("__cur").isNull() | changed)
+    ).select(
+        *keys,
+        *[F.col("__new")[c].alias(c) for c in payload],
+        F.col("__v").alias(from_col),
+        F.lit(None).cast(tgt.schema[to_col].dataType).alias(to_col),
+    )
+    out = history.select(*keys, *payload, from_col, to_col).unionByName(
+        kept_current
+    ).unionByName(appended)
+
+    # count the old generation BEFORE the swap — its files move away
+    n_history, n_current = history.count(), current.count()
+
+    stamp = int(time.time() * 1000)
+    staging = f"{path}.__merge_{stamp}"
+    out.write.parquet(staging)
+    trash = f"{path}.__merge_trash_{stamp}"
+    os.rename(path, trash)
+    try:
+        os.rename(staging, path)
+    except Exception:
+        os.rename(trash, path)
+        raise
+    shutil.rmtree(trash, ignore_errors=True)
+
+    final = spark.read.parquet(path)
+    total = final.count()
+    closed_total = final.filter(F.col(to_col).isNotNull()).count()
+    return {
+        "rows_total": total,
+        "rows_closed": closed_total - n_history,
+        "rows_appended": total - n_history - n_current,
+    }
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

@@ -2869,6 +2869,77 @@ def lexicon_q(spark, sf_dir):
 
 
 @query(
+    "scd2_history_orders",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 12000
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 5000 AND 5499
+                  THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey <= 13000 AND o_orderkey NOT BETWEEN 0 AND 499
+    )
+    -- unchanged keys: one open row from v1
+    SELECT a.o_orderkey, a.o_totalprice,
+           CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+    FROM v1 a JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_totalprice = b.o_totalprice
+    UNION ALL
+    -- changed keys: closed v1 row + open v2 row
+    SELECT a.o_orderkey, a.o_totalprice, 1, 2
+    FROM v1 a JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_totalprice <> b.o_totalprice
+    UNION ALL
+    SELECT b.o_orderkey, b.o_totalprice, 2, NULL
+    FROM v1 a JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_totalprice <> b.o_totalprice
+    UNION ALL
+    -- deleted keys (in v1, absent from v2): closed row
+    SELECT a.o_orderkey, a.o_totalprice, 1, 2
+    FROM v1 a WHERE a.o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+    UNION ALL
+    -- inserted keys (absent from v1): open row at v2
+    SELECT b.o_orderkey, b.o_totalprice, 2, NULL
+    FROM v2 b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+    """,
+)
+def scd2_q(spark, sf_dir):
+    """SCD Type-2 history apply (merge.scd2_apply): batch v2's
+    updates/inserts/deletes versus batch v1 close old rows and open
+    new ones instead of overwriting — every past state stays
+    queryable.  The feed derives deletes via table_diff (absent keys →
+    tombstones); the oracle constructs the expected final history
+    directly from the two snapshots."""
+    from .merge import scd2_apply, table_diff
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.filter("o_orderkey <= 12000")
+    v2 = o.filter("o_orderkey <= 13000 AND o_orderkey NOT BETWEEN 0 AND 499").withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey").between(5000, 5499), F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    loc = tempfile.mkdtemp(prefix="scd2_") + "/dim"
+    scd2_apply(
+        spark, loc, v1.withColumn("v", F.lit(1).cast("bigint")),
+        ["o_orderkey"], version_col="v",
+    )
+    feed = (
+        table_diff(v1, v2, ["o_orderkey"])
+        .withColumn("deleted", F.col("op") == "delete")
+        .drop("op")
+        .withColumn("v", F.lit(2).cast("bigint"))
+    )
+    scd2_apply(
+        spark, loc, feed, ["o_orderkey"], version_col="v", delete_col="deleted"
+    )
+    return spark.read.parquet(loc).select(
+        "o_orderkey", "o_totalprice", "valid_from", "valid_to"
+    )
+
+
+@query(
     "table_diff_orders",
     """
     WITH old AS (
@@ -3147,6 +3218,7 @@ _PRIORITY = [
     "incremental_aggregate_orders",
     "hll_distinct_priorities",
     "table_diff_orders",
+    "scd2_history_orders",
     "lexicon_score_docs",
     "random_projection_embeddings",
     "udtf_split_words",

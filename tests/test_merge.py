@@ -186,3 +186,49 @@ def test_table_diff_derives_change_feed_and_roundtrips(spark, sf_dir, tmp_path):
     assert (
         got.exceptAll(new).count() == 0 and new.exceptAll(got).count() == 0
     )
+
+
+def test_scd2_apply_histories_changes(spark, tmp_path):
+    from aws_glue_jobs_incremental_database_etl_spark.merge import scd2_apply
+
+    loc = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, "alice", "NY", 10, False), (2, "bob", "LA", 10, False)],
+        "id long, name string, city string, v long, deleted boolean",
+    )
+    s = scd2_apply(spark, loc, b1, ["id"], version_col="v", delete_col="deleted")
+    assert s == {"rows_total": 2, "rows_closed": 0, "rows_appended": 2}
+
+    # v20: alice moves; bob unchanged (must NOT version-bump); carol new
+    b2 = spark.createDataFrame(
+        [(1, "alice", "SF", 20, False), (2, "bob", "LA", 20, False),
+         (3, "carol", "TX", 20, False)],
+        "id long, name string, city string, v long, deleted boolean",
+    )
+    s = scd2_apply(spark, loc, b2, ["id"], version_col="v", delete_col="deleted")
+    assert s == {"rows_total": 4, "rows_closed": 1, "rows_appended": 2}
+
+    # v30: delete bob (close-only)
+    b3 = spark.createDataFrame(
+        [(2, "bob", "LA", 30, True)],
+        "id long, name string, city string, v long, deleted boolean",
+    )
+    s = scd2_apply(spark, loc, b3, ["id"], version_col="v", delete_col="deleted")
+    assert s == {"rows_total": 4, "rows_closed": 1, "rows_appended": 0}
+
+    rows = {
+        (r["id"], r["city"], r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(loc).collect()
+    }
+    assert rows == {
+        (1, "NY", 10, 20),    # alice's first version, closed at 20
+        (1, "SF", 20, None),  # alice current
+        (2, "LA", 10, 30),    # bob closed by the delete
+        (3, "TX", 20, None),  # carol current
+    }
+
+    # point-in-time query at v=15 sees the original state
+    asof = spark.read.parquet(loc).filter(
+        "valid_from <= 15 AND (valid_to IS NULL OR valid_to > 15)"
+    )
+    assert {(r["id"], r["city"]) for r in asof.collect()} == {(1, "NY"), (2, "LA")}
