@@ -187,3 +187,17 @@ def test_chunking_is_map_only(plans):
     p = plans("chunk_documents_64")
     assert "Generate" in p  # posexplode
     assert "Exchange" not in p.split("Generate")[0]  # no shuffle feeding it
+
+
+def test_table_diff_single_full_outer_join(plans):
+    p = plans("table_diff_orders")
+    assert "FullOuter" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # change detection is the packed-struct comparison, not N per-column
+    # join conditions — exactly one join over the two snapshots
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin") <= 2
+
+
+def test_lexicon_corpus_never_shuffles_for_the_join(plans):
+    p = plans("lexicon_score_docs")
+    assert "BroadcastHashJoin" in p
