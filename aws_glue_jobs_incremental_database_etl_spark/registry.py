@@ -625,6 +625,49 @@ def asof_q(spark, sf_dir):
 
 
 @query(
+    "asof_join_tolerance_30m",
+    """
+    SELECT event_id, user_id, ts,
+           CASE WHEN click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(click_ts) <= 30 * 60 * 1000000
+                THEN click_ts END AS click_ts
+    FROM (
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    """,
+)
+def asof_tolerance_q(spark, sf_dir):
+    """As-of join with a staleness bound (joins.asof_join tolerance):
+    clicks more than 30 minutes before the purchase are masked to NULL
+    instead of matched — pandas merge_asof tolerance semantics.  The
+    oracle post-filters DuckDB's ASOF JOIN with the same exact-µs
+    bound."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts"],
+        strict=False,
+        tolerance="30 minutes",
+    )
+
+
+@query(
     "q7_nation_volume",
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -3220,6 +3263,7 @@ _PRIORITY = [
     "table_diff_orders",
     "scd2_history_orders",
     "lexicon_score_docs",
+    "asof_join_tolerance_30m",
     "random_projection_embeddings",
     "udtf_split_words",
     "pandas_udaf_event_stats",
