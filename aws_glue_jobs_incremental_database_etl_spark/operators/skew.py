@@ -1,0 +1,68 @@
+"""Join/aggregation skew diagnostics.
+
+``joins.salted_join`` is the cure; this is the diagnosis: measure how
+concentrated a key column is BEFORE a 100 TB join melts one executor.
+``skew_stats`` returns the heavy hitters with their share of all rows
+plus the skew ratio (max key count / mean key count) — the number
+that decides between doing nothing (≈1), trusting AQE's skew-join
+split (mild), and explicit salting (a key holding a double-digit
+share).  ``recommend_salt`` turns that into a bucket count.
+
+One aggregation pass over (key) + a tiny top-k — same cost as a
+count-by-key, which is the cheapest possible full-data evidence.
+For repeated profiling of many columns at once use
+``profile.profile(exact_distinct=False)`` first and only drill into
+suspicious keys here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def skew_stats(df: DataFrame, key_cols: list[str], top_k: int = 10) -> DataFrame:
+    """Top-``top_k`` heaviest key values: ``(key..., n_rows, share,
+    skew_ratio)``, ordered by count desc (tie-broken by key).
+
+    ``share`` is the key's fraction of all rows; ``skew_ratio`` is
+    max-key-count over mean-key-count (identical on every output row —
+    it describes the column, not the key)."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.max("n_rows").alias("_max"),
+        F.avg("n_rows").alias("_mean"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("_max") / F.col("_mean"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top_k)
+    )
+
+
+def recommend_salt(df: DataFrame, key_cols: list[str], target_share: float = 0.01) -> int:
+    """Salt-bucket count that caps the heaviest key's per-bucket share
+    at ``target_share`` of the rows: ``ceil(max_share / target)``,
+    1 meaning "don't salt".  A cheap driver-side decision — one
+    count-by-key aggregate collapsed to two scalars."""
+    row = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("total"))
+        .first()
+    )
+    if not row or not row["total"]:
+        return 1
+    max_share = row["mx"] / row["total"]
+    if max_share <= target_share:
+        return 1
+    import math
+
+    return math.ceil(max_share / target_share)

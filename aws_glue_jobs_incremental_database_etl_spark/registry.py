@@ -625,6 +625,34 @@ def asof_q(spark, sf_dir):
 
 
 @query(
+    "skew_stats_lineitem_suppkey",
+    """
+    WITH counts AS (
+      SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+    ), t AS (
+      SELECT SUM(n_rows) AS total, MAX(n_rows) AS mx, AVG(n_rows) AS mean
+      FROM counts
+    )
+    SELECT l_suppkey, n_rows,
+           ROUND(n_rows / t.total, 6) AS share,
+           ROUND(t.mx / t.mean, 4) AS skew_ratio
+    FROM counts, t
+    ORDER BY n_rows DESC, l_suppkey ASC LIMIT 10
+    """,
+)
+def skew_stats_q(spark, sf_dir):
+    """Skew diagnostics (operators.skew.skew_stats): heavy-hitter keys
+    with their row share and the column's max/mean skew ratio — the
+    measurement that decides between AQE's skew split and explicit
+    salting (joins.salted_join).  One count-by-key aggregate + a
+    broadcast 1-row total."""
+    from .operators.skew import skew_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_stats(li, ["l_suppkey"], top_k=10)
+
+
+@query(
     "asof_join_tolerance_30m",
     """
     SELECT event_id, user_id, ts,
@@ -3264,6 +3292,7 @@ _PRIORITY = [
     "scd2_history_orders",
     "lexicon_score_docs",
     "asof_join_tolerance_30m",
+    "skew_stats_lineitem_suppkey",
     "random_projection_embeddings",
     "udtf_split_words",
     "pandas_udaf_event_stats",

@@ -509,3 +509,22 @@ def test_lexicon_score_broadcast_and_zero_hits(spark):
     assert out == {1: (3, 0.0), 2: (0, 0.0), 3: (1, -2.0)}  # case-folded; zero-hit kept
     plan = lexicon_score(docs, lex)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # lexicon never shuffles the corpus
+
+
+def test_skew_stats_and_salt_recommendation(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.skew import (
+        recommend_salt,
+        skew_stats,
+    )
+
+    # 1000 rows: key 0 holds 40%, the rest uniform over 60 keys
+    rows = [(0,)] * 400 + [(1 + i % 60,) for i in range(600)]
+    df = spark.createDataFrame(rows, "k long")
+    top = skew_stats(df, ["k"], top_k=3).collect()
+    assert top[0]["k"] == 0 and top[0]["n_rows"] == 400
+    assert top[0]["share"] == 0.4
+    assert top[0]["skew_ratio"] == top[1]["skew_ratio"] > 20  # 400 / (1000/61)
+
+    assert recommend_salt(df, ["k"], target_share=0.01) == 40
+    uniform = spark.createDataFrame([(i % 50,) for i in range(1000)], "k long")
+    assert recommend_salt(uniform, ["k"], target_share=0.05) == 1
