@@ -625,6 +625,47 @@ def asof_q(spark, sf_dir):
 
 
 @query(
+    "bigram_top_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bg GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram ASC LIMIT 20
+    """,
+)
+def bigram_q(spark, sf_dir):
+    """Bigram frequency head (n-gram LM prep, companion to
+    vocab_top_terms): adjacent-token pairs via a zip of the token
+    array with its own tail — map-only expansion, then one
+    partial-aggregated shuffle on the bigram."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
     "skew_stats_lineitem_suppkey",
     """
     WITH counts AS (
@@ -3293,6 +3334,7 @@ _PRIORITY = [
     "lexicon_score_docs",
     "asof_join_tolerance_30m",
     "skew_stats_lineitem_suppkey",
+    "bigram_top_docs",
     "random_projection_embeddings",
     "udtf_split_words",
     "pandas_udaf_event_stats",
