@@ -345,9 +345,21 @@ def merge_upsert(
     writer.save(staging)
 
     def _partdir(base: str, row) -> str:
-        return os.path.join(
-            base, *[f"{k}={'__HIVE_DEFAULT_PARTITION__' if row[k] is None else row[k]}" for k in spec]
-        )
+        parts = []
+        for k in spec:
+            v = "__HIVE_DEFAULT_PARTITION__" if row[k] is None else str(row[k])
+            if "/" in v or "=" in v:
+                # Spark escapes such values in directory names
+                # (%2F/%3D); rather than replicate the escaping table,
+                # refuse — partition columns with path metacharacters
+                # are a layout smell anyway
+                raise ValueError(
+                    f"partition value {v!r} for {k!r} contains path "
+                    "metacharacters; cast/sanitize the partition column "
+                    "before merging"
+                )
+            parts.append(f"{k}={v}")
+        return os.path.join(base, *parts)
 
     trash = f"{path}.__merge_trash_{stamp}"
     if spec:

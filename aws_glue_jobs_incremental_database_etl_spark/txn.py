@@ -165,7 +165,9 @@ def _applied_manifests(target_location: str) -> list[dict[str, Any]]:
             if name.startswith("manifest-") and name.endswith(".json"):
                 with open(os.path.join(applied, name)) as f:
                     out.append(json.load(f))
-    out.sort(key=lambda m: m.get("seq", 0))
+    # run_id tiebreak: two runs that raced _next_seq and stamped the
+    # same number still get a deterministic history order
+    out.sort(key=lambda m: (m.get("seq", 0), m.get("run_id", "")))
     return out
 
 
