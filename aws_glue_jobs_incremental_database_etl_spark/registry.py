@@ -625,6 +625,84 @@ def asof_q(spark, sf_dir):
 
 
 @query(
+    "training_data_pipeline",
+    r"""
+    WITH q AS (
+      SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w,
+             0.5 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+             + 0.2 * LEAST(4 * CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                 THEN len(list_filter(list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)),
+                          x -> x IN ('the','a','of','and','to','in','is','it')))
+                      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                 ELSE 0.0 END, 1.0) AS quality
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w FROM q WHERE quality >= 0.55
+    ), d AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh, w
+      FROM f
+    ), losers AS (
+      SELECT DISTINCT a.doc_id FROM d a JOIN d b ON b.doc_id < a.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    ), s AS (
+      SELECT doc_id, w,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < 8000 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ), nc AS (
+      SELECT doc_id, split, w,
+             CASE WHEN len(w) <= 64 THEN 1
+                  ELSE 1 + (len(w) - 64 + 47) // 48 END AS n_chunks
+      FROM s
+    ), ex AS (
+      SELECT doc_id, split, w, unnest(range(0, n_chunks)) AS i FROM nc
+    )
+    SELECT split, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+           CAST(SUM(len(list_slice(w, i * 48 + 1, i * 48 + 64))) AS BIGINT)
+               AS n_tokens
+    FROM ex GROUP BY split
+    """,
+)
+def training_pipeline_q(spark, sf_dir):
+    """The engine's stages composed end-to-end as one dataflow —
+    quality filter → MinHash near-dup dedup → deterministic md5
+    train/val/test split → 64/16 context-window chunking → per-split
+    corpus stats.  Every stage is the already-verified operator
+    (text.quality_filter, dedup.minhash_dedup, sampling.hash_split,
+    text.chunk_documents); the oracle is their SQL replicas composed
+    the same way.  This is the shape a real training-data ingestion
+    job takes: one lazy plan, no materialization between stages."""
+    from .operators.dedup import minhash_dedup
+    from .operators.sampling import hash_split
+    from .operators.text import chunk_documents, quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    filtered = quality_filter(d, min_quality=0.55)
+    deduped = minhash_dedup(
+        filtered, "doc_id", "text", threshold=0.7, shingle_k=3,
+        num_hashes=64, bands=16,
+    )
+    split = hash_split(deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    chunks = chunk_documents(
+        split.select("doc_id", "text"), "doc_id", "text",
+        chunk_tokens=64, overlap_tokens=16,
+    ).join(split.select("doc_id", "split"), F.col("id") == F.col("doc_id"))
+    return chunks.groupBy("split").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+    )
+
+
+@query(
     "bigram_top_docs",
     """
     WITH toks AS (
@@ -3295,6 +3373,7 @@ _PRIORITY = [
     "etl_drop_null_fields",
     "etl_bookmark_filter",
     "distinct_mktsegments",
+    "training_data_pipeline",
     "dedup_exact_docs",
     "doc_text_stats",
     "doc_token_counts",
