@@ -183,3 +183,128 @@ def chunk_documents(
         )
     )
     return out
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 §A1.1 use these to drop boilerplate/spam before
+    training): ``(id, n_words, dup_word_frac, top_bigram_frac)``.
+
+    - ``dup_word_frac``: fraction of word occurrences that are
+      repeats of an earlier word — ``(n − n_distinct) / n``.  Pure
+      map-side HOF (``array_distinct``), no shuffle.
+    - ``top_bigram_frac``: fraction of all bigram occurrences taken
+      by the single most frequent bigram — high values mean looping
+      text.  Needs a per-(doc, bigram) count, so it is one explode →
+      two partial-aggregated shuffles keyed by the document (the
+      same shape at any scale; skew is bounded by document length,
+      not corpus size).
+
+    Documents with < 2 words have no bigrams and get 0.0 via the
+    final left join (an inner join would silently drop them).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nw = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        nw.cast("bigint").alias("n_words"),
+        F.when(
+            nw > 0,
+            F.round(
+                (nw - F.size(F.array_distinct(toks))) / nw.cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        toks.alias("_toks"),
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(F.size("_toks") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    per_bigram = (
+        base.select("id", F.explode(bigrams).alias("bigram"))
+        .groupBy("id", "bigram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = per_bigram.groupBy("id").agg(
+        F.round(F.max("_c") / F.sum("_c").cast("double"), 6).alias("top_bigram_frac")
+    )
+    return (
+        base.drop("_toks")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            "dup_word_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    k: int = 5,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-token n-gram with an eval/benchmark set (the test-set-leakage
+    check of GPT-3 appendix C / Llama 2 §A.6): ``(id, n_grams,
+    n_matched_grams, is_contaminated)``.
+
+    Plan shape for 100 TB: the benchmark is an eval set — thousands
+    of documents against billions — so its distinct gram set is the
+    canonical BROADCAST side.  Grams are compared as xxhash64 longs,
+    not strings: 8-byte join keys keep the broadcast table and the
+    probe-side hash comparisons constant-width no matter the gram
+    text (collision odds at eval-set cardinality ~2^-40, far below
+    data-corruption rates).  The corpus side is one map pass
+    (shingle → hash → explode) into the broadcast join, then one
+    partial-aggregated shuffle keyed by document.  Short documents
+    (< k words) fall back to their whole text as a single gram, same
+    as :func:`shingles`.
+    """
+    from .dedup import shingles
+
+    grams = shingles(F.col(text_col), k=k)
+    bgrams = shingles(F.col(bench_text_col or text_col), k=k)
+    bench_set = (
+        benchmark.select(F.explode(bgrams).alias("_g"))
+        .select(F.xxhash64("_g").alias("_h"))
+        .dropDuplicates(["_h"])
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("_g")
+    ).select("id", F.xxhash64("_g").alias("_h"))
+    matched = (
+        doc_grams.join(F.broadcast(bench_set), "_h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(grams).cast("bigint").alias("n_grams"),
+        )
+        .join(matched, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_matched_grams", F.lit(0)).cast("bigint").alias(
+                "n_matched_grams"
+            ),
+            F.when(F.coalesce("n_matched_grams", F.lit(0)) >= min_matches, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )

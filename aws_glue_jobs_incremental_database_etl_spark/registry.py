@@ -744,6 +744,88 @@ def bigram_q(spark, sf_dir):
 
 
 @query(
+    "repetition_signals_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM toks
+    ), bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), bs AS (
+      SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CASE WHEN len(w) > 0
+                THEN ROUND((len(w) - len(list_distinct(w)))
+                           / CAST(len(w) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_word_frac,
+           COALESCE(ROUND(bs.mx / CAST(bs.tot AS DOUBLE), 6), 0.0)
+             AS top_bigram_frac
+    FROM toks t LEFT JOIN bs ON t.doc_id = bs.doc_id
+    """,
+)
+def repetition_signals_q(spark, sf_dir):
+    """Gopher-style repetition quality signals
+    (operators.text.repetition_signals): duplicate-word fraction is a
+    map-only HOF; top-bigram fraction is one explode + two
+    partial-aggregated shuffles keyed by the document."""
+    from .operators.text import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text")
+
+
+@query(
+    "decontaminate_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct(list_transform(range(1, len(w) - 3),
+                       i -> array_to_string(list_slice(w, i, i + 4), ' ')))
+                  ELSE [array_to_string(w, ' ')] END AS gs
+      FROM toks
+    ), doc_grams AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), bench AS (
+      SELECT DISTINCT g FROM doc_grams WHERE doc_id % 97 = 0
+    ), matched AS (
+      SELECT dg.doc_id, COUNT(*) AS n_matched_grams
+      FROM doc_grams dg JOIN bench b ON dg.g = b.g
+      GROUP BY dg.doc_id
+    )
+    SELECT gr.doc_id AS id,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           CAST(COALESCE(m.n_matched_grams, 0) AS BIGINT) AS n_matched_grams,
+           CAST(CASE WHEN COALESCE(m.n_matched_grams, 0) >= 1 THEN 1 ELSE 0
+                END AS INT) AS is_contaminated
+    FROM grams gr LEFT JOIN matched m ON gr.doc_id = m.doc_id
+    """,
+)
+def decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination (operators.text.decontaminate): every
+    doc sharing a 5-gram with the benchmark slice (doc_id % 97 = 0,
+    a stand-in eval set) is flagged.  Bench grams broadcast as
+    xxhash64 longs; the oracle replicates with gram strings — counts
+    agree because both sides compare the same distinct gram sets."""
+    from .operators.text import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, "doc_id", "text", k=5)
+
+
+@query(
     "skew_stats_lineitem_suppkey",
     """
     WITH counts AS (
@@ -3413,6 +3495,8 @@ _PRIORITY = [
     "lexicon_score_docs",
     "asof_join_tolerance_30m",
     "skew_stats_lineitem_suppkey",
+    "repetition_signals_docs",
+    "decontaminate_docs",
     "bigram_top_docs",
     "random_projection_embeddings",
     "udtf_split_words",

@@ -528,3 +528,59 @@ def test_skew_stats_and_salt_recommendation(spark):
     assert recommend_salt(df, ["k"], target_share=0.01) == 40
     uniform = spark.createDataFrame([(i % 50,) for i in range(1000)], "k long")
     assert recommend_salt(uniform, ["k"], target_share=0.05) == 1
+
+
+def test_repetition_signals_known_values(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 6 words, 2 distinct; bigrams: a-b ×3, b-a ×2
+            (2, "w x y z"),          # all distinct; each bigram once
+            (3, "solo"),             # 1 word → no bigrams
+            (4, ""),                 # empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r for r in repetition_signals(df).collect()}
+    assert out[1].n_words == 6
+    assert out[1].dup_word_frac == round(4 / 6, 6)
+    assert out[1].top_bigram_frac == 0.6  # 3 of 5 bigrams are "a b"
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].top_bigram_frac == round(1 / 3, 6)
+    assert out[3].n_words == 1 and out[3].top_bigram_frac == 0.0
+    assert out[4].n_words == 0
+    assert out[4].dup_word_frac == 0.0 and out[4].top_bigram_frac == 0.0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u v w"),        # contains the benchmark 5-gram q..u
+            (2, "a b c d e f g h"),        # no overlap
+            (3, "q r s t u"),              # exactly the benchmark text
+            (4, "tiny"),                   # < k words → whole-text gram
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "q r s t u")], ["doc_id", "text"])
+    out = {r.id: r for r in decontaminate(docs, bench, k=5).collect()}
+    assert out[1].is_contaminated == 1 and out[1].n_matched_grams == 1
+    assert out[1].n_grams == 4  # 8 words → 4 distinct 5-grams
+    assert out[2].is_contaminated == 0 and out[2].n_matched_grams == 0
+    assert out[3].is_contaminated == 1
+    assert out[4].is_contaminated == 0 and out[4].n_grams == 1
+
+
+def test_decontaminate_min_matches_threshold(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e z a b c d e")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "a b c d e f")], ["doc_id", "text"])
+    out = {r.id: r for r in decontaminate(docs, bench, k=5, min_matches=2).collect()}
+    assert out[1].n_matched_grams == 2 and out[1].is_contaminated == 1
+    assert out[2].n_matched_grams == 1 and out[2].is_contaminated == 0
