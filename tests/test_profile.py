@@ -20,14 +20,19 @@ def test_profile_counts_nulls_distinct_minmax(spark):
     assert out["x"]["n_nulls"] == 1
 
 
-def test_profile_one_job_not_per_column(spark):
-    """The whole profile is ONE aggregate: a single collect executes
-    it; the plan contains exactly one Aggregate over the scan."""
+def test_profile_two_passes_no_sort(spark):
+    """The profile is exactly TWO single-row aggregates (stats pass +
+    distinct pass), not one per column — and neither sorts: the string
+    min/max (immutable buffer → SortAggregate) is kept away from the
+    COUNT-DISTINCT Expand so the expanded rows stay in HashAggregate
+    and the global stats fold needs no Sort node at all."""
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 7).alias("m"), F.col("id").cast("string").alias("s")
     )
-    plan = profile(df)._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Aggregate") <= 2  # partial+final pair, not 3 per column
+    plan = profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 2  # two column-pruned passes, not 3 per column
+    assert "+- Sort " not in plan  # the expensive shape this design avoids
+    assert "HashAggregate" in plan  # distinct pass stays hash-based
 
 
 def test_profile_approx_distinct_skips_expand(spark):
