@@ -54,6 +54,7 @@ def compact_partitioned_table(
     partition_spec: Sequence[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite ``path`` (optionally Hive-partitioned) into
     ~``target_file_bytes`` files and atomically swap it in.
@@ -72,13 +73,25 @@ def compact_partitioned_table(
     parquet/ORC footer min-max; with a spec, rows are sorted within
     each write task so skipping happens at row-group granularity
     inside each partition directory.
+
+    ``zorder_by`` (mutually exclusive with ``cluster_by``) clusters on
+    the Morton interleave of 2+ columns instead
+    (``functions.zorder.z_value``): each output file covers a small
+    hyper-rectangle of the clustered dimensions, so footer min/max
+    prunes files for predicates on ANY subset of them — the
+    multi-column skipping ``cluster_by`` cannot give.  The ``_z``
+    column exists only inside the rewrite plan; written files keep the
+    original schema.
     """
     fmt = fmt.lower()
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"Unknown format: {fmt}")
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     path = path.rstrip("/")
     spec = list(partition_spec or [])
     cluster = list(cluster_by or [])
+    zorder = list(zorder_by or [])
 
     in_bytes = _dir_bytes(path)
     files_before = _data_file_count(path)
@@ -92,7 +105,19 @@ def compact_partitioned_table(
     # hash-spread into exactly n_out write tasks; including the
     # partition keys co-locates rows so a task writes few partition
     # dirs (bounds small-file fan-out when spec is present)
-    if spec:
+    drop_z = False
+    if zorder:
+        from .functions.zorder import z_value
+
+        df = z_value(df, zorder)
+        drop_z = True
+        if spec:
+            df = df.repartition(n_out, *[F.col(c) for c in spec])
+            df = df.sortWithinPartitions(*spec, "_z")
+        else:
+            df = df.repartitionByRange(n_out, F.col("_z"))
+            df = df.sortWithinPartitions("_z")
+    elif spec:
         df = df.repartition(n_out, *[F.col(c) for c in spec])
         if cluster:
             df = df.sortWithinPartitions(*spec, *cluster)
@@ -101,6 +126,8 @@ def compact_partitioned_table(
         df = df.sortWithinPartitions(*cluster)
     else:
         df = df.repartition(n_out)
+    if drop_z:
+        df = df.drop("_z")
 
     tmp = f"{path}.__compact_{int(time.time() * 1000)}"
     writer = df.write.mode("overwrite")

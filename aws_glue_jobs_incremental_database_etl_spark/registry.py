@@ -825,6 +825,30 @@ def decontaminate_q(spark, sf_dir):
     return decontaminate(d, bench, "doc_id", "text", k=5)
 
 
+def _zorder_oracle() -> str:
+    from .functions.zorder import zorder_sql_expr
+
+    inner = zorder_sql_expr(["o_custkey", "o_totalprice"], "orders", bits=8)
+    return f"SELECT o_orderkey, _z AS z_val FROM ({inner})"
+
+
+@query("zorder_value_orders", _zorder_oracle())
+def zorder_value_q(spark, sf_dir):
+    """Morton z-values over (o_custkey, o_totalprice)
+    (functions.zorder.z_value — the clustering key of
+    maintenance.compact_partitioned_table(zorder_by=...)): linear
+    min/max cells interleaved with pure shift/mask arithmetic, bounds
+    from a 1-row broadcast pre-pass.  The oracle runs the generated
+    ANSI replica of the identical expression, so the bit pattern is
+    pinned engine-exact."""
+    from .functions.zorder import z_value
+
+    o = load_table(spark, sf_dir, "orders")
+    return z_value(o, ["o_custkey", "o_totalprice"], bits=8).select(
+        "o_orderkey", F.col("_z").alias("z_val")
+    )
+
+
 @query(
     "skew_stats_lineitem_suppkey",
     """
@@ -3497,6 +3521,7 @@ _PRIORITY = [
     "skew_stats_lineitem_suppkey",
     "repetition_signals_docs",
     "decontaminate_docs",
+    "zorder_value_orders",
     "bigram_top_docs",
     "random_projection_embeddings",
     "udtf_split_words",

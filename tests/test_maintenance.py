@@ -127,3 +127,92 @@ def test_vacuum_removes_only_old_orphan_trees(spark, sf_dir, tmp_path):
     assert os.path.exists(fresh)       # too young — a job may be mid-swap
     assert os.path.exists(unrelated)   # different table untouched
     assert spark.read.parquet(loc).count() == 5
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """Bit-exact Morton check against an independent Python morton
+    encoder over a small grid."""
+    from aws_glue_jobs_incremental_database_etl_spark.functions.zorder import (
+        interleave_bits,
+        z_value,
+    )
+
+    def morton2(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", interleave_bits([F.col("x"), F.col("y")], bits=4).alias("z")
+        ).collect()
+    }
+    assert all(got[(x, y)] == morton2(x, y) for x, y in rows)
+
+    # z_value normalizes to the full cell domain: a [0,15]² grid at
+    # bits=4 maps value v to cell v (min/max scaling is identity here)
+    zv = {
+        (r.x, r.y): r._z
+        for r in z_value(df, ["x", "y"], bits=4).collect()
+    }
+    assert zv == got
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """zorder_by=(custkey, totalprice): output files cover small
+    hyper-rectangles, so footer min/max prunes files for a predicate
+    on EITHER column — the multi-column skipping single-column
+    clustering cannot give."""
+    import pyarrow.parquet as pq
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    loc = str(tmp_path / "orders_z")
+    src.repartition(20).write.parquet(loc)
+
+    stats = compact_partitioned_table(
+        spark, loc, target_file_bytes=8_000,
+        zorder_by=["o_custkey", "o_totalprice"],
+    )
+    assert stats["files_after"] >= 4
+
+    def col_ranges(col):
+        out = []
+        for f in _files(loc):
+            meta = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == col
+            )
+            ss = [meta.row_group(g).column(idx).statistics
+                  for g in range(meta.num_row_groups)]
+            out.append((min(s.min for s in ss), max(s.max for s in ss)))
+        return out
+
+    # a 10%-wide low-corner box on each dimension must skip files
+    # (a box straddling the mid-domain major-bit boundary is the
+    # z-curve's known worst case and may touch most quadrants)
+    for col in ("o_custkey", "o_totalprice"):
+        rs = col_ranges(col)
+        lo = min(a for a, _ in rs); hi = max(b for _, b in rs)
+        qlo = lo + 0.05 * (hi - lo); qhi = lo + 0.15 * (hi - lo)
+        hit = sum(1 for a, b in rs if not (b < qlo or a > qhi))
+        assert hit < len(rs), f"no pruning on {col}"
+
+    # schema unchanged (no _z leak) and rows intact
+    out = spark.read.parquet(loc)
+    assert out.columns == src.columns
+    assert out.count() == src.count()
+
+
+def test_zorder_and_cluster_by_mutually_exclusive(spark, tmp_path):
+    df = spark.range(10)
+    loc = str(tmp_path / "t")
+    df.write.parquet(loc)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_partitioned_table(
+            spark, loc, cluster_by=["id"], zorder_by=["id", "id"]
+        )
