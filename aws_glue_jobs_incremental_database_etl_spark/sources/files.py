@@ -68,6 +68,37 @@ def read_orc(spark: SparkSession, path: str, merge_schema: bool = False) -> Data
     return reader.orc(path)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw-text corpus ingestion — the entry format of an LLM training
+    pipeline before any structure exists.
+
+    ``whole_file=False`` (default): one row per line (``value``
+    string), splittable — a 100 TB corpus of large files parallelizes
+    across executors on block boundaries.  ``whole_file=True``: one
+    row per FILE plus a ``doc_path`` column (the per-document layout
+    of crawled/scraped corpora); files are NOT splittable in this mode
+    so document size, not file count, bounds task memory — shard
+    oversized documents upstream.  ``line_sep`` overrides the record
+    delimiter (e.g. ``"\\0"`` for NUL-delimited dumps).
+    """
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    df = reader.text(path, wholetext=whole_file)
+    if whole_file:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            F.input_file_name().alias("doc_path"), F.col("value").alias("text")
+        )
+    return df
+
+
 def read_table(
     spark: SparkSession, path: str, fmt: str = "parquet", **kwargs
 ) -> DataFrame:
@@ -88,6 +119,8 @@ def read_table(
         return read_json(spark, path, **kwargs)
     if fmt == "orc":
         return read_orc(spark, path, **kwargs)
+    if fmt == "text":
+        return read_text(spark, path, **kwargs)
     if fmt == "jdbc":
         from .jdbc import read_jdbc
 
