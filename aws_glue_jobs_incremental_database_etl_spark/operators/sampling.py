@@ -104,3 +104,55 @@ def deterministic_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     return df.filter(hash_bucket(key_col, buckets) < int(round(fraction * buckets)))
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_shares: Mapping[str, float],
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Downsample groups so the surviving corpus matches a target
+    mixture — the data-mixture step of training-set assembly ("30%
+    web, 30% code, ...").
+
+    Solves for the largest corpus achievable WITHOUT upsampling: the
+    binding group is the one whose relative share must shrink least
+    (min over groups of count/share); every group g then keeps
+    ``rate_g = binding · share_g / count_g`` of its rows, applied as
+    the same md5-bucket predicate as :func:`deterministic_sample` —
+    stable under growth, engine-portable, no RNG.
+
+    Group counts come from one partial-aggregated count (rows ≪
+    corpus, broadcast back as a literal CASE); the resample itself is
+    a map-only filter, so the whole operator adds ZERO data-side
+    shuffles.  Groups absent from ``target_shares`` are dropped
+    (share 0).  Shares need not sum to 1 — only ratios matter.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    if any(s < 0 for s in target_shares.values()):
+        raise ValueError("target shares must be >= 0")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total_share = sum(target_shares.values())
+    binding = min(
+        (counts.get(g, 0) / (s / total_share) for g, s in target_shares.items() if s > 0),
+        default=0.0,
+    )
+    b = hash_bucket(key_col, buckets)
+    expr = None
+    for g, s in target_shares.items():
+        n = counts.get(g, 0)
+        rate = 0.0 if n == 0 or s == 0 else min(1.0, binding * (s / total_share) / n)
+        # floor, not round(): identical IEEE double sequence is
+        # reproducible in any engine's SQL (FLOOR), Python's banker's
+        # rounding is not
+        cond = (F.col(group_col) == g) & (b < int(rate * buckets))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)

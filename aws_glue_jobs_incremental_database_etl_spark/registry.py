@@ -825,6 +825,48 @@ def decontaminate_q(spark, sf_dir):
     return decontaminate(d, bench, "doc_id", "text", k=5)
 
 
+@query(
+    "mixture_resample_docs",
+    """
+    WITH counts AS (
+      SELECT source AS g, COUNT(*) AS n FROM documents GROUP BY source
+    ), shares AS (
+      SELECT * FROM (VALUES
+        ('src0', CAST(0.5 AS DOUBLE)),
+        ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE))) AS t(g, s)
+    ), j AS (
+      SELECT c.g, c.n, sh.s AS frac FROM counts c JOIN shares sh USING (g)
+    ), bind AS (
+      SELECT MIN(n / frac) AS binding FROM j WHERE frac > 0
+    ), th AS (
+      SELECT g,
+             CAST(FLOOR(LEAST(1.0, binding * frac / n) * 10000) AS BIGINT)
+               AS thr
+      FROM j CROSS JOIN bind
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th ON d.source = th.g
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < th.thr
+    """,
+)
+def mixture_resample_q(spark, sf_dir):
+    """Corpus mixture resampling (operators.sampling.mixture_resample):
+    downsample sources to a 50/30/20 target mixture without
+    upsampling.  Group counts are one tiny aggregate; the resample is
+    the md5-bucket predicate — exact selection reproduced by the
+    oracle because threshold arithmetic is the same IEEE double
+    sequence (binding · share / n, floored) on both engines."""
+    from .operators.sampling import mixture_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = mixture_resample(
+        d, "source", "doc_id", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source")
+
+
 def _zorder_oracle() -> str:
     from .functions.zorder import zorder_sql_expr
 
@@ -3522,6 +3564,7 @@ _PRIORITY = [
     "repetition_signals_docs",
     "decontaminate_docs",
     "zorder_value_orders",
+    "mixture_resample_docs",
     "bigram_top_docs",
     "random_projection_embeddings",
     "udtf_split_words",

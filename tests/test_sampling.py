@@ -72,3 +72,48 @@ def test_stratified_sample_exact_k_per_group(spark):
     # deterministic: same selection on a reshuffled frame
     again = stratified_sample_k(df.repartition(7), ["g"], "id", 4)
     assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}
+
+
+def test_mixture_resample_hits_target_ratios(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    rows = [(g * 10_000 + i, f"g{g}") for g in range(3) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = mixture_resample(df, "grp", "id", {"g0": 0.6, "g1": 0.3, "g2": 0.1})
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    # binding group is g0 (1000/0.6): it keeps everything; ratios ~60/30/10
+    assert counts["g0"] == 1000
+    assert abs(counts["g1"] / total - 0.3) < 0.03
+    assert abs(counts["g2"] / total - 0.1) < 0.03
+
+
+def test_mixture_resample_deterministic_and_growth_stable(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    shares = {"a": 0.8, "b": 0.2}
+    picked1 = {r.id for r in mixture_resample(df, "grp", "id", shares).collect()}
+    picked2 = {r.id for r in mixture_resample(df, "grp", "id", shares).collect()}
+    assert picked1 == picked2
+    # groups not in the target mixture are dropped entirely
+    df2 = df.union(spark.createDataFrame([(99999, "c")], "id long, grp string"))
+    out2 = mixture_resample(df2, "grp", "id", shares)
+    assert out2.filter("grp = 'c'").count() == 0
+
+
+def test_mixture_resample_validates_shares(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, grp string")
+    with pytest.raises(ValueError):
+        mixture_resample(df, "grp", "id", {})
+    with pytest.raises(ValueError):
+        mixture_resample(df, "grp", "id", {"a": -0.5})
