@@ -207,6 +207,9 @@ def repetition_signals(
     Documents with < 2 words have no bigrams and get 0.0 via the
     final left join (an inner join would silently drop them).
     """
+    from .dedup import _spread
+
+    df = _spread(df, id_col)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     nw = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
     base = df.select(
@@ -273,8 +276,9 @@ def decontaminate(
     (< k words) fall back to their whole text as a single gram, same
     as :func:`shingles`.
     """
-    from .dedup import shingles
+    from .dedup import _spread, shingles
 
+    df = _spread(df, id_col)  # shingling is compute-bound; see _spread
     grams = shingles(F.col(text_col), k=k)
     bgrams = shingles(F.col(bench_text_col or text_col), k=k)
     bench_set = (

@@ -48,6 +48,10 @@ HEADLINE = [
     "profile_orders",
     "vocab_top_terms",
     "hash_split_documents",
+    "repetition_signals_docs",
+    "decontaminate_docs",
+    "zorder_value_orders",
+    "mixture_resample_docs",
 ]
 
 
