@@ -1357,6 +1357,122 @@ def q17(spark, sf_dir):
 
 
 @query(
+    "q18_large_volume_customer",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): the IN-subquery over a
+    HAVING aggregate becomes a left-semi join against the big-order
+    key set.  That set is the output of a partial-aggregated groupBy
+    (tiny — orders with >300 units), so the semi join broadcasts and
+    lineitem is scanned twice but shuffled once; final top-k is
+    TakeOrderedAndProject.  l_quantity is integral-valued, so the
+    double SUM is order-independent and engine-exact."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
+def q21(spark, sf_dir):
+    """TPC-H Q21-style (suppliers who kept orders waiting), adapted:
+    the testdata lineitem has no l_receiptdate/l_commitdate, so "late"
+    is l_shipdate > o_orderdate + 100 days, and the nation filter is
+    dropped.  The operator structure is Q21's: a correlated EXISTS
+    with an inequality residual (another supplier touched the order)
+    as a left-semi join, and the correlated NOT EXISTS (no OTHER
+    supplier was late) as a left-anti join on the same late set —
+    both carry the equi key plus a non-equi residual, the shape
+    Catalyst plans as a residual-filtered hash join, never a BNLJ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@query(
     "q22_dormant_customers",
     """
     SELECT n_name AS nation, COUNT(*) AS numcust,
@@ -3576,6 +3692,8 @@ _PRIORITY = [
     "q4_priority_late_ship",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
     "q22_dormant_customers",
     "q15_top_supplier",
     "unpivot_customer_measures",
