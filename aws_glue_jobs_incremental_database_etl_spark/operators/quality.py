@@ -1,0 +1,115 @@
+"""Declarative data-quality constraint checking (the Deequ/Great
+Expectations pattern): a rule set is verified in as few passes as
+possible and reported as one ``(check_name, passed, observed)`` frame
+— the gate a pipeline puts between "wrote the batch" and "published
+the batch".
+
+Plan shape: every row-local rule (not-null, accepted-values, range,
+uniqueness-as-count-distinct) folds into ONE global aggregate over a
+single scan — observed metrics are just aggregate expressions.
+Referential rules need the dimension side, so each foreign-key rule
+adds one left-anti join against the (broadcast) referenced keys and
+counts survivors.  Nothing collects to the driver; the report is a
+DataFrame of one row per rule, unioned from 1-row aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _report(name: str, passed, observed) -> list:
+    return [
+        F.lit(name).alias("check_name"),
+        passed.cast("int").alias("passed"),
+        observed.cast("double").alias("observed"),
+    ]
+
+
+def check_constraints(
+    df: DataFrame,
+    *,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+    accepted_values: dict[str, Sequence] | None = None,
+    min_value: dict[str, float] | None = None,
+    max_value: dict[str, float] | None = None,
+    foreign_keys: Sequence[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Verify constraints; returns ``(check_name, passed, observed)``.
+
+    - ``not_null=[c]`` — observed = null count, passes at 0.
+    - ``unique=[c]`` — observed = duplicate rows (count − distinct),
+      passes at 0.  Exact, so it pays the COUNT-DISTINCT expand; use
+      a profiler pre-check when approximate suffices.
+    - ``accepted_values={c: [...]}`` — observed = rows outside the
+      set, passes at 0.
+    - ``min_value/max_value={c: bound}`` — observed = the violating
+      extremum's violation count, passes at 0.
+    - ``foreign_keys=[(col, dim_df, dim_col)]`` — observed = orphan
+      rows whose ``col`` misses from ``dim_df.dim_col`` (NULLs are
+      not orphans, matching SQL FK semantics), passes at 0.
+    """
+    aggs: list = []
+    names: list[str] = []
+    for c in not_null:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")))
+        names.append(f"not_null_{c}")
+    for c in unique:
+        aggs.append(F.count(F.col(c)) - F.count_distinct(F.col(c)))
+        names.append(f"unique_{c}")
+    for c, vals in (accepted_values or {}).items():
+        out_of_set = (~F.col(c).isin(list(vals))) & F.col(c).isNotNull()
+        aggs.append(F.sum(out_of_set.cast("long")))
+        names.append(f"accepted_values_{c}")
+    for c, lo in (min_value or {}).items():
+        aggs.append(F.sum((F.col(c) < lo).cast("long")))
+        names.append(f"min_value_{c}")
+    for c, hi in (max_value or {}).items():
+        aggs.append(F.sum((F.col(c) > hi).cast("long")))
+        names.append(f"max_value_{c}")
+
+    parts: list[DataFrame] = []
+    if aggs:
+        wide = df.agg(*[a.alias(f"_m{i}") for i, a in enumerate(aggs)])
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("check_name"),
+                    (F.coalesce(F.col(f"_m{i}"), F.lit(0)) == 0)
+                    .cast("int")
+                    .alias("passed"),
+                    F.coalesce(F.col(f"_m{i}"), F.lit(0))
+                    .cast("double")
+                    .alias("observed"),
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+        parts.append(wide.select(F.inline(rows)))
+
+    for col, dim, dim_col in foreign_keys:
+        orphans = (
+            df.filter(F.col(col).isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(dim_col).alias(col)).distinct()),
+                col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        parts.append(
+            orphans.select(
+                *_report(f"fk_{col}", F.col("_n") == 0, F.col("_n"))
+            )
+        )
+
+    if not parts:
+        raise ValueError("no constraints given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

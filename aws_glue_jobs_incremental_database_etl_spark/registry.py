@@ -826,6 +826,56 @@ def decontaminate_q(spark, sf_dir):
 
 
 @query(
+    "quality_checks_orders",
+    """
+    SELECT 'not_null_o_orderkey' AS check_name,
+           CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INT) AS passed,
+           CAST(m AS DOUBLE) AS observed
+    FROM (SELECT COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS m
+          FROM orders)
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INT), CAST(m AS DOUBLE)
+    FROM (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS m FROM orders)
+    UNION ALL
+    SELECT 'accepted_values_o_orderstatus',
+           CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INT), CAST(m AS DOUBLE)
+    FROM (SELECT COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                               AND o_orderstatus IS NOT NULL
+                          THEN 1 ELSE 0 END), 0) AS m FROM orders)
+    UNION ALL
+    SELECT 'min_value_o_totalprice',
+           CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INT), CAST(m AS DOUBLE)
+    FROM (SELECT COALESCE(SUM(CASE WHEN o_totalprice < 0.0 THEN 1 ELSE 0 END), 0) AS m
+          FROM orders)
+    UNION ALL
+    SELECT 'fk_o_custkey',
+           CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INT), CAST(m AS DOUBLE)
+    FROM (SELECT COUNT(*) AS m FROM orders o
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey))
+    """,
+)
+def quality_checks_q(spark, sf_dir):
+    """Data-quality constraint report (operators.quality
+    .check_constraints — the Deequ/Great Expectations publish gate):
+    row-local rules fold into one global aggregate pass; the FK rule
+    is a broadcast left-anti orphan count."""
+    from .operators.quality import check_constraints
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return check_constraints(
+        o,
+        not_null=["o_orderkey"],
+        unique=["o_orderkey"],
+        accepted_values={"o_orderstatus": ["F", "O", "P"]},
+        min_value={"o_totalprice": 0.0},
+        foreign_keys=[("o_custkey", c, "c_custkey")],
+    )
+
+
+@query(
     "mixture_resample_docs",
     """
     WITH counts AS (
@@ -3681,6 +3731,7 @@ _PRIORITY = [
     "decontaminate_docs",
     "zorder_value_orders",
     "mixture_resample_docs",
+    "quality_checks_orders",
     "bigram_top_docs",
     "random_projection_embeddings",
     "udtf_split_words",
