@@ -1620,6 +1620,99 @@ def q15(spark, sf_dir):
     )
 
 
+@query(
+    "q11_part_value_share",
+    """
+    SELECT l_partkey AS partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           > (SELECT SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) * 0.0008 FROM lineitem)
+    """,
+)
+def q11(spark, sf_dir):
+    """TPC-H Q11-style important stock (adapted: no partsupp table in
+    the corpus, so value = lineitem revenue per part): parts whose
+    revenue exceeds a fraction of GLOBAL revenue — the uncorrelated
+    scalar subquery in HAVING.
+
+    Plan: one partial-aggregated shuffle keyed by part; the global
+    total is a second aggregate over the SAME cached per-part rollup
+    (not a second fact scan), folded back as a 1-row broadcast cross
+    join.  The HAVING compare runs on exact DECIMAL(18,6) sums in
+    both engines — a double-precision threshold would make boundary
+    parts engine-dependent (addition-order sensitivity)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        l.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("_val")
+        )
+        .cache()
+    )
+    total = per_part.agg(F.sum("_val").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val") > F.col("_total") * F.lit(0.0008).cast("decimal(7,4)"))
+        .select(
+            "partkey",
+            F.round("_val", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12(spark, sf_dir):
+    """TPC-H Q12-style two-way conditional counts (adapted: no
+    l_shipmode/l_receiptdate columns, so the group key is returnflag
+    and the window is a shipdate range): urgent-vs-other line counts
+    per group, the CASE-sum-inside-join pattern.
+
+    Plan: shipdate filter pushed to the lineitem scan, one shuffled
+    equi-join on orderkey (both sides big → sort-merge under AQE),
+    then a partial-aggregated CASE-sum — the conditional counts
+    combine map-side so the final shuffle is rows-per-group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Relational: windows, sorts, set ops
 # =====================================================================
@@ -3747,6 +3840,8 @@ _PRIORITY = [
     "q21_waiting_supplier",
     "q22_dormant_customers",
     "q15_top_supplier",
+    "q11_part_value_share",
+    "q12_priority_lines",
     "unpivot_customer_measures",
     "vocab_top_terms",
     "window_distribution_family",
