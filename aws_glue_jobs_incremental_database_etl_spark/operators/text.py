@@ -250,6 +250,211 @@ def repetition_signals(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a
+    deduplicated corpus into fixed-length training windows: documents
+    are laid end-to-end in ``id`` order and the token stream is cut
+    every ``seq_len`` tokens, so window *w* covers global token
+    positions ``[w·L, (w+1)·L)``.  Output is one row per
+    (window, document) overlap: ``(window_id, id, n_tokens,
+    win_tokens)`` where ``win_tokens`` is how many of the document's
+    tokens land in that window (== how training examples are packed,
+    GPT-3 §2.3 / T5 "pack until full" style).
+
+    Scale design — the global running offset is the hard part.  A
+    bare ``SUM OVER (ORDER BY id)`` is a single-partition window (the
+    whole corpus through one task), so the cumsum is two-pass
+    instead:
+
+    1. docs are bucketed by ``id div bucket_width``; per-bucket token
+       sums are a partial-aggregated shuffle of ~corpus/width rows;
+    2. bucket start offsets are a window over THAT tiny aggregate
+       (bounded: 10^10 docs / 4096 ≈ 2.4M rows — still one task, but
+       over bucket summaries, not the corpus; raise ``bucket_width``
+       to shrink it further at scale);
+    3. each doc's offset = its bucket's start + a within-bucket
+       cumsum, a window partitioned by bucket (bounded partitions).
+
+    Everything else is map-only Catalyst (sequence + explode over the
+    windows a doc spans).  Deterministic for a fixed corpus: ordering
+    is by unique ``id``, arithmetic is exact integer."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    from .dedup import _spread
+
+    base = _spread(
+        df.filter(F.trim(F.col(text_col)) != "").select(
+            F.col(id_col).alias("id"),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ),
+        "id",
+    ).withColumn("_bucket", F.expr(f"id div {bucket_width}"))
+
+    bucket_sums = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bsum"))
+    # window over bucket SUMMARIES (corpus/bucket_width rows), not docs
+    w_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_offsets = bucket_sums.select(
+        "_bucket",
+        F.coalesce(F.sum("_bsum").over(w_buckets), F.lit(0)).alias("_boff"),
+    )
+    w_in_bucket = (
+        Window.partitionBy("_bucket").orderBy("id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    placed = (
+        base.join(F.broadcast(bucket_offsets), "_bucket")
+        .withColumn(
+            "_st",
+            F.col("_boff")
+            + F.coalesce(F.sum("n_tokens").over(w_in_bucket), F.lit(0)),
+        )
+        .withColumn("_en", F.col("_st") + F.col("n_tokens") - 1)
+    )
+    return (
+        placed.select(
+            "id",
+            "n_tokens",
+            "_st",
+            "_en",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_st div {seq_len}"), F.expr(f"_en div {seq_len}")
+                )
+            ).alias("window_id"),
+        )
+        .select(
+            F.col("window_id").cast("bigint").alias("window_id"),
+            "id",
+            "n_tokens",
+            (
+                F.least(F.col("_en"), (F.col("window_id") + 1) * seq_len - 1)
+                - F.greatest(F.col("_st"), F.col("window_id") * seq_len)
+                + 1
+            )
+            .cast("bigint")
+            .alias("win_tokens"),
+        )
+    )
+
+
+def fixed_token_segments(text_col, segment_tokens: int):
+    """Array of consecutive ``segment_tokens``-word segments (the
+    "lines" of a corpus that has no newlines) — pure Catalyst:
+    tokenize once, slice per segment index."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
+        ),
+    )
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    segment_tokens: int | None = None,
+    mode: str = "keep_first",
+    max_docs: int = 10,
+) -> DataFrame:
+    """C4-style line/segment-level dedup across the WHOLE corpus
+    (Raffel et al. 2020 §2.2 drop repeated three-sentence spans;
+    RefinedWeb does it at the line level): documents are split into
+    segments, duplicate segments are removed corpus-wide, and each
+    document is reassembled from its surviving segments in order —
+    ``(id, n_segments, n_kept, clean_text)``.
+
+    Segmentation: by ``delimiter`` (real lines), or fixed
+    ``segment_tokens``-word windows when the corpus has no structural
+    delimiter (:func:`fixed_token_segments`).
+
+    Two dedup policies:
+
+    - ``keep_first``: a segment survives only in the lexicographically
+      first ``(id, pos)`` it appears at.  The winner per segment is
+      ``min(struct(id, pos))`` — a partial-aggregated groupBy, NOT a
+      ``row_number`` window, so a boilerplate segment duplicated a
+      billion times costs a combiner-side max, never a billion-row
+      window partition.
+    - ``drop_common``: segments appearing in more than ``max_docs``
+      documents are dropped EVERYWHERE (the C4 policy for boilerplate;
+      approximate-count-free, one partial-aggregated count_distinct).
+
+    Plan shape: explode → one shuffle keyed by segment text (winner /
+    count) → hash join back → one shuffle keyed by doc to reassemble.
+    Reassembly order is carried by ``array_sort`` over (pos, segment)
+    structs, so no ordered window is needed there either."""
+    if mode not in ("keep_first", "drop_common"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    from .dedup import _spread
+
+    sep = " " if segment_tokens is not None else delimiter
+    segments = (
+        fixed_token_segments(F.col(text_col), segment_tokens)
+        if segment_tokens is not None
+        else F.split(F.col(text_col), F.lit(delimiter), -1)
+    )
+    segs = _spread(
+        df.filter(F.trim(F.col(text_col)) != "").select(
+            F.col(id_col).alias("id"), segments.alias("_segs")
+        ),
+        "id",
+    ).select("id", F.posexplode("_segs").alias("pos", "seg"))
+
+    if mode == "keep_first":
+        winners = segs.groupBy("seg").agg(
+            F.min(F.struct("id", "pos")).alias("_first")
+        )
+        kept = (F.col("id") == F.col("_first.id")) & (
+            F.col("pos") == F.col("_first.pos")
+        )
+        marked = segs.join(winners, "seg").withColumn("_keep", kept)
+    else:
+        counts = segs.groupBy("seg").agg(
+            F.count_distinct("id").alias("_ndocs")
+        )
+        marked = segs.join(counts, "seg").withColumn(
+            "_keep", F.col("_ndocs") <= max_docs
+        )
+
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda x: x.seg,
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

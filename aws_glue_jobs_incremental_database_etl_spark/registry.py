@@ -3106,6 +3106,92 @@ def chunk_documents_q(spark, sf_dir):
 
 
 @query(
+    "pack_sequences_512",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      FROM documents WHERE trim(text) <> ''
+    ), c AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS st
+      FROM t
+    ), s AS (
+      SELECT doc_id, n, st, st + n - 1 AS en FROM c
+    ), ex AS (
+      SELECT doc_id, st, en,
+             unnest(range(st // 512, en // 512 + 1)) AS window_id
+      FROM s
+    )
+    SELECT CAST(window_id AS BIGINT) AS window_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(en, window_id * 512 + 511)
+                    - GREATEST(st, window_id * 512) + 1) AS BIGINT) AS n_tokens
+    FROM ex GROUP BY window_id
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Sequence packing (operators.text.pack_sequences): documents
+    laid end-to-end in id order, cut into 512-token training windows;
+    per-window document count and token fill.  The oracle is the
+    naive global-cumsum formulation; the operator computes the same
+    offsets with the scale-safe two-pass bucket cumsum
+    (bucket_width=64 here so sf0.01's 500 docs actually span
+    multiple buckets and exercise the offset fold)."""
+    from .operators.text import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = pack_sequences(d, "doc_id", "text", seq_len=512, bucket_width=64)
+    return pairs.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("win_tokens").alias("n_tokens"),
+    )
+
+
+@query(
+    "segment_dedup_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ), ex AS (
+      SELECT doc_id, w, unnest(range(0, (len(w) + 11) // 12)) AS pos FROM base
+    ), segs AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(w, pos * 12 + 1, pos * 12 + 12), ' ')
+                 AS seg
+      FROM ex
+    ), ranked AS (
+      SELECT doc_id, pos, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM segs
+    )
+    SELECT doc_id, COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(list(seg ORDER BY pos)
+                                    FILTER (WHERE rn = 1), ' '), '')
+               AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def segment_dedup_q(spark, sf_dir):
+    """Corpus-wide segment dedup (operators.text.dedup_segments,
+    C4/RefinedWeb line-dedup pattern) over 12-token segments —
+    first occurrence wins, documents reassembled from surviving
+    segments.  The oracle's row_number-per-segment formulation is
+    what the operator's min(struct(id,pos)) winner aggregate
+    computes without a segment-partitioned window."""
+    from .operators.text import dedup_segments
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_segments(
+        d, "doc_id", "text", segment_tokens=12
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
     "stratified_sample_docs",
     """
     SELECT doc_id, lang FROM (
@@ -3809,6 +3895,8 @@ _PRIORITY = [
     "hash_split_documents",
     "stratified_sample_docs",
     "chunk_documents_64",
+    "pack_sequences_512",
+    "segment_dedup_docs",
     "tfidf_top_terms_docs",
     "table_checksum_orders",
     "histogram_totalprice",

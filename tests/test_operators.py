@@ -584,3 +584,93 @@ def test_decontaminate_min_matches_threshold(spark):
     out = {r.id: r for r in decontaminate(docs, bench, k=5, min_matches=2).collect()}
     assert out[1].n_matched_grams == 2 and out[1].is_contaminated == 1
     assert out[2].n_matched_grams == 1 and out[2].is_contaminated == 0
+
+
+# ------------------------------------------------- packing / segment dedup
+
+def test_pack_sequences_window_assignment(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    # stream (id order): doc1 @ [0,2], doc2 @ [3,6], doc3 @ [7,8]; L=4
+    out = {
+        (r.window_id, r.id): r.win_tokens
+        for r in pack_sequences(docs, seq_len=4, bucket_width=2).collect()
+    }
+    assert out == {(0, 1): 3, (0, 2): 1, (1, 2): 3, (1, 3): 1, (2, 3): 1}
+
+
+def test_pack_sequences_bucket_width_invariant(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(1, 40)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, pack_sequences(docs, seq_len=8, bucket_width=1).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, seq_len=8, bucket_width=1000).collect()))
+    assert a == b
+    # every document's windowed tokens sum back to its token count
+    per_doc = {}
+    for w, i, n, wt in a:
+        per_doc.setdefault((i, n), 0)
+        per_doc[(i, n)] += wt
+    assert all(total == n for (_, n), total in per_doc.items())
+
+
+def test_dedup_segments_keep_first(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import dedup_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world\nfoo bar"),
+            (2, "foo bar\nunique line"),
+            (3, "hello world\nfoo bar"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r for r in dedup_segments(docs, delimiter="\n").collect()}
+    assert out[1].n_kept == 2 and out[1].clean_text == "hello world\nfoo bar"
+    assert out[2].n_kept == 1 and out[2].clean_text == "unique line"
+    assert out[3].n_kept == 0 and out[3].clean_text == ""
+    assert all(r.n_segments == 2 for r in out.values())
+
+
+def test_dedup_segments_drop_common(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import dedup_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world\nfoo bar"),
+            (2, "foo bar\nunique line"),
+            (3, "hello world\nfoo bar"),
+            (4, "foo bar"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r
+        for r in dedup_segments(docs, delimiter="\n", mode="drop_common", max_docs=2).collect()
+    }
+    # "foo bar" is in 3 docs > max_docs → dropped everywhere, incl. first
+    assert out[1].clean_text == "hello world"
+    assert out[3].clean_text == "hello world"
+    assert out[4].clean_text == ""
+    assert out[2].clean_text == "unique line"
+
+
+def test_dedup_segments_fixed_token_segments(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        dedup_segments,
+        fixed_token_segments,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    segs = docs.select(fixed_token_segments(F.col("text"), 2).alias("s")).first().s
+    assert segs == ["a b", "c d", "e"]
+    out = dedup_segments(docs, segment_tokens=2).first()
+    assert out.n_segments == 3 and out.n_kept == 3
+    assert out.clean_text == "a b c d e"
