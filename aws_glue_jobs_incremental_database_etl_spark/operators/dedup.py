@@ -621,3 +621,69 @@ def embedding_near_dup_pairs_bucketed(
         .applyInPandas(pairs_in_bucket, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ------------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    embedding corpus — cluster with KMeans, then within each cluster
+    drop every row whose cosine to a LOWER-id row in the same cluster
+    is ≥ ``threshold`` (min id is the deterministic representative,
+    where the paper picks one per duplicate group).  Returns the
+    surviving rows of ``df`` unchanged, plus their ``cluster``.
+
+    Scale shape: the pairwise kernel never sees the corpus — only one
+    cluster at a time (shuffle keyed on cluster, Arrow-batched
+    ``applyInPandas``, one normalized matmul per group).  Cluster
+    count is the lever: size clusters so corpus/n_clusters rows of
+    vectors fit an executor (SemDeDup itself uses ~10^4-10^5 clusters
+    at web scale).  The KMeans fit is the only full-corpus stage
+    (seeded, ``pyspark.ml``); at 100 TB fit it on a sample or reuse
+    the IVF index's quantizer (``similarity.ivf_assign`` — same
+    call) instead of fitting per job.
+
+    Unlike ``embedding_near_dup_pairs_bucketed`` (random hyperplane
+    buckets, per-pair recall guarantee) the cluster partition is
+    data-adaptive but cross-cluster duplicates are MISSED by design —
+    the SemDeDup tradeoff, recall bounded by the quantizer."""
+    import pyspark.sql.types as T
+
+    from .similarity import ivf_assign
+
+    assigned, _ = ivf_assign(df, n_clusters, vec_col, seed, max_iter)
+
+    loser_schema = T.StructType([T.StructField("__loser_id", T.LongType())])
+
+    def losers_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"__loser_id": []})
+        pdf = pdf.sort_values("__sd_id")
+        ids = pdf["__sd_id"].to_numpy()
+        mat = np.array(list(pdf["__sd_vec"]), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        # row i loses iff some earlier (smaller-id) row matches it
+        lose = (np.tril(sims >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame({"__loser_id": ids[lose]})
+
+    losers = (
+        assigned.select(
+            F.col("cluster"),
+            F.col(id_col).cast("long").alias("__sd_id"),
+            F.col(vec_col).alias("__sd_vec"),
+        )
+        .groupBy("cluster")
+        .applyInPandas(losers_in_cluster, loser_schema)
+    )
+    return assigned.join(
+        losers, assigned[id_col] == losers["__loser_id"], "left_anti"
+    )

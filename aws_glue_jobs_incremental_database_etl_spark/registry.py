@@ -3105,6 +3105,21 @@ def chunk_documents_q(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+@query("semantic_dedup_embeddings")  # rows-only: KMeans isn't SQL-expressible
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup semantic dedup (operators.dedup.semantic_dedup):
+    seeded KMeans clusters, within-cluster cosine ≥ 0.97 prune,
+    min-id survivor.  Rows-only by design — the clustering step has
+    no ANSI-SQL twin; the pairwise kernel itself is the same one
+    verified exactly by embedding_near_dup / _bucketed oracles."""
+    from .operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_clusters=8, threshold=0.97, max_iter=3
+    ).select("vec_id", "cluster")
+
+
 @query(
     "pack_sequences_512",
     r"""
@@ -3874,6 +3889,7 @@ _PRIORITY = [
     "cosine_topk_many_embeddings",
     "embedding_near_dup",
     "embedding_near_dup_bucketed",
+    "semantic_dedup_embeddings",
     "minhash_near_dup_docs",
     "jaccard_near_dup_docs",
     "simhash_near_dup_docs",

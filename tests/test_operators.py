@@ -674,3 +674,31 @@ def test_dedup_segments_fixed_token_segments(spark):
     out = dedup_segments(docs, segment_tokens=2).first()
     assert out.n_segments == 3 and out.n_kept == 3
     assert out.clean_text == "a b c d e"
+
+
+def test_semantic_dedup_within_cluster_min_id_survives(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # two well-separated cluster centers; ids 1-3 are near-identical
+    # copies in cluster A, ids 10-11 near-identical in cluster B,
+    # id 20 is a loner in cluster A's region but far from 1-3
+    a = rng.standard_normal(16); a /= np.linalg.norm(a)
+    b = rng.standard_normal(16); b /= np.linalg.norm(b)
+    for i in (1, 2, 3):
+        v = a + rng.standard_normal(16) * 1e-3
+        rows.append((i, [float(x) for x in v]))
+    for i in (10, 11):
+        v = b + rng.standard_normal(16) * 1e-3
+        rows.append((i, [float(x) for x in v]))
+    loner = a * 0.2 + rng.standard_normal(16) * 0.5
+    rows.append((20, [float(x) for x in loner]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, "vec_id", "embedding", n_clusters=2, threshold=0.99)
+    survivors = sorted(r.vec_id for r in out.collect())
+    assert 1 in survivors and 10 in survivors          # min ids survive
+    assert 2 not in survivors and 3 not in survivors   # near-dups of 1
+    assert 11 not in survivors                         # near-dup of 10
+    assert 20 in survivors                             # not a duplicate
+    assert "cluster" in out.columns
