@@ -201,3 +201,43 @@ def test_table_diff_single_full_outer_join(plans):
 def test_lexicon_corpus_never_shuffles_for_the_join(plans):
     p = plans("lexicon_score_docs")
     assert "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_reduces_big_big_join(spark, sf_dir):
+    """When neither join side can broadcast (the 100 TB big⋈big case),
+    Spark's runtime bloom filter should inject a semi-join reduction:
+    the selective side's keys reach the fact scan as a bloom_filter_agg
+    probe, cutting shuffle volume before the exchange.  Pinned here so
+    a session-config regression (the feature silently off, thresholds
+    wrong) is caught — at scale this is the difference between
+    shuffling all of lineitem and shuffling the ~20% that can match."""
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            ),
+    }
+    try:
+        # force the big⋈big regime: no broadcast, no min-scan-size gate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = l.join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            l.l_orderkey == o.o_orderkey,
+        )
+        p = plan_of(j)
+        assert "bloom_filter_agg" in p, p
+        assert "BroadcastHashJoin" not in p
+        # and the probe must sit on the lineitem (application) side scan
+        assert "might_contain" in p.lower() or "BloomFilter" in p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
