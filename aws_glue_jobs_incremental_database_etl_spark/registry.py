@@ -1621,6 +1621,41 @@ def q15(spark, sf_dir):
 
 
 @query(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16(spark, sf_dir):
+    """TPC-H Q16-style supplier variety (adapted: no partsupp table,
+    lineitem is the part↔supplier bridge): distinct suppliers per
+    (brand, type), excluding an unwanted supplier set via NOT IN.
+
+    Plan: the NOT IN subquery is a LEFT ANTI join against the tiny
+    pre-filtered supplier list (broadcast); part joins broadcast on
+    partkey; the COUNT DISTINCT is the standard two-phase Expand
+    aggregate keyed by (brand, type) — one fact shuffle total."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(p.filter(F.col("p_brand") != "Brand#45")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
     "q11_part_value_share",
     """
     SELECT l_partkey AS partkey,
@@ -3207,6 +3242,62 @@ def segment_dedup_q(spark, sf_dir):
 
 
 @query(
+    "redact_pii_docs",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             concat_ws(' ',
+               'contact', 'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+               'ip', '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+               'tel', CAST(doc_id + 5550000000 AS VARCHAR),
+               substring(text, 1, 80)) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+             '\b(?:\d[ .-]?){7,}\d\b', '<NUMBER>', 'g') AS redacted
+    FROM raw
+    """,
+)
+def redact_pii_q(spark, sf_dir):
+    """PII shape redaction (functions.text.redact_pii): the corpus has
+    no real PII, so deterministic synthetic email/IP/phone shapes are
+    woven into each document IN the query (same construction in both
+    engines), then masked.  The patterns are deliberately
+    backreference-free so Java regex (Spark) and RE2 (DuckDB) agree
+    character-for-character — which is exactly what this oracle
+    proves.  Map-only projection, three chained JVM regexp_replace."""
+    from .functions.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lit("contact"),
+            F.concat(
+                F.lit("user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+            F.lit("ip"),
+            F.concat(
+                F.lit("10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+            F.lit("tel"),
+            (F.col("doc_id") + F.lit(5550000000)).cast("string"),
+            F.substring("text", 1, 80),
+        ).alias("raw"),
+    )
+    return raw.select("doc_id", redact_pii(F.col("raw")).alias("redacted"))
+
+
+@query(
     "stratified_sample_docs",
     """
     SELECT doc_id, lang FROM (
@@ -3946,6 +4037,8 @@ _PRIORITY = [
     "q15_top_supplier",
     "q11_part_value_share",
     "q12_priority_lines",
+    "q16_supplier_variety",
+    "redact_pii_docs",
     "unpivot_customer_measures",
     "vocab_top_terms",
     "window_distribution_family",
