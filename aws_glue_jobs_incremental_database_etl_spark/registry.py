@@ -645,10 +645,16 @@ def asof_q(spark, sf_dir):
       SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh, w
       FROM f
+    ), posts AS MATERIALIZED (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
+    ), inter AS (
+      SELECT a.doc_id AS u, COUNT(*) AS c,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM posts a JOIN posts b ON a.g = b.g AND b.doc_id < a.doc_id
+      GROUP BY a.doc_id, b.doc_id
     ), losers AS (
-      SELECT DISTINCT a.doc_id FROM d a JOIN d b ON b.doc_id < a.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+      SELECT DISTINCT u AS doc_id FROM inter
+      WHERE c::DOUBLE / (na + nb - c) >= 0.7
     ), s AS (
       SELECT doc_id, w,
              CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -2696,22 +2702,23 @@ def emb_near_dup_bucketed_q(spark, sf_dir):
 @query(
     "minhash_near_dup_docs",
     """
-    WITH d AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
-               i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-                    string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-                    string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS sh
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
       FROM documents
-      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+    ), d AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM toks WHERE len(w) >= 3
+    ), posts AS MATERIALIZED (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7""",
+    SELECT id_a, id_b, ROUND(c::DOUBLE / (na + nb - c), 6) AS jaccard
+    FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.7""",
 )
 def minhash_q(spark, sf_dir):
     """MinHash-LSH near-dup pairs (banded; candidates only from shared
@@ -2730,22 +2737,23 @@ def minhash_q(spark, sf_dir):
 @query(
     "jaccard_near_dup_docs",
     """
-    WITH d AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
-               i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-                    string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-                    string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS sh
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
       FROM documents
-      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+    ), d AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM toks WHERE len(w) >= 3
+    ), posts AS MATERIALIZED (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    SELECT id_a, id_b, ROUND(c::DOUBLE / (na + nb - c), 6) AS jaccard
+    FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.7
     """,
 )
 def jaccard_q(spark, sf_dir):
@@ -3071,10 +3079,16 @@ def pandas_udaf_q(spark, sf_dir):
              list_distinct(list_transform(range(1, len(w) - 1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM toks
+    ), posts AS MATERIALIZED (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
+    ), inter AS (
+      SELECT a.doc_id AS u, COUNT(*) AS c,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM posts a JOIN posts b ON a.g = b.g AND b.doc_id < a.doc_id
+      GROUP BY a.doc_id, b.doc_id
     ), losers AS (
-      SELECT DISTINCT a.doc_id FROM d a JOIN d b ON b.doc_id < a.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+      SELECT DISTINCT u AS doc_id FROM inter
+      WHERE c::DOUBLE / (na + nb - c) >= 0.7
     )
     SELECT doc_id, lang FROM d
     WHERE doc_id NOT IN (SELECT doc_id FROM losers)
@@ -3400,10 +3414,15 @@ def hash_split_q(spark, sf_dir):
       SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM toks
+    ), posts AS MATERIALIZED (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
+    ), inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     ), pairs AS (
-      SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+      SELECT u, v FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.7
     ), edges AS (
       SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
     ), reach(id, r) AS (
