@@ -45,6 +45,9 @@ HEADLINE = [
     # round-2 operators (cheap representatives; heavier ones — CDC merge
     # ~6 s, component resolution ~8 s at sf0.1 — are timed in their tests)
     "chunk_documents_64",
+    "pack_sequences_512",
+    "segment_dedup_docs",
+    "semantic_dedup_embeddings",
     "profile_orders",
     "vocab_top_terms",
     "hash_split_documents",
