@@ -2885,6 +2885,17 @@ def multimodal_q(spark, sf_dir):
     )
 
 
+@query("multimodal_audio_features")  # rows-only: synthetic media, stubbed decode
+def audio_q(spark, sf_dir):
+    """Windowed audio featurization (operators.multimodal.
+    extract_audio_features): 1-row-in → N-windows-out mapInPandas,
+    RMS + zero-crossing rate per window, decode stubbed."""
+    from .operators.multimodal import extract_audio_features, make_fake_media
+
+    media = make_fake_media(spark, n=64)
+    return extract_audio_features(media, window_samples=32)
+
+
 @query("multimodal_frame_sample")  # rows-only: synthetic media
 def frames_q(spark, sf_dir):
     """Video/audio frame-sampling plan (sequence+explode, no UDF)."""
@@ -4006,6 +4017,7 @@ _PRIORITY = [
     "lsh_topk_embeddings",
     "ivf_topk_embeddings",
     "multimodal_image_features",
+    "multimodal_audio_features",
     "multimodal_frame_sample",
     "q7_nation_volume",
     "q8_market_share",

@@ -66,3 +66,43 @@ def test_sample_frames_timestamps(spark):
     for mid, ts in got.items():
         expect_n = min(durations[mid] // 500 + 1, 4)
         assert sorted(ts) == [i * 500 for i in range(expect_n)]
+
+
+def test_extract_audio_features_windows_and_determinism(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        extract_audio_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=12)
+    out = extract_audio_features(media, window_samples=32)
+    rows = out.collect()
+    assert rows, "audio rows expected from every-3rd fake media row"
+    # only audio/* rows contribute
+    audio_ids = {r.media_id for r in media.filter("mime LIKE 'audio/%'").collect()}
+    assert {r.media_id for r in rows} == audio_ids
+    # duration-scaled window counts: duration_ms//50 samples / 32 per window
+    durs = {r.media_id: r.duration_ms for r in media.collect()}
+    import collections
+    per = collections.Counter(r.media_id for r in rows)
+    for mid, cnt in per.items():
+        n = max(32, durs[mid] // 50)
+        assert cnt == n // 32
+    # deterministic across runs
+    again = {(r.media_id, r.window_id): (r.rms, r.zcr) for r in out.collect()}
+    first = {(r.media_id, r.window_id): (r.rms, r.zcr) for r in rows}
+    assert first == again
+    # zcr is a rate in [0, 1]; rms positive for the fake waveform
+    assert all(0.0 <= r.zcr <= 1.0 and r.rms > 0 for r in rows)
+
+
+def test_audio_real_decoder_is_explicit_stub(spark):
+    import pytest as _pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        extract_audio_features,
+        make_fake_media,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        extract_audio_features(make_fake_media(spark, 3), decoder="real")
