@@ -532,7 +532,11 @@ def embedding_near_dup_pairs(
                 {
                     "id_a": qi[rows_i][keep],
                     "id_b": ref_ids[cols_j][keep],
-                    "cosine": np.round(sims[rows_i, cols_j][keep], 6),
+                    # raw f64 — round ONCE at the consumer; an
+                    # in-kernel round creates exact decimal half-points
+                    # that a coarser re-round resolves differently per
+                    # engine (double-rounding)
+                    "cosine": sims[rows_i, cols_j][keep],
                 }
             )
 
@@ -613,7 +617,9 @@ def embedding_near_dup_pairs_bucketed(
         i, j = np.nonzero(np.triu(sims >= threshold, k=1))
         lo, hi = np.minimum(ids[i], ids[j]), np.maximum(ids[i], ids[j])
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[i, j], 6)}
+            # raw f64 — see embedding_near_dup_pairs: round once, at
+            # the consumer, never twice
+            {"id_a": lo, "id_b": hi, "cosine": sims[i, j]}
         )
 
     return (

@@ -250,6 +250,78 @@ def repetition_signals(
     )
 
 
+def lm_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained bigram
+    language model — the CCNet-style perplexity filter (Wenzek et al.
+    2020 score documents under a KenLM model; here the model IS the
+    corpus's own bigram statistics, so the operator is closed over its
+    input): ``(id, n_bigrams, cross_entropy)`` where
+    ``cross_entropy = −mean log P(w_i | w_{i−1})`` with add-``k``
+    smoothing ``P(w2|w1) = (C(w1,w2)+k) / (C(w1)+k·V)``.
+    Low score = fluent/typical text; high = rare or garbled — the
+    standard quality-filtering axis.
+
+    Plan shape: one explode for unigram counts, one for bigrams (both
+    partial-aggregated); the per-doc bigram stream joins the count
+    tables ON THE GRAM KEY — shuffle joins, no broadcast needed, so
+    the model tables may be arbitrarily large (Zipf skew on hot grams
+    is AQE's skew-join case).  The only scalar is vocabulary size V.
+    Documents with < 2 tokens get 0.0 via the final left join."""
+    from .dedup import _spread
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks")), "id"
+    ).persist()
+    uni = (
+        base.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    vocab_size = uni.count()  # scalar: drives the smoothing literal
+    n = F.size("_toks")
+    pair = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = base.select("id", F.explode(pair).alias("p")).select(
+        "id", "p.w1", "p.w2"
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    # fold C(w1) into the (much smaller) distinct-bigram model table
+    # first, so the full bigram STREAM pays one join, not two
+    model = bc.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.log(
+            (F.col("_cb") + F.lit(k)) / (F.col("_cu") + F.lit(k * vocab_size))
+        ).alias("_logp"),
+    )
+    scored = (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

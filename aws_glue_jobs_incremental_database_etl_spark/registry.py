@@ -2686,15 +2686,17 @@ def emb_near_dup_bucketed_q(spark, sf_dir):
     path (no driver-side collect; per-bucket matmul kernel).  Checked
     against the SAME exact all-pairs oracle: the seeded hyperplanes
     make the result deterministic, and at these table/plane settings
-    recall is 1.0 on this corpus (verified; false positives are
-    impossible — cosine is computed exactly in the kernel)."""
+    recall is 1.0 on this corpus (verified at sf0.001/0.01/0.1 — 49
+    tables cover every τ≥0.4 pair at sf0.1, 64 leaves margin; false
+    positives are impossible — cosine is computed exactly in the
+    kernel)."""
     from .operators.dedup import embedding_near_dup_pairs_bucketed
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     out = embedding_near_dup_pairs_bucketed(
-        emb, "vec_id", "embedding", threshold=0.4, num_planes=4, num_tables=48
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4, num_tables=64
     )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
@@ -3264,6 +3266,51 @@ def segment_dedup_q(spark, sf_dir):
     return dedup_segments(
         d, "doc_id", "text", segment_tokens=12
     ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "lm_score_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), uni AS MATERIALIZED (
+      SELECT g AS w1, COUNT(*) AS cu
+      FROM (SELECT unnest(w) AS g FROM toks) GROUP BY g
+    ), v AS (
+      SELECT COUNT(*) AS vs FROM uni
+    ), ix AS (
+      SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks
+    ), bi AS MATERIALIZED (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM ix
+    ), bc AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
+    ), scored AS (
+      SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(-AVG(LN((bc.cb + 0.5) / (uni.cu + 0.5 * v.vs))), 6)
+                 AS cross_entropy
+      FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      GROUP BY bi.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.cross_entropy, 0.0) AS cross_entropy
+    FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+    """,
+)
+def lm_score_q(spark, sf_dir):
+    """CCNet-style LM fluency scoring (operators.text.
+    lm_cross_entropy): per-document cross-entropy under the corpus's
+    own add-k-smoothed bigram model.  Count tables join on the gram
+    key (shuffle joins — the model may outgrow any broadcast);
+    rounding to 6 decimals absorbs float summation-order differences
+    between engines."""
+    from .operators.text import lm_cross_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm_cross_entropy(d, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 @query(
@@ -4070,6 +4117,7 @@ _PRIORITY = [
     "q12_priority_lines",
     "q16_supplier_variety",
     "redact_pii_docs",
+    "lm_score_docs",
     "unpivot_customer_measures",
     "vocab_top_terms",
     "window_distribution_family",
