@@ -4123,6 +4123,9 @@ _PRIORITY = [
     "window_distribution_family",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "window_first_last_orders",
+    "setop_except_all",
+    "json_roundtrip_events",
     "q3_shipping_priority",
     "asof_join_purchase_click",
     "sql_top_suppliers",
