@@ -3015,6 +3015,85 @@ def setop_except_all_q(spark, sf_dir):
 
 
 @query(
+    "setop_intersect_all",
+    """
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def setop_intersect_all_q(spark, sf_dir):
+    """INTERSECT ALL (SURVEY.md §2.7 [EXT]): multiset intersection —
+    each value appears min(count_left, count_right) times, so
+    duplicate multiplicities (not just membership) must match."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS best
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, best,
+             MIN(best) OVER (PARTITION BY l_partkey) AS part_best
+      FROM offers
+    )
+    SELECT p_partkey, p_brand, s_name, n_name AS nation,
+           ROUND(best, 2) AS best_price
+    FROM ranked
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_size <= 10 AND best = part_best
+    """,
+)
+def q2(spark, sf_dir):
+    """TPC-H Q2-style min-cost supplier (adapted: no partsupp/region,
+    lineitem prices are the offers): for each small part, the
+    supplier(s) achieving its minimum price — the correlated-MIN
+    subquery expressed as a per-part window over the pre-aggregated
+    offer table (one fact shuffle; the window runs on parts×suppliers,
+    not raw lineitem).  Ties keep every best supplier — a
+    deterministic set, no tie-break needed.  MIN on doubles is exact
+    and order-insensitive, so the equality filter is engine-stable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    offers = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best")
+    )
+    ranked = offers.withColumn(
+        "part_best", F.min("best").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        ranked.filter(F.col("best") == F.col("part_best"))
+        .join(
+            F.broadcast(p.filter(F.col("p_size") <= 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("best", 2).alias("best_price"),
+        )
+    )
+
+
+@query(
     "json_roundtrip_events",
     """
     SELECT event_id,
@@ -4125,6 +4204,8 @@ _PRIORITY = [
     "cohort_weekly_retention",
     "window_first_last_orders",
     "setop_except_all",
+    "setop_intersect_all",
+    "q2_min_cost_supplier",
     "json_roundtrip_events",
     "q3_shipping_priority",
     "asof_join_purchase_click",
