@@ -12,6 +12,8 @@ query registry; this package holds the operators Spark does NOT ship:
 - ``text``       — text analysis, TF-IDF, context-window chunking
 - ``sampling``   — deterministic md5 splits / stratified reservoirs
 - ``profile``    — column profiler, histograms, checksums, outliers
+- ``quality``    — Deequ-style constraint gates (single-pass checks)
+- ``skew``       — heavy-hitter diagnostics + salt-bucket sizing
 - ``udafs``      — grouped-aggregate pandas UDFs (import lazily — its
                    module-level ``pandas_udf`` needs an active session)
 - ``multimodal`` — binary media columns: plumbing + stubbed decoders
@@ -24,7 +26,9 @@ from . import (  # noqa: F401
     joins,
     multimodal,
     profile,
+    quality,
     sampling,
     similarity,
+    skew,
     text,
 )
