@@ -241,3 +241,32 @@ def test_runtime_bloom_filter_reduces_big_big_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q2_window_runs_on_preaggregated_offers(plans):
+    p = plans("q2_min_cost_supplier")
+    # dims broadcast; correlated MIN is a window over the offer
+    # aggregate, never a re-scan of lineitem or a nested-loop compare
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+    # exactly one scan of lineitem feeds the whole query
+    assert p.count("lineitem.parquet") == 1
+
+
+def test_q16_not_in_is_broadcast_anti_join(plans):
+    p = plans("q16_supplier_variety")
+    assert "LeftAnti, BuildRight" in p or ("LeftAnti" in p and "BroadcastHashJoin" in p)
+    # exact COUNT DISTINCT plans as multi-level hash aggregation (a
+    # single distinct agg needs no Expand — dedupe on the group+key
+    # partial level, then count)
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lm_score_model_join_not_nested_loop(plans):
+    p = plans("lm_score_docs")
+    # gram-keyed joins must stay hash/sort-merge; a BNLJ here would be
+    # corpus × model and die at scale
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
