@@ -474,6 +474,10 @@ def dedup_segments(
     structs, so no ordered window is needed there either."""
     if mode not in ("keep_first", "drop_common"):
         raise ValueError(f"unknown mode: {mode!r}")
+    if segment_tokens is not None and segment_tokens < 1:
+        raise ValueError("segment_tokens must be >= 1")
+    if segment_tokens is None and not delimiter:
+        raise ValueError("need a non-empty delimiter or segment_tokens")
     from .dedup import _spread
 
     sep = " " if segment_tokens is not None else delimiter

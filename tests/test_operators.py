@@ -702,3 +702,22 @@ def test_semantic_dedup_within_cluster_min_id_survives(spark):
     assert 11 not in survivors                         # near-dup of 10
     assert 20 in survivors                             # not a duplicate
     assert "cluster" in out.columns
+
+
+def test_dedup_segments_and_pack_sequences_validate_args(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        dedup_segments,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup_segments(df, mode="nope")
+    with pytest.raises(ValueError):
+        dedup_segments(df, segment_tokens=0)
+    with pytest.raises(ValueError):
+        dedup_segments(df, delimiter="")
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, bucket_width=0)
