@@ -666,8 +666,17 @@ def semantic_dedup(
     from .similarity import ivf_assign
 
     assigned, _ = ivf_assign(df, n_clusters, vec_col, seed, max_iter)
+    # persist: the losers branch and the final anti join both consume
+    # this frame — without the cache the corpus scan + KMeans transform
+    # (the most expensive map stage) would run twice
+    assigned = assigned.persist()
 
-    loser_schema = T.StructType([T.StructField("__loser_id", T.LongType())])
+    # loser ids keep the caller's id type (string doc ids are fine —
+    # the min-id winner rule only needs a total order, which the
+    # pandas sort provides for any orderable dtype)
+    loser_schema = T.StructType(
+        [T.StructField("__loser_id", df.schema[id_col].dataType)]
+    )
 
     def losers_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -684,7 +693,7 @@ def semantic_dedup(
     losers = (
         assigned.select(
             F.col("cluster"),
-            F.col(id_col).cast("long").alias("__sd_id"),
+            F.col(id_col).alias("__sd_id"),
             F.col(vec_col).alias("__sd_vec"),
         )
         .groupBy("cluster")

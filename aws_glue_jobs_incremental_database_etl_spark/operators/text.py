@@ -480,11 +480,15 @@ def dedup_segments(
         raise ValueError("need a non-empty delimiter or segment_tokens")
     from .dedup import _spread
 
+    import re
+
     sep = " " if segment_tokens is not None else delimiter
     segments = (
         fixed_token_segments(F.col(text_col), segment_tokens)
         if segment_tokens is not None
-        else F.split(F.col(text_col), F.lit(delimiter), -1)
+        # F.split takes a REGEX — escape so a literal delimiter like
+        # "|" or ". " splits literally instead of as a pattern
+        else F.split(F.col(text_col), F.lit(re.escape(delimiter)), -1)
     )
     segs = _spread(
         df.filter(F.trim(F.col(text_col)) != "").select(

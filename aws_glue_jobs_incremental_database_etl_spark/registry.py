@@ -26,6 +26,22 @@ from .tables import load_table
 Q = {}  # name -> callable(spark, sf_dir) -> DataFrame
 O = {}  # name -> oracle SQL (DuckDB); absent => rows-only check
 
+# Shared DuckDB fragment: 3-gram-Jaccard candidate intersections via an
+# inverted shingle index (posts unnest + hash join + COUNT), ~200×
+# faster than the all-pairs list_intersect formulation it replaced.
+# Expects a CTE named ``d`` with (doc_id, sh) in scope; yields ``inter``
+# with (id_a < id_b, c = |A∩B|, na = |A|, nb = |B|), so
+# jaccard = c / (na + nb - c).  Interpolated into every oracle that
+# scores shingle overlap — ONE place to change the candidate semantics.
+_SHINGLE_INTER_SQL = """posts AS MATERIALIZED (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )"""
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -626,7 +642,7 @@ def asof_q(spark, sf_dir):
 
 @query(
     "training_data_pipeline",
-    r"""
+    rf"""
     WITH q AS (
       SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w,
              0.5 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
@@ -645,15 +661,8 @@ def asof_q(spark, sf_dir):
       SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh, w
       FROM f
-    ), posts AS MATERIALIZED (
-      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
-    ), inter AS (
-      SELECT a.doc_id AS u, COUNT(*) AS c,
-             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-      FROM posts a JOIN posts b ON a.g = b.g AND b.doc_id < a.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), losers AS (
-      SELECT DISTINCT u AS doc_id FROM inter
+    ), {_SHINGLE_INTER_SQL}, losers AS (
+      SELECT DISTINCT id_b AS doc_id FROM inter
       WHERE c::DOUBLE / (na + nb - c) >= 0.7
     ), s AS (
       SELECT doc_id, w,
@@ -1632,8 +1641,10 @@ def q15(spark, sf_dir):
     SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
     FROM part JOIN lineitem ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#45'
+      AND l_suppkey IS NOT NULL
       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                            WHERE s_acctbal < 0)
+                            WHERE s_acctbal < 0
+                              AND s_suppkey IS NOT NULL)
     GROUP BY p_brand, p_type
     """,
 )
@@ -1644,14 +1655,21 @@ def q16(spark, sf_dir):
 
     Plan: the NOT IN subquery is a LEFT ANTI join against the tiny
     pre-filtered supplier list (broadcast); part joins broadcast on
-    partkey; the COUNT DISTINCT is the standard two-phase Expand
-    aggregate keyed by (brand, type) — one fact shuffle total."""
+    partkey; the COUNT DISTINCT is the standard two-phase distinct
+    aggregate keyed by (brand, type) — one fact shuffle total.
+    Both sides exclude NULL keys EXPLICITLY: bare NOT IN returns
+    no rows if the subquery yields a NULL (and drops NULL probe
+    keys) while an anti join keeps them — the IS NOT NULL guards
+    make the two formulations equivalent for any data."""
     p = load_table(spark, sf_dir, "part")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    bad = s.filter(
+        (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
+    ).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        l.filter(F.col("l_suppkey").isNotNull())
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
         .join(
             F.broadcast(p.filter(F.col("p_brand") != "Brand#45")),
             F.col("l_partkey") == F.col("p_partkey"),
@@ -1747,7 +1765,9 @@ def q12(spark, sf_dir):
             F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
                 "high_line_count"
             ),
-            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+            # ~high (not otherwise(1)): a NULL priority must count in
+            # NEITHER bucket, matching the oracle's CASE … ELSE 0
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
                 "low_line_count"
             ),
         )
@@ -2703,22 +2723,15 @@ def emb_near_dup_bucketed_q(spark, sf_dir):
 
 @query(
     "minhash_near_dup_docs",
-    """
+    rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       FROM documents
     ), d AS MATERIALIZED (
       SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM toks WHERE len(w) >= 3
-    ), posts AS MATERIALIZED (
-      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
-             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    ), {_SHINGLE_INTER_SQL}
     SELECT id_a, id_b, ROUND(c::DOUBLE / (na + nb - c), 6) AS jaccard
     FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.7""",
 )
@@ -2738,22 +2751,15 @@ def minhash_q(spark, sf_dir):
 
 @query(
     "jaccard_near_dup_docs",
-    """
+    rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       FROM documents
     ), d AS MATERIALIZED (
       SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM toks WHERE len(w) >= 3
-    ), posts AS MATERIALIZED (
-      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
-             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    ), {_SHINGLE_INTER_SQL}
     SELECT id_a, id_b, ROUND(c::DOUBLE / (na + nb - c), 6) AS jaccard
     FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.7
     """,
@@ -3161,25 +3167,18 @@ def pandas_udaf_q(spark, sf_dir):
 
 @query(
     "incremental_dedup_documents",
-    """
+    rf"""
     WITH toks AS (
       SELECT doc_id, lang,
-             string_split_regex(lower(trim(text)), '\\s+') AS w
+             string_split_regex(lower(trim(text)), '\s+') AS w
       FROM documents
     ), d AS MATERIALIZED (
       SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(w) - 1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM toks
-    ), posts AS MATERIALIZED (
-      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
-    ), inter AS (
-      SELECT a.doc_id AS u, COUNT(*) AS c,
-             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-      FROM posts a JOIN posts b ON a.g = b.g AND b.doc_id < a.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), losers AS (
-      SELECT DISTINCT u AS doc_id FROM inter
+    ), {_SHINGLE_INTER_SQL}, losers AS (
+      SELECT DISTINCT id_b AS doc_id FROM inter
       WHERE c::DOUBLE / (na + nb - c) >= 0.7
     )
     SELECT doc_id, lang FROM d
@@ -3543,23 +3542,17 @@ def hash_split_q(spark, sf_dir):
 
 @query(
     "near_dup_components",
-    """
+    rf"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       FROM documents
     ), d AS MATERIALIZED (
       SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM toks
-    ), posts AS MATERIALIZED (
-      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
-    ), inter AS (
-      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c,
-             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
-      SELECT u, v FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.7
+    ), {_SHINGLE_INTER_SQL}, pairs AS (
+      SELECT id_a AS u, id_b AS v FROM inter
+      WHERE c::DOUBLE / (na + nb - c) >= 0.7
     ), edges AS (
       SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
     ), reach(id, r) AS (
