@@ -4115,16 +4115,8 @@ def merge_upsert_q(spark, sf_dir):
 # the driver's budget.
 
 _PRIORITY = [
-    "q1_pricing_summary",
-    "etl_incremental_reload",
-    "etl_apply_mapping",
-    "etl_drop_null_fields",
-    "etl_bookmark_filter",
-    "distinct_mktsegments",
+    "q1_pricing_summary",  # flagship first: warms the session for the rest
     "training_data_pipeline",
-    "dedup_exact_docs",
-    "doc_text_stats",
-    "doc_token_counts",
     "cosine_topk_embeddings",
     "cosine_topk_many_embeddings",
     "embedding_near_dup",
@@ -4200,6 +4192,16 @@ _PRIORITY = [
     "setop_intersect_all",
     "q2_min_cost_supplier",
     "json_roundtrip_events",
+    # below here: verified green by the round-1 driver run — re-checked
+    # only after every first-time query above has had its slot
+    "etl_incremental_reload",
+    "etl_apply_mapping",
+    "etl_drop_null_fields",
+    "etl_bookmark_filter",
+    "distinct_mktsegments",
+    "dedup_exact_docs",
+    "doc_text_stats",
+    "doc_token_counts",
     "q3_shipping_priority",
     "asof_join_purchase_click",
     "sql_top_suppliers",
