@@ -16,13 +16,13 @@ node id.  ``localCheckpoint`` truncates the growing lineage each
 round — without it the plan doubles per iteration and Catalyst
 analysis dominates after ~10 rounds.
 
-Scale notes (100 TB corpora): this is the simple propagation variant,
-O(rounds × |edges|) shuffle volume, the right tool for near-dup
-graphs whose components are small.  For adversarial diameters
-(million-node chains) use the large-star/small-star decomposition
-[Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14] — same DataFrame primitives, alternating two asymmetric
-propagation steps; the public algorithm drops in here unchanged.
+Scale notes (100 TB corpora): ``connected_components`` is the simple
+propagation variant, O(rounds × |edges|) shuffle volume, the right
+tool for near-dup graphs whose components are small.  For adversarial
+diameters (million-node chains) ``connected_components_star``
+implements the large-star/small-star decomposition [Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14] — same
+DataFrame primitives, O(log n) rounds on any graph shape.
 """
 
 from __future__ import annotations
@@ -98,3 +98,102 @@ def cluster_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14] — same output contract as :func:`connected_components`
+    (``(id, component)``, component = min reachable id, nodes that
+    appear in some edge), but converging in O(log n) rounds on ANY
+    graph, including the million-node chains where plain min-label
+    propagation needs diameter rounds.
+
+    Each round is two phases over the (bidirectional) edge list:
+
+    - **large-star**: every node u computes m = min({u} ∪ N(u)) and
+      reconnects its strictly-larger neighbors to m;
+    - **small-star**: u computes m over {u} ∪ {v ∈ N(u): v ≤ u} and
+      reconnects those smaller-or-equal neighbors (and itself) to m.
+
+    Both phases are partial-aggregated groupBy + join — no windows,
+    no driver state; ``localCheckpoint`` truncates lineage per round.
+    Converged when the edge multiset stops changing; the final graph
+    is a forest of stars pointing at each component's minimum id.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _bidir(g: DataFrame) -> DataFrame:
+        return g.unionByName(
+            g.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    for _ in range(max_iterations):
+        # large-star: m = min over {u} ∪ N(u); edges (v, m) for v > u
+        nb = _bidir(e)
+        mins = nb.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nb.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: m over {u} ∪ {v ≤ u}; edges (v, m) and (u, m)
+        small_nb = nb.filter(F.col("v") <= F.col("u"))
+        mins_s = small_nb.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small = (
+            small_nb.join(mins_s, "u")
+            .select(
+                F.col("v").alias("n"), F.col("u").alias("self"), "m"
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("n").alias("u"), F.col("m").alias("v")),
+                        F.struct(
+                            F.col("self").alias("u"), F.col("m").alias("v")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+        )
+        new_e = (
+            large.unionByName(small)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if not changed:
+            break
+    stars = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return all_nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

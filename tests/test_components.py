@@ -47,3 +47,43 @@ def test_one_pass_dedup_underdeletes_where_clusters_fix_it(spark):
 
     clustered = cluster_dedup(df, edges, "doc_id")
     assert sorted(r["doc_id"] for r in clustered.collect()) == [2]
+
+
+def test_star_matches_simple_on_random_graphs(spark):
+    import random
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        m = rng.randint(1, 2 * n)
+        es = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(m)
+        ]
+        es = [(a, b) for a, b in es if a != b] or [(0, 1)]
+        df = spark.createDataFrame(es, ["id_a", "id_b"])
+        simple = sorted(map(tuple, connected_components(df).collect()))
+        star = sorted(map(tuple, connected_components_star(df).collect()))
+        assert star == simple, f"trial {trial}: {es}"
+
+
+def test_star_handles_long_chain_in_few_rounds(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        connected_components_star,
+    )
+
+    # a 120-node path: diameter 119 — plain propagation needs ~119
+    # rounds; the star algorithm must finish inside its default
+    # max_iterations=50 (converges in O(log n) rounds)
+    n = 120
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = connected_components_star(df).collect()
+    assert len(out) == n
+    assert all(r.component == 0 for r in out)
