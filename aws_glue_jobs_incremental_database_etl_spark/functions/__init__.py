@@ -1,6 +1,6 @@
 """Scalar / vector expression helpers (JVM-side, codegen-friendly)."""
 
-from .vectors import cosine_similarity, dot_product, l2_norm
+from .vectors import cosine_similarity, dot_product, epoch_us, l2_norm
 from .text import (
     language_id,
     normalized_text,
@@ -16,6 +16,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "cosine_similarity",
+    "epoch_us",
     "tokens",
     "token_count",
     "punct_ratio",

@@ -37,3 +37,20 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot_product(a, b) / denom)
+
+
+def epoch_us(col):
+    """NTZ-safe exact-microsecond epoch value.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ (parquet ``timestamp[us]``
+    with no zone, which Spark 4 infers as NTZ by default).  The session
+    timezone is pinned to UTC in ``session.get_spark``, so casting
+    NTZ -> TIMESTAMP is value-preserving and this equals DuckDB's
+    ``epoch_us`` on the same naive column.  On an already-zoned
+    TIMESTAMP the cast is a no-op.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.unix_micros(col.cast("timestamp"))

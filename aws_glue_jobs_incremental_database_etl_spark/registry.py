@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .functions import epoch_us
 from .tables import load_table
 
 Q = {}  # name -> callable(spark, sf_dir) -> DataFrame
@@ -1819,7 +1820,7 @@ def window_gaps(spark, sf_dir):
     """Analytic window (lag): exact µs gap to the previous event."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     return ev.select(
         "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
     )
@@ -1856,7 +1857,7 @@ def funnel_q(spark, sf_dir):
     user-keyed aggregations; each join is user_id-keyed and the stage
     frames shrink monotonically."""
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")

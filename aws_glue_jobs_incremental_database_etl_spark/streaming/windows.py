@@ -9,6 +9,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import epoch_us
+
 
 def tumbling_window_agg(
     df: DataFrame,
@@ -90,7 +92,7 @@ def sessionize(
     if "event_id" in df.columns:
         order_cols.append(F.col("event_id").asc())
     w = Window.partitionBy(user_col).orderBy(*order_cols)
-    ts_us = F.unix_micros(F.col(ts_col))
+    ts_us = epoch_us(ts_col)
     prev = F.lag(ts_us).over(w)
     is_new = F.when(
         prev.isNull() | ((ts_us - prev) > gap_seconds * 1_000_000), F.lit(1)

@@ -2,11 +2,15 @@
 
 ``/root/testdata/sf*/{name}.parquet`` — TPC-H-ish star schema plus
 ``events`` / ``documents`` / ``embeddings`` (TESTDATA.md).  One quirk:
-``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
-``session.get_spark``) it arrives as a long that we convert to a real
-microsecond timestamp here (the generator's values are µs-aligned, so
-the conversion is lossless and matches DuckDB's read of the same file).
+``events.ts`` has shipped in two physical forms across driver rounds —
+parquet TIMESTAMP(NANOS) (round 1), which Spark's reader rejects
+unless ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+``session.get_spark``) turns it into a long we convert losslessly
+here, and plain ``timestamp[us]`` with no zone (round 2+), which
+Spark 4 infers as TIMESTAMP_NTZ and passes through unchanged.  Any
+µs arithmetic downstream must therefore be NTZ-tolerant — use
+``functions.epoch_us`` (casts via the UTC session zone), never bare
+``F.unix_micros``.
 """
 
 from __future__ import annotations
