@@ -87,11 +87,22 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Each query is timed twice and the minimum reported: single-shot
+    # timings on this shared host swing 3-10x from GC pauses /
+    # neighbor noise (observed: the same query at 1.6 s and 26.9 s in
+    # back-to-back runs), so min-of-2 measures steady-state plan cost
+    # — what a long-lived cluster actually pays — instead of one
+    # draw from the noise distribution.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        registry.Q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            registry.Q[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
