@@ -158,3 +158,58 @@ def range_join(
             cond = cond & e
         return left.join(right, cond & condition, how)
     return left.join(right, condition, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_width: int,
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Keyless interval-overlap join: pairs where
+    ``[l_start, l_end]`` and ``[r_start, r_end]`` overlap (closed
+    bounds: ``l_start <= r_end AND r_start <= l_end``).
+
+    Without an equi key Spark plans a raw theta join as a
+    broadcast-nested-loop — O(|L|·|R|) and a driver OOM once neither
+    side is broadcastable.  The scale path MANUFACTURES the equi key:
+    quantize time into buckets of ``bucket_width``, replicate each
+    interval to every bucket it touches (``sequence`` + ``explode``,
+    replication = len/width + 1), hash-join on the bucket, then keep a
+    pair only in the FIRST bucket the two intervals share
+    (``greatest`` of the start buckets) — an algebraic dedup, so no
+    ``distinct`` shuffle.  Cost: one equi shuffle on
+    (bucket [, equi_keys...]), plus the bounded replication.  Pick
+    ``bucket_width`` near the typical interval length: too small
+    inflates replication, too large inflates per-bucket candidate
+    pairs.
+
+    Bounds columns must be numeric (long/int — e.g. ``epoch_us`` for
+    timestamps) and all column names disjoint between the two sides.
+    """
+    ls, le = left_bounds
+    rs, re = right_bounds
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint, both have: {sorted(overlap)}")
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    w = F.lit(bucket_width)
+
+    def buckets(df: DataFrame, s: str, e: str, sb: str) -> DataFrame:
+        start_b = F.floor(F.col(s) / w)
+        return df.withColumn(sb, start_b).withColumn(
+            "_b", F.explode(F.sequence(F.col(sb), F.floor(F.col(e) / w)))
+        )
+
+    lb = buckets(left, ls, le, "_lsb")
+    rb = buckets(right, rs, re, "_rsb")
+    keys = ["_b"] + list(equi_keys or [])
+    pairs = lb.join(rb, keys).filter(
+        (F.col(ls) <= F.col(re))
+        & (F.col(rs) <= F.col(le))
+        & (F.col("_b") == F.greatest(F.col("_lsb"), F.col("_rsb")))
+    )
+    return pairs.drop("_b", "_lsb", "_rsb")

@@ -597,3 +597,68 @@ def decontaminate(
             .alias("is_contaminated"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Data Selection via Importance Resampling, unigram variant (Xie
+    et al., NeurIPS 2023: select pretraining data whose importance
+    weight under a small TARGET corpus — Wikipedia, textbooks — is
+    high): ``(id, n_tokens, log_ratio)`` where ``log_ratio`` is the
+    per-document sum over token occurrences of
+    ``log P_target(w) − log P_corpus(w)`` with add-``k`` smoothing
+    over the corpus vocabulary.  Rank by it (or sample ∝ exp) to tilt
+    the corpus toward the target domain; DSIR proper hashes n-grams
+    into a fixed feature space, the unigram form keeps an exact SQL
+    twin while preserving the estimator's shape.
+
+    Plan: both count tables are gram-keyed partial aggregates; the
+    smoothed log-ratio folds into ONE model table (corpus vocab sized,
+    left-joined with target counts), and the per-doc token stream
+    joins it on the gram key — shuffle joins throughout, no broadcast
+    bound on vocabulary size; Zipf-hot tokens are AQE's skew case.
+    The only driver scalars are the three model constants (corpus/
+    target token totals, vocab size).  Tokens outside the corpus vocab
+    cannot occur (the corpus scores itself); a disjoint probe corpus
+    would need the model persisted — same contract as
+    ``lm_cross_entropy``."""
+    from .dedup import _spread
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks")), "id"
+    )
+    stream = base.select("id", F.explode("_toks").alias("w"))
+    cc = stream.groupBy("w").agg(F.count(F.lit(1)).alias("_cc"))
+    ct = (
+        target.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    n_corpus, vocab = cc.agg(
+        F.sum("_cc").cast("double"), F.count(F.lit(1)).cast("double")
+    ).first()
+    n_target = float(ct.agg(F.sum("_ct")).first()[0] or 0)
+    model = cc.join(ct, "w", "left").select(
+        "w",
+        (
+            F.log(
+                (F.coalesce("_ct", F.lit(0)) + F.lit(k))
+                / F.lit(n_target + k * vocab)
+            )
+            - F.log((F.col("_cc") + F.lit(k)) / F.lit(n_corpus + k * vocab))
+        ).alias("_lr"),
+    )
+    return (
+        stream.join(model, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("_lr"), 6).alias("log_ratio"),
+        )
+    )

@@ -4103,6 +4103,151 @@ def merge_upsert_q(spark, sf_dir):
 
 
 # =====================================================================
+# Round-2 session additions: cross join, keyless interval join, DSIR
+# =====================================================================
+
+@query(
+    "cross_join_region_nation",
+    """
+    SELECT r.r_name, n.n_name,
+           r.r_name || '/' || n.n_name AS pair
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def cross_join_q(spark, sf_dir):
+    """Explicit Cartesian product (SURVEY.md §2.3 [EXT]): the
+    all-pairs shape used for small calibration grids.  Both sides tiny
+    → Spark broadcasts one and the product is map-side
+    (BroadcastNestedLoopJoin); the operator is only sane when one side
+    is broadcastable, which is exactly when crossJoin should exist in
+    a plan at all."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n)).select(
+        "r_name",
+        "n_name",
+        F.concat_ws("/", "r_name", "n_name").alias("pair"),
+    )
+
+
+@query(
+    "interval_join_events_windows",
+    """
+    WITH b AS (
+      SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+    ), wins AS (
+      SELECT i AS window_id,
+             lo + i * 3600000000 AS ws,
+             lo + i * 3600000000 + 1200000000 AS we
+      FROM b, unnest(range(0, (hi - lo) // 3600000000 + 1)) AS t(i)
+    ), ev AS (
+      SELECT event_id, value, epoch_us(ts) AS es,
+             epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS ee
+      FROM events
+    )
+    SELECT w.window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM wins w JOIN ev e ON e.es <= w.we AND w.ws <= e.ee
+    GROUP BY w.window_id
+    """,
+)
+def interval_join_q(spark, sf_dir):
+    """Keyless interval-overlap join (operators.joins.interval_join):
+    events carry a duration (``value`` minutes); count the ones
+    overlapping each 20-minute-per-hour maintenance window.  No equi
+    key exists, so the operator manufactures one by time-bucketing —
+    the DuckDB oracle states the same join as a raw non-equi theta
+    join (its IEJoin handles small scale; Spark's BNLJ would not
+    survive large scale, which is the point of the bucketed plan)."""
+    from .operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    es = epoch_us("ts")
+    HOUR = 3_600_000_000  # µs
+    bounds = ev.select(es.alias("_x")).agg(
+        F.min("_x").alias("lo"), F.max("_x").alias("hi")
+    )
+    wins = (
+        F.broadcast(bounds)
+        .select(
+            "lo",
+            F.explode(
+                # integer `div`, not `/`: double division can round an
+                # exact-multiple boundary up and add a phantom window
+                F.sequence(F.lit(0), F.expr(f"(hi - lo) div {HOUR}"))
+            ).alias("window_id"),
+        )
+        .select(
+            "window_id",
+            (F.col("lo") + F.col("window_id") * HOUR).alias("ws"),
+            (F.col("lo") + F.col("window_id") * HOUR + 1_200_000_000).alias(
+                "we"
+            ),
+        )
+    )
+    evi = ev.select(
+        "event_id",
+        "value",
+        es.alias("es"),
+        (
+            es
+            + F.floor(F.col("value") * 60).cast("bigint") * F.lit(1_000_000)
+        ).alias("ee"),
+    )
+    joined = interval_join(
+        wins, evi, ("ws", "we"), ("es", "ee"), bucket_width=HOUR
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlapping"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "dsir_scores_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ), tt AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), cc AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), ct AS (
+      SELECT w, COUNT(*) AS c FROM tt GROUP BY w
+    ), s AS (
+      SELECT (SELECT SUM(c) FROM cc) AS nc,
+             (SELECT COALESCE(SUM(c), 0) FROM ct) AS nt,
+             (SELECT COUNT(*) FROM cc) AS v
+    ), model AS (
+      SELECT cc.w,
+             ln((COALESCE(ct.c, 0) + 0.5) / (s.nt + 0.5 * s.v))
+             - ln((cc.c + 0.5) / (s.nc + 0.5 * s.v)) AS lr
+      FROM cc LEFT JOIN ct USING (w), s
+    )
+    SELECT tok.doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lr), 6) AS log_ratio
+    FROM tok JOIN model ON tok.w = model.w
+    GROUP BY tok.doc_id
+    """,
+)
+def dsir_q(spark, sf_dir):
+    """DSIR importance weights (operators.text.dsir_importance):
+    score every document's unigram log-likelihood ratio against the
+    src0/src1 slice as the target domain — the published
+    data-selection estimator whose unigram form has an exact SQL
+    twin."""
+    from .operators.text import dsir_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_importance(d, d.filter(F.col("source").isin("src0", "src1")))
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in
@@ -4169,6 +4314,9 @@ _PRIORITY = [
     "pandas_udaf_event_stats",
     "right_join_big_orders",
     "full_join_customer_orders",
+    "cross_join_region_nation",
+    "interval_join_events_windows",
+    "dsir_scores_docs",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

@@ -55,6 +55,8 @@ HEADLINE = [
     "decontaminate_docs",
     "zorder_value_orders",
     "mixture_resample_docs",
+    "interval_join_events_windows",
+    "dsir_scores_docs",
 ]
 
 

@@ -721,3 +721,94 @@ def test_dedup_segments_and_pack_sequences_validate_args(spark):
         pack_sequences(df, seq_len=0)
     with pytest.raises(ValueError):
         pack_sequences(df, bucket_width=0)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketed interval join ≡ naive O(n²) overlap, incl. intervals
+    spanning many buckets and exact-boundary touches."""
+    import itertools
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import interval_join
+
+    lrows = [(i, s, e) for i, (s, e) in enumerate(
+        [(0, 10), (5, 5), (10, 20), (95, 250), (300, 301), (100, 100)]
+    )]
+    rrows = [(j, s, e) for j, (s, e) in enumerate(
+        [(8, 12), (20, 20), (0, 400), (251, 260), (99, 101)]
+    )]
+    left = spark.createDataFrame(lrows, "lid int, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid int, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, ("ls", "le"), ("rs", "re"), bucket_width=100
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (i, ls, le), (j, rs, re) in itertools.product(lrows, rrows)
+        if ls <= re and rs <= le
+    }
+    assert got == want
+
+
+def test_interval_join_no_duplicate_pairs_across_buckets(spark):
+    """A pair sharing many buckets must appear exactly once (algebraic
+    first-common-bucket dedup, not DISTINCT)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame([(1, 0, 1000)], "lid int, ls long, le long")
+    right = spark.createDataFrame([(2, 0, 1000)], "rid int, rs long, re long")
+    out = interval_join(
+        left, right, ("ls", "le"), ("rs", "re"), bucket_width=10
+    ).collect()
+    assert len(out) == 1
+    plan = interval_join(
+        left, right, ("ls", "le"), ("rs", "re"), bucket_width=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_join_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import interval_join
+
+    df = spark.createDataFrame([(1, 2, 3)], "a int, s long, e long")
+    with _pytest.raises(ValueError, match="disjoint"):
+        interval_join(df, df, ("s", "e"), ("s", "e"), bucket_width=10)
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs made of target-domain tokens must outscore docs of
+    off-domain tokens, and scores must match a numpy replica."""
+    import math
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import dsir_importance
+
+    docs = [
+        (0, "apple banana apple"),
+        (1, "quark gluon boson"),
+        (2, "apple gluon"),
+        (3, "banana banana apple apple"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    target = df.filter("doc_id in (0, 3)")  # fruit domain
+    out = {r.id: (r.n_tokens, r.log_ratio) for r in dsir_importance(df, target).collect()}
+
+    # replica
+    corpus = [t for _, s in docs for t in s.lower().split()]
+    tgt = [t for i, s in docs if i in (0, 3) for t in s.lower().split()]
+    cc = {w: corpus.count(w) for w in set(corpus)}
+    ct = {w: tgt.count(w) for w in set(tgt)}
+    k, v, nc, nt = 0.5, len(cc), len(corpus), len(tgt)
+    lr = {
+        w: math.log((ct.get(w, 0) + k) / (nt + k * v))
+        - math.log((cc[w] + k) / (nc + k * v))
+        for w in cc
+    }
+    for i, s in docs:
+        toks = s.lower().split()
+        assert out[i][0] == len(toks)
+        assert abs(out[i][1] - sum(lr[t] for t in toks)) < 1e-5
+    assert out[0][1] > out[1][1] and out[3][1] > out[1][1]
