@@ -571,27 +571,32 @@ def decontaminate(
         .select(F.xxhash64("_g").alias("_h"))
         .dropDuplicates(["_h"])
     )
-    doc_grams = df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("_g")
-    ).select("id", F.xxhash64("_g").alias("_h"))
-    matched = (
-        doc_grams.join(F.broadcast(bench_set), "_h")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
-    )
+    # ONE corpus pass: carry size(grams) through the explode so the
+    # doc-keyed aggregate rebuilds (n_grams, n_matched) together — the
+    # two-branch formulation (separate joins for counts and matches)
+    # shingles and scans the corpus twice, which at 100 TB doubles the
+    # dominant cost.  shingles() always yields >= 1 gram (whole-text
+    # fallback), so the explode never drops a document.
+    stream = df.select(
+        F.col(id_col).alias("id"),
+        F.size(grams).cast("bigint").alias("_n"),
+        F.explode(grams).alias("_g"),
+    ).select("id", "_n", F.xxhash64("_g").alias("_h"))
+    hit = F.broadcast(bench_set.withColumn("_m", F.lit(1)))
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.size(grams).cast("bigint").alias("n_grams"),
+        stream.join(hit, "_h", "left")
+        .groupBy("id")
+        .agg(
+            F.max("_n").alias("n_grams"),
+            F.sum(F.coalesce("_m", F.lit(0))).cast("bigint").alias(
+                "n_matched_grams"
+            ),
         )
-        .join(matched, "id", "left")
         .select(
             "id",
             "n_grams",
-            F.coalesce("n_matched_grams", F.lit(0)).cast("bigint").alias(
-                "n_matched_grams"
-            ),
-            F.when(F.coalesce("n_matched_grams", F.lit(0)) >= min_matches, 1)
+            "n_matched_grams",
+            F.when(F.col("n_matched_grams") >= min_matches, 1)
             .otherwise(0)
             .cast("int")
             .alias("is_contaminated"),
