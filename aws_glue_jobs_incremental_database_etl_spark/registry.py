@@ -4107,6 +4107,72 @@ def merge_upsert_q(spark, sf_dir):
 # =====================================================================
 
 @query(
+    "q20_excess_supply",
+    """
+    WITH pairs AS (
+      SELECT l.l_suppkey,
+             SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS q96,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS q_total
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+      GROUP BY l.l_partkey, l.l_suppkey
+      HAVING 2 * SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+                           AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+                          THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+             > SUM(CAST(l.l_quantity AS BIGINT))
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 AND n.n_name IN ('NATION_3', 'NATION_7')
+    JOIN pairs ON pairs.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q20_q(spark, sf_dir):
+    """TPC-H Q20 analogue (potential part promotion), adapted to this
+    schema's lack of partsupp: the supply relation is lineitem itself —
+    a (part, supplier) pair is "excess" when its 1996 shipments exceed
+    half its all-time shipments, for parts named small%.  Exercises the
+    Q20 shape end-to-end: LIKE-filtered dim broadcast into the fact
+    scan, a correlated same-table aggregate collapsed into ONE
+    conditional groupBy (no second lineitem scan — the CASE sum is the
+    decorrelated subquery), then a supplier-keyed re-aggregation behind
+    a broadcast nation filter.  Quantities are integral, so the
+    2·q96 > q_total comparison is exact in both engines (no double
+    rounding at the boundary)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    in96 = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    pairs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("q96"),
+            F.sum(qty).alias("q_total"),
+        )
+        .filter(2 * F.col("q96") > F.col("q_total"))
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(pairs, pairs.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_excess_parts"))
+    )
+
+@query(
     "cross_join_region_nation",
     """
     SELECT r.r_name, n.n_name,
@@ -4325,6 +4391,7 @@ _PRIORITY = [
     "q18_large_volume_customer",
     "q21_waiting_supplier",
     "q22_dormant_customers",
+    "q20_excess_supply",
     "q15_top_supplier",
     "q11_part_value_share",
     "q12_priority_lines",
