@@ -571,23 +571,24 @@ def decontaminate(
         .select(F.xxhash64("_g").alias("_h"))
         .dropDuplicates(["_h"])
     )
-    # ONE corpus pass: carry size(grams) through the explode so the
-    # doc-keyed aggregate rebuilds (n_grams, n_matched) together — the
-    # two-branch formulation (separate joins for counts and matches)
-    # shingles and scans the corpus twice, which at 100 TB doubles the
-    # dominant cost.  shingles() always yields >= 1 gram (whole-text
+    # ONE corpus pass, ONE shingle evaluation: posexplode and rebuild
+    # n_grams as max(pos)+1 in the doc-keyed aggregate.  The obvious
+    # alternatives each evaluate the (expensive) shingle expression
+    # twice per row: a second scan for size() (the original two-branch
+    # form), or size()+explode() in one projection (Project and
+    # Generate both inline the expression — measured 3.5x slower than
+    # this).  shingles() always yields >= 1 gram (whole-text
     # fallback), so the explode never drops a document.
     stream = df.select(
         F.col(id_col).alias("id"),
-        F.size(grams).cast("bigint").alias("_n"),
-        F.explode(grams).alias("_g"),
-    ).select("id", "_n", F.xxhash64("_g").alias("_h"))
+        F.posexplode(grams).alias("_pos", "_g"),
+    ).select("id", "_pos", F.xxhash64("_g").alias("_h"))
     hit = F.broadcast(bench_set.withColumn("_m", F.lit(1)))
     return (
         stream.join(hit, "_h", "left")
         .groupBy("id")
         .agg(
-            F.max("_n").alias("n_grams"),
+            (F.max("_pos") + 1).cast("bigint").alias("n_grams"),
             F.sum(F.coalesce("_m", F.lit(0))).cast("bigint").alias(
                 "n_matched_grams"
             ),
