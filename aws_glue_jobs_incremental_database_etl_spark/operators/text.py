@@ -157,15 +157,19 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
+    # size() reads the MATERIALIZED _toks column: putting toks.alias
+    # and size(toks) in one projection would inline the split twice
+    # per row (same trap measured at 3.5x in decontaminate)
+    n = F.size("_toks")
     # 1 chunk when n <= chunk_tokens, else 1 + ceil((n - chunk)/stride)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         1 + F.floor((n - chunk_tokens + stride - 1) / F.lit(stride))
     )
     out = (
-        df.select(
-            F.col(id_col).alias("id"),
-            toks.alias("_toks"),
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select(
+            "id",
+            "_toks",
             F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "_one"),
         )
         .select(
