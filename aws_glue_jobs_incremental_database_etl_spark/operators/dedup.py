@@ -61,11 +61,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 # ------------------------------------------------------------- shingles
 
-def shingles(text_col, k: int = 3):
-    """k-token shingles as an array column (distinct), via pure
-    Catalyst HOFs — tokenization happens once, shingling is an array
-    transform over index positions (no UDF)."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+def tokens_of(text_col):
+    """Lower-cased whitespace tokens — the shared tokenization of every
+    shingle-based operator.  Materialize this into a column BEFORE
+    shingling (see ``shingles_from_tokens``)."""
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def shingles_from_tokens(toks, k: int = 3):
+    """k-token shingles (distinct) from an ALREADY-MATERIALIZED token
+    array column.  The two-step form exists for performance: the
+    shingle expression references its input 4 times (two size()s, the
+    slice inside the transform lambda, the short-doc fallback), and
+    Catalyst inlines non-materialized children into every reference —
+    with the raw split() expression inlined that re-tokenizes the
+    document per reference (measured 1.65x the whole shingle stage on
+    sf0.1 documents; worse the longer the document).  Against a column
+    reference the re-reads are free."""
     n = F.size(toks)
     return F.when(n >= k, F.array_distinct(
         F.transform(
@@ -73,6 +85,15 @@ def shingles(text_col, k: int = 3):
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
     )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(text_col, k: int = 3):
+    """Single-expression convenience form of ``shingles_from_tokens``
+    (k-token distinct shingles straight off a text column).  Fine for
+    one-off expressions; hot paths should materialize ``tokens_of``
+    into a column first and use ``shingles_from_tokens`` — see that
+    docstring for why."""
+    return shingles_from_tokens(tokens_of(text_col), k)
 
 
 def ngram_jaccard(a_col, b_col) -> "F.Column":
@@ -138,12 +159,16 @@ def minhash_near_dup_pairs(
     # branch (measured 2-3× the whole query's cost).
     sig = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
+        .withColumn("_toks", tokens_of(F.col("text")))
         .withColumn(
             "sh",
-            F.transform(shingles(F.col("text"), shingle_k), lambda s: F.xxhash64(s)),
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), shingle_k),
+                lambda s: F.xxhash64(s),
+            ),
         )
         .withColumn("mh", minhash_signature_hashed(F.col("sh"), num_hashes))
-        .drop("text")
+        .drop("text", "_toks")
         .persist()
     )
     banded = sig.select(
@@ -216,10 +241,12 @@ def jaccard_near_dup_pairs(
     # re-shingles the corpus once PER BRANCH (measured 3× slower).
     sized = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
+        .select("id", tokens_of(F.col("text")).alias("_toks"))
         .select(
             "id",
             F.transform(
-                shingles(F.col("text"), shingle_k), lambda s: F.xxhash64(s)
+                shingles_from_tokens(F.col("_toks"), shingle_k),
+                lambda s: F.xxhash64(s),
             ).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
@@ -276,12 +303,16 @@ def jaccard_near_dup_pairs_prefix(
     """
     sized = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
+        .select("id", tokens_of(F.col("text")).alias("_toks"))
         .select(
             "id",
             # global order = sorted hash values; any consistent total
             # order is valid for the prefix theorem
             F.array_sort(
-                F.transform(shingles(F.col("text"), shingle_k), lambda s: F.xxhash64(s))
+                F.transform(
+                    shingles_from_tokens(F.col("_toks"), shingle_k),
+                    lambda s: F.xxhash64(s),
+                )
             ).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
@@ -424,7 +455,16 @@ def simhash_near_dup_pairs(
         _spread(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id"
         )
-        .select("id", simhash64(F.col("text"), shingle_k).alias("sig"))
+        .select("id", tokens_of(F.col("text")).alias("_toks"))
+        .select(
+            "id",
+            _simhash_from_hashes_udf()(
+                F.transform(
+                    shingles_from_tokens(F.col("_toks"), shingle_k),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sig"),
+        )
         .persist()
     )
     chunks = sig.select(

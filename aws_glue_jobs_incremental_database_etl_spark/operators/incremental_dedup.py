@@ -28,7 +28,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _spread, minhash_signature_hashed, ngram_jaccard, shingles
+from .dedup import (
+    _spread,
+    minhash_signature_hashed,
+    ngram_jaccard,
+    shingles_from_tokens,
+    tokens_of,
+)
 
 
 class MinHashIndex:
@@ -59,14 +65,16 @@ class MinHashIndex:
                 df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
                 "id",
             )
+            .withColumn("_toks", tokens_of(F.col("text")))
             .withColumn(
                 "sh",
                 F.transform(
-                    shingles(F.col("text"), self.shingle_k), lambda s: F.xxhash64(s)
+                    shingles_from_tokens(F.col("_toks"), self.shingle_k),
+                    lambda s: F.xxhash64(s),
                 ),
             )
             .withColumn("mh", minhash_signature_hashed(F.col("sh"), self.num_hashes))
-            .drop("text")
+            .drop("text", "_toks")
         )
 
     def _banded(self, sig: DataFrame) -> DataFrame:

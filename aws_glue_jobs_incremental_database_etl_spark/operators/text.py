@@ -565,13 +565,15 @@ def decontaminate(
     (< k words) fall back to their whole text as a single gram, same
     as :func:`shingles`.
     """
-    from .dedup import _spread, shingles
+    from .dedup import _spread, shingles_from_tokens, tokens_of
 
     df = _spread(df, id_col)  # shingling is compute-bound; see _spread
-    grams = shingles(F.col(text_col), k=k)
-    bgrams = shingles(F.col(bench_text_col or text_col), k=k)
+    grams = shingles_from_tokens(F.col("_t"), k=k)
     bench_set = (
-        benchmark.select(F.explode(bgrams).alias("_g"))
+        benchmark.select(
+            tokens_of(F.col(bench_text_col or text_col)).alias("_t")
+        )
+        .select(F.explode(shingles_from_tokens(F.col("_t"), k=k)).alias("_g"))
         .select(F.xxhash64("_g").alias("_h"))
         .dropDuplicates(["_h"])
     )
@@ -583,10 +585,11 @@ def decontaminate(
     # Generate both inline the expression — measured 3.5x slower than
     # this).  shingles() always yields >= 1 gram (whole-text
     # fallback), so the explode never drops a document.
-    stream = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(grams).alias("_pos", "_g"),
-    ).select("id", "_pos", F.xxhash64("_g").alias("_h"))
+    stream = (
+        df.select(F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("_t"))
+        .select("id", F.posexplode(grams).alias("_pos", "_g"))
+        .select("id", "_pos", F.xxhash64("_g").alias("_h"))
+    )
     hit = F.broadcast(bench_set.withColumn("_m", F.lit(1)))
     return (
         stream.join(hit, "_h", "left")

@@ -270,3 +270,29 @@ def test_lm_score_model_join_not_nested_loop(plans):
     # corpus × model and die at scale
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_chunk_and_decontaminate_single_expensive_evaluation(plans):
+    # Project and Generate both inline a non-materialized expression:
+    # size(split(..)) next to explode(split(..)) runs the regex split
+    # twice per row (measured 3.5x on decontaminate). Pin: exactly one
+    # split()/transform chain in each executed plan.
+    p = plans("chunk_documents_64")
+    assert p.count("split(") == 1
+    q = plans("decontaminate_docs")
+    # corpus side + benchmark side = 2 shingle chains, not 3+
+    assert q.count("split(") <= 2
+
+
+def test_interval_join_no_nested_loop(plans):
+    p = plans("interval_join_events_windows")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dsir_model_join_stays_shuffled(plans):
+    # gram-keyed model join must not broadcast (no vocab-size bound)
+    # and must never nested-loop
+    p = plans("dsir_scores_docs")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
