@@ -134,6 +134,38 @@ def stream_interval_join(
     return lw.join(rw, cond, how)
 
 
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: decorate a stream with a batch
+    dimension table (user→segment, product→category — the most common
+    streaming join in practice).
+
+    The static side needs NO watermark and holds NO join state: Spark
+    re-evaluates the batch plan per micro-batch, so a dimension table
+    backed by a live path picks up updates between batches.  With
+    ``broadcast_dim`` (default) the dim hash-relation ships to
+    executors once per micro-batch and the stream side never
+    shuffles — at 100 TB/day of stream this is the difference between
+    a map-only pipeline and a per-batch repartition of the firehose.
+    ``how='left'`` keeps stream rows with no dim match (standard
+    enrichment); inner drops them.  Stream-side columns must not
+    collide with dim columns except the key itself.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(
+            "stream-static enrichment supports how='left'|'inner' "
+            "(right/full would need the static side to emit unmatched "
+            "rows, which has no trigger in a stream)"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream_df.join(d, key, how)
+
+
 def run_aggregate_maintenance(
     stream_df: DataFrame,
     checkpoint: str,

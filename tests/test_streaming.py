@@ -341,3 +341,38 @@ def test_streaming_aggregate_maintenance_no_double_count(spark, tmp_path):
 
     got = {r["k"]: (r["v_sum"], r["id_count"]) for r in agg.read(spark).collect()}
     assert got == {"a": (31.0, 3), "b": (5.0, 1)}
+
+
+def test_stream_static_enrich_broadcasts_and_keeps_unmatched(spark, tmp_path):
+    """Stream-static dimension join: stream rows enrich from a batch
+    dim without a stream-side shuffle; unmatched rows survive with
+    NULLs under how='left'."""
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        stream_static_enrich,
+    )
+
+    ev_dir = str(tmp_path / "ev"); ckpt = str(tmp_path / "ck"); out = str(tmp_path / "o")
+    evs = spark.createDataFrame(
+        [(1, 100, _ts(0)), (2, 200, _ts(1)), (3, 999, _ts(2))],
+        ["event_id", "user_id", "ts"],
+    )
+    evs.write.parquet(ev_dir)
+    dim = spark.createDataFrame(
+        [(100, "gold"), (200, "trial")], ["user_id", "segment"]
+    )
+
+    j = stream_static_enrich(
+        incremental_file_stream(spark, ev_dir, evs.schema), dim, "user_id"
+    )
+    assert j.isStreaming
+    run_available_now(j.select("event_id", "segment"), ckpt, out)
+    got = {r["event_id"]: r["segment"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "gold", 2: "trial", 3: None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="left"):
+        stream_static_enrich(
+            incremental_file_stream(spark, ev_dir, evs.schema), dim,
+            "user_id", how="full",
+        )
