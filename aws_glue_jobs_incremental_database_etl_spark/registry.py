@@ -4333,7 +4333,6 @@ _PRIORITY = [
     "cosine_topk_many_embeddings",
     "embedding_near_dup",
     "embedding_near_dup_bucketed",
-    "semantic_dedup_embeddings",
     "minhash_near_dup_docs",
     "jaccard_near_dup_docs",
     "simhash_near_dup_docs",
@@ -4350,8 +4349,6 @@ _PRIORITY = [
     "events_sessionize_30m",
     "events_session_window_native",
     "merge_upsert_orders",
-    "incremental_dedup_documents",
-    "near_dup_components",
     "profile_orders",
     "hash_split_documents",
     "stratified_sample_docs",
@@ -4362,10 +4359,8 @@ _PRIORITY = [
     "table_checksum_orders",
     "histogram_totalprice",
     "outliers_totalprice",
-    "incremental_aggregate_orders",
     "hll_distinct_priorities",
     "table_diff_orders",
-    "scd2_history_orders",
     "lexicon_score_docs",
     "asof_join_tolerance_30m",
     "skew_stats_lineitem_suppkey",
@@ -4408,6 +4403,14 @@ _PRIORITY = [
     "setop_intersect_all",
     "q2_min_cost_supplier",
     "json_roundtrip_events",
+    # expensive first-timers (3-6 s each at sf0.01) deferred to the
+    # end of the first-time block: under a TIME-budgeted driver the
+    # ~18 s they cost buys ten cheap queries' worth of coverage
+    "incremental_dedup_documents",
+    "near_dup_components",
+    "scd2_history_orders",
+    "semantic_dedup_embeddings",
+    "incremental_aggregate_orders",
     # below here: verified green by the round-1 driver run — re-checked
     # only after every first-time query above has had its slot
     "etl_incremental_reload",
