@@ -156,3 +156,42 @@ def mixture_resample(
         cond = (F.col(group_col) == g) & (b < int(rate * buckets))
         expr = cond if expr is None else expr | cond
     return df.filter(expr)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of ``k`` rows —
+    inclusion probability proportional to ``weight_col`` — via the
+    Efraimidis–Spirakis A-ES key: rank rows by ``ln(u) / w`` descending
+    (``u`` a per-key uniform (0,1) draw) and keep the top ``k``; for
+    w > 0 this order is equivalent to the textbook ``u^(1/w)`` and
+    numerically tamer.  The distributed form of weighted reservoir
+    sampling: a map-only projection + ``TakeOrderedAndProject``
+    (per-partition top-k heaps), no shuffle, no global sort — the same
+    plan at 100 TB.
+
+    Determinism: ``u`` derives from the md5-bucket contract
+    (``hash_bucket``), so the chosen sample is a pure function of keys
+    and weights — stable across runs, file layouts, and engines (the
+    oracle gate replays the identical arithmetic in SQL).  Rows with
+    weight <= 0 or NULL are excluded (zero mass).  Ties (same key AND
+    weight → same A-ES key) break by ``key_col`` for a total order.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    # (bucket + 1) / (B + 1) ∈ (0, 1]: ln of it is finite; u == 1 →
+    # ln(u) = 0 is the best possible draw, which is fine
+    u = (hash_bucket(F.col(key_col)) + 1) / F.lit(float(DEFAULT_BUCKETS + 1))
+    out = (
+        df.filter(w > 0)
+        .withColumn("_aes", F.log(u) / w)
+        .orderBy(F.col("_aes").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    return out.drop("_aes") if id_cols is None else out.select(*id_cols)

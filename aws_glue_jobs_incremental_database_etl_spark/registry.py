@@ -4107,6 +4107,34 @@ def merge_upsert_q(spark, sf_dir):
 # =====================================================================
 
 @query(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10000 + 1) / 10001.0)
+             / CAST(n_chars AS DOUBLE) AS aes
+      FROM documents WHERE n_chars > 0
+      ORDER BY aes DESC, doc_id ASC
+      LIMIT 100
+    ) t
+    """,
+)
+def weighted_sample_q(spark, sf_dir):
+    """Weighted sample without replacement
+    (operators.sampling.weighted_sample_k): 100 documents with
+    inclusion probability ∝ n_chars, via the Efraimidis–Spirakis key
+    over the md5-bucket uniform — deterministic, so DuckDB replays the
+    identical selection.  Plan is map-only + TakeOrderedAndProject."""
+    from .operators.sampling import weighted_sample_k
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(
+        d, 100, "n_chars", "doc_id", id_cols=["doc_id", "n_chars"]
+    )
+
+@query(
     "q20_excess_supply",
     """
     WITH pairs AS (
@@ -4378,6 +4406,7 @@ _PRIORITY = [
     "cross_join_region_nation",
     "interval_join_events_windows",
     "dsir_scores_docs",
+    "weighted_sample_docs",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

@@ -79,3 +79,40 @@ def test_minhash_is_sound_subset_of_exact(spark, texts):
         for r in minhash_near_dup_pairs(df, "doc_id", "text", 0.7).collect()
     }
     assert got <= expect
+
+
+# ---------------------------------------------------------------------
+# interval_join: bucketed overlap ≡ brute force on random intervals
+# ---------------------------------------------------------------------
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 120)),  # (start, length)
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_intervals, _intervals, st.sampled_from([7, 50, 200]))
+@settings(max_examples=12, deadline=None)
+def test_interval_join_equals_bruteforce(spark, ls, rs, width):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import (
+        interval_join,
+    )
+
+    lrows = [(i, s, s + n) for i, (s, n) in enumerate(ls)]
+    rrows = [(j, s, s + n) for j, (s, n) in enumerate(rs)]
+    left = spark.createDataFrame(lrows, "lid int, lst long, len long")
+    right = spark.createDataFrame(rrows, "rid int, rst long, ren long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, ("lst", "len"), ("rst", "ren"), bucket_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, a, b in lrows
+        for j, c, d in rrows
+        if a <= d and c <= b
+    }
+    assert got == want

@@ -117,3 +117,49 @@ def test_mixture_resample_validates_shares(spark):
         mixture_resample(df, "grp", "id", {})
     with pytest.raises(ValueError):
         mixture_resample(df, "grp", "id", {"a": -0.5})
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    """A-ES selection ≡ an exact hashlib replica, and the plan is
+    TakeOrderedAndProject (no global sort, no shuffle)."""
+    import math
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        DEFAULT_BUCKETS,
+        weighted_sample_k,
+    )
+
+    rows = [(i, float((i * 37) % 100 + 1)) for i in range(500)]
+    rows += [(900, 0.0), (901, -5.0), (902, None)]  # zero-mass rows
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample_k(df, 50, "w", "id").collect()]
+
+    def aes(i, w):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % DEFAULT_BUCKETS
+        return math.log((b + 1) / (DEFAULT_BUCKETS + 1)) / w
+
+    want = [i for i, w in sorted(
+        ((i, w) for i, w in rows if w and w > 0),
+        key=lambda t: (-aes(t[0], t[1]), t[0]),
+    )[:50]]
+    assert sorted(got) == sorted(want)
+    assert 900 not in got and 901 not in got and 902 not in got
+
+    plan = weighted_sample_k(df, 50, "w", "id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Rows with 100x the weight should dominate the sample."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample_k(df, 100, "w", "id").collect()]
+    heavy = sum(1 for i in got if i < 100)
+    # 100 heavy of 1100 rows hold 100*100/(100*100+1000*1) ≈ 91% of
+    # the mass; the A-ES sample should be mostly heavy rows
+    assert heavy >= 70
