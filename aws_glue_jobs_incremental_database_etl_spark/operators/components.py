@@ -197,3 +197,67 @@ def connected_components_star(
     return all_nodes.join(stars, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over a directed edge list → ``(id, rank)``.
+
+    The simplified formulation: ``r' = (1−d)/N + d·Σ r(u)/outdeg(u)``
+    over in-neighbors, dangling mass NOT redistributed (a node with no
+    out-edges leaks its damped mass — the common simplification; both
+    the operator and its SQL oracle use it, so they agree exactly).
+
+    Per iteration: one shuffle join of the edge list against the
+    current ranks on the source key + one aggregate keyed by
+    destination — O(iterations × |edges|) shuffle volume, the same
+    cost shape as the MapReduce formulation.  The edge list is
+    pre-joined with out-degrees ONCE and persisted (it never changes);
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+    the growing plan lineage, exactly as ``connected_components``
+    does.  Node ids may be any orderable type; rank sums are doubles
+    (round on output when comparing across engines).
+    """
+    if not 0 < damping < 1:
+        raise ValueError("damping must be in (0, 1)")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # scalar: the teleport term is a literal
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    e_deg = e.join(outdeg, "u").persist()
+
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg.u == ranks.id)
+            .select("v", (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("v")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.v, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks

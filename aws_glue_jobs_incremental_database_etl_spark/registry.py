@@ -4107,6 +4107,64 @@ def merge_upsert_q(spark, sf_dir):
 # =====================================================================
 
 @query(
+    "pagerank_part_supplier",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'p' || l_partkey AS u, 's' || l_suppkey AS v
+      FROM lineitem
+    ), nodes AS (
+      SELECT u AS id FROM e UNION SELECT v FROM e
+    ), sc AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY u
+    ), p0 AS (
+      SELECT id, 1.0 / (SELECT n FROM sc) AS r FROM nodes
+    ), c1 AS (
+      SELECT e.v, SUM(p0.r / deg.d) AS s
+      FROM e JOIN deg USING (u) JOIN p0 ON p0.id = e.u GROUP BY e.v
+    ), p1 AS (
+      SELECT nodes.id,
+             0.15 / (SELECT n FROM sc) + 0.85 * COALESCE(c1.s, 0) AS r
+      FROM nodes LEFT JOIN c1 ON c1.v = nodes.id
+    ), c2 AS (
+      SELECT e.v, SUM(p1.r / deg.d) AS s
+      FROM e JOIN deg USING (u) JOIN p1 ON p1.id = e.u GROUP BY e.v
+    ), p2 AS (
+      SELECT nodes.id,
+             0.15 / (SELECT n FROM sc) + 0.85 * COALESCE(c2.s, 0) AS r
+      FROM nodes LEFT JOIN c2 ON c2.v = nodes.id
+    ), c3 AS (
+      SELECT e.v, SUM(p2.r / deg.d) AS s
+      FROM e JOIN deg USING (u) JOIN p2 ON p2.id = e.u GROUP BY e.v
+    ), p3 AS (
+      SELECT nodes.id,
+             0.15 / (SELECT n FROM sc) + 0.85 * COALESCE(c3.s, 0) AS r
+      FROM nodes LEFT JOIN c3 ON c3.v = nodes.id
+    )
+    SELECT id, ROUND(r, 9) AS rank FROM p3
+    """,
+)
+def pagerank_q(spark, sf_dir):
+    """PageRank (operators.components.pagerank) over the part→supplier
+    shipment graph, 3 iterations, d=0.85 — the iterative-dataflow
+    representative beyond connected components.  The oracle unrolls
+    the same three power iterations as chained SQL CTEs; the
+    simplified no-dangling-redistribution variant keeps the two
+    formulations algebraically identical (suppliers are pure sinks in
+    this bipartite graph)."""
+    from .operators.components import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    out = pagerank(edges, iterations=3)
+    return out.select("id", F.round("rank", 9).alias("rank"))
+
+
+@query(
     "weighted_sample_docs",
     """
     SELECT doc_id, n_chars
@@ -4407,6 +4465,7 @@ _PRIORITY = [
     "interval_join_events_windows",
     "dsir_scores_docs",
     "weighted_sample_docs",
+    "pagerank_part_supplier",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

@@ -87,3 +87,56 @@ def test_star_handles_long_chain_in_few_rounds(spark):
     out = connected_components_star(df).collect()
     assert len(out) == n
     assert all(r.component == 0 for r in out)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """10 iterations on a small digraph ≡ the dense numpy power
+    iteration (same simplified dangling treatment)."""
+    import numpy as np
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        pagerank,
+    )
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # 3 → 2 → 0 → {1,2}
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, iterations=10).collect()}
+
+    n, d = 4, 0.85
+    M = np.zeros((n, n))
+    outdeg = {u: sum(1 for a, _ in E if a == u) for u, _ in E}
+    for u, v in E:
+        M[v, u] = 1.0 / outdeg[u]
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - d) / n + d * (M @ r)
+    assert got.keys() == {0, 1, 2, 3}
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    # node 2 has the most in-links → highest rank; 3 has none → lowest
+    assert got[2] == max(got.values()) and got[3] == min(got.values())
+
+
+def test_pagerank_uniform_on_a_ring(spark):
+    """On a cycle every node is symmetric: ranks are all 1/n and sum
+    to 1 (no dangling leak on a ring)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        pagerank,
+    )
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    got = [r.rank for r in pagerank(edges, iterations=7).collect()]
+    assert len(got) == n
+    for v in got:
+        assert abs(v - 1.0 / n) < 1e-12
+    assert abs(sum(got) - 1.0) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
+    with _pytest.raises(ValueError):
+        pagerank(edges, damping=1.5)
