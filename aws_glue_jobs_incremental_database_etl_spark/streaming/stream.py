@@ -243,3 +243,52 @@ def run_cdc_merge(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_ingestion(
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_dir: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = 0.3,
+) -> None:
+    """Continuous training-data ingestion: document stream → quality
+    filter → incremental near-dup dedup against the persistent MinHash
+    index → parquet append.  The streaming composition of the corpus
+    pipeline (``training_data_pipeline`` is its batch twin): new data
+    lands continuously, is deduped against EVERYTHING ingested so far
+    without rescanning old text, and survivors append to the corpus.
+
+    Delivery: the checkpoint gives process-once micro-batches
+    (availableNow drain = one bookmark-delimited run); a crash between
+    the index append and the corpus append replays the batch, and
+    ``MinHashIndex`` never re-appends an already-indexed id, so the
+    index stays consistent.  The corpus append itself is at-least-once
+    on that crash window — dedupable downstream by id, the same
+    contract as the reference's bookmark replay.
+
+    State per batch is O(batch + touched index buckets); the index is
+    a parquet table that at 100 TB should be bucketed by band
+    signature (see ``operators/incremental_dedup.py``).
+    """
+    from ..operators.incremental_dedup import MinHashIndex
+    from ..operators.text import quality_filter
+
+    index = MinHashIndex(index_path)
+
+    def _ingest(batch: DataFrame, _id: int) -> None:
+        if min_quality is not None:
+            batch = quality_filter(batch, text_col, min_quality)
+        survivors = index.dedup_batch(batch, id_col, text_col)
+        survivors.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

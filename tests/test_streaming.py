@@ -376,3 +376,44 @@ def test_stream_static_enrich_broadcasts_and_keeps_unmatched(spark, tmp_path):
             incremental_file_stream(spark, ev_dir, evs.schema), dim,
             "user_id", how="full",
         )
+
+
+def test_streaming_ingestion_dedups_across_drains(spark, tmp_path):
+    """Two drains of the doc stream: low-quality docs filtered, exact
+    and near duplicates (within AND across drains) dropped against the
+    persistent index, survivors appended once."""
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        run_streaming_ingestion,
+    )
+
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "corpus"); idx = str(tmp_path / "index")
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [(1, good), (2, good + " tail"), (3, "spam!!!! $$$$ ####")], schema
+    )
+    batch1.write.mode("append").parquet(src)
+    run_streaming_ingestion(
+        spark.readStream.schema(batch1.schema).parquet(src),
+        ckpt, out, idx,
+    )
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 3 not in first          # quality-filtered
+    assert len(first) == 1         # 1 vs 2 near-dup: smaller id wins
+
+    # second drain: an exact dup of doc 1 and a genuinely new doc
+    batch2 = spark.createDataFrame(
+        [(10, good), (11, "completely different words about spark streams flowing through checkpoints")],
+        schema,
+    )
+    batch2.write.mode("append").parquet(src)
+    run_streaming_ingestion(
+        spark.readStream.schema(batch1.schema).parquet(src),
+        ckpt, out, idx,
+    )
+    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 10 not in final         # killed by the PERSISTENT index
+    assert 11 in final
+    assert final == first | {11}
