@@ -57,6 +57,9 @@ HEADLINE = [
     "mixture_resample_docs",
     "interval_join_events_windows",
     "dsir_scores_docs",
+    "weighted_sample_docs",
+    "pagerank_part_supplier",
+    "q20_excess_supply",
 ]
 
 
