@@ -36,6 +36,7 @@ def _prepare(spark: SparkSession) -> None:
         "spark.sql.shuffle.partitions": cpus,
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     }.items():
         try:

@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas_udf / applyInPandas / mapInPandas operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound each Arrow batch handed to a Python kernel: the
+        # embedding/simhash kernels hold batch × dim float64 plus the
+        # result in memory, so executor footprint must be set by this
+        # knob, not by partition size (default 10k rows is right for
+        # 64-dim floats; drop it for wide multimodal blobs).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Keep scan splits ~128MB so task count scales with data volume.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
