@@ -120,3 +120,32 @@ def redact_pii(text: Column | str) -> Column:
     c = F.regexp_replace(c, r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>")
     c = F.regexp_replace(c, r"\b(?:\d[ .-]?){7,}\d\b", "<NUMBER>")
     return c
+
+
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (nats) of the character distribution — the
+    compression-style quality axis: natural prose sits ~2.9-3.2,
+    repeated-character spam and base64/hex blobs fall far below/above
+    their expected band, so both tails are filter candidates.
+
+    Map-only HOFs, no explode: counts come from
+    ``filter(chars, c == x)`` per DISTINCT character, O(n·alphabet)
+    per row with alphabet ≤ a few dozen for real text — cheaper than a
+    per-character explode's shuffle, and embarrassingly parallel.
+    Empty text → 0.0.  Mirrored exactly by the DuckDB lambda oracle
+    (sum order differs at the last bit only; gate outputs round).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    chars = F.split(t, "")
+    # one HOF chain over materialized inputs: callers should project
+    # `chars` into a column first when composing with other features
+    n = F.size(chars).cast("double")
+    ent = F.aggregate(
+        F.transform(
+            F.array_distinct(chars),
+            lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, cnt: acc - (cnt / n) * F.log(cnt / n),
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))

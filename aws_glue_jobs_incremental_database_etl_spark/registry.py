@@ -4165,6 +4165,34 @@ def pagerank_q(spark, sf_dir):
 
 
 @query(
+    "char_entropy_docs",
+    """
+    SELECT doc_id,
+           ROUND(CASE WHEN len(cs) > 0 THEN
+             list_sum(list_transform(list_distinct(cs),
+               c -> -(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                      / len(cs))
+                    * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                         / len(cs))))
+           ELSE 0.0 END, 6) AS entropy
+    FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents) t
+    """,
+)
+def char_entropy_q(spark, sf_dir):
+    """Character-entropy quality signal (functions.text.char_entropy):
+    the compression-style filter axis — repeated-char spam scores near
+    0, hex/base64 blobs score above the prose band.  Map-only HOF
+    chain (no explode, no shuffle); the DuckDB oracle replays the same
+    per-distinct-character lambda algebra."""
+    d = load_table(spark, sf_dir, "documents")
+    from .functions.text import char_entropy
+
+    return d.select(
+        "doc_id", F.round(char_entropy("text"), 6).alias("entropy")
+    )
+
+
+@query(
     "weighted_sample_docs",
     """
     SELECT doc_id, n_chars
@@ -4466,6 +4494,7 @@ _PRIORITY = [
     "dsir_scores_docs",
     "weighted_sample_docs",
     "pagerank_part_supplier",
+    "char_entropy_docs",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

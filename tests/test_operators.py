@@ -812,3 +812,28 @@ def test_dsir_importance_prefers_target_like_docs(spark):
         assert out[i][0] == len(toks)
         assert abs(out[i][1] - sum(lr[t] for t in toks)) < 1e-5
     assert out[0][1] > out[1][1] and out[3][1] > out[1][1]
+
+
+def test_char_entropy_known_values_and_tails(spark):
+    """Exact entropies on constructed strings; spam/blob tails separate
+    from prose."""
+    import math
+
+    from aws_glue_jobs_incremental_database_etl_spark.functions.text import char_entropy
+
+    rows = [
+        (0, "abab"),            # ln 2
+        (1, "aaaa"),            # 0
+        (2, ""),                # 0 by convention
+        (3, "abcd"),            # ln 4
+        (4, "the cat sat on the warm mat near the door"),   # prose
+        (5, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),              # spam
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.e for r in df.select(
+        "id", F.round(char_entropy("t"), 9).alias("e")
+    ).collect()}
+    assert abs(got[0] - math.log(2)) < 1e-9
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert abs(got[3] - math.log(4)) < 1e-9
+    assert got[5] == 0.0 and got[4] > 2.0  # prose well above spam
