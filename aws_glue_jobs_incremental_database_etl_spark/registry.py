@@ -4165,6 +4165,50 @@ def pagerank_q(spark, sf_dir):
 
 
 @query(
+    "quantize_embeddings_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END AS scale,
+             list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE)
+               * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END) + 0.5)
+               AS INTEGER)) AS codes
+      FROM (
+        SELECT vec_id, embedding AS v,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+      ) t
+    )
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           CAST(list_min(codes) AS BIGINT) AS q_min,
+           CAST(list_max(codes) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def quantize_q(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (operators.similarity.quantize_embeddings): the floor(x·s + 0.5)
+    contract makes the codes bit-identical across engines, verified by
+    per-vector code checksums (sum/min/max — the gate forbids array
+    columns in output)."""
+    from .operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(
+            "q", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("q").cast("bigint").alias("q_min"),
+        F.array_max("q").cast("bigint").alias("q_max"),
+    )
+
+
+@query(
     "char_entropy_docs",
     """
     SELECT doc_id,
@@ -4495,6 +4539,7 @@ _PRIORITY = [
     "weighted_sample_docs",
     "pagerank_part_supplier",
     "char_entropy_docs",
+    "quantize_embeddings_int8",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

@@ -837,3 +837,37 @@ def test_char_entropy_known_values_and_tails(spark):
     assert got[1] == 0.0 and got[2] == 0.0
     assert abs(got[3] - math.log(4)) < 1e-9
     assert got[5] == 0.0 and got[4] > 2.0  # prose well above spam
+
+
+def test_quantize_embeddings_roundtrip_bound(spark, sf_dir):
+    """int8 codes stay in [-127, 127]; reconstruction error per
+    component is bounded by 0.5/scale; all-zero vectors are stable."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    joined = q.join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    ).select(
+        "id", "scale",
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("qmax"),
+        F.array_max(
+            F.zip_with(
+                dequantize_embeddings("q", "scale"),
+                F.transform("embedding", lambda x: x.cast("double")),
+                lambda r, v: F.abs(r - v),
+            )
+        ).alias("err"),
+    )
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        assert r.qmax <= 127
+        assert r.err <= 0.5 / r.scale + 1e-12
+
+    zero = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    z = quantize_embeddings(zero, "vec_id", "embedding").first()
+    assert z.scale == 1.0 and z.q == [0, 0, 0]
