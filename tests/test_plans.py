@@ -296,3 +296,11 @@ def test_dsir_model_join_stays_shuffled(plans):
     p = plans("dsir_scores_docs")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_map_only_feature_queries_have_no_exchange(plans):
+    # entropy, quantization: pure per-row feature extraction must stay
+    # a single map stage — a shuffle here would be a regression
+    for q in ("char_entropy_docs", "quantize_embeddings_int8"):
+        p = plans(q)
+        assert "Exchange" not in p, q
