@@ -162,7 +162,39 @@ class BookmarkStore:
         don't clobber each other's contexts: this instance only owns
         the contexts it staged; everything else on disk is preserved.
         Staged entries win over disk for the contexts they cover.
+
+        The read-merge-write runs under an exclusive ``flock`` on a
+        sidecar lockfile, closing the window where two shards
+        committing simultaneously each read the pre-both state (the
+        merge alone cannot fix a concurrent interleave).  On
+        filesystems without advisory locks (or non-POSIX hosts) the
+        lock degrades to merge-only — same guarantee as before, and
+        object-store deployments should give each shard its own
+        bookmark path anyway.
         """
+        lock_fh = None
+        try:
+            import fcntl
+
+            os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+            lock_fh = open(self.path + ".lock", "w")
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        except Exception:
+            if lock_fh is not None:
+                lock_fh.close()
+                lock_fh = None
+        try:
+            self._commit_locked()
+        finally:
+            if lock_fh is not None:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lock_fh, fcntl.LOCK_UN)
+                finally:
+                    lock_fh.close()
+
+    def _commit_locked(self) -> None:
         if os.path.exists(self.path):
             try:
                 with open(self.path) as f:

@@ -106,3 +106,25 @@ def test_staged_not_visible_until_commit(tmp_path, spark, sf_dir):
     assert bs.filter_new(df, "ctx", ["o_orderkey"]).count() == df.filter(
         "o_orderkey > 10"
     ).count()
+
+
+def test_concurrent_shard_commits_merge_under_lock(tmp_path):
+    """Two stores sharing a path, committing 'simultaneously': both
+    shards' contexts survive (merge + flock close the clobber race)."""
+    import threading
+
+    from aws_glue_jobs_incremental_database_etl_spark.bookmarks import BookmarkStore
+
+    path = str(tmp_path / "bm.json")
+    a = BookmarkStore(path, job_name="job")
+    b = BookmarkStore(path, job_name="job")
+    a.stage("t_a", {"k": 10})
+    b.stage("t_b", {"k": 20})
+
+    ts = [threading.Thread(target=s.commit) for s in (a, b)]
+    for t in ts: t.start()
+    for t in ts: t.join()
+
+    fresh = BookmarkStore(path, job_name="job")
+    assert fresh.get("t_a") == {"k": 10}
+    assert fresh.get("t_b") == {"k": 20}
