@@ -60,3 +60,63 @@ def running_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas — the successor API
+# ---------------------------------------------------------------------
+
+def running_user_totals_tws(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """``running_user_totals`` on the Spark 4 ``transformWithState``
+    API — the successor to ``applyInPandasWithState``: a
+    ``StatefulProcessor`` class with named, individually-typed state
+    variables (``ValueState``/``ListState``/``MapState``), per-state
+    TTL support, and an init/close lifecycle, instead of one
+    monolithic state tuple.  Same semantics as the legacy twin:
+    per-user running (count, sum), update-mode emission per
+    micro-batch.
+
+    Runtime requirements beyond the legacy API: the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass``)
+    and the ``protobuf`` Python package (the state-server protocol of
+    the TWS driver worker).  The test suite runs this only where
+    protobuf is importable; containers without it keep the
+    ``running_user_totals`` twin as the exercised path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = _OUT_SCHEMA
+    state_schema = _STATE_SCHEMA
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
