@@ -136,9 +136,21 @@ def char_entropy(text: Column | str) -> Column:
     (sum order differs at the last bit only; gate outputs round).
     """
     t = F.col(text) if isinstance(text, str) else text
-    chars = F.split(t, "")
-    # one HOF chain over materialized inputs: callers should project
-    # `chars` into a column first when composing with other features
+    return char_entropy_from_chars(F.split(t, ""))
+
+
+def char_entropy_from_chars(chars: Column) -> Column:
+    """``char_entropy`` over an ALREADY-MATERIALIZED char-array column.
+
+    The entropy expression references its input many times (size,
+    distinct, one filter per distinct character, the aggregate
+    accumulator), and Catalyst inlines non-materialized children into
+    every reference — handed the raw ``split()`` expression it would
+    re-split the document O(alphabet) times per row (the same
+    inlining trap ``shingles_from_tokens`` documents).  Hot paths
+    must project ``split(text, '')`` into a column first and call
+    this form; ``char_entropy`` is the convenience wrapper.
+    """
     n = F.size(chars).cast("double")
     ent = F.aggregate(
         F.transform(

@@ -39,7 +39,7 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom != 0, dot_product(a, b) / denom)
 
 
-def epoch_us(col):
+def epoch_us(col: Column | str) -> Column:
     """NTZ-safe exact-microsecond epoch value.
 
     ``F.unix_micros`` rejects TIMESTAMP_NTZ (parquet ``timestamp[us]``
@@ -49,8 +49,6 @@ def epoch_us(col):
     ``epoch_us`` on the same naive column.  On an already-zoned
     TIMESTAMP the cast is a no-op.
     """
-    from pyspark.sql import functions as F
-
     if isinstance(col, str):
         col = F.col(col)
     return F.unix_micros(col.cast("timestamp"))

@@ -228,6 +228,7 @@ def pagerank(
         raise ValueError("damping must be in (0, 1)")
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    checkpoint_every = max(int(checkpoint_every or 0), 0)  # 0/None → never
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     nodes = (
         e.select(F.col("u").alias("id"))
@@ -258,6 +259,17 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
             ranks = ranks.localCheckpoint()
+    # materialize the result, then release the per-call caches — a
+    # long-lived session calling pagerank repeatedly must not pin a
+    # fresh copy of the edge list in storage memory per call (same
+    # convention as connected_components)
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    e_deg.unpersist()
     return ranks

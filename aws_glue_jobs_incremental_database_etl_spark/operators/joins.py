@@ -187,11 +187,17 @@ def interval_join(
     pairs.
 
     Bounds columns must be numeric (long/int — e.g. ``epoch_us`` for
-    timestamps) and all column names disjoint between the two sides.
+    timestamps); column names must be disjoint between the two sides
+    except the ``equi_keys`` themselves, which by definition exist on
+    both (they merge in the output, like a name-based join).
     """
     ls, le = left_bounds
     rs, re = right_bounds
-    overlap = set(left.columns) & set(right.columns)
+    eq = set(equi_keys or [])
+    missing = [k for k in eq if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ValueError(f"equi_keys must exist on both sides: {sorted(missing)}")
+    overlap = (set(left.columns) & set(right.columns)) - eq
     if overlap:
         raise ValueError(f"column names must be disjoint, both have: {sorted(overlap)}")
     if bucket_width < 1:

@@ -646,8 +646,13 @@ def dsir_importance(
     base = _spread(
         df.select(F.col(id_col).alias("id"), toks.alias("_toks")), "id"
     )
-    stream = base.select("id", F.explode("_toks").alias("w"))
-    cc = stream.groupBy("w").agg(F.count(F.lit(1)).alias("_cc"))
+    # persist both the token stream and the corpus counts: the scalar
+    # job below (totals + vocab size) and the returned plan would
+    # otherwise EACH re-tokenize and re-aggregate the corpus — three
+    # full passes where one suffices (same convention as
+    # lm_cross_entropy's base.persist()).
+    stream = base.select("id", F.explode("_toks").alias("w")).persist()
+    cc = stream.groupBy("w").agg(F.count(F.lit(1)).alias("_cc")).persist()
     ct = (
         target.select(F.explode(toks).alias("w"))
         .groupBy("w")

@@ -4229,10 +4229,15 @@ def char_entropy_q(spark, sf_dir):
     chain (no explode, no shuffle); the DuckDB oracle replays the same
     per-distinct-character lambda algebra."""
     d = load_table(spark, sf_dir, "documents")
-    from .functions.text import char_entropy
+    from .functions.text import char_entropy_from_chars
 
+    # stage the split into a column so the entropy HOFs read a
+    # materialized array instead of inlining the split per reference
     return d.select(
-        "doc_id", F.round(char_entropy("text"), 6).alias("entropy")
+        "doc_id", F.split("text", "").alias("_cs")
+    ).select(
+        "doc_id",
+        F.round(char_entropy_from_chars(F.col("_cs")), 6).alias("entropy"),
     )
 
 

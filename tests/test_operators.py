@@ -871,3 +871,37 @@ def test_quantize_embeddings_roundtrip_bound(spark, sf_dir):
     zero = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
     z = quantize_embeddings(zero, "vec_id", "embedding").first()
     assert z.scale == 1.0 and z.q == [0, 0, 0]
+
+
+def test_interval_join_with_equi_keys(spark):
+    """equi_keys restrict overlap pairs to the same key (and shared
+    key names are exempt from the disjointness check)."""
+    import itertools
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import interval_join
+
+    lrows = [(1, "a", 0, 100), (2, "b", 0, 100)]
+    rrows = [(10, "a", 50, 60), (11, "b", 500, 600), (12, "c", 0, 100)]
+    left = spark.createDataFrame(lrows, "lid int, k string, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid int, k string, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, ("ls", "le"), ("rs", "re"),
+            bucket_width=50, equi_keys=["k"],
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (i, lk, a, b), (j, rk, c, d) in itertools.product(lrows, rrows)
+        if lk == rk and a <= d and c <= b
+    }
+    assert got == want == {(1, 10)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must exist on both"):
+        interval_join(
+            left, right, ("ls", "le"), ("rs", "re"),
+            bucket_width=50, equi_keys=["nope"],
+        )
