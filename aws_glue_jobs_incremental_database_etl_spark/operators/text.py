@@ -680,3 +680,62 @@ def dsir_importance(
             F.round(F.sum("_lr"), 6).alias("log_ratio"),
         )
     )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 262_144,
+    bias: float = 0.0,
+    bucket_col: str = "bucket",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Linear classifier over hashed bag-of-words features — the
+    fastText-shaped quality/domain classifier every published corpus
+    pipeline applies (GPT-3's WebText-vs-CommonCrawl filter, CCNet's
+    language-model gating, Llama's quality classifiers):
+    ``(id, n_tokens, score)`` with
+    ``score = sigmoid(bias + Σ_t weights[h(token_t) mod dim])``.
+
+    ``weights`` is the trained model as a TABLE (bucket → w), joined
+    BROADCAST — at most ``dim`` rows by construction, millions of
+    times smaller than the corpus.  Feature hashing uses the engine's
+    md5-bucket contract (``sampling.hash_bucket``), so any runtime
+    that can md5 a string reproduces the features bit-for-bit:
+    training offline (sklearn/fastText export into (bucket, w) rows)
+    and scoring here stay consistent.  Tokens hashing to buckets
+    absent from the model contribute 0 (left join).  One explode +
+    one doc-keyed aggregate; map-side partial sums.
+    """
+    from .sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_t"
+        ),
+    ).select("id", hash_bucket(F.col("_t"), dim).alias("_b"))
+    w = F.broadcast(
+        weights.select(
+            F.col(bucket_col).alias("_b"), F.col(weight_col).alias("_w")
+        )
+    )
+    return (
+        toks.join(w, "_b", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(F.lit(bias) + F.sum(F.coalesce("_w", F.lit(0.0))))
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )

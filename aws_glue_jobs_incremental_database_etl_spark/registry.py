@@ -4165,6 +4165,56 @@ def pagerank_q(spark, sf_dir):
 
 
 @query(
+    "classifier_score_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(
+               unnest(string_split_regex(lower(trim(text)), '\\s+'))), 1, 8))
+               AS BIGINT) % 4096 AS b
+      FROM documents
+    ), model AS (
+      SELECT DISTINCT b AS bucket,
+             (CAST(b % 101 AS DOUBLE) - 50.0) / 500.0 AS w
+      FROM tok
+    )
+    SELECT tok.doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(1.0 / (1.0 + exp(-(0.1 + SUM(model.w)))), 6) AS score
+    FROM tok JOIN model ON model.bucket = tok.b
+    GROUP BY tok.doc_id
+    """,
+)
+def classifier_q(spark, sf_dir):
+    """fastText-shaped hashed linear classifier
+    (operators.text.hashed_classifier_score): a deterministic synthetic
+    model table (w = (bucket%101 − 50)/500 over the corpus's own
+    buckets) exercises the real scoring path — md5 feature hashing,
+    broadcast model join, sigmoid — with an exact SQL twin."""
+    from .operators.text import hashed_classifier_score
+    from .operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    dim = 4096
+    model = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("_t")
+        )
+        .select(hash_bucket(F.col("_t"), dim).alias("bucket"))
+        .distinct()
+        .select(
+            "bucket",
+            (
+                ((F.col("bucket") % 101).cast("double") - 50.0) / 500.0
+            ).alias("w"),
+        )
+    )
+    return hashed_classifier_score(d, model, dim=dim, bias=0.1)
+
+
+@query(
     "quantize_embeddings_int8",
     """
     WITH q AS (
@@ -4545,6 +4595,7 @@ _PRIORITY = [
     "pagerank_part_supplier",
     "char_entropy_docs",
     "quantize_embeddings_int8",
+    "classifier_score_docs",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

@@ -905,3 +905,35 @@ def test_interval_join_with_equi_keys(spark):
             left, right, ("ls", "le"), ("rs", "re"),
             bucket_width=50, equi_keys=["nope"],
         )
+
+
+def test_hashed_classifier_score_matches_replica_and_separates(spark):
+    """Scores ≡ hashlib/math replica; a model weighted toward 'good'
+    tokens separates good from bad docs."""
+    import hashlib as _hl
+    import math
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        hashed_classifier_score,
+    )
+
+    dim = 1024
+    docs = [(0, "good clean prose text"), (1, "spam junk noise garbage")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def bucket(t):
+        return int(_hl.md5(t.encode()).hexdigest()[:8], 16) % dim
+
+    good = {bucket(t) for t in "good clean prose text".split()}
+    bad = {bucket(t) for t in "spam junk noise garbage".split()}
+    weights = [(b, 1.0) for b in good] + [(b, -1.0) for b in bad - good]
+    wdf = spark.createDataFrame(weights, "bucket long, w double")
+
+    got = {r.id: (r.n_tokens, r.score) for r in
+           hashed_classifier_score(df, wdf, dim=dim, bias=0.5).collect()}
+
+    for i, text in docs:
+        x = 0.5 + sum(dict(weights).get(bucket(t), 0.0) for t in text.lower().split())
+        want = round(1.0 / (1.0 + math.exp(-x)), 6)
+        assert got[i] == (len(text.split()), want)
+    assert got[0][1] > 0.9 and got[1][1] < 0.2
