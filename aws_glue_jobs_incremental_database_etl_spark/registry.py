@@ -4165,6 +4165,69 @@ def pagerank_q(spark, sf_dir):
 
 
 @query(
+    "lm_perplexity_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), uni AS MATERIALIZED (
+      SELECT g AS w1, COUNT(*) AS cu
+      FROM (SELECT unnest(w) AS g FROM toks) GROUP BY g
+    ), v AS (
+      SELECT COUNT(*) AS vs FROM uni
+    ), ix AS (
+      SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks
+    ), bi AS MATERIALIZED (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM ix
+    ), bc AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
+    ), scored AS (
+      SELECT bi.doc_id,
+             ROUND(-AVG(LN((bc.cb + 0.5) / (uni.cu + 0.5 * v.vs))), 6)
+                 AS ce
+      FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      GROUP BY bi.doc_id
+    ), all_docs AS (
+      SELECT t.doc_id, COALESCE(s.ce, 0.0) AS ce
+      FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+    ), bucketed AS (
+      SELECT doc_id, ce,
+             NTILE(3) OVER (ORDER BY ce ASC, doc_id ASC) AS bucket
+      FROM all_docs
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(ce), 6) AS sum_ce
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def lm_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3 keep the head, drop or resample the tail): rank
+    documents by LM cross-entropy and cut the corpus into thirds.
+    Composition of ``lm_cross_entropy`` + an exact NTILE — the gate
+    uses the exact global window (one-partition sort, fine for
+    verification); at 100 TB compute the two tercile thresholds with
+    ``approxQuantile`` and bucket with a map-only CASE instead."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.text import lm_cross_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = lm_cross_entropy(d, "doc_id", "text").select(
+        "id", F.col("cross_entropy").alias("ce")
+    )
+    w = W.orderBy(F.col("ce").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("ce"), 6).alias("sum_ce"),
+        )
+    )
+
+
+@query(
     "classifier_score_docs",
     """
     WITH tok AS (
@@ -4596,6 +4659,7 @@ _PRIORITY = [
     "char_entropy_docs",
     "quantize_embeddings_int8",
     "classifier_score_docs",
+    "lm_perplexity_buckets",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",
