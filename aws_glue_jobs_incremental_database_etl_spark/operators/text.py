@@ -711,18 +711,25 @@ def hashed_classifier_score(
     """
     from .sampling import hash_bucket
 
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
             "_t"
         ),
     ).select("id", hash_bucket(F.col("_t"), dim).alias("_b"))
+    # pre-aggregate the model: a duplicate bucket row (sharded/buggy
+    # export) would otherwise fan out the join, inflating n_tokens and
+    # double-counting weights with no error
     w = F.broadcast(
         weights.select(
             F.col(bucket_col).alias("_b"), F.col(weight_col).alias("_w")
         )
+        .groupBy("_b")
+        .agg(F.sum("_w").alias("_w"))
     )
-    return (
+    scored = (
         toks.join(w, "_b", "left")
         .groupBy("id")
         .agg(
@@ -737,5 +744,20 @@ def hashed_classifier_score(
                 ),
                 6,
             ).alias("score"),
+        )
+    )
+    # NULL/empty-text docs produce no token rows: join back so every
+    # input document appears, scoring the bias alone (same guard as
+    # lexicon_score / lm_cross_entropy)
+    import math
+
+    base_score = round(1.0 / (1.0 + math.exp(-bias)), 6)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("score", F.lit(base_score)).alias("score"),
         )
     )

@@ -27,6 +27,37 @@ from .tables import load_table
 Q = {}  # name -> callable(spark, sf_dir) -> DataFrame
 O = {}  # name -> oracle SQL (DuckDB); absent => rows-only check
 
+# Shared DuckDB fragment: the corpus-trained add-k bigram LM and its
+# per-document cross-entropy (CCNet scoring).  Yields ``all_docs`` with
+# (doc_id, ce) — ce already ROUND(6), 0.0 for docs with < 2 tokens.
+# Interpolated into every oracle that consumes LM scores — ONE place
+# to change the tokenizer or smoothing.
+_LM_CE_SQL = r"""toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), uni AS MATERIALIZED (
+      SELECT g AS w1, COUNT(*) AS cu
+      FROM (SELECT unnest(w) AS g FROM toks) GROUP BY g
+    ), v AS (
+      SELECT COUNT(*) AS vs FROM uni
+    ), ix AS (
+      SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks
+    ), bi AS MATERIALIZED (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM ix
+    ), bc AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
+    ), scored AS (
+      SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(-AVG(LN((bc.cb + 0.5) / (uni.cu + 0.5 * v.vs))), 6)
+                 AS ce
+      FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      GROUP BY bi.doc_id
+    ), all_docs AS (
+      SELECT t.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+             COALESCE(s.ce, 0.0) AS ce
+      FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+    )"""
+
 # Shared DuckDB fragment: 3-gram-Jaccard candidate intersections via an
 # inverted shingle index (posts unnest + hash join + COUNT), ~200×
 # faster than the all-pairs list_intersect formulation it replaced.
@@ -3349,32 +3380,9 @@ def segment_dedup_q(spark, sf_dir):
 
 @query(
     "lm_score_docs",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-      FROM documents
-    ), uni AS MATERIALIZED (
-      SELECT g AS w1, COUNT(*) AS cu
-      FROM (SELECT unnest(w) AS g FROM toks) GROUP BY g
-    ), v AS (
-      SELECT COUNT(*) AS vs FROM uni
-    ), ix AS (
-      SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks
-    ), bi AS MATERIALIZED (
-      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM ix
-    ), bc AS MATERIALIZED (
-      SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
-    ), scored AS (
-      SELECT bi.doc_id, COUNT(*) AS n_bigrams,
-             ROUND(-AVG(LN((bc.cb + 0.5) / (uni.cu + 0.5 * v.vs))), 6)
-                 AS cross_entropy
-      FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
-      GROUP BY bi.doc_id
-    )
-    SELECT t.doc_id,
-           COALESCE(s.n_bigrams, 0) AS n_bigrams,
-           COALESCE(s.cross_entropy, 0.0) AS cross_entropy
-    FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+    f"""
+    WITH {_LM_CE_SQL}
+    SELECT doc_id, n_bigrams, ce AS cross_entropy FROM all_docs
     """,
 )
 def lm_score_q(spark, sf_dir):
@@ -4166,31 +4174,8 @@ def pagerank_q(spark, sf_dir):
 
 @query(
     "lm_perplexity_buckets",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-      FROM documents
-    ), uni AS MATERIALIZED (
-      SELECT g AS w1, COUNT(*) AS cu
-      FROM (SELECT unnest(w) AS g FROM toks) GROUP BY g
-    ), v AS (
-      SELECT COUNT(*) AS vs FROM uni
-    ), ix AS (
-      SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks
-    ), bi AS MATERIALIZED (
-      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM ix
-    ), bc AS MATERIALIZED (
-      SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
-    ), scored AS (
-      SELECT bi.doc_id,
-             ROUND(-AVG(LN((bc.cb + 0.5) / (uni.cu + 0.5 * v.vs))), 6)
-                 AS ce
-      FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
-      GROUP BY bi.doc_id
-    ), all_docs AS (
-      SELECT t.doc_id, COALESCE(s.ce, 0.0) AS ce
-      FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
-    ), bucketed AS (
+    f"""
+    WITH {_LM_CE_SQL}, bucketed AS (
       SELECT doc_id, ce,
              NTILE(3) OVER (ORDER BY ce ASC, doc_id ASC) AS bucket
       FROM all_docs
