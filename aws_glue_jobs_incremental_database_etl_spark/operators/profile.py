@@ -191,3 +191,34 @@ def profile(
     return wide.select("n_rows", F.inline(rows)).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    relative_error: float = 1e-4,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row a quantile bucket 1..n by VALUE thresholds —
+    the 100 TB companion to an exact global NTILE: ``approxQuantile``
+    (Greenwald-Khanna sketch, one pass, mergeable partials) computes
+    the n−1 cut points, then bucketing is a map-only CASE — no
+    single-partition global sort anywhere.
+
+    Differs from NTILE exactly where it should: rows with EQUAL values
+    land in the SAME bucket (value semantics), where NTILE splits ties
+    across buckets to force equal counts.  Bucket sizes are therefore
+    approximately n-tiles, exact only when values at the cut points
+    are distinct.  NULL values get bucket NULL.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(col, probs, relative_error)
+    bucket = F.lit(1)
+    for t in cuts:
+        bucket = bucket + F.when(F.col(col) > t, 1).otherwise(0)
+    return df.withColumn(
+        bucket_col, F.when(F.col(col).isNotNull(), bucket)
+    )

@@ -87,3 +87,38 @@ def test_zscore_outliers_flags_extremes_only(spark):
     out = zscore_outliers(df, "x", threshold=3.0).collect()
     assert [r["x"] for r in out] == [10_000.0]
     assert out[0]["zscore"] > 3.0
+
+
+def test_quantile_buckets_sizes_and_value_semantics(spark, sf_dir):
+    """Near-equal tercile sizes on a continuous column; equal values
+    share a bucket; NULLs get NULL; plan has no global sort."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        quantile_buckets,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = quantile_buckets(orders, "o_totalprice", 3, relative_error=1e-6)
+    sizes = {r.bucket: r.c for r in
+             out.groupBy("bucket").count().withColumnRenamed("count", "c").collect()}
+    n = orders.count()
+    assert set(sizes) == {1, 2, 3}
+    for b in (1, 2, 3):
+        assert abs(sizes[b] - n / 3) < n * 0.02  # within 2%
+
+    # equal values share a bucket
+    same = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 1, 1, 2, 3, 4, 5]] + [(None,)],
+        "x double",
+    )
+    got = quantile_buckets(same, "x", 2, relative_error=0.0).collect()
+    ones = {r.bucket for r in got if r.x == 1.0}
+    assert len(ones) == 1
+    assert [r.bucket for r in got if r.x is None] == [None]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_buckets(orders, "o_totalprice", 1)
