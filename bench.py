@@ -60,6 +60,10 @@ HEADLINE = [
     "weighted_sample_docs",
     "pagerank_part_supplier",
     "q20_excess_supply",
+    "char_entropy_docs",
+    "classifier_score_docs",
+    "lm_perplexity_buckets",
+    "quantize_embeddings_int8",
 ]
 
 
