@@ -99,6 +99,36 @@ def read_text(
     return df
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Opaque-blob ingestion via Spark's ``binaryFile`` source — how
+    image/audio/video corpora enter the lake before
+    ``operators/multimodal`` decodes them: one row per file with
+    ``(path, modificationTime, length, content binary)``.
+
+    ``glob`` filters by pathname pattern (``"*.png"``); ``max_bytes``
+    pre-filters on the FILE METADATA column, so oversized blobs are
+    skipped without reading their bytes (the binaryFile reader is
+    columnar about it: a length-only query never loads content).
+    Files are not splittable — per-task memory is bounded by the
+    largest file, which is why the multimodal operators keep blobs in
+    bounded Arrow batches downstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 def read_table(
     spark: SparkSession, path: str, fmt: str = "parquet", **kwargs
 ) -> DataFrame:

@@ -45,3 +45,24 @@ def test_read_table_dispatches_text(spark, tmp_path):
     assert read_table(spark, str(d), fmt="text").count() == 1
     with pytest.raises(ValueError, match="Unknown source format"):
         read_table(spark, str(d), fmt="avro")
+
+
+def test_binary_file_source_reads_blobs_and_prunes(spark, tmp_path):
+    """binaryFile rows carry (path, length, content); glob and
+    max_bytes prune; a length-only projection never reads content."""
+    from aws_glue_jobs_incremental_database_etl_spark.sources.files import (
+        read_binary_files,
+    )
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG" + b"x" * 10)
+    (tmp_path / "b.png").write_bytes(b"\x89PNG" + b"y" * 5000)
+    (tmp_path / "c.txt").write_text("not a blob")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert bytes(rows["a.png"].content).startswith(b"\x89PNG")
+    assert rows["b.png"].length == 5004
+
+    small = read_binary_files(spark, str(tmp_path), glob="*.png", max_bytes=100)
+    assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.png"]
