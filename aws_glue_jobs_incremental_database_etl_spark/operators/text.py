@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.text import (
@@ -761,3 +762,76 @@ def hashed_classifier_score(
             F.coalesce("score", F.lit(base_score)).alias("score"),
         )
     )
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token counts under a REAL byte-pair-encoding merge table —
+    ``(id, n_words, n_bpe_tokens)`` — the actual quantity a training
+    pipeline bills by (context-window packing, per-token pricing),
+    where the whitespace/regex counters in ``functions.text`` are
+    approximations.
+
+    ``merges`` is the trained model: an ordered pair list exactly as a
+    tokenizer's ``merges.txt`` ships (rank = priority).  Application
+    is the standard greedy loop — repeatedly merge the
+    LOWEST-RANK adjacent pair per word until none applies — which is
+    inherently iterative and per-word, so this is the documented
+    Python slow path: an Arrow-batched ``mapInPandas`` kernel with the
+    (small) model held in the closure, word-level memoization per
+    batch (Zipf makes the cache hit rate ~the corpus's repetition
+    rate), map-only — no shuffle, executor memory bounded by the Arrow
+    batch size.  No SQL twin exists (iterative fixpoint per word) →
+    the gate covers it rows-only; unit tests pin known merges.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def encode_word(word: str, cache: dict) -> int:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        parts = list(word)
+        while len(parts) > 1:
+            best, best_rank, best_i = None, None, -1
+            for i in range(len(parts) - 1):
+                r = rank.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        cache[word] = len(parts)
+        return len(parts)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            ids, nw, nt = [], [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                words = (text or "").lower().split()
+                ids.append(i)
+                nw.append(len(words))
+                nt.append(sum(encode_word(w, cache) for w in words))
+            yield pd.DataFrame(
+                {"id": ids, "n_words": nw, "n_bpe_tokens": nt}
+            )
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    )
+    return base.mapInPandas(kernel, out_schema)

@@ -4172,6 +4172,25 @@ def pagerank_q(spark, sf_dir):
     return out.select("id", F.round("rank", 9).alias("rank"))
 
 
+@query("bpe_token_counts_docs")
+def bpe_q(spark, sf_dir):
+    """Real BPE token counting (operators.text.bpe_token_count) under
+    a fixed toy merge table of common English character pairs —
+    iterative per-word merging has no SQL twin, so this row is the
+    driver's rows-only check; exactness is pinned by unit tests
+    against a reference implementation."""
+    from .operators.text import bpe_token_count
+
+    merges = [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+        ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"),
+        ("e", "n"), ("o", "r"), ("t", "o"), ("i", "t"), ("o", "u"),
+        ("a", "r"), ("i", "s"), ("in", "g"), ("l", "e"), ("a", "l"),
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_token_count(d, merges)
+
+
 @query(
     "lm_perplexity_buckets",
     f"""
@@ -4645,6 +4664,7 @@ _PRIORITY = [
     "quantize_embeddings_int8",
     "classifier_score_docs",
     "lm_perplexity_buckets",
+    "bpe_token_counts_docs",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

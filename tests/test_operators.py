@@ -937,3 +937,38 @@ def test_hashed_classifier_score_matches_replica_and_separates(spark):
         want = round(1.0 / (1.0 + math.exp(-x)), 6)
         assert got[i] == (len(text.split()), want)
     assert got[0][1] > 0.9 and got[1][1] < 0.2
+
+
+def test_bpe_token_count_matches_reference(spark):
+    """Greedy lowest-rank merging ≡ a step-by-step reference; words
+    with no applicable merges stay character-tokenized."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("h", "e")]
+    docs = [(0, "the"), (1, "there"), (2, "xyz"), (3, "the the he"), (4, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_token_count(df, merges).collect()}
+
+    def ref(word):
+        rank = {p: i for i, p in enumerate(merges)}
+        parts = list(word)
+        while len(parts) > 1:
+            cands = [(rank[(a, b)], i) for i, (a, b) in
+                     enumerate(zip(parts, parts[1:])) if (a, b) in rank]
+            if not cands:
+                break
+            _, i = min(cands)
+            parts[i:i + 2] = [parts[i] + parts[i + 1]]
+        return len(parts)
+
+    for i, text in docs:
+        words = (text or "").lower().split()
+        assert got[i] == (len(words), sum(ref(w) for w in words)), (i, text)
+    # 'the' → th → the = 1 token; 'there' → th|e|r|e → the|r|e and no
+    # (r,e) merge exists (only (e,r)), so it stays 3 tokens
+    assert got[0] == (1, 1) and got[1] == (1, 3)
+    assert got[2] == (1, 3)        # no merges apply
+    assert got[4] == (0, 0)        # NULL text
