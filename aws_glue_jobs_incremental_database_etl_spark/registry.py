@@ -4172,6 +4172,44 @@ def pagerank_q(spark, sf_dir):
     return out.select("id", F.round("rank", 9).alias("rank"))
 
 
+@query(
+    "variant_events_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ) t
+    GROUP BY event_type
+    """,
+)
+def variant_q(spark, sf_dir):
+    """Spark 4 VariantType path (SURVEY.md §2.8 JSON surface):
+    ``parse_json`` materializes the semi-structured props column as a
+    binary variant ONCE (the open-format successor to per-access
+    ``get_json_object`` string re-parsing), then ``try_variant_get``
+    extracts typed fields without re-tokenizing the JSON text — at
+    scale the parse cost is paid once per row instead of once per
+    accessed field.  DuckDB twin uses json_extract on the same rows."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
 @query("bpe_token_counts_docs")
 def bpe_q(spark, sf_dir):
     """Real BPE token counting (operators.text.bpe_token_count) under
@@ -4665,6 +4703,7 @@ _PRIORITY = [
     "classifier_score_docs",
     "lm_perplexity_buckets",
     "bpe_token_counts_docs",
+    "variant_events_stats",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",
