@@ -11,6 +11,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import epoch_us
+
 
 def broadcast_dim(df: DataFrame) -> DataFrame:
     """Explicit broadcast marker for dimension tables — at 100 TB the
@@ -219,3 +221,64 @@ def interval_join(
         & (F.col("_b") == F.greatest(F.col("_lsb"), F.col("_rsb")))
     )
     return pairs.drop("_b", "_lsb", "_rsb")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_us: int,
+    agg: str = "last",
+) -> DataFrame:
+    """Time-series resampling with forward fill — the gap-fill shape
+    every metrics/feature pipeline needs: per key, a REGULAR grid of
+    ``step_us``-wide slots spanning that key's own [min, max] range,
+    each slot carrying the latest observation in it, empty slots
+    forward-filled from the previous one:
+    ``(key, slot_start timestamp, value, is_observed)``.
+
+    Plan: one key-level min/max aggregate → per-key grid via
+    ``sequence`` + ``explode`` (fan-out = key's active span / step,
+    never the global span), observations collapsed per (key, slot)
+    with ``max_by`` (latest ts wins — deterministic), a key+slot
+    equi join, then ONE ordered window per key for the
+    ``last(ignorenulls)`` carry.  Two shuffles on the key total; no
+    driver state.  ``agg`` picks the in-slot reducer: ``last``
+    (max_by ts) or ``avg``/``sum``/``min``/``max``.
+    """
+    us = epoch_us(ts_col)
+    slot = F.floor(us / F.lit(step_us)).cast("long")
+    obs_all = df.select(
+        F.col(key_col).alias("k"), us.alias("_us"), slot.alias("_slot"),
+        F.col(value_col).alias("_v"),
+    )
+    if agg == "last":
+        reducer = F.max_by("_v", "_us")
+    elif agg in ("avg", "sum", "min", "max"):
+        reducer = getattr(F, agg)("_v")
+    else:
+        raise ValueError(f"unsupported agg: {agg!r}")
+    obs = obs_all.groupBy("k", "_slot").agg(reducer.alias("_obs"))
+    span = obs_all.groupBy("k").agg(
+        F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi")
+    )
+    grid = span.select(
+        "k", F.explode(F.sequence("_lo", "_hi")).alias("_slot")
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("_slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["k", "_slot"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.timestamp_micros(F.col("_slot") * step_us).alias("slot_start"),
+            F.last("_obs", ignorenulls=True).over(w).alias(value_col),
+            F.col("_obs").isNotNull().alias("is_observed"),
+            "_slot",
+        )
+        .drop("_slot")
+    )

@@ -4173,6 +4173,59 @@ def pagerank_q(spark, sf_dir):
 
 
 @query(
+    "resample_ffill_events",
+    """
+    WITH obs_all AS (
+      SELECT user_id AS k, epoch_us(ts) AS us,
+             epoch_us(ts) // 3600000000 AS slot, value AS v
+      FROM events
+    ), obs AS (
+      SELECT k, slot, max_by(v, us) AS obs_v
+      FROM obs_all GROUP BY k, slot
+    ), span AS (
+      SELECT k, MIN(slot) AS lo, MAX(slot) AS hi FROM obs_all GROUP BY k
+    ), grid AS (
+      SELECT k, unnest(range(lo, hi + 1)) AS slot FROM span
+    ), filled AS (
+      SELECT g.k, g.slot,
+             last_value(o.obs_v IGNORE NULLS) OVER (
+               PARTITION BY g.k ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS v,
+             o.obs_v IS NOT NULL AS is_observed
+      FROM grid g LEFT JOIN obs o ON o.k = g.k AND o.slot = g.slot
+    )
+    SELECT k AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_slots,
+           CAST(SUM(CASE WHEN is_observed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_observed,
+           ROUND(SUM(v), 2) AS sum_filled
+    FROM filled GROUP BY k
+    """,
+)
+def resample_q(spark, sf_dir):
+    """Time-series resampling + forward fill
+    (operators.joins.resample_ffill): each user's event stream becomes
+    a regular hourly grid over their own active span, empty hours
+    carrying the latest prior value — the gap-fill shape of metrics
+    and feature pipelines.  Aggregated per user (slots, observed
+    count, filled sum) to keep the gate output compact; the DuckDB
+    twin replays the identical grid/max_by/ignore-nulls algebra."""
+    from .operators.joins import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    HOUR = 3_600_000_000
+    filled = resample_ffill(ev, "user_id", "ts", "value", step_us=HOUR)
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_slots"),
+        F.sum(F.col("is_observed").cast("int")).cast("bigint").alias(
+            "n_observed"
+        ),
+        F.round(F.sum("value"), 2).alias("sum_filled"),
+    )
+
+
+@query(
     "variant_events_stats",
     """
     SELECT event_type,
@@ -4704,6 +4757,7 @@ _PRIORITY = [
     "lm_perplexity_buckets",
     "bpe_token_counts_docs",
     "variant_events_stats",
+    "resample_ffill_events",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

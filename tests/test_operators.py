@@ -972,3 +972,36 @@ def test_bpe_token_count_matches_reference(spark):
     assert got[0] == (1, 1) and got[1] == (1, 3)
     assert got[2] == (1, 3)        # no merges apply
     assert got[4] == (0, 0)        # NULL text
+
+
+def test_resample_ffill_grid_and_carry(spark):
+    """Hourly grid spans each key's own range; gaps carry the latest
+    prior value; in-slot ties resolve to the latest timestamp."""
+    import datetime as dt
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import (
+        resample_ffill,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=10), 11.0),   # same slot, later → wins
+        (1, t0 + dt.timedelta(hours=3), 99.0),      # 2-hour gap before this
+        (2, t0 + dt.timedelta(hours=5), 7.0),       # other key, 1 slot only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = resample_ffill(df, "user_id", "ts", "value", step_us=3_600_000_000)
+    got = {(r.user_id, r.slot_start.hour): (r.value, r.is_observed)
+           for r in out.collect()}
+    assert got[(1, 0)] == (11.0, True)    # max_by picks the later obs
+    assert got[(1, 1)] == (11.0, False)   # carried
+    assert got[(1, 2)] == (11.0, False)   # carried
+    assert got[(1, 3)] == (99.0, True)
+    assert got[(2, 5)] == (7.0, True)
+    assert len(got) == 5                  # grids span each key's own range
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported agg"):
+        resample_ffill(df, "user_id", "ts", "value", 3_600_000_000, agg="mode")
