@@ -195,3 +195,34 @@ def weighted_sample_k(
         .limit(k)
     )
     return out.drop("_aes") if id_cols is None else out.select(*id_cols)
+
+
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Per-group weighted sample without replacement: ``min(k, |g|)``
+    rows per group, inclusion probability ∝ weight within each group —
+    the grouped twin of :func:`weighted_sample_k` (per-source quotas
+    weighted by document quality, per-language eval picks weighted by
+    length).  Same A-ES key (``ln(u)/w`` over the md5 uniform), ranked
+    by a window per group instead of a global top-k: ONE shuffle keyed
+    on the group, the same cost shape as ``stratified_sample_k``.
+    Zero/negative/NULL weights are excluded before ranking.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(F.col(key_col)) + 1) / F.lit(float(DEFAULT_BUCKETS + 1))
+    win = Window.partitionBy(group_col).orderBy(
+        (F.log(u) / w).desc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -4173,6 +4173,36 @@ def pagerank_q(spark, sf_dir):
 
 
 @query(
+    "weighted_sample_per_source",
+    """
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 10000 + 1) / 10001.0)
+                        / CAST(n_chars AS DOUBLE) DESC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents WHERE n_chars > 0
+    ) t WHERE rn <= 5
+    """,
+)
+def weighted_sample_group_q(spark, sf_dir):
+    """Per-source weighted sample
+    (operators.sampling.weighted_sample_k_per_group): 5 documents per
+    source, inclusion ∝ n_chars — grouped quota sampling on the same
+    deterministic A-ES key, one group-keyed window shuffle."""
+    from .operators.sampling import weighted_sample_k_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k_per_group(
+        d, "source", 5, "n_chars", "doc_id"
+    ).select("source", "doc_id", "n_chars")
+
+
+@query(
     "resample_ffill_events",
     """
     WITH obs_all AS (
@@ -4758,6 +4788,7 @@ _PRIORITY = [
     "bpe_token_counts_docs",
     "variant_events_stats",
     "resample_ffill_events",
+    "weighted_sample_per_source",
     "grouping_sets_orders",
     "collect_list_order_keys",
     "q4_priority_late_ship",

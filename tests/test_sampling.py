@@ -163,3 +163,22 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # 100 heavy of 1100 rows hold 100*100/(100*100+1000*1) ≈ 91% of
     # the mass; the A-ES sample should be mostly heavy rows
     assert heavy >= 70
+
+
+def test_weighted_sample_per_group_quota_and_determinism(spark, sf_dir):
+    """min(k, |group|) rows per group, stable across repartition."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample_k_per_group(docs, "source", 3, "n_chars", "doc_id")
+    sizes = {r.source: r.c for r in
+             out.groupBy("source").count().withColumnRenamed("count", "c").collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(sizes) == n_sources and all(c == 3 for c in sizes.values())
+
+    again = weighted_sample_k_per_group(
+        docs.repartition(7), "source", 3, "n_chars", "doc_id"
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
