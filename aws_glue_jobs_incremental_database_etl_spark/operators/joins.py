@@ -204,12 +204,20 @@ def interval_join(
         raise ValueError(f"column names must be disjoint, both have: {sorted(overlap)}")
     if bucket_width < 1:
         raise ValueError("bucket_width must be >= 1")
-    w = F.lit(bucket_width)
+
+    def floor_bucket(c: str):
+        # exact long floor-division: double division (floor(x / w))
+        # loses integer precision past 2^53 (nanosecond-scale bounds);
+        # pmod-then-div stays in long arithmetic at any magnitude and
+        # keeps floor (not truncate-toward-zero) semantics for
+        # negative starts
+        return F.expr(
+            f"(`{c}` - pmod(`{c}`, {bucket_width})) div {bucket_width}"
+        )
 
     def buckets(df: DataFrame, s: str, e: str, sb: str) -> DataFrame:
-        start_b = F.floor(F.col(s) / w)
-        return df.withColumn(sb, start_b).withColumn(
-            "_b", F.explode(F.sequence(F.col(sb), F.floor(F.col(e) / w)))
+        return df.withColumn(sb, floor_bucket(s)).withColumn(
+            "_b", F.explode(F.sequence(F.col(sb), floor_bucket(e)))
         )
 
     lb = buckets(left, ls, le, "_lsb")

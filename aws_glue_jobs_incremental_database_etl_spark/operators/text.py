@@ -673,7 +673,7 @@ def dsir_importance(
             - F.log((F.col("_cc") + F.lit(k)) / F.lit(n_corpus + k * vocab))
         ).alias("_lr"),
     )
-    return (
+    out = (
         stream.join(model, "w")
         .groupBy("id")
         .agg(
@@ -681,6 +681,14 @@ def dsir_importance(
             F.round(F.sum("_lr"), 6).alias("log_ratio"),
         )
     )
+    # materialize the result, then release the per-call caches — a
+    # long-lived session scoring corpora repeatedly must not pin a
+    # fresh copy of the token stream in storage memory per call (same
+    # convention as pagerank / connected_components)
+    out = out.localCheckpoint(eager=True)
+    stream.unpersist()
+    cc.unpersist()
+    return out
 
 
 def hashed_classifier_score(
@@ -793,9 +801,12 @@ def bpe_token_count(
     import pandas as pd
 
     rank = {pair: i for i, pair in enumerate(merges)}
+    # keep the caller's id type: an unconditional cast('long') would
+    # silently NULL every id on a string-keyed corpus
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", id_type),
             T.StructField("n_words", T.LongType()),
             T.StructField("n_bpe_tokens", T.LongType()),
         ]
@@ -832,6 +843,6 @@ def bpe_token_count(
             )
 
     base = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
     return base.mapInPandas(kernel, out_schema)

@@ -4365,12 +4365,19 @@ def lm_buckets_q(spark, sf_dir):
       SELECT DISTINCT b AS bucket,
              (CAST(b % 101 AS DOUBLE) - 50.0) / 500.0 AS w
       FROM tok
+    ), scored AS (
+      SELECT tok.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(model.w) AS sw
+      FROM tok JOIN model ON model.bucket = tok.b
+      GROUP BY tok.doc_id
     )
-    SELECT tok.doc_id AS id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(1.0 / (1.0 + exp(-(0.1 + SUM(model.w)))), 6) AS score
-    FROM tok JOIN model ON model.bucket = tok.b
-    GROUP BY tok.doc_id
+    -- LEFT JOIN from documents: the operator emits every input doc,
+    -- scoring NULL-text docs as sigmoid(bias) with n_tokens = 0
+    SELECT d.doc_id AS id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           ROUND(1.0 / (1.0 + exp(-(0.1 + COALESCE(s.sw, 0.0)))), 6) AS score
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
     """,
 )
 def classifier_q(spark, sf_dir):

@@ -114,7 +114,15 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from aws_glue_jobs_incremental_database_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    # match the driver's runtime exactly (local[32], 32 shuffle
+    # partitions): AQE coalescing / broadcast decisions can differ
+    # with parallelism, and plan parity is the point of this replica
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="oracle-check",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
