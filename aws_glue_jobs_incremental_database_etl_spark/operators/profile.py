@@ -222,3 +222,91 @@ def quantile_buckets(
     return df.withColumn(
         bucket_col, F.when(F.col(col).isNotNull(), bucket)
     )
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    value_col: str,
+    id_col: str,
+    coarse_buckets: int = 32,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """EXACT global ``NTILE(n) OVER (ORDER BY value, id)`` without the
+    single-partition sort a bare unpartitioned Window plans.
+
+    Two-level rank construction (the classic distributed total-order
+    ranking):
+
+    1. coarse range keys from ``approxQuantile`` cut points — the
+       sketch is a PLACEMENT heuristic only (balances the local
+       sorts); exactness never depends on its accuracy;
+    2. ``row_number`` within each coarse bucket — the only shuffle,
+       keyed on ~``coarse_buckets`` values, each partition a bounded
+       local sort (spillable);
+    3. coarse-bucket counts to the driver (≤ ``coarse_buckets``
+       scalars — bounded by construction) → cumulative offsets as a
+       literal map; ``global_rank = offset[coarse] + local_rank``;
+    4. the SQL NTILE formula from global rank and total count, in
+       long arithmetic (``div``), never double division.
+
+    Matches ``NTILE`` bit-for-bit: ties on ``value`` are split across
+    tiles by ``id`` order, the first ``total mod n`` tiles get the
+    extra row.  ``value_col`` must be non-null (filter or coalesce
+    first); equal values sharing a cut point stay in one coarse bucket
+    so the concatenated order is the true total order.
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    from pyspark.sql.window import Window
+
+    probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
+    cuts = df.approxQuantile(value_col, probs, 1e-3)
+    coarse = F.lit(0)
+    for t in cuts:
+        coarse = coarse + F.when(F.col(value_col) > t, 1).otherwise(0)
+    ranked = df.withColumn("_pb", coarse).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_pb").orderBy(
+                F.col(value_col).asc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    sizes = dict(
+        ranked.groupBy("_pb").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pb in sorted(sizes):
+        offsets[pb] = acc
+        acc += sizes[pb]
+    if total == 0:
+        return df.withColumn(bucket_col, F.lit(None).cast("int"))
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("_pb"),
+    )
+    grank = (off + F.col("_rn")).cast("long")
+    base, rem = total // n_tiles, total % n_tiles
+    threshold = (base + 1) * rem
+    big, small = base + 1, max(base, 1)
+    # long-exact ceil division via (a + b - 1) div b
+    return (
+        ranked.withColumn("_grank", grank)
+        .withColumn(
+            bucket_col,
+            F.when(
+                F.col("_grank") <= F.lit(threshold),
+                F.expr(f"(_grank + {big - 1}) div {big}"),
+            )
+            .otherwise(
+                F.lit(rem)
+                + F.expr(f"(_grank - {threshold} + {small - 1}) div {small}")
+            )
+            .cast("int"),
+        )
+        .drop("_pb", "_rn", "_grank")
+    )

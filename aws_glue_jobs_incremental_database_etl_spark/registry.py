@@ -4329,21 +4329,22 @@ def lm_buckets_q(spark, sf_dir):
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
     2020 §4.3 keep the head, drop or resample the tail): rank
     documents by LM cross-entropy and cut the corpus into thirds.
-    Composition of ``lm_cross_entropy`` + an exact NTILE — the gate
-    uses the exact global window (one-partition sort, fine for
-    verification); at 100 TB compute the two tercile thresholds with
-    ``approxQuantile`` and bucket with a map-only CASE instead."""
-    from pyspark.sql.window import Window as W
-
+    Composition of ``lm_cross_entropy`` + ``profile.exact_ntile`` —
+    the distributed two-level rank construction, NOT a bare
+    unpartitioned Window (which plans a single-partition global sort:
+    the one plan shape that cannot survive a 100× scale-up).  The
+    (id, ce) projection is checkpointed first: exact_ntile passes over
+    it three times (sketch, coarse counts, final), and ce is two
+    narrow columns — the LM scoring join must not run thrice."""
+    from .operators.profile import exact_ntile
     from .operators.text import lm_cross_entropy
 
     d = load_table(spark, sf_dir, "documents")
     scored = lm_cross_entropy(d, "doc_id", "text").select(
         "id", F.col("cross_entropy").alias("ce")
-    )
-    w = W.orderBy(F.col("ce").asc(), F.col("id").asc())
+    ).localCheckpoint(eager=True)
     return (
-        scored.withColumn("bucket", F.ntile(3).over(w))
+        exact_ntile(scored, 3, "ce", "id", coarse_buckets=16)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

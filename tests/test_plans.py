@@ -304,3 +304,12 @@ def test_map_only_feature_queries_have_no_exchange(plans):
     for q in ("char_entropy_docs", "quantize_embeddings_int8"):
         p = plans(q)
         assert "Exchange" not in p, q
+
+
+def test_lm_buckets_no_single_partition_sort(plans):
+    # the NTILE is the two-level distributed rank construction: the
+    # Window must run partitioned on the coarse key, never after an
+    # Exchange SinglePartition (the plan shape that dies at 100 TB)
+    p = plans("lm_perplexity_buckets")
+    assert "Window" in p  # the partitioned local-rank window
+    assert "Exchange SinglePartition" not in p  # nowhere in the plan

@@ -122,3 +122,33 @@ def test_quantile_buckets_sizes_and_value_semantics(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         quantile_buckets(orders, "o_totalprice", 1)
+
+
+def test_exact_ntile_matches_native_ntile(spark):
+    """exact_ntile == NTILE(n) OVER (ORDER BY value, id) bit-for-bit,
+    including tie-splitting and the uneven-remainder tiles — on data
+    engineered with heavy value ties across tile boundaries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import exact_ntile
+
+    rows = [(i, float(i % 7)) for i in range(101)]  # 101 % 3 != 0
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        (r.id): r.bucket
+        for r in exact_ntile(df, 3, "v", "id", coarse_buckets=4).collect()
+    }
+    want = {
+        (r.id): r.nt
+        for r in df.withColumn(
+            "nt",
+            F.ntile(3).over(Window.orderBy(F.col("v").asc(), F.col("id").asc())),
+        ).collect()
+    }
+    assert got == want
+
+    # n_tiles > row count degenerates to rank
+    small = spark.createDataFrame([(1, 5.0), (2, 1.0)], "id long, v double")
+    got2 = {r.id: r.bucket for r in exact_ntile(small, 5, "v", "id").collect()}
+    assert got2 == {2: 1, 1: 2}
