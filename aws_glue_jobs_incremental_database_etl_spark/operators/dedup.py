@@ -420,14 +420,33 @@ def _simhash_from_hashes_udf():
     return _SIMHASH_UDF
 
 
-def simhash64(text_col, shingle_k: int = 2):
+def _token_hash(col, hash_fn: str):
+    """Per-shingle 64-bit hash column.
+
+    ``xxhash64`` — the fast default (JVM intrinsic, seed 42).
+    ``md5_60`` — portable 60-bit hash: first 15 hex chars of md5,
+    parsed base-16.  Any engine that can md5 a string reproduces it
+    bit-for-bit (DuckDB: ``CAST('0x' || substr(md5(g),1,15) AS
+    BIGINT)``), which is what makes a full SQL oracle for SimHash
+    possible; bits 60-63 are always 0, which only wastes 4 signature
+    bits."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def simhash64(text_col, shingle_k: int = 2, hash_fn: str = "xxhash64"):
     """64-bit SimHash of a document: bit i of the result = sign of
-    Σ over shingles of (±1 if bit i of xxhash64(shingle)).
+    Σ over shingles of (±1 if bit i of hash(shingle)).
 
     Shingling + hashing stay in Catalyst (map-only, no shuffle); the
     bit-vote reduction is an Arrow-batched vectorized kernel
     (``_simhash_from_hashes_udf``)."""
-    hs = F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+    hs = F.transform(
+        shingles(text_col, shingle_k), lambda s: _token_hash(s, hash_fn)
+    )
     return _simhash_from_hashes_udf()(hs)
 
 
@@ -444,6 +463,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     shingle_k: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k, via 4×16-bit banding:
     any pair within distance ≤ 3 shares at least one exact 16-bit
@@ -461,7 +481,7 @@ def simhash_near_dup_pairs(
             _simhash_from_hashes_udf()(
                 F.transform(
                     shingles_from_tokens(F.col("_toks"), shingle_k),
-                    lambda s: F.xxhash64(s),
+                    lambda s: _token_hash(s, hash_fn),
                 )
             ).alias("sig"),
         )

@@ -2806,14 +2806,62 @@ def jaccard_q(spark, sf_dir):
     return jaccard_near_dup_pairs(d, "doc_id", "text", threshold=0.7, shingle_k=3)
 
 
-@query("simhash_near_dup_docs")  # rows-only: Spark-hash-specific signatures
+def _simhash_oracle() -> str:
+    """Full SQL twin of simhash_near_dup_pairs(hash_fn='md5_60'):
+    identical shingling (3-gram, distinct, whole-doc fallback for
+    short docs), the same portable 60-bit md5 token hash, 60 bit-vote
+    aggregates building the signature, then the O(n²) pair compare the
+    Spark side's 4×16 banding only approximates from below — full
+    recall at Hamming ≤ 3 is the pigeonhole guarantee, so the two
+    engines agree exactly."""
+    bit_terms = "\n           + ".join(
+        f"(CASE WHEN SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(60)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(unnest(sh)), 1, 15) AS BIGINT) AS h
+      FROM d
+    ), sigs AS MATERIALIZED (
+      SELECT doc_id,
+           {bit_terms} AS sig
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
+
+
+@query("simhash_near_dup_docs", None)  # oracle attached below (generated SQL)
 def simhash_q(spark, sf_dir):
     """SimHash near-dup pairs (64-bit signatures, 16-bit banding; the
-    4×16 pigeonhole guarantees full recall at Hamming ≤ 3)."""
+    4×16 pigeonhole guarantees full recall at Hamming ≤ 3).  The gate
+    uses the portable md5-based token hash so the DuckDB oracle can
+    rebuild the signatures bit-for-bit; production callers keep the
+    xxhash64 default (same plan, cheaper hash)."""
     from .operators.dedup import simhash_near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, shingle_k=3)
+    return simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3, shingle_k=3, hash_fn="md5_60"
+    )
+
+
+O["simhash_near_dup_docs"] = _simhash_oracle()
 
 
 @query(

@@ -116,3 +116,21 @@ def test_interval_join_equals_bruteforce(spark, ls, rs, width):
         if a <= d and c <= b
     }
     assert got == want
+
+
+@given(st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_md5_60_token_hash_matches_hashlib(spark, texts):
+    """The portable simhash token hash is engine-independent: Spark's
+    conv(substr(md5,1,15),16,10) == python int(md5[:15],16) — the
+    property the generated DuckDB simhash oracle stands on."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import _token_hash
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r.t: r.h for r in df.select("t", _token_hash(F.col("t"), "md5_60").alias("h")).collect()}
+    for t in texts:
+        assert got[t] == int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
