@@ -2960,17 +2960,79 @@ def ivf_topk_q(spark, sf_dir):
     return cosine_topk_ivf(emb, qvec, k=10, n_clusters=8, nprobe=2)
 
 
-@query("multimodal_image_features")  # rows-only: synthetic media, stubbed decode
+def _multimodal_image_oracle(dim: int = 16) -> str:
+    """DuckDB twin of the deterministic fake image decoder: the byte
+    recurrence ``acc = (acc*31 + payload[i mod L]) mod 997`` unrolled
+    as lateral-alias columns over ``hex(encode(text))`` byte lookups,
+    features rounded through REAL exactly as Arrow narrows the UDF
+    output to float32.  Every arithmetic step is associated in the
+    same order on both engines, so the doubles are bit-identical — no
+    ROUND needed anywhere."""
+    byte = (
+        lambda k: f"CAST('0x' || substr(H, 2*({k} % L) + 1, 2) AS INT)"
+    )
+    accs = [f"({byte(0)}) % 997 AS a0"] + [
+        f"((a{k-1} * 31 + {byte(k)}) % 997) AS a{k}" for k in range(1, dim)
+    ]
+    feats = ", ".join(
+        f"CAST(CAST(a{k} / 997.0 AS REAL) AS DOUBLE) AS f{k}"
+        for k in range(dim)
+    )
+    checksum = " + ".join(f"f{k} * {float(k + 1)!r}" for k in range(dim))
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), acc AS (
+      SELECT media_id, {", ".join(accs)} FROM base
+    ), f AS (
+      SELECT media_id, {feats} FROM acc
+    )
+    SELECT media_id, {dim} AS feat_dim, f0, f7, f15,
+           {checksum} AS checksum
+    FROM f
+    """
+
+
+@query("multimodal_image_features", None)  # oracle attached below (generated)
 def multimodal_q(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas
-    feature extraction (decode kernel stubbed deterministically)."""
-    from .operators.multimodal import extract_image_features, make_fake_media
+    feature extraction.  The gate derives the media table from the
+    real ``documents`` parquet (payload = UTF-8 bytes of text) so the
+    deterministic fake-decode arithmetic has a full SQL twin — the
+    decode kernel, batch shape, and float32 feature narrowing are all
+    hash-checked, not just row-counted.  ``make_fake_media`` remains
+    the unit-test fixture path."""
+    from .operators.multimodal import extract_image_features
 
-    media = make_fake_media(spark, n=64)
-    feats = extract_image_features(media, dim=16)
-    return feats.select(
-        "media_id", "mime", "decode_ok", F.size("feature").alias("feat_dim")
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+    feats = extract_image_features(media, dim=16)
+
+    def f(k):
+        return F.col("feature").getItem(k).cast("double")
+
+    checksum = f(0) * F.lit(1.0)
+    for k in range(1, 16):
+        checksum = checksum + f(k) * F.lit(float(k + 1))
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("feat_dim"),
+        f(0).alias("f0"),
+        f(7).alias("f7"),
+        f(15).alias("f15"),
+        checksum.alias("checksum"),
+    )
+
+
+O["multimodal_image_features"] = _multimodal_image_oracle()
 
 
 @query("multimodal_audio_features")  # rows-only: synthetic media, stubbed decode
