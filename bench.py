@@ -66,6 +66,23 @@ HEADLINE = [
     "quantize_embeddings_int8",
 ]
 
+# sf1 spot set: the queries whose cost could grow NONlinearly with
+# data volume — iterative shuffles (pagerank), candidate-pair growth
+# (the near-dup family), bucket fan-out (interval join), the
+# distributed-rank NTILE, one star join and one window as controls.
+SF1_SPOT = [
+    "q9_product_profit",
+    "events_sessionize_30m",
+    "char_entropy_docs",
+    "minhash_near_dup_docs",
+    "jaccard_near_dup_docs",
+    "simhash_near_dup_docs",
+    "embedding_near_dup_bucketed",
+    "interval_join_events_windows",
+    "lm_perplexity_buckets",
+    "pagerank_part_supplier",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,17 +131,42 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # sf1 spot-bench: 10× the sf0.1 data (generated once, cached under
+    # .benchdata/), one timed run per query — catches nonlinear scaling
+    # (pair explosion, iteration cost, bucket fan-out) that min-of-2 at
+    # sf0.1 cannot.  Linear-ish scaling target: sf1 ≤ ~10× sf0.1.
+    if sf == "0.1" and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        try:
+            from tools.scale_data import ensure_scaled
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            sf1_dir = ensure_scaled(
+                spark, sf_dir, os.path.join(here, ".benchdata", "sf1"), 10
+            )
+            sf1_timings: dict[str, float] = {}
+            for name in SF1_SPOT:
+                t0 = time.time()
+                registry.Q[name](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sf1_timings[name] = round(time.time() - t0, 3)
+            result["sf1"] = {
+                "value": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+                "rows_factor": 10,
             }
-        )
-    )
+        except Exception as e:  # sf1 is additive — never fail the bench
+            result["sf1_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
