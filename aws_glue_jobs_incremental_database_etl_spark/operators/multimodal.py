@@ -61,14 +61,20 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, dim: int) -> list[float]:
-    # Deterministic stand-in for a real decoder: a dim-length float
-    # vector from the payload bytes.  Stable across runs/executors.
+def _fake_decode_acc(payload: bytes, dim: int) -> list[int]:
+    # Deterministic stand-in for a real decoder: the raw integer
+    # accumulator stream (0..996).  Stable across runs/executors, and
+    # integer-exact so downstream features can be arranged to have
+    # bit-reproducible SQL twins.
     acc, out = 0, []
     for i in range(dim):
         acc = (acc * 31 + payload[i % len(payload)]) % 997
-        out.append(acc / 997.0)
+        out.append(acc)
     return out
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    return [a / 997.0 for a in _fake_decode_acc(payload, dim)]
 
 
 def extract_image_features(
@@ -152,19 +158,28 @@ def extract_audio_features(
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                # fake decode: duration-scaled sample count, ≥1 window
+                # fake decode: duration-scaled sample count, ≥1 window.
+                # The wave is kept INTEGER-centered (c = 2*acc - 997,
+                # odd so never 0, c/1994 == acc/997 - 0.5): the sum of
+                # squares is then exact int64 — order-free — and rms
+                # needs exactly two IEEE roundings (sqrt, divide) in a
+                # fixed order, so any SQL engine reproduces the doubles
+                # bit-for-bit.  Float-accumulated variants differ by
+                # summation order (numpy pairwise vs SQL fold).
                 n = max(window_samples, int(dur) // 50)
-                wave = (
-                    np.array(
-                        _fake_decode(payload, n), dtype=np.float64
+                c = (
+                    2
+                    * np.array(
+                        _fake_decode_acc(payload, n), dtype=np.int64
                     )
-                    - 0.5
+                    - 997
                 )
-                n_win = len(wave) // window_samples
-                w = wave[: n_win * window_samples].reshape(
+                n_win = len(c) // window_samples
+                w = c[: n_win * window_samples].reshape(
                     n_win, window_samples
                 )
-                rms = np.sqrt((w * w).mean(axis=1))
+                ssq = (w * w).sum(axis=1)  # exact int64
+                rms = np.sqrt(ssq / window_samples) / 1994.0
                 zcr = (np.diff(np.sign(w), axis=1) != 0).mean(axis=1)
                 out_id.extend([mid] * n_win)
                 out_win.extend(range(n_win))

@@ -3035,24 +3035,119 @@ def multimodal_q(spark, sf_dir):
 O["multimodal_image_features"] = _multimodal_image_oracle()
 
 
-@query("multimodal_audio_features")  # rows-only: synthetic media, stubbed decode
+def _multimodal_audio_oracle(n_samples: int = 64, ws: int = 32) -> str:
+    """DuckDB twin of the integer-exact audio featurization at the
+    gate's fixed duration (``n_samples`` decode steps → ``n/ws``
+    windows): the acc recurrence unrolled as lateral-alias columns,
+    ``c = 2*acc - 997`` (odd, never 0), per-window exact-integer sum
+    of squares, ``rms = round(sqrt(ssq/ws)/1994, 6)`` — the same two
+    IEEE roundings in the same order as the numpy kernel — and zcr as
+    a sign-flip count over ws-1 adjacent pairs."""
+    byte = lambda k: f"CAST('0x' || substr(H, 2*({k} % L) + 1, 2) AS INT)"
+
+    def acc_expr(k: int) -> str:
+        if k == 0:
+            return f"({byte(0)}) % 997 AS a0"
+        return f"((a{k-1} * 31 + {byte(k)}) % 997) AS a{k}"
+
+    # stack the recurrence 8 steps per CTE: DuckDB binds lateral
+    # column aliases by substitution, and a 64-deep chain in one
+    # SELECT exceeds its binder recursion limit (128)
+    step = 8
+    acc_ctes = []
+    for g in range(0, n_samples, step):
+        cols = ", ".join(acc_expr(k) for k in range(g, min(g + step, n_samples)))
+        src = "base" if g == 0 else f"acc{g // step - 1}"
+        acc_ctes.append(f"acc{g // step} AS (SELECT *, {cols} FROM {src})")
+    last_acc = f"acc{(n_samples - 1) // step}"
+    cs = ", ".join(f"(2 * a{k} - 997) AS c{k}" for k in range(n_samples))
+    windows = []
+    for win in range(n_samples // ws):
+        lo = win * ws
+        ssq = " + ".join(f"c{k} * c{k}" for k in range(lo, lo + ws))
+        flips = " + ".join(
+            f"(CASE WHEN (c{k} > 0) <> (c{k + 1} > 0) THEN 1 ELSE 0 END)"
+            for k in range(lo, lo + ws - 1)
+        )
+        windows.append(
+            f"SELECT media_id, {win} AS window_id,\n"
+            f"       ROUND(sqrt(({ssq}) / {float(ws)!r}) / 1994.0, 6)"
+            f" AS rms,\n"
+            f"       ROUND(({flips}) / {float(ws - 1)!r}, 6) AS zcr\n"
+            f"    FROM c"
+        )
+    body = "\n    UNION ALL\n    ".join(windows)
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), {", ".join(acc_ctes)}, c AS (
+      SELECT media_id, {cs} FROM {last_acc}
+    )
+    {body}
+    """
+
+
+@query("multimodal_audio_features", None)  # oracle attached below (generated)
 def audio_q(spark, sf_dir):
     """Windowed audio featurization (operators.multimodal.
     extract_audio_features): 1-row-in → N-windows-out mapInPandas,
-    RMS + zero-crossing rate per window, decode stubbed."""
-    from .operators.multimodal import extract_audio_features, make_fake_media
+    RMS + zero-crossing rate per window.  The gate derives media from
+    the real ``documents`` parquet at a FIXED duration (3200 ms → 64
+    samples → 2 windows) so the recurrence unrolls into a static SQL
+    twin; the duration-varying path is pinned by unit tests."""
+    from .operators.multimodal import extract_audio_features
 
-    media = make_fake_media(spark, n=64)
-    return extract_audio_features(media, window_samples=32)
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio/wav").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(3200).cast("long").alias("duration_ms"),
+    )
+    return extract_audio_features(media, window_samples=32).select(
+        "media_id", "window_id", "rms", "zcr"
+    )
 
 
-@query("multimodal_frame_sample")  # rows-only: synthetic media
+O["multimodal_audio_features"] = _multimodal_audio_oracle()
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'video/mp4'
+                  ELSE 'audio/wav' END AS mime,
+             n_chars * 20 AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, mime,
+           CAST(unnest(list_transform(
+             range(0, LEAST(CAST(floor(duration_ms / 500) AS INT) + 1, 16)),
+             i -> i * 500)) AS INTEGER) AS frame_ts_ms
+    FROM media
+    """,
+)
 def frames_q(spark, sf_dir):
-    """Video/audio frame-sampling plan (sequence+explode, no UDF)."""
-    from .operators.multimodal import make_fake_media, sample_frames
+    """Video/audio frame-sampling plan (sequence+explode, no UDF) over
+    ``documents``-derived media (duration = 20 ms per char) — pure
+    Catalyst, full SQL twin."""
+    from .operators.multimodal import sample_frames
 
-    media = make_fake_media(spark, n=64)
-    return sample_frames(media.filter(F.col("mime") != "image/png"), every_ms=500)
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("video/mp4"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("mime"),
+        (F.col("n_chars") * 20).alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=500, max_frames=16)
 
 
 # =====================================================================
@@ -4897,9 +4992,9 @@ _PRIORITY = [
     "interval_join_events_windows",
     "training_data_pipeline",  # re-confirmations fill the window tail
     "embedding_near_dup_bucketed",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
     "zorder_value_orders",
-    "events_sessionize_30m",
-    "merge_upsert_orders",
     # below here: driver-green in r1/r2, unchanged — re-checked only
     # if the driver's window widens
     "cosine_topk_embeddings",
