@@ -77,6 +77,93 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return [a / 997.0 for a in _fake_decode_acc(payload, dim)]
 
 
+# ------------------------------------------------- real decoders (stdlib)
+#
+# No PIL/opencv/libsndfile ships in this container, but two formats
+# are parseable with nothing beyond the standard library: binary PPM
+# (P6) images and PCM WAV audio.  ``decoder="ppm"`` / ``decoder="wav"``
+# are REAL decoders — header parse, raster/sample extraction, feature
+# math over actual pixel/sample values — so the mapInPandas plumbing is
+# exercised end-to-end on genuine media bytes, while ``decoder="real"``
+# remains the integration point for full-format libraries.
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6): returns (width, height, rgb_raster).
+    Raises ValueError on malformed input — no library involved."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace/comment
+    # separated, then a single whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    raster = payload[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    return w, h, raster
+
+
+def ppm_features(payload: bytes, dim: int) -> list[float]:
+    """Features from REAL pixels: per-channel mean/min/max (9 values)
+    then mean luma over ``dim - 9`` equal row bands — a deterministic,
+    resolution-independent signature of the image content."""
+    w, h, raster = decode_ppm(payload)
+    n = w * h
+    out = []
+    for ch in range(3):
+        vals = raster[ch::3]
+        out += [sum(vals) / (255.0 * n), min(vals) / 255.0, max(vals) / 255.0]
+    bands = max(dim - len(out), 1)
+    for b in range(bands):
+        r0, r1 = h * b // bands, max(h * (b + 1) // bands, h * b // bands + 1)
+        seg = raster[3 * w * r0 : 3 * w * r1]
+        out.append(sum(seg) / (255.0 * len(seg)))
+    return out[:dim] + [0.0] * max(dim - len(out), 0)
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a PCM WAV (RIFF, 16-bit mono/stereo): returns
+    (sample_rate, mono_samples).  stdlib ``struct`` only."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    raw = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    if channels == 2:  # downmix: average L/R (truncating, deterministic)
+        raw = [(raw[i] + raw[i + 1]) // 2 for i in range(0, len(raw) - 1, 2)]
+    return rate, list(raw)
+
+
 def extract_image_features(
     df: DataFrame, dim: int = 16, decoder: str = "fake"
 ) -> DataFrame:
@@ -89,21 +176,31 @@ def extract_image_features(
     """
     if decoder == "real":
         raise NotImplementedError(
-            "real image decoding requires an image library (PIL/opencv) "
-            "not present in this environment; use decoder='fake'"
+            "full-format image decoding requires an image library "
+            "(PIL/opencv) not present in this environment; "
+            "decoder='ppm' is a REAL stdlib decoder for binary PPM, "
+            "decoder='fake' a deterministic stand-in"
         )
-    if decoder != "fake":
+    if decoder not in ("fake", "ppm"):
         raise ValueError(f"unknown decoder: {decoder}")
+
+    def one(payload: bytes) -> tuple[list[float], bool]:
+        if decoder == "fake":
+            return _fake_decode(payload, dim), True
+        try:
+            return ppm_features(payload, dim), True
+        except (ValueError, IndexError):
+            return [], False  # malformed media: flagged, never fatal
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            decoded = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
-                    "feature": feats,
-                    "decode_ok": [True] * len(pdf),
+                    "feature": [d[0] for d in decoded],
+                    "decode_ok": [d[1] for d in decoded],
                 }
             )
 
@@ -141,11 +238,12 @@ def extract_audio_features(
     """
     if decoder == "real":
         raise NotImplementedError(
-            "real audio decoding requires an audio library "
+            "full-format audio decoding requires an audio library "
             "(soundfile/ffmpeg) not present in this environment; "
-            "use decoder='fake'"
+            "decoder='wav' is a REAL stdlib decoder for 16-bit PCM "
+            "WAV, decoder='fake' a deterministic stand-in"
         )
-    if decoder != "fake":
+    if decoder not in ("fake", "wav"):
         raise ValueError(f"unknown decoder: {decoder}")
     if window_samples < 2:
         raise ValueError("window_samples must be >= 2")
@@ -166,20 +264,29 @@ def extract_audio_features(
                 # fixed order, so any SQL engine reproduces the doubles
                 # bit-for-bit.  Float-accumulated variants differ by
                 # summation order (numpy pairwise vs SQL fold).
-                n = max(window_samples, int(dur) // 50)
-                c = (
-                    2
-                    * np.array(
-                        _fake_decode_acc(payload, n), dtype=np.int64
+                if decoder == "wav":
+                    try:
+                        _, samples = decode_wav(payload)
+                    except (ValueError, IndexError):
+                        continue  # malformed media: skipped, never fatal
+                    c = np.array(samples, dtype=np.int64)
+                    norm = 32768.0
+                else:
+                    n = max(window_samples, int(dur) // 50)
+                    c = (
+                        2
+                        * np.array(
+                            _fake_decode_acc(payload, n), dtype=np.int64
+                        )
+                        - 997
                     )
-                    - 997
-                )
+                    norm = 1994.0
                 n_win = len(c) // window_samples
                 w = c[: n_win * window_samples].reshape(
                     n_win, window_samples
                 )
                 ssq = (w * w).sum(axis=1)  # exact int64
-                rms = np.sqrt(ssq / window_samples) / 1994.0
+                rms = np.sqrt(ssq / window_samples) / norm
                 zcr = (np.diff(np.sign(w), axis=1) != 0).mean(axis=1)
                 out_id.extend([mid] * n_win)
                 out_win.extend(range(n_win))

@@ -106,3 +106,74 @@ def test_audio_real_decoder_is_explicit_stub(spark):
 
     with _pytest.raises(NotImplementedError):
         extract_audio_features(make_fake_media(spark, 3), decoder="real")
+
+
+def _ppm_bytes(w, h, pix):
+    # binary P6 with a comment line (exercises header comment skip)
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + bytes(pix)
+
+
+def _wav_bytes(samples, rate=8000, channels=1):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ppm_real_decoder_features(spark):
+    """decoder='ppm' parses REAL pixels: a solid-red 2x2 image yields
+    exact per-channel means, and a malformed payload is flagged
+    decode_ok=False instead of failing the job."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    red = _ppm_bytes(2, 2, [255, 0, 0] * 4)
+    rows = [(1, "image/ppm", red), (2, "image/ppm", b"garbage")]
+    df = spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    )
+    got = {r.media_id: r for r in
+           extract_image_features(df, dim=12, decoder="ppm").collect()}
+    assert got[1].decode_ok and not got[2].decode_ok
+    f = got[1].feature
+    assert abs(f[0] - 1.0) < 1e-6      # R mean
+    assert abs(f[3] - 0.0) < 1e-6      # G mean
+    assert f[1] == 1.0 and f[2] == 1.0  # R min/max
+    assert len(f) == 12 and got[2].feature == []
+
+
+def test_wav_real_decoder_windows(spark):
+    """decoder='wav' parses real 16-bit PCM: a +A/-A square wave has
+    rms = A/32768 per window and maximal zcr; stereo downmixes."""
+    import math
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    a = 16384
+    square = [a if i % 2 == 0 else -a for i in range(8)]
+    rows = [(1, "audio/wav", _wav_bytes(square), 0)]
+    df = spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary, duration_ms long"
+    )
+    out = extract_audio_features(df, window_samples=4, decoder="wav").collect()
+    assert len(out) == 2  # 8 samples / 4 per window
+    for r in out:
+        assert abs(r.rms - a / 32768.0) < 1e-6
+        assert r.zcr == 1.0  # every adjacent pair flips sign
+
+    # stereo downmix: (L+R)//2
+    stereo = [v for s in square for v in (s, s)]
+    df2 = spark.createDataFrame(
+        [(2, "audio/wav", _wav_bytes(stereo, channels=2), 0)],
+        "media_id long, mime string, payload binary, duration_ms long",
+    )
+    out2 = extract_audio_features(df2, window_samples=4, decoder="wav").collect()
+    assert len(out2) == 2
+    assert abs(out2[0].rms - a / 32768.0) < 1e-6
