@@ -451,10 +451,10 @@ def simhash64(text_col, shingle_k: int = 2, hash_fn: str = "xxhash64"):
 
 
 def hamming64(a, b) -> "F.Column":
-    """Hamming distance between two 64-bit signatures (popcount of XOR
-    via bin()-string counting — no UDF)."""
-    x = a.bitwiseXOR(b)
-    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+    """Hamming distance between two 64-bit signatures: native popcount
+    of the XOR (`bit_count`, codegen intrinsic — the bin()-string
+    regexp alternative allocates a 64-char string per pair)."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_near_dup_pairs(

@@ -2760,9 +2760,15 @@ def emb_near_dup_bucketed_q(spark, sf_dir):
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       FROM documents
     ), d AS MATERIALIZED (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      FROM toks WHERE len(w) >= 3
+      -- short docs fall back to ONE whole-doc shingle, exactly like
+      -- shingles_from_tokens: dropping them instead would silently
+      -- miss identical-short-doc pairs on corpora that ship them
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM toks
     ), {_SHINGLE_INTER_SQL}
     SELECT id_a, id_b, ROUND(c::DOUBLE / (na + nb - c), 6) AS jaccard
     FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.7""",
@@ -2788,9 +2794,15 @@ def minhash_q(spark, sf_dir):
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       FROM documents
     ), d AS MATERIALIZED (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      FROM toks WHERE len(w) >= 3
+      -- short docs fall back to ONE whole-doc shingle, exactly like
+      -- shingles_from_tokens: dropping them instead would silently
+      -- miss identical-short-doc pairs on corpora that ship them
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM toks
     ), {_SHINGLE_INTER_SQL}
     SELECT id_a, id_b, ROUND(c::DOUBLE / (na + nb - c), 6) AS jaccard
     FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.7
