@@ -699,6 +699,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 42,
     max_iter: int = 5,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication of an
     embedding corpus — cluster with KMeans, then within each cluster
@@ -720,12 +721,19 @@ def semantic_dedup(
     Unlike ``embedding_near_dup_pairs_bucketed`` (random hyperplane
     buckets, per-pair recall guarantee) the cluster partition is
     data-adaptive but cross-cluster duplicates are MISSED by design —
-    the SemDeDup tradeoff, recall bounded by the quantizer."""
+    the SemDeDup tradeoff, recall bounded by the quantizer.
+
+    ``centroids`` (e.g. ``similarity.fixed_centroids``) swaps the
+    trained quantizer for a literal one — cheaper (no fit pass) and
+    exactly SQL-replayable, at the cost of data-adaptive clusters."""
     import pyspark.sql.types as T
 
-    from .similarity import ivf_assign
+    from .similarity import assign_nearest_centroid, ivf_assign
 
-    assigned, _ = ivf_assign(df, n_clusters, vec_col, seed, max_iter)
+    if centroids is not None:
+        assigned = assign_nearest_centroid(df, centroids, vec_col)
+    else:
+        assigned, _ = ivf_assign(df, n_clusters, vec_col, seed, max_iter)
     # persist: the losers branch and the final anti join both consume
     # this frame — without the cache the corpus scan + KMeans transform
     # (the most expensive map stage) would run twice

@@ -94,6 +94,45 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((num_planes, dim))
 
 
+def fixed_centroids(dim: int, n: int, seed: int = 7) -> np.ndarray:
+    """Seeded unit-norm random centroids — the data-INDEPENDENT coarse
+    quantizer.  Lower assignment quality than trained KMeans, but the
+    centroids are plain literals any engine can replay, which is what
+    makes a full SQL oracle for IVF / SemDeDup possible (same trick as
+    the LSH hyperplanes)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment against LITERAL centroids, entirely
+    in Catalyst: per-centroid squared-euclidean distance as an explicit
+    left-to-right term chain (bit-reproducible in any engine — no fold
+    reassociation), argmin via ``array_position(dists,
+    array_min(dists))`` (first index wins exact ties).  Map-only, no
+    UDF, no shuffle — the assignment side of an IVF index when the
+    quantizer is fixed rather than trained (``ivf_assign``)."""
+    dists = []
+    for c in centroids:
+        d = None
+        for i, ci in enumerate(c):
+            t = F.col(vec_col)[int(i)] - F.lit(float(ci))
+            term = t * t
+            d = term if d is None else d + term
+        dists.append(d)
+    arr = F.array(*dists)
+    return df.withColumn(
+        cluster_col,
+        (F.array_position(arr, F.array_min(arr)) - 1).cast("int"),
+    )
+
+
 def hyperplane_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -154,6 +193,7 @@ def cosine_topk_ivf(
     n_clusters: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """ANN top-k via IVF: rank centroids by cosine to the query, scan
     only the ``nprobe`` nearest inverted lists, exact-rank within them.
@@ -162,9 +202,15 @@ def cosine_topk_ivf(
     win is scanning ~nprobe/n_clusters of the corpus.  In production
     the assignment is precomputed once (``ivf_assign`` + partitioned
     write), not per query — kept inline here so the operator is
-    self-contained.
+    self-contained.  Pass ``centroids`` (e.g. ``fixed_centroids``) to
+    use a literal quantizer instead of training KMeans — same inverted
+    -file structure, and the whole operator gains an exact SQL twin.
     """
-    assigned, centroids = ivf_assign(corpus, n_clusters, vec_col, seed)
+    if centroids is not None:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        assigned = assign_nearest_centroid(corpus, centroids, vec_col)
+    else:
+        assigned, centroids = ivf_assign(corpus, n_clusters, vec_col, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     norms = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
     sims = (centroids @ q) / np.maximum(norms, 1e-12)

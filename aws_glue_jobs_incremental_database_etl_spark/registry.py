@@ -2959,17 +2959,83 @@ def lsh_topk_q(spark, sf_dir):
 O["lsh_topk_embeddings"] = _lsh_topk_oracle()
 
 
-@query("ivf_topk_embeddings")  # rows-only: approximate by design
+def _centroid_assign_sql(centroids) -> str:
+    """DuckDB twin of ``similarity.assign_nearest_centroid`` over a
+    double-list column ``e``: per-centroid squared-euclidean distance
+    as the SAME left-to-right term chain the Catalyst expression uses,
+    argmin via first-occurrence ``list_position`` — bit-identical
+    assignment, exact-tie rule included."""
+    chains = []
+    for c in centroids:
+        terms = " + ".join(
+            f"(e[{i + 1}] - {float(v)!r}) * (e[{i + 1}] - {float(v)!r})"
+            for i, v in enumerate(c)
+        )
+        chains.append(f"({terms})")
+    return "[" + ",\n        ".join(chains) + "]"
+
+
+def _ivf_topk_oracle() -> str:
+    """IVF with a LITERAL coarse quantizer is fully SQL-expressible:
+    replay the assignment, rank the 8 literal centroids against the
+    query vector, keep the nprobe=2 nearest lists, exact cosine top-k
+    within them (same shape as the lsh_topk generated oracle)."""
+    from .operators.similarity import fixed_centroids
+
+    cents = fixed_centroids(64, 8, seed=7)
+
+    def lst(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    probes = "\n      UNION ALL ".join(
+        f"SELECT {j} AS cl, list_cosine_similarity({lst(c)},"
+        f" (SELECT qe FROM q)) AS s"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, e, {_centroid_assign_sql(cents)} AS dl FROM c
+    ), a AS (
+      SELECT vec_id, e,
+             CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cluster
+      FROM d
+    ), probe AS (
+      SELECT cl FROM ({probes}) ORDER BY s DESC, cl ASC LIMIT 2
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(e, (SELECT qe FROM q)), 6) AS cosine
+    FROM a WHERE cluster IN (SELECT cl FROM probe)
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("ivf_topk_embeddings", None)  # oracle attached below (generated SQL)
 def ivf_topk_q(spark, sf_dir):
-    """ANN top-k via IVF (seeded KMeans coarse quantizer, nprobe=2 of
-    8 inverted lists — at scale the lists are partition-pruned files)."""
-    from .operators.similarity import cosine_topk_ivf
+    """ANN top-k via IVF (nprobe=2 of 8 inverted lists — at scale the
+    lists are partition-pruned files).  The gate uses the LITERAL
+    seeded quantizer (``fixed_centroids``) so the whole operator —
+    assignment, probe selection, within-list ranking — carries an
+    exact SQL oracle; production callers train the quantizer
+    (``ivf_assign``) for data-adaptive lists."""
+    from .operators.similarity import cosine_topk_ivf, fixed_centroids
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk_ivf(emb, qvec, k=10, n_clusters=8, nprobe=2)
+    return cosine_topk_ivf(
+        emb, qvec, k=10, nprobe=2, centroids=fixed_centroids(64, 8, seed=7)
+    )
+
+
+O["ivf_topk_embeddings"] = _ivf_topk_oracle()
 
 
 def _multimodal_image_oracle(dim: int = 16) -> str:
@@ -3494,19 +3560,59 @@ def chunk_documents_q(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
-@query("semantic_dedup_embeddings")  # rows-only: KMeans isn't SQL-expressible
+def _semantic_dedup_oracle() -> str:
+    """SemDeDup with the literal quantizer: replay the assignment,
+    then drop every row with a lower-id same-cluster row at cosine ≥
+    0.97 (NOT EXISTS) — the exact min-id-survivor rule the
+    applyInPandas kernel implements."""
+    from .operators.similarity import fixed_centroids
+
+    cents = fixed_centroids(64, 8, seed=7)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, e, {_centroid_assign_sql(cents)} AS dl FROM c
+    ), a AS (
+      SELECT vec_id, e,
+             CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cluster
+      FROM d
+    )
+    SELECT a.vec_id, a.cluster
+    FROM a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM a b
+      WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+        AND list_cosine_similarity(b.e, a.e) >= 0.97)
+    """
+
+
+@query("semantic_dedup_embeddings", None)  # oracle attached below (generated)
 def semantic_dedup_q(spark, sf_dir):
     """SemDeDup semantic dedup (operators.dedup.semantic_dedup):
-    seeded KMeans clusters, within-cluster cosine ≥ 0.97 prune,
-    min-id survivor.  Rows-only by design — the clustering step has
-    no ANSI-SQL twin; the pairwise kernel itself is the same one
-    verified exactly by embedding_near_dup / _bucketed oracles."""
+    cluster, then within-cluster cosine ≥ 0.97 prune, min-id
+    survivor.  The gate uses the LITERAL seeded quantizer
+    (``similarity.fixed_centroids``) so assignment + prune carry an
+    exact SQL oracle; the trained-KMeans path (data-adaptive clusters,
+    no SQL twin) stays the production default and is covered by unit
+    tests."""
     from .operators.dedup import semantic_dedup
+    from .operators.similarity import fixed_centroids
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     return semantic_dedup(
-        e, "vec_id", "embedding", n_clusters=8, threshold=0.97, max_iter=3
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.97,
+        centroids=fixed_centroids(64, 8, seed=7),
     ).select("vec_id", "cluster")
+
+
+O["semantic_dedup_embeddings"] = _semantic_dedup_oracle()
 
 
 @query(
@@ -5006,7 +5112,7 @@ _PRIORITY = [
     "embedding_near_dup_bucketed",
     "multimodal_audio_features",
     "multimodal_frame_sample",
-    "zorder_value_orders",
+    "ivf_topk_embeddings",
     # below here: driver-green in r1/r2, unchanged — re-checked only
     # if the driver's window widens
     "cosine_topk_embeddings",

@@ -134,3 +134,37 @@ def test_md5_60_token_hash_matches_hashlib(spark, texts):
     got = {r.t: r.h for r in df.select("t", _token_hash(F.col("t"), "md5_60").alias("h")).collect()}
     for t in texts:
         assert got[t] == int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=8, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_assign_nearest_centroid_matches_numpy_argmin(spark, vecs):
+    """Literal-centroid assignment == numpy argmin of squared
+    euclidean distance (first index wins ties) — the contract the
+    generated IVF/SemDeDup oracles replay in SQL."""
+    import numpy as np
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        assign_nearest_centroid,
+        fixed_centroids,
+    )
+
+    cents = fixed_centroids(8, 4, seed=7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in assign_nearest_centroid(df, cents).collect()
+    }
+    m = np.array(vecs, dtype=np.float64)
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    for i in range(len(vecs)):
+        assert got[i] == int(np.argmin(d2[i]))
