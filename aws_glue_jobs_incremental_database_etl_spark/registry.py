@@ -4616,23 +4616,88 @@ def variant_q(spark, sf_dir):
     )
 
 
-@query("bpe_token_counts_docs")
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"),
+    ("e", "n"), ("o", "r"), ("t", "o"), ("i", "t"), ("o", "u"),
+    ("a", "r"), ("i", "s"), ("in", "g"), ("l", "e"), ("a", "l"),
+]
+
+
+def _bpe_oracle() -> str:
+    """The 'no SQL twin' claim for BPE turned out to be false: the
+    greedy lowest-rank merge loop is a RECURSIVE CTE over DISTINCT
+    words.  Each step scores adjacent pairs against the literal merge
+    table (rank = ``list_position`` over pair lists, 0 = absent),
+    merges the FIRST occurrence of the minimal rank — exactly the
+    kernel's ascending strict-less scan — and recursion stops when no
+    pair applies; the final state per word is the minimum-length one
+    (lengths strictly decrease).  Tokenization mirrors Python
+    ``str.split()`` (split on whitespace, drop empties, NULL → [])."""
+    merges_lit = "[" + ",".join(
+        f"['{a}','{b}']" for a, b in _BPE_MERGES
+    ) + "]"
+    return rf"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(COALESCE(text, '')), '\s+'),
+               x -> x <> '')) AS word
+      FROM documents
+    ), words AS (
+      SELECT DISTINCT word FROM tok
+    ), steps AS (
+      SELECT word,
+             list_transform(range(1, len(word) + 1), i -> word[i]) AS parts
+      FROM words
+      UNION ALL
+      SELECT word,
+             list_concat(
+               list_concat(parts[1:pos-1], [parts[pos] || parts[pos+1]]),
+               parts[pos+2:len(parts)]) AS parts
+      FROM (
+        SELECT word, parts,
+               list_position(pr, list_min(list_filter(pr, x -> x > 0)))
+                 AS pos
+        FROM (
+          SELECT word, parts,
+                 list_transform(range(1, len(parts)),
+                   i -> list_position({merges_lit},
+                                      [parts[i], parts[i+1]])) AS pr
+          FROM steps
+        )
+        WHERE len(list_filter(pr, x -> x > 0)) > 0
+      )
+    ), final AS (
+      SELECT word, MIN(len(parts)) AS n_tok FROM steps GROUP BY word
+    ), per_doc AS (
+      SELECT tok.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(f.n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM tok JOIN final f USING (word)
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+
+
+@query("bpe_token_counts_docs", None)  # oracle attached below (generated)
 def bpe_q(spark, sf_dir):
     """Real BPE token counting (operators.text.bpe_token_count) under
-    a fixed toy merge table of common English character pairs —
-    iterative per-word merging has no SQL twin, so this row is the
-    driver's rows-only check; exactness is pinned by unit tests
-    against a reference implementation."""
+    a fixed toy merge table of common English character pairs.  The
+    iterative per-word merge loop has a recursive-CTE SQL twin
+    (``_bpe_oracle``) — the gate is value-hashed, and unit tests pin
+    the kernel against a reference implementation."""
     from .operators.text import bpe_token_count
 
-    merges = [
-        ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
-        ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"),
-        ("e", "n"), ("o", "r"), ("t", "o"), ("i", "t"), ("o", "u"),
-        ("a", "r"), ("i", "s"), ("in", "g"), ("l", "e"), ("a", "l"),
-    ]
     d = load_table(spark, sf_dir, "documents")
-    return bpe_token_count(d, merges)
+    return bpe_token_count(d, _BPE_MERGES)
+
+
+O["bpe_token_counts_docs"] = _bpe_oracle()
 
 
 @query(
