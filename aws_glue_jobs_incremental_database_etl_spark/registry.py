@@ -5111,6 +5111,235 @@ def dsir_q(spark, sf_dir):
 
 
 # =====================================================================
+# Round-3 SQL-surface family (SURVEY.md §2.14): max_by/min_by argmax
+# aggregates, listagg WITHIN GROUP, LATERAL correlated subqueries,
+# Spark 4 recursive CTEs, DataFrame.transpose, regr_* closed-form
+# linear regression.  Each exercises a distinct parser/Catalyst
+# surface the earlier families don't touch.
+# =====================================================================
+
+@query(
+    "argmax_orders_per_customer",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderdate, o_orderkey)  AS latest_date,
+           arg_min(o_orderdate, o_orderkey)  AS first_date,
+           arg_max(o_totalprice, o_orderkey) AS latest_price,
+           COUNT(*)                          AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def argmax_orders_q(spark, sf_dir):
+    """max_by/min_by argmax aggregates (SURVEY.md §2.14): the
+    latest/first order per customer selected by the unique
+    ``o_orderkey`` — unique selector ⇒ deterministic, so the copied
+    ``o_totalprice`` double needs no rounding (no float fold, just a
+    carry).  One hash-agg shuffle on the group key; at 100 TB this is
+    the minimal shape for "latest record per entity" (no window sort,
+    no join-back)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderdate, o_orderkey)").alias("latest_date"),
+        F.expr("min_by(o_orderdate, o_orderkey)").alias("first_date"),
+        F.expr("max_by(o_totalprice, o_orderkey)").alias("latest_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "listagg_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ','
+                      ORDER BY o_orderstatus) AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def listagg_q(spark, sf_dir):
+    """Spark 4 ``listagg(...) WITHIN GROUP (ORDER BY ...)`` ordered
+    string aggregation (SURVEY.md §2.14; DuckDB twin spells it
+    ``string_agg(... ORDER BY ...)``).  DISTINCT bounds the
+    concatenated payload to the status alphabet regardless of group
+    size — the safe way to listagg at 100 TB."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+# identical ANSI text runs on both engines: Spark parses the LATERAL
+# correlated subquery and decorrelates it into a left outer aggregate
+# join (no per-row re-execution), DuckDB runs its own lateral plan.
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_price
+    FROM customer c, LATERAL (
+      SELECT COUNT(*) AS n_orders,
+             ROUND(MAX(o.o_totalprice), 2) AS max_price
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) t
+"""
+
+
+@query("lateral_customer_order_stats", _LATERAL_SQL)
+def lateral_q(spark, sf_dir):
+    """LATERAL correlated subquery (SURVEY.md §2.14) — per-customer
+    aggregates via a correlated derived table.  Catalyst decorrelates
+    to a single aggregate + join (verified: no Python-side loop, no
+    per-row subquery execution), so the 100 TB cost is one shuffle —
+    identical to writing the join by hand, but declared relationally."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+# identical text on both engines; MAX_BY's selector ``rn`` is unique
+# per customer so the argmax is deterministic.  The per-step float
+# chain 0.5*bal + price is evaluated in the same order by both
+# engines (recursion fixes the association), so bal is bit-identical
+# before the final ROUND.
+_RECURSIVE_DECAY_SQL = """
+    WITH RECURSIVE seq AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+      ) q WHERE rn <= 12
+    ), r AS (
+      SELECT o_custkey, rn, o_totalprice AS bal FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT /*+ BROADCAST(s) */
+             s.o_custkey, s.rn, 0.5 * r.bal + s.o_totalprice
+      FROM r JOIN seq s ON s.o_custkey = r.o_custkey AND s.rn = r.rn + 1
+    )
+    SELECT o_custkey, MAX(rn) AS n_orders,
+           ROUND(MAX_BY(bal, rn), 2) AS final_balance
+    FROM r GROUP BY o_custkey
+"""
+
+
+@query("recursive_order_decay", _RECURSIVE_DECAY_SQL)
+def recursive_decay_q(spark, sf_dir):
+    """Spark 4 recursive CTE (SURVEY.md §2.14): exponentially decayed
+    customer balance bal_n = 0.5·bal_{n-1} + price_n, an inherently
+    sequential per-entity recurrence over each customer's first 12
+    orders (depth capped at 12 so the gate's iterative join count is
+    bounded — uncapped depth = max orders per customer, still far
+    under Spark's recursion limit); each step is one equi-join on
+    (custkey, rn), and rows leave the frontier as their chain ends.  Scale note: this linear
+    recurrence also has the closed form Σ pᵢ·0.5^(n-i) computable in
+    one window pass — kept recursive here because the gate verifies
+    the iterative CTE surface itself (the closed form changes the
+    float association order)."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_DECAY_SQL)
+
+
+@query(
+    "transpose_order_status_stats",
+    """
+    WITH s AS (
+      SELECT o_orderstatus AS st,
+             CAST(COUNT(*) AS DOUBLE)        AS n_orders,
+             ROUND(SUM(o_totalprice), 2)     AS sum_price,
+             ROUND(AVG(o_totalprice), 4)     AS avg_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'n_orders' AS key,
+           (SELECT n_orders FROM s WHERE st = 'F') AS "F",
+           (SELECT n_orders FROM s WHERE st = 'O') AS "O",
+           (SELECT n_orders FROM s WHERE st = 'P') AS "P"
+    UNION ALL
+    SELECT 'sum_price',
+           (SELECT sum_price FROM s WHERE st = 'F'),
+           (SELECT sum_price FROM s WHERE st = 'O'),
+           (SELECT sum_price FROM s WHERE st = 'P')
+    UNION ALL
+    SELECT 'avg_price',
+           (SELECT avg_price FROM s WHERE st = 'F'),
+           (SELECT avg_price FROM s WHERE st = 'O'),
+           (SELECT avg_price FROM s WHERE st = 'P')
+    """,
+)
+def transpose_q(spark, sf_dir):
+    """Spark 4 ``DataFrame.transpose()`` (SURVEY.md §2.14): rows↔
+    columns over a per-status metrics table — the first column's
+    values ('F'/'O'/'P') become column names, metric names land in
+    ``key``.  Transpose collects the (tiny, pre-aggregated) frame to
+    pivot its axes — correct use is always after aggregation, never on
+    a fact table; the oracle rebuilds the same grid with scalar
+    subqueries."""
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return base.transpose()
+
+
+@query(
+    "regr_value_trend_events",
+    """
+    SELECT event_type,
+           regr_count(value, x)                  AS n,
+           ROUND(regr_slope(value, x), 6)        AS slope,
+           ROUND(regr_intercept(value, x), 6)    AS intercept,
+           ROUND(regr_r2(value, x), 6)           AS r2,
+           ROUND(regr_avgx(value, x), 6)         AS avg_x,
+           ROUND(regr_avgy(value, x), 6)         AS avg_y
+    FROM (
+      SELECT event_type, value,
+             CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')
+                  AS DOUBLE) / 86400000000.0 AS x
+      FROM events
+    ) t GROUP BY event_type
+    """,
+)
+def regr_events_q(spark, sf_dir):
+    """Closed-form OLS per group via the SQL2003 ``regr_*`` aggregate
+    family (SURVEY.md §2.14): value-vs-time trend per event type.
+    The regressor is centered on a literal anchor (days since
+    2024-01-01, x ∈ [0, 31]) so Σx² stays small — uncentered epoch
+    seconds (~1.7e9) squared would cancel catastrophically and the
+    cross-engine float fold would flap even under ROUND.  Single
+    hash-agg shuffle; the moment sums are map-side partial."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    x = (epoch_us(F.col("ts")) - epoch_us(anchor)).cast("double") / F.lit(
+        86400000000.0
+    )
+    return (
+        e.select("event_type", "value", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("regr_count(value, x)").alias("n"),
+            F.round(F.expr("regr_slope(value, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(value, x)"), 6).alias("intercept"),
+            F.round(F.expr("regr_r2(value, x)"), 6).alias("r2"),
+            F.round(F.expr("regr_avgx(value, x)"), 6).alias("avg_x"),
+            F.round(F.expr("regr_avgy(value, x)"), 6).alias("avg_y"),
+        )
+    )
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in
@@ -5173,6 +5402,13 @@ _PRIORITY = [
     "simhash_near_dup_docs",  # round-3 changes: new oracles / changed bucket math
     "multimodal_image_features",
     "interval_join_events_windows",
+    # round-3 new queries (never driver-checked; local-replica green)
+    "argmax_orders_per_customer",
+    "listagg_status_by_priority",
+    "lateral_customer_order_stats",
+    "transpose_order_status_stats",
+    "regr_value_trend_events",
+    "recursive_order_decay",
     "training_data_pipeline",  # re-confirmations fill the window tail
     "embedding_near_dup_bucketed",
     "multimodal_audio_features",
