@@ -846,3 +846,149 @@ def bpe_token_count(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
     return base.mapInPandas(kernel, out_schema)
+
+
+def dup_ngram_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    gram_repr: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-n-gram profile (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    repeated-substring signal, at word-n-gram granularity):
+    ``(id, n_ngrams, n_dup, dup_ratio)`` where a position's n-gram is
+    *duplicated* iff that n-gram occurs more than once corpus-wide
+    (across documents or repeated within one).  Documents shorter
+    than ``n`` tokens yield ``n_ngrams = 0, dup_ratio = 0.0``.
+
+    Plan shape: tokenize → one explode to (gram, id) postings → one
+    corpus-wide gram-count aggregate → join back on gram → one
+    per-document aggregate.  Two shuffles total, both partial-
+    aggregated map-side.
+
+    Scale: ``gram_repr='text'`` shuffles the literal n-gram strings —
+    exact and engine-portable (the correctness gate's setting).  At
+    100 TB use ``gram_repr='xxhash64'``: grams collapse to 8-byte
+    keys before the shuffle (~n× smaller postings), identical
+    semantics modulo astronomically-unlikely hash collisions.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if gram_repr not in ("text", "xxhash64"):
+        raise ValueError("gram_repr must be 'text' or 'xxhash64'")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("_w"),
+    )
+    # positions 0 .. len-n; slice is 1-indexed
+    # guard: F.sequence(0, stop) with stop < 0 builds a DESCENDING
+    # sequence, not an empty one — short docs must map to [] explicitly
+    positions = F.when(
+        F.size("_w") >= n, F.sequence(F.lit(0), F.size("_w") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.array_join(F.slice("_w", i + 1, n), " "),
+            )
+        ).alias("gram"),
+    )
+    if gram_repr == "xxhash64":
+        grams = grams.select("id", F.xxhash64("gram").alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_c"))
+    profiled = (
+        grams.join(counts, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(profiled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(
+                F.when(
+                    F.coalesce("n_ngrams", F.lit(0)) > 0,
+                    F.coalesce("n_dup", F.lit(0))
+                    / F.coalesce("n_ngrams", F.lit(1)).cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+    return out
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` tokens (tokenizer-coverage audit: how much of
+    each document a fixed vocabulary can express):
+    ``(id, n_tokens, n_oov, oov_rate)``.
+
+    The vocabulary is the ``vocab_size`` most frequent lowercased
+    whitespace tokens, ties broken by token string ascending — a total
+    order, so the vocab set is deterministic.
+
+    Plan shape: explode → corpus token-count aggregate → top-k via
+    one TakeOrderedAndProject-sized window → **broadcast** the tiny
+    vocab to an existence join → per-document aggregate.  The
+    vocabulary is the only corpus-global state and it is bounded by
+    ``vocab_size``, never by corpus size — the 100 TB shape.
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = terms.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    # top-k via TakeOrderedAndProject (per-partition heaps + driver
+    # merge of k rows), NOT a global window sort — the distinct-token
+    # table is web-vocabulary-sized at 100 TB
+    vocab = (
+        freq.orderBy(F.col("_c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    scored = (
+        terms.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.coalesce("n_oov", F.lit(0))
+                    / F.coalesce("n_tokens", F.lit(1)).cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -5340,6 +5340,94 @@ def regr_events_q(spark, sf_dir):
 
 
 # =====================================================================
+# Round-3 pipeline additions: duplicated-n-gram profiling and
+# tokenizer-coverage (OOV) audit
+# =====================================================================
+
+@query(
+    "dup_ngram_stats_docs",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\s+')
+             END AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS gram
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w) - 2, 0))) AS i
+            FROM d)
+    ), c AS (
+      SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+    ), p AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams,
+             CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup
+      FROM g JOIN c USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(p.n_ngrams, 0) AS n_ngrams,
+           COALESCE(p.n_dup, 0)    AS n_dup,
+           ROUND(CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+                      THEN p.n_dup / CAST(p.n_ngrams AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_ratio
+    FROM d LEFT JOIN p ON d.doc_id = p.doc_id
+    """,
+)
+def dup_ngram_q(spark, sf_dir):
+    """Duplicated-n-gram profile (operators.text.dup_ngram_profile;
+    Lee et al. repeated-substring dedup signal at 3-gram granularity —
+    3 because the gate corpus's small vocabulary makes trigram
+    collisions informative).  gram_repr='text' for exact oracle
+    parity; the registered scale path is gram_repr='xxhash64'."""
+    from .operators.text import dup_ngram_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_ngram_profile(d, "doc_id", "text", n=3, gram_repr="text")
+
+
+@query(
+    "oov_rate_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), t2 AS (
+      SELECT doc_id, tok FROM t WHERE tok <> ''
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM t2 GROUP BY tok
+        ORDER BY c DESC, tok ASC LIMIT 20
+      )
+    ), p AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov
+      FROM t2 LEFT JOIN vocab v ON t2.tok = v.tok GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_oov, 0)    AS n_oov,
+           ROUND(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                      THEN p.n_oov / CAST(p.n_tokens AS DOUBLE)
+                      ELSE 0.0 END, 6) AS oov_rate
+    FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+    """,
+)
+def oov_rate_q(spark, sf_dir):
+    """Tokenizer-coverage audit (operators.text.oov_rate): per-doc
+    OOV fraction against the corpus's deterministic top-20 token
+    vocabulary — the 'what does a fixed vocab fail to express'
+    pre-training signal.  Vocab selection is a distributed top-k
+    (TakeOrderedAndProject), membership a broadcast existence join."""
+    from .operators.text import oov_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_rate(d, "doc_id", "text", vocab_size=20)
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in
@@ -5404,6 +5492,8 @@ _PRIORITY = [
     "interval_join_events_windows",
     # round-3 new queries (never driver-checked; local-replica green)
     "argmax_orders_per_customer",
+    "dup_ngram_stats_docs",
+    "oov_rate_docs",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

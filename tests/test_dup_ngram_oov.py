@@ -1,0 +1,68 @@
+"""dup_ngram_profile and oov_rate: edge cases, hash-repr parity,
+plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+    dup_ngram_profile,
+    oov_rate,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_ngram_small_case(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d"),   # grams: "a b c", "b c d"
+            (2, "a b c x"),   # grams: "a b c", "b c x"
+            (3, "q r"),       # too short for n=3 → 0 grams
+            (4, ""),          # empty
+        ],
+    )
+    out = {r["id"]: r for r in dup_ngram_profile(df, n=3).collect()}
+    assert out[1]["n_ngrams"] == 2 and out[1]["n_dup"] == 1
+    assert out[2]["n_ngrams"] == 2 and out[2]["n_dup"] == 1
+    assert out[1]["dup_ratio"] == 0.5
+    assert out[3]["n_ngrams"] == 0 and out[3]["dup_ratio"] == 0.0
+    assert out[4]["n_ngrams"] == 0 and out[4]["n_dup"] == 0
+
+
+def test_dup_ngram_within_doc_repeat_counts(spark):
+    # the same gram twice in ONE doc is a duplicate too (Lee et al.)
+    df = _docs(spark, [(1, "x y x y x y x")])  # "x y x" appears at 0,2,4
+    out = dup_ngram_profile(df, n=3).collect()[0]
+    assert out["n_dup"] == out["n_ngrams"] == 5
+
+
+def test_dup_ngram_hash_repr_same_counts(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = dup_ngram_profile(d, n=3, gram_repr="text").orderBy("id").collect()
+    b = dup_ngram_profile(d, n=3, gram_repr="xxhash64").orderBy("id").collect()
+    assert a == b  # 8-byte-key scale path is semantics-identical
+
+
+def test_oov_rate_small_case(spark):
+    df = _docs(spark, [(1, "a a a b"), (2, "a z"), (3, "")])
+    # vocab_size=1 → vocab = {a} (count 4)
+    out = {r["id"]: r for r in oov_rate(df, vocab_size=1).collect()}
+    assert out[1]["n_oov"] == 1 and out[1]["oov_rate"] == 0.25
+    assert out[2]["n_oov"] == 1 and out[2]["oov_rate"] == 0.5
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] == 0.0
+
+
+def test_oov_vocab_plan_is_topk_and_broadcast(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        oov_rate(d, vocab_size=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan  # vocab top-k, no global sort
+    assert "BroadcastHashJoin" in plan, plan      # membership join broadcast
