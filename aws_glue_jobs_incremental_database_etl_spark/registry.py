@@ -5427,6 +5427,76 @@ def oov_rate_q(spark, sf_dir):
     return oov_rate(d, "doc_id", "text", vocab_size=20)
 
 
+@query(
+    "bloom_prefilter_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keys AS (
+      SELECT DISTINCT f FROM fp WHERE source = 'src0'
+    ), kpos AS (
+      SELECT CAST('0x' || substr(md5(f || '#' || i), 1, 15) AS BIGINT)
+                 % 128 AS p
+      FROM keys, range(0, 5) t(i)
+    ), words AS (
+      SELECT p // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+      FROM kpos GROUP BY 1
+    ), ppos AS (
+      SELECT doc_id, f,
+             CAST('0x' || substr(md5(f || '#' || i), 1, 15) AS BIGINT)
+                 % 128 AS p
+      FROM fp, range(0, 5) t(i)
+    ), hits AS (
+      SELECT doc_id,
+             bool_and(COALESCE(
+               (w.bits & (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)))
+                   <> 0, false)) AS bloom_hit
+      FROM ppos LEFT JOIN words w ON w.word = p // 32
+      GROUP BY doc_id
+    )
+    SELECT fp.doc_id, h.bloom_hit,
+           (k.f IS NOT NULL) AS exact_hit
+    FROM fp JOIN hits h ON fp.doc_id = h.doc_id
+    LEFT JOIN keys k ON fp.f = k.f
+    """,
+)
+def bloom_prefilter_q(spark, sf_dir):
+    """Portable Bloom-filter membership (functions.bloom): every
+    document's fingerprint probed against a deliberately tiny 128-bit/5-hash filter (~60% fill, so false positives actually occur and get hash-verified)
+    built from the src0 slice's fingerprints — the scale pattern for
+    decontamination/blocklist prefiltering where the key set is big
+    enough that an exact broadcast set is unaffordable but a few MB
+    of bits is fine.  ``bloom_hit`` is deterministic *including false
+    positives* (md5-derived positions), so the oracle rebuilds the
+    identical filter in SQL and the gate hash-checks FP behavior too;
+    ``exact_hit`` (the ground truth membership) rides along to show
+    no-false-negative containment."""
+    from .functions.bloom import bloom_build, bloom_probe
+    from .functions.text import text_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", text_fingerprint(F.col("text")).alias("f")
+    )
+    keys = fp.filter(F.col("source") == "src0").select("f").distinct()
+    bloom = bloom_build(keys, "f", m=128, k=5)
+    probed = bloom_probe(fp, "f", bloom, m=128, k=5)
+    exact = keys.withColumnRenamed("f", "_kf")
+    return (
+        probed.join(
+            F.broadcast(exact), probed["f"] == exact["_kf"], "left"
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("_kf").isNotNull().alias("exact_hit"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -5494,6 +5564,7 @@ _PRIORITY = [
     "argmax_orders_per_customer",
     "dup_ngram_stats_docs",
     "oov_rate_docs",
+    "bloom_prefilter_docs",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
