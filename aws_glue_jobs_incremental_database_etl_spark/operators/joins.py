@@ -290,3 +290,50 @@ def resample_ffill(
         )
         .drop("_slot")
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Blocked string-similarity self-join: pairs of rows in the same
+    ``block_col`` group whose ``text_col`` values are within
+    ``max_dist`` Levenshtein edits → ``(block, id_a, id_b, dist)``
+    with ``id_a < id_b``.
+
+    Scale shape: the equi-join on the blocking key turns the O(n²)
+    all-pairs problem into Σ|block|² local work — the classic entity-
+    resolution blocking pattern; pick a key that caps block size.
+    Two pre-filters run before the DP: the length-difference lower
+    bound (|len(a)−len(b)| ≤ d ⇒ cheap column compare) and Spark's
+    thresholded ``levenshtein(l, r, threshold)`` kernel, which
+    abandons each DP row early once the band exceeds ``max_dist``
+    (returns −1) — O(d·min(m,n)) per pair instead of O(m·n).
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    a = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_s_a"),
+    )
+    b = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_s_b"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("_s_a") - F.length("_s_b")) <= max_dist
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("_s_a"), F.col("_s_b"), max_dist)
+        )
+        .filter(F.col("dist") >= 0)
+        .select("block", "id_a", "id_b", "dist")
+    )

@@ -337,3 +337,58 @@ def dequantize_embeddings(
     """Reconstruction expression: ``q/scale`` as double components."""
     s = F.col(scale_col)
     return F.transform(F.col(q_col), lambda x: x.cast("double") / s)
+
+
+def quantize_embeddings_arrow(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``quantize_embeddings`` twin on the Spark 4 ``mapInArrow``
+    fast path: zero-copy Arrow batches → flat-buffer numpy kernel →
+    Arrow back, no pandas materialization and no per-row Python.
+
+    Bit-exact with the expression version: components cast float→
+    double (exact), then ``floor(v·scale + 0.5)`` in IEEE double —
+    the same op sequence whole-stage codegen runs, so the codes are
+    identical and the two paths share one oracle.
+
+    The kernel works on the ListArray's *flattened* value buffer with
+    ``maximum.reduceat`` segment maxima — one vectorized pass per
+    batch regardless of vector dimension.  Map-only; Arrow batch size
+    is bounded by the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            emb = batch.column(1)
+            counts = np.asarray(emb.value_lengths(), dtype=np.int64)
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            n = len(counts)
+            if len(flat) == 0:
+                mx = np.zeros(n)
+            else:
+                mx = np.maximum.reduceat(np.abs(flat), starts)
+                mx[counts == 0] = 0.0  # reduceat misbehaves on empty segments
+            scale = np.where(mx > 0, 127.0 / np.where(mx > 0, mx, 1.0), 1.0)
+            codes = np.floor(
+                flat * np.repeat(scale, counts) + 0.5
+            ).astype(np.int32)
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(counts))), type=pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(scale, type=pa.float64()),
+                    pa.ListArray.from_arrays(offsets, pa.array(codes, type=pa.int32())),
+                ],
+                names=["id", "scale", "q"],
+            )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    return base.mapInArrow(kernel, "id long, scale double, q array<int>")

@@ -5497,6 +5497,94 @@ def bloom_prefilter_q(spark, sf_dir):
     )
 
 
+@query("quantize_embeddings_arrow")
+def quantize_arrow_q(spark, sf_dir):
+    """mapInArrow twin of ``quantize_embeddings_int8``
+    (operators.similarity.quantize_embeddings_arrow): same rounding
+    contract, zero-copy Arrow batches + flat-buffer numpy kernel
+    instead of codegen HOFs — shares the expression version's oracle
+    verbatim, proving the two execution paths are bit-identical."""
+    from .operators.similarity import quantize_embeddings_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_arrow(emb, "vec_id", "embedding")
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(
+            "q", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("q").cast("bigint").alias("q_min"),
+        F.array_max("q").cast("bigint").alias("q_max"),
+    )
+
+
+O["quantize_embeddings_arrow"] = O["quantize_embeddings_int8"]
+
+
+@query(
+    "edit_distance_pairs_parts",
+    """
+    SELECT a.p_brand AS block,
+           a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def edit_distance_q(spark, sf_dir):
+    """Blocked Levenshtein similarity join
+    (operators.joins.edit_distance_join): near-identical part names
+    within a brand at ≤ 2 edits — the entity-resolution/fuzzy-dedup
+    primitive.  Brand blocking bounds pair fan-out; the length lower
+    bound and Spark's thresholded levenshtein kernel prune before the
+    full DP."""
+    from .operators.joins import edit_distance_join
+
+    p = load_table(spark, sf_dir, "part")
+    return edit_distance_join(p, "p_partkey", "p_name", "p_brand", max_dist=2)
+
+
+@query(
+    "rolling_zscore_events",
+    """
+    SELECT event_id, user_id,
+           COUNT(value) OVER w AS n_window,
+           ROUND((value - AVG(value) OVER w)
+                 / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def rolling_zscore_q(spark, sf_dir):
+    """Rolling-window anomaly score (SURVEY.md §2.14): each event's
+    value standardized against the user's trailing 20 events
+    (exclusive of self — no leakage).  One shuffle on user_id + one
+    per-partition sort; the frame is ROWS-bounded so state per row is
+    O(20) regardless of history length.  First events have
+    n_window < 2 → NULL z on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    sd = F.stddev_samp("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("value").over(w).alias("n_window"),
+        F.round(
+            (F.col("value") - F.avg("value").over(w))
+            / F.when(sd != 0, sd),
+            4,
+        ).alias("z"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -5565,6 +5653,9 @@ _PRIORITY = [
     "dup_ngram_stats_docs",
     "oov_rate_docs",
     "bloom_prefilter_docs",
+    "edit_distance_pairs_parts",
+    "rolling_zscore_events",
+    "quantize_embeddings_arrow",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

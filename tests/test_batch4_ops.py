@@ -1,0 +1,96 @@
+"""Arrow-path quantization parity, blocked edit-distance join,
+rolling z-score leakage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_jobs_incremental_database_etl_spark.operators.joins import (
+    edit_distance_join,
+)
+from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+    quantize_embeddings,
+    quantize_embeddings_arrow,
+)
+
+
+def test_arrow_quantize_bit_identical_to_expressions(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = quantize_embeddings(emb).orderBy("id").collect()
+    b = quantize_embeddings_arrow(emb).orderBy("id").collect()
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["id"] == rb["id"]
+        assert ra["scale"] == rb["scale"]  # bit-exact, no rounding
+        assert ra["q"] == rb["q"]
+
+
+def test_arrow_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["id"]: r for r in quantize_embeddings_arrow(df).collect()}
+    assert out[1]["scale"] == 1.0 and out[1]["q"] == [0, 0]
+    assert out[2]["q"] == [64, -127]  # floor(1*63.5+0.5), floor(-2*63.5+0.5)
+
+
+def test_edit_distance_join_small_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red bolt", "A"),
+            (2, "red bolt", "A"),   # dist 0
+            (3, "red bolts", "A"),  # dist 1 to both
+            (4, "red bolt", "B"),   # other block: never paired with A
+            (5, "completely different", "A"),
+        ],
+        "id long, name string, blk string",
+    )
+    out = edit_distance_join(df, "id", "name", "blk", max_dist=2)
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert pairs == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+def test_edit_distance_plan_is_equi_join(spark):
+    df = spark.createDataFrame(
+        [(i, f"name {i}", str(i % 3)) for i in range(100)],
+        "id long, name string, blk string",
+    )
+    plan = (
+        edit_distance_join(df, "id", "name", "blk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan  # blocking key must drive an equi-join
+
+
+def test_rolling_zscore_excludes_self(spark):
+    import datetime as dt
+
+    # constant history then one spike: z defined by history only
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 7, 10.0 + (i % 3), "c", "{}")
+        for i in range(10)
+    ] + [(10, dt.datetime(2024, 1, 1, 1, 0), 7, 999.0, "c", "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, value double, "
+        "event_type string, props string",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    sd = F.stddev_samp("value").over(w)
+    res = {
+        r["event_id"]: r
+        for r in df.select(
+            "event_id",
+            F.count("value").over(w).alias("n_window"),
+            F.round((F.col("value") - F.avg("value").over(w)) / F.when(sd != 0, sd), 4).alias("z"),
+        ).collect()
+    }
+    assert res[0]["n_window"] == 0 and res[0]["z"] is None
+    assert res[10]["n_window"] == 10
+    assert res[10]["z"] > 100  # spike scored against pre-spike stats only
