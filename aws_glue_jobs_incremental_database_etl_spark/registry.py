@@ -5585,6 +5585,166 @@ def rolling_zscore_q(spark, sf_dir):
     )
 
 
+@query(
+    "cms_token_counts_docs",
+    r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), tt AS (
+      SELECT tok FROM t WHERE tok <> ''
+    ), truec AS (
+      SELECT tok, COUNT(*) AS true_cnt FROM tt GROUP BY tok
+    ), cells AS (
+      SELECT tok, true_cnt, i,
+             CAST('0x' || substr(md5(tok || '@' || i), 1, 15) AS BIGINT)
+                 % 32 AS col
+      FROM truec, range(0, 3) r(i)
+    ), grid AS (
+      SELECT i AS row, col, CAST(SUM(true_cnt) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT c.tok, ANY_VALUE(c.true_cnt) AS true_cnt,
+           MIN(g.cnt) AS est
+    FROM cells c JOIN grid g ON g.row = c.i AND g.col = c.col
+    GROUP BY c.tok
+    """,
+)
+def cms_tokens_q(spark, sf_dir):
+    """Portable Count-Min Sketch (functions.cms): corpus token
+    frequencies estimated from a deliberately small 3×32 grid so
+    collisions occur and the overcounts themselves are hash-verified
+    against the DuckDB twin (est ≥ true_cnt always; equality when a
+    key owns a collision-free cell).  Build = explode + capped
+    (≤ d·w group) aggregate; probe = one packed-map broadcast +
+    least() over d lookups, map-only."""
+    from .functions.cms import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    truec = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    sketch = cms_build(toks, "tok", d=3, w=32)
+    return cms_estimate(truec, "tok", sketch, d=3, w=32).select(
+        "tok", "true_cnt", "est"
+    )
+
+
+@query(
+    "python_datasource_numbers",
+    """
+    WITH v AS (
+      SELECT i, CAST('0x' || substr(md5('row:' || i), 1, 15) AS BIGINT)
+                    % 1000 AS value
+      FROM range(0, 2000) t(i)
+    )
+    SELECT value % 5 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(value) AS BIGINT) AS sum_value,
+           MIN(i) AS min_i, MAX(i) AS max_i
+    FROM v GROUP BY 1
+    """,
+)
+def python_datasource_q(spark, sf_dir):
+    """Spark 4 Python Data Source API
+    (sources.python_datasource.DeterministicNumbersDataSource): a
+    pure-Python ``format()`` source with real partition planning — 8
+    parallel splits, one task each, rows streamed from a per-task
+    generator.  The generated stream is md5-deterministic, so the
+    aggregate over it hash-matches the DuckDB twin — proving the
+    custom source feeds Catalyst like any built-in."""
+    from .sources.python_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("deterministic_numbers")
+        .option("n", "2000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("i").alias("min_i"),
+        F.max("i").alias("max_i"),
+    )
+
+
+@query(
+    "sql_udf_revenue_orders",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udf_q(spark, sf_dir):
+    """ANSI SQL scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    the discounted-price formula declared once as a catalog function
+    and reused by name.  Catalyst inlines the body into the aggregate
+    expression — whole-stage codegen, zero Python boundary — so the
+    oracle is simply the inlined SQL."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(disc_price(l_extendedprice, l_discount)), 2)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "udtf_table_arg_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_unique,
+           CAST(len(w) AS INTEGER) AS n_tokens
+    FROM (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\s+')
+             END AS w
+      FROM documents
+    ) t
+    """,
+)
+def udtf_table_arg_q(spark, sf_dir):
+    """Spark 4 UDTF with a TABLE() argument: the function consumes a
+    relation (not scalar columns) row-by-row and emits derived rows —
+    the polymorphic-operator extension surface.  Kept deliberately
+    simple (per-doc unique/total token counts) so the DuckDB twin is
+    exact; the point under test is the TABLE-argument calling
+    convention itself."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, n_unique int, n_tokens int")
+    class TokenStats:
+        def eval(self, row):
+            words = (row.text or "").lower().split()
+            yield row.doc_id, len(set(words)), len(words)
+
+    spark.udtf.register("token_stats_udtf", TokenStats)
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * FROM token_stats_udtf(TABLE(SELECT doc_id, text FROM documents))"
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -5656,6 +5816,10 @@ _PRIORITY = [
     "edit_distance_pairs_parts",
     "rolling_zscore_events",
     "quantize_embeddings_arrow",
+    "cms_token_counts_docs",
+    "python_datasource_numbers",
+    "sql_udf_revenue_orders",
+    "udtf_table_arg_docs",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

@@ -1,0 +1,79 @@
+"""Spark 4 Python Data Source API: a pure-Python batch source with
+real partition planning, registered via ``spark.dataSource.register``.
+
+The reference engine's sources are all catalog/JDBC/file readers
+(SURVEY.md §2.1); this adds the Spark-4-native extension point for
+everything else — internal REST feeds, bespoke binary logs, synthetic
+load — without touching the JVM.  The source here generates a
+deterministic keyed stream (md5-derived values, same contract as
+:mod:`..functions.bloom`), so its output is oracle-checkable in any
+engine; swap ``read`` for an HTTP/file cursor to adapt it.
+
+Scale: ``partitions()`` declares ``num_partitions`` independent
+splits; Spark schedules one task per split, so a 1000-executor
+cluster reads 1000 ranges concurrently — the Python reader is the
+same per-task generator either way.  Rows stream from the generator
+(Arrow-batched by the runner); nothing materializes driver-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _det_value(i: int) -> int:
+    """60-bit md5 of ``row:{i}``, mod 1000 — engine-portable
+    (DuckDB: ``CAST('0x' || substr(md5('row:' || i), 1, 15) AS
+    BIGINT) % 1000``)."""
+    return int(hashlib.md5(f"row:{i}".encode()).hexdigest()[:15], 16) % 1000
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class DeterministicNumbersDataSource(DataSource):
+    """``format("deterministic_numbers")``: rows ``(i, value, bucket)``
+    for ``i`` in ``[0, n)``, value = md5-derived, bucket = value % 5.
+
+    Options: ``n`` (row count, default 1000), ``numPartitions``
+    (parallel splits, default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deterministic_numbers"
+
+    def schema(self) -> str:
+        return "i bigint, value bigint, bucket bigint"
+
+    def reader(self, schema) -> "DeterministicNumbersReader":
+        return DeterministicNumbersReader(self.options)
+
+
+class DeterministicNumbersReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("numPartitions", 8))
+        if self.n < 0 or self.num_partitions < 1:
+            raise ValueError("need n >= 0 and numPartitions >= 1")
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.num_partitions))  # ceil div
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ] or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            v = _det_value(i)
+            yield (i, v, v % 5)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on this session."""
+    spark.dataSource.register(DeterministicNumbersDataSource)

@@ -64,6 +64,15 @@ HEADLINE = [
     "classifier_score_docs",
     "lm_perplexity_buckets",
     "quantize_embeddings_int8",
+    # round-3 second wave
+    "argmax_orders_per_customer",
+    "dup_ngram_stats_docs",
+    "oov_rate_docs",
+    "bloom_prefilter_docs",
+    "edit_distance_pairs_parts",
+    "rolling_zscore_events",
+    "quantize_embeddings_arrow",
+    "cms_token_counts_docs",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
