@@ -306,12 +306,23 @@ def edit_distance_join(
 
     Scale shape: the equi-join on the blocking key turns the O(n²)
     all-pairs problem into Σ|block|² local work — the classic entity-
-    resolution blocking pattern; pick a key that caps block size.
-    Two pre-filters run before the DP: the length-difference lower
-    bound (|len(a)−len(b)| ≤ d ⇒ cheap column compare) and Spark's
-    thresholded ``levenshtein(l, r, threshold)`` kernel, which
-    abandons each DP row early once the band exceeds ``max_dist``
-    (returns −1) — O(d·min(m,n)) per pair instead of O(m·n).
+    resolution blocking pattern.  The join key is **(block, length)
+    banded**: the left side keys each string by its exact length, the
+    right side fans out to the ``2d+1`` lengths it could pair with
+    (the Levenshtein length lower bound), so candidate pairs form
+    only between length-compatible strings — exact (every qualifying
+    pair matches in both orientations, the ``id_a < id_b`` filter
+    keeps one), with per-block work Σ over length-groups instead of
+    the whole block.  Surviving pairs run Spark's thresholded
+    ``levenshtein(l, r, threshold)`` kernel, which abandons each DP
+    row early once the band exceeds ``max_dist`` (returns −1) —
+    O(d·min(m,n)) per pair instead of O(m·n).
+
+    At 100 TB even banded blocks grow quadratically if the blocking
+    key's cardinality is fixed; the scale composition is candidate
+    generation by MinHash/shingle LSH (operators.dedup) followed by
+    this operator as the exact *verify* stage over candidate pairs —
+    the same build-verify split the near-dup family uses.
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
@@ -319,18 +330,22 @@ def edit_distance_join(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("_s_a"),
+        F.length(F.col(text_col)).alias("_lb"),
     )
     b = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("_s_b"),
+        F.explode(
+            F.sequence(
+                F.length(F.col(text_col)) - max_dist,
+                F.length(F.col(text_col)) + max_dist,
+            )
+        ).alias("_lb"),
     )
     return (
-        a.join(b, "block")
+        a.join(b, ["block", "_lb"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.abs(F.length("_s_a") - F.length("_s_b")) <= max_dist
-        )
         .withColumn(
             "dist", F.levenshtein(F.col("_s_a"), F.col("_s_b"), max_dist)
         )

@@ -5525,11 +5525,12 @@ O["quantize_embeddings_arrow"] = O["quantize_embeddings_int8"]
 @query(
     "edit_distance_pairs_parts",
     """
-    SELECT a.p_brand AS block,
+    SELECT a.p_brand || '#' || a.p_type AS block,
            a.p_partkey AS id_a, b.p_partkey AS id_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
     FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
     WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
       AND levenshtein(a.p_name, b.p_name) <= 2
     """,
@@ -5537,14 +5538,19 @@ O["quantize_embeddings_arrow"] = O["quantize_embeddings_int8"]
 def edit_distance_q(spark, sf_dir):
     """Blocked Levenshtein similarity join
     (operators.joins.edit_distance_join): near-identical part names
-    within a brand at ≤ 2 edits — the entity-resolution/fuzzy-dedup
-    primitive.  Brand blocking bounds pair fan-out; the length lower
-    bound and Spark's thresholded levenshtein kernel prune before the
-    full DP."""
+    at ≤ 2 edits under a COMPOSITE blocking key (brand#type — 6×
+    fewer candidate pairs than brand alone at sf0.1; composing
+    attributes is the standard way to keep blocks small).  The
+    length band and Spark's thresholded levenshtein kernel prune
+    before the full DP; the operator docstring records the
+    LSH-candidates → levenshtein-verify composition for corpora
+    where any fixed key's blocks grow unboundedly."""
     from .operators.joins import edit_distance_join
 
-    p = load_table(spark, sf_dir, "part")
-    return edit_distance_join(p, "p_partkey", "p_name", "p_brand", max_dist=2)
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "_blk", F.concat_ws("#", "p_brand", "p_type")
+    )
+    return edit_distance_join(p, "p_partkey", "p_name", "_blk", max_dist=2)
 
 
 @query(
@@ -5745,6 +5751,102 @@ def udtf_table_arg_q(spark, sf_dir):
     )
 
 
+@query(
+    "collated_group_part_types",
+    """
+    WITH m AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE p_type END AS t
+      FROM part
+    )
+    SELECT min(t) AS rep, COUNT(*) AS n
+    FROM m GROUP BY lower(t)
+    """,
+)
+def collated_group_q(spark, sf_dir):
+    """Spark 4 collation-aware grouping (SURVEY.md §2.14): a
+    mixed-case column grouped under ``COLLATE UTF8_LCASE`` — the
+    engine folds case inside the grouping key, no manual lower()
+    in the pipeline.  The deterministic representative is the binary
+    min of the raw values; the oracle folds with lower(), which
+    coincides with UTF8_LCASE on this ASCII domain."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                      ELSE p_type END AS t
+          FROM part
+        )
+        SELECT min(t) AS rep, COUNT(*) AS n
+        FROM m GROUP BY t COLLATE UTF8_LCASE
+        """
+    )
+
+
+@query(
+    "nullsafe_join_order_priorities",
+    """
+    WITH a AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k, COUNT(*) AS n_f
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ), b AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k, COUNT(*) AS n_o
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    )
+    SELECT a.k, a.n_f, b.n_o
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def nullsafe_join_q(spark, sf_dir):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other, so the NULLIF-suppressed group survives
+    the join — the semantics every naive ``=`` join silently drops.
+    Spark plans EqualNullSafe as a true hash-join key (no BNLJ),
+    pinned in test_sql_surface."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("k")
+    a = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_f", "n_o"
+    )
+
+
+@query(
+    "xml_roundtrip_events",
+    """
+    SELECT event_id, event_type AS event_type_x, value AS value_x
+    FROM events
+    """,
+)
+def xml_roundtrip_q(spark, sf_dir):
+    """XML scalar family (to_xml / xpath_string / xpath_double —
+    Spark 4): each event serialized to an XML fragment and parsed
+    back; the gate asserts the round-trip is the identity (the oracle
+    is simply the base columns).  Java's Double.toString E-notation
+    re-parses exactly, so value_x is bit-identical."""
+    e = load_table(spark, sf_dir, "events")
+    xml = F.expr(
+        "to_xml(named_struct('t', event_type, 'v', value))"
+    ).alias("_x")
+    return e.select("event_id", xml).select(
+        "event_id",
+        F.expr("xpath_string(_x, 'ROW/t')").alias("event_type_x"),
+        F.expr("CAST(xpath_string(_x, 'ROW/v') AS DOUBLE)").alias("value_x"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -5820,6 +5922,9 @@ _PRIORITY = [
     "python_datasource_numbers",
     "sql_udf_revenue_orders",
     "udtf_table_arg_docs",
+    "collated_group_part_types",
+    "nullsafe_join_order_priorities",
+    "xml_roundtrip_events",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

@@ -94,3 +94,23 @@ def test_regr_matches_closed_form(spark):
         F.round(F.expr("regr_r2(value, x)"), 6).alias("r2"),
     ).collect()[0]
     assert (r["s"], r["i"], r["r2"]) == (2.0, 1.0, 1.0)
+
+
+def test_nullsafe_join_plan_and_null_group(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark import registry
+
+    out = registry.Q["nullsafe_join_order_priorities"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan  # EqualNullSafe stays a hash key
+    rows = out.collect()
+    # the NULLIF-suppressed group must survive the null-safe join
+    assert any(r["k"] is None for r in rows)
+
+
+def test_collation_folds_case(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark import registry
+
+    rows = registry.Q["collated_group_part_types"](spark, sf_dir).collect()
+    reps = [r["rep"] for r in rows]
+    # folded groups: no two representatives differ only by case
+    assert len({r.lower() for r in reps}) == len(reps)

@@ -459,3 +459,33 @@ def test_transform_with_state_matches_legacy_twin(spark, tmp_path):
         )
     assert latest[100] == (3, 7.0)
     assert latest[200] == (1, 5.0)
+
+
+def test_streaming_bloom_decontamination(spark, tmp_path):
+    """Stream-static composition of functions.bloom: a static
+    blocklist filter broadcast onto a document stream — each
+    micro-batch is probed map-only (no stream-side shuffle), matching
+    how decontamination runs over a live ingest at scale."""
+    from aws_glue_jobs_incremental_database_etl_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    src = str(tmp_path / "docs"); ckpt = str(tmp_path / "ck"); out = str(tmp_path / "o")
+    docs = spark.createDataFrame(
+        [(1, "bad one"), (2, "fine"), (3, "bad two"), (4, "also fine")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    blocklist = spark.createDataFrame(
+        [("bad one",), ("bad two",)], "text string"
+    )
+    bloom = bloom_build(blocklist, "text", m=1024, k=5)
+
+    stream = incremental_file_stream(spark, src, docs.schema)
+    probed = bloom_probe(stream, "text", bloom, m=1024, k=5)
+    assert probed.isStreaming
+    clean = probed.filter(~F.col("bloom_hit")).select("doc_id", "text")
+    run_available_now(clean, ckpt, out)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [2, 4]  # members always caught; m=1024 → no FPs here
