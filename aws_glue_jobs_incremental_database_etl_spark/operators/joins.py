@@ -352,3 +352,73 @@ def edit_distance_join(
         .filter(F.col("dist") >= 0)
         .select("block", "id_a", "id_b", "dist")
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """As-of join on the cogrouped-pandas execution path:
+    ``left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas`` with
+    a per-key ``pandas.merge_asof`` (backward, inclusive, optional
+    tolerance) — the Spark API surface for "align two keyed frames
+    with arbitrary pandas logic".
+
+    Semantics match operators.joins.asof_join (strict=False): each
+    left row takes the greatest right ``right_ts`` ≤ its ``left_ts``
+    within tolerance, else NULL — the two paths share one oracle.
+
+    Scale shape: ONE co-partitioned shuffle of both sides on the key,
+    then per-key Arrow batches into pandas; no window, no union.  Use
+    the expression-based asof_join when keys are few and groups huge
+    (a single key's group must fit in one pandas frame); use this one
+    when per-key logic outgrows what expressions can say.
+    """
+    from pyspark.sql import types as T
+
+    lf = {f.name: f for f in left.schema.fields}
+    rf = {f.name: f for f in right.schema.fields}
+    out_fields = [lf[c] for c in left.columns] + [
+        T.StructField(c, rf[c].dataType, True) for c in value_cols
+    ]
+    schema = T.StructType(out_fields)
+    left_cols = list(left.columns)
+    out_cols = left_cols + list(value_cols)
+
+    def kernel(l, r):
+        import pandas as pd
+
+        if l.empty:
+            return pd.DataFrame(columns=out_cols)
+        l2 = l.sort_values(left_ts, kind="mergesort")
+        if r.empty:
+            for c in value_cols:
+                l2 = l2.assign(**{c: pd.Series([pd.NaT] * len(l2)).values})
+            return l2[out_cols]
+        r2 = r.sort_values(right_ts, kind="mergesort")
+        tol = (
+            pd.Timedelta(microseconds=tolerance_us)
+            if tolerance_us is not None
+            else None
+        )
+        merged = pd.merge_asof(
+            l2,
+            r2,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            tolerance=tol,
+            suffixes=("", "_r"),
+        )
+        return merged[out_cols]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(kernel, schema)
+    )

@@ -5847,6 +5847,37 @@ def xml_roundtrip_q(spark, sf_dir):
     )
 
 
+@query("asof_join_cogroup_30m")
+def asof_cogroup_q(spark, sf_dir):
+    """Cogrouped-pandas execution path for the tolerance as-of join
+    (operators.joins.asof_join_cogroup): one co-partitioned shuffle →
+    per-user pandas.merge_asof — same semantics as the window-based
+    asof_join, so it shares `asof_join_tolerance_30m`'s oracle
+    verbatim.  The cogroup surface is what custom per-key alignment
+    logic uses when expressions run out."""
+    from .operators.joins import asof_join_cogroup
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join_cogroup(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts"],
+        tolerance_us=30 * 60 * 1_000_000,
+    )
+
+
+O["asof_join_cogroup_30m"] = O["asof_join_tolerance_30m"]
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -5925,6 +5956,7 @@ _PRIORITY = [
     "collated_group_part_types",
     "nullsafe_join_order_priorities",
     "xml_roundtrip_events",
+    "asof_join_cogroup_30m",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

@@ -94,3 +94,29 @@ def test_rolling_zscore_excludes_self(spark):
     assert res[0]["n_window"] == 0 and res[0]["z"] is None
     assert res[10]["n_window"] == 10
     assert res[10]["z"] > 100  # spike scored against pre-spike stats only
+
+
+def test_asof_cogroup_matches_window_path(spark, sf_dir):
+    """The cogrouped-pandas as-of and the window-union as-of must
+    produce identical matches on real data."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import (
+        asof_join,
+        asof_join_cogroup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    a = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        value_cols=["click_ts"], strict=False, tolerance="30 minutes",
+    ).orderBy("event_id").collect()
+    b = asof_join_cogroup(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        value_cols=["click_ts"], tolerance_us=30 * 60 * 1_000_000,
+    ).orderBy("event_id").collect()
+    assert a == b and len(a) > 0
