@@ -226,3 +226,44 @@ def weighted_sample_k_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str | int = 0,
+    n_shards: int = 16,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible pseudo-random total
+    order over the corpus (md5 of ``seed:id``), split into
+    ``n_shards`` equal shards — how a training run materializes
+    "shuffle the dataset differently each epoch" as a pure, replayable
+    transformation (new seed ⇒ new permutation; same seed ⇒ the same
+    byte order on every rerun/retry, which random() can't promise).
+
+    The global ranking uses profile.exact_ntile's two-level
+    construction — coarse range placement + per-bucket row_number —
+    so no single-partition sort appears at any size; the shuffle key
+    is the engine-portable 60-bit md5 (same contract as
+    functions.bloom), making shard assignment oracle-checkable.
+    """
+    from .profile import exact_ntile
+
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    with_key = df.withColumn("_shuffle_key", key)
+    return exact_ntile(
+        with_key,
+        n_shards,
+        "_shuffle_key",
+        id_col,
+        bucket_col=shard_col,
+    )

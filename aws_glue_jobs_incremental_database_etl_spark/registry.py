@@ -5736,7 +5736,7 @@ def udtf_table_arg_q(spark, sf_dir):
     convention itself."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, n_unique int, n_tokens int")
+    @udtf(returnType="doc_id bigint, n_unique int, n_tokens int", useArrow=True)
     class TokenStats:
         def eval(self, row):
             words = (row.text or "").lower().split()
@@ -5878,6 +5878,35 @@ def asof_cogroup_q(spark, sf_dir):
 O["asof_join_cogroup_30m"] = O["asof_join_tolerance_30m"]
 
 
+@query(
+    "epoch_shuffle_docs",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT)
+                 AS sk
+      FROM documents
+    )
+    SELECT doc_id, CAST(NTILE(16) OVER (ORDER BY sk, doc_id) AS INT) AS shard
+    FROM k
+    """,
+)
+def epoch_shuffle_q(spark, sf_dir):
+    """Deterministic epoch shuffle (operators.sampling.epoch_shuffle):
+    seed-42 md5 permutation of the corpus split into 16 equal training
+    shards — replayable across reruns/retries, new seed ⇒ new
+    permutation.  Uses the distributed exact-NTILE construction (no
+    single-partition sort); the oracle IS a bare NTILE over the same
+    portable key, proving the two-level ranking matches it
+    bit-for-bit."""
+    from .operators.sampling import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(d, "doc_id", seed=42, n_shards=16).select(
+        "doc_id", "shard"
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -5957,6 +5986,7 @@ _PRIORITY = [
     "nullsafe_join_order_priorities",
     "xml_roundtrip_events",
     "asof_join_cogroup_30m",
+    "epoch_shuffle_docs",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

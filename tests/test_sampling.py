@@ -182,3 +182,24 @@ def test_weighted_sample_per_group_quota_and_determinism(spark, sf_dir):
         docs.repartition(7), "source", 3, "n_chars", "doc_id"
     )
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_epoch_shuffle_deterministic_and_balanced(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = epoch_shuffle(d, "doc_id", seed=1, n_shards=8).select("doc_id", "shard")
+    b = epoch_shuffle(d, "doc_id", seed=1, n_shards=8).select("doc_id", "shard")
+    assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+    sizes = [r["c"] for r in a.groupBy("shard").agg(F.count("*").alias("c")).collect()]
+    assert max(sizes) - min(sizes) <= 1  # equal shards
+    # a different seed is a different permutation
+    c = epoch_shuffle(d, "doc_id", seed=2, n_shards=8).select("doc_id", "shard")
+    joined = a.withColumnRenamed("shard", "s1").join(c, "doc_id")
+    assert joined.filter(F.col("s1") != F.col("shard")).count() > 0
+    # no single-partition sort anywhere in the plan
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
