@@ -5907,6 +5907,42 @@ def epoch_shuffle_q(spark, sf_dir):
     )
 
 
+@query(
+    "rescue_columns_events",
+    """
+    SELECT event_id,
+           value,
+           TRY_CAST(event_type AS INTEGER) AS event_type,
+           CAST(NULL AS INTEGER) AS quality_tier,
+           '{"user_id":"' || CAST(user_id AS VARCHAR) || '"}' AS _rescued
+    FROM events
+    """,
+)
+def rescue_columns_q(spark, sf_dir):
+    """Schema-drift quarantine (transforms.rescue_columns, the
+    `_rescued_data` pattern): the events feed projected onto a
+    contract that (a) expects a column the source doesn't ship
+    (quality_tier → typed NULL), (b) expects event_type as INT
+    (try_cast fails → NULL, a data-quality signal), and (c) never saw
+    user_id — which survives in the deterministic rescued-JSON column
+    instead of being dropped.  Map-only, no UDF; the oracle rebuilds
+    the same contract with TRY_CAST + string concat."""
+    from .transforms import rescue_columns
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return rescue_columns(
+        e,
+        [
+            ("event_id", "bigint"),
+            ("value", "double"),
+            ("event_type", "int"),
+            ("quality_tier", "int"),
+        ],
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -5987,6 +6023,7 @@ _PRIORITY = [
     "xml_roundtrip_events",
     "asof_join_cogroup_30m",
     "epoch_shuffle_docs",
+    "rescue_columns_events",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

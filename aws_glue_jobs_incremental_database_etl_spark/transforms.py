@@ -78,3 +78,64 @@ def drop_null_fields(
     counts = non_null_counts or count_non_nulls(df)
     all_null = [c for c in df.columns if counts.get(c, 0) == 0]
     return df.drop(*all_null) if all_null else df
+
+
+def rescue_columns(
+    df: DataFrame,
+    expected: Sequence[tuple[str, str]],
+    rescued_col: str = "_rescued",
+) -> DataFrame:
+    """Schema-drift quarantine (the `_rescued_data` pattern): project
+    the frame onto the ``expected`` ``(name, type)`` contract —
+    missing columns materialize as typed NULLs, matching columns are
+    ``try_cast`` to the contract type — and fold every UNEXPECTED
+    column into one deterministic JSON string column instead of
+    dropping it.
+
+    Complements evolution.merge_schemas (reference
+    ``jdbc_incremental.py:441-460``): evolution handles the *planned*
+    drift path (catalog updated, target widened); rescue handles the
+    *unplanned* one — a source suddenly shipping extra columns keeps
+    loading, nothing is lost, and the rescued payload stays queryable
+    with JSON functions until the contract catches up.
+
+    The rescued JSON is built with sorted keys and explicit
+    ``key:value`` concatenation (values via CAST AS STRING), so it is
+    byte-deterministic and engine-reproducible — NULL extras are
+    omitted, an empty rescue is NULL.  Map-only; no shuffle, no UDF.
+
+    ``try_cast`` (not ``cast``) keeps the contract total: a value that
+    cannot convert becomes NULL in the typed column while its source
+    text survives in the rescued payload only if its column was
+    unexpected — type-failed EXPECTED columns are data-quality
+    signal, countable downstream via ``typed IS NULL AND raw IS NOT
+    NULL`` against the source.
+    """
+    expected_names = [n for n, _ in expected]
+    extras = sorted(c for c in df.columns if c not in expected_names)
+    typed = [
+        (
+            F.expr(f"try_cast(`{n}` AS {t})") if n in df.columns
+            else F.lit(None).cast(t)
+        ).alias(n)
+        for n, t in expected
+    ]
+    if extras:
+        pieces = [
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(
+                    F.lit(f'"{c}":"'),
+                    F.col(c).cast("string"),
+                    F.lit('"'),
+                ),
+            )
+            for c in extras
+        ]
+        body = F.concat_ws(",", *pieces)
+        rescued = F.when(
+            body != "", F.concat(F.lit("{"), body, F.lit("}"))
+        ).alias(rescued_col)
+    else:
+        rescued = F.lit(None).cast("string").alias(rescued_col)
+    return df.select(*typed, rescued)

@@ -78,3 +78,28 @@ def test_count_non_nulls_single_pass(spark, sf_dir):
     counts = count_non_nulls(df)
     assert counts["allnull"] == 0
     assert counts["c_custkey"] == df.count()
+
+
+def test_rescue_columns_contract(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.transforms import (
+        rescue_columns,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("1", "x", "extra1", None), ("oops", "y", None, "e2")],
+        "k string, keep string, a string, b string",
+    )
+    out = rescue_columns(
+        df, [("k", "int"), ("keep", "string"), ("missing", "double")]
+    )
+    assert out.columns == ["k", "keep", "missing", "_rescued"]
+    rows = {r["keep"]: r for r in out.collect()}
+    assert rows["x"]["k"] == 1
+    assert rows["y"]["k"] is None           # try_cast failure -> NULL
+    assert rows["x"]["missing"] is None     # expected-but-absent -> typed NULL
+    assert rows["x"]["_rescued"] == '{"a":"extra1"}'   # NULL extras omitted
+    assert rows["y"]["_rescued"] == '{"b":"e2"}'
+    # no extras at all -> rescued NULL
+    out2 = rescue_columns(df.select("k"), [("k", "int")])
+    assert out2.filter(F.col("_rescued").isNotNull()).count() == 0
