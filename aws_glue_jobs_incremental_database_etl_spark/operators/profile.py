@@ -22,6 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 
 def column_checksums(
@@ -309,4 +310,76 @@ def exact_ntile(
             .cast("int"),
         )
         .drop("_pb", "_rn", "_grank")
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total —
+    ``(group, w_median, total_weight)``.
+
+    One shuffle on the group key + one in-partition sort; the
+    qualifying-prefix trick (filter ``2·cumw ≥ total`` then take the
+    group min) avoids any per-group collect or second pass.  Weights
+    accumulate as longs, so the cut is integer-exact — no float-fold
+    ambiguity at the boundary; ``tiebreak_col`` totalizes the order
+    when values repeat.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    wt = F.col(weight_col).cast("long")
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(v.asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    staged = df.select(
+        g.alias("g"), v.alias("v"),
+        F.sum(wt).over(w_cum).alias("_cumw"),
+        F.sum(wt).over(w_all).alias("_tot"),
+    )
+    return (
+        staged.filter(2 * F.col("_cumw") >= F.col("_tot"))
+        .groupBy("g")
+        .agg(
+            F.min("v").alias("w_median"),
+            F.first("_tot").alias("total_weight"),
+        )
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def deterministic_mode(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group mode with a total tie order (highest count, then
+    smallest value) — ``(group, mode_value, mode_count)``.  SQL's
+    ``mode()`` is free to break count ties arbitrarily, which makes it
+    unusable for reproducible pipelines; this one is a pure two-level
+    aggregate (count per (group, value) → argmax per group), two
+    partial-aggregated shuffles, deterministic everywhere.
+    """
+    counted = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # a (count desc, value asc) mixed-direction argmax has no generic
+    # max_by(struct) encoding, so rank the (group, value) counts —
+    # the window input is already aggregated, one row per value
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("v").asc())
+    return (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("v").alias("mode_value"),
+            F.col("c").alias("mode_count"),
+        )
     )

@@ -5943,6 +5943,68 @@ def rescue_columns_q(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_median_lineitem",
+    """
+    WITH staged AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT g AS l_returnflag, MIN(v) AS w_median,
+           CAST(ANY_VALUE(tot) AS BIGINT) AS total_weight
+    FROM staged WHERE 2 * cumw >= tot GROUP BY g
+    """,
+)
+def weighted_median_q(spark, sf_dir):
+    """Exact quantity-weighted median price per return flag
+    (operators.profile.weighted_median): integer-exact cumulative
+    weights, so the median cut has no float ambiguity; one shuffle +
+    in-partition sort, qualifying-prefix min instead of per-group
+    collect."""
+    from .operators.profile import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_tb",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", "_tb"
+    )
+
+
+@query(
+    "mode_priority_by_status",
+    """
+    WITH counted AS (
+      SELECT o_orderstatus AS g, o_orderpriority AS v, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT g, v, c,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, v ASC) AS rn
+      FROM counted
+    )
+    SELECT g AS o_orderstatus, v AS mode_value, c AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_q(spark, sf_dir):
+    """Deterministic per-group mode (operators.profile.
+    deterministic_mode): modal order priority per status with a total
+    (count desc, value asc) tie order — unlike SQL ``mode()``, which
+    may break ties arbitrarily and is therefore unusable for
+    reproducible pipelines.  Two partial-aggregated shuffles."""
+    from .operators.profile import deterministic_mode
+
+    o = load_table(spark, sf_dir, "orders")
+    return deterministic_mode(o, "o_orderstatus", "o_orderpriority")
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6024,6 +6086,8 @@ _PRIORITY = [
     "asof_join_cogroup_30m",
     "epoch_shuffle_docs",
     "rescue_columns_events",
+    "weighted_median_lineitem",
+    "mode_priority_by_status",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

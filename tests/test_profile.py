@@ -152,3 +152,34 @@ def test_exact_ntile_matches_native_ntile(spark):
     small = spark.createDataFrame([(1, 5.0), (2, 1.0)], "id long, v double")
     got2 = {r.id: r.bucket for r in exact_ntile(small, 5, "v", "id").collect()}
     assert got2 == {2: 1, 1: 2}
+
+
+def test_weighted_median_small_case(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1, 1), ("a", 2.0, 1, 2), ("a", 3.0, 2, 3),
+         ("b", 10.0, 9, 4), ("b", 99.0, 1, 5)],
+        "g string, v double, wt int, tb int",
+    )
+    out = {r["g"]: r for r in weighted_median(df, "g", "v", "wt", "tb").collect()}
+    # a: weights 1,1,2 (tot 4); cum at v=2.0 is 2, 2*2>=4 -> median 2.0
+    assert out["a"]["w_median"] == 2.0 and out["a"]["total_weight"] == 4
+    # b: weight 9 at 10.0 dominates
+    assert out["b"]["w_median"] == 10.0 and out["b"]["total_weight"] == 10
+
+
+def test_deterministic_mode_tie_break(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        deterministic_mode,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "z")],
+        "g string, v string",
+    )
+    row = deterministic_mode(df, "g", "v").collect()[0]
+    # counts: a=2, b=2, z=1 -> tie broken by smallest value
+    assert row["mode_value"] == "a" and row["mode_count"] == 2
