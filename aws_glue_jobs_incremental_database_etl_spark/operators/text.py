@@ -992,3 +992,97 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query
+    terms: ``(id, n_tokens, n_hits, score)`` where score =
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)) with
+    the standard idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    The retrieval-side twin of tfidf_top_terms: TF-IDF characterizes
+    a document, BM25 ranks documents against a query — the scorer
+    behind candidate mining for targeted training-data selection
+    ("find documents about X to upsample").
+
+    Plan shape: the per-term document frequencies and the corpus
+    average length are two scalar-sized aggregates (the query term
+    list is a literal, so df fits in ``len(query_terms)`` rows —
+    computed distributively, joined back broadcast); per-document
+    term counts come from one filtered explode keyed by the query
+    terms only (postings for non-query terms never shuffle).  Docs
+    with no hits keep score 0.0 — the full corpus returns, ready for
+    a top-k tail.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(t.lower() for t in query_terms))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("_w"),
+    ).select("id", "_w", F.size("_w").alias("n_tokens"))
+
+    n_and_avg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_tokens").alias("avg_len"),
+    )
+
+    hits = base.select(
+        "id",
+        "n_tokens",
+        F.explode(
+            F.filter(F.col("_w"), lambda t: t.isin(terms))
+        ).alias("term"),
+    )
+    tf = hits.groupBy("id", "n_tokens", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_and_avg))
+        .select(
+            "id",
+            "term",
+            "tf",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("n_tokens") / F.col("avg_len"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.sum("_s"), 6).alias("score"),
+        )
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+    )

@@ -6005,6 +6005,55 @@ def mode_q(spark, sf_dir):
     return deterministic_mode(o, "o_orderstatus", "o_orderpriority")
 
 
+@query(
+    "bm25_score_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\s+')
+             END AS w
+      FROM documents
+    ), b2 AS (
+      SELECT doc_id, len(w) AS n_tokens, w FROM base
+    ), g AS (
+      SELECT COUNT(*) AS n_docs, AVG(n_tokens) AS avg_len FROM b2
+    ), tf AS (
+      SELECT doc_id, n_tokens, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, n_tokens, unnest(w) AS term FROM b2)
+      WHERE term IN ('spark', 'stream', 'window')
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), sc AS (
+      SELECT tf.doc_id, COUNT(*) AS n_hits,
+             ROUND(SUM(
+               LN(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.n_tokens / g.avg_len))
+             ), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN g GROUP BY 1
+    )
+    SELECT b2.doc_id AS id, b2.n_tokens,
+           COALESCE(sc.n_hits, 0) AS n_hits,
+           COALESCE(sc.score, 0.0) AS score
+    FROM b2 LEFT JOIN sc ON b2.doc_id = sc.doc_id
+    """,
+)
+def bm25_q(spark, sf_dir):
+    """Okapi BM25 relevance (operators.text.bm25_score) of every
+    document to the query {spark, stream, window} — the retrieval
+    scorer behind targeted training-data selection.  Query-term df
+    and corpus avg length are the only global state (both scalar-
+    sized, broadcast); non-query tokens never shuffle.  avg_len is
+    exact cross-engine (integer-valued double sums), so the score
+    arithmetic replays in SQL to the rounded digit."""
+    from .operators.text import bm25_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_score(d, ["spark", "stream", "window"], "doc_id", "text")
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6088,6 +6137,7 @@ _PRIORITY = [
     "rescue_columns_events",
     "weighted_median_lineitem",
     "mode_priority_by_status",
+    "bm25_score_docs",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

@@ -90,6 +90,9 @@ SF1_SPOT = [
     "interval_join_events_windows",
     "lm_perplexity_buckets",
     "pagerank_part_supplier",
+    # round-3 second wave: candidate-pair growth risks
+    "dup_ngram_stats_docs",
+    "edit_distance_pairs_parts",
 ]
 
 

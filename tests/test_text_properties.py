@@ -85,3 +85,29 @@ def test_dedup_segments_matches_reference(spark, texts, seg_tokens):
         for r in dedup_segments(df, segment_tokens=seg_tokens).collect()
     }
     assert got == _segment_reference(texts, seg_tokens)
+
+
+def test_bm25_ordering_and_edges(spark):
+    """BM25: more hits => higher score at equal length; docs without
+    query terms score exactly 0; empty docs survive."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        bm25_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad pad"),
+            (2, "spark pad pad pad pad"),
+            (3, "pad pad pad pad pad"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in bm25_score(df, ["spark"]).collect()}
+    assert out[1]["score"] > out[2]["score"] > 0
+    assert out[3]["score"] == 0.0 and out[3]["n_hits"] == 0
+    assert out[4]["n_tokens"] == 0 and out[4]["score"] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_score(df, [])

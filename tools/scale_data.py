@@ -59,6 +59,15 @@ def _replicate(
             d = d.withColumn("s_suppkey", F.col("s_suppkey") + s)
         elif table == "part":
             d = d.withColumn("p_partkey", F.col("p_partkey") + s)
+            if r > 0:
+                # new replica = new brands: real corpus growth adds
+                # NEW entities, so similarity-join blocking keys must
+                # not merge replicas (else candidate pairs grow
+                # factor², which no real growth produces — same
+                # rationale as the documents token tagging)
+                d = d.withColumn(
+                    "p_brand", F.concat("p_brand", F.lit(f"-{r}"))
+                )
         elif table == "orders":
             d = d.withColumn("o_orderkey", F.col("o_orderkey") + s)
             d = d.withColumn("o_custkey", F.col("o_custkey") + s)
