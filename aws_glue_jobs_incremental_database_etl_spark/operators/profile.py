@@ -383,3 +383,67 @@ def deterministic_mode(
             F.col("c").alias("mode_count"),
         )
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized mean per group: values clipped to the group's exact
+    [lo, hi] percentiles before averaging — the outlier-robust
+    location estimate feature pipelines use when trimming would bias
+    small groups: ``(group, lo_cut, hi_cut, w_mean, n)``.
+
+    Percentiles are Spark's exact interpolated ``percentile`` (the
+    type-7 convention DuckDB's ``quantile_cont`` shares), computed in
+    one per-group aggregate; cuts join back broadcast (group
+    cardinality ≪ rows) and the clip is a map-only ``greatest/
+    least``.  Two shuffles total, both partial-aggregated.  At 100 TB
+    swap the exact percentile for ``approx_percentile`` and keep the
+    rest of the plan unchanged — the clip/avg shape is identical.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    g, v = F.col(group_col), F.col(value_col)
+    cuts = df.groupBy(g.alias("_wg")).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_lo_cut"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_hi_cut"),
+    )
+    clipped = df.join(
+        F.broadcast(cuts), df[group_col] == cuts["_wg"]
+    ).select(
+        "_wg",
+        "_lo_cut",
+        "_hi_cut",
+        F.greatest(F.least(v, F.col("_hi_cut")), F.col("_lo_cut")).alias("_cv"),
+    )
+    return (
+        clipped.groupBy("_wg")
+        .agg(
+            F.round(F.first("_lo_cut"), 6).alias("lo_cut"),
+            F.round(F.first("_hi_cut"), 6).alias("hi_cut"),
+            F.round(F.avg("_cv"), 4).alias("w_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumnRenamed("_wg", group_col)
+    )
+
+
+def minmax_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "v_norm",
+) -> DataFrame:
+    """Per-group min-max feature scaling: ``(v − min) / (max − min)``
+    appended as ``out_col`` (0.5 for degenerate single-value groups).
+    One unordered window over the group — a single shuffle, no join,
+    original columns preserved."""
+    w = Window.partitionBy(group_col)
+    mn = F.min(value_col).over(w)
+    mx = F.max(value_col).over(w)
+    norm = F.when(mx > mn, (F.col(value_col) - mn) / (mx - mn)).otherwise(0.5)
+    return df.withColumn(out_col, F.round(norm, 6))

@@ -6054,6 +6054,64 @@ def bm25_q(spark, sf_dir):
     return bm25_score(d, ["spark", "stream", "window"], "doc_id", "text")
 
 
+@query(
+    "winsorized_mean_orders",
+    """
+    WITH cuts AS (
+      SELECT o_orderstatus AS g,
+             quantile_cont(o_totalprice, 0.05) AS lo_c,
+             quantile_cont(o_totalprice, 0.95) AS hi_c
+      FROM orders GROUP BY 1
+    )
+    SELECT g AS o_orderstatus,
+           ROUND(ANY_VALUE(lo_c), 6) AS lo_cut,
+           ROUND(ANY_VALUE(hi_c), 6) AS hi_cut,
+           ROUND(AVG(greatest(least(o_totalprice, hi_c), lo_c)), 4) AS w_mean,
+           COUNT(*) AS n
+    FROM orders JOIN cuts ON o_orderstatus = cuts.g
+    GROUP BY g
+    """,
+)
+def winsorized_mean_q(spark, sf_dir):
+    """Winsorized mean order value per status
+    (operators.profile.winsorized_mean): exact type-7 interpolated
+    percentile cuts (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)
+    + map-only clip — the outlier-robust location estimate.  Cuts
+    join back broadcast; at 100 TB the documented swap is
+    approx_percentile with the identical downstream plan."""
+    from .operators.profile import winsorized_mean
+
+    o = load_table(spark, sf_dir, "orders")
+    return winsorized_mean(o, "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "minmax_normalize_events",
+    """
+    SELECT event_id, event_type,
+           ROUND(CASE WHEN mx > mn THEN (value - mn) / (mx - mn)
+                      ELSE 0.5 END, 6) AS v_norm
+    FROM (
+      SELECT event_id, event_type, value,
+             MIN(value) OVER (PARTITION BY event_type) AS mn,
+             MAX(value) OVER (PARTITION BY event_type) AS mx
+      FROM events
+    ) t
+    """,
+)
+def minmax_normalize_q(spark, sf_dir):
+    """Per-group min-max feature scaling
+    (operators.profile.minmax_normalize): one unordered window —
+    min/max are order-insensitive exact picks, so the normalized
+    value is pure deterministic arithmetic on both engines."""
+    from .operators.profile import minmax_normalize
+
+    e = load_table(spark, sf_dir, "events")
+    return minmax_normalize(e, "event_type", "value").select(
+        "event_id", "event_type", "v_norm"
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6138,6 +6196,8 @@ _PRIORITY = [
     "weighted_median_lineitem",
     "mode_priority_by_status",
     "bm25_score_docs",
+    "winsorized_mean_orders",
+    "minmax_normalize_events",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

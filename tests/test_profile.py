@@ -183,3 +183,36 @@ def test_deterministic_mode_tie_break(spark):
     row = deterministic_mode(df, "g", "v").collect()[0]
     # counts: a=2, b=2, z=1 -> tie broken by smallest value
     assert row["mode_value"] == "a" and row["mode_count"] == 2
+
+
+def test_winsorized_mean_clips_outliers(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        winsorized_mean,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 20)] + [("g", 10000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorized_mean(df, "g", "v", lo=0.0, hi=0.9).collect()[0]
+    # the 10000 outlier is clipped to the p90 cut, not dropped
+    assert out["n"] == 20
+    assert out["w_mean"] < 30
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorized_mean(df, "g", "v", lo=0.5, hi=0.5)
+
+
+def test_minmax_normalize_bounds_and_degenerate(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        minmax_normalize,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 15.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    out = {(r["g"], r["v"]): r["v_norm"] for r in minmax_normalize(df, "g", "v").collect()}
+    assert out[("a", 10.0)] == 0.0 and out[("a", 20.0)] == 1.0
+    assert out[("a", 15.0)] == 0.5
+    assert out[("b", 7.0)] == 0.5  # single-value group
