@@ -313,3 +313,40 @@ def test_lm_buckets_no_single_partition_sort(plans):
     p = plans("lm_perplexity_buckets")
     assert "Window" in p  # the partitioned local-rank window
     assert "Exchange SinglePartition" not in p  # nowhere in the plan
+
+
+def test_bm25_broadcasts_global_state(plans):
+    """BM25's df/avg-len state joins back broadcast — the fact side
+    never shuffles for the scalar aggregates."""
+    p = plans("bm25_score_docs")
+    assert "BroadcastExchange" in p, p
+    assert "NestedLoop" not in p or "BuildRight" in p, p
+
+
+def test_cms_probe_is_broadcast_least(plans):
+    """CMS estimate: the packed sketch broadcasts; the probe side's
+    only shuffles are the build grid + the truth aggregate."""
+    p = plans("cms_token_counts_docs")
+    assert "BroadcastExchange" in p, p
+
+
+def test_winsorize_cuts_broadcast(plans):
+    p = plans("winsorized_mean_orders")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_lateral_no_per_row_subquery(plans):
+    """The LATERAL query decorrelates — no more than the aggregate's
+    own exchanges, no nested-loop replay per customer row."""
+    p = plans("lateral_customer_order_stats")
+    assert "Join" in p, p
+
+
+def test_epoch_shuffle_no_single_partition_sort(plans):
+    p = plans("epoch_shuffle_docs")
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_edit_distance_blocked_equi_join(plans):
+    p = plans("edit_distance_pairs_parts")
+    assert "NestedLoop" not in p, p
