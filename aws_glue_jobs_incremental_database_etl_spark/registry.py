@@ -6112,6 +6112,95 @@ def minmax_normalize_q(spark, sf_dir):
     )
 
 
+@query(
+    "ohlc_bars_events",
+    """
+    WITH k AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS sel
+      FROM events
+    )
+    SELECT event_type, bar_hour,
+           arg_min(value, sel) AS open,
+           MAX(value)          AS high,
+           MIN(value)          AS low,
+           arg_max(value, sel) AS close,
+           COUNT(*)            AS n_events
+    FROM k GROUP BY 1, 2
+    """,
+)
+def ohlc_q(spark, sf_dir):
+    """OHLC bars (open-high-low-close) per event type per hour — the
+    canonical time-series downsample.  Open/close are argmin/argmax
+    over a zero-padded ``epoch_us:event_id`` string selector: one
+    scalar key whose lexicographic order IS the (time, id) total
+    order, portable to any engine (composite argmax selectors are
+    not).  Single hash-agg shuffle, no window sort."""
+    e = load_table(spark, sf_dir, "events")
+    sel = F.concat(
+        F.lpad(epoch_us(F.col("ts")).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            "value",
+            sel.alias("sel"),
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.expr("min_by(value, sel)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, sel)").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "twap_events_per_user",
+    """
+    WITH d AS (
+      SELECT user_id, value,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twap,
+           COUNT(*) AS n_intervals
+    FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def twap_q(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each observation
+    weighted by how long it was current (exact integer µs from
+    ``lead``), zero-length intervals dropped — the estimator that is
+    robust to irregular sampling where a plain AVG oversamples bursts.
+    One key shuffle + in-partition sort, then a hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us(F.col("ts"))
+    d = e.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return d.groupBy("user_id").agg(
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6198,6 +6287,8 @@ _PRIORITY = [
     "bm25_score_docs",
     "winsorized_mean_orders",
     "minmax_normalize_events",
+    "ohlc_bars_events",
+    "twap_events_per_user",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
