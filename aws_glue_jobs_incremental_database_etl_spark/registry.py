@@ -6201,6 +6201,50 @@ def twap_q(spark, sf_dir):
     )
 
 
+@query(
+    "event_transition_matrix",
+    """
+    WITH t AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), c AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE),
+                 6) AS p
+    FROM c
+    """,
+)
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the path-analysis
+    primitive behind funnels and next-action models.  One key shuffle
+    + sort for the lead, then the |types|²-row matrix normalizes with
+    a tiny window; the probability is an exact integer ratio, so it
+    reproduces to the rounded digit in any engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = t.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("p"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6289,6 +6333,7 @@ _PRIORITY = [
     "minmax_normalize_events",
     "ohlc_bars_events",
     "twap_events_per_user",
+    "event_transition_matrix",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
