@@ -5203,27 +5203,31 @@ def lateral_q(spark, sf_dir):
 
 
 # identical text on both engines; MAX_BY's selector ``rn`` is unique
-# per customer so the argmax is deterministic.  The per-step float
-# chain 0.5*bal + price is evaluated in the same order by both
-# engines (recursion fixes the association), so bal is bit-identical
-# before the final ROUND.
+# per customer so the argmax is deterministic.  The recurrence runs in
+# INTEGER CENTS (halving via exact double ops on integer-valued
+# doubles < 2^53, then floor) — a float-valued 0.5·bal + price chain
+# would park balances on exact .xx5 midpoints, where Spark's
+# BigDecimal-via-toString ROUND and an engine rounding the raw double
+# legitimately disagree (observed at sf0.1).
 _RECURSIVE_DECAY_SQL = """
     WITH RECURSIVE seq AS (
       SELECT * FROM (
-        SELECT o_custkey, o_totalprice,
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS p_cents,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                                   ORDER BY o_orderdate, o_orderkey) AS rn
         FROM orders
       ) q WHERE rn <= 12
     ), r AS (
-      SELECT o_custkey, rn, o_totalprice AS bal FROM seq WHERE rn = 1
+      SELECT o_custkey, rn, p_cents AS bal FROM seq WHERE rn = 1
       UNION ALL
       SELECT /*+ BROADCAST(s) */
-             s.o_custkey, s.rn, 0.5 * r.bal + s.o_totalprice
+             s.o_custkey, s.rn,
+             CAST(floor(r.bal / 2.0) AS BIGINT) + s.p_cents
       FROM r JOIN seq s ON s.o_custkey = r.o_custkey AND s.rn = r.rn + 1
     )
     SELECT o_custkey, MAX(rn) AS n_orders,
-           ROUND(MAX_BY(bal, rn), 2) AS final_balance
+           MAX_BY(bal, rn) AS final_balance_cents
     FROM r GROUP BY o_custkey
 """
 
@@ -5231,7 +5235,8 @@ _RECURSIVE_DECAY_SQL = """
 @query("recursive_order_decay", _RECURSIVE_DECAY_SQL)
 def recursive_decay_q(spark, sf_dir):
     """Spark 4 recursive CTE (SURVEY.md §2.14): exponentially decayed
-    customer balance bal_n = 0.5·bal_{n-1} + price_n, an inherently
+    customer balance bal_n = ⌊bal_{n-1}/2⌋ + price_n in integer
+    cents, an inherently
     sequential per-entity recurrence over each customer's first 12
     orders (depth capped at 12 so the gate's iterative join count is
     bounded — uncapped depth = max orders per customer, still far

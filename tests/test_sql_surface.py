@@ -72,8 +72,9 @@ def test_recursive_decay_small_case(spark):
         r["o_custkey"]: r
         for r in spark.sql(registry._RECURSIVE_DECAY_SQL).collect()
     }
-    assert out[1]["n_orders"] == 2 and out[1]["final_balance"] == 90.0
-    assert out[2]["n_orders"] == 1 and out[2]["final_balance"] == 7.0
+    # cents: 10000 -> floor(10000/2) + 4000 = 9000
+    assert out[1]["n_orders"] == 2 and out[1]["final_balance_cents"] == 9000
+    assert out[2]["n_orders"] == 1 and out[2]["final_balance_cents"] == 700
 
 
 def test_transpose_shape(spark, sf_dir):
