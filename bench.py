@@ -73,6 +73,10 @@ HEADLINE = [
     "rolling_zscore_events",
     "quantize_embeddings_arrow",
     "cms_token_counts_docs",
+    "bm25_score_docs",
+    "ohlc_bars_events",
+    "event_transition_matrix",
+    "epoch_shuffle_docs",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
