@@ -104,3 +104,19 @@ def bloom_probe(
         )
         .drop("_bp", "_bloom")
     )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union Bloom filters built with the same (m, k): cell-wise
+    ``bit_or`` of the ``(word, bits)`` frames.  Mergeability is what
+    makes the sketch distributed-native: per-partition (or per-batch,
+    or per-day) filters combine into the corpus filter without
+    touching the keys again — the incremental-decontamination path,
+    where each pipeline run folds its new fingerprints into a
+    persisted filter instead of rescanning the corpus."""
+    if not blooms:
+        raise ValueError("need at least one bloom frame")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))

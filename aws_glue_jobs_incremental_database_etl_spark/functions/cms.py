@@ -109,3 +109,17 @@ def cms_estimate(
         .withColumn(result_col, F.least(*lookups))
         .drop("_cms")
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union Count-Min sketches built with the same (d, w): cell-wise
+    sum of the ``(row, col, cnt)`` frames.  Counts are additive, so
+    per-batch sketches fold into the corpus sketch exactly — the
+    streaming/incremental path (estimate error bounds then apply to
+    the merged N)."""
+    if not sketches:
+        raise ValueError("need at least one sketch frame")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
