@@ -267,3 +267,97 @@ def epoch_shuffle(
         id_col,
         bucket_col=shard_col,
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other
+    row, where r' dominates r iff ``r'.max_col ≥ r.max_col`` and
+    ``r'.min_col ≤ r.min_col`` with at least one strict — the
+    multi-objective selection primitive ("highest quality at the
+    shortest length") that a naive NOT EXISTS self-join computes in
+    O(n²).
+
+    O(n log n) distributed shape instead: collapse to the best
+    (minimum) ``min_col`` per distinct ``max_col`` (one hash agg —
+    under domination equal-``max_col`` rows with larger ``min_col``
+    are always dominated, and ties on BOTH coordinates are kept as
+    duplicates via a count), then a running exclusive minimum over
+    strictly greater ``max_col`` values: a survivor is a row whose
+    ``min_col`` beats every better-``max_col`` row's best.  The
+    window runs over the DISTINCT-``max_col`` table — corpus-sized
+    only when the maximize coordinate is unique, in which case sort
+    by it (one range shuffle), never all-pairs.
+
+    Returns the surviving ``(max_col, min_col, n_rows)`` frontier
+    points, ``n_rows`` counting coordinate-tied duplicates.
+
+    The running minimum uses the exact_ntile two-level construction —
+    coarse ``max_col`` range buckets from ``approxQuantile``
+    (placement only; exactness never depends on the sketch), a
+    bucket-PARTITIONED exclusive cummin window, and ≤ 32 driver
+    scalars of cross-bucket suffix minima folded back as a literal
+    map — so no ``Exchange SinglePartition`` appears at any size.
+    """
+    mx, mn = F.col(max_col), F.col(min_col)
+    best = df.groupBy(mx.alias("_mx")).agg(F.min(mn).alias("_mn"))
+    # only rows AT the per-maxcol best min survive candidacy; count them
+    cand = (
+        df.join(
+            best,
+            (mx == F.col("_mx")) & (mn == F.col("_mn")),
+        )
+        .groupBy("_mx", "_mn")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    coarse_buckets = 32
+    probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
+    cuts = df.approxQuantile(max_col, probs, 1e-3)
+    bucket = F.lit(0)
+    for t in cuts:
+        bucket = bucket + F.when(F.col("_mx") > t, 1).otherwise(0)
+    cand = cand.withColumn("_pb", bucket)
+    # per-bucket minima → driver (≤ coarse_buckets scalars, bounded
+    # by construction) → suffix minima over STRICTLY higher buckets
+    mins = dict(
+        cand.groupBy("_pb").agg(F.min("_mn").alias("m")).collect()
+    )
+    suffix: dict[int, object] = {}
+    acc = None
+    for pb in sorted(mins, reverse=True):
+        suffix[pb] = acc  # min over buckets with larger _mx
+        acc = mins[pb] if acc is None else min(acc, mins[pb])
+    if not mins:
+        return cand.select(
+            F.col("_mx").alias(max_col), F.col("_mn").alias(min_col), "n_rows"
+        )
+    hi = F.create_map(
+        *[
+            F.lit(x)
+            for pb, v in sorted(suffix.items())
+            if v is not None
+            for x in (pb, v)
+        ]
+    ) if any(v is not None for v in suffix.values()) else None
+    w = Window.partitionBy("_pb").orderBy(F.col("_mx").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = F.min("_mn").over(w)
+    cross = (
+        F.element_at(hi, F.col("_pb")) if hi is not None else F.lit(None)
+    )
+    cummin = F.least(
+        F.coalesce(local, cross), F.coalesce(cross, local)
+    )
+    return (
+        cand.withColumn("_cummin", cummin)
+        .filter(F.col("_cummin").isNull() | (F.col("_mn") < F.col("_cummin")))
+        .select(
+            F.col("_mx").alias(max_col),
+            F.col("_mn").alias(min_col),
+            "n_rows",
+        )
+    )

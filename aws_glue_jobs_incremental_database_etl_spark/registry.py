@@ -6250,6 +6250,44 @@ def event_transitions_q(spark, sf_dir):
     )
 
 
+@query(
+    "pareto_frontier_orders",
+    """
+    WITH best AS (
+      SELECT o_totalprice AS p, MIN(o_orderdate) AS d
+      FROM orders GROUP BY 1
+    ), cand AS (
+      SELECT o.o_totalprice AS p, o.o_orderdate AS d, COUNT(*) AS n_rows
+      FROM orders o JOIN best b
+        ON o.o_totalprice = b.p AND o.o_orderdate = b.d
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT p, d, n_rows,
+             MIN(d) OVER (ORDER BY p DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS cm
+      FROM cand
+    )
+    SELECT p AS o_totalprice, d AS o_orderdate, n_rows
+    FROM r WHERE cm IS NULL OR d < cm
+    """,
+)
+def pareto_q(spark, sf_dir):
+    """2-D Pareto frontier (operators.sampling.pareto_frontier_2d):
+    orders undominated on (totalprice max, orderdate min) — the
+    multi-objective selection primitive ("best value, earliest"),
+    O(n log n) via per-coordinate best + a bucket-partitioned
+    exclusive running minimum (exact_ntile's two-level construction —
+    no single-partition sort, no O(n²) dominance join).  The oracle
+    states the frontier independently with one ordered window; the
+    unit test additionally checks the brute-force NOT EXISTS
+    dominance definition."""
+    from .operators.sampling import pareto_frontier_2d
+
+    o = load_table(spark, sf_dir, "orders")
+    return pareto_frontier_2d(o, "o_totalprice", "o_orderdate")
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6339,6 +6377,7 @@ _PRIORITY = [
     "ohlc_bars_events",
     "twap_events_per_user",
     "event_transition_matrix",
+    "pareto_frontier_orders",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

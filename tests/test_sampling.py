@@ -203,3 +203,42 @@ def test_epoch_shuffle_deterministic_and_balanced(spark, sf_dir):
     # no single-partition sort anywhere in the plan
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        pareto_frontier_2d,
+    )
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [(float(rng.randint(0, 30)), rng.randint(0, 30)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "mx double, mn int")
+    got = {
+        (r["mx"], r["mn"], r["n_rows"])
+        for r in pareto_frontier_2d(df, "mx", "mn").collect()
+    }
+
+    def dominated(r, others):
+        return any(
+            (o[0] >= r[0] and o[1] <= r[1] and (o[0] > r[0] or o[1] < r[1]))
+            for o in others
+        )
+
+    surv = [r for r in rows if not dominated(r, rows)]
+    from collections import Counter
+
+    expect = {(mx, mn, c) for (mx, mn), c in Counter(surv).items()}
+    assert got == expect and got
+
+
+def test_pareto_frontier_no_single_partition_sort(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        pareto_frontier_2d,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = pareto_frontier_2d(o, "o_totalprice", "o_orderdate")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
