@@ -113,3 +113,81 @@ def check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def psi_drift(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    baseline_value,
+    bins: list[float],
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index of ``value_col``'s distribution in
+    every slice against the ``baseline_value`` slice:
+    ``(slice, psi, n_rows)`` with PSI = Σ_bins (p−q)·ln(p/q) over
+    LITERAL bin edges (left-open buckets; underflow/overflow included
+    via −∞/+∞ sentinels).  PSI < 0.1 ⇒ stable, 0.1–0.25 ⇒ drifting,
+    > 0.25 ⇒ broken — the standard monitoring gate for "did this
+    batch's distribution move".
+
+    Laplace-smoothed counts keep empty bins finite and the ratios
+    deterministic (integer counts + literal smoothing → identical
+    doubles in any engine).  One hash aggregate over
+    (slice, bin) — bins are a literal CASE, so the pass is map-side
+    partial; the per-slice PSI fold is over |bins| rows.
+    """
+    if len(bins) < 1:
+        raise ValueError("need at least one bin edge")
+    v = F.col(value_col).cast("double")
+    b = F.lit(0)
+    for t in bins:
+        b = b + F.when(v > t, 1).otherwise(0)
+    counted = (
+        df.groupBy(F.col(slice_col).alias("s"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counted.groupBy("s").agg(F.sum("c").alias("tot"))
+    base = (
+        counted.filter(F.col("s") == baseline_value)
+        .select(F.col("bin"), F.col("c").alias("bc"))
+    )
+    base_tot = totals.filter(F.col("s") == baseline_value).select(
+        F.col("tot").alias("btot")
+    )
+    n_bins = len(bins) + 1
+    # dense bin spine per slice so empty bins still contribute their
+    # smoothed mass
+    spine = (
+        totals.select("s", "tot")
+        .crossJoin(
+            totals.sparkSession.range(n_bins).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+    )
+    joined = (
+        spine.join(counted, ["s", "bin"], "left")
+        .join(F.broadcast(base), "bin", "left")
+        .crossJoin(F.broadcast(base_tot))
+        .select(
+            "s",
+            "tot",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + laplace)
+                / (F.col("tot") + laplace * n_bins)
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("bc"), F.lit(0)) + laplace)
+                / (F.col("btot") + laplace * n_bins)
+            ).alias("q"),
+        )
+    )
+    return (
+        joined.groupBy("s")
+        .agg(
+            F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+            F.first("tot").alias("n_rows"),
+        )
+        .withColumnRenamed("s", slice_col)
+    )

@@ -6288,6 +6288,59 @@ def pareto_q(spark, sf_dir):
     return pareto_frontier_2d(o, "o_totalprice", "o_orderdate")
 
 
+@query(
+    "psi_drift_orders",
+    """
+    WITH counted AS (
+      SELECT o_orderstatus AS s,
+             (CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END +
+              CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END +
+              CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END +
+              CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END) AS bin,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), totals AS (
+      SELECT s, CAST(SUM(c) AS BIGINT) AS tot FROM counted GROUP BY 1
+    ), spine AS (
+      SELECT s, tot, i AS bin FROM totals, range(0, 5) t(i)
+    ), base AS (
+      SELECT bin, c AS bc FROM counted WHERE s = 'F'
+    ), btot AS (
+      SELECT tot AS btot FROM totals WHERE s = 'F'
+    ), j AS (
+      SELECT spine.s, spine.tot,
+             (COALESCE(c.c, 0) + 0.5) / (spine.tot + 2.5) AS p,
+             (COALESCE(b.bc, 0) + 0.5) / (btot.btot + 2.5) AS q
+      FROM spine
+      LEFT JOIN counted c ON c.s = spine.s AND c.bin = spine.bin
+      LEFT JOIN base b ON b.bin = spine.bin
+      CROSS JOIN btot
+    )
+    SELECT s AS o_orderstatus,
+           ROUND(SUM((p - q) * LN(p / q)), 6) AS psi,
+           ANY_VALUE(tot) AS n_rows
+    FROM j GROUP BY 1
+    """,
+)
+def psi_drift_q(spark, sf_dir):
+    """Population Stability Index (operators.quality.psi_drift): each
+    order-status slice's price distribution scored against the 'F'
+    baseline over literal bin edges — the standard "did this batch's
+    distribution move" monitoring gate (0.1/0.25 thresholds).
+    Laplace-smoothed integer-ratio probabilities make the doubles
+    engine-identical; one map-side-partial (slice, bin) aggregate."""
+    from .operators.quality import psi_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    return psi_drift(
+        o,
+        "o_orderstatus",
+        "o_totalprice",
+        "F",
+        [100000.0, 200000.0, 300000.0, 400000.0],
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6378,6 +6431,7 @@ _PRIORITY = [
     "twap_events_per_user",
     "event_transition_matrix",
     "pareto_frontier_orders",
+    "psi_drift_orders",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

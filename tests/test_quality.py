@@ -76,3 +76,25 @@ def test_single_pass_plan_for_row_local_rules(spark):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") == 1  # all row-local rules share one scan
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.quality import (
+        psi_drift,
+    )
+
+    rows = [("base", float(v % 10)) for v in range(200)]
+    rows += [("same", float(v % 10)) for v in range(200)]
+    rows += [("shifted", float(v % 10) + 50.0) for v in range(200)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {
+        r["s"]: r["psi"]
+        for r in psi_drift(df, "s", "v", "base", [2.0, 5.0, 8.0]).collect()
+    }
+    assert out["base"] == 0.0          # baseline vs itself
+    assert out["same"] == 0.0          # identical distribution
+    assert out["shifted"] > 0.25       # gross drift crosses the gate
+    import pytest
+
+    with pytest.raises(ValueError):
+        psi_drift(df, "s", "v", "base", [])
