@@ -6341,6 +6341,73 @@ def psi_drift_q(spark, sf_dir):
     )
 
 
+@query("ann_recall_lsh_vs_exact", None)  # oracle attached below (composed)
+def ann_recall_q(spark, sf_dir):
+    """ANN evaluation harness: recall@10 of the hyperplane-LSH
+    retriever against the exact cosine top-10 for the same query
+    vector — the measurement every approximate index must ship with
+    before anyone trusts it at corpus scale.  Both retrievers are the
+    registered operators; the overlap is a tiny id join, so the
+    eval's cost is the two retrievals themselves."""
+    from .operators.similarity import cosine_topk, cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ex = cosine_topk(emb, qvec, k=10, round_to=4).select("vec_id")
+    ls = cosine_topk_lsh(emb, qvec, k=10, num_planes=6).select("vec_id")
+    ex_n = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    ls_n = ls.agg(F.count(F.lit(1)).alias("n_lsh"))
+    ov_n = ex.join(ls, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        ex_n.crossJoin(ls_n)
+        .crossJoin(ov_n)
+        .select(
+            F.lit(10).alias("k"),
+            "n_exact",
+            "n_lsh",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10.0, 6).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the exact-top-10 SQL with the GENERATED lsh_topk
+    oracle (nested as a CTE-bearing subquery) and count the overlap —
+    the recall number itself is oracle-checked, not just the two
+    retrievals independently."""
+    lsh_sql = O["lsh_topk_embeddings"]
+    return f"""
+    WITH exact10 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (SELECT list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE))
+                        FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+      )
+    ), lsh10 AS (
+      SELECT vec_id FROM ({lsh_sql}) t
+    )
+    SELECT 10 AS k,
+           (SELECT COUNT(*) FROM exact10) AS n_exact,
+           (SELECT COUNT(*) FROM lsh10) AS n_lsh,
+           (SELECT COUNT(*) FROM exact10 JOIN lsh10 USING (vec_id))
+               AS n_overlap,
+           ROUND((SELECT COUNT(*) FROM exact10 JOIN lsh10 USING (vec_id))
+                 / 10.0, 6) AS recall
+    """
+
+
+O["ann_recall_lsh_vs_exact"] = _ann_recall_oracle()
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6432,6 +6499,7 @@ _PRIORITY = [
     "event_transition_matrix",
     "pareto_frontier_orders",
     "psi_drift_orders",
+    "ann_recall_lsh_vs_exact",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
