@@ -118,6 +118,17 @@ def assign_nearest_centroid(
     array_min(dists))`` (first index wins exact ties).  Map-only, no
     UDF, no shuffle — the assignment side of an IVF index when the
     quantizer is fixed rather than trained (``ivf_assign``)."""
+    arr = centroid_distances(centroids, vec_col)
+    return df.withColumn(
+        cluster_col,
+        (F.array_position(arr, F.array_min(arr)) - 1).cast("int"),
+    )
+
+
+def centroid_distances(centroids, vec_col: str = "embedding") -> Column:
+    """Array of per-centroid squared-euclidean distances as explicit
+    left-to-right term chains — the engine-reproducible building block
+    shared by assignment, cluster diagnostics, and their SQL twins."""
     dists = []
     for c in centroids:
         d = None
@@ -126,11 +137,7 @@ def assign_nearest_centroid(
             term = t * t
             d = term if d is None else d + term
         dists.append(d)
-    arr = F.array(*dists)
-    return df.withColumn(
-        cluster_col,
-        (F.array_position(arr, F.array_min(arr)) - 1).cast("int"),
-    )
+    return F.array(*dists)
 
 
 def hyperplane_lsh_bucket(

@@ -6408,6 +6408,58 @@ def _ann_recall_oracle() -> str:
 O["ann_recall_lsh_vs_exact"] = _ann_recall_oracle()
 
 
+@query("cluster_stats_embeddings", None)  # oracle attached below (generated)
+def cluster_stats_q(spark, sf_dir):
+    """Clustering diagnostics over the literal seeded quantizer
+    (similarity.centroid_distances): per-cluster population, mean and
+    max distance-to-centroid — the balance/radius report that decides
+    whether an IVF/SemDeDup partitioning is usable before anything
+    expensive runs on it.  Map-only assignment + one hash agg."""
+    from .operators.similarity import centroid_distances, fixed_centroids
+
+    cents = fixed_centroids(64, 8, seed=7)
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    dl = centroid_distances(cents, "embedding")
+    a = e.select(
+        (F.array_position(dl, F.array_min(dl)) - 1).cast("int").alias(
+            "cluster"
+        ),
+        F.sqrt(F.array_min(dl)).alias("dist"),
+    )
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("dist"), 6).alias("mean_dist"),
+        F.round(F.max("dist"), 6).alias("max_dist"),
+    )
+
+
+def _cluster_stats_oracle() -> str:
+    from .operators.similarity import fixed_centroids
+
+    cents = fixed_centroids(64, 8, seed=7)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, {_centroid_assign_sql(cents)} AS dl FROM c
+    ), a AS (
+      SELECT CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cluster,
+             sqrt(list_min(dl)) AS dist
+      FROM d
+    )
+    SELECT cluster, COUNT(*) AS n,
+           ROUND(AVG(dist), 6) AS mean_dist,
+           ROUND(MAX(dist), 6) AS max_dist
+    FROM a GROUP BY 1
+    """
+
+
+O["cluster_stats_embeddings"] = _cluster_stats_oracle()
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6500,6 +6552,7 @@ _PRIORITY = [
     "pareto_frontier_orders",
     "psi_drift_orders",
     "ann_recall_lsh_vs_exact",
+    "cluster_stats_embeddings",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
