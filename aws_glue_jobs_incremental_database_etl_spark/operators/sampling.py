@@ -361,3 +361,69 @@ def pareto_frontier_2d(
             "n_rows",
         )
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    coarse_buckets: int = 32,
+) -> DataFrame:
+    """Budget-constrained greedy selection: take documents in
+    descending ``score_col`` order (ties by ``id_col``) until the
+    running sum of ``tokens_col`` would exceed ``budget`` — the
+    "best corpus that fits N tokens" curation step after quality
+    scoring.  Returns the selected ``(id, score, tokens, cum_tokens)``
+    rows; a document is kept iff its INCLUSIVE running total ≤ budget
+    (greedy prefix, no partial documents).
+
+    The global ordered cumsum uses the bucketed two-pass shape
+    (pack_sequences / exact_ntile): coarse score-range buckets from
+    ``approxQuantile`` (placement only), per-bucket token cumsums
+    under a bucket-PARTITIONED window, per-bucket totals to the
+    driver (≤ ``coarse_buckets`` scalars) folded back as literal
+    offsets — no single-partition sort at any size.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    sc, tk = F.col(score_col), F.col(tokens_col).cast("long")
+    probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
+    cuts = df.approxQuantile(score_col, probs, 1e-3)
+    # bucket 0 = highest scores (selection order)
+    b = F.lit(0)
+    for t in cuts:
+        b = b + F.when(sc <= t, 1).otherwise(0)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        sc.alias("score"),
+        tk.alias("tokens"),
+        b.alias("_pb"),
+    )
+    w = (
+        Window.partitionBy("_pb")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = staged.withColumn("_cum_local", F.sum("tokens").over(w))
+    sums = dict(
+        staged.groupBy("_pb").agg(F.sum("tokens").alias("s")).collect()
+    )
+    offsets, acc = {}, 0
+    for pb in sorted(sums):
+        offsets[pb] = acc
+        acc += sums[pb]
+    if not offsets:
+        return staged.select("id", "score", "tokens", tk.alias("cum_tokens"))
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("_pb"),
+    )
+    return (
+        local.withColumn("cum_tokens", (off + F.col("_cum_local")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("id", "score", "tokens", "cum_tokens")
+    )

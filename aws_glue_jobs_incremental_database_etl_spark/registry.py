@@ -6460,6 +6460,44 @@ def _cluster_stats_oracle() -> str:
 O["cluster_stats_embeddings"] = _cluster_stats_oracle()
 
 
+@query(
+    "token_budget_selection_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS score,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS tokens
+      FROM documents
+    ), c AS (
+      SELECT id, score, tokens,
+             CAST(SUM(tokens) OVER (ORDER BY score DESC, id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT id, score, tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+    """,
+)
+def token_budget_q(spark, sf_dir):
+    """Budget-constrained corpus selection
+    (operators.sampling.select_token_budget): the best-scored
+    documents whose running token total fits a 10k-token budget —
+    the "assemble the best corpus that fits N tokens" curation step.
+    The implementation's bucketed two-pass cumsum (coarse placement
+    buckets + ≤32 driver scalars, no single-partition sort) must
+    reproduce the oracle's bare global-window cumsum exactly."""
+    from .functions.text import token_count
+    from .operators.sampling import select_token_budget
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score"),
+        token_count(F.col("text")).cast("long").alias("tokens"),
+    )
+    return select_token_budget(d, "doc_id", "score", "tokens", budget=10000)
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6553,6 +6591,7 @@ _PRIORITY = [
     "psi_drift_orders",
     "ann_recall_lsh_vs_exact",
     "cluster_stats_embeddings",
+    "token_budget_selection_docs",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

@@ -242,3 +242,39 @@ def test_pareto_frontier_no_single_partition_sort(spark, sf_dir):
     out = pareto_frontier_2d(o, "o_totalprice", "o_orderdate")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_token_budget_greedy_prefix(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 9.0, 40), (2, 8.0, 40), (3, 7.0, 40), (4, 6.0, 40)],
+        "id long, score double, tokens int",
+    )
+    out = select_token_budget(df, "id", "score", "tokens", budget=100)
+    rows = sorted((r["id"], r["cum_tokens"]) for r in out.collect())
+    # greedy by score desc: 40, 80, then 120 > 100 stops
+    assert rows == [(1, 40), (2, 80)]
+    # zero budget selects nothing; negative raises
+    assert select_token_budget(df, "id", "score", "tokens", 0).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        select_token_budget(df, "id", "score", "tokens", -1)
+
+
+def test_token_budget_no_single_partition_sort(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        select_token_budget,
+    )
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("double").alias("s"),
+        F.lit(10).cast("long").alias("t"),
+    )
+    out = select_token_budget(d, "doc_id", "s", "t", budget=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
