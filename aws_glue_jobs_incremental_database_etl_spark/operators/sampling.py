@@ -427,3 +427,42 @@ def select_token_budget(
         .filter(F.col("cum_tokens") <= budget)
         .select("id", "score", "tokens", "cum_tokens")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: Mapping[str, float],
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: rows are split by
+    their near-duplicate COMPONENT root, not by their own id, so two
+    near-duplicate documents can never land on opposite sides of a
+    split — the leakage failure mode a plain per-document hash split
+    silently permits (a test document's twin in train inflates eval).
+
+    ``pairs`` is any near-dup pair frame (MinHash/SimHash/embedding);
+    components resolve transitively via
+    :func:`..components.connected_components`, singletons keep their
+    own id as the root, and the md5-bucket split contract
+    (:func:`hash_split`) applies to the ROOT — deterministic, growth-
+    stable, engine-portable.  Returns ``(id, split_key, split)``.
+
+    Cost: the component resolution (O(log n) label-propagation rounds
+    over the pair graph — pairs only, never the corpus) + one
+    broadcastable join of the component map + the map-only split
+    projection."""
+    from .components import connected_components
+
+    comp = connected_components(pairs, pair_cols[0], pair_cols[1]).select(
+        F.col("id").alias("_cid"), F.col("component").alias("_root")
+    )
+    base = df.select(F.col(id_col).alias("id")).join(
+        comp, F.col("id") == F.col("_cid"), "left"
+    )
+    keyed = base.select(
+        "id", F.coalesce("_root", F.col("id")).alias("split_key")
+    )
+    return hash_split(keyed, "split_key", splits, split_col=split_col)

@@ -6498,6 +6498,64 @@ def token_budget_q(spark, sf_dir):
     return select_token_budget(d, "doc_id", "score", "tokens", budget=10000)
 
 
+@query(
+    "leakage_safe_split_docs",
+    rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM toks
+    ), {_SHINGLE_INTER_SQL}, pairs AS (
+      SELECT id_a AS u, id_b AS v FROM inter
+      WHERE c::DOUBLE / (na + nb - c) >= 0.7
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+      SELECT id, MIN(r) AS root FROM reach GROUP BY id
+    ), keyed AS (
+      SELECT d0.doc_id AS id,
+             COALESCE(c.root, d0.doc_id) AS split_key
+      FROM documents d0 LEFT JOIN comp c ON d0.doc_id = c.id
+    )
+    SELECT id, split_key,
+           CASE WHEN CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)),
+                                            1, 8) AS BIGINT) % 10000 < 8000
+                THEN 'train'
+                WHEN CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)),
+                                            1, 8) AS BIGINT) % 10000 < 9000
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def leakage_safe_split_q(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (operators.sampling.leakage_safe_split): documents assigned by
+    their near-dup COMPONENT root, so no near-duplicate pair ever
+    straddles a split — the failure mode a per-document hash split
+    silently permits (test twins in train inflate eval).  MinHash
+    recall is 1 at τ=0.7 on this corpus, so the recursive-CTE
+    component oracle + the md5-bucket contract replay the assignment
+    exactly."""
+    from .operators.dedup import minhash_near_dup_pairs
+    from .operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.7, shingle_k=3, num_hashes=64, bands=16
+    )
+    return leakage_safe_split(
+        d, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6592,6 +6650,7 @@ _PRIORITY = [
     "ann_recall_lsh_vs_exact",
     "cluster_stats_embeddings",
     "token_budget_selection_docs",
+    "leakage_safe_split_docs",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

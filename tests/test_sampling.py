@@ -278,3 +278,27 @@ def test_token_budget_no_single_partition_sort(spark, sf_dir):
     out = select_token_budget(d, "doc_id", "s", "t", budget=1000)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 101)], "doc_id long"
+    )
+    # chain 1-2-3 plus pair 10-11; everything else singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    rows = {r["id"]: (r["split_key"], r["split"]) for r in out.collect()}
+    assert rows[1] == rows[2] == rows[3]      # whole chain shares key+split
+    assert rows[10] == rows[11]
+    assert rows[50][0] == 50                  # singleton keys to itself
+    # every split is populated on 100 docs at these fractions
+    assert {s for _, s in rows.values()} == {"train", "val", "test"}
