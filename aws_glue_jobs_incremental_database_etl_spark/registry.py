@@ -6556,6 +6556,108 @@ def leakage_safe_split_q(spark, sf_dir):
     )
 
 
+@query(
+    "contrastive_pairs_embeddings",
+    """
+    WITH n AS (
+      SELECT COUNT(*) AS nn FROM embeddings
+    ), pos AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(
+                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))),
+                   4) AS cosine,
+             1 AS label
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+    ), negk AS (
+      SELECT e1.vec_id AS i,
+             (e1.vec_id + 1 +
+              CAST('0x' || substr(md5('neg:' || e1.vec_id), 1, 15)
+                   AS BIGINT) % (n.nn - 1)) % n.nn AS j
+      FROM embeddings e1 CROSS JOIN n
+    ), npair AS (
+      SELECT DISTINCT LEAST(i, j) AS id_a, GREATEST(i, j) AS id_b
+      FROM negk JOIN embeddings ej ON ej.vec_id = negk.j
+    ), neg AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(list_cosine_similarity(
+                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))),
+                   4) AS cosine,
+             0 AS label
+      FROM npair p
+      JOIN embeddings a ON a.vec_id = p.id_a
+      JOIN embeddings b ON b.vec_id = p.id_b
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) < 0.4
+    )
+    SELECT * FROM pos UNION ALL SELECT * FROM neg
+    """,
+)
+def contrastive_pairs_q(spark, sf_dir):
+    """Contrastive training-pair mining: positives = exact cosine
+    near-dups (the verified Arrow-matmul kernel), negatives = one
+    deterministic md5-derived partner per vector (cyclic offset,
+    never self), filtered so no negative is accidentally a near-dup —
+    the (anchor, partner, label) table a contrastive/embedding
+    fine-tune consumes.  Negatives are a pure function of ids, so the
+    whole pair table is replayable and oracle-checkable; partner
+    selection assumes/joins against existing ids and drops misses."""
+    from .functions.vectors import cosine_similarity
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    nn = emb.count()
+    pos = (
+        embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cosine", 4).alias("cosine"),
+            F.lit(1).alias("label"),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("neg:"), F.col("vec_id"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    negk = emb.select(
+        F.col("vec_id").alias("i"),
+        ((F.col("vec_id") + 1 + h % (nn - 1)) % nn).alias("j"),
+    )
+    ids = emb.select(F.col("vec_id").alias("j"))
+    npair = (
+        negk.join(ids, "j")
+        .select(
+            F.least("i", "j").alias("id_a"),
+            F.greatest("i", "j").alias("id_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    neg = (
+        npair.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(cos < 0.4)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cos, 4).alias("cosine"),
+            F.lit(0).alias("label"),
+        )
+    )
+    return pos.unionByName(neg)
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6651,6 +6753,7 @@ _PRIORITY = [
     "cluster_stats_embeddings",
     "token_budget_selection_docs",
     "leakage_safe_split_docs",
+    "contrastive_pairs_embeddings",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
