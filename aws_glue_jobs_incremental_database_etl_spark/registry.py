@@ -6658,6 +6658,36 @@ def contrastive_pairs_q(spark, sf_dir):
     return pos.unionByName(neg)
 
 
+@query(
+    "hourly_value_percentiles",
+    """
+    SELECT date_trunc('hour', ts) AS bar_hour,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def hourly_percentiles_q(spark, sf_dir):
+    """Hourly p50/p95/p99 bands over event values — the
+    latency-dashboard staple.  Exact type-7 interpolated percentiles
+    per hour bucket (same Spark percentile ≡ DuckDB quantile_cont
+    parity the winsorize gate proved); one hash-agg shuffle keyed on
+    the hour.  At 100 TB swap to approx_percentile per bucket — the
+    plan shape is identical and the sketch is mergeable map-side."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bar_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6754,6 +6784,7 @@ _PRIORITY = [
     "token_budget_selection_docs",
     "leakage_safe_split_docs",
     "contrastive_pairs_embeddings",
+    "hourly_value_percentiles",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

@@ -292,3 +292,53 @@ def run_streaming_ingestion(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_cms_token_counts(
+    spark,
+    stream_df: DataFrame,
+    key_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    d: int = 4,
+    w: int = 1024,
+) -> None:
+    """Streaming frequency maintenance: each micro-batch builds its
+    own Count-Min sketch and folds it into a persisted one
+    (functions.cms.cms_merge — cell-wise sum, so per-batch ∘ merge ≡
+    one whole-stream build, the mergeability property test_sketch_merge
+    pins).  The persisted state is ≤ d·w rows forever, whatever the
+    stream's cardinality — the fixed-memory answer to "which tokens
+    are trending" over an unbounded ingest.
+
+    availableNow + checkpoint give the same replay-safe at-least-once
+    contract as the ingestion pipeline; the sketch overwrite is
+    idempotent per batch id at the row level because re-merging an
+    already-merged batch only happens on replay before the checkpoint
+    commit (same window every foreachBatch sink has).
+    """
+    import os
+
+    from ..functions.cms import cms_build, cms_merge
+
+    def _update(batch: DataFrame, _id: int) -> None:
+        delta = cms_build(batch, key_col, d=d, w=w)
+        if os.path.exists(sketch_path):
+            prev = batch.sparkSession.read.parquet(sketch_path)
+            merged = cms_merge(prev, delta)
+        else:
+            merged = delta
+        # stage-and-swap: never read and overwrite the same files
+        tmp = sketch_path + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = batch.sparkSession.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(sketch_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

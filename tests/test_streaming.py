@@ -489,3 +489,39 @@ def test_streaming_bloom_decontamination(spark, tmp_path):
     run_available_now(clean, ckpt, out)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [2, 4]  # members always caught; m=1024 → no FPs here
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Streaming CMS maintenance: per-micro-batch sketches folded into
+    the persisted one must equal a single batch build over the whole
+    stream (mergeability end-to-end through foreachBatch)."""
+    from aws_glue_jobs_incremental_database_etl_spark.functions.cms import (
+        cms_build,
+        cms_estimate,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        streaming_cms_token_counts,
+    )
+
+    src = str(tmp_path / "toks"); ckpt = str(tmp_path / "ck")
+    sketch_path = str(tmp_path / "cms")
+    rows = [(f"t{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "s string")
+    df.write.parquet(src)
+
+    stream = incremental_file_stream(spark, src, df.schema)
+    streaming_cms_token_counts(
+        spark, stream, "s", sketch_path, ckpt, d=3, w=64
+    )
+
+    streamed = spark.read.parquet(sketch_path)
+    whole = cms_build(df, "s", d=3, w=64)
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+    probe = spark.createDataFrame([("t0",), ("t6",)], "s string")
+    est = {
+        r["s"]: r["est"]
+        for r in cms_estimate(probe, "s", streamed, d=3, w=64).collect()
+    }
+    assert est["t0"] >= 29 and est["t6"] >= 28
