@@ -1086,3 +1086,79 @@ def bm25_score(
             F.coalesce("score", F.lit(0.0)).alias("score"),
         )
     )
+
+
+def lm_heldout_cross_entropy(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Held-out bigram-LM evaluation: score ``test_df``'s documents
+    under a model trained ONLY on ``train_df`` — the leakage-free
+    form of :func:`lm_cross_entropy` (whose model is closed over its
+    own input and therefore always in-vocabulary).
+
+    Unseen events back off through the same add-``k`` smoothing:
+    ``P(w2|w1) = (C(w1,w2)+k) / (C(w1)+k·V)`` with ``C = 0`` when the
+    bigram or the history unigram never occurred in training, and
+    ``V`` = the TRAINING vocabulary size — so every test bigram has
+    positive probability and the cross-entropy is finite.
+
+    Plan: two train-side count aggregates (the model), then the test
+    bigram stream pays one LEFT join per table on the gram key —
+    shuffle joins, model tables unbounded, Zipf skew = AQE's case.
+    Docs with < 2 tokens score 0.0.
+    """
+    def _toks(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+        )
+
+    tr = _toks(train_df)
+    uni = (
+        tr.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    vocab_size = uni.count()
+    n = F.size("_toks")
+    pair = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bc = (
+        tr.select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    te = _toks(test_df)
+    bi = te.select("id", F.explode(pair).alias("p")).select(
+        "id", "p.w1", "p.w2"
+    )
+    logp = F.log(
+        (F.coalesce("_cb", F.lit(0)) + F.lit(k))
+        / (F.coalesce("_cu", F.lit(0)) + F.lit(k * vocab_size))
+    )
+    scored = (
+        bi.join(bc, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(logp), 6).alias("cross_entropy"),
+        )
+    )
+    return (
+        te.select("id")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+        )
+    )

@@ -6688,6 +6688,68 @@ def hourly_percentiles_q(spark, sf_dir):
     )
 
 
+@query(
+    "lm_heldout_perplexity_docs",
+    r"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 < 8000 AS is_train
+      FROM documents
+    ), trtoks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM split WHERE is_train
+    ), uni AS MATERIALIZED (
+      SELECT g AS w1, COUNT(*) AS cu
+      FROM (SELECT unnest(w) AS g FROM trtoks) GROUP BY 1
+    ), v AS (
+      SELECT COUNT(*) AS vs FROM uni
+    ), trbi AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM trtoks)
+    ), bc AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS cb FROM trbi GROUP BY 1, 2
+    ), tetoks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM split WHERE NOT is_train
+    ), tebi AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tetoks)
+    ), sc AS (
+      SELECT tebi.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(-AVG(LN((COALESCE(bc.cb, 0) + 0.5)
+                           / (COALESCE(uni.cu, 0) + 0.5 * v.vs))), 6) AS ce
+      FROM tebi
+      LEFT JOIN bc ON tebi.w1 = bc.w1 AND tebi.w2 = bc.w2
+      LEFT JOIN uni ON tebi.w1 = uni.w1
+      CROSS JOIN v
+      GROUP BY 1
+    )
+    SELECT t.doc_id AS id,
+           COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           COALESCE(sc.ce, 0.0) AS cross_entropy
+    FROM tetoks t LEFT JOIN sc ON t.doc_id = sc.doc_id
+    """,
+)
+def lm_heldout_q(spark, sf_dir):
+    """Held-out LM evaluation
+    (operators.text.lm_heldout_cross_entropy): the md5-contract 80%
+    train slice fits the bigram model, the 20% test slice is scored
+    under it with add-k backoff for unseen events — the leakage-free
+    perplexity number (lm_score_docs' model sees its own input; this
+    one never does).  Unseen-bigram handling is the point under
+    test: C(w1,w2) and C(w1) coalesce to 0 and smoothing keeps every
+    probability positive."""
+    from .operators.sampling import hash_bucket
+    from .operators.text import lm_heldout_cross_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    is_train = hash_bucket(F.col("doc_id")) < 8000
+    return lm_heldout_cross_entropy(
+        d.filter(is_train), d.filter(~is_train)
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6785,6 +6847,7 @@ _PRIORITY = [
     "leakage_safe_split_docs",
     "contrastive_pairs_embeddings",
     "hourly_value_percentiles",
+    "lm_heldout_perplexity_docs",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

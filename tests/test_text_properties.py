@@ -111,3 +111,27 @@ def test_bm25_ordering_and_edges(spark):
 
     with pytest.raises(ValueError):
         bm25_score(df, [])
+
+
+def test_lm_heldout_backoff_and_no_leakage(spark):
+    """Unseen test bigrams get the positive backoff probability; a
+    test doc of entirely-unseen words still scores finitely, and a
+    test doc duplicated in train scores LOWER (more predictable)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        lm_heldout_cross_entropy,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zyx wvu tsr")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in lm_heldout_cross_entropy(train, test).collect()}
+    assert out[10]["n_bigrams"] == 2 and out[11]["n_bigrams"] == 2
+    # in-model text is far more predictable than novel-vocab text
+    assert out[10]["cross_entropy"] < out[11]["cross_entropy"]
+    # both finite (backoff worked)
+    assert out[11]["cross_entropy"] < 100
