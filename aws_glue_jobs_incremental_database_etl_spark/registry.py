@@ -6750,6 +6750,38 @@ def lm_heldout_q(spark, sf_dir):
     )
 
 
+@query(
+    "conditional_aggregates_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+           bool_and(o_totalprice > 0)                      AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT')           AS any_urgent,
+           COUNT(DISTINCT o_orderpriority)                 AS n_priorities
+    FROM orders GROUP BY ALL
+    """,
+)
+def conditional_agg_q(spark, sf_dir):
+    """Conditional-aggregate surface: ``count_if`` / ``every`` /
+    ``any`` (DuckDB spells them FILTER / bool_and / bool_or) plus
+    Spark 4 / modern-SQL ``GROUP BY ALL`` inference — the everyday
+    data-quality one-liner family.  Single partial-aggregated
+    shuffle; the booleans fold map-side like any other aggregate."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count_if(o_totalprice > 100000.0)     AS n_big,
+               every(o_totalprice > 0)               AS all_positive,
+               any(o_orderpriority = '1-URGENT')     AS any_urgent,
+               COUNT(DISTINCT o_orderpriority)       AS n_priorities
+        FROM orders GROUP BY ALL
+        """
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6848,6 +6880,7 @@ _PRIORITY = [
     "contrastive_pairs_embeddings",
     "hourly_value_percentiles",
     "lm_heldout_perplexity_docs",
+    "conditional_aggregates_orders",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
