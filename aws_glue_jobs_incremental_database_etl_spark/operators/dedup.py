@@ -728,10 +728,12 @@ def semantic_dedup(
     exactly SQL-replayable, at the cost of data-adaptive clusters."""
     import pyspark.sql.types as T
 
-    from .similarity import assign_nearest_centroid, ivf_assign
+    from .similarity import assign_nearest_centroid_arrow, ivf_assign
 
     if centroids is not None:
-        assigned = assign_nearest_centroid(df, centroids, vec_col)
+        # arrow kernel: bit-identical to the expression chain, but the
+        # K·d-term literal expression overflows codegen method limits
+        assigned = assign_nearest_centroid_arrow(df, centroids, vec_col)
     else:
         assigned, _ = ivf_assign(df, n_clusters, vec_col, seed, max_iter)
     # persist: the losers branch and the final anti join both consume

@@ -215,7 +215,7 @@ def cosine_topk_ivf(
     """
     if centroids is not None:
         centroids = np.asarray(centroids, dtype=np.float64)
-        assigned = assign_nearest_centroid(corpus, centroids, vec_col)
+        assigned = assign_nearest_centroid_arrow(corpus, centroids, vec_col)
     else:
         assigned, centroids = ivf_assign(corpus, n_clusters, vec_col, seed)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -399,3 +399,66 @@ def quantize_embeddings_arrow(
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
     return base.mapInArrow(kernel, "id long, scale double, q array<int>")
+
+
+def assign_nearest_centroid_arrow(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """``assign_nearest_centroid`` on the ``mapInArrow`` fast path —
+    bit-identical to the expression version (and therefore to the
+    generated SQL oracles): per centroid the squared distance
+    accumulates dimension-by-dimension in the same left-to-right IEEE
+    order the Catalyst term chain uses, and ``np.argmin`` is
+    first-occurrence on ties like ``array_position(.., array_min)``.
+
+    Exists because the literal-centroid expression is K·d chained
+    terms (4096 for 8×64): past whole-stage codegen's method-size
+    limits it falls back to interpreted evaluation and megabyte task
+    binaries (measured 7.5 s for 5 k rows at sf0.1); the numpy loop
+    is ~60 vector ops per batch.  Optional ``dist_col`` appends
+    ``sqrt(min_distance²)``.
+    """
+    import pyarrow as pa
+
+    cents = [np.asarray([float(x) for x in c], dtype=np.float64) for c in centroids]
+    vec_idx = df.columns.index(vec_col)
+    out_fields = df.schema.fields
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+    schema_parts.append(f"`{cluster_col}` int")
+    if dist_col is not None:
+        schema_parts.append(f"`{dist_col}` double")
+    out_schema = ", ".join(schema_parts)
+
+    def kernel(batches):
+        for batch in batches:
+            emb = batch.column(vec_idx)
+            counts = np.asarray(emb.value_lengths(), dtype=np.int64)
+            n = len(counts)
+            if n == 0:
+                continue
+            d = int(counts[0])
+            if not (counts == d).all():
+                raise ValueError("vectors must share one dimension")
+            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, d)
+            dists = []
+            for c in cents:
+                if len(c) != d:
+                    raise ValueError("centroid dimension mismatch")
+                acc = (X[:, 0] - c[0]) ** 2
+                for i in range(1, d):
+                    acc = acc + (X[:, i] - c[i]) ** 2
+                dists.append(acc)
+            D = np.stack(dists, axis=1)
+            cluster = np.argmin(D, axis=1).astype(np.int32)
+            cols = list(batch.columns) + [pa.array(cluster, type=pa.int32())]
+            names = list(batch.schema.names) + [cluster_col]
+            if dist_col is not None:
+                cols.append(pa.array(np.sqrt(D.min(axis=1)), type=pa.float64()))
+                names.append(dist_col)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.mapInArrow(kernel, out_schema)

@@ -673,6 +673,14 @@ def dsir_importance(
             - F.log((F.col("_cc") + F.lit(k)) / F.lit(n_corpus + k * vocab))
         ).alias("_lr"),
     )
+    # materialize only the VOCAB-SIZED model (cheap), then release the
+    # per-call caches — a long-lived session scoring corpora repeatedly
+    # must not pin a fresh copy of the token stream in storage memory
+    # per call.  The returned plan re-tokenizes the corpus once at
+    # consume time (one map pass) instead of eagerly checkpointing the
+    # full result, which serialized every output row through the RDD
+    # path (measured 0.7 s → 4.8 s at sf0.1).
+    model = model.localCheckpoint(eager=True)
     out = (
         stream.join(model, "w")
         .groupBy("id")
@@ -681,11 +689,6 @@ def dsir_importance(
             F.round(F.sum("_lr"), 6).alias("log_ratio"),
         )
     )
-    # materialize the result, then release the per-call caches — a
-    # long-lived session scoring corpora repeatedly must not pin a
-    # fresh copy of the token stream in storage memory per call (same
-    # convention as pagerank / connected_components)
-    out = out.localCheckpoint(eager=True)
     stream.unpersist()
     cc.unpersist()
     return out

@@ -6415,19 +6415,18 @@ def cluster_stats_q(spark, sf_dir):
     max distance-to-centroid — the balance/radius report that decides
     whether an IVF/SemDeDup partitioning is usable before anything
     expensive runs on it.  Map-only assignment + one hash agg."""
-    from .operators.similarity import centroid_distances, fixed_centroids
+    from .operators.similarity import (
+        assign_nearest_centroid_arrow,
+        fixed_centroids,
+    )
 
     cents = fixed_centroids(64, 8, seed=7)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    dl = centroid_distances(cents, "embedding")
-    a = e.select(
-        (F.array_position(dl, F.array_min(dl)) - 1).cast("int").alias(
-            "cluster"
-        ),
-        F.sqrt(F.array_min(dl)).alias("dist"),
-    )
+    a = assign_nearest_centroid_arrow(
+        e, cents, "embedding", dist_col="dist"
+    ).select("cluster", "dist")
     return a.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("dist"), 6).alias("mean_dist"),

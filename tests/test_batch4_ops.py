@@ -120,3 +120,25 @@ def test_asof_cogroup_matches_window_path(spark, sf_dir):
         value_cols=["click_ts"], tolerance_us=30 * 60 * 1_000_000,
     ).orderBy("event_id").collect()
     assert a == b and len(a) > 0
+
+
+def test_arrow_centroid_assignment_bit_identical(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        assign_nearest_centroid,
+        assign_nearest_centroid_arrow,
+        fixed_centroids,
+    )
+
+    cents = fixed_centroids(64, 8, seed=7)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_nearest_centroid(emb, cents).select("vec_id", "cluster").collect()
+    }
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_nearest_centroid_arrow(emb, cents).select("vec_id", "cluster").collect()
+    }
+    assert a == b and len(a) > 0
