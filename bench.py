@@ -77,6 +77,10 @@ HEADLINE = [
     "ohlc_bars_events",
     "event_transition_matrix",
     "epoch_shuffle_docs",
+    "psi_drift_orders",
+    "token_budget_selection_docs",
+    "lm_heldout_perplexity_docs",
+    "leakage_safe_split_docs",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
