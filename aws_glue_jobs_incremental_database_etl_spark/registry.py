@@ -6781,6 +6781,51 @@ def conditional_agg_q(spark, sf_dir):
     )
 
 
+@query("apply_in_arrow_event_stats")
+def apply_in_arrow_q(spark, sf_dir):
+    """Spark 4 grouped ``applyInArrow`` twin of
+    ``pandas_udaf_event_stats`` — the zero-pandas grouped kernel
+    surface: each group arrives as one Arrow table, numpy computes
+    the plain and 10%-trimmed means with exact integer sums (k values
+    are integers, so float64 summation is exact under ANY association
+    and the result matches the UDAF/SQL paths bit-for-bit — the two
+    execution paths share one oracle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        et = table.column("event_type")[0].as_py()
+        k = np.asarray(table.column("k_val"), dtype=np.float64)
+        k = k[~np.isnan(k)]
+        n = len(k)
+        ks = np.sort(k, kind="stable")
+        lo = n // 10
+        trimmed = ks[lo : n - lo]
+        return pa.table(
+            {
+                "event_type": [et],
+                "mean_k": [round(float(k.sum() / n), 4) if n else None],
+                "trimmed_k": [
+                    round(float(trimmed.sum() / len(trimmed)), 4)
+                    if len(trimmed)
+                    else None
+                ],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+    return base.groupBy("event_type").applyInArrow(
+        stats, "event_type string, mean_k double, trimmed_k double"
+    )
+
+
+O["apply_in_arrow_event_stats"] = O["pandas_udaf_event_stats"]
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6880,6 +6925,7 @@ _PRIORITY = [
     "hourly_value_percentiles",
     "lm_heldout_perplexity_docs",
     "conditional_aggregates_orders",
+    "apply_in_arrow_event_stats",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
