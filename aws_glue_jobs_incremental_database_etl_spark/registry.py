@@ -6826,6 +6826,62 @@ def apply_in_arrow_q(spark, sf_dir):
 O["apply_in_arrow_event_stats"] = O["pandas_udaf_event_stats"]
 
 
+@query(
+    "revenue_share_of_parent",
+    """
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+    FROM rev
+    """,
+)
+def revenue_share_q(spark, sf_dir):
+    """Ratio-to-parent hierarchical report: each nation's revenue as
+    a share of its region and of the grand total — the contribution
+    analysis every BI rollup ends with.  The fact join aggregates
+    FIRST (broadcast dims, one fact shuffle); the windows then run
+    over the 25-row summary, so the unpartitioned total window is
+    bounded by the dimension hierarchy, never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6926,6 +6982,7 @@ _PRIORITY = [
     "lm_heldout_perplexity_docs",
     "conditional_aggregates_orders",
     "apply_in_arrow_event_stats",
+    "revenue_share_of_parent",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",

@@ -350,3 +350,24 @@ def test_epoch_shuffle_no_single_partition_sort(plans):
 def test_edit_distance_blocked_equi_join(plans):
     p = plans("edit_distance_pairs_parts")
     assert "NestedLoop" not in p, p
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Star-join over a status-partitioned fact: the dim-side filter
+    must reach the fact scan as a DYNAMIC partition-pruning subquery —
+    at 100 TB this is the difference between scanning one partition
+    directory and scanning the lake."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    loc = str(tmp_path / "orders_part")
+    o.write.partitionBy("o_orderstatus").parquet(loc)
+    fact = spark.read.parquet(loc)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    )
+    joined = fact.join(
+        dim.filter(F.col("label") == "open"),
+        fact["o_orderstatus"] == dim["status"],
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
