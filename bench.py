@@ -101,6 +101,7 @@ SF1_SPOT = [
     # round-3 second wave: candidate-pair growth risks
     "dup_ngram_stats_docs",
     "edit_distance_pairs_parts",
+    "near_dup_components",
 ]
 
 
