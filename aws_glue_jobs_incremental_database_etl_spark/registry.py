@@ -6882,6 +6882,51 @@ def revenue_share_q(spark, sf_dir):
     )
 
 
+@query(
+    "benford_digits_totalprice",
+    """
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+    )
+    SELECT digit, n,
+           ROUND(n / CAST(t.total AS DOUBLE), 6) AS observed,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_q(spark, sf_dir):
+    """Benford first-significant-digit audit of order values — the
+    classic fabricated-data screen (organic financial magnitudes
+    follow log10(1+1/d); uniform or truncated generators don't).
+    The digit comes from the decimal STRING rendering, not
+    floor(log10(x)) arithmetic — log10 sits within an ulp of an
+    integer exactly at the power-of-ten boundaries, where the floor
+    (and thus the digit) would flip per engine.  One map + one
+    9-group aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("string"), "[1-9]", 0
+        ).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+            "observed"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -6983,6 +7028,7 @@ _PRIORITY = [
     "conditional_aggregates_orders",
     "apply_in_arrow_event_stats",
     "revenue_share_of_parent",
+    "benford_digits_totalprice",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
