@@ -6927,6 +6927,31 @@ def benford_q(spark, sf_dir):
     )
 
 
+@query(
+    "degree_distribution_part_supplier",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), deg AS (
+      SELECT l_partkey, COUNT(*) AS degree FROM e GROUP BY 1
+    )
+    SELECT degree, COUNT(*) AS n_parts
+    FROM deg GROUP BY 1
+    """,
+)
+def degree_dist_q(spark, sf_dir):
+    """Degree distribution of the part–supplier bipartite graph (the
+    same edge set pagerank_part_supplier iterates): how many parts
+    have k distinct suppliers — the skew diagnostic that decides
+    whether graph algorithms need salting before they run.  One
+    distinct-edge aggregate + two tiny group-bys; the distinct is the
+    only real shuffle and it is partial-aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select("l_partkey", "l_suppkey").distinct()
+    deg = e.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -7029,6 +7054,7 @@ _PRIORITY = [
     "apply_in_arrow_event_stats",
     "revenue_share_of_parent",
     "benford_digits_totalprice",
+    "degree_distribution_part_supplier",
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "transpose_order_status_stats",
