@@ -273,3 +273,189 @@ def pagerank(
     nodes.unpersist()
     e_deg.unpersist()
     return ranks
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list → ``(id, degree, n_triangles, coefficient)``.
+
+    Algorithm: degree-ordered edge orientation [Schank & Wagner 2005;
+    the MapReduce form in Suri & Vassilvitskii, WWW'11 "Counting
+    triangles and the curse of the last reducer"].  Each undirected
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, which bounds every node's out-degree by O(√|E|)
+    regardless of how skewed the raw degree distribution is — the
+    wedge join below is therefore O(Σ outdeg²) ≤ O(|E|^1.5) instead of
+    the O(Σ deg²) a naive formulation pays on power-law graphs (the
+    "curse of the last reducer").  Three shuffles total: degree agg,
+    wedge join on the middle vertex, closing-edge join; each triangle
+    is found exactly once (at its lowest-ordered apex) and then
+    credited to all three vertices with an explode + count.
+
+    Scale: no collect, no windows; the two joins are plain equi-joins
+    AQE can re-plan, and the oriented edge list is persisted once
+    because both join sides read it.  Node ids may be any orderable
+    type (the (degree, id) tie-break must be total).
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient a→b iff (deg[a], a) < (deg[b], b)
+    da, db = deg.alias("da"), deg.alias("db")
+    o = (
+        e.join(da, F.col("a") == F.col("da.id"))
+        .join(db, F.col("b") == F.col("db.id"))
+        .select(
+            F.when(
+                (F.col("da.degree") < F.col("db.degree"))
+                | (
+                    (F.col("da.degree") == F.col("db.degree"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(
+                (F.col("da.degree") < F.col("db.degree"))
+                | (
+                    (F.col("da.degree") == F.col("db.degree"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("hi"),
+        )
+        .persist()
+    )
+    # wedges centered at the apex: x→y, x→z with y < z in the SAME
+    # (degree, id) order the orientation used — o is a DAG, so (y, z)
+    # ordered pairs double-count each wedge unless one side is fixed;
+    # plain column comparison suffices because hi ids at equal rank
+    # sort by id and the closing edge is looked up both ways below.
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.lo") == F.col("w2.lo"))
+        & (F.col("w1.hi") < F.col("w2.hi")),
+    ).select(
+        F.col("w1.lo").alias("x"),
+        F.col("w1.hi").alias("y"),
+        F.col("w2.hi").alias("z"),
+    )
+    # closing-edge lookup: wedges order (y, z) by id, the oriented
+    # edge list by (degree, id) — canonicalize BOTH to (min-id,
+    # max-id) so the probe is a pure equi-join (an OR of the two
+    # orientations would force a nested-loop join)
+    closing = o.select(
+        F.least("lo", "hi").alias("p"), F.greatest("lo", "hi").alias("q")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("y") == F.col("p")) & (F.col("z") == F.col("q")),
+    ).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o.unpersist()
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation [Raghavan et al. 2007] over an
+    undirected edge list → ``(id, label)`` after exactly
+    ``iterations`` rounds.
+
+    Every node starts labeled with its own id; each round it adopts
+    the most frequent label among its neighbors, ties broken by the
+    smallest label — fully deterministic (the async/random-order
+    variants are not), so a fixed round count has an exact unrolled
+    SQL twin.  Per round: one join of the symmetric edge list against
+    current labels + one (node, label) count + one per-node argmax —
+    all partial-aggregated, shuffle volume O(|E|) per round like
+    pagerank.  ``localCheckpoint`` after each round truncates lineage.
+
+    Note sync LPA can oscillate 2-cycles on bipartite structure; that
+    is inherent to the synchronous schedule and does not affect
+    determinism at a fixed round count.
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    sym = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("u"), F.col(src).alias("v")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    rank_w = Window.partitionBy("u").orderBy(
+        F.col("_n").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        cnt = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("u").alias("id"), "label")
+            .localCheckpoint()
+        )
+    labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    return labels

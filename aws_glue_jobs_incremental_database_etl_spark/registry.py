@@ -6953,6 +6953,145 @@ def degree_dist_q(spark, sf_dir):
 
 
 # =====================================================================
+# Round-3 third wave: graph analytics, span dedup, path mining
+# =====================================================================
+
+@query(
+    "triangle_clustering_suppliers",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), deg AS (
+      SELECT id, COUNT(*) AS degree
+      FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+      GROUP BY id
+    ), o AS (
+      SELECT CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS lo,
+             CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS hi
+      FROM e JOIN deg da ON da.id = e.u JOIN deg db ON db.id = e.v
+    ), w AS (
+      SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+      FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+    ), closing AS (
+      SELECT LEAST(lo, hi) AS p, GREATEST(lo, hi) AS q FROM o
+    ), tri AS (
+      SELECT x, y, z FROM w JOIN closing ON w.y = p AND w.z = q
+    ), pn AS (
+      SELECT id, COUNT(*) AS n_triangles
+      FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY id
+    )
+    SELECT deg.id AS supplier, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN ROUND(2.0 * COALESCE(pn.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1.0)), 9)
+                ELSE 0.0 END AS coefficient
+    FROM deg LEFT JOIN pn ON pn.id = deg.id
+    """,
+)
+def triangle_q(spark, sf_dir):
+    """Per-supplier triangle count + local clustering coefficient
+    (operators.components.local_clustering) over the co-shipment
+    graph: suppliers are adjacent iff they ship lines of the same
+    order.  Degree-ordered orientation bounds the wedge join by
+    O(|E|^1.5) on any degree distribution (Suri & Vassilvitskii,
+    WWW'11); the closing-edge probe is a canonical-pair equi-join, no
+    nested loops.  The oracle replays the identical orientation and
+    wedge construction."""
+    from .operators.components import local_clustering
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = lo.alias("a"), lo.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+    )
+    out = local_clustering(edges)
+    return out.select(
+        F.col("id").alias("supplier"),
+        F.col("degree").cast("bigint").alias("degree"),
+        "n_triangles",
+        "coefficient",
+    )
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous-LPA SQL: per round, neighbor-label counts
+    then a per-node argmax (count DESC, label ASC) — the exact
+    deterministic schedule operators.components.label_propagation
+    runs, like the pagerank oracle's unrolled power iterations."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS u,
+             CAST(l_suppkey AS BIGINT) + 10000000 AS v
+      FROM lineitem
+    ), e AS (
+      SELECT u, v FROM raw UNION SELECT v, u FROM raw
+    ), l0 AS (
+      SELECT DISTINCT u AS id, u AS label FROM e
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", c{r} AS (
+      SELECT e.u, l.label, COUNT(*) AS n
+      FROM e JOIN l{r-1} l ON l.id = e.v GROUP BY e.u, l.label
+    ), l{r} AS (
+      SELECT u AS id, label FROM (
+        SELECT u, label,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS node, label FROM l{rounds}
+    """
+    )
+    return "".join(parts)
+
+
+@query("lpa_part_supplier", None)  # oracle attached below (generated)
+def lpa_q(spark, sf_dir):
+    """Synchronous label propagation (operators.components.
+    label_propagation), 3 rounds, over the part–supplier bipartite
+    shipment graph (suppliers offset to disjoint id space).  Most-
+    frequent-neighbor-label with min-label tie-break is fully
+    deterministic, so the fixed round count has an exact unrolled-CTE
+    oracle — community structure emerges as parts adopt hub-supplier
+    labels."""
+    from .operators.components import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").cast("bigint").alias("u"),
+        (F.col("l_suppkey").cast("bigint") + 10000000).alias("v"),
+    )
+    out = label_propagation(edges, iterations=3)
+    return out.select(F.col("id").alias("node"), "label")
+
+
+O["lpa_part_supplier"] = _lpa_oracle(3)
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in
@@ -7060,6 +7199,8 @@ _PRIORITY = [
     "transpose_order_status_stats",
     "regr_value_trend_events",
     "recursive_order_decay",
+    "triangle_clustering_suppliers",
+    "lpa_part_supplier",
     "training_data_pipeline",  # re-confirmations fill the window tail
     "embedding_near_dup_bucketed",
     "multimodal_audio_features",

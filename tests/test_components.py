@@ -140,3 +140,73 @@ def test_pagerank_uniform_on_a_ring(spark):
         pagerank(edges, iterations=0)
     with _pytest.raises(ValueError):
         pagerank(edges, damping=1.5)
+
+
+def test_local_clustering_counts_triangles_once(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import local_clustering
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3 of them, coeff 1.0)
+    # plus a pendant node 5 attached to 1 (degree 1, no triangles) and
+    # a triangle-free path 10-11-12.
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(1, 5), (10, 11), (11, 12)], "u long, v long"
+    )
+    rows = {r["id"]: r for r in local_clustering(edges).collect()}
+    for n in (2, 3, 4):
+        assert rows[n]["n_triangles"] == 3
+        assert rows[n]["coefficient"] == 1.0
+    assert rows[1]["n_triangles"] == 3  # degree 4 → coeff 3/6
+    assert rows[1]["coefficient"] == 0.5
+    assert rows[5]["n_triangles"] == 0 and rows[5]["coefficient"] == 0.0
+    assert rows[11]["n_triangles"] == 0 and rows[11]["degree"] == 2
+
+
+def test_local_clustering_dedupes_and_ignores_self_loops(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import local_clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (7, 7)], "u long, v long"
+    )
+    rows = {r["id"]: r for r in local_clustering(edges).collect()}
+    assert set(rows) == {1, 2, 3}  # self-loop node dropped entirely
+    assert all(r["n_triangles"] == 1 for r in rows.values())
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
+    # each clique converges to its own min label; the bridge is not
+    # enough votes to flip either side.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "u long, v long",
+    )
+    out = {r["id"]: r["label"] for r in label_propagation(edges, iterations=4).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != 1
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import label_propagation
+
+    # star center 5 with leaves 1..4: round 1, center sees four
+    # distinct labels (all count 1) → takes the MIN (1); each leaf
+    # sees only {5} → takes 5.  Deterministic under the sync schedule.
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (5, 4)], "u long, v long"
+    )
+    out = {r["id"]: r["label"] for r in label_propagation(edges, iterations=1).collect()}
+    assert out[5] == 1
+    assert out[1] == out[2] == out[3] == out[4] == 5
+
+
+def test_label_propagation_rejects_zero_iterations(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import label_propagation
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError):
+        label_propagation(edges, iterations=0)
