@@ -326,3 +326,76 @@ def sample_frames(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def image_average_hash(
+    df: DataFrame, dim: int = 16, decoder: str = "fake"
+) -> DataFrame:
+    """Perceptual average-hash per image → ``(media_id, ahash,
+    decode_ok)``: decode, reduce to ``dim`` intensity cells, set bit
+    ``k`` iff cell ``k`` is above the mean cell — the classic aHash
+    near-duplicate signature (identical hash ⇒ near-dup candidate;
+    band the bits for Hamming-tolerant matching, exactly like SimHash
+    banding in ``operators/dedup.py``).
+
+    ``decoder='fake'`` thresholds the deterministic integer
+    accumulator stream with EXACT integer arithmetic
+    (``dim·acc_k > Σacc`` avoids a float mean entirely), so the hash
+    is engine-reproducible and the gate query carries a full SQL
+    oracle.  ``decoder='ppm'`` thresholds real per-band pixel means
+    from the stdlib PPM decoder.  Arrow-batched mapInPandas, map-only;
+    the downstream bucket group-by is one hash-keyed shuffle.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "full-format image decoding requires an image library "
+            "(PIL/opencv) not present in this environment; use "
+            "decoder='ppm' (real stdlib PPM decode) or 'fake'"
+        )
+    if decoder not in ("fake", "ppm"):
+        raise ValueError(f"unknown decoder: {decoder}")
+    if not 1 <= dim <= 63:
+        raise ValueError("dim must be in [1, 63] (hash packs into a long)")
+
+    def one(payload: bytes) -> tuple[int, bool]:
+        if decoder == "fake":
+            acc = _fake_decode_acc(payload, dim)
+            total = sum(acc)
+            h = 0
+            for k, a in enumerate(acc):
+                if dim * a > total:
+                    h |= 1 << k
+            return h, True
+        try:
+            feats = ppm_features(payload, dim)
+        except (ValueError, IndexError):
+            return 0, False
+        mean = sum(feats) / len(feats)
+        h = 0
+        for k, v in enumerate(feats):
+            if v > mean:
+                h |= 1 << k
+        return h, True
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashed = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [h for h, _ in hashed],
+                    "decode_ok": [ok for _, ok in hashed],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )

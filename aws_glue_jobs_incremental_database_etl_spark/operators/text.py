@@ -1165,3 +1165,103 @@ def lm_heldout_cross_entropy(
             F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    gram_repr: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-span REMOVAL (the active half of Lee et
+    al. "Deduplicating Training Data Makes Language Models Better" —
+    ``dup_ngram_profile`` only measures): every token covered by a
+    word-``k``-gram that occurs more than once corpus-wide is dropped,
+    and the survivors are reassembled in order.  Returns
+    ``(id, n_tokens, n_removed, kept_text)`` for every input document
+    (short/empty docs pass through untouched).
+
+    Plan shape: tokenize → gram postings explode → corpus gram-count
+    aggregate → semi join back → covered-position explode + DISTINCT →
+    anti join against the token stream → per-document ordered
+    reassembly via ``array_sort(collect_list(struct(pos, word)))`` —
+    a per-doc-keyed aggregate, never a corpus-wide window.  Three
+    shuffles (gram count, covered-position distinct, doc reassembly),
+    all partial-aggregated.
+
+    Scale: like ``dup_ngram_profile``, ``gram_repr='xxhash64'``
+    collapses grams to 8-byte keys before the corpus-wide shuffle
+    (the 100 TB setting); ``'text'`` keeps literal grams so the SQL
+    oracle can replay them.  The duplicated-gram side of the semi
+    join is typically a small fraction of the corpus — AQE broadcasts
+    it when it fits.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if gram_repr not in ("text", "xxhash64"):
+        raise ValueError("gram_repr must be 'text' or 'xxhash64'")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "",
+            F.array().cast("array<string>"),
+        )
+        .otherwise(toks)
+        .alias("_w"),
+    )
+    # gram start positions 0 .. len-k (sequence with a negative stop
+    # DESCENDS — short docs must map to [] explicitly)
+    positions = F.when(
+        F.size("_w") >= k, F.sequence(F.lit(0), F.size("_w") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                positions,
+                lambda i: F.array_join(F.slice("_w", i + 1, k), " "),
+            )
+        ).alias("s", "gram"),
+    )
+    if gram_repr == "xxhash64":
+        grams = grams.select("id", "s", F.xxhash64("gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok_stream = base.select(
+        "id", F.posexplode("_w").alias("p", "word")
+    )
+    kept = tok_stream.join(covered, ["id", "p"], "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("_ktext"),
+    )
+    return base.join(reassembled, "id", "left").select(
+        "id",
+        F.size("_w").cast("bigint").alias("n_tokens"),
+        (F.size("_w") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("_ktext", F.lit("")).alias("kept_text"),
+    )

@@ -7091,6 +7091,248 @@ def lpa_q(spark, sf_dir):
 O["lpa_part_supplier"] = _lpa_oracle(3)
 
 
+@query(
+    "span_dedup_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN COALESCE(trim(text), '') = '' THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\s+')
+             END AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS s,
+             array_to_string(list_slice(w, i, i + 4), ' ') AS g
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        FROM base WHERE len(w) >= 5
+      )
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+    ), cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM (
+        SELECT grams.doc_id, unnest(range(s, s + 5)) AS p
+        FROM grams JOIN dup USING (g)
+      )
+    ), tok AS (
+      SELECT doc_id, w[i] AS word, i AS p
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM base)
+    ), kept AS (
+      SELECT t.doc_id, t.p, t.word
+      FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+      WHERE c.p IS NULL
+    ), ag AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY p) AS ktext
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id AS id, CAST(len(b.w) AS BIGINT) AS n_tokens,
+           CAST(len(b.w) - COALESCE(ag.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(ag.ktext, '') AS kept_text
+    FROM base b LEFT JOIN ag USING (doc_id)
+    """,
+)
+def span_dedup_q(spark, sf_dir):
+    """Duplicated-span removal (operators.text.remove_duplicate_spans,
+    k=5): tokens covered by any corpus-duplicated 5-gram are cut and
+    the surviving text reassembled — the full output (kept_text
+    included) is value-hashed against the SQL replay.  The oracle's
+    positions are 1-based, the operator's 0-based; coverage sets are
+    identical because both derive from the same gram starts."""
+    from .operators.text import remove_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, k=5)
+
+
+def _image_ahash_oracle(dim: int = 16) -> str:
+    """SQL twin of image_average_hash's fake-decoder path: the same
+    byte recurrence as _multimodal_image_oracle, then EXACT integer
+    threshold bits (dim·a_k > Σa — no float mean) packed into a
+    BIGINT."""
+    byte = (
+        lambda k: f"CAST('0x' || substr(H, 2*({k} % L) + 1, 2) AS INT)"
+    )
+    accs = [f"({byte(0)}) % 997 AS a0"] + [
+        f"((a{k-1} * 31 + {byte(k)}) % 997) AS a{k}" for k in range(1, dim)
+    ]
+    total = " + ".join(f"a{k}" for k in range(dim))
+    bits = " + ".join(
+        f"CASE WHEN {dim} * a{k} > t THEN {1 << k} ELSE 0 END"
+        for k in range(dim)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), acc AS (
+      SELECT media_id, {", ".join(accs)} FROM base
+    ), h AS (
+      SELECT media_id, CAST({bits} AS BIGINT) AS ahash
+      FROM (SELECT media_id, {", ".join(f'a{k}' for k in range(dim))},
+                   ({total}) AS t FROM acc)
+    )
+    SELECT ahash, COUNT(*) AS n_images,
+           MIN(media_id) AS min_id, MAX(media_id) AS max_id
+    FROM h GROUP BY ahash
+    """
+
+
+@query("image_ahash_groups", None)  # oracle attached below (generated)
+def image_ahash_q(spark, sf_dir):
+    """Perceptual average-hash bucketing
+    (operators.multimodal.image_average_hash): identical-aHash groups
+    are the near-duplicate image candidates — the visual twin of
+    SimHash text bucketing.  Gate media derive from the documents
+    parquet exactly as multimodal_image_features; the hash's integer
+    threshold arithmetic replays bit-for-bit in SQL."""
+    from .operators.multimodal import image_average_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    h = image_average_hash(media, dim=16)
+    return h.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("min_id"),
+        F.max("media_id").alias("max_id"),
+    )
+
+
+O["image_ahash_groups"] = _image_ahash_oracle()
+
+
+@query(
+    "top_session_paths",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    ), p AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def session_paths_q(spark, sf_dir):
+    """Top-20 session paths: gap-sessionize (30 min, the
+    events_sessionize_30m semantics), concatenate each session's
+    event types in (ts, event_id) order, count identical journeys —
+    the navigation-mining rollup behind funnel design.  Per-session
+    ordering is an ``array_sort(collect_list(struct(...)))`` inside a
+    session-keyed aggregate (no corpus-wide window); the final top-20
+    is TakeOrderedAndProject with a path tie-break."""
+    from .streaming import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap_seconds=1800)
+    paths = s.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "cusum_daily_drift_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), st AS (
+      SELECT event_type, ROUND(AVG(m), 6) AS mu,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY event_type
+    ), c AS (
+      SELECT daily.event_type, d, st.n_days,
+             SUM(m - mu) OVER (PARTITION BY daily.event_type ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily JOIN st USING (event_type)
+    ), r AS (
+      SELECT event_type, n_days, d AS break_day, ROUND(ABS(s), 6) AS max_cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(s) DESC, d ASC) AS rn
+      FROM c
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days, break_day, max_cusum
+    FROM r WHERE rn = 1
+    """,
+)
+def cusum_q(spark, sf_dir):
+    """CUSUM change-point screen per event type: cumulative sum of
+    (daily mean − overall mean) in day order; the day where |S| peaks
+    is the candidate structural break (Page 1954).  Daily means are
+    rounded to 6 before differencing so both engines difference
+    identical doubles; the cumsum window is partitioned by type and
+    ordered by day — bounded partitions (≤ a few thousand days), never
+    a global sort.  One agg + one bounded window + one argmax."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.round(
+            F.round(F.sum("value"), 6) / F.count(F.lit(1)), 6
+        ).alias("m")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.round(F.avg("m"), 6).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.join(st, "event_type").withColumn(
+        "s", F.sum(F.col("m") - F.col("mu")).over(w)
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs("s").desc(), F.col("d").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("d").alias("break_day"),
+            F.round(F.abs("s"), 6).alias("max_cusum"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -7201,6 +7443,10 @@ _PRIORITY = [
     "recursive_order_decay",
     "triangle_clustering_suppliers",
     "lpa_part_supplier",
+    "span_dedup_docs",
+    "top_session_paths",
+    "cusum_daily_drift_events",
+    "image_ahash_groups",
     "training_data_pipeline",  # re-confirmations fill the window tail
     "embedding_near_dup_bucketed",
     "multimodal_audio_features",

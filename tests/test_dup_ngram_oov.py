@@ -66,3 +66,63 @@ def test_oov_vocab_plan_is_topk_and_broadcast(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan, plan  # vocab top-k, no global sort
     assert "BroadcastHashJoin" in plan, plan      # membership join broadcast
+
+
+def test_span_removal_cuts_covered_tokens_only(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    # "x y z" (k=3) appears in docs 1 and 2 → covered in both; the
+    # surrounding words survive.  Doc 3 shares no 3-gram.
+    df = _docs(
+        spark,
+        [
+            (1, "alpha x y z beta"),
+            (2, "x y z gamma delta"),
+            (3, "unrelated words entirely here"),
+        ],
+    )
+    out = {r["id"]: r for r in remove_duplicate_spans(df, k=3).collect()}
+    assert out[1]["n_tokens"] == 5 and out[1]["n_removed"] == 3
+    assert out[1]["kept_text"] == "alpha beta"
+    assert out[2]["kept_text"] == "gamma delta"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["kept_text"] == "unrelated words entirely here"
+
+
+def test_span_removal_overlapping_spans_merge(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    # doc 1 repeats "a b" internally with overlap through "a b a b a":
+    # every position is covered by some duplicated 2-gram ("a b" ×2,
+    # "b a" ×2) → everything removed; no double-count from overlaps.
+    df = _docs(spark, [(1, "a b a b a"), (2, "c d")])
+    out = {r["id"]: r for r in remove_duplicate_spans(df, k=2).collect()}
+    assert out[1]["n_removed"] == 5 and out[1]["kept_text"] == ""
+    assert out[2]["n_removed"] == 0 and out[2]["kept_text"] == "c d"
+
+
+def test_span_removal_short_and_empty_docs_pass_through(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    df = _docs(spark, [(1, "only four words here"), (2, ""), (3, None)])
+    out = {r["id"]: r for r in remove_duplicate_spans(df, k=5).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["n_tokens"] == 4
+    assert out[2]["n_tokens"] == 0 and out[2]["kept_text"] == ""
+    assert out[3]["n_tokens"] == 0 and out[3]["kept_text"] == ""
+
+
+def test_span_removal_hash_repr_matches_text_repr(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    a = remove_duplicate_spans(d, k=5, gram_repr="text")
+    b = remove_duplicate_spans(d, k=5, gram_repr="xxhash64")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -177,3 +177,62 @@ def test_wav_real_decoder_windows(spark):
     out2 = extract_audio_features(df2, window_samples=4, decoder="wav").collect()
     assert len(out2) == 2
     assert abs(out2[0].rms - a / 32768.0) < 1e-6
+
+
+def test_image_ahash_fake_integer_threshold(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        _fake_decode_acc,
+        image_average_hash,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=20)
+    rows = {r["media_id"]: r for r in image_average_hash(media, dim=16).collect()}
+    assert len(rows) == 20 and all(r["decode_ok"] for r in rows.values())
+    # replay the kernel driver-side for one payload
+    payload = media.filter("media_id = 7").collect()[0]["payload"]
+    acc = _fake_decode_acc(bytes(payload), 16)
+    expect = sum(1 << k for k, a in enumerate(acc) if 16 * a > sum(acc))
+    assert rows[7]["ahash"] == expect
+    assert 0 <= rows[7]["ahash"] < (1 << 16)
+
+
+def test_image_ahash_identical_payloads_collide(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        image_average_hash,
+    )
+
+    rows = [(1, b"same-bytes-here"), (2, b"same-bytes-here"), (3, b"different!")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r["ahash"] for r in image_average_hash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_image_ahash_ppm_decoder_and_malformed(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        image_average_hash,
+    )
+
+    # top half bright, bottom half dark → band bits split; garbage flags
+    pix = [255, 255, 255] * 4 + [0, 0, 0] * 4
+    rows = [(1, _ppm_bytes(2, 4, pix)), (2, b"garbage")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in image_average_hash(df, dim=12, decoder="ppm").collect()}
+    assert out[1]["decode_ok"] and out[1]["ahash"] > 0
+    assert not out[2]["decode_ok"] and out[2]["ahash"] == 0
+
+
+def test_image_ahash_rejects_bad_args(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        image_average_hash,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=2)
+    with pytest.raises(NotImplementedError):
+        image_average_hash(media, decoder="real")
+    with pytest.raises(ValueError):
+        image_average_hash(media, decoder="png")
+    with pytest.raises(ValueError):
+        image_average_hash(media, dim=64)
