@@ -371,3 +371,35 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_triangle_closure_is_equi_join(plans):
+    """Degree orientation + canonical-pair closure: every join in the
+    triangle plan must be hash/sort-merge — a BNLJ here means the OR
+    formulation crept back and the wedge probe is quadratic."""
+    p = plans("triangle_clustering_suppliers")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_span_dedup_no_global_window(plans):
+    """Reassembly is a doc-keyed aggregate; no single-partition sort
+    anywhere (the corpus-wide window formulation would plan one)."""
+    p = plans("span_dedup_docs")
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_session_paths_topk_no_global_sort(plans):
+    p = plans("top_session_paths")
+    assert "TakeOrderedAndProject" in p  # top-20 journeys
+    assert "Exchange SinglePartition" not in p
+
+
+def test_image_ahash_is_arrow_map_pass(plans):
+    """The hash kernel must be one Arrow-batched python map (no
+    row-at-a-time BatchEvalPython), and grouping is the only
+    shuffle."""
+    p = plans("image_ahash_groups")
+    assert "ArrowEvalPython" in p or "MapInPandas" in p, p
+    assert "BatchEvalPython" not in p
