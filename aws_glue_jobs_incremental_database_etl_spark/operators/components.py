@@ -206,6 +206,8 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    teleport: DataFrame | None = None,
+    teleport_id: str = "id",
 ) -> DataFrame:
     """PageRank over a directed edge list → ``(id, rank)``.
 
@@ -223,6 +225,14 @@ def pagerank(
     the growing plan lineage, exactly as ``connected_components``
     does.  Node ids may be any orderable type; rank sums are doubles
     (round on output when comparing across engines).
+
+    ``teleport`` personalizes the walk (TrustRank, Gyöngyi et al.
+    VLDB'04): the teleport vector becomes uniform over the seed set
+    instead of uniform over all nodes — ``r' = (1−d)·t + d·Σ r/deg``
+    with ``t_i = 1/|S|`` on seeds, else 0, and ``r0 = t``.  Rank then
+    measures random-walk proximity to the trusted seeds — the graph
+    half of seed-based quality curation.  Same per-iteration cost;
+    the seed flag is joined into the node list ONCE.
     """
     if not 0 < damping < 1:
         raise ValueError("damping must be in (0, 1)")
@@ -234,14 +244,34 @@ def pagerank(
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))
         .distinct()
-        .persist()
     )
-    n = nodes.count()  # scalar: the teleport term is a literal
+    if teleport is not None:
+        seeds = teleport.select(F.col(teleport_id).alias("id")).distinct()
+        n_seeds = seeds.join(nodes, "id").count()
+        if n_seeds == 0:
+            raise ValueError("no teleport seed appears in the graph")
+        # materialize the seed-flagged node list ONCE — every
+        # iteration's rank rebuild reads it
+        nodes = (
+            nodes.join(seeds.withColumn("_s", F.lit(1)), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_s") == 1, F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("_t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        base_col = F.lit(1.0 - damping) * F.col("_t")
+        ranks = nodes.select("id", F.col("_t").alias("rank"))
+    else:
+        nodes = nodes.persist()
+        n = nodes.count()  # scalar: the teleport term is a literal
+        base_col = F.lit((1.0 - damping) / n)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
     e_deg = e.join(outdeg, "u").persist()
 
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
             e_deg.join(ranks, e_deg.u == ranks.id)
@@ -254,7 +284,7 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
                 ).alias("rank"),
             )
@@ -459,3 +489,110 @@ def label_propagation(
     labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    id_col: str = "id",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected edge list →
+    ``(id, dist)`` for every node within ``max_hops`` of any source —
+    the "distance from trusted seeds" signal (the BFS half of
+    TrustRank-style curation: label quality by graph proximity to a
+    vetted seed set).
+
+    Frontier-free formulation: carry the full distance map and relax
+    one hop per round (``d' = min(d, min_neighbor d + 1)``) — each
+    round is one edge⋈distance shuffle join + one min-aggregate,
+    O(|E|) like a pagerank step, and the result after round r is
+    exactly "shortest distance ≤ r", so a fixed round count has an
+    exact unrolled SQL twin.  Nodes never reached within
+    ``max_hops`` are absent from the output (no sentinel rows).
+    ``localCheckpoint`` per round truncates lineage.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    sym = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("u"), F.col(src).alias("v")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            sym.join(dist, sym.v == dist.id)
+            .select(sym.u.alias("id"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = relaxed
+    dist = dist.localCheckpoint(eager=True)
+    sym.unpersist()
+    return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    peel_rounds: int = 4,
+) -> DataFrame:
+    """k-core peeling over an undirected edge list → surviving
+    ``(id, degree)`` after ``peel_rounds`` synchronous peel rounds
+    (each round drops every node whose degree within the current
+    subgraph is < k, all at once).  The true k-core is the fixpoint;
+    a fixed round count is an upper bound that tightens monotonically
+    and — run to convergence — equals it.  Fixed rounds keep the
+    operator's exact unrolled SQL twin (and each extra round past
+    convergence is a no-op, so "enough" rounds ARE the fixpoint).
+
+    Per round: one degree aggregate over the surviving edge list +
+    two semi joins to filter edges — O(|E|) shuffle per round, edges
+    shrink monotonically.  The classic distributed formulation
+    (Montresor et al., "Distributed k-core decomposition").
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if peel_rounds < 1:
+        raise ValueError("peel_rounds must be >= 1")
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("u"), F.col(src).alias("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    for _ in range(peel_rounds):
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        e = (
+            e.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("u").alias("id"), "degree"
+    )

@@ -7146,6 +7146,195 @@ def span_dedup_q(spark, sf_dir):
     return remove_duplicate_spans(d, k=5)
 
 
+@query(
+    "bfs_distance_from_nation0",
+    """
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS u,
+             CAST(l_suppkey AS BIGINT) + 10000000 AS v
+      FROM lineitem
+    ), e AS (
+      SELECT u, v FROM raw UNION SELECT v, u FROM raw
+    ), d0 AS (
+      SELECT DISTINCT CAST(s_suppkey AS BIGINT) + 10000000 AS id, 0 AS dist
+      FROM supplier WHERE s_nationkey = 0
+    ), d1 AS (
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT e.u AS id, d.dist + 1 AS dist FROM e JOIN d0 d ON d.id = e.v
+        UNION ALL SELECT id, dist FROM d0
+      ) GROUP BY id
+    ), d2 AS (
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT e.u AS id, d.dist + 1 AS dist FROM e JOIN d1 d ON d.id = e.v
+        UNION ALL SELECT id, dist FROM d1
+      ) GROUP BY id
+    )
+    SELECT id, dist FROM d2
+    """,
+)
+def bfs_q(spark, sf_dir):
+    """Multi-source BFS hop distance (operators.components.
+    bfs_distances) from the nation-0 supplier seed set over the
+    part–supplier shipment graph, 2 hops — the graph-proximity
+    quality signal (dist 0 = trusted seeds, 1 = their parts, 2 =
+    co-suppliers).  Frontier-free min-relaxation has an exact
+    unrolled twin; unreached nodes are absent, not sentinel rows."""
+    from .operators.components import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    edges = li.select(
+        F.col("l_partkey").cast("bigint").alias("u"),
+        (F.col("l_suppkey").cast("bigint") + 10000000).alias("v"),
+    )
+    seeds = sup.filter(F.col("s_nationkey") == 0).select(
+        (F.col("s_suppkey").cast("bigint") + 10000000).alias("id")
+    )
+    return bfs_distances(edges, seeds, max_hops=2)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronous k-core peeling: per round, degree over the
+    surviving symmetric edge list, then drop sub-k nodes — the exact
+    schedule operators.components.kcore runs."""
+    head = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), raw AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e0 AS (
+      SELECT u, v FROM raw UNION SELECT v, u FROM raw
+    )"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", keep{r} AS (
+      SELECT u FROM e{r-1} GROUP BY u HAVING COUNT(*) >= {k}
+    ), e{r} AS (
+      SELECT e.u, e.v FROM e{r-1} e
+      JOIN keep{r} a ON a.u = e.u JOIN keep{r} b ON b.u = e.v
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY u HAVING COUNT(*) >= {k}
+    """
+    )
+    return "".join(parts)
+
+
+@query("kcore_parts_cooccurrence", None)  # oracle attached below (generated)
+def kcore_q(spark, sf_dir):
+    """k-core peeling (operators.components.kcore, k=80, 4 sync
+    rounds) over the part co-purchase graph (parts adjacent iff they
+    appear in the same order): the dense backbone that survives after
+    low-degree fringe cascades away — the cohesion filter ahead of
+    community detection.  Fixed peel rounds have an exact unrolled
+    twin; each extra round past convergence is a no-op."""
+    from .operators.components import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lo.alias("a"), lo.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    out = kcore(edges, k=80, peel_rounds=4)
+    return out.select("id", F.col("degree").cast("bigint").alias("degree"))
+
+
+O["kcore_parts_cooccurrence"] = _kcore_oracle(80, 4)
+
+
+def _trustrank_oracle(rounds: int = 3) -> str:
+    """Unrolled personalized-pagerank (TrustRank) iterations: teleport
+    uniform over the nation-0 supplier seeds, d=0.85, same
+    no-dangling-redistribution simplification as the pagerank
+    oracle."""
+    head = """
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS u,
+             CAST(l_suppkey AS BIGINT) + 10000000 AS v
+      FROM lineitem
+    ), e AS (
+      SELECT u, v FROM raw UNION SELECT v, u FROM raw
+    ), nodes AS (
+      SELECT DISTINCT u AS id FROM e
+    ), seeds AS (
+      SELECT DISTINCT CAST(s_suppkey AS BIGINT) + 10000000 AS id
+      FROM supplier WHERE s_nationkey = 0
+    ), sg AS (
+      SELECT seeds.id FROM seeds JOIN nodes USING (id)
+    ), ns AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sg
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY u
+    ), tvec AS (
+      SELECT nodes.id,
+             CASE WHEN sg.id IS NOT NULL THEN 1.0 / (SELECT n FROM ns)
+                  ELSE 0.0 END AS t
+      FROM nodes LEFT JOIN sg ON sg.id = nodes.id
+    ), p0 AS (
+      SELECT id, t AS r FROM tvec
+    )"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", c{i} AS (
+      SELECT e.v, SUM(p.r / deg.d) AS s
+      FROM e JOIN deg USING (u) JOIN p{i-1} p ON p.id = e.u GROUP BY e.v
+    ), p{i} AS (
+      SELECT tvec.id, 0.15 * tvec.t + 0.85 * COALESCE(c{i}.s, 0) AS r
+      FROM tvec LEFT JOIN c{i} ON c{i}.v = tvec.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id, ROUND(r, 9) AS rank FROM p{rounds}
+    """
+    )
+    return "".join(parts)
+
+
+@query("trustrank_part_supplier", None)  # oracle attached below (generated)
+def trustrank_q(spark, sf_dir):
+    """TrustRank (Gyöngyi et al. VLDB'04): personalized PageRank with
+    the teleport vector uniform over the nation-0 supplier seed set,
+    3 iterations, d=0.85, over the SYMMETRIZED part–supplier graph
+    (so trust flows seeds → parts → other suppliers).  Rank =
+    random-walk proximity to vetted seeds — the propagation half of
+    seed-based corpus quality curation.  Oracle unrolls the same
+    three personalized power iterations."""
+    from .operators.components import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    part_supp = li.select(
+        F.col("l_partkey").cast("bigint").alias("src"),
+        (F.col("l_suppkey").cast("bigint") + 10000000).alias("dst"),
+    )
+    edges = part_supp.unionByName(
+        part_supp.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    seeds = sup.filter(F.col("s_nationkey") == 0).select(
+        (F.col("s_suppkey").cast("bigint") + 10000000).alias("id")
+    )
+    out = pagerank(edges, iterations=3, teleport=seeds)
+    return out.select("id", F.round("rank", 9).alias("rank"))
+
+
+O["trustrank_part_supplier"] = _trustrank_oracle(3)
+
+
 def _image_ahash_oracle(dim: int = 16) -> str:
     """SQL twin of image_average_hash's fake-decoder path: the same
     byte recurrence as _multimodal_image_oracle, then EXACT integer
@@ -7444,6 +7633,9 @@ _PRIORITY = [
     "triangle_clustering_suppliers",
     "lpa_part_supplier",
     "span_dedup_docs",
+    "bfs_distance_from_nation0",
+    "kcore_parts_cooccurrence",
+    "trustrank_part_supplier",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

@@ -210,3 +210,112 @@ def test_label_propagation_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "u long, v long")
     with pytest.raises(ValueError):
         label_propagation(edges, iterations=0)
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import bfs_distances
+
+    # path 1-2-3-4-5 with sources {1, 5}: distances fold from both
+    # ends; node 3 is 2 from either.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "id long")
+    out = {r["id"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_distances_hop_cap_excludes_far_nodes(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=2).collect()}
+    # node 4 is 3 hops away → absent; disconnected 10/11 absent
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_kcore_peels_fringe_cascade(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import kcore
+
+    # K4 core {1,2,3,4} + a tail 4-5-6: k=2 peels 6 (deg 1), then 5
+    # (its degree drops to 1) — the cascade needs two rounds.
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], "u long, v long")
+    out = {r["id"]: r["degree"] for r in kcore(edges, k=2, peel_rounds=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(d == 3 for d in out.values())
+
+
+def test_kcore_k3_kills_everything_but_clique(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import kcore
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    star = [(1, x) for x in (7, 8, 9)]
+    edges = spark.createDataFrame(k4 + star, "u long, v long")
+    out = {r["id"] for r in kcore(edges, k=3, peel_rounds=3).collect()}
+    assert out == {1, 2, 3, 4}
+
+
+def test_personalized_pagerank_matches_hand_iteration(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import pagerank
+
+    # symmetric path 1-2-3-4-5, seed {1}: compare against a
+    # hand-rolled personalized power iteration (r0 = t, r' = 0.15·t +
+    # 0.85·Σ r/deg).  Note rank need NOT decay monotonically with
+    # distance at d=0.85 — the seed's sole neighbor receives its whole
+    # outflow and overtakes it — so the pin is exact values, not shape.
+    es = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        es + [(b, a) for a, b in es], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["rank"] for r in pagerank(edges, iterations=6, teleport=seeds).collect()}
+
+    adj = {1: [2], 2: [1, 3], 3: [2, 4], 4: [3, 5], 5: [4]}
+    t = {n: (1.0 if n == 1 else 0.0) for n in adj}
+    r = dict(t)
+    for _ in range(6):
+        inc = {n: 0.0 for n in adj}
+        for u, vs in adj.items():
+            for v in vs:
+                inc[v] += r[u] / len(vs)
+        r = {n: 0.15 * t[n] + 0.85 * inc[n] for n in adj}
+    for n in adj:
+        assert abs(out[n] - r[n]) < 1e-12, n
+    # distant nodes still rank far below the seed neighborhood
+    assert out[5] < out[1] and out[4] < out[2]
+
+
+def test_personalized_pagerank_rejects_unknown_seeds(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import pagerank
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "id long")
+    with pytest.raises(ValueError):
+        pagerank(edges, teleport=seeds)
+
+
+def test_uniform_pagerank_unchanged_by_teleport_refactor(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    out = {r["id"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    # hand-rolled reference: r0 = 1/4 each, d=0.85
+    import collections
+
+    adj = {1: [2], 2: [3], 3: [1, 4]}
+    r = {n: 0.25 for n in (1, 2, 3, 4)}
+    for _ in range(3):
+        nxt = collections.defaultdict(float)
+        for u, vs in adj.items():
+            for v in vs:
+                nxt[v] += r[u] / len(vs)
+        r = {n: 0.15 / 4 + 0.85 * nxt.get(n, 0.0) for n in (1, 2, 3, 4)}
+    for n in r:
+        assert abs(out[n] - r[n]) < 1e-12, n

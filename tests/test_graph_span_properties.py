@@ -1,0 +1,127 @@
+"""Property tests for the third-wave operators: brute-force reference
+implementations on small random inputs — each example runs a real
+Spark job, so max_examples stays small (the value is the weird shapes:
+overlapping spans, isolated nodes, oscillating labels, ties)."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=16,
+)
+
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=9
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _adj(edges):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+@given(_edges)
+@settings(max_examples=8, deadline=None)
+def test_local_clustering_matches_bruteforce(spark, edges):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        local_clustering,
+    )
+
+    adj = _adj(edges)
+    expect = {
+        n: sum(
+            1
+            for x, y in combinations(sorted(adj[n]), 2)
+            if y in adj.get(x, ())
+        )
+        for n in adj
+    }
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["id"]: r for r in local_clustering(df).collect()}
+    assert set(got) == set(expect)
+    for n, t in expect.items():
+        assert got[n]["n_triangles"] == t, (n, edges)
+        assert got[n]["degree"] == len(adj[n])
+
+
+@given(_edges, st.integers(min_value=1, max_value=3))
+@settings(max_examples=8, deadline=None)
+def test_label_propagation_matches_bruteforce(spark, edges, rounds):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        label_propagation,
+    )
+
+    adj = _adj(edges)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        labels = {
+            n: min(
+                (
+                    lbl
+                    for lbl, c in Counter(
+                        labels[m] for m in adj[n]
+                    ).items()
+                    if c == max(Counter(labels[m] for m in adj[n]).values())
+                ),
+            )
+            for n in adj
+        }
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(df, iterations=rounds).collect()
+    }
+    assert got == labels, edges
+
+
+def _brute_span(docs, k):
+    toks = {i: t.lower().strip().split() for i, t in docs}
+    grams = Counter(
+        tuple(w[s : s + k])
+        for w in toks.values()
+        for s in range(len(w) - k + 1)
+    )
+    out = {}
+    for i, w in toks.items():
+        covered = set()
+        for s in range(len(w) - k + 1):
+            if grams[tuple(w[s : s + k])] > 1:
+                covered.update(range(s, s + k))
+        kept = [t for p, t in enumerate(w) if p not in covered]
+        out[i] = (len(w), len(w) - len(kept), " ".join(kept))
+    return out
+
+
+@given(_corpus, st.integers(min_value=1, max_value=3))
+@settings(max_examples=8, deadline=None)
+def test_span_removal_matches_bruteforce(spark, word_lists, k):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    expect = _brute_span(docs, k)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["kept_text"])
+        for r in remove_duplicate_spans(df, k=k).collect()
+    }
+    assert got == expect, (docs, k)
