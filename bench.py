@@ -81,6 +81,12 @@ HEADLINE = [
     "token_budget_selection_docs",
     "lm_heldout_perplexity_docs",
     "leakage_safe_split_docs",
+    # round-3 third wave
+    "span_dedup_docs",
+    "top_session_paths",
+    "cusum_daily_drift_events",
+    "image_ahash_groups",
+    "bfs_distance_from_nation0",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -102,6 +108,8 @@ SF1_SPOT = [
     "dup_ngram_stats_docs",
     "edit_distance_pairs_parts",
     "near_dup_components",
+    # round-3 third wave: corpus-duplication growth risk
+    "span_dedup_docs",
 ]
 
 
