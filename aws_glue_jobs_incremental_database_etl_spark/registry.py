@@ -5559,6 +5559,189 @@ def edit_distance_q(spark, sf_dir):
 
 
 @query(
+    "entity_clusters_parts",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+      SELECT id, MIN(r) AS root FROM reach GROUP BY id
+    ), keyed AS (
+      SELECT p.p_partkey AS id, COALESCE(c.root, p.p_partkey) AS entity
+      FROM part p LEFT JOIN comp c ON c.id = p.p_partkey
+    )
+    SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_members,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+    FROM keyed GROUP BY entity
+    """,
+)
+def entity_clusters_q(spark, sf_dir):
+    """End-to-end entity resolution: blocked Levenshtein pair
+    generation (operators.joins.edit_distance_join, brand#type
+    blocks, ≤ 2 edits) → transitive closure into entity clusters
+    (operators.components.connected_components) → per-entity member
+    rollup.  The match-then-cluster composition is the standard
+    record-linkage pipeline (Fellegi–Sunter matching, cluster
+    resolution); singletons keep their own id as entity.  Oracle:
+    the pair SQL + recursive-CTE components, members string-agged in
+    id order."""
+    from .operators.components import connected_components
+    from .operators.joins import edit_distance_join
+
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "_blk", F.concat_ws("#", "p_brand", "p_type")
+    )
+    pairs = edit_distance_join(p, "p_partkey", "p_name", "_blk", max_dist=2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    keyed = (
+        p.select(F.col("p_partkey").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("entity")
+        )
+    )
+    return keyed.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, '(none)') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 4) AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch, '(none)')
+    """,
+)
+def attribution_q(spark, sf_dir):
+    """Last-touch attribution: each purchase's value credited to the
+    user's most recent NON-purchase event before it (IGNORE NULLS lag
+    skips intervening purchases) — the marketing-analytics rollup
+    funnel/cohort don't cover.  One user-keyed window + one tiny
+    aggregate; purchases with no prior touch fall into '(none)'."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # LAG ... IGNORE NULLS ≡ last non-null over the strictly-preceding
+    # frame (PySpark's lag() has no ignorenulls parameter)
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("(none)")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "regression_residual_outliers",
+    """
+    WITH x AS (
+      SELECT event_type, value, event_id,
+             CAST(epoch_us(ts) - 1640995200000000 AS DOUBLE) / 86400000000.0
+               AS day_x
+      FROM events
+    ), fit AS (
+      SELECT event_type,
+             regr_slope(value, day_x) AS sl,
+             regr_intercept(value, day_x) AS ic,
+             COUNT(*) AS n
+      FROM x GROUP BY event_type
+    ), resid AS (
+      SELECT x.event_type, x.event_id,
+             x.value - (fit.sl * x.day_x + fit.ic) AS r
+      FROM x JOIN fit USING (event_type)
+    ), stats AS (
+      SELECT event_type, AVG(r) AS mu, STDDEV_SAMP(r) AS sd
+      FROM resid GROUP BY event_type
+    )
+    SELECT r.event_type, r.event_id, ROUND((r.r - s.mu) / s.sd, 4) AS z
+    FROM resid r JOIN stats s USING (event_type)
+    WHERE ABS((r.r - s.mu) / s.sd) > 3.0
+    """,
+)
+def regr_outliers_q(spark, sf_dir):
+    """Trend-adjusted outliers: per event type, fit the OLS value
+    trend over time (regr_slope/intercept, anchored to a literal
+    epoch so Σx² stays well-conditioned), then flag events whose
+    RESIDUAL z-score exceeds 3 — catches points that are anomalous
+    relative to the trend, which a raw z-score misses when the mean
+    drifts.  Two aggregates + two broadcast join-backs of 5-row
+    model tables; the fact table is scanned twice, shuffled never."""
+    e = load_table(spark, sf_dir, "events")
+    from .functions import epoch_us
+
+    x = e.select(
+        "event_type",
+        "value",
+        "event_id",
+        (
+            (epoch_us(F.col("ts")) - F.lit(1640995200000000)).cast(
+                "double"
+            )
+            / 86400000000.0
+        ).alias("day_x"),
+    )
+    fit = x.groupBy("event_type").agg(
+        F.regr_slope("value", "day_x").alias("sl"),
+        F.regr_intercept("value", "day_x").alias("ic"),
+    )
+    resid = x.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "event_id",
+        (
+            F.col("value") - (F.col("sl") * F.col("day_x") + F.col("ic"))
+        ).alias("r"),
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.avg("r").alias("mu"), F.stddev_samp("r").alias("sd")
+    )
+    z = (F.col("r") - F.col("mu")) / F.col("sd")
+    return (
+        resid.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_type", "event_id", F.round(z, 4).alias("z"))
+    )
+
+
+@query(
     "rolling_zscore_events",
     """
     SELECT event_id, user_id,
@@ -7636,6 +7819,9 @@ _PRIORITY = [
     "bfs_distance_from_nation0",
     "kcore_parts_cooccurrence",
     "trustrank_part_supplier",
+    "entity_clusters_parts",
+    "attribution_last_touch",
+    "regression_residual_outliers",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",
