@@ -447,3 +447,116 @@ def minmax_normalize(
     mx = F.max(value_col).over(w)
     norm = F.when(mx > mn, (F.col(value_col) - mn) / (mx - mn)).otherwise(0.5)
     return df.withColumn(out_col, F.round(norm, 6))
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Fixed-bin histogram sketch → ``(bin, cnt)`` over a literal
+    value range — the MERGEABLE quantile state (the fixed-grid cousin
+    of t-digest/KLL): bin counts from different partitions, batches,
+    or days simply ADD, so incremental and streaming percentile
+    maintenance is a cell-wise sum, never a re-scan (same
+    mergeability contract as ``functions.bloom``/``functions.cms``,
+    property-tested the same way).
+
+    Values are clamped into the edge bins (no out-of-range loss);
+    NULLs are dropped.  One partial-aggregated group-by over ≤
+    ``bins`` keys — map-side combine makes the shuffle O(bins) per
+    task regardless of row count.  ``bins`` trades memory for
+    quantile resolution: the estimate's max error is one bin width.
+    """
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    clamped = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(clamped.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def sketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches: cell-wise count sum (the operation
+    that makes per-slice builds ≡ the whole-corpus build)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch → ``(prob, quantile,
+    n_rows)``: walk the cumulative bin counts to the bin containing
+    ``p·n`` and interpolate linearly inside it (max error = one bin
+    width).  The cumulative window runs over ≤ ``bins`` rows — bounded
+    by construction, never by data volume; the probs list is a literal
+    explode.  Exact integer cumulative counts make the interpolation
+    arithmetic engine-reproducible."""
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    for p in probs:
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"probs must be in (0,1), got {p}")
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = sketch.select(
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    tot = sketch.agg(F.sum("cnt").cast("bigint").alias("n_rows"))
+    pl = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("prob")
+    targets = tot.select(pl, "n_rows").withColumn(
+        "target", F.col("prob") * F.col("n_rows")
+    )
+    # the containing bin: first bin whose cumulative count reaches the
+    # target — min(bin) over qualifying bins, a ≤bins×probs join
+    hit = (
+        targets.join(
+            cum,
+            (F.col("cum_before") < F.col("target"))
+            & (F.col("cum_before") + F.col("cnt") >= F.col("target")),
+            "left",
+        )
+        .groupBy("prob", "n_rows", "target")
+        .agg(
+            F.min(F.struct("bin", "cnt", "cum_before")).alias("_b")
+        )
+    )
+    q = (
+        F.lit(lo)
+        + (
+            F.col("_b.bin")
+            + (F.col("target") - F.col("_b.cum_before")) / F.col("_b.cnt")
+        )
+        * F.lit(width)
+    )
+    return hit.select(
+        "prob",
+        F.round(
+            F.when(F.col("_b").isNull(), F.lit(lo)).otherwise(q), 6
+        ).alias("quantile"),
+        "n_rows",
+    )

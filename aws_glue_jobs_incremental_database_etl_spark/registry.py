@@ -5623,6 +5623,53 @@ def entity_clusters_q(spark, sf_dir):
 
 
 @query(
+    "sketch_quantiles_totalprice",
+    """
+    WITH s AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 9375.0)
+                                 AS INT), 0), 63) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ), c AS (
+      SELECT bin, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM s
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM s
+    ), tg AS (
+      SELECT prob, n_rows, prob * n_rows AS target
+      FROM (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS prob)
+           CROSS JOIN t
+    )
+    SELECT tg.prob,
+           ROUND(0.0 + (c.bin + (tg.target - c.cum_before) / c.cnt)
+                 * 9375.0, 6) AS quantile,
+           tg.n_rows
+    FROM tg JOIN c
+      ON c.cum_before < tg.target AND c.cum_before + c.cnt >= tg.target
+    """,
+)
+def sketch_quantiles_q(spark, sf_dir):
+    """Mergeable quantile estimation (operators.profile.
+    histogram_sketch + sketch_quantiles): p50/p95/p99 of order value
+    from a 64-bin fixed-grid histogram — the sketch whose counts ADD
+    across partitions/batches/days, so incremental and streaming
+    percentile maintenance never re-scans (fixed-grid cousin of
+    t-digest/KLL; merge ≡ whole-build is property-tested like
+    bloom/cms).  Max error one bin width; exact integer cumulative
+    counts make the interpolation engine-reproducible."""
+    from .operators.profile import histogram_sketch, sketch_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    sk = histogram_sketch(o, "o_totalprice", lo=0.0, hi=600000.0, bins=64)
+    return sketch_quantiles(
+        sk, [0.5, 0.95, 0.99], lo=0.0, hi=600000.0, bins=64
+    )
+
+
+@query(
     "attribution_last_touch",
     """
     WITH seq AS (
@@ -7822,6 +7869,7 @@ _PRIORITY = [
     "entity_clusters_parts",
     "attribution_last_touch",
     "regression_residual_outliers",
+    "sketch_quantiles_totalprice",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

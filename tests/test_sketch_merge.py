@@ -98,3 +98,64 @@ def test_cms_merged_estimates_still_upper_bound(spark):
         ).collect()
     }
     assert est["x"] >= 15 and est["y"] >= 3 and est["z"] >= 7
+
+
+def test_histogram_sketch_merge_equals_whole(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        histogram_sketch,
+        sketch_merge,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    whole = histogram_sketch(o, "o_totalprice", 0.0, 600000.0, bins=32)
+    slices = [
+        histogram_sketch(
+            o.filter(F.col("o_orderkey") % 3 == i),
+            "o_totalprice",
+            0.0,
+            600000.0,
+            bins=32,
+        )
+        for i in range(3)
+    ]
+    merged = sketch_merge(*slices)
+    a = {r["bin"]: r["cnt"] for r in whole.collect()}
+    b = {r["bin"]: r["cnt"] for r in merged.collect()}
+    assert a == b
+
+
+def test_sketch_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        histogram_sketch,
+        sketch_quantiles,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lo, hi, bins = 0.0, 600000.0, 64
+    sk = histogram_sketch(o, "o_totalprice", lo, hi, bins)
+    est = {
+        r["prob"]: r["quantile"]
+        for r in sketch_quantiles(sk, [0.5, 0.95], lo, hi, bins).collect()
+    }
+    exact = o.stat.approxQuantile("o_totalprice", [0.5, 0.95], 0.0)
+    width = (hi - lo) / bins
+    assert abs(est[0.5] - exact[0]) <= width
+    assert abs(est[0.95] - exact[1]) <= width
+
+
+def test_sketch_clamps_out_of_range_and_rejects_bad_args(spark):
+    import pytest
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        histogram_sketch,
+        sketch_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (9.5,), (99.0,), (None,)], "v double"
+    )
+    sk = {r["bin"]: r["cnt"] for r in histogram_sketch(df, "v", 0.0, 10.0, 10).collect()}
+    assert sk == {0: 2, 9: 2}  # -5 clamps into bin 0; 99 into bin 9; NULL dropped
+    with pytest.raises(ValueError):
+        histogram_sketch(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError):
+        sketch_quantiles(df, [1.5], 0.0, 10.0, 10)
