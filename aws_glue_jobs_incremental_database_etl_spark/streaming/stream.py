@@ -342,3 +342,50 @@ def streaming_cms_token_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_histogram_quantiles(
+    spark,
+    stream_df: DataFrame,
+    value_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> None:
+    """Streaming percentile maintenance: each micro-batch builds a
+    fixed-grid histogram sketch (operators.profile.histogram_sketch)
+    and folds it into a persisted one (sketch_merge — cell-wise count
+    sum, so per-batch ∘ merge ≡ one whole-stream build; the same
+    mergeability contract as streaming_cms_token_counts).  The
+    persisted state is ≤ ``bins`` rows forever; query current
+    p50/p95/p99 any time with operators.profile.sketch_quantiles over
+    the parquet — monitoring percentiles over an unbounded ingest
+    without ever re-scanning history.  Same availableNow + checkpoint
+    replay contract and stage-and-swap write as the CMS maintainer.
+    """
+    import os
+
+    from ..operators.profile import histogram_sketch, sketch_merge
+
+    def _update(batch: DataFrame, _id: int) -> None:
+        delta = histogram_sketch(batch, value_col, lo, hi, bins)
+        if os.path.exists(sketch_path):
+            prev = batch.sparkSession.read.parquet(sketch_path)
+            merged = sketch_merge(prev, delta)
+        else:
+            merged = delta
+        tmp = sketch_path + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = batch.sparkSession.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(sketch_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

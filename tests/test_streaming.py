@@ -525,3 +525,39 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
         for r in cms_estimate(probe, "s", streamed, d=3, w=64).collect()
     }
     assert est["t0"] >= 29 and est["t6"] >= 28
+
+
+def test_streaming_histogram_equals_batch_sketch(spark, tmp_path):
+    """Streaming percentile maintenance: per-micro-batch histogram
+    sketches folded into the persisted one must equal a single batch
+    build over the whole stream, and quantiles read off the persisted
+    state must match the batch path."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        histogram_sketch,
+        sketch_quantiles,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        streaming_histogram_quantiles,
+    )
+
+    src = str(tmp_path / "vals"); ckpt = str(tmp_path / "ck")
+    sketch_path = str(tmp_path / "hist")
+    rows = [(float(i % 97),) for i in range(400)]
+    df = spark.createDataFrame(rows, "v double")
+    df.write.parquet(src)
+
+    stream = incremental_file_stream(spark, src, df.schema)
+    streaming_histogram_quantiles(
+        spark, stream, "v", sketch_path, ckpt, lo=0.0, hi=100.0, bins=20
+    )
+
+    streamed = spark.read.parquet(sketch_path)
+    whole = histogram_sketch(df, "v", 0.0, 100.0, bins=20)
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+    qa = {r["prob"]: r["quantile"] for r in
+          sketch_quantiles(streamed, [0.5], 0.0, 100.0, 20).collect()}
+    qb = {r["prob"]: r["quantile"] for r in
+          sketch_quantiles(whole, [0.5], 0.0, 100.0, 20).collect()}
+    assert qa == qb and abs(qa[0.5] - 48.5) < 5.0
