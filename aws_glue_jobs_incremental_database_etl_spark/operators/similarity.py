@@ -19,6 +19,8 @@ deterministic across runs and executors.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -462,3 +464,71 @@ def assign_nearest_centroid_arrow(
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return df.mapInArrow(kernel, out_schema)
+
+
+def top_principal_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """Top principal component of an embedding column → ``(dim_index,
+    loading)`` via RELATIONAL power iteration — the PCA axis that
+    drives embedding whitening, drift monitoring, and the "dominant
+    direction" diagnostics of representation collapse.
+
+    Everything is DataFrame algebra, nothing driver-side beyond the
+    dimension scalar: per-dimension means (one agg) → centered
+    per-id entries → covariance CELLS ``(i, j, val)`` from a self-join
+    on id (the inherent Σ xxᵀ cost: dim² terms per row, one shuffle)
+    → power iteration as cell⋈vector matvec + group-by, with the
+    normalizer a 1-row broadcast cross join.  The iterate count is
+    fixed so the whole computation has an exact unrolled SQL twin;
+    the deterministic ``1/√dim`` start vector fixes the eigenvector's
+    sign.
+
+    Scale: the covariance build shuffles dim² keys (64² = 4 096
+    cells) with map-side partial aggregation — the per-row dim² work
+    is the algorithm's floor, and beyond ~10⁴ dims you switch to
+    randomized sketching, not a bigger shuffle.  Iterations touch
+    only the 4 096-cell table.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    dim = df.select(F.size(vec_col)).first()[0]
+    x = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("i", "xi"),
+    )
+    mu = x.groupBy("i").agg(F.avg("xi").alias("mu"))
+    xc = x.join(mu, "i").select(
+        "_id", "i", (F.col("xi") - F.col("mu")).alias("c")
+    )
+    n = float(df.count())
+    a, b = xc.alias("a"), xc.alias("b")
+    cells = (
+        a.join(b, F.col("a._id") == F.col("b._id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg((F.sum(F.col("a.c") * F.col("b.c")) / F.lit(n)).alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(1.0 / math.sqrt(dim)).alias("v"),
+    )
+    for _ in range(iterations):
+        w = (
+            cells.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("val") * F.col("v")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nv"))
+        v = w.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("_nv")).alias("v")
+        )
+    return v.select(
+        F.col("j").alias("dim_index"), F.round("v", 6).alias("loading")
+    )

@@ -5622,6 +5622,65 @@ def entity_clusters_q(spark, sf_dir):
     )
 
 
+def _pca_oracle(iterations: int = 3) -> str:
+    """Unrolled relational power iteration: covariance cells from a
+    self-join on id, matvec = cell⋈vector + group-by, scalar-subquery
+    normalizer — the identical algebra top_principal_component runs."""
+    head = """
+    WITH x AS (
+      SELECT vec_id, CAST(w[i + 1] AS DOUBLE) AS xi, i
+      FROM (SELECT vec_id, embedding AS w,
+                   unnest(range(0, len(embedding))) AS i
+            FROM embeddings)
+    ), mu AS (
+      SELECT i, AVG(xi) AS mu FROM x GROUP BY i
+    ), xc AS (
+      SELECT vec_id, x.i, xi - mu AS c FROM x JOIN mu USING (i)
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
+    ), cells AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, SUM(a.c * b.c) / (SELECT n FROM nn) AS val
+      FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+    ), v0 AS (
+      SELECT i AS j, 1.0 / sqrt((SELECT COUNT(*) FROM mu)) AS v FROM mu
+    )"""
+    parts = [head]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""", w{k} AS (
+      SELECT cells.i, SUM(val * v.v) AS w
+      FROM cells JOIN v{k-1} v ON v.j = cells.j GROUP BY cells.i
+    ), nv{k} AS (
+      SELECT sqrt(SUM(w * w)) AS nv FROM w{k}
+    ), v{k} AS (
+      SELECT i AS j, w / (SELECT nv FROM nv{k}) AS v FROM w{k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT j AS dim_index, ROUND(v, 6) AS loading FROM v{iterations}
+    """
+    )
+    return "".join(parts)
+
+
+@query("pca_top_component_embeddings", None)  # oracle attached below
+def pca_q(spark, sf_dir):
+    """Top principal component (operators.similarity.
+    top_principal_component, 3 power iterations) of the embeddings
+    table — PCA's dominant axis as pure DataFrame algebra (covariance
+    cells + relational matvec), with the deterministic 1/√dim start
+    vector fixing the eigenvector sign so the unrolled SQL twin is
+    exact."""
+    from .operators.similarity import top_principal_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return top_principal_component(emb, "embedding", "vec_id", iterations=3)
+
+
+O["pca_top_component_embeddings"] = _pca_oracle(3)
+
+
 @query(
     "sketch_quantiles_totalprice",
     """
@@ -7870,6 +7929,7 @@ _PRIORITY = [
     "attribution_last_touch",
     "regression_residual_outliers",
     "sketch_quantiles_totalprice",
+    "pca_top_component_embeddings",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

@@ -142,3 +142,41 @@ def test_arrow_centroid_assignment_bit_identical(spark, sf_dir):
         for r in assign_nearest_centroid_arrow(emb, cents).select("vec_id", "cluster").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_pca_top_component_matches_numpy(spark):
+    import numpy as np
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    rng = np.random.RandomState(7)
+    # dominant direction along (3, 1, 0, 0) + small isotropic noise
+    base = rng.randn(200, 1) @ np.array([[3.0, 1.0, 0.0, 0.0]])
+    data = base + 0.05 * rng.randn(200, 4)
+    rows = [(i, [float(v) for v in row]) for i, row in enumerate(data)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r["dim_index"]: r["loading"]
+        for r in top_principal_component(df, iterations=8).collect()
+    }
+    v = np.array([got[i] for i in range(4)])
+    c = np.cov(data.T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    ref = evecs[:, -1]
+    if np.dot(ref, v) < 0:
+        ref = -ref
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    assert np.abs(v - ref).max() < 1e-3  # 8 iterations on a dominant gap
+
+
+def test_pca_rejects_zero_iterations(spark):
+    import pytest
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        top_principal_component(df, iterations=0)
