@@ -596,3 +596,48 @@ def kcore(
     return deg.filter(F.col("degree") >= k).select(
         F.col("u").alias("id"), "degree"
     )
+
+
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fold NEW near-dup pairs into EXISTING component labels without
+    recomputing over the historical pair graph → updated ``(id,
+    component)`` — the cluster-maintenance complement of
+    ``incremental_dedup``'s persistent MinHash index: the index keeps
+    probe cost off the old corpus, this keeps resolution cost off the
+    old pair set.
+
+    Existing clusters enter the rerun as STAR edges (member → root),
+    so the propagation works over ``|labels| + |new_edges|`` edges —
+    proportional to the current corpus plus the delta, never to the
+    accumulated pair history.  Because every star points at its
+    cluster's minimum id, the merged result is IDENTICAL to a full
+    recompute over (historical ∪ new) pairs — the gate query proves
+    that equivalence cross-engine (Spark runs two-stage incremental,
+    the oracle one full resolution).
+
+    Rows present only in ``labels`` (untouched singletons) pass
+    through; ids appearing only in ``new_edges`` join the universe.
+    """
+    star = labels.filter(F.col(id_col) != F.col(comp_col)).select(
+        F.col(id_col).alias("id_a"), F.col(comp_col).alias("id_b")
+    )
+    delta = new_edges.select(
+        F.col(src).alias("id_a"), F.col(dst).alias("id_b")
+    )
+    merged = connected_components(star.unionByName(delta), "id_a", "id_b")
+    universe = (
+        labels.select(F.col(id_col).alias("id"))
+        .unionByName(delta.select(F.col("id_a").alias("id")))
+        .unionByName(delta.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    return universe.join(merged, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

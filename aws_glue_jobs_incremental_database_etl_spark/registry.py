@@ -5622,6 +5622,65 @@ def entity_clusters_q(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_components_parts",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+      SELECT id, MIN(r) AS root FROM reach GROUP BY id
+    )
+    SELECT p.p_partkey AS id,
+           COALESCE(c.root, p.p_partkey) AS component
+    FROM part p LEFT JOIN comp c ON c.id = p.p_partkey
+    """,
+)
+def incremental_components_q(spark, sf_dir):
+    """Incremental cluster maintenance (operators.components.
+    merge_components): stage 1 resolves only the pairs among the
+    first half of the id space; stage 2 folds the REMAINING pairs
+    into those labels as star edges — never re-reading stage 1's pair
+    set.  The oracle is ONE full resolution over all pairs, so the
+    hash gate proves incremental ≡ full recompute cross-engine (the
+    star-edge compression loses nothing)."""
+    from .operators.components import connected_components, merge_components
+    from .operators.joins import edit_distance_join
+
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "_blk", F.concat_ws("#", "p_brand", "p_type")
+    )
+    pairs = edit_distance_join(
+        p, "p_partkey", "p_name", "_blk", max_dist=2
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    mid = p.agg(
+        (F.min("p_partkey") + F.max("p_partkey")) / 2
+    ).first()[0]
+    batch1 = pairs.filter(
+        (F.col("id_a") <= mid) & (F.col("id_b") <= mid)
+    )
+    batch2 = pairs.exceptAll(batch1)
+    comp1 = connected_components(batch1, "id_a", "id_b")
+    labels1 = (
+        p.select(F.col("p_partkey").alias("id"))
+        .join(comp1, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+    return merge_components(labels1, batch2)
+
+
 def _pca_oracle(iterations: int = 3) -> str:
     """Unrolled relational power iteration: covariance cells from a
     self-join on id, matvec = cell⋈vector + group-by, scalar-subquery
@@ -7930,6 +7989,7 @@ _PRIORITY = [
     "regression_residual_outliers",
     "sketch_quantiles_totalprice",
     "pca_top_component_embeddings",
+    "incremental_components_parts",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

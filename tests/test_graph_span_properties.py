@@ -125,3 +125,48 @@ def test_span_removal_matches_bruteforce(spark, word_lists, k):
         for r in remove_duplicate_spans(df, k=k).collect()
     }
     assert got == expect, (docs, k)
+
+
+@given(_edges, st.integers(min_value=0, max_value=100))
+@settings(max_examples=8, deadline=None)
+def test_merge_components_equals_full_recompute(spark, edges, split_pct):
+    """Incremental cluster maintenance: resolve an arbitrary prefix of
+    the edge list, fold the rest in via star edges — must equal one
+    full resolution (for any split point, including all/none)."""
+    from pyspark.sql import functions as F
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        connected_components,
+        merge_components,
+    )
+
+    cut = len(edges) * split_pct // 100
+    e1, e2 = edges[:cut], edges[cut:]
+    all_ids = sorted({n for e in edges for n in e})
+    universe = spark.createDataFrame([(i,) for i in all_ids], "id long")
+
+    full = connected_components(
+        spark.createDataFrame(edges, "id_a long, id_b long")
+    )
+    expect = {
+        r["id"]: r["component"]
+        for r in universe.join(full, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        .collect()
+    }
+
+    if e1:
+        comp1 = connected_components(
+            spark.createDataFrame(e1, "id_a long, id_b long")
+        )
+        labels1 = (
+            universe.join(comp1, "id", "left")
+            .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        )
+    else:
+        labels1 = universe.withColumn("component", F.col("id"))
+    delta = spark.createDataFrame(e2 or [(1, 1)], "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in merge_components(labels1, delta).collect()
+    }
+    assert got == expect, (edges, cut)
