@@ -191,3 +191,37 @@ def psi_drift(
         )
         .withColumnRenamed("s", slice_col)
     )
+
+
+def annotate_violations(df: DataFrame, rules: dict) -> DataFrame:
+    """Data-contract annotation: append ``_violations`` — the sorted
+    names of every rule the row FAILS.  ``rules`` maps rule name →
+    SQL boolean expression that passing rows satisfy; a NULL
+    evaluation counts as a violation (``coalesce(cond, false)``), so
+    unexpected NULLs quarantine instead of slipping through — the
+    semantics Deequ/Great-Expectations row rules use.
+
+    Map-only: every rule is one codegen'd CASE over the row, the
+    array is built inline, nothing shuffles.  Pair with
+    :func:`quarantine` to split the stream."""
+    if not rules:
+        raise ValueError("rules must be a non-empty dict")
+    marks = [
+        F.when(~F.coalesce(F.expr(cond), F.lit(False)), F.lit(name))
+        for name, cond in sorted(rules.items())
+    ]
+    return df.withColumn("_violations", F.array_compact(F.array(*marks)))
+
+
+def quarantine(df: DataFrame, rules: dict):
+    """Split a batch on its data contract → ``(clean, quarantined)``:
+    clean rows drop the marker column, quarantined rows carry
+    ``_violations`` for the dead-letter sink — the enforcement
+    counterpart of ``check_constraints`` (which only reports) and
+    ``transforms.rescue_columns`` (which handles SCHEMA drift; this
+    handles VALUE drift).  One shared map pass; write the clean side
+    to the lake and the quarantined side to a review location."""
+    ann = annotate_violations(df, rules)
+    clean = ann.filter(F.size("_violations") == 0).drop("_violations")
+    bad = ann.filter(F.size("_violations") > 0)
+    return clean, bad

@@ -5623,6 +5623,48 @@ def entity_clusters_q(spark, sf_dir):
 
 
 @query(
+    "quarantine_orders",
+    """
+    WITH ann AS (
+      SELECT o_orderkey,
+             list_filter([
+               CASE WHEN NOT COALESCE(o_orderdate < DATE '1998-06-01', FALSE)
+                    THEN 'date_cutoff' END,
+               CASE WHEN NOT COALESCE(o_orderstatus IN ('F', 'O'), FALSE)
+                    THEN 'known_status' END,
+               CASE WHEN NOT COALESCE(o_totalprice <= 300000, FALSE)
+                    THEN 'price_cap' END
+             ], x -> x IS NOT NULL) AS v
+      FROM orders
+    )
+    SELECT o_orderkey, array_to_string(v, ',') AS violations,
+           CAST(len(v) AS INTEGER) AS n_violations
+    FROM ann WHERE len(v) > 0
+    """,
+)
+def quarantine_q(spark, sf_dir):
+    """Data-contract quarantine (operators.quality.quarantine): the
+    dead-letter side of a three-rule order contract — rows failing
+    any rule carry the sorted violation names (NULL evaluations
+    quarantine, never slip).  Map-only CASE chain; the enforcement
+    counterpart of the reporting-only check_constraints gate."""
+    from .operators.quality import quarantine
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = {
+        "date_cutoff": "o_orderdate < DATE '1998-06-01'",
+        "known_status": "o_orderstatus IN ('F', 'O')",
+        "price_cap": "o_totalprice <= 300000",
+    }
+    _clean, bad = quarantine(o, rules)
+    return bad.select(
+        "o_orderkey",
+        F.array_join("_violations", ",").alias("violations"),
+        F.size("_violations").alias("n_violations"),
+    )
+
+
+@query(
     "incremental_components_parts",
     """
     WITH RECURSIVE pairs AS (
@@ -7990,6 +8032,7 @@ _PRIORITY = [
     "sketch_quantiles_totalprice",
     "pca_top_component_embeddings",
     "incremental_components_parts",
+    "quarantine_orders",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

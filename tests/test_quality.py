@@ -98,3 +98,38 @@ def test_psi_drift_identical_and_shifted(spark):
 
     with pytest.raises(ValueError):
         psi_drift(df, "s", "v", "base", [])
+
+
+def test_quarantine_splits_and_null_fails(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.quality import (
+        quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, None, "B"), (4, 99.0, None)],
+        "id long, amount double, grade string",
+    )
+    clean, bad = quarantine(
+        df,
+        {"pos_amount": "amount > 0", "known_grade": "grade IN ('A', 'B')"},
+    )
+    assert [r["id"] for r in clean.orderBy("id").collect()] == [1]
+    assert "_violations" not in clean.columns
+    got = {r["id"]: list(r["_violations"]) for r in bad.collect()}
+    # NULL amount and NULL grade are VIOLATIONS, not passes
+    assert got == {
+        2: ["pos_amount"],
+        3: ["pos_amount"],
+        4: ["known_grade"],
+    }
+
+
+def test_quarantine_rejects_empty_rules(spark):
+    import pytest
+    from aws_glue_jobs_incremental_database_etl_spark.operators.quality import (
+        quarantine,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        quarantine(df, {})
