@@ -389,3 +389,45 @@ def streaming_histogram_quantiles(
         .start()
     )
     q.awaitTermination()
+
+
+def exactly_once_batch_writer(out_dir: str):
+    """Batch-id-keyed idempotent writer — the foreachBatch half of an
+    EXACTLY-ONCE streaming file sink (upgrade over the at-least-once
+    appends elsewhere in this module): each micro-batch lands in its
+    own ``batch-<id>`` directory via write-to-staging + one atomic
+    rename, and a REPLAYED batch (failure after write, before the
+    checkpoint commit) sees the final directory and skips.  Correct
+    because Structured Streaming guarantees a replayed batch id
+    carries identical data — so skip ≡ dedup.  Same manifest-rename
+    commit point as ``txn.StagedCommit``, scoped per batch."""
+    import os
+    import shutil
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        final = os.path.join(out_dir, f"batch-{batch_id}")
+        if os.path.exists(final):
+            return  # replay of a committed batch: exactly-once skip
+        tmp = os.path.join(out_dir, f".staging-{batch_id}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # half-written crash leftovers
+        batch.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)  # the commit point
+
+    return _write
+
+
+def exactly_once_append(
+    spark, stream_df: DataFrame, out_dir: str, checkpoint: str
+) -> None:
+    """Drain a stream into ``out_dir`` with exactly-once file-sink
+    semantics (availableNow trigger); read the result back with
+    ``spark.read.parquet(f"{out_dir}/batch-*")``."""
+    q = (
+        stream_df.writeStream.foreachBatch(exactly_once_batch_writer(out_dir))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -561,3 +561,34 @@ def test_streaming_histogram_equals_batch_sketch(spark, tmp_path):
     qb = {r["prob"]: r["quantile"] for r in
           sketch_quantiles(whole, [0.5], 0.0, 100.0, 20).collect()}
     assert qa == qb and abs(qa[0.5] - 48.5) < 5.0
+
+
+def test_exactly_once_append_survives_batch_replay(spark, tmp_path):
+    """The batch-id-keyed sink must (a) land every batch once, (b) skip
+    a REPLAYED batch id entirely (the crash-between-write-and-commit
+    window that makes plain appends at-least-once), and (c) recover a
+    half-written staging dir."""
+    import os
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        exactly_once_append,
+        exactly_once_batch_writer,
+    )
+
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    df.write.parquet(src)
+
+    stream = incremental_file_stream(spark, src, df.schema)
+    exactly_once_append(spark, stream, out, ckpt)
+    assert spark.read.parquet(f"{out}/batch-*").count() == 50
+
+    writer = exactly_once_batch_writer(out)
+    # replay batch 0 with the same data: must be a no-op
+    writer(df, 0)
+    assert spark.read.parquet(f"{out}/batch-*").count() == 50
+    # crash leftover: half-written staging for a NEW batch id
+    os.makedirs(f"{out}/.staging-7")
+    writer(spark.createDataFrame([(99,), (100,)], "v long"), 7)
+    assert spark.read.parquet(f"{out}/batch-*").count() == 52
+    assert not os.path.exists(f"{out}/.staging-7")
