@@ -524,6 +524,10 @@ def top_principal_component(
             cells.join(v, "j")
             .groupBy("i")
             .agg(F.sum(F.col("val") * F.col("v")).alias("w"))
+            # the normalizer and the next vector BOTH read w — without a
+            # checkpoint the matvec subplan doubles per reference and
+            # the plan grows 2^iterations (64 rows: materializing is free)
+            .localCheckpoint(eager=True)
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nv"))
         v = w.crossJoin(F.broadcast(norm)).select(

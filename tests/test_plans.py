@@ -403,3 +403,52 @@ def test_image_ahash_is_arrow_map_pass(plans):
     p = plans("image_ahash_groups")
     assert "ArrowEvalPython" in p or "MapInPandas" in p, p
     assert "BatchEvalPython" not in p
+
+
+def test_fourth_wave_no_bnlj_no_global_sort(plans):
+    """BFS / k-core / entity clusters / incremental components /
+    quarantine: equi-joins and bounded aggregates only — no nested
+    loops, no single-partition exchange anywhere."""
+    for q in (
+        "bfs_distance_from_nation0",
+        "kcore_parts_cooccurrence",
+        "entity_clusters_parts",
+        "incremental_components_parts",
+        "quarantine_orders",
+    ):
+        p = plans(q)
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "CartesianProduct" not in p, q
+        assert "Exchange SinglePartition" not in p, q
+
+
+def test_pca_bounded_shapes_only(plans):
+    """PCA's only nested-loop joins are the per-iteration 1-row
+    normalizer broadcasts (exactly `iterations` of them, Cross +
+    BuildRight against the 64-row vector); the covariance build and
+    every matvec are hash/sort-merge equi-joins.  The SinglePartition
+    exchanges are the 1-row norm reductions — bounded by construction,
+    and exactly one per iteration."""
+    p = plans("pca_top_component_embeddings")
+    assert "CartesianProduct" not in p
+    # per-iteration w is checkpointed, so only the FINAL iteration's
+    # normalizer cross-join + 1-row reduction survive in the plan —
+    # the 2^iterations lineage blowup this pin guards against would
+    # show up as multiple BNLJ/SinglePartition copies
+    assert p.count("BroadcastNestedLoopJoin BuildRight, Cross") == 1
+    assert p.count("BroadcastNestedLoopJoin") == 1  # no other BNLJ shape
+    assert p.count("Exchange SinglePartition") == 1
+
+
+def test_sketch_quantiles_build_is_partial_agg(plans):
+    """The sketch build must be a partial-aggregated group-by over
+    <= bins keys; the cumulative walk's single-partition window is BY
+    DESIGN over <= bins rows (the sketch, never the fact table), so
+    the fact table itself must contribute no sort and no BNLJ."""
+    p = plans("sketch_quantiles_totalprice")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+    # the containment join targets the <= bins-row cumulative table;
+    # a range condition over it may nested-loop — that is bounded.
+    # The FACT scan must feed only the hash aggregate:
+    assert p.count("Scan parquet") <= 2  # sketch build + total (reused scan)
