@@ -5623,6 +5623,73 @@ def entity_clusters_q(spark, sf_dir):
 
 
 @query(
+    "datasheet_by_source",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fp
+      FROM documents
+    ), f AS (
+      SELECT source, fp, COUNT(*) AS c FROM t GROUP BY source, fp
+    ), dup AS (
+      SELECT source, SUM(c - 1) AS n_dup FROM f GROUP BY source
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(ANY_VALUE(dup.n_dup) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS exact_dup_ratio
+    FROM t JOIN dup ON dup.source = t.source
+    GROUP BY t.source
+    """,
+)
+def datasheet_q(spark, sf_dir):
+    """Per-source dataset card (the datasheet rollup a curation run
+    publishes next to its output): document/token volumes, language
+    spread, and the exact-duplicate ratio from the md5 normalized-text
+    fingerprint (functions.text.text_fingerprint) — duplicates counted
+    as occurrences beyond each fingerprint's first.  Two
+    partial-aggregated passes (fingerprint groups, then the source
+    rollup); every signal map-only before its aggregate."""
+    from .functions.text import text_fingerprint, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        text_fingerprint(F.col("text")).alias("fp"),
+    )
+    dup = (
+        t.groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).alias("n_dup"))
+    )
+    return (
+        t.join(dup, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias(
+                "avg_tokens"
+            ),
+            F.count_distinct(F.col("lang")).cast("bigint").alias("n_langs"),
+            F.round(
+                F.any_value("n_dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("exact_dup_ratio"),
+        )
+    )
+
+
+@query(
     "quarantine_orders",
     """
     WITH ann AS (
@@ -8033,6 +8100,7 @@ _PRIORITY = [
     "pca_top_component_embeddings",
     "incremental_components_parts",
     "quarantine_orders",
+    "datasheet_by_source",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",
