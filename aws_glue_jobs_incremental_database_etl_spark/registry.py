@@ -5622,6 +5622,65 @@ def entity_clusters_q(spark, sf_dir):
     )
 
 
+def _resize_oracle() -> str:
+    """SQL twin of the real nearest-neighbor PPM resize: the gate
+    media is an 8×8 raster of repeat(md5(text),6) hex chars, so the
+    resized 4×4 channel sums are sums of ascii codes at the EXACT
+    byte offsets the kernel's ``src = dst·in div out`` mapping
+    selects — integer arithmetic end to end."""
+    bases = [3 * (16 * y + 2 * x) for y in range(4) for x in range(4)]
+    sums = {
+        ch: " + ".join(
+            f"ascii(substr(m, {b + ch + 1}, 1))" for b in bases
+        )
+        for ch in range(3)
+    }
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, repeat(md5(text), 6) AS m
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    )
+    SELECT media_id,
+           CAST({sums[0]} AS BIGINT) AS r_sum,
+           CAST({sums[1]} AS BIGINT) AS g_sum,
+           CAST({sums[2]} AS BIGINT) AS b_sum,
+           CAST(16 AS BIGINT) AS n_pixels
+    FROM base
+    """
+
+
+@query("resize_image_checksums", None)  # oracle attached below (generated)
+def resize_q(spark, sf_dir):
+    """Multimodal resize (operators.multimodal.resize_image): REAL
+    nearest-neighbor resampling of real PPM pixels (8×8 → 4×4), then
+    exact integer channel sums of the resized raster
+    (ppm_channel_sums) — decode, resize, re-encode, and re-decode all
+    exercised, and the whole chain hash-checked against byte-offset
+    SQL.  Gate media: an 8×8 raster of repeat(md5(text), 6) hex
+    characters — ASCII-only, so char offsets ≡ byte offsets in both
+    engines."""
+    from .operators.multimodal import ppm_channel_sums, resize_image
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("P6\n8 8\n255\n"),
+                F.substring(F.repeat(F.md5("text"), 6), 1, 192),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    resized = resize_image(media, out_w=4, out_h=4)
+    return ppm_channel_sums(resized)
+
+
+O["resize_image_checksums"] = _resize_oracle()
+
+
 @query(
     "datasheet_by_source",
     r"""
@@ -8101,6 +8160,7 @@ _PRIORITY = [
     "incremental_components_parts",
     "quarantine_orders",
     "datasheet_by_source",
+    "resize_image_checksums",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

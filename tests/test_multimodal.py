@@ -236,3 +236,52 @@ def test_image_ahash_rejects_bad_args(spark):
         image_average_hash(media, decoder="png")
     with pytest.raises(ValueError):
         image_average_hash(media, dim=64)
+
+
+def test_resize_image_exact_pixels(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        decode_ppm,
+        resize_image,
+    )
+
+    # 4x2 image with distinct pixels; resize to 2x1 picks columns 0,2
+    # of row 0 under the floor mapping src = dst*in//out.
+    pix = list(range(4 * 2 * 3))
+    df = spark.createDataFrame(
+        [(1, _ppm_bytes(4, 2, pix)), (2, b"junk")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_image(df, 2, 1).collect()}
+    assert out[1]["decode_ok"] and out[1]["width"] == 2 and out[1]["height"] == 1
+    w, h, raster = decode_ppm(bytes(out[1]["payload"]))
+    assert (w, h) == (2, 1)
+    assert list(raster) == pix[0:3] + pix[6:9]  # pixels (0,0) and (0,2)
+    assert not out[2]["decode_ok"] and bytes(out[2]["payload"]) == b""
+
+
+def test_resize_upscale_repeats_pixels(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        decode_ppm,
+        resize_image,
+    )
+
+    # 1x1 red pixel upscaled to 2x2 = four red pixels
+    df = spark.createDataFrame(
+        [(1, _ppm_bytes(1, 1, [200, 10, 30]))], "media_id long, payload binary"
+    )
+    row = resize_image(df, 2, 2).collect()[0]
+    _, _, raster = decode_ppm(bytes(row["payload"]))
+    assert list(raster) == [200, 10, 30] * 4
+
+
+def test_resize_rejects_bad_args(spark):
+    import pytest
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        resize_image(df, 2, 2, decoder="real")
+    with pytest.raises(ValueError):
+        resize_image(df, 0, 2)
