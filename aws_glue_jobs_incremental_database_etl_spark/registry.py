@@ -7673,7 +7673,8 @@ def span_dedup_q(spark, sf_dir):
       SELECT u, v FROM raw UNION SELECT v, u FROM raw
     ), d0 AS (
       SELECT DISTINCT CAST(s_suppkey AS BIGINT) + 10000000 AS id, 0 AS dist
-      FROM supplier WHERE s_nationkey = 0
+      FROM supplier
+      WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
     ), d1 AS (
       SELECT id, MIN(dist) AS dist FROM (
         SELECT e.u AS id, d.dist + 1 AS dist FROM e JOIN d0 d ON d.id = e.v
@@ -7690,7 +7691,7 @@ def span_dedup_q(spark, sf_dir):
 )
 def bfs_q(spark, sf_dir):
     """Multi-source BFS hop distance (operators.components.
-    bfs_distances) from the nation-0 supplier seed set over the
+    bfs_distances) from the min-nation supplier seed set over the
     part–supplier shipment graph, 2 hops — the graph-proximity
     quality signal (dist 0 = trusted seeds, 1 = their parts, 2 =
     co-suppliers).  Frontier-free min-relaxation has an exact
@@ -7703,7 +7704,8 @@ def bfs_q(spark, sf_dir):
         F.col("l_partkey").cast("bigint").alias("u"),
         (F.col("l_suppkey").cast("bigint") + 10000000).alias("v"),
     )
-    seeds = sup.filter(F.col("s_nationkey") == 0).select(
+    min_nation = sup.agg(F.min("s_nationkey")).first()[0]
+    seeds = sup.filter(F.col("s_nationkey") == min_nation).select(
         (F.col("s_suppkey").cast("bigint") + 10000000).alias("id")
     )
     return bfs_distances(edges, seeds, max_hops=2)
@@ -7785,7 +7787,8 @@ def _trustrank_oracle(rounds: int = 3) -> str:
       SELECT DISTINCT u AS id FROM e
     ), seeds AS (
       SELECT DISTINCT CAST(s_suppkey AS BIGINT) + 10000000 AS id
-      FROM supplier WHERE s_nationkey = 0
+      FROM supplier
+      WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
     ), sg AS (
       SELECT seeds.id FROM seeds JOIN nodes USING (id)
     ), ns AS (
@@ -7822,7 +7825,7 @@ def _trustrank_oracle(rounds: int = 3) -> str:
 @query("trustrank_part_supplier", None)  # oracle attached below (generated)
 def trustrank_q(spark, sf_dir):
     """TrustRank (Gyöngyi et al. VLDB'04): personalized PageRank with
-    the teleport vector uniform over the nation-0 supplier seed set,
+    the teleport vector uniform over the min-nation supplier seed set,
     3 iterations, d=0.85, over the SYMMETRIZED part–supplier graph
     (so trust flows seeds → parts → other suppliers).  Rank =
     random-walk proximity to vetted seeds — the propagation half of
@@ -7841,7 +7844,10 @@ def trustrank_q(spark, sf_dir):
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     )
-    seeds = sup.filter(F.col("s_nationkey") == 0).select(
+    # min-nation seeds, not a literal nation: tiny scale factors may
+    # not sample nation 0 at all, and an empty seed set is an error
+    min_nation = sup.agg(F.min("s_nationkey")).first()[0]
+    seeds = sup.filter(F.col("s_nationkey") == min_nation).select(
         (F.col("s_suppkey").cast("bigint") + 10000000).alias("id")
     )
     out = pagerank(edges, iterations=3, teleport=seeds)
