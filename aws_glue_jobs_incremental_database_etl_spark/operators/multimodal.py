@@ -515,3 +515,159 @@ def ppm_channel_sums(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=out_schema
     )
+
+
+def encode_wav(rate: int, samples: list, channels: int = 1) -> bytes:
+    """Encode 16-bit PCM mono WAV bytes — the stdlib inverse of
+    ``decode_wav`` (struct only)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_audio(
+    df: DataFrame, out_rate: int, decoder: str = "wav"
+) -> DataFrame:
+    """REAL audio resample (nearest-neighbor sample pick) over 16-bit
+    PCM WAV payloads → ``(media_id, rate, payload, decode_ok)`` with
+    payload re-encoded at ``out_rate`` — the normalization step before
+    any audio featurization (ASR pipelines standardize to 16 kHz the
+    same way; production uses windowed-sinc, this is the exact-
+    arithmetic baseline).
+
+    Output sample ``i`` picks input sample ``i·in_rate div out_rate``
+    (``n_out = n·out_rate div in_rate``) — pure integer arithmetic
+    over real decoded samples, so the gate query's SQL oracle replays
+    it exactly.  ``decoder='real'`` remains the ffmpeg/soundfile
+    integration point.  Arrow-batched mapInPandas, map-only.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "compressed-format resampling requires an audio library "
+            "(soundfile/ffmpeg) not present in this environment; "
+            "decoder='wav' resamples real 16-bit PCM samples"
+        )
+    if decoder != "wav":
+        raise ValueError(f"unknown decoder: {decoder}")
+    if out_rate < 1:
+        raise ValueError("out_rate must be >= 1")
+
+    def one(payload: bytes) -> tuple[int, bytes, bool]:
+        try:
+            rate, samples = decode_wav(payload)
+        except (ValueError, IndexError, KeyError):
+            return 0, b"", False
+        if rate == out_rate:
+            resampled = samples
+        else:
+            n_out = len(samples) * out_rate // rate
+            resampled = [
+                samples[i * rate // out_rate] for i in range(n_out)
+            ]
+        return out_rate, encode_wav(out_rate, resampled), True
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("rate", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rs = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "rate": [r for r, _, _ in rs],
+                    "payload": [p for _, p, _ in rs],
+                    "decode_ok": [ok for _, _, ok in rs],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def wav_sample_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact WAV verification signal → ``(media_id, rate,
+    n_samples, sample_sum)``: sums of actual decoded int16 samples,
+    no floats — the audio twin of ``ppm_channel_sums``."""
+
+    def one(payload: bytes):
+        try:
+            rate, samples = decode_wav(payload)
+        except (ValueError, IndexError, KeyError):
+            return 0, 0, 0
+        return rate, len(samples), sum(samples)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rs = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "rate": [r for r, _, _ in rs],
+                    "n_samples": [n for _, n, _ in rs],
+                    "sample_sum": [s for _, _, s in rs],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def text_to_wav_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic gate-media builder: a mono 8 kHz WAV whose 96
+    samples are the little-endian char pairs of repeat(md5(text), 6)
+    — ASCII-only, so the oracle can recompute every sample as
+    ``ascii(c_lo) + 256·ascii(c_hi)`` without parsing RIFF."""
+    import hashlib
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                m = (hashlib.md5(t.encode()).hexdigest() * 6).encode()
+                samples = struct.unpack(f"<{len(m) // 2}h", m)
+                payloads.append(encode_wav(8000, list(samples)))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=out_schema
+    )

@@ -5681,6 +5681,54 @@ def resize_q(spark, sf_dir):
 O["resize_image_checksums"] = _resize_oracle()
 
 
+def _resample_oracle() -> str:
+    """SQL twin of the WAV resample chain: the gate media's 96
+    samples are little-endian char pairs of repeat(md5(text),6), and
+    8 kHz → 4 kHz nearest-neighbor keeps samples 2i — so the resampled
+    sum is Σ ascii-pair arithmetic at the mapped offsets."""
+    terms = " + ".join(
+        f"(ascii(substr(m, {4 * i + 1}, 1))"
+        f" + 256 * ascii(substr(m, {4 * i + 2}, 1)))"
+        for i in range(48)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, repeat(md5(text), 6) AS m
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    )
+    SELECT media_id, 4000 AS rate, CAST(48 AS BIGINT) AS n_samples,
+           CAST({terms} AS BIGINT) AS sample_sum
+    FROM base
+    """
+
+
+@query("resample_audio_checksums", None)  # oracle attached below
+def resample_audio_q(spark, sf_dir):
+    """Audio resample (operators.multimodal.resample_audio): REAL
+    16-bit PCM WAV decoded, nearest-neighbor resampled 8 kHz → 4 kHz,
+    re-encoded, re-decoded, and verified by integer-exact sample sums
+    (wav_sample_stats) — the audio twin of resize_image_checksums,
+    hash-checked against ascii-pair SQL arithmetic (the gate media's
+    samples are md5-hex char pairs, so no RIFF parsing in the
+    oracle)."""
+    from .operators.multimodal import (
+        resample_audio,
+        text_to_wav_media,
+        wav_sample_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = text_to_wav_media(
+        d.filter(F.col("text").isNotNull() & (F.length("text") > 0)),
+        "doc_id",
+        "text",
+    )
+    return wav_sample_stats(resample_audio(media, out_rate=4000))
+
+
+O["resample_audio_checksums"] = _resample_oracle()
+
+
 @query(
     "datasheet_by_source",
     r"""
@@ -8167,6 +8215,7 @@ _PRIORITY = [
     "quarantine_orders",
     "datasheet_by_source",
     "resize_image_checksums",
+    "resample_audio_checksums",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

@@ -285,3 +285,44 @@ def test_resize_rejects_bad_args(spark):
         resize_image(df, 2, 2, decoder="real")
     with pytest.raises(ValueError):
         resize_image(df, 0, 2)
+
+
+def test_resample_audio_exact_samples(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        decode_wav,
+        resample_audio,
+    )
+
+    # 8 samples at 8000 Hz → 4000 Hz keeps samples 0,2,4,6
+    samples = [100, -200, 300, -400, 500, -600, 700, -800]
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(samples, rate=8000)), (2, b"noise")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resample_audio(df, 4000).collect()}
+    assert out[1]["decode_ok"] and out[1]["rate"] == 4000
+    rate, got = decode_wav(bytes(out[1]["payload"]))
+    assert rate == 4000 and got == [100, 300, 500, 700]
+    assert not out[2]["decode_ok"]
+
+
+def test_resample_audio_upsample_and_identity(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        decode_wav,
+        resample_audio,
+    )
+
+    samples = [10, 20]
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(samples, rate=4000))], "media_id long, payload binary"
+    )
+    # upsample 4000 → 8000: each sample repeats (nearest-neighbor)
+    _, up = decode_wav(
+        bytes(resample_audio(df, 8000).collect()[0]["payload"])
+    )
+    assert up == [10, 10, 20, 20]
+    # identity rate: samples pass through untouched
+    _, same = decode_wav(
+        bytes(resample_audio(df, 4000).collect()[0]["payload"])
+    )
+    assert same == samples
