@@ -5730,6 +5730,65 @@ O["resample_audio_checksums"] = _resample_oracle()
 
 
 @query(
+    "skipgram_pairs_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents WHERE COALESCE(trim(text), '') <> ''
+    ), tok AS (
+      SELECT doc_id, w[i] AS word, i AS p
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks)
+    ), ctx AS (
+      SELECT t.doc_id, t.word AS center, t.p + o AS cp
+      FROM tok t, unnest([-2, -1, 1, 2]) AS u(o)
+    ), pairs AS (
+      SELECT c.center, t2.word AS context
+      FROM ctx c JOIN tok t2 ON t2.doc_id = c.doc_id AND t2.p = c.cp
+    )
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY center, context
+    ORDER BY n DESC, center ASC, context ASC LIMIT 30
+    """,
+)
+def skipgram_q(spark, sf_dir):
+    """Skip-gram (center, context) pair extraction, window ±2 — the
+    training-pair generator of word2vec-family embedding training
+    (Mikolov et al. 2013), top-30 by frequency.  Offsets are a
+    4-element literal explode so the context lookup is a pure
+    (doc, position) EQUI-join — never a range join or per-doc window;
+    one pair-keyed aggregate + TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(
+        F.coalesce(F.trim("text"), F.lit("")) != ""
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("p", "word"),
+    )
+    ctx = toks.select(
+        "doc_id",
+        F.col("word").alias("center"),
+        "p",
+        F.explode(F.array(*[F.lit(o) for o in (-2, -1, 1, 2)])).alias("o"),
+    ).select(
+        "doc_id", "center", (F.col("p") + F.col("o")).alias("cp")
+    )
+    t2 = toks.select(
+        "doc_id", F.col("p").alias("cp"), F.col("word").alias("context")
+    )
+    return (
+        ctx.join(t2, ["doc_id", "cp"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(
+            F.col("n").desc(), F.col("center").asc(), F.col("context").asc()
+        )
+        .limit(30)
+    )
+
+
+@query(
     "datasheet_by_source",
     r"""
     WITH t AS (
@@ -8216,6 +8275,7 @@ _PRIORITY = [
     "datasheet_by_source",
     "resize_image_checksums",
     "resample_audio_checksums",
+    "skipgram_pairs_docs",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",
