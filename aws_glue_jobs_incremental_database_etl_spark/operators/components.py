@@ -331,18 +331,24 @@ def local_clustering(
     because both join sides read it.  Node ids may be any orderable
     type (the (degree, id) tie-break must be total).
     """
+    # materialize the canonical edge list and the degree table once:
+    # deg is read three times (both orientation sides + the output
+    # join) and e twice — uncheckpointed, each reference would replay
+    # the caller's edge construction (often itself a self-join)
     e = (
         edges.filter(F.col(src) != F.col(dst))
         .select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
     # orient a→b iff (deg[a], a) < (deg[b], b)
     da, db = deg.alias("da"), deg.alias("db")
