@@ -560,3 +560,102 @@ def sketch_quantiles(
         ).alias("quantile"),
         "n_rows",
     )
+
+
+def grouped_histogram_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Per-group histogram sketch → ``(group, bin, cnt)`` — the keyed
+    variant of :func:`histogram_sketch`: one partial-aggregated
+    group-by over ``groups × bins`` keys, counts still merge by
+    cell-wise sum, so per-key streaming percentile maintenance costs
+    ≤ ``groups·bins`` rows of state."""
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    clamped = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("group"), clamped.alias("bin"))
+        .groupBy("group", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def grouped_sketch_quantiles(
+    sketch: DataFrame,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Per-group quantiles from a grouped sketch → ``(group, prob,
+    quantile, n_rows)``: the cumulative walk runs under a window
+    PARTITIONED on group (≤ ``bins`` rows per partition — bounded by
+    construction), then the same exact-integer interpolation as
+    :func:`sketch_quantiles`."""
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    for p in probs:
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"probs must be in (0,1), got {p}")
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = (
+        Window.partitionBy("group")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sketch.select(
+        "group",
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    tot = sketch.groupBy("group").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows")
+    )
+    targets = (
+        tot.select(
+            "group",
+            "n_rows",
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in probs])
+            ).alias("prob"),
+        )
+        .withColumn("target", F.col("prob") * F.col("n_rows"))
+    )
+    hit = targets.join(
+        cum,
+        (targets.group == cum.group)
+        & (F.col("cum_before") < F.col("target"))
+        & (F.col("cum_before") + F.col("cnt") >= F.col("target")),
+    ).select(
+        targets.group.alias("group"),
+        "prob",
+        "n_rows",
+        "target",
+        "bin",
+        "cnt",
+        "cum_before",
+    )
+    q = (
+        F.lit(lo)
+        + (
+            F.col("bin")
+            + (F.col("target") - F.col("cum_before")) / F.col("cnt")
+        )
+        * F.lit(width)
+    )
+    return hit.select(
+        "group", "prob", F.round(q, 6).alias("quantile"), "n_rows"
+    )

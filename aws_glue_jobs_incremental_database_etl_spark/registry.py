@@ -5730,6 +5730,60 @@ O["resample_audio_checksums"] = _resample_oracle()
 
 
 @query(
+    "grouped_sketch_quantiles_events",
+    """
+    WITH s AS (
+      SELECT event_type AS "group",
+             LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 12.5) AS INT),
+                            0), 31) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), c AS (
+      SELECT "group", bin, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY "group" ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM s
+    ), t AS (
+      SELECT "group", CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM s GROUP BY "group"
+    ), tg AS (
+      SELECT "group", n_rows, prob, prob * n_rows AS target
+      FROM t CROSS JOIN
+           (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS prob)
+    )
+    SELECT tg."group", tg.prob,
+           ROUND(0.0 + (c.bin + (tg.target - c.cum_before) / c.cnt)
+                 * 12.5, 6) AS quantile,
+           tg.n_rows
+    FROM tg JOIN c
+      ON c."group" = tg."group"
+     AND c.cum_before < tg.target AND c.cum_before + c.cnt >= tg.target
+    """,
+)
+def grouped_sketch_q(spark, sf_dir):
+    """Per-key mergeable percentiles (operators.profile.
+    grouped_histogram_sketch + grouped_sketch_quantiles): p50/p95 of
+    event value per event type from 32-bin fixed-grid sketches whose
+    counts sum across batches — ≤ groups·bins rows of state, the
+    per-key streaming-percentile answer.  The cumulative walk windows
+    over ≤ bins rows PER GROUP PARTITION — no single-partition
+    exchange anywhere (unlike the global sketch's bounded one)."""
+    from .operators.profile import (
+        grouped_histogram_sketch,
+        grouped_sketch_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sk = grouped_histogram_sketch(
+        e, "event_type", "value", lo=0.0, hi=400.0, bins=32
+    )
+    return grouped_sketch_quantiles(
+        sk, [0.5, 0.95], lo=0.0, hi=400.0, bins=32
+    )
+
+
+@query(
     "skipgram_pairs_docs",
     r"""
     WITH toks AS (
@@ -8276,6 +8330,7 @@ _PRIORITY = [
     "resize_image_checksums",
     "resample_audio_checksums",
     "skipgram_pairs_docs",
+    "grouped_sketch_quantiles_events",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

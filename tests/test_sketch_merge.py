@@ -159,3 +159,45 @@ def test_sketch_clamps_out_of_range_and_rejects_bad_args(spark):
         histogram_sketch(df, "v", 5.0, 5.0, 10)
     with pytest.raises(ValueError):
         sketch_quantiles(df, [1.5], 0.0, 10.0, 10)
+
+
+def test_grouped_sketch_merge_and_quantiles(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        grouped_histogram_sketch,
+        grouped_sketch_quantiles,
+        sketch_merge,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = grouped_histogram_sketch(e, "event_type", "value", 0.0, 400.0, 32)
+    # grouped sketches merge exactly like global ones: (group, bin)
+    # cells sum — reuse sketch_merge by treating (group, bin) as key
+    slices = [
+        grouped_histogram_sketch(
+            e.filter(F.col("event_id") % 2 == i),
+            "event_type", "value", 0.0, 400.0, 32,
+        )
+        for i in range(2)
+    ]
+    merged = (
+        slices[0].unionByName(slices[1])
+        .groupBy("group", "bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert {tuple(r) for r in whole.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+    qs = grouped_sketch_quantiles(whole, [0.5], 0.0, 400.0, 32).collect()
+    groups = {r["group"] for r in qs}
+    assert len(groups) == 5 and all(0.0 <= r["quantile"] <= 400.0 for r in qs)
+
+
+def test_grouped_sketch_no_single_partition_exchange(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark import registry
+    from tests.test_plans import plan_of
+
+    p = plan_of(
+        registry.Q["grouped_sketch_quantiles_events"](spark, sf_dir)
+    )
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastNestedLoopJoin" not in p
