@@ -5730,6 +5730,110 @@ O["resample_audio_checksums"] = _resample_oracle()
 
 
 @query(
+    "rrf_fusion_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\s+')
+             END AS w,
+             text
+      FROM documents
+    ), b2 AS (
+      SELECT doc_id, len(w) AS n_tokens, w, text FROM base
+    ), g AS (
+      SELECT COUNT(*) AS n_docs, AVG(n_tokens) AS avg_len FROM b2
+    ), tf AS (
+      SELECT doc_id, n_tokens, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, n_tokens, unnest(w) AS term FROM b2)
+      WHERE term IN ('spark', 'stream', 'window')
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), sc AS (
+      SELECT tf.doc_id AS id, ROUND(SUM(
+               LN(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.n_tokens / g.avg_len))
+             ), 6) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN g GROUP BY 1
+    ), qual AS (
+      SELECT doc_id AS id, ROUND(
+        0.5 * LEAST(n_tokens / 100.0, 1.0)
+        + 0.3 * (1.0 - CASE WHEN length(text) > 0
+            THEN (length(text) - length(regexp_replace(text,
+                   '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END)
+        + 0.2 * LEAST(4 * CASE WHEN n_tokens > 0
+            THEN len(list_filter(list_transform(w, x -> lower(x)),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+                 / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END, 1.0), 6) AS q
+      FROM b2
+    ), r1 AS (
+      SELECT id, r1 FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r1
+        FROM sc
+      ) WHERE r1 <= 100
+    ), r2 AS (
+      SELECT id, r2 FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY q DESC, id ASC) AS r2
+        FROM qual
+      ) WHERE r2 <= 100
+    ), fused AS (
+      SELECT COALESCE(r1.id, r2.id) AS id, r1.r1, r2.r2,
+             ROUND(COALESCE(1.0 / (60 + r1.r1), 0.0)
+                   + COALESCE(1.0 / (60 + r2.r2), 0.0), 6) AS rrf
+      FROM r1 FULL JOIN r2 ON r1.id = r2.id
+    )
+    SELECT id, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2, rrf
+    FROM fused ORDER BY rrf DESC, id ASC LIMIT 20
+    """,
+)
+def rrf_q(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09, k=60) of two
+    retrievers over the corpus: BM25 relevance to {spark, stream,
+    window} and the heuristic quality score — the standard hybrid-
+    retrieval combiner (lexical ⊕ quality here; lexical ⊕ dense in a
+    vector stack).  Scale shape: each retriever contributes only its
+    top-100 via TakeOrderedAndProject, so ranking windows run over
+    ≤ 100 candidate rows, never the corpus; scores are rounded to 6
+    BEFORE ranking so tie order is engine-exact."""
+    from .functions.text import quality_score
+    from .operators.text import bm25_score
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = bm25_score(d, ["spark", "stream", "window"]).select(
+        "id", F.round("score", 6).alias("s")
+    )
+    qual = d.select(
+        F.col("doc_id").alias("id"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+
+    def topk_ranked(df, key, rank_name):
+        top = df.orderBy(F.col(key).desc(), F.col("id").asc()).limit(100)
+        w = Window.orderBy(F.col(key).desc(), F.col("id").asc())
+        return top.withColumn(rank_name, F.row_number().over(w)).select(
+            "id", rank_name
+        )
+
+    r1 = topk_ranked(sc, "s", "r1")
+    r2 = topk_ranked(qual, "q", "r2")
+    fused = r1.join(r2, "id", "full").select(
+        "id",
+        F.col("r1").cast("bigint").alias("r1"),
+        F.col("r2").cast("bigint").alias("r2"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r2")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(20)
+
+
+@query(
     "grouped_sketch_quantiles_events",
     """
     WITH s AS (
@@ -8331,6 +8435,7 @@ _PRIORITY = [
     "resample_audio_checksums",
     "skipgram_pairs_docs",
     "grouped_sketch_quantiles_events",
+    "rrf_fusion_docs",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",
