@@ -5730,6 +5730,79 @@ O["resample_audio_checksums"] = _resample_oracle()
 
 
 @query(
+    "curation_pipeline_v2",
+    r"""
+    WITH clean AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE COALESCE(n_chars >= 100, FALSE)
+        AND COALESCE(trim(text), '') <> ''
+    ), base AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM clean
+    ), grams AS (
+      SELECT doc_id, i AS s,
+             array_to_string(list_slice(w, i, i + 4), ' ') AS g
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        FROM base WHERE len(w) >= 5
+      )
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+    ), cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM (
+        SELECT grams.doc_id, unnest(range(s, s + 5)) AS p
+        FROM grams JOIN dup USING (g)
+      )
+    ), removed AS (
+      SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(b.w)) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(r.n_removed, 0)) AS BIGINT) AS tokens_removed,
+           ROUND(SUM(COALESCE(r.n_removed, 0))
+                 / CAST(SUM(len(b.w)) AS DOUBLE), 6) AS removal_ratio
+    FROM base b LEFT JOIN removed r ON r.doc_id = b.doc_id
+    GROUP BY b.source
+    """,
+)
+def curation_v2_q(spark, sf_dir):
+    """Round-3 curation pipeline end to end: data-contract quarantine
+    (operators.quality.quarantine — short/empty docs dead-lettered,
+    NULL fails closed) → corpus-wide duplicated-span removal
+    (operators.text.remove_duplicate_spans, k=5) → per-source
+    datasheet rollup of surviving volume and removal ratios.  The
+    whole chain is one hash-checked query — the composed twin of the
+    round-1 flagship's filter→dedup→count pipeline, built from this
+    round's operators."""
+    from .operators.quality import quarantine
+    from .operators.text import remove_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    clean, _bad = quarantine(
+        d,
+        {
+            "min_length": "n_chars >= 100",
+            "nonempty_text": "COALESCE(trim(text), '') <> ''",
+        },
+    )
+    spans = remove_duplicate_spans(clean, k=5)
+    joined = spans.join(
+        clean.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_removed").cast("bigint").alias("tokens_removed"),
+        F.round(
+            F.sum("n_removed") / F.sum("n_tokens").cast("double"), 6
+        ).alias("removal_ratio"),
+    )
+
+
+@query(
     "rrf_fusion_docs",
     r"""
     WITH base AS (
@@ -8436,6 +8509,7 @@ _PRIORITY = [
     "skipgram_pairs_docs",
     "grouped_sketch_quantiles_events",
     "rrf_fusion_docs",
+    "curation_pipeline_v2",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",
