@@ -87,6 +87,18 @@ HEADLINE = [
     "cusum_daily_drift_events",
     "image_ahash_groups",
     "bfs_distance_from_nation0",
+    # round-3 fourth wave
+    "curation_pipeline_v2",
+    "rrf_fusion_docs",
+    "skipgram_pairs_docs",
+    "grouped_sketch_quantiles_events",
+    "sketch_quantiles_totalprice",
+    "datasheet_by_source",
+    "quarantine_orders",
+    "resize_image_checksums",
+    "resample_audio_checksums",
+    "pca_top_component_embeddings",
+    "attribution_last_touch",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
