@@ -1,0 +1,99 @@
+"""Registry-wide physical-plan audit: EVERY registered query's
+executed plan is checked for the three shapes that cannot survive a
+100× scale-up — CartesianProduct (never allowed), and
+Exchange SinglePartition / BroadcastNestedLoopJoin (allowed only for
+queries on the audited whitelists below, where the single partition
+or nested-loop side is BOUNDED BY CONSTRUCTION: a ≤1-row scalar
+aggregate, a literal-bounded table (bins / top-k candidates / bucket
+summaries), or an explicit broadcast cross join against a dimension).
+A new query drifting into these shapes fails here and must be either
+re-planned or explicitly audited onto the list."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_glue_jobs_incremental_database_etl_spark import registry
+from tests.test_plans import plan_of
+
+# Queries whose plan contains Exchange SinglePartition — every entry
+# is a ≤1-row reduction (global scalar state: totals, min/max, corpus
+# averages) or a literal-bounded table (≤bins sketch rows, ≤100
+# fusion candidates, per-bucket summaries, the 64-row PCA vector).
+SINGLE_PARTITION_OK = {
+    "agg_lineitem_stats",        # 1-row global aggregate result
+    "benford_digits_totalprice", # 1-row total for the share divide
+    "bloom_prefilter_docs",      # packed filter → 1-row broadcast map
+    "bm25_score_docs",           # corpus N/avg-len scalar state
+    "cms_token_counts_docs",     # packed sketch → 1-row broadcast map
+    "funnel_view_click_purchase",# 1-row funnel-stage counts
+    "interval_join_events_windows",  # literal-bounded window table
+    "outliers_totalprice",       # 1-row mean/stddev state
+    "pack_sequences_512",        # per-bucket summaries (corpus/10k)
+    "pca_top_component_embeddings",  # 1-row norm reduction
+    "profile_orders",            # 1-row wide profile before unpivot
+    "q11_part_value_share",      # 1-row global value total
+    "q14_promo_revenue",         # 1-row result
+    "q15_top_supplier",          # 1-row max-revenue scalar
+    "q17_small_quantity_revenue",# 1-row result
+    "q19_disjunctive_revenue",   # 1-row result
+    "q22_dormant_customers",     # 1-row avg-balance scalar
+    "q6_forecast_revenue",       # 1-row result
+    "quality_checks_orders",     # 1-row constraint report base
+    "revenue_share_of_parent",   # windows over the 25-row hierarchy
+    "rrf_fusion_docs",           # rank windows over ≤100 candidates
+    "sketch_quantiles_totalprice",  # cumulative walk over ≤64 bins
+    "skew_stats_lineitem_suppkey",  # 1-row skew summary state
+    "table_checksum_orders",     # 1-row checksum fold
+    "zorder_value_orders",       # 1-row min/max range state
+}
+
+# Queries whose plan contains BroadcastNestedLoopJoin — every entry
+# is a 1-row (or literal dimension) broadcast cross join: scalar
+# state fanned back onto rows, or the explicit region×nation cross.
+BNLJ_OK = {
+    "ann_recall_lsh_vs_exact",
+    "benford_digits_totalprice",
+    "bloom_prefilter_docs",
+    "bm25_score_docs",
+    "cms_token_counts_docs",
+    "cosine_topk_many_embeddings",
+    "cross_join_region_nation",
+    "funnel_view_click_purchase",
+    "outliers_totalprice",
+    "pca_top_component_embeddings",
+    "profile_orders",
+    "psi_drift_orders",
+    "q11_part_value_share",
+    "q22_dormant_customers",
+    "rrf_fusion_docs",
+    "sketch_quantiles_totalprice",
+    "skew_stats_lineitem_suppkey",
+    "zorder_value_orders",
+}
+
+
+@pytest.mark.slow
+def test_every_registered_query_plan_is_scale_safe(spark, sf_dir):
+    bad_sp, bad_bnlj, bad_cart = [], [], []
+    stray_sp = set(SINGLE_PARTITION_OK)
+    stray_bnlj = set(BNLJ_OK)
+    for name, fn in registry.Q.items():
+        p = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            bad_cart.append(name)
+        if "Exchange SinglePartition" in p:
+            if name not in SINGLE_PARTITION_OK:
+                bad_sp.append(name)
+            stray_sp.discard(name)
+        if "BroadcastNestedLoopJoin" in p:
+            if name not in BNLJ_OK:
+                bad_bnlj.append(name)
+            stray_bnlj.discard(name)
+    assert not bad_cart, f"CartesianProduct (never allowed): {bad_cart}"
+    assert not bad_sp, f"unaudited Exchange SinglePartition: {bad_sp}"
+    assert not bad_bnlj, f"unaudited BroadcastNestedLoopJoin: {bad_bnlj}"
+    # stray_* = whitelist entries whose bounded shape no longer
+    # appears (AQE re-plans at small sf, or the query was improved);
+    # that is fine — it only means the whitelist can shrink.  Not
+    # asserted: shrinkage is progress, growth is what the lists gate.
