@@ -11,8 +11,6 @@ re-planned or explicitly audited onto the list."""
 
 from __future__ import annotations
 
-import pytest
-
 from aws_glue_jobs_incremental_database_etl_spark import registry
 from tests.test_plans import plan_of
 
@@ -73,7 +71,6 @@ BNLJ_OK = {
 }
 
 
-@pytest.mark.slow
 def test_every_registered_query_plan_is_scale_safe(spark, sf_dir):
     bad_sp, bad_bnlj, bad_cart = [], [], []
     stray_sp = set(SINGLE_PARTITION_OK)
