@@ -536,3 +536,104 @@ def top_principal_component(
     return v.select(
         F.col("j").alias("dim_index"), F.round("v", 6).alias("loading")
     )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Distributed Lloyd's KMeans — TRAINED centroids, not the
+    data-independent ``fixed_centroids`` quantizer — returning the
+    final centroid CELLS ``(cluster, dim_index, centroid, n_members)``
+    after exactly ``iterations`` assign→update rounds.
+
+    Fully relational and engine-reproducible: vectors and centroids
+    both live as (row, dim, value) cells; assignment is a cell⋈cell
+    join on the dim key + an (id, cluster) distance aggregate + an
+    argmin with cluster-asc tie-break; the update is a per-(cluster,
+    dim) mean.  Updated centroids are ROUNDED TO 6 DECIMALS each
+    round — that quantization makes every round's centroids IDENTICAL
+    across engines (killing float-fold drift in the next round's
+    distances), so the fixed round count has an exact unrolled SQL
+    twin.  Empty clusters keep their previous centroid.
+
+    Scale: per round one |rows|·k·dim distance aggregate (the
+    algorithm's floor — partial-aggregated, shuffled on the id key)
+    and one (k·dim)-keyed mean; centroid state is k·dim rows,
+    checkpointed per round so lineage stays linear (the PCA lesson).
+    Beyond ~10⁵ clusters you shard the centroid join; beyond that,
+    approximate assignment (IVF-on-IVF), not a bigger shuffle.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dim = df.select(F.size(vec_col)).first()[0]
+    spark = df.sparkSession
+    x = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("j", "xj"),
+    ).localCheckpoint(eager=True)
+    init = fixed_centroids(dim, k, seed)
+    cent = spark.createDataFrame(
+        [
+            (c, j, round(float(init[c][j]), 6))
+            for c in range(k)
+            for j in range(dim)
+        ],
+        "c int, j int, cj double",
+    )
+    counts = None
+    for _ in range(iterations):
+        # d2 is ROUNDED before the argmin for the same reason the
+        # centroids are: a float sum's association order differs
+        # between engines/partitionings, and an ulp on a near-tie
+        # would flip the assignment — quantized distances turn
+        # near-ties into exact ties, which the cluster-asc tie-break
+        # resolves identically everywhere
+        dist = (
+            x.join(cent, "j")
+            .groupBy("_id", "c")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("xj") - F.col("cj"))
+                        * (F.col("xj") - F.col("cj"))
+                    ),
+                    6,
+                ).alias("d2")
+            )
+        )
+        assign = (
+            dist.groupBy("_id")
+            .agg(F.min(F.struct("d2", "c")).alias("_m"))
+            .select("_id", F.col("_m.c").alias("c"))
+        )
+        upd = (
+            x.join(assign, "_id")
+            .groupBy("c", "j")
+            .agg(F.round(F.avg("xj"), 6).alias("new_cj"))
+        )
+        counts = assign.groupBy("c").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members")
+        )
+        cent = (
+            cent.join(upd, ["c", "j"], "left")
+            .select(
+                "c", "j", F.coalesce("new_cj", F.col("cj")).alias("cj")
+            )
+            .localCheckpoint(eager=True)
+        )
+        counts = counts.localCheckpoint(eager=True)
+    return cent.join(counts, "c", "left").select(
+        F.col("c").alias("cluster"),
+        F.col("j").alias("dim_index"),
+        F.col("cj").alias("centroid"),
+        F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+    )

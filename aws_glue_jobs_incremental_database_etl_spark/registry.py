@@ -5729,6 +5729,79 @@ def resample_audio_q(spark, sf_dir):
 O["resample_audio_checksums"] = _resample_oracle()
 
 
+def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations with the same per-round quantization
+    contract as operators.similarity.lloyd_kmeans: centroids AND
+    distances round to 6 before use, so every round's state is
+    bit-identical across engines."""
+    from .operators.similarity import fixed_centroids
+
+    init = fixed_centroids(dim, k, 7)
+    vals = ", ".join(
+        f"({c}, {j}, {round(float(init[c][j]), 6)!r})"
+        for c in range(k)
+        for j in range(dim)
+    )
+    parts = [
+        f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id AS id, i AS j, CAST(w[i + 1] AS DOUBLE) AS xj
+      FROM (SELECT vec_id, embedding AS w,
+                   unnest(range(0, len(embedding))) AS i
+            FROM embeddings)
+    ), c0(c, j, cj) AS (VALUES {vals})"""
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f""", d{r} AS (
+      SELECT x.id, cc.c,
+             ROUND(SUM((x.xj - cc.cj) * (x.xj - cc.cj)), 6) AS d2
+      FROM x JOIN c{r-1} cc ON cc.j = x.j GROUP BY x.id, cc.c
+    ), a{r} AS (
+      SELECT id, c FROM (
+        SELECT id, c,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d2 ASC, c ASC) AS rn
+        FROM d{r}
+      ) WHERE rn = 1
+    ), u{r} AS (
+      SELECT a.c, x.j, ROUND(AVG(x.xj), 6) AS new_cj
+      FROM x JOIN a{r} a USING (id) GROUP BY a.c, x.j
+    ), c{r} AS (
+      SELECT p.c, p.j, COALESCE(u.new_cj, p.cj) AS cj
+      FROM c{r-1} p LEFT JOIN u{r} u ON u.c = p.c AND u.j = p.j
+    ), n{r} AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM a{r} GROUP BY c
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT cf.c AS cluster, cf.j AS dim_index, cf.cj AS centroid,
+           COALESCE(nf.n_members, 0) AS n_members
+    FROM c{iterations} cf LEFT JOIN n{iterations} nf ON nf.c = cf.c
+    """
+    )
+    return "".join(parts)
+
+
+@query("kmeans_centroids_embeddings", None)  # oracle attached below
+def kmeans_q(spark, sf_dir):
+    """Distributed Lloyd's KMeans (operators.similarity.lloyd_kmeans,
+    k=8, 2 rounds): TRAINED centroids as relational assign→update
+    rounds — the upgrade over the literal fixed_centroids quantizer
+    that IVF/SemDeDup gates use, now itself oracle-paired (per-round
+    quantization of centroids and distances makes every round's state
+    engine-identical, so the unrolled SQL twin is exact)."""
+    from .operators.similarity import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lloyd_kmeans(emb, "embedding", "vec_id", k=8, iterations=2)
+
+
+O["kmeans_centroids_embeddings"] = _kmeans_oracle(8, 2, 64)
+
+
 @query(
     "curation_pipeline_v2",
     r"""
@@ -8510,6 +8583,7 @@ _PRIORITY = [
     "grouped_sketch_quantiles_events",
     "rrf_fusion_docs",
     "curation_pipeline_v2",
+    "kmeans_centroids_embeddings",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

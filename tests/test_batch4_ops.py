@@ -180,3 +180,53 @@ def test_pca_rejects_zero_iterations(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         top_principal_component(df, iterations=0)
+
+
+def test_lloyd_kmeans_separates_obvious_clusters(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        lloyd_kmeans,
+    )
+
+    # two tight blobs far apart in 2-D: whatever the seeded init,
+    # two rounds of Lloyd must put each blob's members together and
+    # land the used centroids on the blob means (to the 1e-6 quantum)
+    blob_a = [(i, [10.0 + 0.01 * i, 10.0]) for i in range(5)]
+    blob_b = [(10 + i, [-10.0 - 0.01 * i, -10.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<double>"
+    )
+    out = lloyd_kmeans(df, k=2, iterations=3).collect()
+    sizes = sorted(
+        {r["cluster"]: r["n_members"] for r in out}.values()
+    )
+    assert sizes == [5, 5]
+    cx = {
+        (r["cluster"], r["dim_index"]): r["centroid"] for r in out
+    }
+    xs = sorted(cx[(c, 0)] for c in {r["cluster"] for r in out})
+    assert abs(xs[0] - (-10.02)) < 1e-6 and abs(xs[1] - 10.02) < 1e-6
+
+
+def test_lloyd_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        fixed_centroids,
+        lloyd_kmeans,
+    )
+
+    # one point, k=2: the unused cluster must keep its (rounded)
+    # seeded centroid instead of going NULL/zero
+    df = spark.createDataFrame(
+        [(1, [5.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    out = lloyd_kmeans(df, k=2, iterations=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], {})[r["dim_index"]] = r
+    used = [c for c, d in by_cluster.items() if d[0]["n_members"] == 1]
+    empty = [c for c, d in by_cluster.items() if d[0]["n_members"] == 0]
+    assert len(used) == 1 and len(empty) == 1
+    assert by_cluster[used[0]][0]["centroid"] == 5.0
+    init = fixed_centroids(2, 2, 7)
+    assert by_cluster[empty[0]][0]["centroid"] == round(
+        float(init[empty[0]][0]), 6
+    )
