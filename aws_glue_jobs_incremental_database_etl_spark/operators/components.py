@@ -647,3 +647,77 @@ def merge_components(
     return universe.join(merged, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+def dbscan_from_pairs(
+    universe: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_pts: int = 3,
+) -> DataFrame:
+    """DBSCAN (Ester et al. KDD'96) over a precomputed ε-neighbor pair
+    graph → ``(id, role, cluster)`` with role ∈ {core, border, noise}
+    and cluster = the minimum core id of the component (-1 for noise).
+
+    The ε-range query — DBSCAN's expensive half — is exactly the
+    near-dup pair kernel this engine already ships (exact cosine
+    pairs, or LSH-bucketed at scale), so density clustering composes
+    from shipped parts: neighbor counts (one agg) → core points
+    (≥ ``min_pts`` neighbors, self excluded) → components over the
+    core-core subgraph → border points attach to their minimum-
+    cluster core neighbor.  Every step is a join/aggregate with
+    min-tie-breaks — fully deterministic, recursive-CTE oracle-able.
+
+    Scale: O(|pairs|) shuffles + the components rounds on the CORE
+    subgraph only (noise/border never iterate); pair generation is the
+    bucketed kernel's job, so no all-pairs anything here.
+    """
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    sym = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ncount = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_n"))
+    core = ncount.filter(F.col("_n") >= min_pts).select(
+        F.col("u").alias("id")
+    )
+    ce = (
+        sym.join(core.select(F.col("id").alias("u")), "u")
+        .join(core.select(F.col("id").alias("v")), "v")
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    comp = connected_components(ce, "id_a", "id_b")
+    core_cl = core.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    )
+    border = (
+        sym.join(
+            core_cl.select(
+                F.col("id").alias("v"), F.col("cluster").alias("_c")
+            ),
+            "v",
+        )
+        .groupBy("u")
+        .agg(F.min("_c").alias("cluster"))
+        .join(core.select(F.col("id").alias("u")), "u", "left_anti")
+        .select(F.col("u").alias("id"), "cluster")
+    )
+    labeled = core_cl.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    return (
+        universe.select(F.col(id_col).alias("id"))
+        .join(labeled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.coalesce("cluster", F.lit(-1)).cast("bigint").alias("cluster"),
+        )
+    )

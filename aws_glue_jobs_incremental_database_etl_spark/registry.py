@@ -5729,6 +5729,72 @@ def resample_audio_q(spark, sf_dir):
 O["resample_audio_checksums"] = _resample_oracle()
 
 
+@query(
+    "dbscan_embeddings",
+    """
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+            >= 0.35
+    ), e AS (
+      SELECT u, v FROM p UNION SELECT v, u FROM p
+    ), nc AS (
+      SELECT u, COUNT(*) AS c FROM e GROUP BY u
+    ), core AS (
+      SELECT u AS id FROM nc WHERE c >= 3
+    ), ce AS (
+      SELECT e.u, e.v FROM e
+      JOIN core a ON a.id = e.u JOIN core b ON b.id = e.v
+    ), reach(id, r) AS (
+      SELECT u, u FROM ce
+      UNION
+      SELECT ce.u, r.r FROM ce JOIN reach r ON ce.v = r.id
+    ), comp AS (
+      SELECT id, MIN(r) AS root FROM reach GROUP BY id
+    ), core_cl AS (
+      SELECT core.id, COALESCE(comp.root, core.id) AS cluster
+      FROM core LEFT JOIN comp ON comp.id = core.id
+    ), border AS (
+      SELECT e.u AS id, MIN(cc.cluster) AS cluster
+      FROM e JOIN core_cl cc ON cc.id = e.v
+      WHERE e.u NOT IN (SELECT id FROM core)
+      GROUP BY e.u
+    )
+    SELECT emb.vec_id AS id,
+           CASE WHEN k.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(k.cluster, b.cluster, -1) AS BIGINT) AS cluster
+    FROM embeddings emb
+    LEFT JOIN core_cl k ON k.id = emb.vec_id
+    LEFT JOIN border b ON b.id = emb.vec_id
+    """,
+)
+def dbscan_q(spark, sf_dir):
+    """DBSCAN density clustering (operators.components.
+    dbscan_from_pairs, min_pts=3) over the exact cosine ε-neighbor
+    graph (ε ≙ cosine ≥ 0.35, the shipped near-dup pair kernel) —
+    core/border/noise roles and min-core-id clusters, all
+    deterministic, the whole composition hash-checked against a
+    recursive-CTE twin.  At 100 TB the pair kernel swaps to the LSH-
+    bucketed variant; the clustering half is unchanged."""
+    from .operators.components import dbscan_from_pairs
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    pairs = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35
+    )
+    return dbscan_from_pairs(
+        emb.select(F.col("vec_id")), pairs, id_col="vec_id", min_pts=3
+    )
+
+
 def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd iterations with the same per-round quantization
     contract as operators.similarity.lloyd_kmeans: centroids AND
@@ -8584,6 +8650,7 @@ _PRIORITY = [
     "rrf_fusion_docs",
     "curation_pipeline_v2",
     "kmeans_centroids_embeddings",
+    "dbscan_embeddings",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",

@@ -319,3 +319,49 @@ def test_uniform_pagerank_unchanged_by_teleport_refactor(spark):
         r = {n: 0.15 / 4 + 0.85 * nxt.get(n, 0.0) for n in (1, 2, 3, 4)}
     for n in r:
         assert abs(out[n] - r[n]) < 1e-12, n
+
+
+def test_dbscan_roles_and_clusters(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        dbscan_from_pairs,
+    )
+
+    # dense blob {1,2,3,4} (complete) → all core at min_pts=3;
+    # 5 touches only node 1 → border; 10-11 pair → too sparse, noise;
+    # 99 isolated → noise.
+    blob = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    pairs = spark.createDataFrame(
+        blob + [(1, 5), (10, 11)], "id_a long, id_b long"
+    )
+    universe = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 99)], "id long"
+    )
+    out = {r["id"]: (r["role"], r["cluster"]) for r in
+           dbscan_from_pairs(universe, pairs, min_pts=3).collect()}
+    for n in (2, 3, 4):
+        assert out[n] == ("core", 1)
+    assert out[1] == ("core", 1)
+    assert out[5] == ("border", 1)
+    assert out[10] == ("noise", -1) and out[11] == ("noise", -1)
+    assert out[99] == ("noise", -1)
+
+
+def test_dbscan_border_attaches_to_min_cluster(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        dbscan_from_pairs,
+    )
+
+    # two separate cores {1,2,3,4} and {20,21,22,23}; node 9 borders
+    # BOTH → attaches to the minimum cluster id (1)
+    b1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    b2 = [(a, b) for a in (20, 21, 22, 23) for b in (20, 21, 22, 23) if a < b]
+    pairs = spark.createDataFrame(
+        b1 + b2 + [(4, 9), (9, 20)], "id_a long, id_b long"
+    )
+    universe = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 9, 20, 21, 22, 23)], "id long"
+    )
+    out = {r["id"]: (r["role"], r["cluster"]) for r in
+           dbscan_from_pairs(universe, pairs, min_pts=3).collect()}
+    assert out[9] == ("border", 1)
+    assert out[20] == ("core", 20) and out[23] == ("core", 20)
