@@ -170,3 +170,49 @@ def test_merge_components_equals_full_recompute(spark, edges, split_pct):
         for r in merge_components(labels1, delta).collect()
     }
     assert got == expect, (edges, cut)
+
+
+@given(_edges, st.integers(min_value=1, max_value=4))
+@settings(max_examples=8, deadline=None)
+def test_dbscan_matches_bruteforce(spark, edges, min_pts):
+    """DBSCAN over random pair graphs ≡ a direct python rendering of
+    the definition (core = ≥min_pts distinct neighbors; clusters =
+    components of the core subgraph labeled by min core id; border =
+    non-core with a core neighbor, attached to its minimum cluster)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        dbscan_from_pairs,
+    )
+
+    adj = _adj(edges)
+    ids = sorted(adj)
+    core = {n for n in ids if len(adj[n]) >= min_pts}
+    # components of the core subgraph
+    label = {}
+    for n in sorted(core):
+        if n in label:
+            continue
+        stack, seen = [n], {n}
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        root = min(seen)
+        for u in seen:
+            label[u] = root
+    expect = {}
+    for n in ids:
+        if n in core:
+            expect[n] = ("core", label[n])
+        else:
+            cn = [label[v] for v in adj[n] if v in core]
+            expect[n] = ("border", min(cn)) if cn else ("noise", -1)
+
+    universe = spark.createDataFrame([(i,) for i in ids], "id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_from_pairs(universe, pairs, min_pts=min_pts).collect()
+    }
+    assert got == expect, (edges, min_pts)
