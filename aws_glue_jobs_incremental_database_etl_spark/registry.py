@@ -5730,6 +5730,201 @@ O["resample_audio_checksums"] = _resample_oracle()
 
 
 @query(
+    "pmi_pairs_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents WHERE COALESCE(trim(text), '') <> ''
+    ), tok AS (
+      SELECT doc_id, w[i] AS word, i AS p
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks)
+    ), uni AS (
+      SELECT word, COUNT(*) AS cu FROM tok GROUP BY word
+    ), nt AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+    ), ctx AS (
+      SELECT t.doc_id, t.word AS center, t.p + o AS cp
+      FROM tok t, unnest([-2, -1, 1, 2]) AS u(o)
+    ), pairs AS (
+      SELECT c.center, t2.word AS context, COUNT(*) AS cp
+      FROM ctx c JOIN tok t2 ON t2.doc_id = c.doc_id AND t2.p = c.cp
+      GROUP BY c.center, t2.word
+    ), np AS (
+      SELECT CAST(SUM(cp) AS DOUBLE) AS n FROM pairs
+    )
+    SELECT center, context, CAST(p.cp AS BIGINT) AS n_cooc,
+           ROUND(LN((p.cp / (SELECT n FROM np))
+                 / ((a.cu / (SELECT n FROM nt))
+                    * (b.cu / (SELECT n FROM nt)))), 6) AS pmi
+    FROM pairs p JOIN uni a ON a.word = p.center
+                 JOIN uni b ON b.word = p.context
+    WHERE p.cp >= 5
+    ORDER BY pmi DESC, center ASC, context ASC LIMIT 25
+    """,
+)
+def pmi_q(spark, sf_dir):
+    """Pointwise mutual information over the ±2 skip-gram window
+    (Church & Hanks 1990): PMI = ln(p(a,b)/(p(a)p(b))), minimum
+    co-occurrence 5, top-25 — the collocation detector behind phrase
+    mining and embedding-quality audits.  Reuses the skip-gram pair
+    machinery; unigram and pair totals are two scalar aggregates
+    fanned back broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(
+        F.coalesce(F.trim("text"), F.lit("")) != ""
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("p", "word"),
+    ).localCheckpoint(eager=True)
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cu"))
+    n_tok = float(toks.count())
+    ctx = toks.select(
+        "doc_id",
+        F.col("word").alias("center"),
+        "p",
+        F.explode(F.array(*[F.lit(o) for o in (-2, -1, 1, 2)])).alias("o"),
+    ).select("doc_id", "center", (F.col("p") + F.col("o")).alias("cp"))
+    t2 = toks.select(
+        "doc_id", F.col("p").alias("cp"), F.col("word").alias("context")
+    )
+    pairs = (
+        ctx.join(t2, ["doc_id", "cp"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cpair"))
+        .localCheckpoint(eager=True)
+    )
+    n_pair = float(pairs.agg(F.sum("cpair")).first()[0])
+    ua = uni.select(F.col("word").alias("center"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("word").alias("context"), F.col("cu").alias("cb"))
+    return (
+        pairs.filter(F.col("cpair") >= 5)
+        .join(ua, "center")
+        .join(ub, "context")
+        .select(
+            "center",
+            "context",
+            F.col("cpair").cast("bigint").alias("n_cooc"),
+            F.round(
+                F.log(
+                    (F.col("cpair") / F.lit(n_pair))
+                    / (
+                        (F.col("ca") / F.lit(n_tok))
+                        * (F.col("cb") / F.lit(n_tok))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(
+            F.col("pmi").desc(), F.col("center").asc(), F.col("context").asc()
+        )
+        .limit(25)
+    )
+
+
+@query(
+    "chisq_lang_drift_by_source",
+    """
+    WITH obs AS (
+      SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM documents GROUP BY source, lang
+    ), src AS (
+      SELECT source, SUM(o) AS ns FROM obs GROUP BY source
+    ), corpus AS (
+      SELECT lang, SUM(o) AS cl FROM obs GROUP BY lang
+    ), nt AS (
+      SELECT SUM(o) AS n FROM obs
+    ), grid AS (
+      SELECT src.source, corpus.lang, src.ns,
+             src.ns * corpus.cl / (SELECT n FROM nt) AS e
+      FROM src CROSS JOIN corpus
+    )
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(SUM((COALESCE(obs.o, 0) - g.e) * (COALESCE(obs.o, 0) - g.e)
+                     / g.e), 6) AS chi_sq
+    FROM grid g LEFT JOIN obs
+      ON obs.source = g.source AND obs.lang = g.lang
+    GROUP BY g.source
+    """,
+)
+def chisq_q(spark, sf_dir):
+    """Chi-square language-mix drift per source: Σ (obs − exp)²/exp
+    against the corpus-wide language distribution — the classic
+    homogeneity screen that flags a source whose language mix departs
+    from the corpus (PSI's categorical cousin; PSI monitors two
+    snapshots of one slice, this ranks many slices against the pool).
+    The expected grid is sources × langs (tiny) built from two
+    bounded aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    src = obs.groupBy("source").agg(F.sum("o").alias("ns"))
+    corpus = obs.groupBy("lang").agg(F.sum("o").alias("cl"))
+    n = float(d.count())
+    grid = src.crossJoin(corpus).select(
+        "source", "lang", (F.col("ns") * F.col("cl") / F.lit(n)).alias("e")
+    )
+    return (
+        grid.join(obs, ["source", "lang"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(
+                F.sum(
+                    (F.coalesce("o", F.lit(0.0)) - F.col("e"))
+                    * (F.coalesce("o", F.lit(0.0)) - F.col("e"))
+                    / F.col("e")
+                ),
+                6,
+            ).alias("chi_sq"),
+        )
+    )
+
+
+@query(
+    "mad_totalprice_by_status",
+    """
+    WITH med AS (
+      SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders GROUP BY o_orderstatus
+    ), dev AS (
+      SELECT o.o_orderstatus, ABS(o.o_totalprice - med.m) AS d, med.m
+      FROM orders o JOIN med USING (o_orderstatus)
+    )
+    SELECT o_orderstatus, ROUND(ANY_VALUE(m), 6) AS median,
+           ROUND(quantile_cont(d, 0.5), 6) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev GROUP BY o_orderstatus
+    """,
+)
+def mad_q(spark, sf_dir):
+    """Median absolute deviation per order status — the robust scale
+    estimate (breakdown point 50%, vs 0% for stddev): two exact
+    type-7 medians (Spark percentile ≡ DuckDB quantile_cont, the
+    parity the winsorize gate proved), the first broadcast back for
+    the deviation pass.  At 100 TB both swap to approx_percentile
+    with an unchanged downstream plan."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("m")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("d"),
+        "m",
+    )
+    return dev.groupBy("o_orderstatus").agg(
+        F.round(F.any_value("m"), 6).alias("median"),
+        F.round(F.expr("percentile(d, 0.5)"), 6).alias("mad"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
     "dbscan_embeddings",
     """
     WITH RECURSIVE p AS (
@@ -8651,6 +8846,9 @@ _PRIORITY = [
     "curation_pipeline_v2",
     "kmeans_centroids_embeddings",
     "dbscan_embeddings",
+    "pmi_pairs_docs",
+    "chisq_lang_drift_by_source",
+    "mad_totalprice_by_status",
     "top_session_paths",
     "cusum_daily_drift_events",
     "image_ahash_groups",
