@@ -5730,6 +5730,78 @@ O["resample_audio_checksums"] = _resample_oracle()
 
 
 @query(
+    "single_link_hierarchy_embeddings",
+    """
+    WITH RECURSIVE pf AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+            >= 0.45
+    ), pc AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+            >= 0.35
+    ), ef AS (
+      SELECT u, v FROM pf UNION SELECT v, u FROM pf
+    ), ec AS (
+      SELECT u, v FROM pc UNION SELECT v, u FROM pc
+    ), rf(id, r) AS (
+      SELECT u, u FROM ef
+      UNION
+      SELECT ef.u, rf.r FROM ef JOIN rf ON ef.v = rf.id
+    ), rc(id, r) AS (
+      SELECT u, u FROM ec
+      UNION
+      SELECT ec.u, rc.r FROM ec JOIN rc ON ec.v = rc.id
+    ), cf AS (
+      SELECT id, MIN(r) AS root FROM rf GROUP BY id
+    ), cc AS (
+      SELECT id, MIN(r) AS root FROM rc GROUP BY id
+    )
+    SELECT e.vec_id AS id,
+           COALESCE(cf.root, e.vec_id) AS cluster_fine,
+           COALESCE(cc.root, e.vec_id) AS cluster_coarse
+    FROM embeddings e
+    LEFT JOIN cf ON cf.id = e.vec_id
+    LEFT JOIN cc ON cc.id = e.vec_id
+    """,
+)
+def single_link_q(spark, sf_dir):
+    """Two levels of single-link agglomerative clustering: components
+    of the cosine-pair graph at τ=0.45 (fine) and τ=0.35 (coarse) —
+    single-link at threshold τ IS connected components of the
+    τ-neighbor graph, so the dendrogram's levels come from the shipped
+    near-dup kernel + components, and fine clusters PROVABLY nest
+    inside coarse ones (fine pairs ⊆ coarse pairs; the nesting is
+    test-pinned).  The cut-level generalization of cluster_dedup."""
+    from .operators.components import connected_components
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    ids = emb.select(F.col("vec_id").alias("id"))
+
+    def level(threshold, out):
+        pairs = embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=threshold
+        )
+        comp = connected_components(pairs, "id_a", "id_b")
+        return ids.join(comp, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias(out)
+        )
+
+    return level(0.45, "cluster_fine").join(
+        level(0.35, "cluster_coarse"), "id"
+    )
+
+
+@query(
     "pmi_pairs_docs",
     r"""
     WITH toks AS (
@@ -8846,6 +8918,7 @@ _PRIORITY = [
     "curation_pipeline_v2",
     "kmeans_centroids_embeddings",
     "dbscan_embeddings",
+    "single_link_hierarchy_embeddings",
     "pmi_pairs_docs",
     "chisq_lang_drift_by_source",
     "mad_totalprice_by_status",

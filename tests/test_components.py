@@ -365,3 +365,26 @@ def test_dbscan_border_attaches_to_min_cluster(spark):
            dbscan_from_pairs(universe, pairs, min_pts=3).collect()}
     assert out[9] == ("border", 1)
     assert out[20] == ("core", 20) and out[23] == ("core", 20)
+
+
+def test_single_link_levels_nest(spark, sf_dir):
+    """Dendrogram nesting invariant: every FINE cluster (higher
+    threshold) must sit entirely inside one COARSE cluster — fine
+    pairs are a subset of coarse pairs, so a fine cluster mapping to
+    two coarse roots would be a correctness bug in components."""
+    from aws_glue_jobs_incremental_database_etl_spark import registry
+
+    out = registry.Q["single_link_hierarchy_embeddings"](spark, sf_dir)
+    violations = (
+        out.groupBy("cluster_fine")
+        .agg(F.count_distinct("cluster_coarse").alias("n_coarse"))
+        .filter(F.col("n_coarse") > 1)
+        .count()
+    )
+    assert violations == 0
+    # the coarse level must genuinely merge something at these taus
+    stats = out.agg(
+        F.count_distinct("cluster_fine"),
+        F.count_distinct("cluster_coarse"),
+    ).first()
+    assert stats[1] < stats[0]
