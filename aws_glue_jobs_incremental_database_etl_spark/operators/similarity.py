@@ -637,3 +637,113 @@ def lloyd_kmeans(
         F.col("cj").alias("centroid"),
         F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
     )
+
+
+def principal_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+    iterations: int = 3,
+) -> DataFrame:
+    """Top-``k`` principal components via power iteration WITH
+    DEFLATION → ``(component, dim_index, loading, eigenvalue)`` —
+    the 2-D/3-D embedding map and explained-variance report behind
+    representation diagnostics (``top_principal_component`` is the
+    k=1 special case without the eigenvalue).
+
+    After each component converges, its vector is QUANTIZED to 1e-6
+    and the covariance cells are deflated relationally
+    (``val − λ·vᵢ·vⱼ``, λ = vᵀCv from the same cells) — quantizing
+    before deflation makes the deflated state bit-identical across
+    engines (the lloyd_kmeans contract), so the whole k-component
+    computation has an exact unrolled SQL twin.  Deflated cells and
+    per-iteration vectors are checkpointed (dim² / dim rows — free),
+    keeping lineage linear.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    dim = df.select(F.size(vec_col)).first()[0]
+    spark = df.sparkSession
+    x = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("i", "xi"),
+    )
+    mu = x.groupBy("i").agg(F.avg("xi").alias("mu"))
+    xc = x.join(mu, "i").select(
+        "_id", "i", (F.col("xi") - F.col("mu")).alias("c")
+    )
+    n = float(df.count())
+    a, b = xc.alias("a"), xc.alias("b")
+    cells = (
+        a.join(b, F.col("a._id") == F.col("b._id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg((F.sum(F.col("a.c") * F.col("b.c")) / F.lit(n)).alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for comp in range(k):
+        v = spark.range(dim).select(
+            F.col("id").cast("int").alias("j"),
+            F.lit(1.0 / math.sqrt(dim)).alias("v"),
+        )
+        for _ in range(iterations):
+            w = (
+                cells.join(v, "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("val") * F.col("v")).alias("w"))
+                .localCheckpoint(eager=True)
+            )
+            norm = w.agg(
+                F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nv")
+            )
+            v = w.crossJoin(F.broadcast(norm)).select(
+                F.col("i").alias("j"),
+                (F.col("w") / F.col("_nv")).alias("v"),
+            )
+        # quantize BEFORE the Rayleigh quotient and deflation: the
+        # engine-identity contract for everything downstream
+        v = v.select("j", F.round("v", 6).alias("v")).localCheckpoint(
+            eager=True
+        )
+        vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+        lam_row = (
+            cells.join(vi, "i")
+            .join(v, "j")
+            .agg(
+                F.round(
+                    F.sum(F.col("val") * F.col("vi") * F.col("v")), 6
+                ).alias("lam")
+            )
+        )
+        lam = float(lam_row.first()[0])
+        outs.append(
+            v.select(
+                F.lit(comp).alias("component"),
+                F.col("j").alias("dim_index"),
+                F.col("v").alias("loading"),
+                F.lit(lam).alias("eigenvalue"),
+            )
+        )
+        if comp + 1 < k:
+            cells = (
+                cells.join(vi, "i")
+                .join(v, "j")
+                .select(
+                    "i",
+                    "j",
+                    (
+                        F.col("val")
+                        - F.lit(lam) * F.col("vi") * F.col("v")
+                    ).alias("val"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -5729,6 +5729,95 @@ def resample_audio_q(spark, sf_dir):
 O["resample_audio_checksums"] = _resample_oracle()
 
 
+def _pca_topk_oracle(k: int = 2, iterations: int = 3) -> str:
+    """Unrolled power-iteration-with-deflation: per component, the
+    same matvec/normalize rounds as the single-component oracle, then
+    quantize-to-6, Rayleigh eigenvalue, and relational deflation —
+    the exact schedule operators.similarity.principal_components
+    runs."""
+    head = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, i, CAST(w[i + 1] AS DOUBLE) AS xi
+      FROM (SELECT vec_id, embedding AS w,
+                   unnest(range(0, len(embedding))) AS i
+            FROM embeddings)
+    ), mu AS (
+      SELECT i, AVG(xi) AS mu FROM x GROUP BY i
+    ), xc AS (
+      SELECT vec_id, x.i, xi - mu AS c FROM x JOIN mu USING (i)
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
+    ), cells0 AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, SUM(a.c * b.c) / (SELECT n FROM nn) AS val
+      FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+    ), dimt AS (
+      SELECT 1.0 / sqrt(COUNT(*)) AS v0 FROM mu
+    )"""
+    parts = [head]
+    for c in range(k):
+        prev = f"v{c}_0"
+        parts.append(
+            f""", v{c}_0 AS (
+      SELECT i AS j, (SELECT v0 FROM dimt) AS v FROM mu
+    )"""
+        )
+        for t in range(1, iterations + 1):
+            parts.append(
+                f""", w{c}_{t} AS (
+      SELECT cells{c}.i, SUM(val * vv.v) AS w
+      FROM cells{c} JOIN v{c}_{t-1} vv ON vv.j = cells{c}.j
+      GROUP BY cells{c}.i
+    ), nv{c}_{t} AS (
+      SELECT sqrt(SUM(w * w)) AS nv FROM w{c}_{t}
+    ), v{c}_{t} AS (
+      SELECT i AS j, w / (SELECT nv FROM nv{c}_{t}) AS v FROM w{c}_{t}
+    )"""
+            )
+        parts.append(
+            f""", vq{c} AS MATERIALIZED (
+      SELECT j, ROUND(v, 6) AS v FROM v{c}_{iterations}
+    ), lam{c} AS (
+      SELECT ROUND(SUM(cells{c}.val * a.v * b.v), 6) AS l
+      FROM cells{c} JOIN vq{c} a ON a.j = cells{c}.i
+                    JOIN vq{c} b ON b.j = cells{c}.j
+    )"""
+        )
+        if c + 1 < k:
+            parts.append(
+                f""", cells{c+1} AS MATERIALIZED (
+      SELECT cells{c}.i, cells{c}.j,
+             cells{c}.val - (SELECT l FROM lam{c}) * a.v * b.v AS val
+      FROM cells{c} JOIN vq{c} a ON a.j = cells{c}.i
+                    JOIN vq{c} b ON b.j = cells{c}.j
+    )"""
+            )
+    selects = [
+        f"""SELECT {c} AS component, j AS dim_index, v AS loading,
+           (SELECT l FROM lam{c}) AS eigenvalue FROM vq{c}"""
+        for c in range(k)
+    ]
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(selects) + "\n    ")
+    return "".join(parts)
+
+
+@query("pca_top2_components_embeddings", None)  # oracle attached below
+def pca_top2_q(spark, sf_dir):
+    """Top-2 principal components with eigenvalues
+    (operators.similarity.principal_components): power iteration +
+    quantized deflation — the 2-D embedding map and explained-
+    variance pair, engine-identical by the quantize-before-deflate
+    contract and hash-checked against the unrolled SQL twin."""
+    from .operators.similarity import principal_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return principal_components(
+        emb, "embedding", "vec_id", k=2, iterations=3
+    )
+
+
+O["pca_top2_components_embeddings"] = _pca_topk_oracle(2, 3)
+
+
 @query(
     "single_link_hierarchy_embeddings",
     """
@@ -8919,6 +9008,7 @@ _PRIORITY = [
     "kmeans_centroids_embeddings",
     "dbscan_embeddings",
     "single_link_hierarchy_embeddings",
+    "pca_top2_components_embeddings",
     "pmi_pairs_docs",
     "chisq_lang_drift_by_source",
     "mad_totalprice_by_status",

@@ -230,3 +230,36 @@ def test_lloyd_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert by_cluster[empty[0]][0]["centroid"] == round(
         float(init[empty[0]][0]), 6
     )
+
+
+def test_principal_components_top2_matches_numpy(spark):
+    import numpy as np
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        principal_components,
+    )
+
+    rng = np.random.RandomState(11)
+    # strong first axis, clear second axis, tiny residual noise
+    data = (
+        rng.randn(300, 1) @ np.array([[4.0, 0.0, 0.0, 0.0]])
+        + rng.randn(300, 1) @ np.array([[0.0, 2.0, 0.0, 0.0]])
+        + 0.03 * rng.randn(300, 4)
+    )
+    rows = [(i, [float(v) for v in row]) for i, row in enumerate(data)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = principal_components(df, k=2, iterations=10).collect()
+    v = {c: np.zeros(4) for c in (0, 1)}
+    lam = {}
+    for r in out:
+        v[r["component"]][r["dim_index"]] = r["loading"]
+        lam[r["component"]] = r["eigenvalue"]
+    c = np.cov(data.T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    for comp, ref_idx in ((0, -1), (1, -2)):
+        ref = evecs[:, ref_idx]
+        if np.dot(ref, v[comp]) < 0:
+            ref = -ref
+        assert np.abs(v[comp] - ref).max() < 2e-3, comp
+        assert abs(lam[comp] - evals[ref_idx]) < 2e-3, comp
+    assert lam[0] > lam[1] > 0
+    assert abs(np.dot(v[0], v[1])) < 1e-3  # orthogonal after deflation
