@@ -5818,6 +5818,70 @@ def pca_top2_q(spark, sf_dir):
 O["pca_top2_components_embeddings"] = _pca_topk_oracle(2, 3)
 
 
+def _pca_projection_oracle(iterations: int = 3) -> str:
+    """Top-2 oracle + the projection pass: centered coordinates onto
+    the two quantized components."""
+    base = _pca_topk_oracle(2, iterations)
+    # strip the final UNION ALL select block; re-terminate with the
+    # projection over the shared CTE chain
+    head = base[: base.rindex("\n    SELECT 0 AS component")]
+    return (
+        head
+        + """
+    SELECT xc.vec_id AS id,
+           ROUND(SUM(xc.c * a.v), 6) AS pc1,
+           ROUND(SUM(xc.c * b.v), 6) AS pc2
+    FROM xc JOIN vq0 a ON a.j = xc.i JOIN vq1 b ON b.j = xc.i
+    GROUP BY xc.vec_id
+    """
+    )
+
+
+@query("pca_projection_embeddings", None)  # oracle attached below
+def pca_projection_q(spark, sf_dir):
+    """The 2-D embedding map: every vector's centered coordinates on
+    the top-2 principal components (the plot behind every corpus
+    visualization and the input to density/outlier screens in reduced
+    space).  Components come from principal_components (quantized, so
+    engine-identical); the projection itself is one map-side join of
+    the centered cells against the 64-row component vectors —
+    map-only relative to the corpus."""
+    from .operators.similarity import principal_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = principal_components(
+        emb, "embedding", "vec_id", k=2, iterations=3
+    )
+    v0 = comps.filter(F.col("component") == 0).select(
+        F.col("dim_index").alias("i"), F.col("loading").alias("v1")
+    )
+    v1 = comps.filter(F.col("component") == 1).select(
+        F.col("dim_index").alias("i"), F.col("loading").alias("v2")
+    )
+    x = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("i", "xi"),
+    )
+    mu = x.groupBy("i").agg(F.avg("xi").alias("mu"))
+    xc = x.join(mu, "i").select(
+        "id", "i", (F.col("xi") - F.col("mu")).alias("c")
+    )
+    return (
+        xc.join(F.broadcast(v0), "i")
+        .join(F.broadcast(v1), "i")
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.col("c") * F.col("v1")), 6).alias("pc1"),
+            F.round(F.sum(F.col("c") * F.col("v2")), 6).alias("pc2"),
+        )
+    )
+
+
+O["pca_projection_embeddings"] = _pca_projection_oracle(3)
+
+
 @query(
     "single_link_hierarchy_embeddings",
     """
@@ -9009,6 +9073,7 @@ _PRIORITY = [
     "dbscan_embeddings",
     "single_link_hierarchy_embeddings",
     "pca_top2_components_embeddings",
+    "pca_projection_embeddings",
     "pmi_pairs_docs",
     "chisq_lang_drift_by_source",
     "mad_totalprice_by_status",
