@@ -52,6 +52,10 @@ SINGLE_PARTITION_OK = {
 BNLJ_OK = {
     "ann_recall_lsh_vs_exact",
     "benford_digits_totalprice",
+    "chisq_lang_drift_by_source",  # sources × langs expected grid —
+    # an explicit cross join of two dimension-bounded aggregates
+    # (≤ tens of rows each); caught by this audit on first commit,
+    # audited in as bounded-by-construction
     "bloom_prefilter_docs",
     "bm25_score_docs",
     "cms_token_counts_docs",
