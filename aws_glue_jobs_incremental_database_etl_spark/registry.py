@@ -5882,6 +5882,93 @@ def pca_projection_q(spark, sf_dir):
 O["pca_projection_embeddings"] = _pca_projection_oracle(3)
 
 
+def _pca_outlier_oracle(iterations: int = 3) -> str:
+    """Projection oracle + the Mahalanobis-style screen: per-axis
+    z-scores in the reduced space (the components are uncorrelated,
+    so the diagonal form is exact), flag √(z1²+z2²) > 2.5."""
+    base = _pca_projection_oracle(iterations)
+    proj = base[: base.rindex("\n    SELECT xc.vec_id AS id,")]
+    return (
+        proj
+        + """, proj AS (
+      SELECT xc.vec_id AS id,
+             ROUND(SUM(xc.c * a.v), 6) AS pc1,
+             ROUND(SUM(xc.c * b.v), 6) AS pc2
+      FROM xc JOIN vq0 a ON a.j = xc.i JOIN vq1 b ON b.j = xc.i
+      GROUP BY xc.vec_id
+    ), st AS (
+      SELECT ROUND(STDDEV_SAMP(pc1), 6) AS s1,
+             ROUND(STDDEV_SAMP(pc2), 6) AS s2
+      FROM proj
+    )
+    SELECT id, pc1, pc2,
+           ROUND(sqrt((pc1 / s1) * (pc1 / s1)
+                      + (pc2 / s2) * (pc2 / s2)), 4) AS score
+    FROM proj CROSS JOIN st
+    WHERE sqrt((pc1 / s1) * (pc1 / s1)
+               + (pc2 / s2) * (pc2 / s2)) > 2.5
+    """
+    )
+
+
+@query("pca_outliers_embeddings", None)  # oracle attached below
+def pca_outliers_q(spark, sf_dir):
+    """Outlier screen in the reduced space: per-axis z-scores of the
+    2-D PCA projection (axes are principal, hence uncorrelated — the
+    diagonal Mahalanobis is exact), flagging radius > 2.5 — the
+    embedding-space anomaly detector the projection map feeds
+    (means are 0 by construction: projections of centered data).
+    Projections and stddevs round before the radius so the threshold
+    compare is engine-exact."""
+    from .operators.similarity import principal_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = principal_components(
+        emb, "embedding", "vec_id", k=2, iterations=3
+    )
+    v0 = comps.filter(F.col("component") == 0).select(
+        F.col("dim_index").alias("i"), F.col("loading").alias("v1")
+    )
+    v1 = comps.filter(F.col("component") == 1).select(
+        F.col("dim_index").alias("i"), F.col("loading").alias("v2")
+    )
+    x = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("i", "xi"),
+    )
+    mu = x.groupBy("i").agg(F.avg("xi").alias("mu"))
+    xc = x.join(mu, "i").select(
+        "id", "i", (F.col("xi") - F.col("mu")).alias("c")
+    )
+    proj = (
+        xc.join(F.broadcast(v0), "i")
+        .join(F.broadcast(v1), "i")
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.col("c") * F.col("v1")), 6).alias("pc1"),
+            F.round(F.sum(F.col("c") * F.col("v2")), 6).alias("pc2"),
+        )
+    )
+    st = proj.agg(
+        F.round(F.stddev_samp("pc1"), 6).alias("s1"),
+        F.round(F.stddev_samp("pc2"), 6).alias("s2"),
+    )
+    z = F.sqrt(
+        (F.col("pc1") / F.col("s1")) * (F.col("pc1") / F.col("s1"))
+        + (F.col("pc2") / F.col("s2")) * (F.col("pc2") / F.col("s2"))
+    )
+    return (
+        proj.crossJoin(F.broadcast(st))
+        .filter(z > 2.5)
+        .select("id", "pc1", "pc2", F.round(z, 4).alias("score"))
+    )
+
+
+O["pca_outliers_embeddings"] = _pca_outlier_oracle(3)
+
+
 @query(
     "single_link_hierarchy_embeddings",
     """
@@ -9074,6 +9161,7 @@ _PRIORITY = [
     "single_link_hierarchy_embeddings",
     "pca_top2_components_embeddings",
     "pca_projection_embeddings",
+    "pca_outliers_embeddings",
     "pmi_pairs_docs",
     "chisq_lang_drift_by_source",
     "mad_totalprice_by_status",
