@@ -218,13 +218,17 @@ def pagerank(
 
     Per iteration: one shuffle join of the edge list against the
     current ranks on the source key + one aggregate keyed by
-    destination — O(iterations × |edges|) shuffle volume, the same
-    cost shape as the MapReduce formulation.  The edge list is
-    pre-joined with out-degrees ONCE and persisted (it never changes);
-    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
-    the growing plan lineage, exactly as ``connected_components``
-    does.  Node ids may be any orderable type; rank sums are doubles
-    (round on output when comparing across engines).
+    destination.  The edge list is pre-joined with out-degrees ONCE,
+    hash-partitioned on the join key, and persisted — its cached
+    output partitioning satisfies every iteration's join requirement,
+    so the O(|E|) side never re-shuffles: per-round exchange volume is
+    O(|V|) (the rank vector), not O(|E|) (the dominant term of the
+    naive MapReduce formulation).  The node list is pre-partitioned on
+    ``id`` the same way for the rank rebuild join.  ``localCheckpoint``
+    every ``checkpoint_every`` rounds truncates the growing plan
+    lineage, exactly as ``connected_components`` does.  Node ids may
+    be any orderable type; rank sums are doubles (round on output when
+    comparing across engines).
 
     ``teleport`` personalizes the walk (TrustRank, Gyöngyi et al.
     VLDB'04): the teleport vector becomes uniform over the seed set
@@ -260,17 +264,18 @@ def pagerank(
                 .otherwise(F.lit(0.0))
                 .alias("_t"),
             )
+            .repartition("id")
             .localCheckpoint(eager=True)
         )
         base_col = F.lit(1.0 - damping) * F.col("_t")
         ranks = nodes.select("id", F.col("_t").alias("rank"))
     else:
-        nodes = nodes.persist()
+        nodes = nodes.repartition("id").persist()
         n = nodes.count()  # scalar: the teleport term is a literal
         base_col = F.lit((1.0 - damping) / n)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
-    e_deg = e.join(outdeg, "u").persist()
+    e_deg = e.join(outdeg, "u").repartition("u").persist()
 
     for i in range(iterations):
         contribs = (
@@ -673,9 +678,26 @@ def dbscan_from_pairs(
     Scale: O(|pairs|) shuffles + the components rounds on the CORE
     subgraph only (noise/border never iterate); pair generation is the
     bucketed kernel's job, so no all-pairs anything here.
+
+    Ids must be integral: ``cluster`` is a BIGINT (min core id, ``-1``
+    noise sentinel), so a string-keyed universe would silently cast
+    every cluster to NULL — rejected here instead.  String ids should
+    be mapped through ``xxhash64``/a surrogate key first.
     """
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
+    from pyspark.sql import types as T
+
+    id_type = universe.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"dbscan_from_pairs requires an integral {id_col!r} "
+            f"(cluster is BIGINT with -1 as the noise sentinel); got "
+            f"{id_type.simpleString()} — hash or surrogate-key string "
+            "ids first"
+        )
     sym = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(

@@ -229,6 +229,69 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    out_path: str,
+    centroids,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> str:
+    """Materialize the corpus as an on-disk IVF inverted-file layout:
+    one parquet partition directory per coarse-quantizer cluster
+    (``cluster=<id>/part-*.parquet``).
+
+    Assignment uses the LITERAL-centroid Catalyst expression
+    (``assign_nearest_centroid`` — map-only, no Python worker in the
+    write path), so the build is a single pass: scan → assign →
+    partitioned write.  At 100 TB this runs once; every subsequent
+    nprobe query reads only nprobe/len(centroids) of the files via
+    partition pruning (shape pinned in
+    tests/test_plans.py::test_ivf_partitioned_corpus_prunes_at_file_level).
+    """
+    assigned = assign_nearest_centroid(corpus, centroids, vec_col, cluster_col)
+    assigned.write.mode("overwrite").partitionBy(cluster_col).parquet(out_path)
+    return out_path
+
+
+def cosine_topk_ivf_partitioned(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    schema=None,
+) -> DataFrame:
+    """Query side of the on-disk IVF index: rank the centroids against
+    the query on the driver (len(centroids) dot products — trivially
+    bounded), then scan ONLY the ``nprobe`` nearest inverted lists and
+    exact-rank within them.  The ``cluster IN (...)`` predicate
+    resolves against the directory layout (PartitionFilters), so files
+    in unprobed lists are never opened — the IVF scan-fraction win as
+    plain Spark partition pruning, no custom reader.
+
+    Pass ``schema`` (the index's read schema, partition column
+    included) to skip footer sampling at planning time: on a 100 TB
+    index, inference would open a data-file footer just to learn a
+    schema the caller already knows — and it may open it in a list the
+    query never probes."""
+    centroids = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    norms = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
+    sims = (centroids @ q) / np.maximum(norms, 1e-12)
+    probe = np.argsort(-sims)[:nprobe].tolist()
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    idx = reader.parquet(index_path)
+    return cosine_topk(
+        idx.filter(F.col(cluster_col).isin(probe)), query_vec, k, id_col, vec_col
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     query_vec: list[float],

@@ -86,6 +86,8 @@ class IncrementalPipeline:
         creator_arn: str | None = None,
         source_options: dict | None = None,
         exactly_once: bool = False,
+        bookmark_option: str = "job-bookmark-enable",
+        encryption_type: str | None = None,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -109,6 +111,26 @@ class IncrementalPipeline:
         # commit behind one manifest rename.
         self.exactly_once = exactly_once
         self._txn = None
+        # Glue's job-bookmark-option (reference :246 requires the arg;
+        # the Glue RUNTIME, not the script, interprets it — so the
+        # local engine interprets it here): 'enable' = filter + advance
+        # (default), 'pause' = filter with the existing watermark but
+        # never advance (re-runnable window), 'disable' = full re-read,
+        # no filter, no advance.  Short or full ('job-bookmark-…')
+        # forms accepted.
+        mode = (bookmark_option or "job-bookmark-enable").lower()
+        mode = mode.removeprefix("job-bookmark-")
+        if mode not in ("enable", "pause", "disable"):
+            raise ValueError(
+                f"bookmark_option must be one of job-bookmark-enable/"
+                f"pause/disable, got {bookmark_option!r}"
+            )
+        self.bookmark_mode = mode
+        # encryption-type (reference :261): control-plane passthrough —
+        # recorded on created tables so downstream tooling sees the
+        # job's declared at-rest encryption; no local KMS analogue
+        # (same treatment as the E9 permissions grant).
+        self.encryption_type = encryption_type
 
     # -- naming (reference :68, 575-577) -----------------------------------
 
@@ -161,7 +183,12 @@ class IncrementalPipeline:
         src = read_table(
             self.spark, source_path, self.source_format, **self.source_options
         )
-        batch = self.bookmarks.filter_new(src, ctx, cfg.bookmark_keys, cfg.sort_order)
+        if self.bookmark_mode == "disable":
+            batch = src  # full re-read: the watermark is ignored
+        else:
+            batch = self.bookmarks.filter_new(
+                src, ctx, cfg.bookmark_keys, cfg.sort_order
+            )
 
         if cfg.merge_keys and self.exactly_once:
             raise ValueError(
@@ -209,6 +236,11 @@ class IncrementalPipeline:
                 parameters={
                     "CreatedByJob": self.job_name,
                     "CreatedByJobRun": self.job_run_id,
+                    **(
+                        {"EncryptionType": self.encryption_type}
+                        if self.encryption_type
+                        else {}
+                    ),
                 },
             )
             res.created_table = True
@@ -314,10 +346,7 @@ class IncrementalPipeline:
                     delete_col=cfg.delete_col,
                 )
                 res.rows_written = stats["rows_written"]
-                new_wm = self.bookmarks.compute_next(
-                    mapped, cfg.bookmark_keys, cfg.sort_order
-                )
-                self.bookmarks.stage(ctx, new_wm)
+                self._stage_watermark(ctx, mapped, cfg)
                 self._stamp_lineage_and_grant(res, tgt_name, t0)
                 return res
 
@@ -344,15 +373,24 @@ class IncrementalPipeline:
 
             # Stage the new watermark from THIS batch; committed with
             # all the others in run().
-            new_wm = self.bookmarks.compute_next(
-                mapped, cfg.bookmark_keys, cfg.sort_order
-            )
-            self.bookmarks.stage(ctx, new_wm)
+            self._stage_watermark(ctx, mapped, cfg)
         finally:
             mapped.unpersist()
 
         self._stamp_lineage_and_grant(res, tgt_name, t0)
         return res
+
+    def _stage_watermark(self, ctx: str, batch: DataFrame, cfg: TableConfig) -> None:
+        """Advance the bookmark from this batch — only in 'enable'
+        mode.  'pause' replays the same window next run (the filter
+        still applied, the watermark frozen); 'disable' never tracks
+        state at all — both are Glue's documented option semantics."""
+        if self.bookmark_mode != "enable":
+            return
+        new_wm = self.bookmarks.compute_next(
+            batch, cfg.bookmark_keys, cfg.sort_order
+        )
+        self.bookmarks.stage(ctx, new_wm)
 
     def _stamp_lineage_and_grant(
         self, res: PipelineResult, tgt_name: str, t0: dt.datetime

@@ -81,8 +81,20 @@ def running_user_totals_tws(events: DataFrame, user_col: str = "user_id") -> Dat
     and the ``protobuf`` Python package (the state-server protocol of
     the TWS driver worker).  The test suite runs this only where
     protobuf is importable; containers without it keep the
-    ``running_user_totals`` twin as the exercised path.
+    ``running_user_totals`` twin as the exercised path, and THIS
+    function fails fast with an actionable error instead of letting
+    the missing import surface as an opaque crash deep inside the
+    streaming Python worker at query start.
     """
+    try:
+        import google.protobuf  # noqa: F401  (TWS state-server protocol)
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' Python "
+            "package (the TWS state-server protocol); install protobuf "
+            "or use the applyInPandasWithState twin "
+            "running_user_totals(), which has identical semantics"
+        ) from e
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

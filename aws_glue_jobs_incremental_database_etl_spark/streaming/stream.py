@@ -311,37 +311,93 @@ def streaming_cms_token_counts(
     stream's cardinality — the fixed-memory answer to "which tokens
     are trending" over an unbounded ingest.
 
-    availableNow + checkpoint give the same replay-safe at-least-once
-    contract as the ingestion pipeline; the sketch overwrite is
-    idempotent per batch id at the row level because re-merging an
-    already-merged batch only happens on replay before the checkpoint
-    commit (same window every foreachBatch sink has).
+    Replay safety is EXACTLY-ONCE, not just at-least-once: the folded
+    sketch is stateful, so re-merging a replayed batch would double
+    count.  The maintainer therefore commits each fold as
+    ``state-<batch_id>`` via staging + atomic rename (the same commit
+    point as ``exactly_once_batch_writer``) and SKIPS any batch id at
+    or below the last committed state — a crash after the rename but
+    before the checkpoint commit replays the batch into a no-op.
+    Read the current sketch with :func:`read_sketch`.
     """
-    import os
-
     from ..functions.cms import cms_build, cms_merge
 
-    def _update(batch: DataFrame, _id: int) -> None:
-        delta = cms_build(batch, key_col, d=d, w=w)
-        if os.path.exists(sketch_path):
-            prev = batch.sparkSession.read.parquet(sketch_path)
-            merged = cms_merge(prev, delta)
-        else:
-            merged = delta
-        # stage-and-swap: never read and overwrite the same files
-        tmp = sketch_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = batch.sparkSession.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(sketch_path)
-
     q = (
-        stream_df.writeStream.foreachBatch(_update)
+        stream_df.writeStream.foreachBatch(
+            sketch_fold_writer(
+                sketch_path,
+                lambda b: cms_build(b, key_col, d=d, w=w),
+                cms_merge,
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def _committed_sketch_ids(sketch_path: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(sketch_path):
+        return []
+    return sorted(
+        int(d.split("-", 1)[1])
+        for d in os.listdir(sketch_path)
+        if d.startswith("state-")
+    )
+
+
+def read_sketch(spark, sketch_path: str) -> DataFrame:
+    """Current value of a sketch maintained by ``sketch_fold_writer``:
+    the highest committed ``state-<batch_id>`` directory."""
+    import os
+
+    ids = _committed_sketch_ids(sketch_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed sketch state under {sketch_path}")
+    return spark.read.parquet(os.path.join(sketch_path, f"state-{ids[-1]}"))
+
+
+def sketch_fold_writer(sketch_path: str, build_delta, merge):
+    """foreachBatch updater folding per-batch deltas into a persisted
+    bounded sketch with EXACTLY-ONCE semantics: batch ids at or below
+    the last committed state are skipped (Structured Streaming replays
+    a batch id with identical data, so skip ≡ dedup), and each new
+    state publishes by write-to-staging + one atomic rename — a crash
+    mid-write loses only the staging dir, never the current sketch.
+    Superseded states are garbage-collected after the rename; a crash
+    between rename and GC leaves extra old dirs that the next commit
+    removes.  One sketch path belongs to one stream/checkpoint (batch
+    ids are only monotone within a checkpoint)."""
+    import os
+    import shutil
+
+    def _update(batch: DataFrame, batch_id: int) -> None:
+        committed = _committed_sketch_ids(sketch_path)
+        if committed and batch_id <= committed[-1]:
+            return  # replay of an already-folded batch
+        delta = build_delta(batch)
+        if committed:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(sketch_path, f"state-{committed[-1]}")
+            )
+            merged = merge(prev, delta)
+        else:
+            merged = delta
+        tmp = os.path.join(sketch_path, f".staging-{batch_id}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # half-written crash leftovers
+        merged.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(sketch_path, f"state-{batch_id}"))
+        for old in committed:  # GC strictly after the commit point
+            shutil.rmtree(
+                os.path.join(sketch_path, f"state-{old}"), ignore_errors=True
+            )
+
+    return _update
 
 
 def streaming_histogram_quantiles(
@@ -361,28 +417,22 @@ def streaming_histogram_quantiles(
     mergeability contract as streaming_cms_token_counts).  The
     persisted state is ≤ ``bins`` rows forever; query current
     p50/p95/p99 any time with operators.profile.sketch_quantiles over
-    the parquet — monitoring percentiles over an unbounded ingest
-    without ever re-scanning history.  Same availableNow + checkpoint
-    replay contract and stage-and-swap write as the CMS maintainer.
+    ``read_sketch(...)`` — monitoring percentiles over an unbounded
+    ingest without ever re-scanning history.  Same exactly-once
+    batch-id-committed fold as the CMS maintainer
+    (``sketch_fold_writer``): replayed batches skip, commits are
+    atomic renames, stale states are GC'd.
     """
-    import os
-
     from ..operators.profile import histogram_sketch, sketch_merge
 
-    def _update(batch: DataFrame, _id: int) -> None:
-        delta = histogram_sketch(batch, value_col, lo, hi, bins)
-        if os.path.exists(sketch_path):
-            prev = batch.sparkSession.read.parquet(sketch_path)
-            merged = sketch_merge(prev, delta)
-        else:
-            merged = delta
-        tmp = sketch_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = batch.sparkSession.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(sketch_path)
-
     q = (
-        stream_df.writeStream.foreachBatch(_update)
+        stream_df.writeStream.foreachBatch(
+            sketch_fold_writer(
+                sketch_path,
+                lambda b: histogram_sketch(b, value_col, lo, hi, bins),
+                sketch_merge,
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
         .trigger(availableNow=True)

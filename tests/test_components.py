@@ -367,6 +367,21 @@ def test_dbscan_border_attaches_to_min_cluster(spark):
     assert out[20] == ("core", 20) and out[23] == ("core", 20)
 
 
+def test_dbscan_rejects_non_integral_ids(spark):
+    """String ids would silently become NULL clusters under the
+    BIGINT/-1 sentinel contract — must raise instead."""
+    import pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.components import (
+        dbscan_from_pairs,
+    )
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    universe = spark.createDataFrame([("a",), ("b",)], "id string")
+    with pytest.raises(TypeError, match="integral"):
+        dbscan_from_pairs(universe, pairs, min_pts=1)
+
+
 def test_single_link_levels_nest(spark, sf_dir):
     """Dendrogram nesting invariant: every FINE cluster (higher
     threshold) must sit entirely inside one COARSE cluster — fine

@@ -311,6 +311,67 @@ def test_ivf_topk_full_probe_matches_exact(spark, sf_dir):
     assert 0 in got  # query vector's own cluster is always probed
 
 
+def test_ivf_partitioned_index_never_reads_unprobed_lists(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end IVF storage layout: build writes cluster=<id>/ dirs;
+    the nprobe query must resolve its cluster filter against the
+    DIRECTORY layout, not row filtering — proven the hard way by
+    corrupting every parquet file in the unprobed lists and asserting
+    the query still runs (a post-scan filter would crash reading the
+    garbage bytes) and matches the uncorrupted in-memory path."""
+    import os
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        assign_nearest_centroid,
+        build_ivf_index,
+        cosine_topk_ivf_partitioned,
+        fixed_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    cents = fixed_centroids(len(q), 8, seed=7)
+    loc = str(tmp_path / "ivf")
+    build_ivf_index(emb, loc, cents)
+    dirs = sorted(d for d in os.listdir(loc) if d.startswith("cluster="))
+    assert len(dirs) >= 2  # real inverted-file layout on disk
+
+    expected = cosine_topk_ivf_partitioned(
+        spark, loc, list(q), cents, k=5, nprobe=2
+    ).collect()
+    idx_schema = spark.read.parquet(loc).schema
+
+    # which lists does nprobe=2 probe for this query?
+    qv = np.asarray(q)
+    sims = (cents @ qv) / (
+        np.linalg.norm(cents, axis=1) * np.linalg.norm(qv)
+    )
+    probed = {int(i) for i in np.argsort(-sims)[:2]}
+    for d in dirs:
+        if int(d.split("=", 1)[1]) in probed:
+            continue
+        for f in os.listdir(os.path.join(loc, d)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(loc, d, f), "wb") as fh:
+                    fh.write(b"not parquet")
+    # schema pinned (the 100 TB contract: no footer sampling at plan
+    # time) — execution must now succeed iff unprobed files are skipped
+    got = cosine_topk_ivf_partitioned(
+        spark, loc, list(q), cents, k=5, nprobe=2, schema=idx_schema
+    ).collect()
+    assert got == expected
+    # and the in-memory assignment agrees with what landed on disk
+    mem = assign_nearest_centroid(emb, cents)
+    on_disk = spark.read.schema(idx_schema).parquet(loc).filter(
+        F.col("cluster").isin(list(probed))
+    )
+    assert (
+        on_disk.count()
+        == mem.filter(F.col("cluster").isin(list(probed))).count()
+    )
+
+
 # ----------------------------------------------------------------- text
 
 def test_document_stats_properties(spark):
@@ -812,6 +873,72 @@ def test_dsir_importance_prefers_target_like_docs(spark):
         assert out[i][0] == len(toks)
         assert abs(out[i][1] - sum(lr[t] for t in toks)) < 1e-5
     assert out[0][1] > out[1][1] and out[3][1] > out[1][1]
+
+
+def test_dsir_model_cache_bounded_and_hit_stable(spark):
+    """The DSIR model LRU: repeat scorings of the same (corpus,
+    target) hit one cached entry with identical results; distinct
+    models never grow the cache past its bound, and eviction
+    unpersists (no storage-memory creep across many corpora)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators import text as text_ops
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        dsir_clear_model_cache,
+        dsir_importance,
+    )
+
+    dsir_clear_model_cache()
+    base = [(i, f"tok{i % 7} tok{i % 3} alpha") for i in range(40)]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    tgt = df.filter("doc_id < 10")
+    first = sorted(map(tuple, dsir_importance(df, tgt).collect()))
+    again = sorted(map(tuple, dsir_importance(df, tgt).collect()))
+    assert first == again
+    assert len(text_ops._DSIR_CACHE) == 1  # same identity → one entry
+    # distinct models: bound holds, oldest evicted
+    for j in range(text_ops._DSIR_CACHE_MAX + 2):
+        dsir_importance(df, df.filter(f"doc_id < {11 + j}")).collect()
+    assert len(text_ops._DSIR_CACHE) == text_ops._DSIR_CACHE_MAX
+    cached = list(text_ops._DSIR_CACHE.values())
+    assert all(m.storageLevel.useMemory for m in cached)
+    dsir_clear_model_cache()
+    assert len(text_ops._DSIR_CACHE) == 0
+    assert all(not m.storageLevel.useMemory for m in cached)
+
+
+def test_gopher_quality_rules_each_fire(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) fails exactly the doc
+    constructed to violate it, and the compliant doc passes all."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = "the quick brown fox jumps over lazy dogs and cats " * 6
+    short = "the of and that"  # < 50 words
+    symbols = " ".join(["#tag"] * 30 + ["the", "of"] * 15)  # 30/60 symbolish
+    bullets = "\n".join(f"- {good}" for _ in range(10))  # 100% bullet lines
+    ellipsis = "\n".join(f"{good}..." for _ in range(10))
+    nostop = "alpha beta gamma delta " * 20  # no required stopwords
+    longwords = " ".join(["pneumonoultramicroscopic"] * 60)  # mean len > 10
+    df = spark.createDataFrame(
+        list(
+            enumerate(
+                [good, short, symbols, bullets, ellipsis, nostop, longwords]
+            )
+        ),
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert out[0]["keep"] == 1
+    assert out[1]["pass_word_count"] == 0 and out[1]["keep"] == 0
+    assert out[2]["pass_symbol_ratio"] == 0 and out[2]["symbol_ratio"] == 0.5
+    assert out[3]["pass_bullet_ratio"] == 0 and out[3]["bullet_ratio"] == 1.0
+    assert out[4]["pass_ellipsis_ratio"] == 0
+    assert out[5]["pass_stopwords"] == 0 and out[5]["stopword_hits"] == 0
+    assert out[6]["pass_mean_word_len"] == 0
+    # the violating docs fail ONLY their targeted rule (plus any
+    # construction side-effects explicitly allowed below)
+    assert out[3]["pass_ellipsis_ratio"] == 1
+    assert out[4]["pass_bullet_ratio"] == 1
 
 
 def test_char_entropy_known_values_and_tails(spark):

@@ -86,6 +86,72 @@ def test_two_run_incremental_load(env, spark, sf_dir):
     assert params["LastUpdatedByJobRun"] == "run-3"
 
 
+def test_bookmark_option_disable_full_rereads_and_never_advances(
+    env, spark, sf_dir
+):
+    """Glue job-bookmark-disable (reference :246 passes the option
+    through to the runtime): every run reads the FULL source — no
+    watermark filter, no watermark advance."""
+    tmp_path, make = env
+    src = _write_source(spark, sf_dir, tmp_path)
+    n = spark.read.parquet(src).count()
+
+    pipe = make(job_run_id="run-1", bookmark_option="job-bookmark-disable")
+    (r1,) = pipe.run([CFG], {"orders": src})
+    assert r1.rows_written == n
+    # no state was ever tracked
+    assert pipe.bookmarks.get("datasource0_tgt_orders") is None
+
+    # second disabled run re-reads everything (append duplicates —
+    # exactly what an operator replaying a window asks for)
+    pipe2 = make(job_run_id="run-2", bookmark_option="disable")
+    (r2,) = pipe2.run([CFG], {"orders": src})
+    assert r2.rows_written == n
+    assert pipe2.read_target("orders").count() == 2 * n
+
+
+def test_bookmark_option_pause_filters_but_never_advances(
+    env, spark, sf_dir
+):
+    """job-bookmark-pause: the EXISTING watermark still filters the
+    scan, but the run does not move it — the same incremental window
+    replays run after run."""
+    tmp_path, make = env
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    median = full.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+
+    # run 1 (enabled) establishes the watermark at the median
+    src = _write_source(spark, sf_dir, tmp_path, f"o_orderkey <= {median}")
+    (r1,) = make(job_run_id="run-1").run([CFG], {"orders": src})
+    wm_before = make().bookmarks.get("datasource0_tgt_orders")
+    assert wm_before is not None
+
+    # paused runs over the grown source: both see exactly the delta
+    # beyond the FROZEN watermark
+    src = _write_source(spark, sf_dir, tmp_path)
+    delta = full.filter(f"o_orderkey > {median}").count()
+    for run in ("run-2", "run-3"):
+        pipe = make(job_run_id=run, bookmark_option="job-bookmark-pause")
+        (r,) = pipe.run([CFG], {"orders": src})
+        assert r.rows_written == delta
+        assert (
+            pipe.bookmarks.get("datasource0_tgt_orders") == wm_before
+        )
+
+
+def test_bookmark_option_validated_and_encryption_recorded(
+    env, spark, sf_dir
+):
+    tmp_path, make = env
+    with pytest.raises(ValueError, match="bookmark_option"):
+        make(bookmark_option="sometimes")
+    src = _write_source(spark, sf_dir, tmp_path)
+    pipe = make(job_run_id="run-1", encryption_type="sse-kms")
+    pipe.run([CFG], {"orders": src})
+    tbl = pipe.catalog.get_table("target", "tgt_orders")
+    assert tbl["Parameters"]["EncryptionType"] == "sse-kms"
+
+
 def test_empty_first_run_still_stamps_and_grants(env, spark, sf_dir):
     """A created-but-empty table gets lineage parameters and the
     creator grant (reference runs both unconditionally, :617-637)."""

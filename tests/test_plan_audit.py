@@ -24,10 +24,17 @@ SINGLE_PARTITION_OK = {
     "bloom_prefilter_docs",      # packed filter → 1-row broadcast map
     "bm25_score_docs",           # corpus N/avg-len scalar state
     "cms_token_counts_docs",     # packed sketch → 1-row broadcast map
+    "dsir_scores_docs",          # 1-row model constants (corpus/target
+    # totals + vocab size) folded in as a broadcast cross join — the
+    # round-4 single-lazy-plan rewrite of dsir_importance
     "funnel_view_click_purchase",# 1-row funnel-stage counts
     "interval_join_events_windows",  # literal-bounded window table
     "outliers_totalprice",       # 1-row mean/stddev state
     "pack_sequences_512",        # per-bucket summaries (corpus/10k)
+    "pca_outliers_embeddings",   # 1-row stddev scalar state
+    # (registry.py pca_outliers_q: proj.agg(stddev_samp) is a global
+    # ≤1-row reduction broadcast back onto the projection — the same
+    # bounded class as outliers_totalprice)
     "pca_top_component_embeddings",  # 1-row norm reduction
     "profile_orders",            # 1-row wide profile before unpivot
     "q11_part_value_share",      # 1-row global value total
@@ -61,8 +68,10 @@ BNLJ_OK = {
     "cms_token_counts_docs",
     "cosine_topk_many_embeddings",
     "cross_join_region_nation",
+    "dsir_scores_docs",          # 1-row model-constants crossJoin
     "funnel_view_click_purchase",
     "outliers_totalprice",
+    "pca_outliers_embeddings",   # 1-row stddev state crossJoin back
     "pca_top_component_embeddings",
     "profile_orders",
     "psi_drift_orders",

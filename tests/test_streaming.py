@@ -461,6 +461,26 @@ def test_transform_with_state_matches_legacy_twin(spark, tmp_path):
     assert latest[200] == (1, 5.0)
 
 
+def test_tws_without_protobuf_fails_fast_with_guidance(spark):
+    """Where protobuf is missing, running_user_totals_tws must raise an
+    actionable ImportError naming the twin operator at BUILD time —
+    never an opaque worker crash at query start.  (Where protobuf IS
+    installed, the full resume test above is the evidence.)"""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        pytest.skip("protobuf installed — full TWS test covers this")
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    with pytest.raises(ImportError, match="running_user_totals"):
+        running_user_totals_tws(df)
+
+
 def test_streaming_bloom_decontamination(spark, tmp_path):
     """Stream-static composition of functions.bloom: a static
     blocklist filter broadcast onto a document stream — each
@@ -500,6 +520,7 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
         cms_estimate,
     )
     from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        read_sketch,
         streaming_cms_token_counts,
     )
 
@@ -514,7 +535,7 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
         spark, stream, "s", sketch_path, ckpt, d=3, w=64
     )
 
-    streamed = spark.read.parquet(sketch_path)
+    streamed = read_sketch(spark, sketch_path)
     whole = cms_build(df, "s", d=3, w=64)
     assert {tuple(r) for r in streamed.collect()} == {
         tuple(r) for r in whole.collect()
@@ -537,6 +558,7 @@ def test_streaming_histogram_equals_batch_sketch(spark, tmp_path):
         sketch_quantiles,
     )
     from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        read_sketch,
         streaming_histogram_quantiles,
     )
 
@@ -551,7 +573,7 @@ def test_streaming_histogram_equals_batch_sketch(spark, tmp_path):
         spark, stream, "v", sketch_path, ckpt, lo=0.0, hi=100.0, bins=20
     )
 
-    streamed = spark.read.parquet(sketch_path)
+    streamed = read_sketch(spark, sketch_path)
     whole = histogram_sketch(df, "v", 0.0, 100.0, bins=20)
     assert {tuple(r) for r in streamed.collect()} == {
         tuple(r) for r in whole.collect()
@@ -561,6 +583,54 @@ def test_streaming_histogram_equals_batch_sketch(spark, tmp_path):
     qb = {r["prob"]: r["quantile"] for r in
           sketch_quantiles(whole, [0.5], 0.0, 100.0, 20).collect()}
     assert qa == qb and abs(qa[0.5] - 48.5) < 5.0
+
+
+def test_sketch_fold_writer_replay_safe_and_atomic(spark, tmp_path):
+    """The stateful sketch fold must not double-count a replayed batch
+    (the crash-after-publish-before-checkpoint-commit window), must
+    survive a half-written staging dir, and must never lose the
+    current sketch to a mid-write crash (old state stays until the new
+    one's atomic rename)."""
+    import os
+
+    from aws_glue_jobs_incremental_database_etl_spark.functions.cms import (
+        cms_build,
+        cms_merge,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        read_sketch,
+        sketch_fold_writer,
+    )
+
+    path = str(tmp_path / "cms")
+    update = sketch_fold_writer(
+        path, lambda b: cms_build(b, "s", d=3, w=64), cms_merge
+    )
+    b0 = spark.createDataFrame([("a",)] * 10, "s string")
+    b1 = spark.createDataFrame([("a",)] * 5, "s string")
+
+    update(b0, 0)
+    once = {tuple(r) for r in read_sketch(spark, path).collect()}
+    update(b0, 0)  # replay: identical data, same id → must be a no-op
+    assert {tuple(r) for r in read_sketch(spark, path).collect()} == once
+
+    # crash leftovers: a garbage staging dir for the NEXT batch
+    os.makedirs(os.path.join(path, ".staging-1", "junk"))
+    update(b1, 1)
+    merged = {tuple(r) for r in read_sketch(spark, path).collect()}
+    expect = {
+        tuple(r)
+        for r in cms_build(
+            spark.createDataFrame([("a",)] * 15, "s string"), "s", d=3, w=64
+        ).collect()
+    }
+    assert merged == expect
+    update(b1, 1)  # replay of batch 1 after commit: no-op again
+    assert {tuple(r) for r in read_sketch(spark, path).collect()} == expect
+    # exactly one committed state remains (stale GC ran)
+    assert [d for d in os.listdir(path) if d.startswith("state-")] == [
+        "state-1"
+    ]
 
 
 def test_exactly_once_append_survives_batch_replay(spark, tmp_path):
