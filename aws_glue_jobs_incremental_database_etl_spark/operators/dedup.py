@@ -361,6 +361,55 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def quality_survivor_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup cluster resolution that keeps the BEST document per
+    cluster instead of the smallest id — the survivor policy real
+    curation runs want (drop the truncated/boilerplate variants, keep
+    the highest-quality copy; see e.g. the dedup stages of RefinedWeb
+    and Dolma, which rank survivors by length or quality score).
+
+    ``pairs`` is any near-dup pair kernel's output (MinHash, SimHash,
+    embedding — all shipped); clusters are their connected components
+    (transitive closure, so A~B~C collapses to ONE survivor even when
+    A,C were never directly paired).  Survivor = row_number 1 by
+    (``quality_col`` DESC, id ASC) within the cluster — deterministic,
+    total order.  Returns every input row with ``cluster`` (component
+    id; singletons = own id) and ``survivor`` 0/1.
+
+    Scale: components iterate over the PAIR graph only (tiny vs the
+    corpus); the ranking window partitions by cluster — bounded
+    cluster sizes mean bounded window partitions, never a global sort.
+    """
+    from .components import connected_components
+
+    comp = connected_components(pairs, src, dst)
+    labeled = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("_q")
+        )
+        .join(comp, "id", "left")
+        .select(
+            "id", "_q", F.coalesce("component", F.col("id")).alias("cluster")
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_q").desc(), F.col("id").asc()
+    )
+    return labeled.select(
+        "id",
+        "cluster",
+        (F.row_number().over(w) == 1).cast("int").alias("survivor"),
+        F.col("_q").alias(quality_col),
+    )
+
+
 # -------------------------------------------------------------- SimHash
 
 _SIMHASH_UDF = None

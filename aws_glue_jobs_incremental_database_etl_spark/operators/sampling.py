@@ -158,6 +158,63 @@ def mixture_resample(
     return df.filter(expr)
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Temperature-smoothed source mixture (the multilingual sampling
+    law of XLM-R / mT5, Conneau et al. 2020 §3: sample source ``g``
+    with probability ``p_g ∝ (n_g/N)^alpha``): flattens the observed
+    source distribution toward uniform as ``alpha → 0``, keeps it at
+    ``alpha = 1``.  Downsamples only (no upsampling): the binding
+    group is the one whose relative share must shrink least, every
+    group keeps ``rate_g = binding · share_g / n_g`` of its rows via
+    the same md5-bucket predicate as :func:`deterministic_sample` —
+    growth-stable, engine-portable, no RNG.
+
+    Cost shape is :func:`mixture_resample`'s: one partial-aggregated
+    group count (rows ≪ corpus, collected bounded by source
+    cardinality), then a map-only filter — zero data-side shuffles.
+
+    ``alpha=0.5`` (the default and the gate setting) computes shares
+    with ``sqrt``, which IEEE 754 requires to be correctly rounded —
+    so the SQL twin (``SQRT``) is bit-exact by construction.  Other
+    alphas use ``pow``, whose last-ulp behavior is libm-specific;
+    cross-engine replays at the bucket floor boundary may then differ
+    by one key in pathological cases.
+    """
+    import math
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    counts = sorted(
+        (r["g"], r["n"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["g"] is not None
+    )
+    total = sum(n for _, n in counts)
+    if total == 0:
+        return df.filter(F.lit(False))
+
+    def share(n: int) -> float:
+        frac = n / total
+        return math.sqrt(frac) if alpha == 0.5 else frac**alpha
+
+    binding = min(n / share(n) for _, n in counts if n > 0)
+    b = hash_bucket(key_col, buckets)
+    expr = None
+    for g, n in counts:
+        thr = int(math.floor(min(1.0, binding * share(n) / n) * buckets))
+        cond = (F.col(group_col) == g) & (b < thr)
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)
+
+
 def weighted_sample_k(
     df: DataFrame,
     k: int,

@@ -240,16 +240,28 @@ def build_ivf_index(
     one parquet partition directory per coarse-quantizer cluster
     (``cluster=<id>/part-*.parquet``).
 
-    Assignment uses the LITERAL-centroid Catalyst expression
-    (``assign_nearest_centroid`` — map-only, no Python worker in the
-    write path), so the build is a single pass: scan → assign →
-    partitioned write.  At 100 TB this runs once; every subsequent
-    nprobe query reads only nprobe/len(centroids) of the files via
-    partition pruning (shape pinned in
+    Assignment uses the Arrow kernel
+    (``assign_nearest_centroid_arrow`` — bit-identical to the
+    literal-centroid Catalyst expression and its SQL twins, and ~5×
+    faster: the K·d-term expression blows past whole-stage codegen's
+    method-size limits), so the build is scan → assign →
+    cluster-keyed repartition → partitioned write.  The repartition
+    keeps the file
+    count at O(n_clusters) instead of O(tasks × n_clusters) — without
+    it every scan task writes a sliver into every cluster directory,
+    the small-files explosion sinks.py warns about; with 10^4–10^5
+    clusters at production scale the shuffle also IS the write
+    parallelism.  At 100 TB this runs once; every subsequent nprobe
+    query reads only nprobe/len(centroids) of the files via partition
+    pruning (shape pinned in
     tests/test_plans.py::test_ivf_partitioned_corpus_prunes_at_file_level).
     """
-    assigned = assign_nearest_centroid(corpus, centroids, vec_col, cluster_col)
-    assigned.write.mode("overwrite").partitionBy(cluster_col).parquet(out_path)
+    assigned = assign_nearest_centroid_arrow(
+        corpus, centroids, vec_col, cluster_col
+    )
+    assigned.repartition(F.col(cluster_col)).write.mode(
+        "overwrite"
+    ).partitionBy(cluster_col).parquet(out_path)
     return out_path
 
 
@@ -290,6 +302,56 @@ def cosine_topk_ivf_partitioned(
     return cosine_topk(
         idx.filter(F.col(cluster_col).isin(probe)), query_vec, k, id_col, vec_col
     )
+
+
+def cosine_topk_incremental(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maintain an exact top-k result under APPEND-ONLY corpus growth
+    (the incremental top-k similarity-search pattern of interactive
+    analysis sessions, cf. EDBT'20): fold each new batch's local top-k
+    into a persisted ≤k-row state and re-rank.  Correct because top-k
+    is monotone-mergeable — ``topk(A ∪ B) = topk(topk(A) ∪ topk(B))``
+    under the same total order (round(cosine) DESC, id ASC) — so the
+    historical corpus is NEVER re-scanned: per batch the cost is one
+    map-only pass over the delta plus a ≤2k-row merge.  State
+    publishes via write-to-staging + atomic rename (the
+    ``sketch_fold_writer`` commit point); a crash mid-fold leaves the
+    previous state intact.  Returns the new top-k DataFrame (read from
+    the committed state)."""
+    import os
+    import shutil
+
+    delta = cosine_topk(batch, query_vec, k, id_col, vec_col, round_to)
+    cur = os.path.join(state_path, "topk")
+    if os.path.exists(cur):
+        merged = (
+            spark.read.parquet(cur)
+            .unionByName(delta)
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    else:
+        merged = delta
+    tmp = os.path.join(state_path, ".staging")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
+    old = os.path.join(state_path, ".old")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(cur):
+        os.rename(cur, old)
+    os.rename(tmp, cur)  # the commit point
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(cur)
 
 
 def cosine_topk_lsh(

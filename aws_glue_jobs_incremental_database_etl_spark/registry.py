@@ -1022,6 +1022,46 @@ def mixture_resample_q(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+@query(
+    "temperature_resample_docs",
+    """
+    WITH counts AS (
+      SELECT source AS g, COUNT(*) AS n FROM documents
+      WHERE source IS NOT NULL GROUP BY source
+    ), tot AS (
+      SELECT SUM(n) AS t FROM counts
+    ), sh AS (
+      SELECT g, n, SQRT(n / CAST(t AS DOUBLE)) AS s
+      FROM counts CROSS JOIN tot
+    ), bind AS (
+      SELECT MIN(n / s) AS binding FROM sh WHERE n > 0
+    ), th AS (
+      SELECT g,
+             CAST(FLOOR(LEAST(1.0, binding * s / n) * 10000) AS BIGINT)
+               AS thr
+      FROM sh CROSS JOIN bind
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th ON d.source = th.g
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < th.thr
+    """,
+)
+def temperature_resample_q(spark, sf_dir):
+    """Temperature-smoothed source mixture
+    (operators.sampling.temperature_resample, the XLM-R/mT5 sampling
+    law p_g ∝ (n_g/N)^alpha at alpha=0.5): source counts are one
+    bounded aggregate, shares use SQRT (correctly rounded per IEEE 754
+    on both engines — exact cross-engine selection), the resample
+    itself is the md5-bucket map-only predicate."""
+    from .operators.sampling import temperature_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_resample(d, "source", "doc_id", alpha=0.5).select(
+        "doc_id", "source"
+    )
+
+
 def _zorder_oracle() -> str:
     from .functions.zorder import zorder_sql_expr
 
@@ -2755,6 +2795,47 @@ def cosine_topk_q(spark, sf_dir):
 
 
 @query(
+    "incremental_topk_embeddings",
+    """
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 15
+    """,
+)
+def incremental_topk_q(spark, sf_dir):
+    """Incremental top-k maintenance under appends
+    (operators.similarity.cosine_topk_incremental): the corpus arrives
+    as THREE disjoint batches (vec_id mod 3) folded one at a time into
+    a ≤k-row persisted state — history never re-scanned — and the
+    final state must equal the oracle's single-pass top-k over the
+    whole table (the monotone-mergeability of top-k, exercised
+    end-to-end through the atomic state commit)."""
+    from .operators.similarity import cosine_topk_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    state = tempfile.mkdtemp(prefix="inc_topk_")
+    out = None
+    for m in (0, 1, 2):
+        out = cosine_topk_incremental(
+            spark,
+            state,
+            emb.filter(F.col("vec_id") % 3 == m),
+            qvec,
+            k=15,
+            round_to=4,
+        )
+    return out
+
+
+@query(
     "embedding_near_dup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -4003,6 +4084,60 @@ def components_q(spark, sf_dir):
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+@query(
+    "quality_survivor_dedup_docs",
+    rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM toks
+    ), {_SHINGLE_INTER_SQL}, pairs AS (
+      SELECT id_a AS u, id_b AS v FROM inter
+      WHERE c::DOUBLE / (na + nb - c) >= 0.7
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), lab AS (
+      SELECT doc.doc_id AS id,
+             COALESCE(c.component, doc.doc_id) AS cluster,
+             doc.n_chars
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+    )
+    SELECT id, cluster,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY cluster
+                  ORDER BY n_chars DESC, id ASC) = 1 AS INTEGER)
+             AS survivor,
+           n_chars
+    FROM lab
+    """,
+)
+def quality_survivor_q(spark, sf_dir):
+    """Quality-aware near-dup survivor selection
+    (operators.dedup.quality_survivor_dedup): MinHash pair graph →
+    connected components → keep the HIGHEST-quality doc per cluster
+    (n_chars DESC, id ASC) — the RefinedWeb/Dolma-style survivor
+    policy, vs the min-id rule of ``minhash_dedup``.  MinHash recall
+    is 1 at τ=0.7 on this corpus (same regime as
+    ``near_dup_components``), so the exact-Jaccard recursive-CTE
+    oracle replays the clusters and the window replays the policy."""
+    from .operators.dedup import minhash_near_dup_pairs, quality_survivor_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.7, shingle_k=3, num_hashes=64, bands=16
+    )
+    return quality_survivor_dedup(d, pairs, "doc_id", "n_chars")
 
 
 @query(
@@ -9142,6 +9277,9 @@ _PRIORITY = [
     # ---- round-4 new queries (never checked anywhere but locally)
     "ivf_partitioned_topk_embeddings",
     "gopher_quality_docs",
+    "temperature_resample_docs",
+    "quality_survivor_dedup_docs",
+    "incremental_topk_embeddings",
     # ---- judge-named round-3 third wave (VERDICT Next-round #3)
     "bm25_score_docs",
     "pareto_frontier_orders",

@@ -176,6 +176,29 @@ def test_jaccard_prefix_filter_matches_postings_variant(spark, sf_dir):
     assert pref == full and full
 
 
+def test_quality_survivor_dedup_keeps_best_per_transitive_cluster(spark):
+    """A~B and B~C (A,C never directly paired) must collapse to ONE
+    survivor — the highest-quality member; ties break to the smaller
+    id; singletons survive as their own cluster."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+        quality_survivor_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 80), (2, 95), (3, 95), (9, 10)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r["id"]: (r["cluster"], r["survivor"])
+        for r in quality_survivor_dedup(docs, pairs).collect()
+    }
+    assert out[1] == (1, 0)  # cluster label = min id of the component
+    assert out[2] == (1, 1)  # quality tie with 3 → smaller id wins
+    assert out[3] == (1, 0)
+    assert out[9] == (9, 1)  # singleton survives
+    assert sum(s for _, s in out.values()) == 2
+
+
 def test_simhash_near_dups_and_hamming(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=10, shingle_k=2)
@@ -289,6 +312,38 @@ def test_lsh_bucket_deterministic_and_topk_subset(spark, sf_dir):
         .collect()
     }
     assert ann_ids <= bucket_ids
+
+
+def test_incremental_topk_equals_full_scan_and_survives_crash(
+    spark, sf_dir, tmp_path
+):
+    """Folding batches one at a time must equal the single-pass top-k
+    (monotone mergeability end-to-end through the persisted state);
+    stale staging leftovers from a crashed fold must not poison the
+    next commit."""
+    import os
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_incremental,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    state = str(tmp_path / "topk_state")
+    os.makedirs(os.path.join(state, ".staging", "junk"))  # crash debris
+    out = None
+    for m in (0, 1):
+        out = cosine_topk_incremental(
+            spark, state, emb.filter(F.col("vec_id") % 2 == m), list(q), k=7
+        )
+    got = [(r.vec_id, r.cosine) for r in out.collect()]
+    want = [
+        (r.vec_id, r.cosine) for r in cosine_topk(emb, list(q), k=7).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # state is bounded at k rows on disk
+    assert spark.read.parquet(os.path.join(state, "topk")).count() == 7
 
 
 def test_ivf_topk_full_probe_matches_exact(spark, sf_dir):

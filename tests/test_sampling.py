@@ -107,6 +107,47 @@ def test_mixture_resample_deterministic_and_growth_stable(spark):
     assert out2.filter("grp = 'c'").count() == 0
 
 
+def test_temperature_resample_flattens_toward_uniform(spark):
+    """alpha=0.5 must shrink big sources more than small ones: the
+    surviving mixture sits strictly between the raw distribution and
+    uniform; the smallest source (binding) keeps everything; the
+    selection is deterministic and matches a python replica of the
+    sqrt-share solve."""
+    import math
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    sizes = {"big": 4000, "mid": 1000, "small": 250}
+    rows = []
+    nxt = 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((nxt, g))
+            nxt += 1
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = temperature_resample(df, "grp", "id", alpha=0.5)
+    got = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    total = sum(sizes.values())
+    # replica of the solve
+    share = {g: math.sqrt(n / total) for g, n in sizes.items()}
+    binding = min(n / share[g] for g, n in sizes.items())
+    keep = {g: min(1.0, binding * share[g] / n) for g, n in sizes.items()}
+    assert keep["small"] == 1.0 and got["small"] == sizes["small"]
+    for g in sizes:
+        assert abs(got[g] - keep[g] * sizes[g]) < 0.05 * sizes[g] + 5
+    # flattened: surviving big-share strictly below raw big-share,
+    # strictly above uniform
+    surv = got["big"] / sum(got.values())
+    assert 1 / 3 < surv < sizes["big"] / total
+    # deterministic
+    again = {r.id for r in temperature_resample(df, "grp", "id", 0.5).collect()}
+    assert again == {r.id for r in out.collect()}
+    with pytest.raises(ValueError):
+        temperature_resample(df, "grp", "id", alpha=0.0)
+
+
 def test_mixture_resample_validates_shares(spark):
     from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
         mixture_resample,
