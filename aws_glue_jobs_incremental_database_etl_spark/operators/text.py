@@ -43,6 +43,39 @@ def quality_filter(
     return df.filter(quality_score(F.col(text_col)) >= min_quality)
 
 
+def pii_density(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII-shape counts and density — the measurement
+    side of ``functions.text.redact_pii`` (compliance dashboards and
+    drop-vs-redact routing decide off the COUNTS; redaction is what
+    happens after).  Counts each shape on the progressively-masked
+    text in the same email → IP → number order the redactor applies,
+    so an IPv4's digit run is never double-counted as a phone number.
+    ``pii_density`` = total shapes per word, rounded 6.  Three
+    regexp_count/regexp_replace chains — map-only, no UDF, RE2-safe
+    patterns shared with the redactor."""
+    t = F.col(text_col)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+    num = r"\b(?:\d[ .-]?){7,}\d\b"
+    n_email = F.regexp_count(t, F.lit(email))
+    s1 = F.regexp_replace(t, email, "<EMAIL>")
+    n_ip = F.regexp_count(s1, F.lit(ip))
+    s2 = F.regexp_replace(s1, ip, "<IP>")
+    n_num = F.regexp_count(s2, F.lit(num))
+    n_words = F.size(F.split(F.lower(F.trim(t)), r"\s+"))
+    total = n_email + n_ip + n_num
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("bigint").alias("n_words"),
+        n_email.cast("bigint").alias("n_emails"),
+        n_ip.cast("bigint").alias("n_ips"),
+        n_num.cast("bigint").alias("n_numbers"),
+        F.round(total / n_words, 6).alias("pii_density"),
+    )
+
+
 # Gopher rule thresholds (Rae et al. 2021, Table A1) — module-level so
 # callers and the SQL twin share one source of truth.
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -2836,6 +2836,175 @@ def incremental_topk_q(spark, sf_dir):
 
 
 @query(
+    "hard_negatives_embeddings",
+    """
+    WITH c AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, e AS ae
+      FROM c WHERE vec_id < 10
+    ), s AS (
+      SELECT a.anchor_id, a.anchor_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             ROUND(list_cosine_similarity(c.e, a.ae), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY ROUND(list_cosine_similarity(c.e, a.ae), 6) DESC,
+                        c.vec_id ASC) AS rn
+      FROM c JOIN a ON c.label <> a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine
+    FROM s WHERE rn = 1
+    """,
+)
+def hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training (the
+    batch-construction step of SimCLR/DPR-style training: the most
+    similar OTHER-class example per anchor is the gradient-richest
+    negative).  Anchors (bounded set) broadcast against one corpus
+    scan — the ``cosine_topk_many`` shape with a label-inequality
+    predicate; per-anchor argmax via an anchor-keyed window (never
+    global).  Same-label rows (self included) are excluded by the
+    predicate itself."""
+    from .functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    c = emb.select("vec_id", "label", "embedding")
+    a = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("ae"),
+    )
+    joined = c.join(
+        F.broadcast(a), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.round(cosine_similarity(F.col("embedding"), F.col("ae")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "knn_label_accuracy_embeddings",
+    """
+    WITH c AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id AS pid, label AS tlbl, e AS pe
+      FROM c WHERE vec_id < 50
+    ), nn AS (
+      SELECT p.pid, p.tlbl, c.label AS nlbl,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.pid
+               ORDER BY ROUND(list_cosine_similarity(c.e, p.pe), 6) DESC,
+                        c.vec_id ASC) AS rn
+      FROM c JOIN p ON c.vec_id <> p.pid
+    ), votes AS (
+      SELECT pid, tlbl, nlbl, COUNT(*) AS v
+      FROM nn WHERE rn <= 5 GROUP BY pid, tlbl, nlbl
+    ), pred AS (
+      SELECT pid, tlbl, nlbl AS plbl,
+             ROW_NUMBER() OVER (
+               PARTITION BY pid ORDER BY v DESC, nlbl ASC) AS r
+      FROM votes
+    )
+    SELECT tlbl AS label,
+           COUNT(*) AS n_probes,
+           CAST(SUM(CASE WHEN plbl = tlbl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(SUM(CASE WHEN plbl = tlbl THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM pred WHERE r = 1 GROUP BY tlbl
+    """,
+)
+def knn_accuracy_q(spark, sf_dir):
+    """Embedding-quality eval via 5-NN label prediction: for a bounded
+    probe set, the majority label of the 5 nearest neighbors
+    (self excluded; ties → higher vote count then smaller label)
+    scored against the true label, per-class — the standard intrinsic
+    check that an embedding space separates its classes BEFORE it is
+    trusted for dedup/search/curation.  Probes broadcast against one
+    corpus scan (the ``cosine_topk_many`` shape); every window is
+    probe-keyed, never global."""
+    from .functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    c = emb.select("vec_id", "label", "embedding")
+    p = c.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("tlbl"),
+        F.col("embedding").alias("pe"),
+    )
+    nn = (
+        c.join(F.broadcast(p), F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "tlbl",
+            F.col("label").alias("nlbl"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("pe")), 6
+            ).alias("cosine"),
+            "vec_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    votes = nn.groupBy("pid", "tlbl", "nlbl").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    pred = (
+        votes.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    F.col("v").desc(), F.col("nlbl").asc()
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("pid", "tlbl", F.col("nlbl").alias("plbl"))
+    )
+    return pred.groupBy(F.col("tlbl").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            F.when(F.col("plbl") == F.col("tlbl"), 1).otherwise(0)
+        ).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("plbl") == F.col("tlbl"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@query(
     "embedding_near_dup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3896,6 +4065,83 @@ def lm_score_q(spark, sf_dir):
 
 
 @query(
+    "pii_density_docs",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             concat_ws(' ',
+               'contact', 'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+               'ip', '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+               'tel', CAST(doc_id + 5550000000 AS VARCHAR),
+               substring(text, 1, 80)) AS raw
+      FROM documents
+    ), masked AS (
+      SELECT doc_id, raw,
+             len(regexp_extract_all(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+             regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS s1
+      FROM raw
+    ), masked2 AS (
+      SELECT doc_id, raw, n_emails,
+             len(regexp_extract_all(s1, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+               AS n_ips,
+             regexp_replace(s1, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')
+               AS s2
+      FROM masked
+    )
+    SELECT doc_id AS id,
+           CAST(len(string_split_regex(lower(trim(raw)), '\s+')) AS BIGINT)
+             AS n_words,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(s2, '\b(?:\d[ .-]?){7,}\d\b'))
+                AS BIGINT) AS n_numbers,
+           ROUND((n_emails + n_ips
+                  + len(regexp_extract_all(s2, '\b(?:\d[ .-]?){7,}\d\b')))
+                 / CAST(len(string_split_regex(lower(trim(raw)), '\s+'))
+                        AS DOUBLE), 6) AS pii_density
+    FROM masked2
+    """,
+)
+def pii_density_q(spark, sf_dir):
+    """PII-shape density measurement (operators.text.pii_density) over
+    the same deterministic synthetic-PII weave as ``redact_pii_docs``
+    (the corpus carries no real PII): per-doc email/IP/number counts
+    on the progressively-masked text — count-then-mask in redactor
+    order so an IP's digits never double-count as a phone — plus
+    shapes-per-word density.  Map-only regexp chains; proves Java
+    regex ≡ RE2 on the COUNT surface like the redact gate does on the
+    replace surface."""
+    from .operators.text import pii_density
+
+    d = load_table(spark, sf_dir, "documents")
+    woven = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lit("contact"),
+            F.concat(
+                F.lit("user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+            F.lit("ip"),
+            F.concat(
+                F.lit("10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+            F.lit("tel"),
+            (F.col("doc_id") + 5550000000).cast("string"),
+            F.substring("text", 1, 80),
+        ).alias("text"),
+    )
+    return pii_density(woven, "doc_id", "text")
+
+
+@query(
     "redact_pii_docs",
     r"""
     WITH raw AS (
@@ -4083,6 +4329,70 @@ def components_q(spark, sf_dir):
     )
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "dup_cluster_sizes_docs",
+    rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM toks
+    ), {_SHINGLE_INTER_SQL}, pairs AS (
+      SELECT id_a AS u, id_b AS v FROM inter
+      WHERE c::DOUBLE / (na + nb - c) >= 0.7
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp
+      GROUP BY component
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(MIN(component) AS BIGINT) AS min_component
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dup_cluster_sizes_q(spark, sf_dir):
+    """Near-dup cluster-size distribution — the duplication-profile
+    row of a dataset datasheet (how MUCH of the corpus sits in 2-doc
+    vs 50-doc duplicate families decides dedup policy and dedup cost
+    bounds).  Components over the MinHash pair graph (recall 1 at
+    τ=0.7, same regime as ``near_dup_components``) → size per cluster
+    → histogram of sizes.  Two bounded aggregates past the pair
+    kernel; singleton (undeduped) docs are intentionally excluded —
+    the profile is of the DUPLICATED mass."""
+    from .operators.components import connected_components
+    from .operators.dedup import minhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.7, shingle_k=3, num_hashes=64, bands=16
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.min("component").cast("bigint").alias("min_component"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "min_component",
     )
 
 
@@ -8134,6 +8444,140 @@ def _ann_recall_oracle() -> str:
 O["ann_recall_lsh_vs_exact"] = _ann_recall_oracle()
 
 
+def _ndcg_discounts(k: int = 10) -> list[float]:
+    """Positional DCG discounts 1/log2(pos+1) as shared literals:
+    folding them in as constants (not engine log2 calls) removes the
+    one libm-dependent op from the eval, so both engines multiply the
+    IDENTICAL doubles and the scaled-integer sums are bit-equal."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def _ndcg_idcg_scaled(k: int = 10) -> int:
+    """IDCG with graded relevance (k+1-i), scaled by 1e6 and summed as
+    exact integers (per-term HALF_UP like both engines' ROUND)."""
+    import math
+
+    d = _ndcg_discounts(k)
+    return sum(
+        int(math.floor((k - i) * d[i] * 1_000_000 + 0.5)) for i in range(k)
+    )
+
+
+@query("ann_ndcg_lsh_vs_exact", None)  # oracle attached below (composed)
+def ann_ndcg_q(spark, sf_dir):
+    """ANN ranking-quality eval: nDCG@10 of the hyperplane-LSH
+    retriever against the exact cosine ranking — recall@k says WHAT
+    was found, nDCG says whether it surfaced in the right ORDER, the
+    second number every approximate index ships with.  Relevance is
+    graded by exact rank (11−rank, 0 for misses); per-position terms
+    are rel × literal discount, scaled to exact integers before the
+    sum so the aggregate is order-free and engine-identical.  Cost is
+    the two ≤10-row retrievals; every window here ranks ≤10 rows
+    (bounded, audited)."""
+    from .operators.similarity import cosine_topk, cosine_topk_lsh
+
+    k = 10
+    disc = _ndcg_discounts(k)
+    idcg_scaled = _ndcg_idcg_scaled(k)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    exact = (
+        cosine_topk(emb, qvec, k=k, round_to=4)
+        .withColumn("erank", F.row_number().over(w))
+        .select("vec_id", (F.lit(k + 1) - F.col("erank")).alias("rel"))
+    )
+    lsh = (
+        cosine_topk_lsh(emb, qvec, k=k, num_planes=6)
+        .withColumn("pos", F.row_number().over(w))
+        .select("vec_id", "pos")
+    )
+    darr = F.array(*[F.lit(float(x)) for x in disc])
+    scored = lsh.join(exact, "vec_id", "left").select(
+        "vec_id",
+        F.round(
+            F.coalesce("rel", F.lit(0))
+            * F.element_at(darr, F.col("pos"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("term"),
+        F.when(F.col("rel").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_lsh"),
+        F.sum("hit").cast("bigint").alias("n_overlap"),
+        F.sum("term").alias("dcg_s"),
+    )
+    return agg.select(
+        F.lit(k).alias("k"),
+        "n_lsh",
+        "n_overlap",
+        F.round(F.col("dcg_s") / F.lit(1_000_000.0), 6).alias("dcg"),
+        F.round(F.lit(idcg_scaled) / F.lit(1_000_000.0), 6).alias("idcg"),
+        F.round(
+            F.col("dcg_s").cast("double") / F.lit(float(idcg_scaled)), 6
+        ).alias("ndcg"),
+    )
+
+
+def _ann_ndcg_oracle() -> str:
+    """Same composition as the recall oracle, plus the rank windows
+    and the scaled-integer DCG fold — discounts and the IDCG constant
+    are the SAME Python-generated literals the Spark side folds in."""
+    k = 10
+    disc = _ndcg_discounts(k)
+    idcg_scaled = _ndcg_idcg_scaled(k)
+    lsh_sql = O["lsh_topk_embeddings"]
+    dcase = " ".join(
+        f"WHEN {i + 1} THEN {float(d)!r}" for i, d in enumerate(disc)
+    )
+    return f"""
+    WITH exact10 AS (
+      SELECT vec_id,
+             {k + 1} - ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC)
+               AS rel
+      FROM (
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (SELECT list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE))
+                        FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {k}
+      )
+    ), lsh10 AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS pos
+      FROM ({lsh_sql}) t
+    ), scored AS (
+      SELECT l.vec_id,
+             CAST(ROUND(COALESCE(e.rel, 0)
+                        * (CASE l.pos {dcase} END)
+                        * 1000000.0) AS BIGINT) AS term,
+             CASE WHEN e.rel IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM lsh10 l LEFT JOIN exact10 e ON l.vec_id = e.vec_id
+    )
+    SELECT {k} AS k,
+           COUNT(*) AS n_lsh,
+           CAST(SUM(hit) AS BIGINT) AS n_overlap,
+           ROUND(SUM(term) / 1000000.0, 6) AS dcg,
+           ROUND({idcg_scaled} / 1000000.0, 6) AS idcg,
+           ROUND(CAST(SUM(term) AS DOUBLE) / {float(idcg_scaled)!r}, 6)
+             AS ndcg
+    FROM scored
+    """
+
+
+O["ann_ndcg_lsh_vs_exact"] = _ann_ndcg_oracle()
+
+
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
     """Clustering diagnostics over the literal seeded quantizer
@@ -9280,6 +9724,11 @@ _PRIORITY = [
     "temperature_resample_docs",
     "quality_survivor_dedup_docs",
     "incremental_topk_embeddings",
+    "ann_ndcg_lsh_vs_exact",
+    "pii_density_docs",
+    "dup_cluster_sizes_docs",
+    "hard_negatives_embeddings",
+    "knn_label_accuracy_embeddings",
     # ---- judge-named round-3 third wave (VERDICT Next-round #3)
     "bm25_score_docs",
     "pareto_frontier_orders",

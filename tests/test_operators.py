@@ -960,6 +960,29 @@ def test_dsir_model_cache_bounded_and_hit_stable(spark):
     assert all(not m.storageLevel.useMemory for m in cached)
 
 
+def test_pii_density_counts_and_no_double_count(spark):
+    """Known PII shapes count exactly once each; an IPv4's digit run
+    must NOT also count as a number (count-then-mask order); clean
+    text scores zero."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.text import pii_density
+
+    rows = [
+        (0, "mail a@b.com and c.d@e.org end"),  # 2 emails, 5 words
+        (1, "host 10.0.0.1 and 192.168.100.200 up"),  # 2 IPs only
+        (2, "call 555-000-1234 or 5550001234567"),  # 2 numbers
+        (3, "perfectly clean prose with no shapes at all"),
+        (4, "x@y.io at 10.0.0.1 tel 555 123 4567 ok"),  # one of each
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in pii_density(df).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_numbers"]) == (2, 0, 0)
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_numbers"]) == (0, 2, 0)
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_numbers"]) == (0, 0, 2)
+    assert out[3]["pii_density"] == 0.0
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_numbers"]) == (1, 1, 1)
+    assert out[0]["pii_density"] == round(2 / 5, 6)
+
+
 def test_gopher_quality_rules_each_fire(spark):
     """Each Gopher rule (Rae et al. 2021 A1.1) fails exactly the doc
     constructed to violate it, and the compliant doc passes all."""

@@ -70,6 +70,11 @@ BNLJ_OK = {
     "cross_join_region_nation",
     "dsir_scores_docs",          # 1-row model-constants crossJoin
     "funnel_view_click_purchase",
+    "hard_negatives_embeddings", # bounded anchor set (10 rows)
+    # broadcast against the corpus with a label-inequality predicate —
+    # the cosine_topk_many shape; the nested-loop side is the anchors
+    "knn_label_accuracy_embeddings",  # bounded probe set (50 rows)
+    # broadcast with a self-exclusion predicate — same shape
     "outliers_totalprice",
     "pca_outliers_embeddings",   # 1-row stddev state crossJoin back
     "pca_top_component_embeddings",
