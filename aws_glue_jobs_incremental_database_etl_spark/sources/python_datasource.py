@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _det_value(i: int) -> int:
@@ -53,6 +58,11 @@ class DeterministicNumbersDataSource(DataSource):
     def reader(self, schema) -> "DeterministicNumbersReader":
         return DeterministicNumbersReader(self.options)
 
+    def simpleStreamReader(
+        self, schema
+    ) -> "DeterministicNumbersStreamReader":
+        return DeterministicNumbersStreamReader(self.options)
+
 
 class DeterministicNumbersReader(DataSourceReader):
     def __init__(self, options):
@@ -72,6 +82,46 @@ class DeterministicNumbersReader(DataSourceReader):
         for i in range(partition.start, partition.end):
             v = _det_value(i)
             yield (i, v, v % 5)
+
+
+class DeterministicNumbersStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the Spark 4 Python Data Source surface: the
+    same deterministic rows arriving as offset-tracked micro-batches.
+
+    Offset = the next unread ``i`` (a dict, checkpointed by the
+    engine).  ``read(start)`` returns up to ``batchRows`` new rows and
+    the advanced offset; once ``n`` is exhausted it returns an empty
+    batch with an UNCHANGED offset, which is what lets
+    ``processAllAvailable()``/availableNow terminate.
+    ``readBetweenOffsets`` replays a committed range verbatim on
+    recovery — the determinism of the generator IS the replay
+    contract (same rule real adapters must honor: re-reading a
+    committed range must yield identical rows)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch_rows = int(options.get("batchRows", 100))
+        if self.n < 0 or self.batch_rows < 1:
+            raise ValueError("need n >= 0 and batchRows >= 1")
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a list_iterator, not a generator: the runner both pickles
+        # the result into its prefetch cache (generators can't pickle)
+        # and advances it with next() (a bare list can't)
+        return iter(
+            [(i, v, v % 5) for i in range(lo, hi) for v in (_det_value(i),)]
+        )
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch_rows, self.n)
+        return self._rows(lo, hi), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["i"]), int(end["i"]))
 
 
 def register(spark) -> None:

@@ -481,3 +481,53 @@ def exactly_once_append(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_topk_maintenance(
+    spark,
+    stream_df: DataFrame,
+    query_vec: list,
+    state_path: str,
+    checkpoint: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming twin of ``similarity.cosine_topk_incremental``: keep
+    an exact cosine top-k current as embedding batches STREAM in.  Per
+    micro-batch: map-only local top-k over the delta, ≤2k-row merge
+    into the committed state — the historical stream is never
+    re-scanned (top-k is monotone-mergeable under appends).
+
+    Exactly-once via ``sketch_fold_writer``'s contract applied to the
+    top-k fold: batch ids at or below the last committed state are
+    skipped on replay (a replayed id carries identical rows, and the
+    fold is NOT idempotent at the row level — re-merging cannot
+    corrupt a top-k, but skipping is still the cheaper and uniform
+    rule), and each new state publishes by staging + atomic rename.
+    Read the current top-k with :func:`read_sketch`.
+    """
+    from ..operators.similarity import cosine_topk
+    from pyspark.sql import functions as F
+
+    def merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(delta)
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(
+            sketch_fold_writer(
+                state_path,
+                lambda b: cosine_topk(b, query_vec, k, id_col, vec_col),
+                merge,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -138,6 +138,50 @@ def test_ivf_partitioned_corpus_prunes_at_file_level(spark, sf_dir, tmp_path):
     assert pruned.count() == assigned.filter(F.col("cluster").isin([0, 2])).count()
 
 
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (Spark 3.3+): when a shuffle
+    join's build side carries a selective filter, the optimizer
+    injects a bloom filter that drops non-matching fact rows BEFORE
+    the shuffle — at 100 TB this is the difference between shuffling
+    the whole fact table and shuffling the ~matching slice.  Pinned
+    here with the size thresholds lowered to fire at test scale (the
+    production defaults gate on real byte sizes)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        big = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_totalprice > 400000"  # selective build side
+        )
+        j = li.join(big, li.l_orderkey == big.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        p = plan_of(j)
+        assert "might_contain" in p.lower(), p[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_cosine_topk_no_shuffle_before_limit(spark, sf_dir):
     from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
         cosine_topk,

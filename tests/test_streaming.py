@@ -585,6 +585,50 @@ def test_streaming_histogram_equals_batch_sketch(spark, tmp_path):
     assert qa == qb and abs(qa[0.5] - 48.5) < 5.0
 
 
+def test_streaming_topk_maintenance_tracks_exact_topk(spark, sf_dir, tmp_path):
+    """Top-k maintained across two stream drains must equal the batch
+    single-pass top-k over everything streamed so far — the
+    monotone-mergeable fold running under checkpointed exactly-once
+    foreachBatch."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        read_sketch,
+        streaming_topk_maintenance,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ck")
+    state = str(tmp_path / "topk")
+
+    first = emb.filter("vec_id % 2 = 0")
+    first.write.mode("append").parquet(src)
+    stream = incremental_file_stream(spark, src, first.schema)
+    streaming_topk_maintenance(spark, stream, list(q), state, ckpt, k=8)
+    got1 = {r.vec_id for r in read_sketch(spark, state).collect()}
+    want1 = {r.vec_id for r in cosine_topk(first, list(q), k=8).collect()}
+    assert got1 == want1
+
+    emb.filter("vec_id % 2 = 1").write.mode("append").parquet(src)
+    stream2 = incremental_file_stream(spark, src, first.schema)
+    streaming_topk_maintenance(spark, stream2, list(q), state, ckpt, k=8)
+    got2 = {
+        (r.vec_id, r.cosine) for r in read_sketch(spark, state).collect()
+    }
+    want2 = {
+        (r.vec_id, r.cosine)
+        for r in cosine_topk(emb, list(q), k=8).collect()
+    }
+    assert got2 == want2
+
+
 def test_sketch_fold_writer_replay_safe_and_atomic(spark, tmp_path):
     """The stateful sketch fold must not double-count a replayed batch
     (the crash-after-publish-before-checkpoint-commit window), must

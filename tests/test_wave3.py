@@ -79,6 +79,46 @@ def test_python_datasource_partitions_and_determinism(spark):
     assert df.rdd.getNumPartitions() == 4
 
 
+def test_python_datasource_streaming_reader_with_resume(spark, tmp_path):
+    """The streaming half of the Python Data Source surface: rows
+    arrive as offset-tracked micro-batches, the drained total equals
+    the batch read, and a SECOND query from the same checkpoint with a
+    grown `n` reads only the delta (offset = the engine-checkpointed
+    bookmark)."""
+    from aws_glue_jobs_incremental_database_etl_spark.sources.python_datasource import (
+        _det_value,
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ck")
+
+    def drain(n):
+        q = (
+            spark.readStream.format("deterministic_numbers")
+            .option("n", str(n))
+            .option("batchRows", "13")
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain(40)
+    rows = {r["i"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == set(range(40))
+    assert rows[39]["value"] == _det_value(39)
+
+    drain(65)  # source grew; checkpointed offset resumes at 40
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) == 65  # no duplicates from re-reading [0, 40)
+    assert {r["i"] for r in rows2} == set(range(65))
+
+
 def test_sql_udf_inlines_no_python_boundary(spark, sf_dir):
     from aws_glue_jobs_incremental_database_etl_spark import registry
 
