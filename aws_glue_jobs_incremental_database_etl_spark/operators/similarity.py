@@ -872,3 +872,207 @@ def principal_components(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def pq_codebooks(
+    dim: int, m: int = 4, k: int = 16, seed: int = 11
+) -> np.ndarray:
+    """Seeded per-subspace PQ codebooks, shape ``(m, k, dim // m)``.
+
+    Like :func:`fixed_centroids`, the codebooks are data-INDEPENDENT
+    literals so the whole encode + ADC pipeline carries an exact SQL
+    oracle; production callers would train them (per-subspace Lloyd
+    iterations over a sample) and accept a rows-only gate.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((m, k, dim // m))
+    return c / np.linalg.norm(c, axis=2, keepdims=True)
+
+
+def _subspace_distances(
+    codebook_s, offset: int, vec_col: str = "embedding"
+) -> Column:
+    """Per-centroid squared-L2 over ONE subspace slice as explicit
+    left-to-right term chains (the :func:`centroid_distances` shape
+    with an element offset) — bit-reproducible in any engine."""
+    dists = []
+    for c in codebook_s:
+        d = None
+        for i, ci in enumerate(c):
+            t = F.col(vec_col)[int(offset + i)] - F.lit(float(ci))
+            term = t * t
+            d = term if d is None else d + term
+        dists.append(d)
+    return F.array(*dists)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_prefix: str = "code_",
+) -> DataFrame:
+    """Product-Quantization encode: per subspace, nearest-codeword id
+    (argmin of the literal chain, first index wins exact ties — the
+    :func:`assign_nearest_centroid` rule per subspace).  Map-only, no
+    UDF, no shuffle.  At 100 TB this is THE memory lever for ANN: an
+    m-byte code replaces a 4·dim-byte vector (64× here), so the whole
+    corpus's codes fit where 1/64th of the raw vectors would."""
+    m, _, sub = codebooks.shape
+    out = df
+    for s in range(m):
+        arr = _subspace_distances(codebooks[s], s * sub, vec_col)
+        out = out.withColumn(
+            f"{code_prefix}{s}",
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int"),
+        )
+    return out
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query_vec: list,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-Distance-Computation top-k over PQ codes (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011): the query stays exact; each subspace contributes a
+    precomputed query→codeword distance from an m×k lookup table, and
+    a row's approximate distance is the sum of its m table entries.
+
+    The LUT is built driver-side with the SAME left-to-right float64
+    accumulation the SQL oracle's term chains use, folded in as
+    literal arrays — so encode, LUT, and ranking are all
+    bit-identical cross-engine (no rounding needed).  Plan: map-only
+    scan + ``TakeOrderedAndProject``; per-row cost is m array lookups
+    + m-1 adds regardless of dim."""
+    m, kk, sub = codebooks.shape
+    enc = pq_encode(corpus, codebooks, vec_col)
+    score = None
+    for s in range(m):
+        lut = []
+        for cent in codebooks[s]:
+            acc = None
+            for i, ci in enumerate(cent):
+                t = float(query_vec[s * sub + i]) - float(ci)
+                term = t * t
+                acc = term if acc is None else acc + term
+            lut.append(acc)
+        entry = F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.col(f"code_{s}") + 1
+        )
+        score = entry if score is None else score + entry
+    return (
+        enc.select(
+            F.col(id_col),
+            *[F.col(f"code_{s}") for s in range(m)],
+            score.alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vec: list,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick ``k`` of the ``pool``
+    most-relevant candidates, each step maximising
+    ``lam·rel − (1−lam)·max_sim_to_already_selected`` (the max over
+    the empty set is 0, so step 1 ranks by ``lam·rel``).
+
+    Scale shape: ONE exact top-``pool`` scan bounds everything after
+    it — pairwise similarities are pool² broadcast-joined rows and the
+    greedy loop runs in a single Arrow batch over ≤pool·(pool−1)
+    rows.  Cross-engine determinism: rel and sim are rounded to 6
+    BEFORE selection (the cosine fold-order boundary), the MMR
+    arithmetic on those rounded values is exact IEEE, and every
+    argmax tie-breaks on ascending id.
+
+    Returns (step, id, rel, mmr) — step 1-based selection order.
+    """
+    cand = cosine_topk(
+        corpus, query_vec, k=pool, id_col=id_col, vec_col=vec_col,
+        round_to=6,
+    ).withColumnRenamed("cosine", "rel")
+    cand_emb = F.broadcast(
+        cand.join(corpus.select(id_col, vec_col), id_col)
+    )
+    a, b = cand_emb.alias("a"), cand_emb.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_id"),
+            F.col("a.rel").alias("rel"),
+            F.col(f"b.{id_col}").alias("other"),
+            F.round(
+                cosine_similarity(
+                    F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+    lam_f = float(lam)
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rels = (
+            pdf[["vec_id", "rel"]]
+            .drop_duplicates("vec_id")
+            .set_index("vec_id")["rel"]
+            .to_dict()
+        )
+        sims = {
+            (int(r.vec_id), int(r.other)): float(r.sim)
+            for r in pdf.itertuples()
+        }
+        selected: list[int] = []
+        rows = []
+        while len(selected) < min(k, len(rels)):
+            best = None
+            for vid in sorted(rels):
+                if vid in selected:
+                    continue
+                ms = (
+                    max(sims[(vid, s)] for s in selected)
+                    if selected
+                    else 0.0
+                )
+                mmr = lam_f * rels[vid] - (1.0 - lam_f) * ms
+                if best is None or mmr > best[0]:
+                    best = (mmr, vid)
+            selected.append(best[1])
+            rows.append(
+                (len(selected), best[1], rels[best[1]], best[0])
+            )
+        return pd.DataFrame(
+            rows, columns=["step", "vec_id", "rel", "mmr"]
+        )
+
+    out = pairs.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        greedy, "step int, vec_id long, rel double, mmr double"
+    )
+    return out.select(
+        "step",
+        F.col("vec_id").alias(id_col),
+        "rel",
+        F.round("mmr", 6).alias("mmr"),
+    ).orderBy("step")

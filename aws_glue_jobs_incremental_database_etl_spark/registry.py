@@ -9698,6 +9698,439 @@ def cusum_q(spark, sf_dir):
     )
 
 
+def _pq_adc_oracle() -> str:
+    """DuckDB twin of ``pq_encode`` + ``pq_adc_topk``: per-subspace
+    encode replayed as the SAME left-to-right squared-L2 term chains
+    (first-index argmin via ``list_position``), the query LUT as the
+    same chains over the query subquery's elements, ADC = the m table
+    lookups summed left-to-right — every double bit-identical, no
+    ROUND anywhere (the ``_centroid_assign_sql`` guarantee extended to
+    subspace slices)."""
+    from .operators.similarity import pq_codebooks
+
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    m, _, sub = cb.shape
+
+    def chain(vals, base, var):
+        return "(" + " + ".join(
+            f"({var}[{base + i + 1}] - {float(v)!r})"
+            f" * ({var}[{base + i + 1}] - {float(v)!r})"
+            for i, v in enumerate(vals)
+        ) + ")"
+
+    dls = ",\n           ".join(
+        "[" + ",\n            ".join(chain(c, s * sub, "e") for c in cb[s])
+        + f"] AS dl{s}"
+        for s in range(m)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(dl{s}, list_min(dl{s})) - 1 AS INTEGER)"
+        f" AS code_{s}"
+        for s in range(m)
+    )
+    luts = ",\n           ".join(
+        "[" + ",\n            ".join(chain(c, s * sub, "qe") for c in cb[s])
+        + f"] AS lut{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"l.lut{s}[enc.code_{s} + 1]" for s in range(m))
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id,
+           {dls}
+      FROM c
+    ), enc AS (
+      SELECT vec_id, {codes} FROM d
+    ), l AS (
+      SELECT {luts}
+      FROM q
+    )
+    SELECT enc.vec_id, enc.code_0, enc.code_1, enc.code_2, enc.code_3,
+           {adc} AS adc_dist
+    FROM enc CROSS JOIN l
+    ORDER BY adc_dist ASC, enc.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("pq_adc_topk_embeddings", None)  # oracle attached below (generated)
+def pq_adc_topk_q(spark, sf_dir):
+    """ANN via Product Quantization + asymmetric distance (Jegou et
+    al. 2011): per-subspace nearest-codeword encode (map-only literal
+    chains), then top-k by summed query->codeword LUT entries.  The
+    100 TB memory lever: a 4-byte code per vector replaces the 256-byte
+    raw vector, so re-ranking candidate generation runs from codes
+    only; the seeded literal codebooks (``pq_codebooks``) make encode,
+    LUT, and ranking replay exactly in SQL (production would train
+    them per subspace and accept a rows-only gate)."""
+    from .operators.similarity import pq_adc_topk, pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_adc_topk(emb, list(qvec), pq_codebooks(64, 4, 16, seed=11), k=10)
+
+
+O["pq_adc_topk_embeddings"] = _pq_adc_oracle()
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20) -> str:
+    """DuckDB twin of ``mmr_rerank``: the greedy selection unrolled as
+    one CTE pair per step (argmax via ORDER BY ... LIMIT 1, ascending-
+    id tie-break), max-sim-to-selected as a correlated MAX over the
+    pairwise-similarity CTE.  rel/sim are ROUND(6)ed at the cosine
+    fold-order boundary exactly like the Spark side; the MMR
+    arithmetic on those rounded doubles is exact IEEE both sides."""
+    steps = ["""s1 AS (
+      SELECT 1 AS step, vec_id, rel, 0.5 * rel - 0.5 * 0.0 AS mmr
+      FROM cand ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    ), sel1 AS (SELECT vec_id FROM s1)"""]
+    for n in range(2, k + 1):
+        steps.append(f"""s{n} AS (
+      SELECT {n} AS step, cd.vec_id, cd.rel,
+             0.5 * cd.rel - 0.5 * (
+               SELECT MAX(p.sim) FROM pr p
+               WHERE p.ia = cd.vec_id
+                 AND p.ib IN (SELECT vec_id FROM sel{n - 1})) AS mmr
+      FROM cand cd
+      WHERE cd.vec_id NOT IN (SELECT vec_id FROM sel{n - 1})
+      ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    ), sel{n} AS (SELECT vec_id FROM sel{n - 1}
+                  UNION ALL SELECT vec_id FROM s{n})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM s{n}" for n in range(1, k + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id <> 0
+    ), cand AS (
+      SELECT vec_id, e,
+             ROUND(list_cosine_similarity(e, (SELECT qe FROM q)), 6) AS rel
+      FROM c ORDER BY rel DESC, vec_id ASC LIMIT {pool}
+    ), pr AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), {",".join(steps)}
+    SELECT step, vec_id, rel, ROUND(mmr, 6) AS mmr
+    FROM ({union})
+    ORDER BY step
+    """
+
+
+@query("mmr_rerank_embeddings", None)  # oracle attached below (generated)
+def mmr_rerank_q(spark, sf_dir):
+    """Diversified retrieval via Maximal Marginal Relevance (Carbonell
+    & Goldstein 1998): one exact top-20 scan bounds the candidate
+    pool, pairwise sims are pool^2 broadcast rows, and the greedy
+    lam*rel - (1-lam)*max_sim_to_selected selection runs in a single
+    bounded Arrow batch.  The query vector is HELD OUT of the corpus
+    (vec_id 0 is the query, not a candidate) so marginal relevance is
+    non-degenerate; every argmax tie-breaks on ascending vec_id."""
+    from .operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=5, pool=20, lam=0.5
+    )
+
+
+O["mmr_rerank_embeddings"] = _mmr_oracle()
+
+
+@query(
+    "zipf_slope_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), cnt AS (
+      SELECT source, w, COUNT(*) AS c FROM toks WHERE w <> ''
+      GROUP BY source, w
+    ), rk AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, w ASC) AS r
+      FROM cnt
+    )
+    SELECT source, COUNT(*) AS n_ranks,
+           ROUND(regr_slope(LN(c), LN(r)), 4) AS zipf_slope
+    FROM rk WHERE r <= 100
+    GROUP BY source ORDER BY source
+    """,
+)
+def zipf_slope_q(spark, sf_dir):
+    """Zipf-law fit per source: log-log OLS slope of token frequency
+    vs rank over the top-100 ranks (a natural corpus should sit near
+    -1; a generated/boilerplate source drifts).  Datasheet-style
+    corpus diagnostic: one token-count shuffle, a source-partitioned
+    rank window, and a 100-row-per-source regression — regr_slope is
+    a mergeable JVM aggregate, so the plan is two hash aggs + one
+    bounded window at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    rk = cnt.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("c").desc(), F.col("w").asc()
+            )
+        ),
+    ).filter(F.col("r") <= 100)
+    return (
+        rk.groupBy("source")
+        .agg(
+            F.count("*").alias("n_ranks"),
+            F.round(
+                F.regr_slope(F.log("c"), F.log("r")), 4
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "welch_ttest_orders",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS p, COUNT(*) AS n,
+             AVG(o_totalprice) AS m, var_samp(o_totalprice) AS v
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT a.p AS pa, b.p AS pb, a.n AS na, b.n AS nb,
+           ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           ROUND((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+                 / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+                    + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 2)
+               AS welch_dof
+    FROM g a JOIN g b ON a.p < b.p
+    ORDER BY pa, pb
+    """,
+)
+def welch_ttest_q(spark, sf_dir):
+    """Welch's unequal-variance t-test between every pair of order
+    priorities on o_totalprice — the A/B-comparison primitive over
+    grouped data.  One grouped aggregate (count/mean/var_samp are all
+    mergeable) reduces the fact table to 5 rows; the pairwise grid is
+    a bounded broadcast self-join, so the expensive side is a single
+    map-side-combined shuffle at any scale."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            F.var_samp("o_totalprice").alias("v"),
+        )
+    )
+    a, b = g.alias("a"), F.broadcast(g.alias("b"))
+    va_na = F.col("a.v") / F.col("a.n")
+    vb_nb = F.col("b.v") / F.col("b.n")
+    se2 = va_na + vb_nb
+    return (
+        a.join(b, F.col("a.p") < F.col("b.p"))
+        .select(
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.round(
+                (F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 4
+            ).alias("t_stat"),
+            F.round(
+                se2 * se2
+                / (
+                    va_na * va_na / (F.col("a.n") - 1)
+                    + vb_nb * vb_nb / (F.col("b.n") - 1)
+                ),
+                2,
+            ).alias("welch_dof"),
+        )
+        .orderBy("pa", "pb")
+    )
+
+
+@query(
+    "mannwhitney_quantity_returnflag",
+    """
+    WITH f AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ga
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), cnt AS (
+      SELECT v, SUM(ga) AS na, SUM(1 - ga) AS nb FROM f GROUP BY v
+    ), cum AS (
+      SELECT v, na, nb,
+             COALESCE(SUM(nb) OVER (ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_b_less
+      FROM cnt
+    ), tot AS (
+      SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+             SUM(CAST(na AS DOUBLE)
+                 * (CAST(cum_b_less AS DOUBLE)
+                    + 0.5 * CAST(nb AS DOUBLE))) AS u_stat,
+             SUM((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS tie3
+      FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           u_stat,
+           ROUND((u_stat - n_a * n_b / 2.0)
+                 / SQRT(n_a * n_b / 12.0
+                        * ((n_a + n_b + 1.0)
+                           - tie3 / ((n_a + n_b)
+                                     * (n_a + n_b - 1.0)))), 4) AS z_score
+    FROM tot
+    """,
+)
+def mannwhitney_q(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) comparing l_quantity distributions
+    between returned (A) and refused (R) line items, tie-corrected normal z — the
+    nonparametric two-sample test.  No global rank over the fact
+    table: quantities live on an integer domain, so one hash agg
+    reduces to <=50 (value, count_a, count_b) rows and U folds from a
+    cumulative walk over that bounded table (U = sum_v na_v *
+    (#b below v + 0.5 * ties at v)); every count is exact integer
+    arithmetic and both engines evaluate the identical closed-form z
+    expression."""
+    f = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("ga"),
+        )
+    )
+    cnt = f.groupBy("v").agg(
+        F.sum("ga").alias("na"), F.sum(1 - F.col("ga")).alias("nb")
+    )
+    w = (
+        Window.orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cnt.withColumn(
+        "cum_b_less", F.coalesce(F.sum("nb").over(w), F.lit(0))
+    )
+    t = (F.col("na") + F.col("nb"))
+    tot = cum.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(
+            F.col("na") * (F.col("cum_b_less") + 0.5 * F.col("nb"))
+        ).alias("u_stat"),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    na, nb, u, t3 = (
+        F.col("n_a"), F.col("n_b"), F.col("u_stat"), F.col("tie3")
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        "u_stat",
+        F.round(
+            (u - na * nb / 2.0)
+            / F.sqrt(
+                na * nb / 12.0
+                * ((na + nb + 1.0) - t3 / ((na + nb) * (na + nb - 1.0)))
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "bootstrap_ci_orders",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice, unnest(range(0, 64)) AS b
+      FROM orders
+    ), inc AS (
+      SELECT b, o_totalprice FROM r
+      WHERE CAST(('0x' || substring(md5(CAST(b AS VARCHAR) || ':'
+                  || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 2 = 0
+    ), means AS (
+      SELECT b, ROUND(AVG(o_totalprice), 4) AS m FROM inc GROUP BY b
+    ), rk AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC, b ASC) AS rn
+      FROM means
+    ), ci AS (
+      SELECT COUNT(*) AS n_boot,
+             MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+             MAX(CASE WHEN rn = 63 THEN m END) AS ci_hi
+      FROM rk
+    ), pt AS (
+      SELECT ROUND(AVG(o_totalprice), 4) AS point_mean FROM orders
+    )
+    SELECT n_boot, point_mean, ci_lo, ci_hi FROM ci CROSS JOIN pt
+    """,
+)
+def bootstrap_ci_q(spark, sf_dir):
+    """Bootstrap 95% CI for mean(o_totalprice) from 64 deterministic
+    half-subsample replicates: replicate membership is the md5-bucket
+    contract keyed on (replicate, value) — engine-portable and stable
+    under repartitioning, unlike seeded RNG resampling.  The 64x
+    row amplification is map-side only (explode then partial-agg), so
+    the shuffle carries 64 partial sums regardless of corpus size;
+    the CI is an order statistic over the bounded 64-row replicate
+    table."""
+    from .operators.sampling import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    r = o.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(63))))
+    inc = r.filter(
+        hash_bucket(
+            F.concat(
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            ),
+            2,
+        )
+        == 0
+    )
+    means = inc.groupBy("b").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("m")
+    )
+    rk = means.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("m").asc(), F.col("b").asc())),
+    )
+    ci = rk.agg(
+        F.count("*").alias("n_boot"),
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == 63, F.col("m"))).alias("ci_hi"),
+    )
+    pt = o.agg(F.round(F.avg("o_totalprice"), 4).alias("point_mean"))
+    # membership keys on the integer o_orderkey: double->string casts
+    # format differently across engines, integers never do
+    return ci.crossJoin(F.broadcast(pt)).select(
+        "n_boot", "point_mean", "ci_lo", "ci_hi"
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -9719,6 +10152,12 @@ _PRIORITY = [
     # round-4 NEW queries at the very top.  The ~21 that fall past the
     # cut rotate in next round.
     # ---- round-4 new queries (never checked anywhere but locally)
+    "pq_adc_topk_embeddings",
+    "mmr_rerank_embeddings",
+    "zipf_slope_by_source",
+    "welch_ttest_orders",
+    "mannwhitney_quantity_returnflag",
+    "bootstrap_ci_orders",
     "ivf_partitioned_topk_embeddings",
     "gopher_quality_docs",
     "temperature_resample_docs",

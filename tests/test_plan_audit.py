@@ -27,8 +27,13 @@ SINGLE_PARTITION_OK = {
     "dsir_scores_docs",          # 1-row model constants (corpus/target
     # totals + vocab size) folded in as a broadcast cross join — the
     # round-4 single-lazy-plan rewrite of dsir_importance
+    "bootstrap_ci_orders",       # rank window + order-statistic fold
+    # over the 64-row replicate-means table (B is a literal)
     "funnel_view_click_purchase",# 1-row funnel-stage counts
     "interval_join_events_windows",  # literal-bounded window table
+    "mannwhitney_quantity_returnflag",  # cumulative walk + final fold
+    # over the ≤50-row (quantity, counts) table — the integer value
+    # domain, not the corpus, bounds the single partition
     "outliers_totalprice",       # 1-row mean/stddev state
     "pack_sequences_512",        # per-bucket summaries (corpus/10k)
     "pca_outliers_embeddings",   # 1-row stddev scalar state
@@ -66,8 +71,15 @@ BNLJ_OK = {
     "bloom_prefilter_docs",
     "bm25_score_docs",
     "cms_token_counts_docs",
+    "bootstrap_ci_orders",       # 1-row point-mean crossJoin back
     "cosine_topk_many_embeddings",
     "cross_join_region_nation",
+    "mmr_rerank_embeddings",     # pool² (≤400-row) pairwise-sim
+    # inequality join of the broadcast top-20 candidate set with
+    # itself — the candidate pool, a literal, bounds both sides
+    "welch_ttest_orders",        # 5×5 priority-pair grid: inequality
+    # self-join of the 5-row grouped aggregate, both sides bounded
+    # by the dimension's cardinality
     "dsir_scores_docs",          # 1-row model-constants crossJoin
     "funnel_view_click_purchase",
     "hard_negatives_embeddings", # bounded anchor set (10 rows)
