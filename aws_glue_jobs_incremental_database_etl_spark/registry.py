@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pandas as pd  # resolves pandas_udf string annotations
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -10131,6 +10133,206 @@ def bootstrap_ci_q(spark, sf_dir):
     )
 
 
+@query(
+    "hll_distinct_tokens_docs",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), h AS (
+      SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+      FROM toks WHERE w <> ''
+    ), br AS (
+      SELECT hv % 256 AS bucket, hv // 256 AS sfx FROM h
+    ), reg AS (
+      SELECT bucket,
+             MAX(CASE WHEN sfx = 0 THEN 53
+                      ELSE 52 - length(bin(sfx)) + 1 END) AS reg
+      FROM br GROUP BY bucket
+    ), s AS (
+      SELECT COUNT(*) AS nz,
+             SUM(1::BIGINT << (53 - reg)) AS cpart
+      FROM reg
+    ), e AS (
+      SELECT CAST(256 - nz AS BIGINT) AS zero_registers,
+             CAST(0.7213 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE)
+                  + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+               * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+               * CAST(9007199254740992.0 AS DOUBLE)
+               / CAST(cpart + (256 - nz) * (1::BIGINT << 53) AS DOUBLE)
+                 AS raw
+      FROM s
+    )
+    SELECT 256 AS n_registers, zero_registers,
+           ROUND(CASE WHEN raw <= CAST(640.0 AS DOUBLE)
+                       AND zero_registers > 0
+                      THEN CAST(256.0 AS DOUBLE)
+                           * LN(CAST(256.0 AS DOUBLE)
+                                / CAST(zero_registers AS DOUBLE))
+                      ELSE raw END, 2) AS est_distinct
+    FROM e
+    """,
+)
+def hll_distinct_tokens_q(spark, sf_dir):
+    """Distinct-token cardinality via the PORTABLE HyperLogLog —
+    complements hll_distinct_priorities (the JVM hll_sketch_agg
+    incremental path) with a sketch whose registers and estimates
+    replay bit-for-bit in any engine
+    (functions/hll.py): 256 md5-bucketed registers, rho from the
+    base-2 string length (no libm), harmonic sum folded in EXACT
+    integer arithmetic — the register frame and the pre-correction
+    estimate replay bit-for-bit in DuckDB.  THE fixed-memory answer
+    to "how many distinct tokens" at 100 TB: the shuffle carries at
+    most 256 rows however large the corpus."""
+    from .functions.hll import hll_build, hll_estimate
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return hll_estimate(hll_build(toks, "w", b=8), b=8)
+
+
+@query(
+    "association_rules_lineitem",
+    """
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), si AS (
+      SELECT i, COUNT(*) AS s FROM it GROUP BY i
+    ), n AS (
+      SELECT COUNT(DISTINCT b) AS nb FROM it
+    ), pr AS (
+      SELECT a.i AS ia, bb.i AS ib, COUNT(*) AS sp
+      FROM it a JOIN it bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY a.i, bb.i HAVING COUNT(*) >= 2
+    ), j AS (
+      SELECT pr.ia, pr.ib, pr.sp, sa.s AS sa, sb.s AS sb
+      FROM pr JOIN si sa ON sa.i = pr.ia JOIN si sb ON sb.i = pr.ib
+    )
+    SELECT ia AS item_a, ib AS item_b, sp AS supp_pair,
+           sa AS supp_a, sb AS supp_b,
+           ROUND(CAST(sp AS DOUBLE) / CAST(sa AS DOUBLE), 6)
+               AS confidence,
+           ROUND(CAST(sp AS DOUBLE) / CAST(sa AS DOUBLE)
+                 * CAST(nb AS DOUBLE) / CAST(sb AS DOUBLE), 6) AS lift
+    FROM j CROSS JOIN n
+    ORDER BY lift DESC, item_a ASC, item_b ASC
+    LIMIT 20
+    """,
+)
+def association_rules_q(spark, sf_dir):
+    """Market-basket association rules over order line items: pair
+    support via a basket-keyed self-join (fan-out bounded by basket
+    size, never all-pairs), then confidence = P(b|a) and lift =
+    confidence / P(b), top-20 by lift.  The basket count is 1-row
+    scalar state folded in as a broadcast cross join (the dsir
+    pattern); item supports join back on the pair keys.  Same shape
+    FP-growth's first pass uses — at 100 TB the only wide exchange is
+    the basket-keyed self-join, and min-support pruning happens in
+    the pair aggregate before anything wide."""
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+    )
+    si = it.groupBy("i").agg(F.count("*").alias("s"))
+    nb = it.agg(F.countDistinct("b").alias("nb"))
+    a, bb = it.alias("a"), it.alias("bb")
+    pr = (
+        a.join(bb, (F.col("a.b") == F.col("bb.b")) & (F.col("a.i") < F.col("bb.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("bb.i").alias("ib"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 2)
+    )
+    j = (
+        pr.join(si.withColumnRenamed("i", "ia").withColumnRenamed("s", "sa"), "ia")
+        .join(si.withColumnRenamed("i", "ib").withColumnRenamed("s", "sb"), "ib")
+        .crossJoin(F.broadcast(nb))
+    )
+    conf = F.col("sp").cast("double") / F.col("sa").cast("double")
+    return (
+        j.select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("sp").alias("supp_pair"),
+            F.col("sa").alias("supp_a"),
+            F.col("sb").alias("supp_b"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf * F.col("nb").cast("double") / F.col("sb").cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "nfc_normalize_docs",
+    r"""
+    WITH dec AS (
+      SELECT doc_id,
+             regexp_replace(text, 'e', 'e' || chr(769), 'g') AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, length(t) AS len_before,
+           length(nfc_normalize(t)) AS len_after,
+           length(t) - length(nfc_normalize(t)) AS n_composed,
+           md5(nfc_normalize(t)) AS fp
+    FROM dec ORDER BY doc_id
+    """,
+)
+def nfc_normalize_q(spark, sf_dir):
+    """Unicode NFC normalization — the canonical first step of any
+    multilingual text pipeline (combining sequences -> precomposed
+    codepoints, so dedup/fingerprinting see one spelling).  Spark has
+    no builtin normalizer: an Arrow-batched pandas UDF wraps
+    ``unicodedata.normalize`` (map-only; never row-at-a-time).  The
+    gate manufactures combining sequences (e + U+0301) from the ASCII
+    corpus via regexp_replace so the composition path is actually
+    exercised, and pins Python's normalizer against DuckDB's
+    ``nfc_normalize`` — codepoint counts and md5 fingerprints must
+    agree exactly."""
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    dec = d.select(
+        "doc_id",
+        F.regexp_replace("text", "e", "é").alias("t"),
+    )
+    out = dec.select(
+        "doc_id",
+        F.length("t").alias("len_before"),
+        nfc(F.col("t")).alias("norm"),
+    )
+    return out.select(
+        "doc_id",
+        "len_before",
+        F.length("norm").alias("len_after"),
+        (F.col("len_before") - F.length("norm")).alias("n_composed"),
+        F.md5("norm").alias("fp"),
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -10152,6 +10354,9 @@ _PRIORITY = [
     # round-4 NEW queries at the very top.  The ~21 that fall past the
     # cut rotate in next round.
     # ---- round-4 new queries (never checked anywhere but locally)
+    "hll_distinct_tokens_docs",
+    "association_rules_lineitem",
+    "nfc_normalize_docs",
     "pq_adc_topk_embeddings",
     "mmr_rerank_embeddings",
     "zipf_slope_by_source",

@@ -27,9 +27,13 @@ SINGLE_PARTITION_OK = {
     "dsir_scores_docs",          # 1-row model constants (corpus/target
     # totals + vocab size) folded in as a broadcast cross join — the
     # round-4 single-lazy-plan rewrite of dsir_importance
+    "association_rules_lineitem",  # 1-row basket-count scalar state
+    # (countDistinct) folded back as a broadcast cross join
     "bootstrap_ci_orders",       # rank window + order-statistic fold
     # over the 64-row replicate-means table (B is a literal)
     "funnel_view_click_purchase",# 1-row funnel-stage counts
+    "hll_distinct_tokens_docs",  # final fold over the 256-register
+    # frame — the sketch size, a literal, bounds the single partition
     "interval_join_events_windows",  # literal-bounded window table
     "mannwhitney_quantity_returnflag",  # cumulative walk + final fold
     # over the ≤50-row (quantity, counts) table — the integer value
@@ -71,6 +75,7 @@ BNLJ_OK = {
     "bloom_prefilter_docs",
     "bm25_score_docs",
     "cms_token_counts_docs",
+    "association_rules_lineitem",  # 1-row basket-count crossJoin
     "bootstrap_ci_orders",       # 1-row point-mean crossJoin back
     "cosine_topk_many_embeddings",
     "cross_join_region_nation",

@@ -151,3 +151,137 @@ def test_zipf_slope_is_negative_decay(spark, sf_dir):
     assert rows, "at least one source"
     for r in rows:
         assert r.zipf_slope < 0, (r.source, r.zipf_slope)
+
+
+def test_hll_matches_python_model_and_merges(spark):
+    """Register-for-register parity with a pure-python replay of the
+    md5/bit-length contract, merge ≡ whole-build, and the standard
+    1.04/sqrt(m) error bound with headroom."""
+    import hashlib
+
+    from aws_glue_jobs_incremental_database_etl_spark.functions.hll import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    df = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    sk = {r.bucket: r.reg for r in hll_build(df, "k").collect()}
+    regs = {}
+    for i in range(5000):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        s = h // 256
+        rho = 53 if s == 0 else 52 - s.bit_length() + 1
+        regs[h % 256] = max(regs.get(h % 256, 0), rho)
+    assert sk == regs
+    est = hll_estimate(hll_build(df, "k")).first()
+    assert abs(est.est_distinct - 5000) / 5000 < 3 * 1.04 / 16  # 3 sigma, m=256
+    halves = [df.filter(f"id % 2 = {i}") for i in (0, 1)]
+    merged = hll_merge(*[hll_build(h, "k") for h in halves])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        (b, r) for b, r in sk.items()
+    )
+
+
+def test_hll_small_range_linear_counting(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.functions.hll import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.range(60).select(F.col("id").cast("string").alias("k"))
+    est = hll_estimate(hll_build(df, "k")).first()
+    assert est.zero_registers > 0
+    assert abs(est.est_distinct - 60) < 15  # linear counting is tight here
+
+
+def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
+    """The HLL register fold is max-mergeable, so the streamed
+    two-drain sketch must equal the batch single-pass sketch — same
+    exactly-once foreachBatch harness as the CMS/histogram twins."""
+    from aws_glue_jobs_incremental_database_etl_spark.functions.hll import (
+        hll_build,
+        hll_merge,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        read_sketch,
+        sketch_fold_writer,
+    )
+    from tests.test_streaming import incremental_file_stream
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ck")
+    state = str(tmp_path / "hll")
+
+    def drain():
+        stream = incremental_file_stream(spark, src, df.schema)
+        q = (
+            stream.writeStream.foreachBatch(
+                sketch_fold_writer(
+                    state, lambda b: hll_build(b, "k"), hll_merge
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    df.filter("k like '1%'").write.mode("append").parquet(src)
+    drain()
+    df.filter("k not like '1%'").write.mode("append").parquet(src)
+    drain()
+    got = sorted(map(tuple, read_sketch(spark, state).collect()))
+    want = sorted(map(tuple, hll_build(df, "k").collect()))
+    assert got == want
+
+
+def test_association_rules_against_bruteforce(spark, sf_dir):
+    """Brute-force confidence/lift over collected baskets must match
+    the distributed pair-join computation row for row."""
+    import collections
+    import itertools
+
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+
+    rows = Q["association_rules_lineitem"](spark, sf_dir).collect()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = collections.defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    supp = collections.Counter()
+    pair = collections.Counter()
+    for items in baskets.values():
+        for i in items:
+            supp[i] += 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair[(a, b)] += 1
+    n = len(baskets)
+    assert rows, "min-support 2 yields rules at this sf"
+    for r in rows:
+        sp = pair[(r.item_a, r.item_b)]
+        assert sp == r.supp_pair >= 2
+        assert supp[r.item_a] == r.supp_a
+        conf = sp / supp[r.item_a]
+        assert abs(r.confidence - conf) < 1e-6
+        assert abs(r.lift - conf * n / supp[r.item_b]) < 1e-6
+    # ordering contract: lift desc with (item_a, item_b) tie-break
+    ks = [(-r.lift, r.item_a, r.item_b) for r in rows]
+    assert ks == sorted(ks)
+
+
+def test_nfc_normalization_composes(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+
+    rows = Q["nfc_normalize_docs"](spark, sf_dir).limit(50).collect()
+    assert rows
+    # every doc containing an 'e' gained combining marks that NFC
+    # then composed away
+    assert any(r.n_composed > 0 for r in rows)
+    assert all(r.len_after + r.n_composed == r.len_before for r in rows)
