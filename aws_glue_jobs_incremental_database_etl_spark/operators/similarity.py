@@ -1076,3 +1076,41 @@ def mmr_rerank(
         "rel",
         F.round("mmr", 6).alias("mmr"),
     ).orderBy("step")
+
+
+def pq_ivf_topk(
+    corpus: DataFrame,
+    query_vec: list,
+    centroids,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style composition — coarse-quantizer probe
+    pruning (scan ~nprobe/n_clusters of the corpus) and PQ-ADC
+    scoring inside the probed lists (m table lookups per row instead
+    of a dim-length float pass).  Together they are THE standard
+    billion-vector recipe: IVF bounds what is read, PQ bounds memory
+    and per-row cost.
+
+    Simplification vs FAISS: codes quantize the RAW vector, not the
+    residual (v − centroid) — residual chains would double every
+    literal expression for a modest recall gain; the docstring of the
+    caller should treat recall numbers accordingly.  Probe ranking is
+    cosine, matching :func:`cosine_topk_ivf`."""
+    centroids = np.asarray(centroids, dtype=np.float64)
+    assigned = assign_nearest_centroid_arrow(corpus, centroids, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    norms = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
+    sims = (centroids @ q) / np.maximum(norms, 1e-12)
+    probe = np.argsort(-sims)[:nprobe].tolist()
+    return pq_adc_topk(
+        assigned.filter(F.col("cluster").isin(probe)),
+        query_vec,
+        codebooks,
+        k,
+        id_col,
+        vec_col,
+    )

@@ -10333,6 +10333,116 @@ def nfc_normalize_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _pq_ivf_oracle() -> str:
+    """DuckDB twin of ``pq_ivf_topk``: coarse assignment via the
+    shared literal chains, probe selection by centroid cosine (the
+    ivf_topk oracle's shape), PQ encode + ADC ranking (the pq_adc
+    oracle's shape) restricted to the probed lists."""
+    from .operators.similarity import fixed_centroids, pq_codebooks
+
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    m, _, sub = cb.shape
+
+    def lst(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    probes = "\n      UNION ALL ".join(
+        f"SELECT {j} AS cl, list_cosine_similarity({lst(c)},"
+        f" (SELECT qe FROM q)) AS s"
+        for j, c in enumerate(cents)
+    )
+
+    def chain(vals, base, var):
+        return "(" + " + ".join(
+            f"({var}[{base + i + 1}] - {float(v)!r})"
+            f" * ({var}[{base + i + 1}] - {float(v)!r})"
+            for i, v in enumerate(vals)
+        ) + ")"
+
+    dls = ",\n           ".join(
+        "[" + ",\n            ".join(chain(c, s * sub, "e") for c in cb[s])
+        + f"] AS dl{s}"
+        for s in range(m)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(dl{s}, list_min(dl{s})) - 1 AS INTEGER)"
+        f" AS code_{s}"
+        for s in range(m)
+    )
+    luts = ",\n           ".join(
+        "[" + ",\n            ".join(chain(c, s * sub, "qe") for c in cb[s])
+        + f"] AS lut{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"l.lut{s}[enc.code_{s} + 1]" for s in range(m))
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), cd AS (
+      SELECT vec_id, e, {_centroid_assign_sql(cents)} AS cdl FROM c
+    ), a AS (
+      SELECT vec_id, e,
+             CAST(list_position(cdl, list_min(cdl)) - 1 AS INTEGER)
+                 AS cluster
+      FROM cd
+    ), probe AS (
+      SELECT cl FROM ({probes}) ORDER BY s DESC, cl ASC LIMIT 2
+    ), pl AS (
+      SELECT vec_id, e FROM a WHERE cluster IN (SELECT cl FROM probe)
+    ), d AS (
+      SELECT vec_id,
+           {dls}
+      FROM pl
+    ), enc AS (
+      SELECT vec_id, {codes} FROM d
+    ), l AS (
+      SELECT {luts}
+      FROM q
+    )
+    SELECT enc.vec_id, enc.code_0, enc.code_1, enc.code_2, enc.code_3,
+           {adc} AS adc_dist
+    FROM enc CROSS JOIN l
+    ORDER BY adc_dist ASC, enc.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("ivfpq_topk_embeddings", None)  # oracle attached below (generated)
+def ivfpq_topk_q(spark, sf_dir):
+    """IVF-PQ ANN (operators.similarity.pq_ivf_topk): coarse-probe
+    pruning bounds the SCAN (nprobe=2 of 8 lists), PQ-ADC bounds the
+    per-row COST and memory (4-byte codes) — the billion-vector
+    composition, with every stage (assignment, probe ranking, encode,
+    LUT ranking) replayed exactly in SQL via the literal quantizer
+    and codebooks."""
+    from .operators.similarity import (
+        fixed_centroids,
+        pq_codebooks,
+        pq_ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_ivf_topk(
+        emb,
+        list(qvec),
+        fixed_centroids(64, 8, seed=7),
+        pq_codebooks(64, 4, 16, seed=11),
+        k=10,
+        nprobe=2,
+    )
+
+
+O["ivfpq_topk_embeddings"] = _pq_ivf_oracle()
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -10354,6 +10464,7 @@ _PRIORITY = [
     # round-4 NEW queries at the very top.  The ~21 that fall past the
     # cut rotate in next round.
     # ---- round-4 new queries (never checked anywhere but locally)
+    "ivfpq_topk_embeddings",
     "hll_distinct_tokens_docs",
     "association_rules_lineitem",
     "nfc_normalize_docs",

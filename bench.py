@@ -102,6 +102,12 @@ HEADLINE = [
     # round-4 additions
     "ivf_partitioned_topk_embeddings",  # timed cost = index build+query
     "gopher_quality_docs",
+    "pq_adc_topk_embeddings",
+    "ivfpq_topk_embeddings",
+    "mmr_rerank_embeddings",
+    "hll_distinct_tokens_docs",
+    "association_rules_lineitem",
+    "zipf_slope_by_source",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -233,6 +239,15 @@ def main() -> None:
             "detail": "BENCH_LOCAL.json",
         }
         line = json.dumps(slim, separators=(",", ":"))
+        if len(line) > 2800:
+            # ~90+ headline queries: keep only the 40 slowest in the
+            # stdout line (the grading signal) — full dict on disk
+            slow = dict(
+                sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+            )
+            slim["queries"] = slow
+            slim["queries_detail"] = "BENCH_LOCAL.json"
+            line = json.dumps(slim, separators=(",", ":"))
     print(line, flush=True)
 
 

@@ -285,3 +285,35 @@ def test_nfc_normalization_composes(spark, sf_dir):
     # then composed away
     assert any(r.n_composed > 0 for r in rows)
     assert all(r.len_after + r.n_composed == r.len_before for r in rows)
+
+
+def test_ivfpq_results_come_from_probed_lists_only(emb):
+    """IVF-PQ contract: every result id belongs to one of the nprobe
+    probed clusters, and its ADC distance equals the PQ surrogate on
+    the full corpus (pruning changes WHICH rows compete, never their
+    scores)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        assign_nearest_centroid_arrow,
+        fixed_centroids,
+        pq_ivf_topk,
+    )
+
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    got = pq_ivf_topk(emb, list(q), cents, cb, k=10, nprobe=2).collect()
+    assert got
+    qa = np.array(q)
+    sims = cents @ qa / (np.linalg.norm(cents, axis=1) * np.linalg.norm(qa))
+    probed = set(np.argsort(-sims)[:2].tolist())
+    clusters = {
+        r.vec_id: r.cluster
+        for r in assign_nearest_centroid_arrow(emb, cents).collect()
+    }
+    full = {
+        r.vec_id: r.adc_dist
+        for r in pq_adc_topk(emb, list(q), cb, k=500).collect()
+    }
+    for r in got:
+        assert clusters[r.vec_id] in probed
+        assert abs(full[r.vec_id] - r.adc_dist) < 1e-12
