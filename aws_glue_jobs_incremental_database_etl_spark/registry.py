@@ -10443,6 +10443,163 @@ def ivfpq_topk_q(spark, sf_dir):
 O["ivfpq_topk_embeddings"] = _pq_ivf_oracle()
 
 
+@query(
+    "incremental_join_orders_customers",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def incremental_join_q(spark, sf_dir):
+    """Incremental JOIN-view maintenance
+    (operators/incremental_join.IncrementalJoinView): orders arrive in
+    THREE batches and customers in TWO, interleaved, each folded via
+    the append-only delta-join identity (ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR, with
+    semi-join pre-filtering of the accumulated side) — history is
+    never re-joined with history.  The maintained view aggregated by
+    market segment must equal the oracle's one-shot join."""
+    import tempfile as _tf
+
+    from .operators.incremental_join import IncrementalJoinView
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    v = IncrementalJoinView(_tf.mkdtemp(prefix="inc_join_"), on="o_custkey")
+    v.apply_batch(spark, left_delta=o.filter("o_orderkey % 3 = 0"))
+    v.apply_batch(spark, right_delta=c.filter("o_custkey % 2 = 0"))
+    v.apply_batch(
+        spark,
+        left_delta=o.filter("o_orderkey % 3 = 1"),
+        right_delta=c.filter("o_custkey % 2 = 1"),
+    )
+    v.apply_batch(spark, left_delta=o.filter("o_orderkey % 3 = 2"))
+    return (
+        v.read_view(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "calibration_ece_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(
+               unnest(string_split_regex(lower(trim(text)), '\s+'))), 1, 8))
+               AS BIGINT) % 4096 AS b
+      FROM documents
+    ), model AS (
+      SELECT DISTINCT b AS bucket,
+             (CAST(b % 101 AS DOUBLE) - 50.0) / 500.0 AS w
+      FROM tok
+    ), scored AS (
+      SELECT tok.doc_id, SUM(model.w) AS sw
+      FROM tok JOIN model ON model.bucket = tok.b
+      GROUP BY tok.doc_id
+    ), prob AS (
+      SELECT d.doc_id,
+             ROUND(1.0 / (1.0 + exp(-(0.1 + COALESCE(s.sw, 0.0)))), 6)
+                 AS p,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ), binned AS (
+      SELECT CAST(LEAST(FLOOR(p * 10.0), 9.0) AS INTEGER) AS bin,
+             COUNT(*) AS n_docs,
+             ROUND(AVG(p), 4) AS avg_conf,
+             ROUND(AVG(CAST(y AS DOUBLE)), 4) AS frac_pos
+      FROM prob GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS DOUBLE) AS nn,
+             SUM(CAST(n_docs AS DOUBLE) * ABS(frac_pos - avg_conf)) AS num
+      FROM binned
+    )
+    SELECT bin, n_docs, avg_conf, frac_pos,
+           ROUND(num / nn, 4) AS ece
+    FROM binned CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def calibration_ece_q(spark, sf_dir):
+    """Classifier calibration: 10-bin reliability table (mean
+    predicted probability vs empirical positive rate, label = lang is
+    English) + Expected Calibration Error, over the hashed linear
+    classifier's scores (the classifier_score_docs pipeline).  Bounded
+    throughout — 10 bin rows and a 1-row normalizer; the ECE is
+    computed from the ROUNDED bin statistics so both engines fold
+    identical doubles."""
+    from .operators.text import hashed_classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    dim = 4096
+    from .operators.sampling import hash_bucket
+
+    model = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("_t")
+        )
+        .select(hash_bucket(F.col("_t"), dim).alias("bucket"))
+        .distinct()
+        .select(
+            "bucket",
+            (
+                ((F.col("bucket") % 101).cast("double") - 50.0) / 500.0
+            ).alias("w"),
+        )
+    )
+    scored = hashed_classifier_score(d, model, dim=dim, bias=0.1)
+    prob = scored.join(
+        d.select("doc_id", "lang"), scored["id"] == F.col("doc_id")
+    ).select(
+        F.col("score").alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = (
+        prob.groupBy(
+            F.least(F.floor(F.col("p") * 10.0), F.lit(9.0))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("p"), 4).alias("avg_conf"),
+            F.round(F.avg(F.col("y").cast("double")), 4).alias("frac_pos"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_docs").cast("double").alias("nn"),
+        F.sum(
+            F.col("n_docs").cast("double")
+            * F.abs(F.col("frac_pos") - F.col("avg_conf"))
+        ).alias("num"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "avg_conf",
+            "frac_pos",
+            F.round(F.col("num") / F.col("nn"), 4).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================

@@ -23,6 +23,8 @@ SINGLE_PARTITION_OK = {
     "benford_digits_totalprice", # 1-row total for the share divide
     "bloom_prefilter_docs",      # packed filter → 1-row broadcast map
     "bm25_score_docs",           # corpus N/avg-len scalar state
+    "calibration_ece_docs",      # 1-row ECE normalizer folded over
+    # the 10-bin reliability table (bin count is a literal)
     "cms_token_counts_docs",     # packed sketch → 1-row broadcast map
     "dsir_scores_docs",          # 1-row model constants (corpus/target
     # totals + vocab size) folded in as a broadcast cross join — the
@@ -77,6 +79,7 @@ BNLJ_OK = {
     "cms_token_counts_docs",
     "association_rules_lineitem",  # 1-row basket-count crossJoin
     "bootstrap_ci_orders",       # 1-row point-mean crossJoin back
+    "calibration_ece_docs",      # 1-row ECE normalizer crossJoin
     "cosine_topk_many_embeddings",
     "cross_join_region_nation",
     "mmr_rerank_embeddings",     # pool² (≤400-row) pairwise-sim

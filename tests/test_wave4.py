@@ -317,3 +317,80 @@ def test_ivfpq_results_come_from_probed_lists_only(emb):
     for r in got:
         assert clusters[r.vec_id] in probed
         assert abs(full[r.vec_id] - r.adc_dist) < 1e-12
+
+
+def test_incremental_join_view_equals_full_join(spark, sf_dir, tmp_path):
+    """Interleaved left/right/both-side batches folded through the
+    delta-join identity must reproduce the one-shot join exactly,
+    including keys whose match arrives batches later; reading before
+    any state raises."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.incremental_join import (
+        IncrementalJoinView,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    v = IncrementalJoinView(str(tmp_path / "v"), on="o_custkey")
+    with pytest.raises(FileNotFoundError):
+        v.read_view(spark)
+    v.apply_batch(spark, left_delta=o.filter("o_orderkey % 3 = 0"))
+    v.apply_batch(spark, right_delta=c.filter("o_custkey % 2 = 0"))
+    v.apply_batch(
+        spark,
+        left_delta=o.filter("o_orderkey % 3 = 1"),
+        right_delta=c.filter("o_custkey % 2 = 1"),
+    )
+    v.apply_batch(spark, left_delta=o.filter("o_orderkey % 3 = 2"))
+    got = v.read_view(spark)
+    want = o.join(c, "o_custkey")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_incremental_join_semi_prefilters_accumulated_side(spark, sf_dir, tmp_path):
+    """The delta-vs-accumulated term must semi-filter the accumulated
+    scan on the broadcast delta keys — the O(|Δ|) guarantee; pinned by
+    counting view rows when the second batch touches ONE key."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.incremental_join import (
+        IncrementalJoinView,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    v = IncrementalJoinView(str(tmp_path / "v"), on="o_custkey")
+    v.apply_batch(spark, left_delta=o)
+    one = c.orderBy("o_custkey").limit(1)
+    key = one.first().o_custkey
+    v.apply_batch(spark, right_delta=one)
+    got = v.read_view(spark)
+    assert got.count() == o.filter(F.col("o_custkey") == key).count()
+    # and the plan of the accumulated-side term carries a semi join
+    import re
+
+    keys = F.broadcast(one.select("o_custkey").distinct())
+    term = spark.read.parquet(v.left_dir).join(keys, "o_custkey", "semi").join(one, "o_custkey")
+    plan = term._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"LeftSemi", plan), plan[:1500]
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+
+    rows = Q["calibration_ece_docs"](spark, sf_dir).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    eces = {r.ece for r in rows}
+    assert len(eces) == 1 and 0.0 <= eces.pop() <= 1.0
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.avg_conf <= 1.0 and 0.0 <= r.frac_pos <= 1.0
