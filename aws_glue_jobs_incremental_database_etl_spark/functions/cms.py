@@ -123,3 +123,31 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """1-row ``(est)``: the CMS inner-product estimate of
+    ``Σ_k f_A(k) · f_B(k)`` — which for two key columns IS the inner
+    equi-join's output cardinality — computed from two ``(row, col,
+    cnt)`` sketches built with the same ``(d, w)``.
+
+    Per hash row the cell-wise product-sum overcounts only via
+    collisions, so ``min`` over the ``d`` rows is a one-sided
+    (``≥ true``) estimate with error ≤ ε·N_A·N_B at w = ⌈e/ε⌉
+    (Cormode–Muthukrishnan §4.2) — the classic sketch the optimizer
+    uses to size a join WITHOUT running it.  All-integer arithmetic,
+    so any engine replays it exactly.  Missing (row, col) cells are
+    zero: an inner join of the frames drops exactly the zero-product
+    terms, and a hash row sharing NO columns truly has product-sum 0 —
+    restored via the left join from the d row ids."""
+    j = (
+        a.alias("a")
+        .join(b.alias("b"), ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    rows = a.select("row").distinct()
+    per_row = rows.join(j, "row", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
+    )
+    return per_row.agg(F.min("ip").alias("est"))

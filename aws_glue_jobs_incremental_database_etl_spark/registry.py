@@ -10600,6 +10600,74 @@ def calibration_ece_q(spark, sf_dir):
     )
 
 
+@query(
+    "join_size_estimate_cms",
+    """
+    WITH ga AS (
+      SELECT i.i AS row,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                 || '@' || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 8192 AS col,
+             COUNT(*) AS cnt
+      FROM orders CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+      GROUP BY 1, 2
+    ), gb AS (
+      SELECT i.i AS row,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                 || '@' || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 8192 AS col,
+             COUNT(*) AS cnt
+      FROM customer CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+      GROUP BY 1, 2
+    ), ip AS (
+      SELECT a.row, SUM(a.cnt * b.cnt) AS ip
+      FROM ga a JOIN gb b ON a.row = b.row AND a.col = b.col
+      GROUP BY a.row
+    ), est AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip
+    ), t AS (
+      SELECT COUNT(*) AS true_join_size
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT 4 AS d, 8192 AS w, true_join_size, est_join_size
+    FROM t CROSS JOIN est
+    """,
+)
+def join_size_estimate_q(spark, sf_dir):
+    """Sketch-based join cardinality estimation
+    (functions.cms.cms_inner_product): |orders ⋈ customer| from two
+    4×8192 Count-Min sketches of the join keys — the optimizer-style
+    size estimate that never runs the join.  One-sided: est ≥ true
+    (collision overcounts only), integer-exact cross-engine; the true
+    size rides along so the gate also bounds the estimate's quality.
+    At 100 TB each sketch is one bounded-state aggregate over its own
+    table and the estimate is a 32768-cell product — constant cost
+    however large the join would be."""
+    from .functions.cms import cms_build, cms_inner_product
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    sa = cms_build(o, "o_custkey", d=4, w=8192)
+    sb = cms_build(c, "c_custkey", d=4, w=8192)
+    est = cms_inner_product(sa, sb).select(
+        F.col("est").alias("est_join_size")
+    )
+    t = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .agg(F.count("*").alias("true_join_size"))
+    )
+    return t.crossJoin(F.broadcast(est)).select(
+        F.lit(4).alias("d"),
+        F.lit(8192).alias("w"),
+        "true_join_size",
+        "est_join_size",
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================

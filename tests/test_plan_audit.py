@@ -37,6 +37,8 @@ SINGLE_PARTITION_OK = {
     "hll_distinct_tokens_docs",  # final fold over the 256-register
     # frame — the sketch size, a literal, bounds the single partition
     "interval_join_events_windows",  # literal-bounded window table
+    "join_size_estimate_cms",    # 1-row min over the d=4 per-row
+    # inner products of two ≤d·w-cell sketches + 1-row true count
     "mannwhitney_quantity_returnflag",  # cumulative walk + final fold
     # over the ≤50-row (quantity, counts) table — the integer value
     # domain, not the corpus, bounds the single partition
@@ -80,6 +82,8 @@ BNLJ_OK = {
     "association_rules_lineitem",  # 1-row basket-count crossJoin
     "bootstrap_ci_orders",       # 1-row point-mean crossJoin back
     "calibration_ece_docs",      # 1-row ECE normalizer crossJoin
+    "join_size_estimate_cms",    # 1-row estimate crossJoin onto the
+    # 1-row true count
     "cosine_topk_many_embeddings",
     "cross_join_region_nation",
     "mmr_rerank_embeddings",     # pool² (≤400-row) pairwise-sim

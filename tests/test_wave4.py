@@ -394,3 +394,18 @@ def test_calibration_bins_partition_the_corpus(spark, sf_dir):
     for r in rows:
         assert 0 <= r.bin <= 9
         assert 0.0 <= r.avg_conf <= 1.0 and 0.0 <= r.frac_pos <= 1.0
+
+
+def test_cms_join_size_estimate_is_one_sided(spark, sf_dir):
+    """The inner-product estimate can only OVERcount (collisions add,
+    never subtract) and must sit within the Cormode–Muthukrishnan
+    e/w · N_A·N_B additive bound."""
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+
+    r = Q["join_size_estimate_cms"](spark, sf_dir).first()
+    assert r.est_join_size >= r.true_join_size
+    na = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    nb = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    import math
+
+    assert r.est_join_size - r.true_join_size <= math.e / r.w * na * nb
