@@ -938,6 +938,7 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Asymmetric-Distance-Computation top-k over PQ codes (Jégou et
     al., "Product Quantization for Nearest Neighbor Search", TPAMI
@@ -952,7 +953,11 @@ def pq_adc_topk(
     scan + ``TakeOrderedAndProject``; per-row cost is m array lookups
     + m-1 adds regardless of dim."""
     m, kk, sub = codebooks.shape
-    enc = pq_encode(corpus, codebooks, vec_col)
+    enc = (
+        pq_encode_arrow(corpus, codebooks, vec_col)
+        if use_arrow
+        else pq_encode(corpus, codebooks, vec_col)
+    )
     score = None
     for s in range(m):
         lut = []
@@ -1114,3 +1119,58 @@ def pq_ivf_topk(
         id_col,
         vec_col,
     )
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_prefix: str = "code_",
+) -> DataFrame:
+    """``pq_encode`` on the ``mapInArrow`` fast path — bit-identical
+    to the expression version and its SQL twins: per codeword the
+    subspace distance accumulates dimension-by-dimension in the same
+    left-to-right IEEE order the literal chain uses, and
+    ``np.argmin`` is first-occurrence on ties.  Exists for the same
+    reason as :func:`assign_nearest_centroid_arrow`: m·k·(dim/m)
+    chained terms (1024 here) overflow whole-stage codegen into
+    interpreted evaluation (measured 7.3 s for 5 k rows at sf0.1 vs
+    ~0.5 s on this path)."""
+    import pyarrow as pa
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, sub = cb.shape
+    vec_idx = df.columns.index(vec_col)
+    out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+    out_fields += [f"`{code_prefix}{s}` int" for s in range(m)]
+    out_schema = ", ".join(out_fields)
+
+    def kernel(batches):
+        for batch in batches:
+            emb = batch.column(vec_idx)
+            counts = np.asarray(emb.value_lengths(), dtype=np.int64)
+            n = len(counts)
+            if n == 0:
+                continue
+            d = int(counts[0])
+            if not (counts == d).all():
+                raise ValueError("vectors must share one dimension")
+            if d != m * sub:
+                raise ValueError("codebook/vector dimension mismatch")
+            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, d)
+            cols = list(batch.columns)
+            names = list(batch.schema.names)
+            for s in range(m):
+                base = s * sub
+                dists = []
+                for c in cb[s]:
+                    acc = (X[:, base] - c[0]) ** 2
+                    for i in range(1, sub):
+                        acc = acc + (X[:, base + i] - c[i]) ** 2
+                    dists.append(acc)
+                code = np.argmin(np.stack(dists, axis=1), axis=1)
+                cols.append(pa.array(code.astype(np.int32), type=pa.int32()))
+                names.append(f"{code_prefix}{s}")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.mapInArrow(kernel, out_schema)

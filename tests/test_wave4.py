@@ -409,3 +409,24 @@ def test_cms_join_size_estimate_is_one_sided(spark, sf_dir):
     import math
 
     assert r.est_join_size - r.true_join_size <= math.e / r.w * na * nb
+
+
+def test_pq_encode_arrow_bit_identical_to_expression(emb):
+    """The Arrow fast path must produce EXACTLY the expression twin's
+    codes (same left-to-right accumulation, first-occurrence argmin) —
+    the contract that lets the SQL oracles keep validating the fast
+    path."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        pq_encode_arrow,
+    )
+
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    slow = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in pq_encode(emb, cb, "embedding").collect()
+    }
+    fast = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in pq_encode_arrow(emb, cb, "embedding").collect()
+    }
+    assert slow == fast
