@@ -20,15 +20,21 @@ key set, so the wide side's shuffle carries only rows that can match
 O(corpus).  Store the accumulators bucketed by the join key and even
 that filtered scan prunes to touched buckets.
 
-State: three append-only parquet dirs (``left/``, ``right/``,
-``view/``).  Appends are at-least-once like the other incremental
-operators — wrap calls in txn.py staging or a streaming checkpoint
-(``sketch_fold_writer``'s batch-id rule) for exactly-once.
+Exactly-once: state lives in three ``batch=<id>``-partitioned parquet
+dirs (``left/``, ``right/``, ``view/``).  Every commit is
+write-to-staging + one atomic rename; the VIEW partition doubles as
+the batch's commit marker, so a replayed ``batch_id`` is skipped, and
+a crash between an accumulator commit and the view commit replays
+safely because accumulator reads EXCLUDE the in-flight batch's own
+partition (the identity always sees pre-batch state).  This is
+``sketch_fold_writer``'s contract adapted to append-dir state.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,28 +50,64 @@ class IncrementalJoinView:
         self.right_dir = os.path.join(self.path, "right")
         self.view_dir = os.path.join(self.path, "view")
 
-    def _read(self, spark: SparkSession, d: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(d)
-        except Exception:
-            return None  # first batch: no accumulated state yet
+    # -- state plumbing ----------------------------------------------------
+
+    def _read(
+        self, spark: SparkSession, d: str, exclude_batch: str | None = None
+    ) -> DataFrame | None:
+        """Committed state at ``d``, minus ``exclude_batch``'s own
+        partition (replay safety), minus the engine-added ``batch``
+        partition column."""
+        if not os.path.isdir(d) or not any(
+            e.startswith("batch=") for e in os.listdir(d)
+        ):
+            return None
+        df = spark.read.parquet(d)
+        if exclude_batch is not None:
+            # partition values may be inferred as int — compare as string
+            df = df.filter(F.col("batch").cast("string") != exclude_batch)
+        return df.drop("batch")
+
+    def _commit(self, df: DataFrame, root: str, batch_id: str) -> None:
+        final = os.path.join(root, f"batch={batch_id}")
+        if os.path.exists(final):
+            return  # replay: this piece already committed
+        tmp = os.path.join(root, f".staging-{batch_id}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # half-written crash leftovers
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(root, exist_ok=True)
+        os.rename(tmp, final)
+
+    # -- the fold ----------------------------------------------------------
 
     def apply_batch(
         self,
         spark: SparkSession,
         left_delta: DataFrame | None = None,
         right_delta: DataFrame | None = None,
+        batch_id: str | int | None = None,
     ) -> None:
         """Fold one batch of appends (either side or both) into the
-        maintained view.  Delta frames are materialized via
-        ``localCheckpoint`` before any state append so the three
-        identity terms all see the PRE-batch accumulators even though
-        this call appends to them."""
+        maintained view.  Pass the upstream batch id (e.g. the
+        foreachBatch epoch) for exactly-once replay; without one a
+        random id is used (at-least-once, like plain appends)."""
+        bid = str(uuid.uuid4()) if batch_id is None else str(batch_id)
+        if os.path.exists(os.path.join(self.view_dir, f"batch={bid}")):
+            return  # replayed batch: fully committed already
         on = self.on
-        l_old = self._read(spark, self.left_dir)
-        r_old = self._read(spark, self.right_dir)
-        dl = left_delta.localCheckpoint(eager=True) if left_delta is not None else None
-        dr = right_delta.localCheckpoint(eager=True) if right_delta is not None else None
+        l_old = self._read(spark, self.left_dir, exclude_batch=bid)
+        r_old = self._read(spark, self.right_dir, exclude_batch=bid)
+        dl = (
+            left_delta.localCheckpoint(eager=True)
+            if left_delta is not None
+            else None
+        )
+        dr = (
+            right_delta.localCheckpoint(eager=True)
+            if right_delta is not None
+            else None
+        )
 
         parts = []
         if dl is not None and r_old is not None:
@@ -77,15 +119,21 @@ class IncrementalJoinView:
         if dl is not None and dr is not None:
             parts.append(dl.join(dr, on))
 
+        # accumulators first; the view partition is the commit marker,
+        # so a crash here replays into the exclude-own-batch reads
+        if dl is not None:
+            self._commit(dl, self.left_dir, bid)
+        if dr is not None:
+            self._commit(dr, self.right_dir, bid)
         if parts:
             delta_view = parts[0]
             for p in parts[1:]:
                 delta_view = delta_view.unionByName(p)
-            delta_view.write.mode("append").parquet(self.view_dir)
-        if dl is not None:
-            dl.write.mode("append").parquet(self.left_dir)
-        if dr is not None:
-            dr.write.mode("append").parquet(self.right_dir)
+            self._commit(delta_view, self.view_dir, bid)
+        # parts empty (first-ever batch of one side): no view partition
+        # is written — the join schema is unknown until both sides have
+        # state, and every commit above is idempotent, so a replay of
+        # this batch is still safe without the view marker
 
     def read_view(self, spark: SparkSession) -> DataFrame:
         view = self._read(spark, self.view_dir)

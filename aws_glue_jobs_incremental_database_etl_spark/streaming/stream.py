@@ -531,3 +531,39 @@ def streaming_topk_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_join_view_maintenance(
+    spark,
+    stream_df: DataFrame,
+    view,
+    checkpoint: str,
+    side: str = "left",
+) -> None:
+    """Streaming twin of
+    ``operators.incremental_join.IncrementalJoinView``: each
+    micro-batch of appends to ``side`` folds through the delta-join
+    identity, keyed by the foreachBatch epoch id so Structured
+    Streaming replays are exactly-once (the view partition is the
+    commit marker; accumulator reads exclude the in-flight batch).
+    Unlike a stream-static join, the maintained view is a QUERYABLE
+    on-disk table that never re-joins history."""
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be left or right, got {side!r}")
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        view.apply_batch(
+            batch.sparkSession,
+            left_delta=batch if side == "left" else None,
+            right_delta=batch if side == "right" else None,
+            batch_id=batch_id,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

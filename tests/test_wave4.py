@@ -430,3 +430,59 @@ def test_pq_encode_arrow_bit_identical_to_expression(emb):
         for r in pq_encode_arrow(emb, cb, "embedding").collect()
     }
     assert slow == fast
+
+
+def test_incremental_join_replay_same_batch_id_is_noop(spark, sf_dir, tmp_path):
+    """Exactly-once: re-applying a batch with the same id (the
+    foreachBatch replay case) must leave the view unchanged."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.incremental_join import (
+        IncrementalJoinView,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    v = IncrementalJoinView(str(tmp_path / "v"), on="o_custkey")
+    v.apply_batch(spark, left_delta=o, right_delta=c, batch_id=0)
+    n1 = v.read_view(spark).count()
+    v.apply_batch(spark, left_delta=o, right_delta=c, batch_id=0)
+    assert v.read_view(spark).count() == n1 == o.join(c, "o_custkey").count()
+
+
+def test_streaming_join_view_maintenance(spark, sf_dir, tmp_path):
+    """Left-side appends STREAMED through checkpointed foreachBatch
+    must maintain the same view as the one-shot join, across two
+    separate drains of the same checkpoint."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.incremental_join import (
+        IncrementalJoinView,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        streaming_join_view_maintenance,
+    )
+    from tests.test_streaming import incremental_file_stream
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    v = IncrementalJoinView(str(tmp_path / "v"), on="o_custkey")
+    v.apply_batch(spark, right_delta=c, batch_id="seed-right")
+
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ck")
+    o.filter("o_orderkey % 2 = 0").write.mode("append").parquet(src)
+    streaming_join_view_maintenance(
+        spark, incremental_file_stream(spark, src, o.schema), v, ckpt
+    )
+    o.filter("o_orderkey % 2 = 1").write.mode("append").parquet(src)
+    streaming_join_view_maintenance(
+        spark, incremental_file_stream(spark, src, o.schema), v, ckpt
+    )
+    got = v.read_view(spark)
+    want = o.join(c, "o_custkey")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty()
