@@ -10668,6 +10668,91 @@ def join_size_estimate_q(spark, sf_dir):
     )
 
 
+@query(
+    "readability_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), cnt AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1)
+                  AS BIGINT) AS n_syllables
+      FROM base
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           -- floor(x*100+0.5)/100, NOT ROUND: Spark's ROUND goes
+           -- through the double's shortest decimal repr (BigDecimal
+           -- HALF_UP) while DuckDB rounds the raw binary, so exact
+           -- .xx5 shortest-reprs disagree; floor arithmetic is pure
+           -- IEEE on both engines
+           FLOOR((206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))) * 100.0 + 0.5)
+               / 100.0 AS flesch,
+           FLOOR((0.39 * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)) - 15.59) * 100.0
+                 + 0.5) / 100.0 AS fk_grade
+    FROM cnt ORDER BY doc_id
+    """,
+)
+def readability_q(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic readability pair corpus quality filters publish (syllables
+    approximated as vowel groups, the standard fast heuristic).
+    Map-only regexp counting; every count is an exact integer and the
+    score expressions are written identically in both engines, so
+    values match to the ROUND."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    base = d.select("doc_id", F.lower(F.trim("text")).alias("t"))
+    cnt = base.select(
+        "doc_id",
+        F.size(F.split("t", r"\s+")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.expr(r"size(regexp_extract_all(t, '[.!?]+', 0))"), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.greatest(
+            F.expr(r"size(regexp_extract_all(t, '[aeiouy]+', 0))"),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    w, s, y = (
+        F.col("n_words").cast("double"),
+        F.col("n_sentences").cast("double"),
+        F.col("n_syllables").cast("double"),
+    )
+    # floor(x*100+0.5)/100 instead of round(): Spark's round goes
+    # through the shortest decimal repr (HALF_UP on BigDecimal), DuckDB
+    # rounds the raw binary double — exact .xx5 shortest-reprs disagree
+    return cnt.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.floor((206.835 - 1.015 * (w / s) - 84.6 * (y / w)) * 100.0 + 0.5)
+            / 100.0
+        ).alias("flesch"),
+        (
+            F.floor((0.39 * (w / s) + 11.8 * (y / w) - 15.59) * 100.0 + 0.5)
+            / 100.0
+        ).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================

@@ -486,3 +486,19 @@ def test_streaming_join_view_maintenance(spark, sf_dir, tmp_path):
     want = o.join(c, "o_custkey")
     assert got.count() == want.count()
     assert got.exceptAll(want).isEmpty()
+
+
+def test_readability_scores_are_sane(spark, sf_dir):
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+
+    rows = Q["readability_docs"](spark, sf_dir).limit(100).collect()
+    assert rows
+    for r in rows:
+        assert r.n_syllables >= 1 and r.n_words >= 1 and r.n_sentences >= 1
+        # vowel-group syllables can't exceed ~per-char bound
+        assert r.fk_grade == pytest.approx(
+            0.39 * r.n_words / r.n_sentences
+            + 11.8 * r.n_syllables / r.n_words
+            - 15.59,
+            abs=0.006,
+        )
