@@ -10753,6 +10753,129 @@ def readability_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _rbo_oracle() -> str:
+    """DuckDB twin of the RBO@10 comparison: both rankings replayed
+    (exact = plain cosine order; LSH = the hyperplane-bucket restrict
+    of lsh_topk), per-depth overlap over the bounded 10×10 grid,
+    weights (1−p)·p^(d−1) with p = 1/2 — every weight an exact dyadic
+    rational, no POWER (whose libm disagrees across engines)."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+
+    def dot(vals):
+        return " + ".join(
+            f"e[{i + 1}] * {float(v)!r}" for i, v in enumerate(vals)
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    qbucket = " + ".join(
+        f"(CASE WHEN ({dot(p).replace('e[', 'qe[')}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), qb AS (
+      SELECT {qbucket} AS b FROM q
+    ), ex AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(e,
+                   (SELECT qe FROM q)), 6) DESC, vec_id ASC) AS r
+      FROM c QUALIFY r <= 10
+    ), ls AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(e,
+                   (SELECT qe FROM q)), 6) DESC, vec_id ASC) AS r
+      FROM c WHERE ({bucket}) = (SELECT b FROM qb)
+      QUALIFY r <= 10
+    ), depths AS (
+      SELECT unnest(range(1, 11)) AS d
+    ), ov AS (
+      SELECT d.d,
+             (SELECT COUNT(*) FROM ex JOIN ls USING (vec_id)
+              WHERE ex.r <= d.d AND ls.r <= d.d) AS agree
+      FROM depths d
+    )
+    SELECT 10 AS k,
+           ROUND(SUM((1.0 / CAST(1::BIGINT << d AS DOUBLE))
+                     * CAST(agree AS DOUBLE) / CAST(d AS DOUBLE)), 6)
+               AS rbo
+    FROM ov
+    """
+
+
+@query("rbo_lsh_vs_exact", None)  # oracle attached below (generated)
+def rbo_q(spark, sf_dir):
+    """Rank-Biased Overlap (Webber et al., TOIS 2010) between the
+    exact cosine top-10 and the LSH-bucketed top-10 — the
+    top-weighted ranking-agreement eval that complements recall
+    (set-based) and nDCG (relevance-based): RBO penalises an ANN
+    ranking whose MISSES are near the top.  p = 1/2 makes every depth
+    weight an exact dyadic rational, so no POWER crosses the engine
+    boundary; the whole comparison is two bounded top-10 tables and a
+    10-depth grid."""
+    from .operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ex = cosine_topk(emb, list(qvec), k=10).withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        )
+    ).select("vec_id", "r")
+    ls = cosine_topk_lsh(
+        emb, list(qvec), k=10, num_planes=8, seed=42
+    ).withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        )
+    ).select(F.col("vec_id").alias("lv"), F.col("r").alias("lr"))
+    pairs = F.broadcast(ex).join(
+        F.broadcast(ls), F.col("vec_id") == F.col("lv")
+    )
+    depths = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    ov = (
+        F.broadcast(depths)
+        .join(
+            pairs,
+            (F.col("r") <= F.col("d")) & (F.col("lr") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("vec_id").alias("agree"))
+    )
+    return ov.agg(
+        F.lit(10).alias("k"),
+        F.round(
+            F.sum(
+                (F.lit(1.0) / F.expr("cast(shiftleft(cast(1 as bigint), d) as double)"))
+                * F.col("agree").cast("double")
+                / F.col("d").cast("double")
+            ),
+            6,
+        ).alias("rbo"),
+    )
+
+
+O["rbo_lsh_vs_exact"] = _rbo_oracle()
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================

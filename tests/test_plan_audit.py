@@ -58,6 +58,8 @@ SINGLE_PARTITION_OK = {
     "q22_dormant_customers",     # 1-row avg-balance scalar
     "q6_forecast_revenue",       # 1-row result
     "quality_checks_orders",     # 1-row constraint report base
+    "rbo_lsh_vs_exact",          # rank windows over two 10-row top-k
+    # tables + the 10-depth fold — k, a literal, bounds everything
     "revenue_share_of_parent",   # windows over the 25-row hierarchy
     "rrf_fusion_docs",           # rank windows over ≤100 candidates
     "sketch_quantiles_totalprice",  # cumulative walk over ≤64 bins
@@ -106,6 +108,7 @@ BNLJ_OK = {
     "psi_drift_orders",
     "q11_part_value_share",
     "q22_dormant_customers",
+    "rbo_lsh_vs_exact",          # 10-row × 10-row × 10-depth grid
     "rrf_fusion_docs",
     "sketch_quantiles_totalprice",
     "skew_stats_lineitem_suppkey",

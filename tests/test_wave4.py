@@ -502,3 +502,14 @@ def test_readability_scores_are_sane(spark, sf_dir):
             - 15.59,
             abs=0.006,
         )
+
+
+def test_rbo_bounds_and_identity(spark, sf_dir):
+    """RBO@10 with p=1/2 lies in [0, 1-2^-10·(something)] — bounded by
+    the full-agreement weight sum Σ_{d≤10} 2^-d = 1 − 2^-10; identical
+    rankings must hit that bound exactly."""
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+
+    r = Q["rbo_lsh_vs_exact"](spark, sf_dir).first()
+    max_rbo = sum(2.0 ** -d for d in range(1, 11))
+    assert 0.0 <= r.rbo <= max_rbo + 1e-9
