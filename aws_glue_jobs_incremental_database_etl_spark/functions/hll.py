@@ -56,20 +56,28 @@ def hll_rho(suffix: Column, bits: int = _SUFFIX_BITS) -> Column:
     ).cast("int")
 
 
-def hll_build(df: DataFrame, key_col: str, b: int = DEFAULT_B) -> DataFrame:
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    b: int = DEFAULT_B,
+    group_cols: tuple = (),
+) -> DataFrame:
     """Aggregate keys into the ``(bucket, reg)`` register frame —
-    ≤ ``2^b`` rows however large (or duplicated) the input."""
+    ≤ ``2^b`` rows per group however large (or duplicated) the
+    input.  ``group_cols`` makes it a GROUPED distinct-counter (one
+    sketch per group — e.g. per time window)."""
     m = 1 << b
     h = _hash60(F.col(key_col).cast("string"))
     # `div` (not `/`): float division is lossy past 2^53 and the hash
     # carries 60 bits
     return (
-        df.select(h.alias("_h"))
+        df.select(*group_cols, h.alias("_h"))
         .select(
+            *group_cols,
             (F.col("_h") % m).cast("int").alias("bucket"),
             hll_rho(F.expr(f"_h div {m}"), bits=60 - b).alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
 
@@ -84,7 +92,9 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.max("reg").alias("reg"))
 
 
-def hll_estimate(sketch: DataFrame, b: int = DEFAULT_B) -> DataFrame:
+def hll_estimate(
+    sketch: DataFrame, b: int = DEFAULT_B, group_cols: tuple = ()
+) -> DataFrame:
     """One-row ``(n_registers, zero_registers, est_distinct)`` from a
     register frame.  The harmonic numerator folds as an exact BIGINT
     (missing buckets contribute ``2^53`` each); the raw-estimate
@@ -94,13 +104,18 @@ def hll_estimate(sketch: DataFrame, b: int = DEFAULT_B) -> DataFrame:
     estimates are reported rounded)."""
     m = 1 << b
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
-    agg = sketch.agg(
+    aggs = [
         F.count("*").alias("nz"),
         F.sum(
             # F.shiftleft only takes a literal shift — SQL form takes
             # a column
             F.expr("shiftleft(cast(1 as bigint), 53 - reg)")
         ).alias("cpart"),
+    ]
+    agg = (
+        sketch.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else sketch.agg(*aggs)
     )
     c = F.col("cpart") + (F.lit(m) - F.col("nz")) * F.lit(1 << 53)
     zeros = (F.lit(m) - F.col("nz")).cast("long")
@@ -116,6 +131,7 @@ def hll_estimate(sketch: DataFrame, b: int = DEFAULT_B) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(
+        *group_cols,
         F.lit(m).alias("n_registers"),
         zeros.alias("zero_registers"),
         F.round(est, 2).alias("est_distinct"),

@@ -10876,6 +10876,81 @@ def rbo_q(spark, sf_dir):
 O["rbo_lsh_vs_exact"] = _rbo_oracle()
 
 
+@query(
+    "hll_distinct_users_daily",
+    r"""
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv
+      FROM events
+    ), br AS (
+      SELECT day, hv % 256 AS bucket, hv // 256 AS sfx FROM e
+    ), reg AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN sfx = 0 THEN 53
+                      ELSE 52 - length(bin(sfx)) + 1 END) AS reg
+      FROM br GROUP BY day, bucket
+    ), s AS (
+      SELECT day, COUNT(*) AS nz,
+             SUM(1::BIGINT << (53 - reg)) AS cpart
+      FROM reg GROUP BY day
+    ), e2 AS (
+      SELECT day, CAST(256 - nz AS BIGINT) AS zero_registers,
+             CAST(0.7213 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE)
+                  + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+               * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+               * CAST(9007199254740992.0 AS DOUBLE)
+               / CAST(cpart + (256 - nz) * (1::BIGINT << 53) AS DOUBLE)
+                 AS raw
+      FROM s
+    ), est AS (
+      SELECT day, zero_registers,
+             ROUND(CASE WHEN raw <= CAST(640.0 AS DOUBLE)
+                         AND zero_registers > 0
+                        THEN CAST(256.0 AS DOUBLE)
+                             * LN(CAST(256.0 AS DOUBLE)
+                                  / CAST(zero_registers AS DOUBLE))
+                        ELSE raw END, 2) AS est_distinct
+      FROM e2
+    ), ex AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT day, exact_distinct, est_distinct, zero_registers
+    FROM est JOIN ex USING (day) ORDER BY day
+    """,
+)
+def hll_daily_q(spark, sf_dir):
+    """GROUPED portable HLL: distinct users per day as one register
+    aggregate (≤256 rows per day however many events), estimate
+    beside the exact count so the gate doubles as an accuracy report.
+    The shape every streaming dashboard needs — sliding/tumbling
+    distinct counts — with per-group register state that merges by
+    MAX across batches (``hll_merge``)."""
+    from .functions.hll import hll_build, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    # to_date, not date_trunc: DuckDB's date_trunc('day') yields DATE
+    # while Spark's yields TIMESTAMP — align on DATE
+    base = ev.select(F.to_date(F.col("ts")).alias("day"), "user_id")
+    est = hll_estimate(
+        hll_build(base, "user_id", b=8, group_cols=("day",)),
+        b=8,
+        group_cols=("day",),
+    ).select("day", "zero_registers", "est_distinct")
+    exact = base.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "day")
+        .select("day", "exact_distinct", "est_distinct", "zero_registers")
+        .orderBy("day")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
