@@ -505,3 +505,60 @@ def test_sketch_quantiles_build_is_partial_agg(plans):
     # a range condition over it may nested-loop — that is bounded.
     # The FACT scan must feed only the hash aggregate:
     assert p.count("Scan parquet") <= 2  # sketch build + total (reused scan)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session's AQE skew-join handling actually fires: a join
+    whose left side is 98% one hot key must re-plan at runtime into a
+    skew-split SortMergeJoin (`skew=true`, `AQEShuffleRead ...
+    skewed`) — at 100 TB this is what keeps one reducer from
+    receiving a hot key's entire shuffle partition.  Thresholds are
+    lowered to fire at test scale; production uses the byte-size
+    defaults."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "100KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB"
+        )
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 50 != 0, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().count()
+        j.collect()  # AQE finalizes only on execution
+        s = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "skew=true" in s, s[:2000]
+        assert "skewed" in s, s[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
