@@ -20,12 +20,25 @@ from __future__ import annotations
 
 import hashlib
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count.
+    Module-level so executor pickling round-trips it."""
+
+    file: str = ""
+    rows: int = 0
 
 
 def _det_value(i: int) -> int:
@@ -127,3 +140,83 @@ class DeterministicNumbersStreamReader(SimpleDataSourceStreamReader):
 def register(spark) -> None:
     """Idempotently register the source on this session."""
     spark.dataSource.register(DeterministicNumbersDataSource)
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Batch WRITER half of the Python Data Source surface (Spark 4
+    ``DataSourceWriter``): each task streams its partition's rows to a
+    uniquely-named ``.jsonl`` part file under a hidden staging name,
+    returns the file name as its commit message, and the DRIVER-side
+    ``commit`` publishes exactly the successful tasks' files by
+    renaming them visible and writing a ``_MANIFEST`` listing them —
+    the same two-phase contract real table formats implement (a failed
+    job's staging files are dropped by ``abort``; readers trust only
+    the manifest)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl writer requires a path option")
+        self.columns = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(self.path, f".staging-{name}")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.columns, row))) + "\n")
+                n += 1
+        return JsonlCommit(file=name, rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            os.rename(
+                os.path.join(self.path, f".staging-{m.file}"),
+                os.path.join(self.path, m.file),
+            )
+            files.append({"file": m.file, "rows": m.rows})
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump({"files": files}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, f".staging-{m.file}"))
+            except FileNotFoundError:
+                pass
+
+
+class JsonLinesDataSource(DataSource):
+    """``format("jsonl_lines")`` — a pure-Python sink with the
+    two-phase task-commit protocol.  The reader half is intentionally
+    absent: reading back goes through ``spark.read.json`` (tested),
+    keeping this class a minimal writer-surface demonstration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_lines"
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(self.options, schema, overwrite)
+
+
+def register_writer(spark) -> None:
+    """Idempotently register the jsonl sink on this session."""
+    spark.dataSource.register(JsonLinesDataSource)

@@ -147,3 +147,37 @@ def test_udtf_table_arg_matches_builtin(spark, sf_dir):
         docs.filter(F.trim("text") != "").select("doc_id"), "doc_id"
     )
     assert nonempty.filter(F.col("n_unique") != F.col("exp")).count() == 0
+
+
+def test_python_datasource_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """The Python Data Source WRITER surface: per-task staged part
+    files published by the driver-side commit (rename + _MANIFEST) —
+    only committed files are visible, the manifest row count matches,
+    and the written data round-trips through spark.read.json."""
+    import json
+    import os
+
+    from aws_glue_jobs_incremental_database_etl_spark.sources.python_datasource import (
+        register_writer,
+    )
+
+    register_writer(spark)
+    out = str(tmp_path / "out")
+    df = spark.range(0, 1000, 1, 4).selectExpr(
+        "id", "id * 2 AS doubled", "concat('u', id % 7) AS tag"
+    )
+    df.write.format("jsonl_lines").option("path", out).mode(
+        "append"
+    ).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert sum(f["rows"] for f in manifest["files"]) == 1000
+    assert len(manifest["files"]) == 4  # one part per partition
+    # no staging leftovers; every manifest file exists
+    names = set(os.listdir(out))
+    assert not any(n.startswith(".staging-") for n in names)
+    assert all(f["file"] in names for f in manifest["files"])
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == 1000
+    got = {r.id: (r.doubled, r.tag) for r in back.collect()}
+    assert got[7] == (14, "u0")
