@@ -1126,6 +1126,7 @@ def pq_encode_arrow(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     code_prefix: str = "code_",
+    center=None,
 ) -> DataFrame:
     """``pq_encode`` on the ``mapInArrow`` fast path — bit-identical
     to the expression version and its SQL twins: per codeword the
@@ -1135,10 +1136,16 @@ def pq_encode_arrow(
     reason as :func:`assign_nearest_centroid_arrow`: m·k·(dim/m)
     chained terms (1024 here) overflow whole-stage codegen into
     interpreted evaluation (measured 7.3 s for 5 k rows at sf0.1 vs
-    ~0.5 s on this path)."""
+    ~0.5 s on this path).
+
+    ``center`` (a dim-length vector) switches to RESIDUAL encoding:
+    codes quantize ``v − center`` — each dimension subtracts the
+    center BEFORE the codeword, as two separate IEEE ops, so the SQL
+    twin's ``((e[i] − cent) − cw)²`` chain replays it exactly."""
     import pyarrow as pa
 
     cb = np.asarray(codebooks, dtype=np.float64)
+    ctr = None if center is None else [float(x) for x in center]
     m, _, sub = cb.shape
     vec_idx = df.columns.index(vec_col)
     out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -1164,9 +1171,16 @@ def pq_encode_arrow(
                 base = s * sub
                 dists = []
                 for c in cb[s]:
-                    acc = (X[:, base] - c[0]) ** 2
-                    for i in range(1, sub):
-                        acc = acc + (X[:, base + i] - c[i]) ** 2
+                    if ctr is None:
+                        acc = (X[:, base] - c[0]) ** 2
+                        for i in range(1, sub):
+                            acc = acc + (X[:, base + i] - c[i]) ** 2
+                    else:
+                        acc = ((X[:, base] - ctr[base]) - c[0]) ** 2
+                        for i in range(1, sub):
+                            acc = acc + (
+                                (X[:, base + i] - ctr[base + i]) - c[i]
+                            ) ** 2
                     dists.append(acc)
                 code = np.argmin(np.stack(dists, axis=1), axis=1)
                 cols.append(pa.array(code.astype(np.int32), type=pa.int32()))
@@ -1174,3 +1188,74 @@ def pq_encode_arrow(
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return df.mapInArrow(kernel, out_schema)
+
+
+def pq_ivf_topk_residual(
+    corpus: DataFrame,
+    query_vec: list,
+    centroids,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — FAISS's actual recipe: codes
+    quantize ``v − centroid(v)``, which concentrates the quantizer's
+    resolution where the list's vectors actually live (residual norms
+    ≪ vector norms), and the query LUT per probed list is built from
+    ``q − centroid``.  ADC stays exact over the reconstruction:
+    ``‖q − (centroid + codeword)‖² = ‖(q − centroid) − codeword‖²``.
+
+    Per-probe branches keep everything literal (no per-row CASE over
+    centroids): rows of each probed list encode and score against
+    that list's centroid, then the branches union before one top-k.
+    The branch count is nprobe (a small literal), so the plan is
+    nprobe filtered map-only scans of the SAME assignment pass —
+    Catalyst collapses the shared scan at 100 TB when the index is
+    the partitioned on-disk layout (``build_ivf_index``)."""
+    centroids = np.asarray(centroids, dtype=np.float64)
+    m, kk, sub = codebooks.shape
+    assigned = assign_nearest_centroid_arrow(corpus, centroids, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    norms = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
+    sims = (centroids @ q) / np.maximum(norms, 1e-12)
+    probe = np.argsort(-sims)[:nprobe].tolist()
+
+    branches = []
+    for cl in probe:
+        cent = [float(x) for x in centroids[cl]]
+        enc = pq_encode_arrow(
+            assigned.filter(F.col("cluster") == cl),
+            codebooks,
+            vec_col,
+            center=cent,
+        )
+        score = None
+        for s in range(m):
+            lut = []
+            for cw in codebooks[s]:
+                acc = None
+                for i, ci in enumerate(cw):
+                    t = (float(query_vec[s * sub + i]) - cent[s * sub + i]) - float(ci)
+                    term = t * t
+                    acc = term if acc is None else acc + term
+                lut.append(acc)
+            entry = F.element_at(
+                F.array(*[F.lit(v) for v in lut]), F.col(f"code_{s}") + 1
+            )
+            score = entry if score is None else score + entry
+        branches.append(
+            enc.select(
+                F.col(id_col),
+                F.lit(int(cl)).alias("cluster"),
+                # round_to=6 ranking key: the residual chain showed a
+                # 1-ulp cross-engine divergence (likely FMA
+                # contraction) that the raw-vector chain never did
+                F.round(score, 6).alias("adc_dist"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)

@@ -10951,6 +10951,125 @@ def hll_daily_q(spark, sf_dir):
     )
 
 
+def _pq_ivf_residual_oracle() -> str:
+    """DuckDB twin of ``pq_ivf_topk_residual``: coarse assignment via
+    the shared chains, probe selection by centroid cosine, then
+    RESIDUAL encode/LUT — ``((e[i] − cent[i]) − cw)²`` with the
+    centroid as a list column joined by cluster (8-row VALUES table),
+    so the residual subtraction is the same two-step IEEE op the
+    Arrow kernel performs and the SQL stays one branch."""
+    from .operators.similarity import fixed_centroids, pq_codebooks
+
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    m, _, sub = cb.shape
+
+    def lst(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    cent_rows = "\n      UNION ALL ".join(
+        f"SELECT {j} AS cl, {lst(c)} AS cent" for j, c in enumerate(cents)
+    )
+    probes = "\n      UNION ALL ".join(
+        f"SELECT {j} AS cl, list_cosine_similarity({lst(c)},"
+        f" (SELECT qe FROM q)) AS s"
+        for j, c in enumerate(cents)
+    )
+
+    def chain(vals, base, var):
+        return "(" + " + ".join(
+            f"(({var}[{base + i + 1}] - cent[{base + i + 1}])"
+            f" - {float(v)!r})"
+            f" * (({var}[{base + i + 1}] - cent[{base + i + 1}])"
+            f" - {float(v)!r})"
+            for i, v in enumerate(vals)
+        ) + ")"
+
+    dls = ",\n           ".join(
+        "[" + ",\n            ".join(chain(c, s * sub, "e") for c in cb[s])
+        + f"] AS dl{s}"
+        for s in range(m)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(dl{s}, list_min(dl{s})) - 1 AS INTEGER)"
+        f" AS code_{s}"
+        for s in range(m)
+    )
+    luts = ",\n           ".join(
+        "[" + ",\n            ".join(chain(c, s * sub, "qe") for c in cb[s])
+        + f"] AS lut{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"l.lut{s}[enc.code_{s} + 1]" for s in range(m))
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), cd AS (
+      SELECT vec_id, e, {_centroid_assign_sql(cents)} AS cdl FROM c
+    ), a AS (
+      SELECT vec_id, e,
+             CAST(list_position(cdl, list_min(cdl)) - 1 AS INTEGER)
+                 AS cluster
+      FROM cd
+    ), cents AS (
+      {cent_rows}
+    ), probe AS (
+      SELECT cl FROM ({probes}) ORDER BY s DESC, cl ASC LIMIT 2
+    ), pl AS (
+      SELECT a.vec_id, a.e, a.cluster, cents.cent
+      FROM a JOIN cents ON cents.cl = a.cluster
+      WHERE a.cluster IN (SELECT cl FROM probe)
+    ), d AS (
+      SELECT vec_id, cluster, cent,
+           {dls}
+      FROM pl
+    ), enc AS (
+      SELECT vec_id, cluster, cent, {codes} FROM d
+    ), l AS (
+      SELECT cents.cl, {luts}
+      FROM cents CROSS JOIN q
+    )
+    SELECT enc.vec_id, enc.cluster, ROUND({adc}, 6) AS adc_dist
+    FROM enc JOIN l ON l.cl = enc.cluster
+    ORDER BY adc_dist ASC, enc.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("ivfpq_residual_topk_embeddings", None)  # oracle attached below
+def ivfpq_residual_q(spark, sf_dir):
+    """Residual IVF-PQ (operators.similarity.pq_ivf_topk_residual) —
+    FAISS's actual recipe: codes quantize v − centroid(v), the query
+    LUT per probed list builds from q − centroid, and ADC stays exact
+    over the reconstruction.  Same probe pruning as
+    ivfpq_topk_embeddings; better codes where the list lives."""
+    from .operators.similarity import (
+        fixed_centroids,
+        pq_codebooks,
+        pq_ivf_topk_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_ivf_topk_residual(
+        emb,
+        list(qvec),
+        fixed_centroids(64, 8, seed=7),
+        pq_codebooks(64, 4, 16, seed=11),
+        k=10,
+        nprobe=2,
+    )
+
+
+O["ivfpq_residual_topk_embeddings"] = _pq_ivf_residual_oracle()
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================

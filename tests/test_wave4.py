@@ -513,3 +513,35 @@ def test_rbo_bounds_and_identity(spark, sf_dir):
     r = Q["rbo_lsh_vs_exact"](spark, sf_dir).first()
     max_rbo = sum(2.0 ** -d for d in range(1, 11))
     assert 0.0 <= r.rbo <= max_rbo + 1e-9
+
+
+def test_residual_pq_reconstruction_contract(emb):
+    """Residual IVF-PQ contract: every result's ADC distance equals
+    ‖(q − centroid) − codeword‖² for the row's assigned cluster and
+    codes — verified by recomputing the reconstruction in numpy."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        assign_nearest_centroid_arrow,
+        fixed_centroids,
+        pq_encode_arrow,
+        pq_ivf_topk_residual,
+    )
+
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    q = np.array(emb.filter(F.col("vec_id") == 0).first().embedding)
+    got = pq_ivf_topk_residual(emb, list(q), cents, cb, k=10, nprobe=2).collect()
+    assert got
+    # recompute codes for the probed rows
+    assigned = assign_nearest_centroid_arrow(emb, cents)
+    for r in got:
+        row = assigned.filter(F.col("vec_id") == r.vec_id).first()
+        assert row.cluster == r.cluster
+        enc = pq_encode_arrow(
+            assigned.filter(F.col("vec_id") == r.vec_id),
+            cb,
+            center=[float(x) for x in cents[r.cluster]],
+        ).first()
+        recon = cents[r.cluster] + np.concatenate(
+            [cb[s][getattr(enc, f"code_{s}")] for s in range(4)]
+        )
+        assert abs(((q - recon) ** 2).sum() - r.adc_dist) < 1e-5
