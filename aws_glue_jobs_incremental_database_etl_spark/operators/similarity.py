@@ -1012,6 +1012,23 @@ def mmr_rerank(
         corpus, query_vec, k=pool, id_col=id_col, vec_col=vec_col,
         round_to=6,
     ).withColumnRenamed("cosine", "rel")
+    return mmr_greedy(cand, corpus, k=k, lam=lam, id_col=id_col, vec_col=vec_col)
+
+
+def mmr_greedy(
+    cand: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The greedy MMR selection over an EXTERNALLY-scored candidate
+    frame ``cand`` = (id, rel) — rel can be cosine (``mmr_rerank``),
+    an RRF fusion score, a cross-encoder score, anything: the penalty
+    term is always pairwise cosine between the candidates' vectors in
+    ``corpus``.  Candidate count bounds everything downstream; same
+    determinism contract as :func:`mmr_rerank`."""
     cand_emb = F.broadcast(
         cand.join(corpus.select(id_col, vec_col), id_col)
     )

@@ -11070,6 +11070,161 @@ def ivfpq_residual_q(spark, sf_dir):
 O["ivfpq_residual_topk_embeddings"] = _pq_ivf_residual_oracle()
 
 
+def _hybrid_retrieval_oracle(k: int = 5) -> str:
+    """DuckDB twin of the hybrid-retrieval flagship: the rrf oracle's
+    BM25 half, a dense-cosine half over the paired embeddings, RRF
+    fusion, then the MMR greedy unrolled (rel = the fused RRF score,
+    penalty = pairwise candidate cosine) — one generated SQL that
+    value-hashes the whole retrieval chain."""
+    steps = ["""s1 AS (
+      SELECT 1 AS step, vec_id, rel, 0.5 * rel - 0.5 * 0.0 AS mmr
+      FROM cand ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    ), sel1 AS (SELECT vec_id FROM s1)"""]
+    for n in range(2, k + 1):
+        steps.append(f"""s{n} AS (
+      SELECT {n} AS step, cd.vec_id, cd.rel,
+             0.5 * cd.rel - 0.5 * (
+               SELECT MAX(p.sim) FROM pr p
+               WHERE p.ia = cd.vec_id
+                 AND p.ib IN (SELECT vec_id FROM sel{n - 1})) AS mmr
+      FROM cand cd
+      WHERE cd.vec_id NOT IN (SELECT vec_id FROM sel{n - 1})
+      ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    ), sel{n} AS (SELECT vec_id FROM sel{n - 1}
+                  UNION ALL SELECT vec_id FROM s{n})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM s{n}" for n in range(1, k + 1)
+    )
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\s+')
+             END AS w
+      FROM documents
+    ), b2 AS (
+      SELECT doc_id, len(w) AS n_tokens, w FROM base
+    ), g AS (
+      SELECT COUNT(*) AS n_docs, AVG(n_tokens) AS avg_len FROM b2
+    ), tf AS (
+      SELECT doc_id, n_tokens, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, n_tokens, unnest(w) AS term FROM b2)
+      WHERE term IN ('spark', 'stream', 'window')
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), lex AS (
+      SELECT tf.doc_id AS id, ROUND(SUM(
+               LN(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.n_tokens / g.avg_len))
+             ), 6) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN g GROUP BY 1
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), dense AS (
+      SELECT vec_id AS id,
+             ROUND(list_cosine_similarity(e, (SELECT qe FROM q)), 6) AS c
+      FROM emb WHERE vec_id <> 0
+    ), r1 AS (
+      SELECT id, r1 FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r1
+        FROM lex WHERE id <> 0
+      ) WHERE r1 <= 100
+    ), r2 AS (
+      SELECT id, r2 FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY c DESC, id ASC) AS r2
+        FROM dense
+      ) WHERE r2 <= 100
+    ), fused AS (
+      SELECT COALESCE(r1.id, r2.id) AS id,
+             ROUND(COALESCE(1.0 / (60 + r1.r1), 0.0)
+                   + COALESCE(1.0 / (60 + r2.r2), 0.0), 6) AS rrf
+      FROM r1 FULL JOIN r2 ON r1.id = r2.id
+      ORDER BY rrf DESC, id ASC LIMIT 20
+    ), cand AS (
+      SELECT fused.id AS vec_id, fused.rrf AS rel, emb.e
+      FROM fused JOIN emb ON emb.vec_id = fused.id
+    ), pr AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), {",".join(steps)}
+    SELECT step, vec_id AS doc_id, rel AS rrf, ROUND(mmr, 6) AS mmr
+    FROM ({union})
+    ORDER BY step
+    """
+
+
+@query("hybrid_retrieval_pipeline", None)  # oracle attached below
+def hybrid_retrieval_q(spark, sf_dir):
+    """The retrieval flagship — a RAG-style hybrid search chain
+    value-hashed end-to-end: BM25 lexical ranking ⊕ dense cosine
+    ranking over the paired embeddings → reciprocal-rank fusion
+    (k=60) → MMR diversification of the fused top-20 down to 5
+    (rel = RRF score, penalty = pairwise candidate cosine via
+    ``mmr_greedy``).  The query is doc/vec 0, held out of both
+    rankings.  Scale shape: two bounded top-100 retrievals (each
+    TakeOrdered over one corpus scan), a ≤200-row fusion, and a
+    20-candidate greedy — the corpus is scanned exactly twice
+    regardless of size."""
+    from .operators.similarity import cosine_topk, mmr_greedy
+    from .operators.text import bm25_score
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    lex = (
+        bm25_score(d, ["spark", "stream", "window"])
+        .select("id", F.round("score", 6).alias("s"))
+        .filter(F.col("id") != 0)
+    )
+    dense = cosine_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=100
+    ).select(F.col("vec_id").alias("id"), F.col("cosine").alias("c"))
+
+    def topk_ranked(df, key, rank_name):
+        top = df.orderBy(F.col(key).desc(), F.col("id").asc()).limit(100)
+        w = Window.orderBy(F.col(key).desc(), F.col("id").asc())
+        return top.withColumn(rank_name, F.row_number().over(w)).select(
+            "id", rank_name
+        )
+
+    r1 = topk_ranked(lex, "s", "r1")
+    r2 = topk_ranked(dense, "c", "r2")
+    fused = (
+        r1.join(r2, "id", "full")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r1")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r2")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("id").asc())
+        .limit(20)
+    )
+    cand = fused.select(F.col("id").alias("vec_id"), F.col("rrf").alias("rel"))
+    sel = mmr_greedy(cand, emb, k=5, lam=0.5)
+    return sel.select(
+        "step",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rel").alias("rrf"),
+        "mmr",
+    )
+
+
+O["hybrid_retrieval_pipeline"] = _hybrid_retrieval_oracle()
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================

@@ -108,6 +108,7 @@ HEADLINE = [
     "hll_distinct_tokens_docs",
     "association_rules_lineitem",
     "zipf_slope_by_source",
+    "hybrid_retrieval_pipeline",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

@@ -34,6 +34,8 @@ SINGLE_PARTITION_OK = {
     "bootstrap_ci_orders",       # rank window + order-statistic fold
     # over the 64-row replicate-means table (B is a literal)
     "funnel_view_click_purchase",# 1-row funnel-stage counts
+    "hybrid_retrieval_pipeline", # rank windows over two ≤100-row
+    # top-k tables + the 20-candidate fusion/MMR (rrf_fusion shape)
     "hll_distinct_tokens_docs",  # final fold over the 256-register
     # frame — the sketch size, a literal, bounds the single partition
     "interval_join_events_windows",  # literal-bounded window table
@@ -88,6 +90,7 @@ BNLJ_OK = {
     # 1-row true count
     "cosine_topk_many_embeddings",
     "cross_join_region_nation",
+    "hybrid_retrieval_pipeline", # 20-candidate pairwise-sim grid
     "mmr_rerank_embeddings",     # pool² (≤400-row) pairwise-sim
     # inequality join of the broadcast top-20 candidate set with
     # itself — the candidate pool, a literal, bounds both sides
