@@ -11225,6 +11225,67 @@ def hybrid_retrieval_q(spark, sf_dir):
 O["hybrid_retrieval_pipeline"] = _hybrid_retrieval_oracle()
 
 
+@query(
+    "ses_smoothing_daily_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS x
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ), ses AS (
+      SELECT event_type, day, rn, x, x AS level
+      FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn, n.x,
+             0.5 * n.x + 0.5 * s.level
+      FROM num n JOIN ses s
+        ON n.event_type = s.event_type AND n.rn = s.rn + 1
+    )
+    SELECT event_type, day, x, level
+    FROM ses ORDER BY event_type, day
+    """,
+)
+def ses_smoothing_q(spark, sf_dir):
+    """Simple exponential smoothing (alpha = 1/2) of each event
+    type's daily value total — the classic trend-smoother /
+    one-step-ahead forecaster over an aggregated series.  The
+    recursion runs per type over the BOUNDED daily table (<=span
+    days), never the event stream: one hash agg reduces the corpus,
+    then an applyInPandas kernel walks each type's <=O(days) rows.
+    alpha = 1/2 makes every smoothing step exact dyadic IEEE
+    arithmetic (0.5*x + 0.5*prev, identical in the oracle's recursive
+    CTE), and the daily inputs are rounded BEFORE the recursion — so
+    levels match bit-for-bit with no output rounding at all."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+    )
+
+    def ses(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        level = None
+        out = []
+        for x in pdf["x"]:
+            level = x if level is None else 0.5 * x + 0.5 * level
+            out.append(level)
+        pdf["level"] = out
+        return pdf
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(ses, "event_type string, day date, x double, level double")
+        .orderBy("event_type", "day")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
