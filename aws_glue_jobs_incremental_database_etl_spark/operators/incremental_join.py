@@ -142,3 +142,97 @@ class IncrementalJoinView:
                 f"no view state at {self.view_dir}: apply a batch first"
             )
         return view
+
+
+class WeightedIncrementalJoinView(IncrementalJoinView):
+    """The RETRACTION half: deltas carry a weight column (+1 insert,
+    −1 delete/retract — an update is a −1 of the old row and a +1 of
+    the new one, exactly a CDC feed), and the join is maintained over
+    the weighted multiset.  The delta-join identity is BILINEAR in
+    the weights, so the same three terms apply with the view row's
+    weight = product of the joined weights:
+
+        w(l ⋈ r) = w(l) · w(r)
+
+    A row deleted from the left retracts every joined output it ever
+    produced (−1 · +1 = −1), and net multiplicities fall out of a
+    final sum — this is the z-set/DBSP construction specialised to
+    inner equi-joins.  ``read_view_net`` collapses to rows with net
+    weight > 0 (kept as a ``_net`` multiplicity column; weighted
+    aggregates should consume ``_net`` directly instead of
+    materialising repeats)."""
+
+    def __init__(self, path: str, on: str, weight_col: str = "_w") -> None:
+        super().__init__(path, on)
+        self.weight_col = weight_col
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        left_delta: DataFrame | None = None,
+        right_delta: DataFrame | None = None,
+        batch_id: str | int | None = None,
+    ) -> None:
+        w = self.weight_col
+        for side, d in (("left", left_delta), ("right", right_delta)):
+            if d is not None and w not in d.columns:
+                raise ValueError(f"{side} delta lacks weight column {w!r}")
+        import uuid as _uuid
+
+        bid = str(_uuid.uuid4()) if batch_id is None else str(batch_id)
+        if os.path.exists(os.path.join(self.view_dir, f"batch={bid}")):
+            return
+        on = self.on
+        l_old = self._read(spark, self.left_dir, exclude_batch=bid)
+        r_old = self._read(spark, self.right_dir, exclude_batch=bid)
+        dl = (
+            left_delta.localCheckpoint(eager=True)
+            if left_delta is not None
+            else None
+        )
+        dr = (
+            right_delta.localCheckpoint(eager=True)
+            if right_delta is not None
+            else None
+        )
+
+        def wjoin(a: DataFrame, b: DataFrame) -> DataFrame:
+            aw = a.withColumnRenamed(w, "_wl")
+            bw = b.withColumnRenamed(w, "_wr")
+            return (
+                aw.join(bw, on)
+                .withColumn(w, F.col("_wl") * F.col("_wr"))
+                .drop("_wl", "_wr")
+            )
+
+        parts = []
+        if dl is not None and r_old is not None:
+            keys = F.broadcast(dl.select(on).distinct())
+            parts.append(wjoin(dl, r_old.join(keys, on, "semi")))
+        if dr is not None and l_old is not None:
+            keys = F.broadcast(dr.select(on).distinct())
+            parts.append(wjoin(l_old.join(keys, on, "semi"), dr))
+        if dl is not None and dr is not None:
+            parts.append(wjoin(dl, dr))
+
+        if dl is not None:
+            self._commit(dl, self.left_dir, bid)
+        if dr is not None:
+            self._commit(dr, self.right_dir, bid)
+        if parts:
+            delta_view = parts[0]
+            for p in parts[1:]:
+                delta_view = delta_view.unionByName(p)
+            self._commit(delta_view, self.view_dir, bid)
+
+    def read_view_net(self, spark: SparkSession) -> DataFrame:
+        """Rows with positive net multiplicity, carrying it as
+        ``_net`` — the materialised current state of the view."""
+        w = self.weight_col
+        view = self.read_view(spark)
+        keys = [c for c in view.columns if c != w]
+        return (
+            view.groupBy(*keys)
+            .agg(F.sum(w).alias("_net"))
+            .filter(F.col("_net") > 0)
+        )

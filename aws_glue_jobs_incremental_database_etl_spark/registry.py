@@ -11286,6 +11286,74 @@ def ses_smoothing_q(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_incremental_join_cdc",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey % 10 <> 3
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def weighted_incremental_join_q(spark, sf_dir):
+    """The retraction-weighted join view under a CDC-style feed
+    (operators/incremental_join.WeightedIncrementalJoinView): all
+    orders and customers arrive as +1 inserts, then a later batch
+    RETRACTS every order with o_orderkey % 10 = 3 (−1 rows); the
+    maintained view's net multiplicities must equal the one-shot join
+    over the surviving orders.  Aggregates consume the ``_net``
+    weight directly (n_orders = Σ_net, revenue = Σ_net·price) —
+    deletes propagate through the view without ever re-joining
+    history."""
+    import tempfile as _tf
+
+    from .operators.incremental_join import WeightedIncrementalJoinView
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    ins = F.lit(1).alias("_w")
+    v = WeightedIncrementalJoinView(
+        _tf.mkdtemp(prefix="winc_join_"), on="o_custkey"
+    )
+    v.apply_batch(
+        spark,
+        left_delta=o.filter("o_orderkey % 2 = 0").select("*", ins),
+        right_delta=c.select("*", ins),
+        batch_id="b0",
+    )
+    v.apply_batch(
+        spark,
+        left_delta=o.filter("o_orderkey % 2 = 1").select("*", ins),
+        batch_id="b1",
+    )
+    # CDC delete feed: retract every %10==3 order
+    v.apply_batch(
+        spark,
+        left_delta=o.filter("o_orderkey % 10 = 3").select(
+            "*", F.lit(-1).alias("_w")
+        ),
+        batch_id="b2-deletes",
+    )
+    net = v.read_view_net(spark)
+    return (
+        net.groupBy("c_mktsegment")
+        .agg(
+            F.sum("_net").alias("n_orders"),
+            F.round(
+                F.sum(F.col("_net") * F.col("o_totalprice")), 2
+            ).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================

@@ -545,3 +545,31 @@ def test_residual_pq_reconstruction_contract(emb):
             [cb[s][getattr(enc, f"code_{s}")] for s in range(4)]
         )
         assert abs(((q - recon) ** 2).sum() - r.adc_dist) < 1e-5
+
+
+def test_weighted_join_view_update_and_multiplicity(spark, tmp_path):
+    """Retraction semantics: an UPDATE (−1 old, +1 new) moves the
+    joined value; duplicate inserts give net multiplicity 2; deleting
+    one copy leaves 1."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.incremental_join import (
+        WeightedIncrementalJoinView,
+    )
+
+    l0 = spark.createDataFrame([(1, 100, 1), (2, 200, 1), (2, 200, 1)], "k long, v long, _w int")
+    r0 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k long, t string, _w int")
+    v = WeightedIncrementalJoinView(str(tmp_path / "w"), on="k")
+    v.apply_batch(spark, left_delta=l0, right_delta=r0, batch_id=0)
+    # update k=1: v 100 -> 150
+    upd = spark.createDataFrame([(1, 100, -1), (1, 150, 1)], "k long, v long, _w int")
+    v.apply_batch(spark, left_delta=upd, batch_id=1)
+    # delete ONE of the two duplicate (2, 200) rows
+    dele = spark.createDataFrame([(2, 200, -1)], "k long, v long, _w int")
+    v.apply_batch(spark, left_delta=dele, batch_id=2)
+    net = {(r.k, r.v, r.t): r._net for r in v.read_view_net(spark).collect()}
+    assert net == {(1, 150, "a"): 1, (2, 200, "b"): 1}
+    # missing weight column raises
+    import pytest as _pt
+
+    bad = spark.createDataFrame([(1, 1)], "k long, v long")
+    with _pt.raises(ValueError):
+        v.apply_batch(spark, left_delta=bad, batch_id=3)
