@@ -11375,6 +11375,16 @@ _PRIORITY = [
     # round-4 NEW queries at the very top.  The ~21 that fall past the
     # cut rotate in next round.
     # ---- round-4 new queries (never checked anywhere but locally)
+    "hybrid_retrieval_pipeline",
+    "weighted_incremental_join_cdc",
+    "incremental_join_orders_customers",
+    "ivfpq_residual_topk_embeddings",
+    "calibration_ece_docs",
+    "join_size_estimate_cms",
+    "hll_distinct_users_daily",
+    "ses_smoothing_daily_events",
+    "readability_docs",
+    "rbo_lsh_vs_exact",
     "ivfpq_topk_embeddings",
     "hll_distinct_tokens_docs",
     "association_rules_lineitem",
