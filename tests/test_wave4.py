@@ -573,3 +573,47 @@ def test_weighted_join_view_update_and_multiplicity(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1)], "k long, v long")
     with _pt.raises(ValueError):
         v.apply_batch(spark, left_delta=bad, batch_id=3)
+
+
+def test_streaming_weighted_join_view_cdc(spark, sf_dir, tmp_path):
+    """A CDC stream (inserts then retractions) folded through the
+    SAME streaming harness into the weighted view: net state equals
+    the survivors' one-shot join."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.incremental_join import (
+        WeightedIncrementalJoinView,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        streaming_join_view_maintenance,
+    )
+    from tests.test_streaming import incremental_file_stream
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    v = WeightedIncrementalJoinView(str(tmp_path / "w"), on="o_custkey")
+    v.apply_batch(
+        spark,
+        right_delta=c.select("*", F.lit(1).alias("_w")),
+        batch_id="seed",
+    )
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ck")
+    ins = o.select("*", F.lit(1).alias("_w"))
+    ins.write.mode("append").parquet(src)
+    streaming_join_view_maintenance(
+        spark, incremental_file_stream(spark, src, ins.schema), v, ckpt
+    )
+    # retraction wave arrives on the same stream
+    o.filter("o_orderkey % 5 = 2").select(
+        "*", F.lit(-1).alias("_w")
+    ).write.mode("append").parquet(src)
+    streaming_join_view_maintenance(
+        spark, incremental_file_stream(spark, src, ins.schema), v, ckpt
+    )
+    net = v.read_view_net(spark)
+    want = o.filter("o_orderkey % 5 <> 2").join(c, "o_custkey")
+    assert net.filter("_net <> 1").count() == 0
+    assert net.count() == want.count()
+    assert net.drop("_net").exceptAll(want).isEmpty()
