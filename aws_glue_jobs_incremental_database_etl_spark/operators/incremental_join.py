@@ -236,3 +236,24 @@ class WeightedIncrementalJoinView(IncrementalJoinView):
             .agg(F.sum(w).alias("_net"))
             .filter(F.col("_net") > 0)
         )
+
+
+def read_changes(view: IncrementalJoinView, spark: SparkSession) -> DataFrame:
+    """The view's change feed: every committed view delta WITH its
+    ``batch`` id — downstream consumers (a second incremental view, a
+    reverse-ETL sink) subscribe to exactly what each batch changed
+    instead of diffing snapshots.  For the weighted view the rows
+    carry their ±weights, i.e. a full CDC stream OUT of the
+    maintained join.  Batch ids are opaque strings; consumers track
+    the set they have seen (ids are only ordered if the caller makes
+    them so, e.g. zero-padded epochs)."""
+    import os as _os
+
+    d = view.view_dir
+    if not _os.path.isdir(d) or not any(
+        e.startswith("batch=") for e in _os.listdir(d)
+    ):
+        raise FileNotFoundError(f"no view state at {d}")
+    return spark.read.parquet(d).withColumn(
+        "batch", F.col("batch").cast("string")
+    )

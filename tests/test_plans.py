@@ -562,3 +562,37 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_reads_footers_only(spark, sf_dir):
+    """V2 parquet scans push MIN/MAX/COUNT into the scan itself
+    (`PushedAggregation`) — the query answers from row-group footer
+    statistics without decoding a single data page.  At 100 TB this
+    turns full-table MIN/MAX/COUNT probes (watermark discovery,
+    profiling) into metadata reads.  V1 scans (the default) can't do
+    this, so the conf flips to the V2 path for the assertion."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.useV1SourceList",
+            "spark.sql.parquet.aggregatePushdown",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        q = df.selectExpr(
+            "MIN(o_orderkey) AS mn", "MAX(o_orderkey) AS mx",
+            "COUNT(*) AS n",
+        )
+        p = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in p or "min(o_orderkey)" in p, p[:1500]
+        row = q.first()
+        assert row.mn == 0 and row.n == df.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -617,3 +617,27 @@ def test_streaming_weighted_join_view_cdc(spark, sf_dir, tmp_path):
     assert net.filter("_net <> 1").count() == 0
     assert net.count() == want.count()
     assert net.drop("_net").exceptAll(want).isEmpty()
+
+
+def test_join_view_change_feed(spark, tmp_path):
+    """read_changes exposes per-batch view deltas with their batch id
+    — summing the feed reproduces the view, and each batch's slice is
+    exactly what that batch changed."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.incremental_join import (
+        IncrementalJoinView,
+        read_changes,
+    )
+
+    l = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    r = spark.createDataFrame([(1, "a"), (2, "b")], "k long, t string")
+    v = IncrementalJoinView(str(tmp_path / "v"), on="k")
+    v.apply_batch(spark, left_delta=l, right_delta=r, batch_id="e0")
+    v.apply_batch(
+        spark,
+        left_delta=spark.createDataFrame([(2, 21)], "k long, v long"),
+        batch_id="e1",
+    )
+    feed = read_changes(v, spark)
+    assert set(feed.select("batch").distinct().toPandas()["batch"]) == {"e0", "e1"}
+    assert feed.filter("batch = 'e1'").count() == 1  # only (2,21,b)
+    assert feed.count() == v.read_view(spark).count()
