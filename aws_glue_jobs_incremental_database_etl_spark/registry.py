@@ -11354,6 +11354,60 @@ def weighted_incremental_join_q(spark, sf_dir):
     )
 
 
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT (epoch_us(t_buy) - epoch_us(t_view)) / 1000000.0 AS secs
+      FROM f
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(secs, 0.5), 4) AS p50_secs,
+           ROUND(quantile_cont(secs, 0.9), 4) AS p90_secs,
+           ROUND(AVG(secs), 4) AS mean_secs
+    FROM conv
+    """,
+)
+def funnel_time_q(spark, sf_dir):
+    """Funnel latency: per user, first view -> first purchase elapsed
+    time, summarized as exact interpolated percentiles + mean — the
+    time-to-convert companion of the stage-count funnel
+    (funnel_view_click_purchase).  One hash agg collapses the stream
+    to a row per user (conditional MINs), the conversion filter is
+    map-only, and the final fold is 1-row scalar state; microsecond
+    arithmetic stays integer until one exact division."""
+    from .functions.vectors import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    conv = f.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        ((epoch_us("t_buy") - epoch_us("t_view")) / 1000000.0).alias("secs")
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(secs, 0.5)"), 4).alias("p50_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 4).alias("p90_secs"),
+        F.round(F.avg("secs"), 4).alias("mean_secs"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -11385,6 +11439,7 @@ _PRIORITY = [
     "ses_smoothing_daily_events",
     "readability_docs",
     "rbo_lsh_vs_exact",
+    "funnel_time_to_convert",
     "ivfpq_topk_embeddings",
     "hll_distinct_tokens_docs",
     "association_rules_lineitem",

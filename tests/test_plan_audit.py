@@ -33,6 +33,8 @@ SINGLE_PARTITION_OK = {
     # (countDistinct) folded back as a broadcast cross join
     "bootstrap_ci_orders",       # rank window + order-statistic fold
     # over the 64-row replicate-means table (B is a literal)
+    "funnel_time_to_convert",    # 1-row percentile/mean fold over
+    # the per-user conversion deltas
     "funnel_view_click_purchase",# 1-row funnel-stage counts
     "hybrid_retrieval_pipeline", # rank windows over two ≤100-row
     # top-k tables + the 20-candidate fusion/MMR (rrf_fusion shape)
