@@ -11408,6 +11408,101 @@ def funnel_time_q(spark, sf_dir):
     )
 
 
+@query(
+    "ks_drift_orders",
+    """
+    WITH tagged AS (
+      SELECT o_totalprice,
+             CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS half
+      FROM orders
+    ), binned AS (
+      SELECT half,
+             LEAST(GREATEST(CAST(FLOOR(o_totalprice / 20000.0) AS INT),
+                            0), 31) AS bin,
+             COUNT(*) AS c
+      FROM tagged GROUP BY 1, 2
+    ), grid AS (
+      SELECT b.bin,
+             COALESCE(MAX(CASE WHEN half = 0 THEN c END), 0) AS ca,
+             COALESCE(MAX(CASE WHEN half = 1 THEN c END), 0) AS cb
+      FROM (SELECT unnest(range(0, 32)) AS bin) b
+      LEFT JOIN binned ON binned.bin = b.bin
+      GROUP BY b.bin
+    ), cum AS (
+      SELECT bin,
+             SUM(ca) OVER (ORDER BY bin) AS cum_a,
+             SUM(cb) OVER (ORDER BY bin) AS cum_b,
+             (SELECT SUM(ca) FROM grid) AS na,
+             (SELECT SUM(cb) FROM grid) AS nb
+      FROM grid
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+               AS ks_stat
+    FROM cum
+    """,
+)
+def ks_drift_q(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    even- and odd-key halves of orders on a FIXED 32-bin grid — the
+    sup-|cdf difference| companion of PSI (psi_drift_orders), and the
+    same scale rule as Mann-Whitney: never rank the corpus, fold
+    exact integer counts over a literal bin domain.  One hash agg
+    reduces the fact table to <=64 (half, bin) rows; the cumulative
+    walk and the sup run over the 32-row grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, 0).otherwise(1).alias("half"),
+    )
+    binned = o.groupBy(
+        "half",
+        F.least(
+            F.greatest(
+                F.floor(F.col("o_totalprice") / 20000.0).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(31),
+        ).alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    grid = (
+        spark.range(0, 32)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("half") == 0, F.col("c"))), F.lit(0)
+            ).alias("ca"),
+            F.coalesce(
+                F.max(F.when(F.col("half") == 1, F.col("c"))), F.lit(0)
+            ).alias("cb"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = grid.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum("cb").over(tot).alias("nb"),
+    )
+    return cum.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("na").cast("double")
+                    - F.col("cum_b").cast("double")
+                    / F.col("nb").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -11440,6 +11535,7 @@ _PRIORITY = [
     "readability_docs",
     "rbo_lsh_vs_exact",
     "funnel_time_to_convert",
+    "ks_drift_orders",
     "ivfpq_topk_embeddings",
     "hll_distinct_tokens_docs",
     "association_rules_lineitem",

@@ -41,6 +41,8 @@ SINGLE_PARTITION_OK = {
     "hll_distinct_tokens_docs",  # final fold over the 256-register
     # frame — the sketch size, a literal, bounds the single partition
     "interval_join_events_windows",  # literal-bounded window table
+    "ks_drift_orders",           # cumulative walk + sup fold over
+    # the literal 32-bin grid (the sketch_quantiles shape)
     "join_size_estimate_cms",    # 1-row min over the d=4 per-row
     # inner products of two ≤d·w-cell sketches + 1-row true count
     "mannwhitney_quantity_returnflag",  # cumulative walk + final fold
