@@ -11695,9 +11695,6 @@ _PRIORITY = [
     "minhash_near_dup_docs",
     "jaccard_near_dup_docs",
     "lsh_topk_embeddings",
-    "ivf_topk_embeddings",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",

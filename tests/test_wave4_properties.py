@@ -80,3 +80,42 @@ def test_incremental_join_view_any_interleaving(
     want = left.join(right, "k").drop("ridx")
     assert got.count() == want.count()
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-3, max_value=3,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=64, max_size=64,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_pq_arrow_equals_expression_on_random_vectors(spark, vecs):
+    """On arbitrary float vectors the Arrow PQ encoder and the
+    Catalyst literal-chain encoder must agree code-for-code — the
+    bit-identical contract that lets one oracle validate both."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_arrow,
+    )
+
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    slow = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in pq_encode(df, cb).collect()
+    }
+    fast = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in pq_encode_arrow(df, cb).collect()
+    }
+    assert slow == fast
