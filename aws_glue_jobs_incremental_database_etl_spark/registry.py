@@ -11503,6 +11503,63 @@ def ks_drift_q(spark, sf_dir):
     )
 
 
+@query(
+    "orc_roundtrip_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def orc_roundtrip_q(spark, sf_dir):
+    """ORC format path exercised under the correctness gate: orders
+    round-trip through an ORC write+read (the columnar alternative
+    the reference's format wiring supports) and the aggregate over
+    the read-back must match the oracle computed on the parquet
+    original — proving the ORC path is value-preserving, not just
+    runnable."""
+    import tempfile as _tf
+
+    o = load_table(spark, sf_dir, "orders")
+    loc = _tf.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    o.write.mode("overwrite").orc(loc)
+    back = spark.read.orc(loc)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "group_by_all_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def group_by_all_q(spark, sf_dir):
+    """GROUP BY ALL — the Spark 4 / modern-SQL convenience surface
+    (every non-aggregate select item becomes a grouping key), run
+    through ``spark.sql`` so the parser path itself is exercised;
+    DuckDB supports the identical syntax."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gba"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders_gba GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -11536,6 +11593,8 @@ _PRIORITY = [
     "rbo_lsh_vs_exact",
     "funnel_time_to_convert",
     "ks_drift_orders",
+    "orc_roundtrip_orders",
+    "group_by_all_orders",
     "ivfpq_topk_embeddings",
     "hll_distinct_tokens_docs",
     "association_rules_lineitem",
