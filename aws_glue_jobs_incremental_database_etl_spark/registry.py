@@ -11560,6 +11560,41 @@ def group_by_all_q(spark, sf_dir):
     )
 
 
+@query(
+    "csv_roundtrip_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(MIN(o_orderdate) AS DATE) AS first_day
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def csv_roundtrip_q(spark, sf_dir):
+    """CSV format path under the correctness gate (the reference's
+    header-skip format, S7): orders round-trip through a
+    header-carrying CSV write + schema-explicit read, and the
+    aggregate — including a timestamp column surviving the text
+    serialization — must match the parquet oracle.  Doubles survive
+    because Spark's CSV writer emits round-trippable shortest reprs;
+    the timestamp is compared at DATE grain, the reference
+    blueprint's partition grain."""
+    import tempfile as _tf
+
+    o = load_table(spark, sf_dir, "orders")
+    loc = _tf.mkdtemp(prefix="csv_rt_") + "/orders_csv"
+    o.write.mode("overwrite").option("header", "true").csv(loc)
+    back = spark.read.schema(o.schema).option("header", "true").csv(loc)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.min("o_orderdate").cast("date").alias("first_day"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -11594,6 +11629,7 @@ _PRIORITY = [
     "funnel_time_to_convert",
     "ks_drift_orders",
     "orc_roundtrip_orders",
+    "csv_roundtrip_orders",
     "group_by_all_orders",
     "ivfpq_topk_embeddings",
     "hll_distinct_tokens_docs",
