@@ -11595,6 +11595,119 @@ def csv_roundtrip_q(spark, sf_dir):
     )
 
 
+@query(
+    "jsd_sources_docs",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), cnt AS (
+      SELECT source, w, COUNT(*) AS c FROM toks WHERE w <> ''
+      GROUP BY source, w
+    ), tot AS (
+      SELECT source, SUM(c) AS n FROM cnt GROUP BY source
+    ), v AS (
+      SELECT COUNT(DISTINCT w) AS vs FROM cnt
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb FROM tot a JOIN tot b
+      ON a.source < b.source
+    ), joint AS (
+      SELECT p.sa, p.sb, vocab.w,
+             (CAST(COALESCE(ca.c, 0) AS DOUBLE) + 1.0)
+               / (CAST(ta.n AS DOUBLE) + CAST(v.vs AS DOUBLE)) AS pa,
+             (CAST(COALESCE(cb.c, 0) AS DOUBLE) + 1.0)
+               / (CAST(tb.n AS DOUBLE) + CAST(v.vs AS DOUBLE)) AS pb
+      FROM pairs p
+      CROSS JOIN v
+      JOIN tot ta ON ta.source = p.sa
+      JOIN tot tb ON tb.source = p.sb
+      JOIN (SELECT DISTINCT w FROM cnt) vocab ON TRUE
+      LEFT JOIN cnt ca ON ca.source = p.sa AND ca.w = vocab.w
+      LEFT JOIN cnt cb ON cb.source = p.sb AND cb.w = vocab.w
+    )
+    SELECT sa, sb,
+           ROUND(SUM(0.5 * pa * LN(pa / (0.5 * pa + 0.5 * pb))
+                     + 0.5 * pb * LN(pb / (0.5 * pa + 0.5 * pb))), 4)
+               AS jsd
+    FROM joint GROUP BY sa, sb ORDER BY sa, sb
+    """,
+)
+def jsd_sources_q(spark, sf_dir):
+    """Jensen-Shannon divergence between every source pair's
+    add-one-smoothed token distributions — the data-mixing
+    diagnostic that says HOW different two corpus slices are (0 =
+    identical, ln 2 = disjoint), symmetric and bounded unlike raw
+    KL.  One token-count shuffle; the per-pair sum runs over
+    vocab × pairs rows (pairs is the bounded source-pair grid) — the
+    corpus text is never rescanned per pair."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = cnt.select("w").distinct()
+    vs = cnt.agg(F.countDistinct("w").alias("vs"))
+    a, b = tot.alias("a"), tot.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("sa"),
+        F.col("a.n").alias("na"),
+        F.col("b.source").alias("sb"),
+        F.col("b.n").alias("nb"),
+    )
+    joint = (
+        F.broadcast(pairs)
+        .crossJoin(F.broadcast(vs))
+        .join(vocab)
+        .join(
+            cnt.select(
+                F.col("source").alias("sa"), "w", F.col("c").alias("ca")
+            ),
+            ["sa", "w"],
+            "left",
+        )
+        .join(
+            cnt.select(
+                F.col("source").alias("sb"), "w", F.col("c").alias("cb")
+            ),
+            ["sb", "w"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            (
+                (F.coalesce(F.col("ca"), F.lit(0)).cast("double") + 1.0)
+                / (F.col("na").cast("double") + F.col("vs").cast("double"))
+            ).alias("pa"),
+            (
+                (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + 1.0)
+                / (F.col("nb").cast("double") + F.col("vs").cast("double"))
+            ).alias("pb"),
+        )
+    )
+    m = 0.5 * F.col("pa") + 0.5 * F.col("pb")
+    return (
+        joint.groupBy("sa", "sb")
+        .agg(
+            F.round(
+                F.sum(
+                    0.5 * F.col("pa") * F.log(F.col("pa") / m)
+                    + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+                ),
+                4,
+            ).alias("jsd")
+        )
+        .orderBy("sa", "sb")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -11631,6 +11744,7 @@ _PRIORITY = [
     "orc_roundtrip_orders",
     "csv_roundtrip_orders",
     "group_by_all_orders",
+    "jsd_sources_docs",
     "ivfpq_topk_embeddings",
     "hll_distinct_tokens_docs",
     "association_rules_lineitem",

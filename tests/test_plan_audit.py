@@ -43,6 +43,8 @@ SINGLE_PARTITION_OK = {
     "interval_join_events_windows",  # literal-bounded window table
     "ks_drift_orders",           # cumulative walk + sup fold over
     # the literal 32-bin grid (the sketch_quantiles shape)
+    "jsd_sources_docs",          # 1-row vocab-size scalar state
+    # (countDistinct) folded onto the bounded pair grid
     "join_size_estimate_cms",    # 1-row min over the d=4 per-row
     # inner products of two ≤d·w-cell sketches + 1-row true count
     "mannwhitney_quantity_returnflag",  # cumulative walk + final fold
@@ -106,6 +108,10 @@ BNLJ_OK = {
     "hard_negatives_embeddings", # bounded anchor set (10 rows)
     # broadcast against the corpus with a label-inequality predicate —
     # the cosine_topk_many shape; the nested-loop side is the anchors
+    "jsd_sources_docs",          # bounded source-pair grid (C(s,2))
+    # broadcast against the vocab table — the pair count, a dimension
+    # property, bounds the nested-loop side; amplification is
+    # pairs × vocab, documented in the query
     "knn_label_accuracy_embeddings",  # bounded probe set (50 rows)
     # broadcast with a self-exclusion predicate — same shape
     "outliers_totalprice",
