@@ -132,6 +132,9 @@ SF1_SPOT = [
     "near_dup_components",
     # round-3 third wave: corpus-duplication growth risk
     "span_dedup_docs",
+    # round-4: basket-fan-out and candidate-pool growth risks
+    "association_rules_lineitem",
+    "hybrid_retrieval_pipeline",
 ]
 
 
