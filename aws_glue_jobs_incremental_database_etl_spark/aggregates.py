@@ -20,18 +20,23 @@ exact for small cardinalities, ~2% error at any scale, constant
 state.  Exact distinct and percentiles need their full input and
 don't belong in an incrementally-maintained summary.
 
-Caveat matching the pipeline's at-least-once default: replaying a
-batch DOUBLE-counts into sums/counts (unlike merge_upsert, combining
-is not idempotent).  Run aggregate maintenance from exactly-once
-inputs (txn.py staging, or the streaming checkpoint) or make batches
-carry a run id and dedup upstream.
+Replay safety (combining is NOT idempotent, unlike merge_upsert):
+pass ``batch_id`` (the Structured Streaming epoch id — what
+``run_aggregate_maintenance`` does) and a replayed id at or below the
+last committed one is SKIPPED, making the fold exactly-once end to
+end.  Without a batch_id (ad-hoc batch folds), run from exactly-once
+inputs (txn.py staging) or dedup upstream.
+
+State publishes as versioned ``state-<n>`` directories via staging +
+ONE atomic rename (the ``sketch_fold_writer`` commit discipline): a
+crash at any point leaves the previous committed version readable —
+no cur→trash/staging→cur window where the summary is missing.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import time
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,11 +112,34 @@ class IncrementalAggregate:
 
     # -- the operation -----------------------------------------------------
 
-    def apply_batch(self, batch: DataFrame) -> dict[str, int]:
+    def _committed(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("-", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("state-")
+        )
+
+    def _current_dir(self) -> str:
+        vs = self._committed()
+        if not vs:
+            raise FileNotFoundError(f"no committed summary under {self.path}")
+        return os.path.join(self.path, f"state-{vs[-1]}")
+
+    def apply_batch(
+        self, batch: DataFrame, batch_id: int | None = None
+    ) -> dict[str, int]:
         """Fold one batch into the summary.  Cost: one aggregation of
         the batch (map-side partial → tiny shuffle) + one key-outer
-        join against the summary, then an atomic directory swap.  The
-        fact table is never re-read.
+        join against the summary, then one atomic rename.  The fact
+        table is never re-read.
+
+        With ``batch_id`` (a monotone int — the streaming epoch id),
+        the id doubles as the state version and a replayed id at or
+        below the last committed version is skipped: exactly-once
+        under the Structured Streaming replay contract (a replayed id
+        carries identical data).
 
         At very large summary cardinalities, partition the summary by
         a key-hash bucket column and prune the combine to the buckets
@@ -120,35 +148,45 @@ class IncrementalAggregate:
         summary is orders of magnitude smaller than its fact table.
         """
         spark = batch.sparkSession
+        committed = self._committed()
+        if batch_id is not None:
+            batch_id = int(batch_id)
+            if committed and batch_id <= committed[-1]:
+                return {
+                    "keys_total": spark.read.parquet(self._current_dir()).count(),
+                    "existed": 1,
+                    "replayed": 1,
+                }
         partial = self._partial(batch)
-        if not os.path.exists(self.path):
-            partial.write.parquet(self.path)
-            return {"keys_total": partial.count(), "existed": 0}
-
-        current = spark.read.parquet(self.path)
-        merged = self._combine(current, partial)
-
-        stamp = int(time.time() * 1000)
-        staging = f"{self.path}.__agg_{stamp}"
-        merged.write.parquet(staging)
-        trash = f"{self.path}.__agg_trash_{stamp}"
-        os.rename(self.path, trash)
-        try:
-            os.rename(staging, self.path)
-        except Exception:
-            os.rename(trash, self.path)
-            raise
-        shutil.rmtree(trash, ignore_errors=True)
+        if committed:
+            current = spark.read.parquet(self._current_dir())
+            merged = self._combine(current, partial)
+        else:
+            merged = partial
+        new_v = (
+            batch_id
+            if batch_id is not None
+            else (committed[-1] + 1 if committed else 1)
+        )
+        staging = os.path.join(self.path, f".staging-{new_v}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # half-written crash leftovers
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(staging, os.path.join(self.path, f"state-{new_v}"))
+        for old in committed:  # GC strictly after the commit point
+            shutil.rmtree(
+                os.path.join(self.path, f"state-{old}"), ignore_errors=True
+            )
         return {
-            "keys_total": spark.read.parquet(self.path).count(),
-            "existed": 1,
+            "keys_total": spark.read.parquet(self._current_dir()).count(),
+            "existed": 1 if committed else 0,
         }
 
     def read(self, spark: SparkSession, estimate_sketches: bool = True) -> DataFrame:
         """The current summary.  ``estimate_sketches`` surfaces each
         HLL column as its cardinality estimate (bigint); pass False to
         get the raw binary sketches (e.g. to union further downstream)."""
-        df = spark.read.parquet(self.path)
+        df = spark.read.parquet(self._current_dir())
         if estimate_sketches:
             for col, kind in self.agg_spec.items():
                 if kind == "approx_distinct":

@@ -8,14 +8,19 @@ AofA 2007).  The estimate is ``alpha_m · m² / Σ_j 2^(−M_j)`` with the
 standard small-range linear-counting correction.
 
 Portability (the :mod:`.bloom` / :mod:`.cms` rule): the hash is the
-60-bit md5 hex prefix, bucket = ``h mod m``, suffix = ``h div m`` (52
-usable bits), and ``rho`` comes from the base-2 STRING length of the
-suffix — pure integer/string ops, no ``log2`` floats whose libm could
-disagree across engines.  The harmonic sum is folded in EXACT integer
-arithmetic: ``Σ 2^(−M_j) = (Σ 2^(53−M_j)) / 2^53`` where the numerator
-is a plain BIGINT sum (≤ m·2^53 < 2^63), so estimates replay
-bit-for-bit in any engine; only the linear-counting branch touches
-``ln`` (rounded by callers).
+60-bit md5 hex prefix, bucket = ``h mod m``, suffix = ``h div m``
+(``60−b`` usable bits), and ``rho`` comes from the base-2 STRING
+length of the suffix — pure integer/string ops, no ``log2`` floats
+whose libm could disagree across engines.  The harmonic sum is folded
+in EXACT integer arithmetic with a scale DERIVED FROM ``b``:
+``Σ 2^(−M_j) = (Σ 2^(S−M_j)) / 2^S`` with ``S = 61−b`` = the maximum
+``rho`` — so the shift ``S−M_j`` is never negative for any supported
+``b`` (a fixed S=53 went negative for b<8, and Java's mod-64 shift
+silently corrupted the sum), and the numerator is a plain BIGINT sum
+bounded by ``m·2^S = 2^61 < 2^63`` for EVERY ``b`` (a fixed scale also
+overflowed for b>9).  Estimates replay bit-for-bit in any engine;
+only the linear-counting branch touches ``ln`` (rounded by callers).
+At the default ``b=8``, ``S = 53`` — the constant SQL twins write.
 
 Representation: a DataFrame of ``(bucket int, reg int)`` with at most
 ``m`` rows regardless of input size.  Registers MERGE by per-bucket
@@ -35,8 +40,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_B = 8          # bucket bits -> m = 256 registers
-_SUFFIX_BITS = 52      # 60-bit md5 prefix minus up to 8 bucket bits
-_POW53 = float(1 << 53)
+_SUFFIX_BITS = 52      # 60-bit md5 prefix minus the default 8 bucket bits
+
+
+def _check_b(b: int) -> None:
+    """4 ≤ b ≤ 16: below 4 the estimator's alpha constant is wrong
+    (HLL's bias correction assumes m ≥ 16); above 16 the 60-bit hash
+    leaves < 44 suffix bits and the register frame stops being small.
+    Validated on BOTH build and estimate — b is part of the sketch's
+    wire format, and a mismatched b corrupts silently otherwise."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"hll: b must be in [4, 16], got {b}")
 
 
 def _hash60(key: Column) -> Column:
@@ -66,6 +80,7 @@ def hll_build(
     ≤ ``2^b`` rows per group however large (or duplicated) the
     input.  ``group_cols`` makes it a GROUPED distinct-counter (one
     sketch per group — e.g. per time window)."""
+    _check_b(b)
     m = 1 << b
     h = _hash60(F.col(key_col).cast("string"))
     # `div` (not `/`): float division is lossy past 2^53 and the hash
@@ -102,14 +117,16 @@ def hll_estimate(
     writes, so before the final ROUND the doubles agree bit-for-bit
     (the linear-counting branch's ``ln`` may differ by an ulp — hence
     estimates are reported rounded)."""
+    _check_b(b)
     m = 1 << b
+    scale = 61 - b  # = max rho, so scale − reg ≥ 0 for every register
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     aggs = [
         F.count("*").alias("nz"),
         F.sum(
             # F.shiftleft only takes a literal shift — SQL form takes
             # a column
-            F.expr("shiftleft(cast(1 as bigint), 53 - reg)")
+            F.expr(f"shiftleft(cast(1 as bigint), {scale} - reg)")
         ).alias("cpart"),
     ]
     agg = (
@@ -117,13 +134,13 @@ def hll_estimate(
         if group_cols
         else sketch.agg(*aggs)
     )
-    c = F.col("cpart") + (F.lit(m) - F.col("nz")) * F.lit(1 << 53)
+    c = F.col("cpart") + (F.lit(m) - F.col("nz")) * F.lit(1 << scale)
     zeros = (F.lit(m) - F.col("nz")).cast("long")
     raw = (
         alpha
         * F.lit(float(m))
         * F.lit(float(m))
-        * F.lit(_POW53)
+        * F.lit(float(1 << scale))
         / c.cast("double")
     )
     est = F.when(

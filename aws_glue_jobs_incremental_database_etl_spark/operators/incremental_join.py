@@ -40,6 +40,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _heal(d: str) -> None:
+    """Finish an interrupted compaction GC: any committed
+    ``batch=compact-*`` partition lists the partitions it superseded
+    in its ``_REPLACES`` manifest — delete any still present (a crash
+    landed between the compaction commit and its GC; reading both
+    would double-count).  Idempotent; no-op when nothing is pending."""
+    if not os.path.isdir(d):
+        return
+    for e in os.listdir(d):
+        if not e.startswith("batch=compact-"):
+            continue
+        manifest = os.path.join(d, e, "_REPLACES")
+        if not os.path.exists(manifest):
+            continue
+        with open(manifest) as f:
+            for victim in f.read().splitlines():
+                if victim and victim != e:
+                    shutil.rmtree(os.path.join(d, victim), ignore_errors=True)
+
+
 class IncrementalJoinView:
     """Maintained inner equi-join view at ``path``."""
 
@@ -58,6 +78,7 @@ class IncrementalJoinView:
         """Committed state at ``d``, minus ``exclude_batch``'s own
         partition (replay safety), minus the engine-added ``batch``
         partition column."""
+        _heal(d)  # finish any interrupted compaction GC before reading
         if not os.path.isdir(d) or not any(
             e.startswith("batch=") for e in os.listdir(d)
         ):
@@ -237,6 +258,81 @@ class WeightedIncrementalJoinView(IncrementalJoinView):
             .filter(F.col("_net") > 0)
         )
 
+    # -- compaction --------------------------------------------------------
+
+    def _net_rows(self, df: DataFrame) -> DataFrame:
+        """Collapse a weighted frame to net multiplicities, dropping
+        rows whose inserts and retractions cancel; weighted sums over
+        the result equal weighted sums over the input exactly."""
+        w = self.weight_col
+        keys = [c for c in df.columns if c != w]
+        return (
+            df.groupBy(*keys)
+            .agg(F.sum(w).cast("int").alias(w))
+            .filter(F.col(w) != 0)
+        )
+
+    def compact(self, spark: SparkSession) -> dict[str, int]:
+        """Rewrite history so reads stay O(live rows), not O(history):
+        for each state dir (view + both accumulators), net ALL
+        committed batch partitions EXCEPT the most recent into one
+        ``batch=compact-<n>`` partition and drop the originals — once
+        the retraction ratio grows, cancelled ±1 pairs stop being
+        re-scanned and re-summed by every ``read_view_net`` and every
+        delta-vs-accumulated join (VERDICT r4 #4; the retraction
+        analogue of log-structured compaction).
+
+        Crash safety: the compacted partition carries a ``_REPLACES``
+        manifest (an underscore file — invisible to the parquet
+        reader) listing the partitions it supersedes, and publishes
+        via staging + ONE atomic rename; the superseded partitions
+        are deleted strictly after the commit, and ``_heal`` (run
+        before every read/fold) finishes that deletion if a crash
+        interrupted it — so no interleaving double-counts.
+
+        The LATEST partition is never compacted: its ``batch=<id>``
+        marker is what makes a Structured-Streaming replay of the
+        in-flight epoch a no-op.  Change-feed consumers
+        (``read_changes``) must be drained first — compaction rewrites
+        the feed's history into one synthetic ``compact-<n>`` batch.
+        """
+        stats = {}
+        for name, d in (
+            ("view", self.view_dir),
+            ("left", self.left_dir),
+            ("right", self.right_dir),
+        ):
+            _heal(d)
+            parts = sorted(
+                e
+                for e in (os.listdir(d) if os.path.isdir(d) else [])
+                if e.startswith("batch=")
+            )
+            if len(parts) <= 1:  # nothing to compact
+                stats[name] = 0
+                continue
+            # newest partition (by mtime — ids are opaque strings)
+            newest = max(
+                parts, key=lambda e: os.path.getmtime(os.path.join(d, e))
+            )
+            victims = [e for e in parts if e != newest]
+            n_compact = sum(1 for e in parts if e.startswith("batch=compact-"))
+            cid = f"compact-{n_compact + 1}"
+            netted = self._net_rows(
+                spark.read.parquet(*[os.path.join(d, e) for e in victims])
+            )
+            tmp = os.path.join(d, f".staging-{cid}")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            netted.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, "_REPLACES"), "w") as f:
+                f.write("\n".join(victims))
+            os.rename(tmp, os.path.join(d, f"batch={cid}"))  # commit
+            for e in victims:  # GC strictly after the commit point
+                shutil.rmtree(os.path.join(d, e), ignore_errors=True)
+            stats[name] = len(victims)
+        return stats
+
 
 def read_changes(view: IncrementalJoinView, spark: SparkSession) -> DataFrame:
     """The view's change feed: every committed view delta WITH its
@@ -250,6 +346,7 @@ def read_changes(view: IncrementalJoinView, spark: SparkSession) -> DataFrame:
     import os as _os
 
     d = view.view_dir
+    _heal(d)
     if not _os.path.isdir(d) or not any(
         e.startswith("batch=") for e in _os.listdir(d)
     ):

@@ -322,35 +322,58 @@ def cosine_topk_incremental(
     under the same total order (round(cosine) DESC, id ASC) — so the
     historical corpus is NEVER re-scanned: per batch the cost is one
     map-only pass over the delta plus a ≤2k-row merge.  State
-    publishes via write-to-staging + atomic rename (the
-    ``sketch_fold_writer`` commit point); a crash mid-fold leaves the
-    previous state intact.  Returns the new top-k DataFrame (read from
-    the committed state)."""
+    publishes as versioned ``topk-<n>`` directories via
+    write-to-staging + ONE atomic rename (the ``sketch_fold_writer``
+    commit discipline): the new version is only visible after its
+    single rename, so a crash at ANY point leaves the previous
+    committed version readable — there is no window where no state
+    dir exists (the flaw of a cur→old, tmp→cur two-rename scheme).
+    Superseded versions are GC'd strictly after the commit point.
+    Returns the new top-k DataFrame (read from the committed state).
+    """
     import os
     import shutil
 
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_path):
+            return []
+        return sorted(
+            int(d.split("-", 1)[1])
+            for d in os.listdir(state_path)
+            if d.startswith("topk-")
+        )
+
     delta = cosine_topk(batch, query_vec, k, id_col, vec_col, round_to)
-    cur = os.path.join(state_path, "topk")
-    if os.path.exists(cur):
+    committed = _versions()
+    legacy = os.path.join(state_path, "topk")  # pre-versioning layout
+    if committed:
+        prev = spark.read.parquet(
+            os.path.join(state_path, f"topk-{committed[-1]}")
+        )
+    elif os.path.exists(legacy):
+        prev = spark.read.parquet(legacy)
+    else:
+        prev = None
+    if prev is not None:
         merged = (
-            spark.read.parquet(cur)
-            .unionByName(delta)
+            prev.unionByName(delta)
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k)
         )
     else:
         merged = delta
-    tmp = os.path.join(state_path, ".staging")
+    new_v = (committed[-1] + 1) if committed else 1
+    tmp = os.path.join(state_path, f".staging-{new_v}")
     if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+        shutil.rmtree(tmp)  # half-written crash leftovers
     merged.write.mode("overwrite").parquet(tmp)
-    old = os.path.join(state_path, ".old")
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(cur):
-        os.rename(cur, old)
-    os.rename(tmp, cur)  # the commit point
-    shutil.rmtree(old, ignore_errors=True)
+    cur = os.path.join(state_path, f"topk-{new_v}")
+    os.rename(tmp, cur)  # the single commit point
+    for old in committed:  # GC strictly after the commit
+        shutil.rmtree(
+            os.path.join(state_path, f"topk-{old}"), ignore_errors=True
+        )
+    shutil.rmtree(legacy, ignore_errors=True)
     return spark.read.parquet(cur)
 
 
@@ -1028,7 +1051,20 @@ def mmr_greedy(
     an RRF fusion score, a cross-encoder score, anything: the penalty
     term is always pairwise cosine between the candidates' vectors in
     ``corpus``.  Candidate count bounds everything downstream; same
-    determinism contract as :func:`mmr_rerank`."""
+    determinism contract as :func:`mmr_rerank`.
+
+    Ids must be integral (the output schema pins ``vec_id`` as LONG)
+    — validated up front rather than silently truncated in the
+    kernel.  The pairwise frame is built with a LEFT join so a
+    singleton candidate set (pool = 1, or one survivor of the corpus
+    join) still selects that candidate instead of vanishing with the
+    empty pairs frame (ADVICE r4)."""
+    id_type = dict(cand.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"mmr_greedy requires an integral {id_col} (output schema "
+            f"is LONG); got {id_type}"
+        )
     cand_emb = F.broadcast(
         cand.join(corpus.select(id_col, vec_col), id_col)
     )
@@ -1037,6 +1073,7 @@ def mmr_greedy(
         a.join(
             F.broadcast(b),
             F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            "left",
         )
         .select(
             F.col(f"a.{id_col}").alias("vec_id"),
@@ -1065,6 +1102,7 @@ def mmr_greedy(
         sims = {
             (int(r.vec_id), int(r.other)): float(r.sim)
             for r in pdf.itertuples()
+            if not pd.isna(r.other)  # left-join self-row of a singleton
         }
         selected: list[int] = []
         rows = []

@@ -10500,7 +10500,7 @@ def incremental_join_q(spark, sf_dir):
              CAST(('0x' || substring(md5(
                unnest(string_split_regex(lower(trim(text)), '\s+'))), 1, 8))
                AS BIGINT) % 4096 AS b
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), model AS (
       SELECT DISTINCT b AS bucket,
              (CAST(b % 101 AS DOUBLE) - 50.0) / 500.0 AS w
@@ -10515,6 +10515,7 @@ def incremental_join_q(spark, sf_dir):
                  AS p,
              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
       FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL
     ), binned AS (
       SELECT CAST(LEAST(FLOOR(p * 10.0), 9.0) AS INTEGER) AS bin,
              COUNT(*) AS n_docs,
@@ -10542,7 +10543,12 @@ def calibration_ece_q(spark, sf_dir):
     identical doubles."""
     from .operators.text import hashed_classifier_score
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text docs are excluded on BOTH sides (ADVICE r4: the inner
+    # join on exploded tokens dropped them on the Spark side while the
+    # oracle's LEFT JOIN kept them — a latent mismatch)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     dim = 4096
     from .operators.sampling import hash_bucket
 
@@ -11333,6 +11339,9 @@ def weighted_incremental_join_q(spark, sf_dir):
         left_delta=o.filter("o_orderkey % 2 = 1").select("*", ins),
         batch_id="b1",
     )
+    # compact history BEFORE the delete feed: the retraction batch
+    # below must fold correctly against compacted accumulators
+    v.compact(spark)
     # CDC delete feed: retract every %10==3 order
     v.apply_batch(
         spark,
@@ -11341,6 +11350,10 @@ def weighted_incremental_join_q(spark, sf_dir):
         ),
         batch_id="b2-deletes",
     )
+    # ... and compact AGAIN so the read below runs over netted state
+    # (cancelled ±1 pairs physically gone) — the oracle is unchanged,
+    # pinning net-equivalence through both compactions
+    v.compact(spark)
     net = v.read_view_net(spark)
     return (
         net.groupBy("c_mktsegment")
@@ -11722,13 +11735,70 @@ def jsd_sources_q(spark, sf_dir):
 # the driver's budget.
 
 _PRIORITY = [
-    # ---- the driver checks the FIRST ~50 registry entries per round.
-    # r1+r2+r3 union covered 138/209; this round's window front-loads
-    # the 71 never-driver-checked queries (all green under
-    # tools/check_oracle.py), judge-requested third wave first, with
-    # round-4 NEW queries at the very top.  The ~21 that fall past the
-    # cut rotate in next round.
-    # ---- round-4 new queries (never checked anywhere but locally)
+    # ---- round-5 rotation (VERDICT r4 Next-round #2): the 57 queries
+    # with no driver CORRECTNESS row across r1-r4, front-loaded so the
+    # driver's ~50-query window closes the evidence gap (all 57 are
+    # judge-verified green in the r4 full-gate run).  7 overflow to
+    # positions 51-57 for the next window.
+    "listagg_status_by_priority",
+    "lateral_customer_order_stats",
+    "recursive_order_decay",
+    "transpose_order_status_stats",
+    "regr_value_trend_events",
+    "quantize_embeddings_arrow",
+    "resize_image_checksums",
+    "resample_audio_checksums",
+    "pca_top2_components_embeddings",
+    "pca_projection_embeddings",
+    "pca_outliers_embeddings",
+    "pmi_pairs_docs",
+    "chisq_lang_drift_by_source",
+    "mad_totalprice_by_status",
+    "rrf_fusion_docs",
+    "grouped_sketch_quantiles_events",
+    "skipgram_pairs_docs",
+    "datasheet_by_source",
+    "quarantine_orders",
+    "incremental_components_parts",
+    "sketch_quantiles_totalprice",
+    "attribution_last_touch",
+    "regression_residual_outliers",
+    "rolling_zscore_events",
+    "cms_token_counts_docs",
+    "python_datasource_numbers",
+    "sql_udf_revenue_orders",
+    "udtf_table_arg_docs",
+    "collated_group_part_types",
+    "nullsafe_join_order_priorities",
+    "xml_roundtrip_events",
+    "asof_join_cogroup_30m",
+    "epoch_shuffle_docs",
+    "rescue_columns_events",
+    "weighted_median_lineitem",
+    "mode_priority_by_status",
+    "winsorized_mean_orders",
+    "minmax_normalize_events",
+    "ohlc_bars_events",
+    "twap_events_per_user",
+    "event_transition_matrix",
+    "psi_drift_orders",
+    "ann_recall_lsh_vs_exact",
+    "cluster_stats_embeddings",
+    "contrastive_pairs_embeddings",
+    "hourly_value_percentiles",
+    "lm_heldout_perplexity_docs",
+    "conditional_aggregates_orders",
+    "apply_in_arrow_event_stats",
+    "revenue_share_of_parent",
+    "benford_digits_totalprice",
+    "degree_distribution_part_supplier",
+    "triangle_clustering_suppliers",
+    "bfs_distance_from_nation0",
+    "image_ahash_groups",
+    "top_session_paths",
+    "cusum_daily_drift_events",
+    # ---- driver-green in an earlier round, unchanged — re-confirmed
+    # only if the window widens
     "hybrid_retrieval_pipeline",
     "weighted_incremental_join_cdc",
     "incremental_join_orders_customers",
@@ -11765,7 +11835,6 @@ _PRIORITY = [
     "dup_cluster_sizes_docs",
     "hard_negatives_embeddings",
     "knn_label_accuracy_embeddings",
-    # ---- judge-named round-3 third wave (VERDICT Next-round #3)
     "bm25_score_docs",
     "pareto_frontier_orders",
     "token_budget_selection_docs",
@@ -11780,67 +11849,6 @@ _PRIORITY = [
     "dbscan_embeddings",
     "single_link_hierarchy_embeddings",
     "pca_top_component_embeddings",
-    "pca_top2_components_embeddings",
-    "pca_projection_embeddings",
-    "pca_outliers_embeddings",
-    # ---- remaining never-driver-checked (graph/stats/multimodal)
-    "triangle_clustering_suppliers",
-    "bfs_distance_from_nation0",
-    "incremental_components_parts",
-    "pmi_pairs_docs",
-    "chisq_lang_drift_by_source",
-    "mad_totalprice_by_status",
-    "top_session_paths",
-    "cusum_daily_drift_events",
-    "image_ahash_groups",
-    "skipgram_pairs_docs",
-    "grouped_sketch_quantiles_events",
-    "rrf_fusion_docs",
-    "sketch_quantiles_totalprice",
-    "datasheet_by_source",
-    "quarantine_orders",
-    "resize_image_checksums",
-    "resample_audio_checksums",
-    "attribution_last_touch",
-    "regression_residual_outliers",
-    "degree_distribution_part_supplier",
-    "benford_digits_totalprice",
-    "revenue_share_of_parent",
-    # ---- never-driver-checked §2.13-§2.14 leftovers
-    "rolling_zscore_events",
-    "quantize_embeddings_arrow",
-    "cms_token_counts_docs",
-    "python_datasource_numbers",
-    "sql_udf_revenue_orders",
-    "udtf_table_arg_docs",
-    "collated_group_part_types",
-    "nullsafe_join_order_priorities",
-    "xml_roundtrip_events",
-    "asof_join_cogroup_30m",
-    "epoch_shuffle_docs",
-    "rescue_columns_events",
-    "weighted_median_lineitem",
-    "mode_priority_by_status",
-    "winsorized_mean_orders",
-    "minmax_normalize_events",
-    "ohlc_bars_events",
-    "twap_events_per_user",
-    "event_transition_matrix",
-    "psi_drift_orders",
-    "ann_recall_lsh_vs_exact",
-    "cluster_stats_embeddings",
-    "contrastive_pairs_embeddings",
-    "hourly_value_percentiles",
-    "lm_heldout_perplexity_docs",
-    "conditional_aggregates_orders",
-    "apply_in_arrow_event_stats",
-    "listagg_status_by_priority",
-    "lateral_customer_order_stats",
-    "transpose_order_status_stats",
-    "regr_value_trend_events",
-    "recursive_order_decay",
-    # ---- below here: driver-green in some earlier round, unchanged —
-    # re-confirmations fill the window only if it widens
     "q1_pricing_summary",
     "dsir_scores_docs",
     "weighted_sample_docs",
@@ -11896,8 +11904,6 @@ _PRIORITY = [
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "ivf_topk_embeddings",
-    # below here: driver-green in r1/r2, unchanged — re-checked only
-    # if the driver's window widens
     "cosine_topk_embeddings",
     "cosine_topk_many_embeddings",
     "embedding_near_dup",

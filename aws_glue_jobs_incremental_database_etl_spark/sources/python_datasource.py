@@ -190,6 +190,24 @@ class JsonLinesWriter(DataSourceWriter):
             files.append({"file": m.file, "rows": m.rows})
         with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
             json.dump({"files": files}, f)
+        if self.overwrite:
+            # mode("overwrite") must actually truncate: the documented
+            # read-back path is spark.read.json, which globs every
+            # part file and ignores _MANIFEST — stale parts from prior
+            # commits would surface as mixed old+new rows (ADVICE r4).
+            # Deleting strictly AFTER the new files are visible keeps
+            # the abort path (staging-only cleanup) untouched.
+            keep = {f["file"] for f in files} | {"_MANIFEST"}
+            for name in os.listdir(self.path):
+                if (
+                    name.endswith(".jsonl")
+                    and not name.startswith(".")  # not in-flight staging
+                    and name not in keep
+                ):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except FileNotFoundError:
+                        pass
 
     def abort(self, messages):
         import os

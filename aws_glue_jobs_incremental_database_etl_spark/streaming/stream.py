@@ -82,7 +82,12 @@ def run_available_now(
 
     ``output_mode="update"`` (stateful operators) routes through
     ``foreachBatch`` because file sinks only accept append — each
-    micro-batch's updated rows land as one parquet append."""
+    micro-batch's updated rows land in their own ``batch-<id>``
+    directory via :func:`exactly_once_batch_writer` (a replayed epoch
+    is skipped, so a crash between write and checkpoint commit cannot
+    duplicate rows; a plain ``mode("append")`` here was the one
+    remaining at-least-once writer, migrated round 5).  Read update
+    output back with ``spark.read.parquet(f"{out_dir}/batch-*")``."""
     if output_mode == "append":
         writer = (
             stream_df.writeStream.format("parquet")
@@ -93,7 +98,7 @@ def run_available_now(
     else:
         writer = (
             stream_df.writeStream.foreachBatch(
-                lambda batch, _id: batch.write.mode("append").parquet(out_dir)
+                exactly_once_batch_writer(out_dir)
             )
             .option("checkpointLocation", checkpoint)
             .outputMode(output_mode)
@@ -176,15 +181,19 @@ def run_aggregate_maintenance(
     ``foreachBatch``).
 
     This composition is what discharges the aggregate's replay caveat:
-    combining is not idempotent, but the streaming checkpoint delivers
-    every micro-batch to ``foreachBatch`` exactly once across restarts,
-    so nothing double-counts.  ``Trigger.AvailableNow`` drains what
-    exists and stops — schedule repeatedly for continuous maintenance.
+    combining is not idempotent, and a crash AFTER the fold but BEFORE
+    the checkpoint commit replays the batch — so the epoch id is
+    passed down and ``apply_batch`` skips ids at or below its last
+    committed state version (replayed ids carry identical data, so
+    skip ≡ dedup).  ``Trigger.AvailableNow`` drains what exists and
+    stops — schedule repeatedly for continuous maintenance.
     """
 
-    def _fold(batch: DataFrame, _id: int) -> None:
+    def _fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.isEmpty():
-            aggregate.apply_batch(batch)
+            # epoch id → replay of a crashed-before-checkpoint batch
+            # is skipped inside apply_batch (exactly-once fold)
+            aggregate.apply_batch(batch, batch_id=batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(_fold)
@@ -262,12 +271,17 @@ def run_streaming_ingestion(
     without rescanning old text, and survivors append to the corpus.
 
     Delivery: the checkpoint gives process-once micro-batches
-    (availableNow drain = one bookmark-delimited run); a crash between
-    the index append and the corpus append replays the batch, and
-    ``MinHashIndex`` never re-appends an already-indexed id, so the
-    index stays consistent.  The corpus append itself is at-least-once
-    on that crash window — dedupable downstream by id, the same
-    contract as the reference's bookmark replay.
+    (availableNow drain = one bookmark-delimited run); survivors
+    commit per epoch into ``batch-<id>`` directories (the
+    :func:`exactly_once_batch_writer` discipline), and a fully
+    committed epoch is skipped wholesale on replay — BEFORE touching
+    the index, so neither the index nor the corpus sees the batch
+    twice.  A crash between the index append and the corpus commit
+    replays the batch; ``MinHashIndex`` never re-appends an
+    already-indexed id, and ``dedup_batch`` keeps ids already in the
+    index only when they are this batch's own first occurrence, so
+    recovery converges.  Read the corpus back with
+    ``spark.read.parquet(f"{out_dir}/batch-*")``.
 
     State per batch is O(batch + touched index buckets); the index is
     a parquet table that at 100 TB should be bucketed by band
@@ -278,11 +292,21 @@ def run_streaming_ingestion(
 
     index = MinHashIndex(index_path)
 
-    def _ingest(batch: DataFrame, _id: int) -> None:
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        final = os.path.join(out_dir, f"batch-{batch_id}")
+        if os.path.exists(final):
+            return  # replayed epoch, fully committed: skip wholesale
         if min_quality is not None:
             batch = quality_filter(batch, text_col, min_quality)
         survivors = index.dedup_batch(batch, id_col, text_col)
-        survivors.write.mode("append").parquet(out_dir)
+        tmp = os.path.join(out_dir, f".staging-{batch_id}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        survivors.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)  # the commit point
 
     q = (
         stream_df.writeStream.foreachBatch(_ingest)

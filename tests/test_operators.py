@@ -331,7 +331,7 @@ def test_incremental_topk_equals_full_scan_and_survives_crash(
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).first().embedding
     state = str(tmp_path / "topk_state")
-    os.makedirs(os.path.join(state, ".staging", "junk"))  # crash debris
+    os.makedirs(os.path.join(state, ".staging-1", "junk"))  # crash debris
     out = None
     for m in (0, 1):
         out = cosine_topk_incremental(
@@ -342,8 +342,20 @@ def test_incremental_topk_equals_full_scan_and_survives_crash(
         (r.vec_id, r.cosine) for r in cosine_topk(emb, list(q), k=7).collect()
     ]
     assert sorted(got) == sorted(want)
-    # state is bounded at k rows on disk
-    assert spark.read.parquet(os.path.join(state, "topk")).count() == 7
+    # exactly one committed version remains, bounded at k rows on disk
+    vdirs = [d for d in os.listdir(state) if d.startswith("topk-")]
+    assert len(vdirs) == 1
+    assert spark.read.parquet(os.path.join(state, vdirs[0])).count() == 7
+    # crash-at-any-point: a half-written staging dir for the NEXT
+    # version must not hide the committed state (the two-rename
+    # scheme's no-state window, fixed round 5)
+    os.makedirs(os.path.join(state, ".staging-99", "junk"))
+    out3 = cosine_topk_incremental(
+        spark, state, emb.limit(0), list(q), k=7
+    )
+    assert sorted(
+        (r.vec_id, r.cosine) for r in out3.collect()
+    ) == sorted(got)
 
 
 def test_ivf_topk_full_probe_matches_exact(spark, sf_dir):

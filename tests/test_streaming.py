@@ -134,7 +134,8 @@ def test_stateful_running_totals_across_two_drains(spark, tmp_path):
     stream2 = incremental_file_stream(spark, src, spark.read.parquet(src).schema)
     run_available_now(running_user_totals(stream2), ckpt, out, output_mode="update")
 
-    rows = spark.read.parquet(out).collect()
+    # update-mode output commits per epoch into batch-<id> dirs
+    rows = spark.read.parquet(f"{out}/batch-*").collect()
     latest = {}
     for r in rows:
         latest[r.user_id] = max(
@@ -345,6 +346,40 @@ def test_streaming_aggregate_maintenance_no_double_count(spark, tmp_path):
     assert got == {"a": (31.0, 3), "b": (5.0, 1)}
 
 
+def test_incremental_aggregate_replay_and_crash_safety(spark, tmp_path):
+    """Exactly-once sweep (round 5): a foreachBatch crash AFTER the
+    fold but BEFORE the checkpoint commit replays the same epoch id —
+    apply_batch must skip it (combine is not idempotent).  And the
+    state must publish with ONE atomic rename: stale staging debris
+    must not poison the next fold, and exactly one state version
+    survives."""
+    import os
+
+    from aws_glue_jobs_incremental_database_etl_spark.aggregates import (
+        IncrementalAggregate,
+    )
+
+    path = str(tmp_path / "summary")
+    agg = IncrementalAggregate(path, ["k"], {"v": "sum", "id": "count"})
+    b0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 5.0)], "id long, k string, v double"
+    )
+    b1 = spark.createDataFrame([(3, "a", 1.0)], "id long, k string, v double")
+
+    agg.apply_batch(b0, batch_id=0)
+    once = {r["k"]: r["v_sum"] for r in agg.read(spark).collect()}
+    out = agg.apply_batch(b0, batch_id=0)  # replayed epoch: must skip
+    assert out.get("replayed") == 1
+    assert {r["k"]: r["v_sum"] for r in agg.read(spark).collect()} == once
+
+    os.makedirs(os.path.join(path, ".staging-1", "junk"))  # crash debris
+    agg.apply_batch(b1, batch_id=1)
+    got = {r["k"]: (r["v_sum"], r["id_count"]) for r in agg.read(spark).collect()}
+    assert got == {"a": (11.0, 2), "b": (5.0, 1)}
+    states = [d for d in os.listdir(path) if d.startswith("state-")]
+    assert states == ["state-1"]  # superseded version GC'd
+
+
 def test_stream_static_enrich_broadcasts_and_keeps_unmatched(spark, tmp_path):
     """Stream-static dimension join: stream rows enrich from a batch
     dim without a stream-side shuffle; unmatched rows survive with
@@ -401,7 +436,7 @@ def test_streaming_ingestion_dedups_across_drains(spark, tmp_path):
         spark.readStream.schema(batch1.schema).parquet(src),
         ckpt, out, idx,
     )
-    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    first = {r.doc_id for r in spark.read.parquet(f"{out}/batch-*").collect()}
     assert 3 not in first          # quality-filtered
     assert len(first) == 1         # 1 vs 2 near-dup: smaller id wins
 
@@ -415,7 +450,7 @@ def test_streaming_ingestion_dedups_across_drains(spark, tmp_path):
         spark.readStream.schema(batch1.schema).parquet(src),
         ckpt, out, idx,
     )
-    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    final = {r.doc_id for r in spark.read.parquet(f"{out}/batch-*").collect()}
     assert 10 not in final         # killed by the PERSISTENT index
     assert 11 in final
     assert final == first | {11}
@@ -453,7 +488,7 @@ def test_transform_with_state_matches_legacy_twin(spark, tmp_path):
     run_available_now(running_user_totals_tws(stream2), ckpt, out, output_mode="update")
 
     latest = {}
-    for r in spark.read.parquet(out).collect():
+    for r in spark.read.parquet(f"{out}/batch-*").collect():
         latest[r.user_id] = max(
             latest.get(r.user_id, (0, 0.0)), (r.n_events, r.sum_value)
         )

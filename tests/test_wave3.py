@@ -181,3 +181,18 @@ def test_python_datasource_jsonl_writer_two_phase_commit(spark, tmp_path):
     assert back.count() == 1000
     got = {r.id: (r.doubled, r.tag) for r in back.collect()}
     assert got[7] == (14, "u0")
+
+    # ADVICE r4: mode("overwrite") must TRUNCATE — stale part files
+    # from the previous commit must not surface through the documented
+    # spark.read.json read-back path as mixed old+new rows
+    df2 = spark.range(0, 50, 1, 2).selectExpr(
+        "id + 10000 AS id", "id AS doubled", "'v2' AS tag"
+    )
+    df2.write.format("jsonl_lines").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest2 = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert sum(f["rows"] for f in manifest2["files"]) == 50
+    back2 = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back2.count() == 50  # old 1000 rows gone
+    assert back2.filter("id < 10000").count() == 0

@@ -90,6 +90,37 @@ def test_mmr_lam_one_reduces_to_plain_topk(emb):
     assert [r.vec_id for r in sel] == [r.vec_id for r in want]
 
 
+def test_mmr_singleton_pool_selects_the_candidate(emb):
+    """ADVICE r4: a pool of ONE candidate produced an empty pairwise
+    frame → zero applyInPandas groups → empty result.  The left-join
+    self-row fix must select that single candidate at step 1 with
+    mmr = lam·rel."""
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    corpus = emb.filter(F.col("vec_id") != 0)
+    sel = mmr_rerank(corpus, list(q), k=5, pool=1, lam=0.5).collect()
+    top1 = cosine_topk(corpus, list(q), k=1).first()
+    assert len(sel) == 1
+    assert sel[0].step == 1 and sel[0].vec_id == top1.vec_id
+    assert abs(sel[0].mmr - 0.5 * sel[0].rel) < 1e-12
+
+
+def test_mmr_greedy_rejects_non_integral_ids(emb):
+    """The output schema pins vec_id as LONG, so string ids must be
+    rejected up front instead of silently truncated in the kernel."""
+    import pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        mmr_greedy,
+    )
+
+    corpus = emb.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    cand = corpus.select("vec_id").limit(3).withColumn("rel", F.lit(1.0))
+    with pytest.raises(ValueError, match="integral"):
+        mmr_greedy(cand, corpus, k=2)
+
+
 def test_mannwhitney_z_matches_scipy_formula(spark, sf_dir):
     """Cross-check the bounded-domain U fold against a direct python
     computation of U and the tie-corrected z on the same rows."""
@@ -181,6 +212,35 @@ def test_hll_matches_python_model_and_merges(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         (b, r) for b, r in sk.items()
     )
+
+
+def test_hll_nondefault_b_scale_and_validation(spark):
+    """ADVICE r4: a fixed 53-bit harmonic scale made `53 - reg` a
+    NEGATIVE shift for b < 8 (Java shifts mod 64 — silent corruption)
+    and overflowed the exact BIGINT bound for b > 9.  The scale is now
+    derived (S = 61 - b), so every supported b must estimate within
+    the standard 3·1.04/sqrt(m) bound, and out-of-range b must raise
+    on BOTH build and estimate."""
+    import pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.functions.hll import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    for b in (4, 6, 12):
+        m = 1 << b
+        est = hll_estimate(hll_build(df, "k", b=b), b=b).first()
+        assert abs(est.est_distinct - 20000) / 20000 < 3 * 1.04 / (m**0.5), (
+            b,
+            est.est_distinct,
+        )
+    for bad in (3, 17, 0):
+        with pytest.raises(ValueError, match="hll: b"):
+            hll_build(df, "k", b=bad)
+        with pytest.raises(ValueError, match="hll: b"):
+            hll_estimate(hll_build(df, "k"), b=bad)
 
 
 def test_hll_small_range_linear_counting(spark):
@@ -573,6 +633,74 @@ def test_weighted_join_view_update_and_multiplicity(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1)], "k long, v long")
     with _pt.raises(ValueError):
         v.apply_batch(spark, left_delta=bad, batch_id=3)
+
+
+def test_weighted_join_view_compaction(spark, tmp_path):
+    """Compaction (VERDICT r4 #4): netting history must preserve
+    read_view_net exactly, physically drop cancelled ±1 pairs, keep
+    the newest partition untouched (the streaming replay marker), and
+    a crash between the compaction commit and its GC must heal on the
+    next read instead of double-counting."""
+    import os
+    import shutil
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.incremental_join import (
+        WeightedIncrementalJoinView,
+    )
+
+    rows = "k long, v long, _w int"
+    v = WeightedIncrementalJoinView(str(tmp_path / "w"), on="k")
+    r0 = spark.createDataFrame([(1, 0, 1), (2, 0, 1), (3, 0, 1)], rows)
+    v.apply_batch(spark, right_delta=r0.selectExpr("k", "v as u", "_w"), batch_id=0)
+    v.apply_batch(
+        spark,
+        left_delta=spark.createDataFrame([(1, 10, 1), (2, 20, 1)], rows),
+        batch_id=1,
+    )
+    # retract (2, 20) entirely, insert (3, 30)
+    v.apply_batch(
+        spark,
+        left_delta=spark.createDataFrame([(2, 20, -1), (3, 30, 1)], rows),
+        batch_id=2,
+    )
+    before = sorted(map(tuple, v.read_view_net(spark).collect()))
+    stats = v.compact(spark)
+    assert stats["view"] >= 1 and stats["left"] >= 1
+    after = sorted(map(tuple, v.read_view_net(spark).collect()))
+    assert after == before
+    # cancelled pairs are physically gone: the compacted view slice
+    # holds net rows only
+    view_parts = sorted(os.listdir(v.view_dir))
+    assert any(p.startswith("batch=compact-") for p in view_parts)
+    # newest partition (batch=2) untouched — replay marker preserved
+    assert "batch=2" in view_parts
+    raw = spark.read.parquet(v.view_dir)
+    assert raw.filter("batch <> '2'").groupBy("k", "v", "t" if "t" in raw.columns else "u").count().filter("count > 1").count() == 0
+
+    # crash-heal: resurrect a superseded partition by hand (= crash
+    # between commit and GC) — the next read must delete it, not
+    # double-count
+    compact_part = next(
+        p for p in os.listdir(v.view_dir) if p.startswith("batch=compact-")
+    )
+    victims = open(
+        os.path.join(v.view_dir, compact_part, "_REPLACES")
+    ).read().splitlines()
+    ghost = os.path.join(v.view_dir, victims[0])
+    shutil.copytree(os.path.join(v.view_dir, compact_part), ghost)
+    os.remove(os.path.join(ghost, "_REPLACES"))
+    healed = sorted(map(tuple, v.read_view_net(spark).collect()))
+    assert healed == before
+    assert not os.path.exists(ghost)
+
+    # folding AFTER compaction still works against compacted state
+    v.apply_batch(
+        spark,
+        left_delta=spark.createDataFrame([(3, 30, -1)], rows),
+        batch_id=3,
+    )
+    final = {(r.k, r.v) for r in v.read_view_net(spark).collect()}
+    assert final == {(1, 10)}
 
 
 def test_streaming_weighted_join_view_cdc(spark, sf_dir, tmp_path):
