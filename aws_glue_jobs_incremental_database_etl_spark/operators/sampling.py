@@ -523,3 +523,49 @@ def leakage_safe_split(
         "id", F.coalesce("_root", F.col("id")).alias("split_key")
     )
     return hash_split(keyed, "split_key", splits, split_col=split_col)
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5-bucket(key) mod k — the same engine-portable contract as
+    :func:`hash_split`, so a row's fold never changes as the corpus
+    grows, is repartitioned, or is recomputed in another engine, and
+    training fold i's complement is exactly the other k−1 folds (the
+    property seeded-RNG assignment cannot give an incremental
+    pipeline).  Map-only projection; no shuffle."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(fold_col, hash_bucket(key_col, k).cast("int"))
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    score: Column,
+    id_col: str,
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Per-domain document cap — the Common-Crawl curation rule that
+    stops one domain from dominating the corpus: keep the top ``cap``
+    rows per ``domain_col`` by ``score`` (descending, ``id_col``
+    ascending tie-break), annotated with their within-domain rank.
+
+    Scale shape: ONE window partitioned by domain — the shuffle is
+    keyed on the domain, each partition ranks only its own rows, and
+    there is no global sort; skewed mega-domains are exactly the rows
+    the cap discards, so the skew bounds itself at ``cap`` survivors
+    per key."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(domain_col).orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= cap
+    )

@@ -109,6 +109,8 @@ HEADLINE = [
     "association_rules_lineitem",
     "zipf_slope_by_source",
     "hybrid_retrieval_pipeline",
+    # round-5 additions
+    "ivfpq_partitioned_topk_embeddings",  # timed cost = build+query
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

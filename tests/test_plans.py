@@ -138,6 +138,54 @@ def test_ivf_partitioned_corpus_prunes_at_file_level(spark, sf_dir, tmp_path):
     assert pruned.count() == assigned.filter(F.col("cluster").isin([0, 2])).count()
 
 
+def test_ivfpq_index_prunes_partitions_and_reads_codes_only(
+    spark, sf_dir, tmp_path
+):
+    """The on-disk IVF-PQ index (VERDICT r4 #6) must deliver BOTH
+    scale levers in the plan: PartitionFilters on the cluster dirs
+    (unprobed lists' files never opened) AND a ReadSchema of code
+    columns only — the scan physically cannot touch raw vectors
+    because the index stores none.  Plus correctness: the partitioned
+    result equals the in-memory residual IVF-PQ on the same
+    centroids/codebooks."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        build_ivfpq_index,
+        fixed_centroids,
+        ivfpq_topk_partitioned,
+        pq_codebooks,
+        pq_ivf_topk_residual,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    loc = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, loc, cents, cb)
+    # the index holds codes only — no vector column anywhere on disk
+    stored = spark.read.parquet(loc)
+    assert "embedding" not in stored.columns
+    assert {"vec_id", "code_0", "code_1", "code_2", "code_3", "cluster"} == set(
+        stored.columns
+    )
+
+    top = ivfpq_topk_partitioned(spark, loc, q, cents, cb, k=10, nprobe=2)
+    p = plan_of(top)
+    assert "PartitionFilters" in p
+    assert "cluster" in p.split("PartitionFilters", 1)[1]
+    rs = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "embedding" not in rs and "code_0" in rs
+
+    want = [
+        (r.vec_id, r.cluster, r.adc_dist)
+        for r in pq_ivf_topk_residual(emb, q, cents, cb, k=10, nprobe=2).collect()
+    ]
+    got = [(r.vec_id, r.cluster, r.adc_dist) for r in top.collect()]
+    assert got == want
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     """Runtime Bloom-filter join pruning (Spark 3.3+): when a shuffle
     join's build side carries a selective filter, the optimizer

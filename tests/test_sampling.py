@@ -343,3 +343,51 @@ def test_leakage_safe_split_keeps_pairs_together(spark):
     assert rows[50][0] == 50                  # singleton keys to itself
     # every split is populated on 100 docs at these fractions
     assert {s for _, s in rows.values()} == {"train", "val", "test"}
+
+
+def test_kfold_assign_is_stable_partition_of_keys(spark):
+    """Every key lands in exactly one of k folds, the assignment is
+    the md5 contract (engine-portable, verified against a pure-python
+    replay), and k < 2 is rejected."""
+    import hashlib
+
+    import pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = {r.doc_id: r.fold for r in kfold_assign(df, "doc_id", k=5).collect()}
+    assert len(out) == 200
+    for i in range(200):
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 5
+        assert out[i] == want
+    assert set(out.values()) == {0, 1, 2, 3, 4}
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_assign(df, "doc_id", k=1)
+
+
+def test_domain_cap_keeps_top_per_domain(spark):
+    """Top-cap per domain by score desc with id tie-break; a domain
+    under the cap survives whole; cap < 1 rejected."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.sampling import (
+        domain_cap,
+    )
+
+    rows = [("a", i, i % 7) for i in range(10)] + [("b", 100, 5), ("b", 101, 5)]
+    df = spark.createDataFrame(rows, "dom string, id long, score long")
+    out = domain_cap(df, "dom", cap=3, score=F.col("score"), id_col="id")
+    got = {(r.dom, r.id): r.domain_rank for r in out.collect()}
+    # domain a: scores i%7 -> top are ids 6 (score 6), 5 (5), 4 (4)...
+    # ties: score 6 only id 6; score 5 ids 5 and... i%7==5 -> i=5; 6->6
+    a_kept = sorted(id for d, id in got if d == "a")
+    assert len(a_kept) == 3
+    assert a_kept == [4, 5, 6]
+    # domain b under the cap: both rows kept, tie broken by id asc
+    assert got[("b", 100)] == 1 and got[("b", 101)] == 2
+    with pytest.raises(ValueError, match="cap must be"):
+        domain_cap(df, "dom", cap=0, score=F.col("score"), id_col="id")
