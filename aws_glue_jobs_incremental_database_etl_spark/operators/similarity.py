@@ -265,6 +265,34 @@ def build_ivf_index(
     return out_path
 
 
+def append_to_ivf_index(
+    corpus_delta: DataFrame,
+    index_path: str,
+    centroids,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> str:
+    """Maintain the on-disk IVF index under corpus growth WITHOUT a
+    rebuild: assign the new batch against the SAME frozen coarse
+    quantizer and append its rows into the existing ``cluster=<id>/``
+    directories — per batch the cost is one map-only assign + one
+    cluster-keyed shuffle of the DELTA, never a rescan of the indexed
+    corpus (the inverted-file analogue of the bookmark pipeline's
+    append-only contract).  Queries see the union immediately; the
+    centroids must be the build's (a re-trained quantizer means a
+    rebuild, as in any IVF system).  Appends are at-least-once under
+    crash-replay — wrap in ``txn.StagedCommit`` or key batches by id
+    (the ``exactly_once_batch_writer`` discipline) when the caller
+    replays."""
+    assigned = assign_nearest_centroid_arrow(
+        corpus_delta, centroids, vec_col, cluster_col
+    )
+    assigned.repartition(F.col(cluster_col)).write.mode(
+        "append"
+    ).partitionBy(cluster_col).parquet(index_path)
+    return index_path
+
+
 def cosine_topk_ivf_partitioned(
     spark,
     index_path: str,

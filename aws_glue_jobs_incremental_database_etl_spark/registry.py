@@ -11083,6 +11083,38 @@ def ivfpq_residual_q(spark, sf_dir):
 O["ivfpq_residual_topk_embeddings"] = _pq_ivf_residual_oracle()
 
 
+@query("ivf_append_topk_embeddings", None)  # oracle attached below
+def ivf_append_q(spark, sf_dir):
+    """Incremental maintenance of the on-disk IVF index
+    (similarity.append_to_ivf_index): build with HALF the corpus,
+    append the other half as a later batch (delta-only assign +
+    cluster-keyed append into the existing partition dirs — the
+    indexed corpus is never rescanned), then query.  The result must
+    equal the one-shot full-corpus oracle, proving append ≡ rebuild
+    under a frozen quantizer."""
+    from .operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        cosine_topk_ivf_partitioned,
+        fixed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = fixed_centroids(64, 8, seed=7)
+    loc = tempfile.mkdtemp(prefix="ivf_append_") + "/index"
+    build_ivf_index(emb.filter("vec_id % 2 = 0"), loc, cents)
+    append_to_ivf_index(emb.filter("vec_id % 2 = 1"), loc, cents)
+    return cosine_topk_ivf_partitioned(
+        spark, loc, qvec, cents, k=10, nprobe=2
+    )
+
+
+O["ivf_append_topk_embeddings"] = _ivf_topk_oracle()
+
+
 @query("ivfpq_partitioned_topk_embeddings", None)  # oracle attached below
 def ivfpq_partitioned_q(spark, sf_dir):
     """The on-disk IVF-PQ index end-to-end (VERDICT r4 #6 —
@@ -11932,6 +11964,7 @@ _PRIORITY = [
     "ivfpq_partitioned_topk_embeddings",
     "kfold_assignment_docs",
     "domain_cap_docs",
+    "ivf_append_topk_embeddings",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

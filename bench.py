@@ -137,6 +137,11 @@ SF1_SPOT = [
     # round-4: basket-fan-out and candidate-pool growth risks
     "association_rules_lineitem",
     "hybrid_retrieval_pipeline",
+    # round-5: pairs×vocab growth (JSD sums over source-pair × token
+    # grid) and index-build cost growth (IVF-PQ build is the 10×-rows
+    # part; the nprobe query side is constant)
+    "jsd_sources_docs",
+    "ivfpq_partitioned_topk_embeddings",
 ]
 
 
