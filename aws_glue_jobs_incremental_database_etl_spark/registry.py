@@ -11884,6 +11884,133 @@ def domain_cap_q(spark, sf_dir):
     )
 
 
+@query(
+    "cross_source_dup_matrix_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM toks
+    ), {_SHINGLE_INTER_SQL}, pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE c::DOUBLE / (na + nb - c) >= 0.7
+    )
+    SELECT LEAST(sa.source, sb.source) AS src_a,
+           GREATEST(sa.source, sb.source) AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.id_a
+    JOIN documents sb ON sb.doc_id = p.id_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cross_source_dup_q(spark, sf_dir):
+    """Cross-source duplication matrix — the curation diagnostic that
+    says WHICH corpus slices copy each other (mirrors, scrapes of the
+    same site, re-crawls): exact n-gram-Jaccard near-dup pairs
+    (operators.dedup.jaccard_near_dup_pairs — inverted shingle index,
+    no all-pairs) joined back to each side's source, aggregated over
+    the unordered source-pair grid (bounded by n_sources²).  Source
+    lookups broadcast; the heavy lifting is the pair generation the
+    dedup family already bounds."""
+    from .operators.dedup import jaccard_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.7, shingle_k=3
+    )
+    src = F.broadcast(d.select("doc_id", "source"))
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "interarrival_stats_events",
+    """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)))
+               // 1000000 AS gap_s
+      FROM events
+    ), gg AS (
+      SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*), 4) AS mean_gap_s,
+           ROUND(CAST(SUM(gap_s * gap_s) AS DOUBLE) / COUNT(*)
+                 - (CAST(SUM(gap_s) AS DOUBLE) / COUNT(*))
+                   * (CAST(SUM(gap_s) AS DOUBLE) / COUNT(*)), 4)
+               AS var_gap_s
+    FROM gg GROUP BY user_id ORDER BY user_id
+    """,
+)
+def interarrival_q(spark, sf_dir):
+    """Per-user inter-arrival statistics (burstiness screening — bot
+    traffic has near-zero variance, humans are heavy-tailed): one
+    user-partitioned LAG window (no global sort), gaps floored to
+    whole seconds so the moment sums are EXACT BIGINTs — mean and
+    population variance then come from identical literal double ops
+    in both engines (the Mann-Whitney rule: never let an
+    order-dependent float fold decide a gate)."""
+    from .functions.vectors import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select(
+            "user_id",
+            epoch_us(F.col("ts")).alias("_u"),
+            F.col("ts"),
+            F.col("event_id"),
+        )
+        .withColumn("_lag", F.lag("_u").over(w))
+        .filter(F.col("_lag").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(_u - _lag) div 1000000").alias("gap_s"),
+        )
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("gap_s").cast("double")
+    s2 = F.sum(F.col("gap_s") * F.col("gap_s")).cast("double")
+    return (
+        g.groupBy("user_id")
+        .agg(
+            n.cast("bigint").alias("n_gaps"),
+            F.round(s / n, 4).alias("mean_gap_s"),
+            F.round(s2 / n - (s / n) * (s / n), 4).alias("var_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -11965,6 +12092,8 @@ _PRIORITY = [
     "kfold_assignment_docs",
     "domain_cap_docs",
     "ivf_append_topk_embeddings",
+    "cross_source_dup_matrix_docs",
+    "interarrival_stats_events",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
