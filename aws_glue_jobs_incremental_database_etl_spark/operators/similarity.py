@@ -265,6 +265,150 @@ def build_ivf_index(
     return out_path
 
 
+def binary_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bq",
+    dim: int = 64,
+) -> DataFrame:
+    """1-bit binary quantization: pack the per-dimension SIGN bits of
+    a ≤64-dim vector into one BIGINT (bit i = 1 iff v[i] ≥ 0) — the
+    cheapest vector code there is (64 dims → 8 bytes, 32× under
+    float32), and the modern first-pass filter of production vector
+    stores.  Pure Catalyst: a 64-term literal shift/add chain, the
+    same shape as the SimHash signature fold; map-only, engine-exact
+    (sign of a double is not a rounding question)."""
+    if not 1 <= dim <= 64:
+        raise ValueError(f"dim must be in [1, 64], got {dim}")
+    bits = None
+    for i in range(dim):
+        b = F.expr(
+            f"shiftleft(CAST(CASE WHEN {vec_col}[{i}] >= 0 THEN 1 ELSE 0 END"
+            f" AS BIGINT), {i})"
+        )
+        bits = b if bits is None else bits + b
+    return df.withColumn(out_col, bits)
+
+
+def binary_topk_rerank(
+    corpus: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    candidates: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Two-stage ANN with 1-bit codes: Hamming-distance top-
+    ``candidates`` over the packed sign bits (XOR + popcount — integer
+    exact, a TakeOrdered over 8-byte codes), then EXACT cosine rerank
+    of only those candidates to the final top-``k``.
+
+    This is the standard refine pattern: the cheap first pass reads
+    64× less data than the float vectors and is wrong in a bounded
+    way (sign agreement approximates angle); the second pass restores
+    exact ranking on a ``candidates``-row frame whose cost no longer
+    depends on corpus size.  Both stages are deterministic
+    (``(hamming, id)`` then ``(round(cosine), id)`` orders), so the
+    whole composition carries an exact SQL twin."""
+    dim = len(query_vec)
+    if not 1 <= dim <= 64:
+        raise ValueError(f"query dim must be in [1, 64], got {dim}")
+    qbits = 0
+    for i, x in enumerate(query_vec):
+        if float(x) >= 0:
+            qbits |= 1 << i
+    if qbits >= 1 << 63:
+        qbits -= 1 << 64  # BIGINT literal is signed two's complement
+    coded = binary_quantize(corpus, vec_col, "bq", dim)
+    cand = (
+        coded.select(
+            id_col,
+            vec_col,
+            # lit(int), not an SQL literal: -2^63 cannot be PARSED as
+            # `-9223372036854775808L` (the positive token overflows
+            # before negation applies)
+            F.bit_count(
+                F.col("bq").bitwiseXOR(F.lit(qbits))
+            ).alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    return (
+        cand.select(
+            id_col,
+            "hamming",
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in query_vec]),
+                ),
+                round_to,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    candidates: int = 30,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Matryoshka two-stage search (Kusupati et al., NeurIPS 2022 —
+    MRL-trained embeddings keep most of their signal in a prefix):
+    rank by cosine over the FIRST ``prefix_dim`` dimensions to pick
+    ``candidates``, then exact full-dimension rerank to the top
+    ``k``.  The first pass reads/computes dim/prefix_dim less per row
+    (16 of 64 here = 4×; 64 of 1024 in production = 16×) and is a
+    plain map + TakeOrdered; the rerank touches ``candidates`` rows
+    regardless of corpus size.  Both stages deterministic
+    (``(round(prefix_cos), id)`` then ``(round(cos), id)``) — exact
+    SQL twin via ``list_slice``."""
+    if not 1 <= prefix_dim <= len(query_vec):
+        raise ValueError(
+            f"prefix_dim must be in [1, {len(query_vec)}], got {prefix_dim}"
+        )
+    qpref = [float(x) for x in query_vec[:prefix_dim]]
+    cand = (
+        corpus.select(
+            id_col,
+            vec_col,
+            F.round(
+                cosine_similarity(
+                    F.slice(F.col(vec_col), 1, prefix_dim),
+                    F.array(*[F.lit(x) for x in qpref]),
+                ),
+                6,
+            ).alias("prefix_cos"),
+        )
+        .orderBy(F.col("prefix_cos").desc(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    return (
+        cand.select(
+            id_col,
+            "prefix_cos",
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in query_vec]),
+                ),
+                round_to,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def append_to_ivf_index(
     corpus_delta: DataFrame,
     index_path: str,
@@ -443,6 +587,60 @@ def ivfpq_topk_partitioned(
             F.round(score, 6).alias("adc_dist"),
         )
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfpq_refine_topk(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    query_vec: list,
+    centroids,
+    codebooks: np.ndarray,
+    k: int = 10,
+    candidates: int = 30,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    schema=None,
+    round_to: int = 4,
+) -> DataFrame:
+    """The FAISS refine step on top of the on-disk IVF-PQ index:
+    ADC-rank the probed lists' m-byte codes to ``candidates``
+    (:func:`ivfpq_topk_partitioned` — partition-pruned, codes-only
+    scan), then join those ids back to the RAW corpus and exact-rank
+    by cosine to the final ``k``.  Quantization error caps at the
+    candidate boundary instead of the final ranking: the exact pass
+    touches ``candidates`` vectors regardless of corpus size, joined
+    via a broadcast of the ≤``candidates``-row id frame — so the full
+    corpus is never scanned, only point-looked-up.  Deterministic at
+    both stages (``(adc, id)`` then ``(round(cos), id)``)."""
+    cand = ivfpq_topk_partitioned(
+        spark,
+        index_path,
+        query_vec,
+        centroids,
+        codebooks,
+        k=candidates,
+        nprobe=nprobe,
+        id_col=id_col,
+        schema=schema,
+    ).select(id_col, "adc_dist")
+    return (
+        corpus.join(F.broadcast(cand), id_col)
+        .select(
+            id_col,
+            "adc_dist",
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in query_vec]),
+                ),
+                round_to,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
 

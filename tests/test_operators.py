@@ -1222,3 +1222,72 @@ def test_resample_ffill_grid_and_carry(spark):
 
     with _pytest.raises(ValueError, match="unsupported agg"):
         resample_ffill(df, "user_id", "ts", "value", 3_600_000_000, agg="mode")
+
+
+def test_binary_quantize_matches_python_pack_and_rerank_bounds(spark, sf_dir):
+    """Sign-bit packing must equal a pure-python two's-complement
+    model (bit 63 → negative BIGINT), and the two-stage rerank's
+    result must be the exact top-k RESTRICTED to its Hamming
+    candidate set (the refine contract: stage 2 is exact over stage
+    1's survivors)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        binary_quantize,
+        binary_topk_rerank,
+        cosine_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    got = {
+        r.vec_id: r.bq
+        for r in binary_quantize(emb, "embedding").select("vec_id", "bq").collect()
+    }
+    for r in emb.select("vec_id", "embedding").collect():
+        bits = 0
+        for i, x in enumerate(r.embedding):
+            if float(x) >= 0:
+                bits |= 1 << i
+        if bits >= 1 << 63:
+            bits -= 1 << 64  # Java BIGINT two's complement
+        assert got[r.vec_id] == bits, r.vec_id
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    out = binary_topk_rerank(emb, q, k=5, candidates=25)
+    rows = out.collect()
+    assert len(rows) == 5
+    # stage-2 exactness: rerank order must agree with exact cosine
+    # over the same candidate ids
+    cand_ids = {r.vec_id for r in rows}
+    exact = [
+        r.vec_id
+        for r in cosine_topk(emb, q, k=200).collect()
+        if r.vec_id in cand_ids
+    ][:5]
+    assert [r.vec_id for r in rows] == exact
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dim must be"):
+        binary_quantize(emb, "embedding", dim=65)
+
+
+def test_matryoshka_prefix_full_probe_is_exact(spark, sf_dir):
+    """With candidates = corpus size the prefix stage cannot drop the
+    true winners, so matryoshka_topk must equal the exact top-k; and
+    prefix_dim out of range raises."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    n = emb.count()
+    full = matryoshka_topk(emb, q, k=7, candidates=n, prefix_dim=16)
+    want = cosine_topk(emb, q, k=7)
+    assert [r.vec_id for r in full.collect()] == [
+        r.vec_id for r in want.collect()
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="prefix_dim"):
+        matryoshka_topk(emb, q, prefix_dim=0)
