@@ -10964,7 +10964,7 @@ def hll_daily_q(spark, sf_dir):
     )
 
 
-def _pq_ivf_residual_oracle() -> str:
+def _pq_ivf_residual_oracle(k: int = 10) -> str:
     """DuckDB twin of ``pq_ivf_topk_residual``: coarse assignment via
     the shared chains, probe selection by centroid cosine, then
     RESIDUAL encode/LUT — ``((e[i] − cent[i]) − cw)²`` with the
@@ -11049,7 +11049,7 @@ def _pq_ivf_residual_oracle() -> str:
     SELECT enc.vec_id, enc.cluster, ROUND({adc}, 6) AS adc_dist
     FROM enc JOIN l ON l.cl = enc.cluster
     ORDER BY adc_dist ASC, enc.vec_id ASC
-    LIMIT 10
+    LIMIT {k}
     """
 
 
@@ -11148,6 +11148,64 @@ def ivfpq_partitioned_q(spark, sf_dir):
 
 
 O["ivfpq_partitioned_topk_embeddings"] = _pq_ivf_residual_oracle()
+
+
+def _ivfpq_refine_oracle(cand: int = 30, k: int = 10) -> str:
+    """DuckDB twin of similarity.ivfpq_refine_topk: the residual
+    IVF-PQ oracle (nested CTE) widened to ``cand`` ADC candidates,
+    then joined back to the raw embeddings for the exact-cosine
+    rerank to ``k`` — quantization error capped at the candidate
+    boundary, exactly the Spark dataflow."""
+    inner = _pq_ivf_residual_oracle(k=cand)
+    return f"""
+    WITH cand AS (
+      {inner}
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT c.vec_id, c.adc_dist,
+           ROUND(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             (SELECT qe FROM q)), 4) AS cosine
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+    ORDER BY cosine DESC, c.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@query("ivfpq_refine_topk_embeddings", None)  # oracle attached below
+def ivfpq_refine_q(spark, sf_dir):
+    """FAISS-style refine on the on-disk IVF-PQ index
+    (similarity.ivfpq_refine_topk): ADC over the probed lists' m-byte
+    codes picks 30 candidates (partition-pruned, codes-only scan —
+    the cheap pass), then the candidate ids broadcast-join back to
+    the raw corpus for an exact-cosine rerank to the top-10.  The
+    exact pass touches 30 vectors regardless of corpus size; the
+    full-precision corpus is point-looked-up, never scanned."""
+    from .operators.similarity import (
+        build_ivfpq_index,
+        fixed_centroids,
+        ivfpq_refine_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    loc = tempfile.mkdtemp(prefix="ivfpq_refine_") + "/index"
+    build_ivfpq_index(emb, loc, cents, cb)
+    return ivfpq_refine_topk(
+        spark, loc, emb, list(qvec), cents, cb,
+        k=10, candidates=30, nprobe=2,
+    )
+
+
+O["ivfpq_refine_topk_embeddings"] = _ivfpq_refine_oracle()
+
 
 
 def _hybrid_retrieval_oracle(k: int = 5) -> str:
@@ -12198,6 +12256,7 @@ _PRIORITY = [
     "interarrival_stats_events",
     "binary_topk_embeddings",
     "matryoshka_topk_embeddings",
+    "ivfpq_refine_topk_embeddings",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

@@ -1291,3 +1291,40 @@ def test_matryoshka_prefix_full_probe_is_exact(spark, sf_dir):
 
     with pytest.raises(ValueError, match="prefix_dim"):
         matryoshka_topk(emb, q, prefix_dim=0)
+
+
+def test_ivfpq_refine_is_exact_over_adc_candidates(spark, sf_dir, tmp_path):
+    """Refine contract: the final top-k must equal the exact cosine
+    ranking RESTRICTED to the ADC stage's candidate set — stage 2 is
+    exact, quantization error stops at the candidate boundary."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        fixed_centroids,
+        ivfpq_refine_topk,
+        ivfpq_topk_partitioned,
+        pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    loc = str(tmp_path / "idx")
+    build_ivfpq_index(emb, loc, cents, cb)
+    out = ivfpq_refine_topk(
+        spark, loc, emb, q, cents, cb, k=5, candidates=20, nprobe=2
+    ).collect()
+    assert len(out) == 5
+    cand_ids = {
+        r.vec_id
+        for r in ivfpq_topk_partitioned(
+            spark, loc, q, cents, cb, k=20, nprobe=2
+        ).collect()
+    }
+    exact = [
+        r.vec_id
+        for r in cosine_topk(emb, q, k=10_000).collect()
+        if r.vec_id in cand_ids
+    ][:5]
+    assert [r.vec_id for r in out] == exact
