@@ -821,3 +821,141 @@ def semantic_dedup(
     return assigned.join(
         losers, assigned[id_col] == losers["__loser_id"], "left_anti"
     )
+
+
+# ------------------------------------------------------- winnowing
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram
+    of the normalized text (lower-cased, non-alphanumerics stripped)
+    with the engine-portable 60-bit md5 prefix, slide a ``window`` of
+    consecutive gram hashes, and select each window's minimum
+    (leftmost on ties — both Spark ``array_position`` and DuckDB
+    ``list_position`` return the FIRST occurrence, so the selection is
+    engine-exact).  The guarantee: any shared substring of length
+    ``k + window - 1`` produces at least one shared fingerprint, and
+    expected density is ``2/(window+1)`` — a tunable, position-aware
+    sketch that exact-hash and MinHash dedup both lack.
+
+    Returns one row per selected fingerprint: ``(id, pos, fp_hash)``
+    where ``pos`` is the 1-based gram offset in the normalized text.
+
+    Scale: everything up to the final explode is a per-document
+    array expression (map-only, no shuffle); output is ~``2n/(window
+    +1)`` rows per doc.  Documents shorter than ``k`` normalized chars
+    contribute their whole cleaned text as a single gram; empty docs
+    are dropped."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = (
+        df.select(F.col(id_col), clean.alias("_clean"))
+        .filter(F.length("_clean") > 0)
+    )
+    ngrams = F.greatest(F.length("_clean") - F.lit(k - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), ngrams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("_clean").substr(i, F.lit(k))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    hashed = base.select(id_col, hs.alias("_hs"))
+    nwin = F.greatest(F.size("_hs") - F.lit(window - 1), F.lit(1))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda j: (
+                j
+                - 1
+                + F.array_position(
+                    F.slice("_hs", j, window),
+                    F.array_min(F.slice("_hs", j, window)),
+                )
+            ).cast("int"),
+        )
+    )
+    return hashed.select(
+        id_col, F.col("_hs"), F.explode(sel).alias("pos")
+    ).select(
+        id_col,
+        "pos",
+        F.element_at("_hs", F.col("pos")).alias("fp_hash"),
+    )
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint overlap: the
+    distinct fingerprint hashes per document form an inverted index,
+    pairs sharing a hash are counted, and a pair survives when
+    ``shared / min(|A|, |B|)`` (containment of the smaller side)
+    reaches ``threshold``.  Position-tolerant by construction —
+    insertions between shared runs move positions but not hashes.
+
+    Scale: the pair generation is the postings self-join of the
+    Jaccard family — bounded per hash bucket, never all-pairs.
+    ``max_df`` is the 100 TB guard: fingerprints appearing in more
+    than ``max_df`` documents (boilerplate) are dropped BEFORE the
+    self-join, capping any bucket's fan-out at ``max_df²`` pairs.
+    """
+    fp = (
+        winnow_fingerprints(df, id_col, text_col, k, window)
+        .select(id_col, "fp_hash")
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            fp.groupBy("fp_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp_hash")
+        )
+        fp = fp.join(keep, "fp_hash")
+    sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    shared = (
+        a.join(b, "fp_hash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("shared") / F.least("n_a", "n_b").cast("double"), 4
+            ),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "shared", "overlap")
+    )

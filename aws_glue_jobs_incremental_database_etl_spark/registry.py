@@ -11207,6 +11207,107 @@ def ivfpq_refine_q(spark, sf_dir):
 O["ivfpq_refine_topk_embeddings"] = _ivfpq_refine_oracle()
 
 
+def _winnow_fp_sql(k: int = 5, w: int = 4) -> str:
+    """Shared CTE chain: the DuckDB twin of
+    operators.dedup.winnow_fingerprints — same normalization, same
+    60-bit md5 gram hash, same leftmost-min window selection
+    (list_position ≙ array_position: both first-occurrence)."""
+    return f"""c AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        list_transform(range(1, greatest(len(clean) - {k - 1}, 1) + 1),
+          i -> CAST('0x' || substr(md5(substr(clean, i, {k})), 1, 15)
+               AS BIGINT)) AS hs
+      FROM c WHERE len(clean) > 0
+    ), s AS (
+      SELECT doc_id, hs,
+        list_distinct(list_transform(
+          range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+          j -> CAST(j - 1 + list_position(hs[j : j + {w - 1}],
+                    list_min(hs[j : j + {w - 1}])) AS INTEGER))) AS sel
+      FROM h
+    ), fp AS (
+      SELECT doc_id, unnest(sel) AS pos, hs[unnest(sel)] AS fp_hash
+      FROM s
+    )"""
+
+
+@query(
+    "winnow_fingerprints_docs",
+    f"""
+    WITH {_winnow_fp_sql()}
+    SELECT doc_id, COUNT(*) AS n_fp, bit_xor(fp_hash) AS fp_xor,
+           MIN(fp_hash) AS fp_min, MAX(fp_hash) AS fp_max
+    FROM fp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def winnow_fp_q(spark, sf_dir):
+    """Winnowing document fingerprints (dedup.winnow_fingerprints —
+    Schleimer et al., SIGMOD 2003 / MOSS): rolling character-5-gram
+    md5 hashes, window-4 leftmost-min selection; any shared substring
+    of length k+w−1 = 8 normalized chars yields a shared fingerprint
+    at ~2/(w+1) density.  Gate = per-doc fingerprint-set digest
+    (count, XOR, min, max) so every selected (pos, hash) is pinned
+    without shipping the full table."""
+    from .operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.expr("bit_xor(fp_hash)").alias("fp_xor"),
+            F.min("fp_hash").alias("fp_min"),
+            F.max("fp_hash").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "winnow_near_dup_pairs_docs",
+    f"""
+    WITH {_winnow_fp_sql()},
+    d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+    kept AS (
+      SELECT fp_hash FROM d GROUP BY fp_hash HAVING COUNT(*) <= 50
+    ),
+    dk AS (SELECT d.doc_id, d.fp_hash FROM d JOIN kept USING (fp_hash)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM dk GROUP BY doc_id),
+    sh AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM dk a JOIN dk b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, shared,
+           ROUND(shared / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE), 4)
+               AS overlap
+    FROM sh
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE shared / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def winnow_pairs_q(spark, sf_dir):
+    """Position-tolerant near-dup pairs by winnowing-fingerprint
+    containment (dedup.winnow_near_dup_pairs): distinct fingerprints
+    → max_df=50 boilerplate guard (caps postings fan-out at df² —
+    the 100 TB knob) → postings self-join → shared/min(|A|,|B|) ≥
+    0.4.  Catches partial-overlap/dup-with-insertions pairs the
+    whole-doc hash misses, at inverted-index cost, never all-pairs."""
+    from .operators.dedup import winnow_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_near_dup_pairs(
+        docs, "doc_id", "text", k=5, window=4, threshold=0.4, max_df=50
+    ).orderBy("id_a", "id_b")
+
+
+
 
 def _hybrid_retrieval_oracle(k: int = 5) -> str:
     """DuckDB twin of the hybrid-retrieval flagship: the rrf oracle's
@@ -12257,6 +12358,8 @@ _PRIORITY = [
     "binary_topk_embeddings",
     "matryoshka_topk_embeddings",
     "ivfpq_refine_topk_embeddings",
+    "winnow_fingerprints_docs",
+    "winnow_near_dup_pairs_docs",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

@@ -1328,3 +1328,51 @@ def test_ivfpq_refine_is_exact_over_adc_candidates(spark, sf_dir, tmp_path):
         if r.vec_id in cand_ids
     ][:5]
     assert [r.vec_id for r in out] == exact
+
+
+def test_winnow_guarantee_and_determinism(spark):
+    """The MOSS guarantee: two docs sharing a substring of length
+    k + window - 1 normalized chars MUST share at least one
+    fingerprint hash; and disjoint-alphabet docs share none.  Plus
+    parameter validation."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_near_dup_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA xyzzy " + shared + " plugh BBBB"),
+            (2, shared + " entirely different ending here"),
+            (3, "0000 1111 2222 3333 4444 5555 6666 7777"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    by_doc = {
+        r.doc_id: set(r.hs)
+        for r in fp.groupBy("doc_id")
+        .agg(F.collect_set("fp_hash").alias("hs"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+    # short-doc path: fewer normalized chars than k still fingerprints
+    tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    rows = winnow_fingerprints(tiny, "doc_id", "text", k=5, window=4).collect()
+    assert len(rows) == 1 and rows[0].pos == 1
+
+    pairs = winnow_near_dup_pairs(
+        df, "doc_id", "text", k=5, window=4, threshold=0.2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError, match="window must be"):
+        winnow_fingerprints(df, window=0)
