@@ -11307,6 +11307,42 @@ def winnow_pairs_q(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "jaccard_prefix_near_dup_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM toks
+    ), {_SHINGLE_INTER_SQL}
+    SELECT id_a, id_b, ROUND(c::DOUBLE / (na + nb - c), 6) AS jaccard
+    FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.6
+    """,
+)
+def jaccard_prefix_q(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard join
+    (dedup.jaccard_near_dup_pairs_prefix): only the first
+    |A|−⌈τ|A|⌉+1 globally-ordered shingles are indexed (the prefix
+    theorem makes that lossless), a length filter prunes candidates,
+    and survivors verify against the full hashed-shingle arrays.  The
+    oracle is the O(n²) exact twin — prefix filtering must lose
+    nothing at τ=0.6 (looser than the postings gate's 0.7, so the
+    filter works harder here)."""
+    from .operators.dedup import jaccard_near_dup_pairs_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_near_dup_pairs_prefix(
+        d, "doc_id", "text", threshold=0.6, shingle_k=3
+    )
+
+
+
 
 
 def _hybrid_retrieval_oracle(k: int = 5) -> str:
@@ -12360,6 +12396,7 @@ _PRIORITY = [
     "ivfpq_refine_topk_embeddings",
     "winnow_fingerprints_docs",
     "winnow_near_dup_pairs_docs",
+    "jaccard_prefix_near_dup_docs",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
