@@ -1683,3 +1683,87 @@ def pq_ivf_topk_residual(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------- int4 quantization
+
+INT4_NIBBLES_PER_WORD = 15  # bits 0..59 — bit 60+ stays clear so the
+# packed word never overflows a signed BIGINT in ANY ANSI engine (the
+# same layout rationale as functions/bloom.py's 32-bits-per-word).
+
+
+def int4_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int4 quantization, PACKED: ``scale = 7/max|v|``,
+    ``code_i = floor(v_i·scale + 0.5)`` ∈ [−7, 7] stored as the
+    unsigned nibble ``code+8`` ∈ [1, 15], fifteen nibbles per BIGINT
+    word (missing tail positions pad with nibble 8 = code 0).  64 dims
+    → 5 words = 40 bytes vs 256 float32 bytes (6.4×; 8× asymptotic) —
+    the storage tier between int8 (4×) and the 1-bit codes (32×).
+
+    Map-only HOF expressions, no UDF: per-word packing is a literal
+    15-term ``nibble·2^{4j}`` sum (exact long arithmetic — max word
+    value < 2^60), out-of-range tail reads use ``F.get`` (null-safe at
+    any ANSI setting) and coalesce to the pad nibble.  Returns ``(id,
+    scale, words array<long>, dim)``."""
+    npw = INT4_NIBBLES_PER_WORD
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx > 0, F.lit(7.0) / mx).otherwise(F.lit(1.0))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        F.transform(
+            v,
+            lambda x: (
+                F.floor(x.cast("double") * scale + F.lit(0.5)) + 8
+            ).cast("long"),
+        ).alias("_nib"),
+        F.size(v).alias("dim"),
+    )
+    nwords = F.ceil(F.col("dim") / F.lit(npw)).cast("int")
+
+    def word_of(w: Column) -> Column:
+        acc = None
+        for j in range(npw):
+            term = F.coalesce(
+                F.get("_nib", w * npw + F.lit(j)), F.lit(8).cast("long")
+            ) * F.lit(1 << (4 * j))
+            acc = term if acc is None else acc + term
+        return acc
+
+    return base.select(
+        "id",
+        "scale",
+        F.transform(F.sequence(F.lit(0), nwords - 1), word_of).alias(
+            "words"
+        ),
+        "dim",
+    )
+
+
+def int4_dequantize(
+    words_col: str = "words",
+    scale_col: str = "scale",
+    dim: int = 64,
+) -> Column:
+    """Reconstruction expression for :func:`int4_quantize` output:
+    component ``i`` = ``((words[i div 15] div 2^{4(i mod 15)}) mod 16
+    − 8) / scale`` — pure integer div/mod (engine-portable, no bitwise
+    ops needed), one literal expression per component."""
+    npw = INT4_NIBBLES_PER_WORD
+    s = F.col(scale_col)
+    comps = []
+    for i in range(dim):
+        w, j = divmod(i, npw)
+        # integer `div`, NOT float division: words reach 2^60, past
+        # double's 53-bit mantissa — a float path would corrupt the
+        # low nibbles before the modulo
+        nib = F.expr(
+            f"(element_at({words_col}, {w + 1}) div {1 << (4 * j)}) % 16"
+        )
+        comps.append((nib - 8).cast("double") / s)
+    return F.array(*comps)

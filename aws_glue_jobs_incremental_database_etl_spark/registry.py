@@ -11343,6 +11343,100 @@ def jaccard_prefix_q(spark, sf_dir):
 
 
 
+def _int4_oracle(dim: int = 64, npw: int = 15) -> str:
+    """DuckDB twin of similarity.int4_quantize + reconstruction:
+    identical code arithmetic (floor(v·scale + 0.5), scale = 7/max),
+    the same 15-nibble-per-word pack as a literal 2^{4j} sum chain
+    (null tail reads coalesce to pad nibble 8), XOR-folded words, and
+    the reconstruction error straight off the codes (pack∘unpack is
+    exact integer identity — pinned by the Spark side dequantizing
+    from the WORDS)."""
+    nwords = -(-dim // npw)
+    words = ", ".join(
+        "("
+        + " + ".join(
+            f"COALESCE(nib[{w * npw + j + 1}], 8) * {1 << (4 * j)}"
+            for j in range(npw)
+        )
+        + f") AS w{w}"
+        for w in range(nwords)
+    )
+    xor = "w0"
+    for w in range(1, nwords):
+        xor = f"xor({xor}, w{w})"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             CASE WHEN mx > 0 THEN 7.0 / mx ELSE 1.0 END AS scale
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS mx
+            FROM e)
+    ), n AS (
+      SELECT vec_id, v, scale,
+             list_transform(v,
+               x -> CAST(floor(x * scale + 0.5) + 8 AS BIGINT)) AS nib
+      FROM s
+    ), w AS (
+      SELECT vec_id, v, scale, nib, {words} FROM n
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale_r,
+           {xor} AS words_xor,
+           ROUND(list_max(list_transform(range(1, {dim} + 1),
+             i -> abs((nib[i] - 8) / scale - v[i]))), 6) AS max_err
+    FROM w
+    ORDER BY vec_id
+    """
+
+
+@query("int4_quantize_embeddings", None)  # oracle attached below
+def int4_quantize_q(spark, sf_dir):
+    """Packed int4 quantization (similarity.int4_quantize /
+    int4_dequantize): 4-bit symmetric codes, 15 nibbles per signed-
+    safe BIGINT word (64 dims → 40 bytes, the storage tier between
+    int8's 4× and binary's 32×).  Gate pins the packed words
+    themselves (XOR fold), the scale, and the RECONSTRUCTION error
+    computed by unpacking the words — so pack, unpack, and code
+    arithmetic are all on the hash path."""
+    from .operators.similarity import int4_dequantize, int4_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q4 = int4_quantize(emb)
+    joined = q4.join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    return (
+        joined.select(
+            F.col("id").alias("vec_id"),
+            F.round("scale", 6).alias("scale_r"),
+            F.aggregate(
+                "words",
+                F.lit(0).cast("long"),
+                lambda a, b: a.bitwiseXOR(b),
+            ).alias("words_xor"),
+            F.round(
+                F.array_max(
+                    F.zip_with(
+                        int4_dequantize("words", "scale", dim=64),
+                        F.col("embedding"),
+                        lambda a, b: F.abs(a - b),
+                    )
+                ),
+                6,
+            ).alias("max_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+O["int4_quantize_embeddings"] = _int4_oracle()
+
+
+
 
 
 def _hybrid_retrieval_oracle(k: int = 5) -> str:
@@ -12397,6 +12491,7 @@ _PRIORITY = [
     "winnow_fingerprints_docs",
     "winnow_near_dup_pairs_docs",
     "jaccard_prefix_near_dup_docs",
+    "int4_quantize_embeddings",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

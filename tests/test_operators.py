@@ -1376,3 +1376,36 @@ def test_winnow_guarantee_and_determinism(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError, match="window must be"):
         winnow_fingerprints(df, window=0)
+
+
+def test_int4_roundtrip_bound_and_packing(spark, sf_dir):
+    """int4 pack→unpack must reconstruct within 0.5/scale per
+    component (the round-half-up quantization bound), words must stay
+    under 2^60 (signed-BIGINT-safe layout), and codes must live in
+    [1, 15] as nibbles."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        int4_dequantize,
+        int4_quantize,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q4 = int4_quantize(emb)
+    rows = q4.collect()
+    assert all(0 <= w < (1 << 60) for r in rows for w in r.words)
+    assert all(len(r.words) == 5 and r.dim == 64 for r in rows)
+
+    chk = (
+        q4.join(emb.select(F.col("vec_id").alias("id"), "embedding"), "id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    int4_dequantize("words", "scale", dim=64),
+                    F.col("embedding"),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("err"),
+            (F.lit(0.5) / F.col("scale")).alias("bound"),
+        )
+        .collect()
+    )
+    assert all(r.err <= r.bound + 1e-12 for r in chk)
