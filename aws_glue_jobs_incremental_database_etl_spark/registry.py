@@ -11436,6 +11436,84 @@ def int4_quantize_q(spark, sf_dir):
 O["int4_quantize_embeddings"] = _int4_oracle()
 
 
+@query(
+    "holt_smoothing_daily_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS x
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ), holt AS (
+      SELECT event_type, day, rn, x, x AS level,
+             CAST(0.0 AS DOUBLE) AS trend
+      FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn, n.x,
+             0.5 * n.x + 0.5 * (h.level + h.trend),
+             0.5 * ((0.5 * n.x + 0.5 * (h.level + h.trend)) - h.level)
+               + 0.5 * h.trend
+      FROM num n JOIN holt h
+        ON n.event_type = h.event_type AND n.rn = h.rn + 1
+    )
+    SELECT event_type, day, x, level, trend,
+           level + trend AS forecast
+    FROM holt ORDER BY event_type, day
+    """,
+)
+def holt_smoothing_q(spark, sf_dir):
+    """Holt double exponential smoothing (alpha = beta = 1/2) of each
+    event type's daily value total — SES plus a trend state, the
+    standard one-step-ahead forecaster for drifting series
+    (forecast = level + trend).  Same architecture as the SES gate:
+    one hash agg reduces the event stream to the bounded daily table,
+    then an applyInPandas kernel walks each type's <=O(days) rows.
+    Every smoothing step is the same dyadic op sequence the oracle's
+    recursive CTE runs (0.5·x + 0.5·(l+b), then 0.5·(l_new−l_old) +
+    0.5·b), so levels, trends, and forecasts match bit-for-bit with
+    no output rounding."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        level, trend = None, 0.0
+        ls, bs = [], []
+        for x in pdf["x"]:
+            if level is None:
+                level = x
+            else:
+                new_level = 0.5 * x + 0.5 * (level + trend)
+                trend = 0.5 * (new_level - level) + 0.5 * trend
+                level = new_level
+            ls.append(level)
+            bs.append(trend)
+        pdf["level"] = ls
+        pdf["trend"] = bs
+        pdf["forecast"] = [lv + b for lv, b in zip(ls, bs)]
+        return pdf
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            holt,
+            "event_type string, day date, x double, level double,"
+            " trend double, forecast double",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+
 
 
 
@@ -12492,6 +12570,7 @@ _PRIORITY = [
     "winnow_near_dup_pairs_docs",
     "jaccard_prefix_near_dup_docs",
     "int4_quantize_embeddings",
+    "holt_smoothing_daily_events",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
