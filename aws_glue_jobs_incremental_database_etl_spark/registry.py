@@ -11514,6 +11514,217 @@ def holt_smoothing_q(spark, sf_dir):
 
 
 
+@query(
+    "attribution_multitouch_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS jid
+      FROM events
+    ), conv AS (
+      SELECT user_id, jid, epoch_us(ts) AS conv_us
+      FROM ordered WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, jid, event_type AS channel,
+             epoch_us(ts) AS t_us, event_id
+      FROM ordered WHERE event_type <> 'purchase'
+    ), j AS (
+      SELECT t.user_id, t.jid, t.channel, t.t_us, t.event_id,
+             c.conv_us,
+             COUNT(*) OVER (PARTITION BY t.user_id, t.jid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY t.user_id, t.jid
+                                ORDER BY t.t_us, t.event_id) AS pos,
+             1.0 / (1 + (c.conv_us - t.t_us) // 86400000000)
+                 AS w
+      FROM touch t JOIN conv c
+        ON c.user_id = t.user_id AND c.jid = t.jid
+    ), credit AS (
+      SELECT channel, user_id, jid,
+             1.0 / n AS linear_c,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END AS u_c,
+             w / SUM(w) OVER (PARTITION BY user_id, jid) AS decay_c
+      FROM j
+    )
+    SELECT channel,
+           COUNT(DISTINCT (user_id, jid)) AS n_journeys,
+           ROUND(SUM(linear_c), 4) AS linear_credit,
+           ROUND(SUM(u_c), 4) AS u_credit,
+           ROUND(SUM(decay_c), 4) AS decay_credit
+    FROM credit GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_multitouch_q(spark, sf_dir):
+    """Multi-touch conversion attribution under three standard
+    policies at once — linear (1/n per touch), U-shaped (40/20/40
+    position credit), and reciprocal-day time decay (w = 1/(1+days
+    before conversion) — integer-derived, no libm pow, so both
+    engines compute identical weights).  Journeys are purchase-
+    terminated per-user windows (the cumulative-purchase counter
+    splits each user's stream); every credit normalizes within its
+    journey, so each conversion distributes exactly 1.0 per policy.
+
+    Scale: two user-partitioned windows + one journey-keyed window —
+    no global sort, journey length bounds every frame; the final agg
+    is a 4-channel hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).over(w_user.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    conv = ordered.filter(F.col("event_type") == "purchase").select(
+        "user_id", "jid", epoch_us("ts").alias("conv_us")
+    )
+    touch = ordered.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "jid",
+        F.col("event_type").alias("channel"),
+        epoch_us("ts").alias("t_us"),
+        "event_id",
+    )
+    w_j = Window.partitionBy("user_id", "jid")
+    w_pos = w_j.orderBy("t_us", "event_id")
+    j = (
+        touch.join(conv, ["user_id", "jid"])
+        .withColumn("n", F.count("*").over(w_j))
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn(
+            "w",
+            F.lit(1.0)
+            / (1 + F.expr("(conv_us - t_us) div 86400000000")),
+        )
+    )
+    credit = j.select(
+        "channel",
+        "user_id",
+        "jid",
+        (F.lit(1.0) / F.col("n")).alias("linear_c"),
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+        .alias("u_c"),
+        (F.col("w") / F.sum("w").over(w_j)).alias("decay_c"),
+    )
+    return (
+        credit.groupBy("channel")
+        .agg(
+            F.countDistinct("user_id", "jid").alias("n_journeys"),
+            F.round(F.sum("linear_c"), 4).alias("linear_credit"),
+            F.round(F.sum("u_c"), 4).alias("u_credit"),
+            F.round(F.sum("decay_c"), 4).alias("decay_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+
+@query(
+    "attribution_path_removal_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS jid
+      FROM events
+    ), conv AS (
+      SELECT DISTINCT user_id, jid FROM ordered
+      WHERE event_type = 'purchase'
+    ), jt AS (
+      SELECT DISTINCT o.user_id, o.jid, o.event_type AS channel
+      FROM ordered o JOIN conv c
+        ON c.user_id = o.user_id AND c.jid = o.jid
+      WHERE o.event_type <> 'purchase'
+    ), per AS (
+      SELECT channel, COUNT(*) AS conv_touched FROM jt GROUP BY channel
+    ), tot AS (
+      SELECT COUNT(*) AS c_all FROM conv
+    ), s AS (
+      SELECT SUM(conv_touched) AS s_all FROM per
+    )
+    SELECT channel, conv_touched,
+           ROUND(conv_touched / CAST(c_all AS DOUBLE), 6)
+               AS removal_effect,
+           ROUND(conv_touched / CAST(s_all AS DOUBLE), 6)
+               AS attribution
+    FROM per, tot, s ORDER BY channel
+    """,
+)
+def attribution_removal_q(spark, sf_dir):
+    """Empirical path-removal attribution: for each channel, the
+    fraction of converting journeys that touch it — the data-driven
+    removal effect (cut every path through the channel and that share
+    of conversions is lost), normalized into attribution shares.
+    The honest counting-based counterpart of Markov removal-effect
+    attribution, with no fitted transition model.
+
+    Scale: one user-partitioned window to split journeys, one
+    distinct + one 4-group aggregate; the two scalar totals broadcast
+    back as 1-row frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).over(w_user.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    conv = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select("user_id", "jid")
+        .distinct()
+    )
+    jt = (
+        ordered.filter(F.col("event_type") != "purchase")
+        .join(conv, ["user_id", "jid"])
+        .select("user_id", "jid", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    per = jt.groupBy("channel").agg(F.count("*").alias("conv_touched"))
+    tot = conv.agg(F.count("*").alias("c_all"))
+    s = per.agg(F.sum("conv_touched").alias("s_all"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "channel",
+            "conv_touched",
+            F.round(
+                F.col("conv_touched") / F.col("c_all").cast("double"), 6
+            ).alias("removal_effect"),
+            F.round(
+                F.col("conv_touched") / F.col("s_all").cast("double"), 6
+            ).alias("attribution"),
+        )
+        .orderBy("channel")
+    )
+
+
+
 
 
 
@@ -12571,6 +12782,8 @@ _PRIORITY = [
     "jaccard_prefix_near_dup_docs",
     "int4_quantize_embeddings",
     "holt_smoothing_daily_events",
+    "attribution_multitouch_events",
+    "attribution_path_removal_events",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
