@@ -916,10 +916,15 @@ def winnow_near_dup_pairs(
     than ``max_df`` documents (boilerplate) are dropped BEFORE the
     self-join, capping any bucket's fan-out at ``max_df²`` pairs.
     """
+    # persist(): four plan branches consume this frame (df-cap count,
+    # sizes, both self-join sides) — uncached, Spark re-fingerprints
+    # the corpus once per branch (same measured trap as
+    # jaccard_near_dup_pairs' sized frame).
     fp = (
         winnow_fingerprints(df, id_col, text_col, k, window)
         .select(id_col, "fp_hash")
         .distinct()
+        .persist()
     )
     if max_df is not None:
         keep = (
