@@ -313,6 +313,117 @@ def exact_ntile(
     )
 
 
+def exact_ntile_grouped(
+    df: DataFrame,
+    n_tiles: int,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    coarse_buckets: int = 32,
+    bucket_col: str = "bucket",
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """EXACT ``NTILE(n) OVER (PARTITION BY group ORDER BY value, id)``
+    with the same two-level distributed-rank construction as
+    :func:`exact_ntile` — per-group totals instead of one global
+    total, so no group's rows ever funnel through a single-partition
+    sort.
+
+    The coarse cut points stay GLOBAL (placement only — exactness
+    never depends on them); ranking windows key on ``(group, coarse
+    bucket)``; the driver collects ``groups × coarse_buckets`` counts
+    (bounded: raises if the group count exceeds ``max_groups`` —
+    grouped NTILE over an unbounded key domain is a different
+    problem, use a hash-bucket contract instead).  Offsets and the
+    NTILE arithmetic ride literal maps keyed by group; all tile math
+    is long-exact ``div``, never double division."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    from pyspark.sql.window import Window
+
+    probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
+    cuts = df.approxQuantile(value_col, probs, 1e-3)
+    coarse = F.lit(0)
+    for t in cuts:
+        coarse = coarse + F.when(F.col(value_col) > t, 1).otherwise(0)
+    ranked = df.withColumn("_pb", coarse).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(group_col, "_pb").orderBy(
+                F.col(value_col).asc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    counts = (
+        ranked.groupBy(group_col, "_pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    groups = {r[group_col] for r in counts}
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"{len(groups)} groups exceeds max_groups={max_groups}: "
+            "grouped exact NTILE collects groups x coarse_buckets "
+            "offsets to the driver and is only bounded for a bounded "
+            "group domain"
+        )
+    sizes: dict = {}
+    for r in counts:
+        sizes.setdefault(r[group_col], {})[r["_pb"]] = r["c"]
+    off_entries, tot_entries = [], []
+    for g, per in sizes.items():
+        acc = 0
+        for pb in sorted(per):
+            off_entries += [
+                F.lit(f"{g}#{pb}"),
+                F.lit(acc).cast("long"),
+            ]
+            acc += per[pb]
+        tot_entries += [F.lit(str(g)), F.lit(acc).cast("long")]
+    if not tot_entries:
+        return df.withColumn(bucket_col, F.lit(None).cast("int"))
+    off = F.element_at(
+        F.create_map(*off_entries),
+        F.concat_ws("#", F.col(group_col).cast("string"), F.col("_pb")),
+    )
+    total = F.element_at(
+        F.create_map(*tot_entries), F.col(group_col).cast("string")
+    )
+    grank = (off + F.col("_rn")).cast("long")
+    base = F.expr(f"_tot div {n_tiles}")
+    rem = F.col("_tot") % n_tiles
+    big = base + 1
+    small = F.greatest(base, F.lit(1).cast("long"))
+    threshold = big * rem
+    return (
+        ranked.withColumn("_tot", total)
+        .withColumn("_grank", grank)
+        .withColumn(
+            bucket_col,
+            F.when(
+                F.col("_grank") <= threshold,
+                F.expr(
+                    f"(_grank + (_tot div {n_tiles})) div"
+                    f" ((_tot div {n_tiles}) + 1)"
+                ),
+            )
+            .otherwise(
+                (
+                    rem
+                    + F.expr(
+                        f"(_grank - ((_tot div {n_tiles}) + 1)"
+                        f" * (_tot % {n_tiles})"
+                        f" + greatest(_tot div {n_tiles}, 1) - 1)"
+                        f" div greatest(_tot div {n_tiles}, 1)"
+                    )
+                )
+            )
+            .cast("int"),
+        )
+        .drop("_pb", "_rn", "_grank", "_tot")
+    )
+
+
 def weighted_median(
     df: DataFrame,
     group_col: str,

@@ -11725,6 +11725,68 @@ def attribution_removal_q(spark, sf_dir):
 
 
 
+@query(
+    "quantile_normalize_by_source",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             NTILE(20) OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id) AS src_bucket,
+             NTILE(20) OVER (ORDER BY n_chars, doc_id) AS pooled_bucket
+      FROM documents
+    ), t AS (
+      SELECT pooled_bucket AS b,
+             ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS qn
+      FROM s GROUP BY pooled_bucket
+    )
+    SELECT s.doc_id, s.source, s.n_chars, s.src_bucket,
+           t.qn AS qn_value
+    FROM s JOIN t ON t.b = s.src_bucket
+    ORDER BY s.doc_id
+    """,
+)
+def quantile_normalize_q(spark, sf_dir):
+    """Cross-source quantile normalization (the microarray-style
+    score calibrator): each document's length score is replaced by
+    the POOLED distribution's value at the same per-source quantile —
+    per-source rank via profile.exact_ntile_grouped, pooled reference
+    via profile.exact_ntile (both the two-level distributed-rank
+    construction — no single-partition sort anywhere), and the 20-row
+    bucket→target map broadcast-joins back.  After this, every
+    source's score distribution is identical — the preprocessing step
+    that makes per-source quality thresholds comparable.  Bucket
+    means use exact long sums over integer n_chars, then ONE
+    division (order-free, engine-identical)."""
+    from .operators.profile import exact_ntile, exact_ntile_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    pooled = exact_ntile(
+        docs, 20, "n_chars", "doc_id", bucket_col="pooled_bucket"
+    )
+    target = (
+        pooled.groupBy("pooled_bucket")
+        .agg(
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("qn")
+        )
+        .select(F.col("pooled_bucket").alias("b"), "qn")
+    )
+    per_source = exact_ntile_grouped(
+        docs, 20, "n_chars", "doc_id", "source", bucket_col="src_bucket"
+    )
+    return (
+        per_source.join(
+            F.broadcast(target),
+            per_source["src_bucket"] == target["b"],
+        )
+        .select("doc_id", "source", "n_chars", "src_bucket",
+                F.col("qn").alias("qn_value"))
+        .orderBy("doc_id")
+    )
+
+
+
 
 
 
@@ -12784,6 +12846,7 @@ _PRIORITY = [
     "holt_smoothing_daily_events",
     "attribution_multitouch_events",
     "attribution_path_removal_events",
+    "quantile_normalize_by_source",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

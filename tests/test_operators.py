@@ -1409,3 +1409,46 @@ def test_int4_roundtrip_bound_and_packing(spark, sf_dir):
         .collect()
     )
     assert all(r.err <= r.bound + 1e-12 for r in chk)
+
+
+def test_exact_ntile_grouped_matches_window_ntile(spark, sf_dir):
+    """Grouped distributed NTILE must equal the window NTILE
+    bit-for-bit (per-group totals, tie split by id), and the bounded-
+    group-domain guard must raise."""
+    from pyspark.sql.window import Window as W
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        exact_ntile_grouped,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_ntile_grouped(docs, 7, "n_chars", "doc_id", "source")
+    ref = docs.withColumn(
+        "ref",
+        F.ntile(7).over(
+            W.partitionBy("source").orderBy(
+                F.col("n_chars").asc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    j = out.join(ref.select("doc_id", "ref"), "doc_id")
+    assert j.filter(F.col("bucket") != F.col("ref")).count() == 0
+
+    # tiny group (fewer rows than tiles): NTILE gives one row per tile
+    tiny = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", 3)], "doc_id long, source string, n_chars long"
+    )
+    got = {
+        r.doc_id: r.bucket
+        for r in exact_ntile_grouped(
+            tiny, 7, "n_chars", "doc_id", "source"
+        ).collect()
+    }
+    assert got == {2: 1, 1: 2}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds max_groups"):
+        exact_ntile_grouped(docs, 4, "n_chars", "doc_id", "doc_id", max_groups=10)
+    with pytest.raises(ValueError, match="n_tiles"):
+        exact_ntile_grouped(docs, 0, "n_chars", "doc_id", "source")
