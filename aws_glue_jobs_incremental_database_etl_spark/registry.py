@@ -8587,6 +8587,179 @@ def _ann_ndcg_oracle() -> str:
 O["ann_ndcg_lsh_vs_exact"] = _ann_ndcg_oracle()
 
 
+@query("ann_mrr_lsh_vs_exact", None)  # oracle attached below (composed)
+def ann_mrr_q(spark, sf_dir):
+    """ANN eval, reciprocal-rank flavor: MRR@10 of the hyperplane-LSH
+    retriever against the exact cosine top-10 — recall says WHAT was
+    found, nDCG grades the whole ordering, RR grades how FAST the
+    first true hit surfaces (the metric retrieval-augmented pipelines
+    quote when only the top result feeds the model).  first_hit_pos =
+    0 and rr = 0 when nothing in the exact set is retrieved.  The
+    rank window orders a ≤10-row frame (bounded, audited)."""
+    from .operators.similarity import cosine_topk, cosine_topk_lsh
+
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ex = cosine_topk(emb, qvec, k=k, round_to=4).select("vec_id")
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    lsh = (
+        cosine_topk_lsh(emb, qvec, k=k, num_planes=6)
+        .withColumn("pos", F.row_number().over(w))
+        .select("vec_id", "pos")
+    )
+    first = lsh.join(ex, "vec_id").agg(F.min("pos").alias("p"))
+    return first.select(
+        F.lit(k).alias("k"),
+        F.coalesce("p", F.lit(0)).cast("int").alias("first_hit_pos"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("p"), F.lit(0.0)), 6
+        ).alias("rr"),
+    )
+
+
+def _ann_mrr_oracle() -> str:
+    """Exact-top-10 ⨝ ranked LSH frame, MIN over hit positions —
+    the same composed-oracle recipe as recall/nDCG."""
+    lsh_sql = O["lsh_topk_embeddings"]
+    return f"""
+    WITH exact10 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (SELECT list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE))
+                        FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+      )
+    ), lsh10 AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS pos
+      FROM ({lsh_sql}) t
+    ), hit AS (
+      SELECT MIN(pos) AS p FROM lsh10 JOIN exact10 USING (vec_id)
+    )
+    SELECT 10 AS k,
+           CAST(COALESCE(p, 0) AS INTEGER) AS first_hit_pos,
+           ROUND(COALESCE(1.0 / p, 0.0), 6) AS rr
+    FROM hit
+    """
+
+
+O["ann_mrr_lsh_vs_exact"] = _ann_mrr_oracle()
+
+
+@query(
+    "hll_rolling_7d_users",
+    r"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv
+      FROM events
+    ), br AS (
+      SELECT day, hv % 256 AS bucket, hv // 256 AS sfx FROM e
+    ), reg AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN sfx = 0 THEN 53
+                      ELSE 52 - length(bin(sfx)) + 1 END) AS reg
+      FROM br GROUP BY day, bucket
+    ), days AS (
+      SELECT DISTINCT day FROM reg
+    ), merged AS (
+      SELECT d.day, r.bucket, MAX(r.reg) AS reg
+      FROM days d JOIN reg r
+        ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day, r.bucket
+    ), s AS (
+      SELECT day, COUNT(*) AS nz,
+             SUM(1::BIGINT << (53 - reg)) AS cpart
+      FROM merged GROUP BY day
+    ), e2 AS (
+      SELECT day, CAST(256 - nz AS BIGINT) AS zero_registers,
+             CAST(0.7213 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE)
+                  + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+               * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+               * CAST(9007199254740992.0 AS DOUBLE)
+               / CAST(cpart + (256 - nz) * (1::BIGINT << 53) AS DOUBLE)
+                 AS raw
+      FROM s
+    ), est AS (
+      SELECT day, zero_registers,
+             ROUND(CASE WHEN raw <= CAST(640.0 AS DOUBLE)
+                         AND zero_registers > 0
+                        THEN CAST(256.0 AS DOUBLE)
+                             * LN(CAST(256.0 AS DOUBLE)
+                                  / CAST(zero_registers AS DOUBLE))
+                        ELSE raw END, 2) AS est_7d
+      FROM e2
+    ), ex AS (
+      SELECT d.day,
+             CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS exact_7d
+      FROM days d JOIN (SELECT CAST(ts AS DATE) AS day, user_id
+                        FROM events) ev
+        ON ev.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT day, exact_7d, est_7d, zero_registers
+    FROM est JOIN ex USING (day) ORDER BY day
+    """,
+)
+def hll_rolling_q(spark, sf_dir):
+    """ROLLING-WINDOW distinct users (trailing 7 days, per day) via
+    mergeable HLL register state — the sketch-mergeability payoff:
+    the daily register frames (≤256 rows/day) fold into each day's
+    window with one MAX per (day, bucket); the raw event stream is
+    touched exactly once, and at 100 TB the rolling merge costs
+    days×256 rows however many events each window spans.  The exact
+    column re-scans events per window (the 7× fan-out join the sketch
+    exists to avoid) purely as the gate's accuracy report."""
+    from .functions.hll import hll_build, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(F.to_date(F.col("ts")).alias("day"), "user_id")
+    reg = hll_build(base, "user_id", b=8, group_cols=("day",))
+    days = reg.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            reg.alias("r"),
+            F.col("r.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket"))
+        .agg(F.max("r.reg").alias("reg"))
+    )
+    est = hll_estimate(merged, b=8, group_cols=("day",)).select(
+        "day", "zero_registers", F.col("est_distinct").alias("est_7d")
+    )
+    exact = (
+        days.alias("d")
+        .join(
+            base.alias("e"),
+            F.col("e.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("e.user_id").alias("exact_7d"))
+    )
+    return (
+        est.join(exact, "day")
+        .select("day", "exact_7d", "est_7d", "zero_registers")
+        .orderBy("day")
+    )
+
+
+
+
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
     """Clustering diagnostics over the literal seeded quantizer
@@ -12847,6 +13020,8 @@ _PRIORITY = [
     "attribution_multitouch_events",
     "attribution_path_removal_events",
     "quantile_normalize_by_source",
+    "ann_mrr_lsh_vs_exact",
+    "hll_rolling_7d_users",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

@@ -111,6 +111,11 @@ HEADLINE = [
     "hybrid_retrieval_pipeline",
     # round-5 additions
     "ivfpq_partitioned_topk_embeddings",  # timed cost = build+query
+    "binary_topk_embeddings",
+    "ivfpq_refine_topk_embeddings",       # timed cost = build+query
+    "winnow_near_dup_pairs_docs",
+    "attribution_multitouch_events",
+    "quantile_normalize_by_source",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -142,6 +147,8 @@ SF1_SPOT = [
     # part; the nprobe query side is constant)
     "jsd_sources_docs",
     "ivfpq_partitioned_topk_embeddings",
+    # round-5 late wave: fingerprint-postings pair growth
+    "winnow_near_dup_pairs_docs",
 ]
 
 
