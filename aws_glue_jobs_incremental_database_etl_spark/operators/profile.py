@@ -313,6 +313,54 @@ def exact_ntile(
     )
 
 
+def exact_global_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    coarse_buckets: int = 32,
+) -> DataFrame:
+    """EXACT global ``ROW_NUMBER() OVER (ORDER BY value, id)`` without
+    a single-partition sort — steps 1–3 of :func:`exact_ntile`'s
+    two-level construction exposed as a reusable ranking primitive
+    (coarse range placement from an approxQuantile sketch, per-bucket
+    local sorts, ≤``coarse_buckets`` driver-side offsets).  Exactness
+    never depends on the sketch; ``value_col`` must be non-null."""
+    from pyspark.sql.window import Window
+
+    probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
+    cuts = df.approxQuantile(value_col, probs, 1e-3)
+    coarse = F.lit(0)
+    for t in cuts:
+        coarse = coarse + F.when(F.col(value_col) > t, 1).otherwise(0)
+    ranked = df.withColumn("_pb", coarse).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_pb").orderBy(
+                F.col(value_col).asc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    sizes = dict(
+        ranked.groupBy("_pb").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for pb in sorted(sizes):
+        offsets[pb] = acc
+        acc += sizes[pb]
+    if not sizes:
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("_pb"),
+    )
+    return ranked.withColumn(
+        rank_col, (off + F.col("_rn")).cast("long")
+    ).drop("_pb", "_rn")
+
+
 def exact_ntile_grouped(
     df: DataFrame,
     n_tiles: int,

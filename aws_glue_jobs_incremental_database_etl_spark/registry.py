@@ -8759,6 +8759,58 @@ def hll_rolling_q(spark, sf_dir):
 
 
 
+@query(
+    "gini_user_activity_events",
+    """
+    WITH x AS (
+      SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+    ), r AS (
+      SELECT user_id, x,
+             ROW_NUMBER() OVER (ORDER BY x, user_id) AS rnk
+      FROM x
+    ), s AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(rnk * x) AS BIGINT) AS srx
+      FROM r
+    )
+    SELECT n AS n_users, sx AS total_events,
+           ROUND(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+)
+def gini_user_activity_q(spark, sf_dir):
+    """Gini concentration of per-user event activity — the bot/power-
+    user inequality screen (0 = uniform, →1 = one user generates
+    everything).  Exact rank-based formula G = (2·Σr·x − (n+1)·Σx) /
+    (n·Σx) with the rank from profile.exact_global_rank (the two-
+    level distributed construction — no single-partition sort over
+    the user domain); every sum folds as an exact BIGINT, one double
+    division at the end."""
+    from .operators.profile import exact_global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = exact_global_rank(x, "x", "user_id", rank_col="rnk")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("rnk") * F.col("x")).cast("long").alias("srx"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("total_events"),
+        F.round(
+            (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+
 
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
@@ -13022,6 +13074,7 @@ _PRIORITY = [
     "quantile_normalize_by_source",
     "ann_mrr_lsh_vs_exact",
     "hll_rolling_7d_users",
+    "gini_user_activity_events",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
