@@ -8811,6 +8811,115 @@ def gini_user_activity_q(spark, sf_dir):
 
 
 
+@query(
+    "expectations_report_tpch",
+    """
+    SELECT 'orders_pk_unique' AS rule,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orderstatus_accepted',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+                    OR o_orderstatus IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'retailprice_non_negative',
+           CAST((SELECT COUNT(*) FROM part
+                 WHERE p_retailprice < 0) AS BIGINT)
+    UNION ALL
+    SELECT 'discount_in_unit_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    ORDER BY rule
+    """,
+)
+def expectations_q(spark, sf_dir):
+    """Data-quality expectation suite (the dbt-test battery as one
+    report): primary-key uniqueness, referential integrity, accepted
+    values, not-null, and range rules — each a COUNT of violations,
+    zero meaning the expectation holds.  The ops-facing counterpart
+    of the row-level quarantine operators: run it per load, alert on
+    any nonzero.
+
+    Scale: uniqueness = one keyed agg; the FK check is a left-anti
+    join (broadcast or shuffle per AQE); value rules are map-side
+    predicate counts.  Nothing collects; the report is 6 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def one(rule, cnt_df):
+        return cnt_df.select(
+            F.lit(rule).alias("rule"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+
+    pk = one(
+        "orders_pk_unique",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    fk = one(
+        "lineitem_fk_orders",
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("c")),
+    )
+    acc = one(
+        "orderstatus_accepted",
+        orders.filter(
+            ~F.col("o_orderstatus").isin("F", "O", "P")
+            | F.col("o_orderstatus").isNull()
+        ).agg(F.count(F.lit(1)).alias("c")),
+    )
+    nn = one(
+        "custkey_not_null",
+        customer.filter(F.col("c_custkey").isNull()).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+    )
+    rng = one(
+        "retailprice_non_negative",
+        part.filter(F.col("p_retailprice") < 0).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+    )
+    disc = one(
+        "discount_in_unit_range",
+        lineitem.filter(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).agg(F.count(F.lit(1)).alias("c")),
+    )
+    return (
+        pk.unionByName(fk)
+        .unionByName(acc)
+        .unionByName(nn)
+        .unionByName(rng)
+        .unionByName(disc)
+        .orderBy("rule")
+    )
+
+
+
 
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
@@ -13075,6 +13184,7 @@ _PRIORITY = [
     "ann_mrr_lsh_vs_exact",
     "hll_rolling_7d_users",
     "gini_user_activity_events",
+    "expectations_report_tpch",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

@@ -74,6 +74,13 @@ SINGLE_PARTITION_OK = {
     "skew_stats_lineitem_suppkey",  # 1-row skew summary state
     "table_checksum_orders",     # 1-row checksum fold
     "zorder_value_orders",       # 1-row min/max range state
+    "attribution_path_removal_events",  # two 1-row scalar totals
+    # (converting-journey count, credit sum) broadcast back onto the
+    # 4-channel report
+    "gini_user_activity_events",  # 1-row Gini summary state (the
+    # rank itself is the distributed two-level construction)
+    "expectations_report_tpch",  # six 1-row violation-count reports
+    # unioned — each a global aggregate over a predicate filter
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -126,6 +133,12 @@ BNLJ_OK = {
     "sketch_quantiles_totalprice",
     "skew_stats_lineitem_suppkey",
     "zorder_value_orders",
+    "attribution_path_removal_events",  # the two 1-row scalar
+    # totals cross-joined back onto the 4-channel report
+    "hll_rolling_7d_users",  # days × daily-register interval join —
+    # the probe side is the ≤span-days distinct-day frame (broadcast),
+    # the build side ≤ days×256 register rows; bounded by the time
+    # span, never by event volume
 }
 
 
