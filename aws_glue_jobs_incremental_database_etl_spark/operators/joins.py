@@ -422,3 +422,115 @@ def asof_join_cogroup(
         .cogroup(right.groupBy(*on))
         .applyInPandas(kernel, schema)
     )
+
+
+def jaro_winkler_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+    length_band: int = 4,
+) -> DataFrame:
+    """Blocked Jaro-Winkler similarity self-join — the record-linkage
+    matcher for name-like strings (prefix-weighted, transposition-
+    tolerant), complementing :func:`edit_distance_join`'s
+    edit-budget semantics.  Pairs share a ``block_col`` value and a
+    ``length_band`` length window; survivors score with the textbook
+    Jaro-Winkler (boost threshold 0.7, prefix scale 0.1, max prefix
+    4 — bit-identical to DuckDB's ``jaro_winkler_similarity``,
+    validated pairwise) and pass at ``jw ≥ threshold``.
+
+    The similarity kernel is ONE documented Arrow-batched pandas UDF
+    (the SimHash-kernel precedent): per pair it runs the O(|a|·band)
+    matching walk in Python over the batch — strings are name-length,
+    the blocking join has already bounded the candidate volume, and
+    no built-in expression computes JW.  Same 100 TB contract as the
+    edit-distance join: fixed-cardinality blocks grow quadratically,
+    so at scale the blocking key must carry enough entropy (or LSH
+    candidates feed this as the verify stage)."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if length_band < 0:
+        raise ValueError("length_band must be >= 0")
+    import pandas as pd
+
+    # no inline type hints: this module's `from __future__ import
+    # annotations` turns them into strings, which pandas_udf's
+    # signature parser rejects — real annotations are attached below
+    def _jw_kernel(sa, sb):
+        def jaro(s1: str, s2: str) -> float:
+            if s1 == s2:
+                return 1.0
+            l1, l2 = len(s1), len(s2)
+            if l1 == 0 or l2 == 0:
+                return 0.0
+            md = max(l1, l2) // 2 - 1
+            if md < 0:
+                md = 0
+            f1 = [False] * l1
+            f2 = [False] * l2
+            m = 0
+            for i, c in enumerate(s1):
+                lo, hi = max(0, i - md), min(l2, i + md + 1)
+                for j in range(lo, hi):
+                    if not f2[j] and s2[j] == c:
+                        f1[i] = f2[j] = True
+                        m += 1
+                        break
+            if m == 0:
+                return 0.0
+            t = 0
+            k = 0
+            for i in range(l1):
+                if f1[i]:
+                    while not f2[k]:
+                        k += 1
+                    if s1[i] != s2[k]:
+                        t += 1
+                    k += 1
+            t //= 2
+            return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+        def jw(s1: str, s2: str) -> float:
+            j = jaro(s1, s2)
+            if j <= 0.7:
+                return j
+            pre = 0
+            for a, b in zip(s1[:4], s2[:4]):
+                if a != b:
+                    break
+                pre += 1
+            return j + pre * 0.1 * (1 - j)
+
+        return pd.Series(
+            [jw(x if x is not None else "", y if y is not None else "")
+             for x, y in zip(sa, sb)]
+        )
+
+    _jw_kernel.__annotations__ = {
+        "sa": pd.Series, "sb": pd.Series, "return": pd.Series
+    }
+    _jw = F.pandas_udf(_jw_kernel, "double")
+
+    a = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("t_a"),
+        F.length(text_col).alias("l_a"),
+    )
+    b = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("t_b"),
+        F.length(text_col).alias("l_b"),
+    )
+    cand = a.join(b, "block").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("l_a") - F.col("l_b")) <= length_band)
+    )
+    return (
+        cand.withColumn("jw", F.round(_jw("t_a", "t_b"), 6))
+        .filter(F.col("jw") >= threshold)
+        .select("block", "id_a", "id_b", "jw")
+    )

@@ -8920,6 +8920,46 @@ def expectations_q(spark, sf_dir):
 
 
 
+@query(
+    "jaro_winkler_pairs_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk,
+             len(p_name) AS l
+      FROM part WHERE p_partkey % 10 = 0
+    )
+    SELECT a.blk AS block, a.p_partkey AS id_a, b.p_partkey AS id_b,
+           ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+     AND abs(a.l - b.l) <= 4
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+    ORDER BY block, id_a, id_b
+    """,
+)
+def jaro_winkler_q(spark, sf_dir):
+    """Blocked Jaro-Winkler record-linkage join
+    (joins.jaro_winkler_join): first-char + length-band blocking,
+    then the prefix-weighted name matcher — the textbook kernel
+    (boost 0.7 / scale 0.1 / prefix 4), Arrow-batched, validated
+    bit-identical against DuckDB's builtin
+    ``jaro_winkler_similarity`` which this oracle calls directly:
+    the strongest cross-engine pin available (independent
+    implementations, same doubles).  Gated on the md5-free 10%%
+    partkey slice purely to keep the pair table small."""
+    from .operators.joins import jaro_winkler_join
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 10 == 0
+    )
+    blocked = part.withColumn("blk", F.substring("p_name", 1, 1))
+    return jaro_winkler_join(
+        blocked, "p_partkey", "p_name", "blk",
+        threshold=0.93, length_band=4,
+    ).orderBy("block", "id_a", "id_b")
+
+
+
 
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
@@ -13185,6 +13225,7 @@ _PRIORITY = [
     "hll_rolling_7d_users",
     "gini_user_activity_events",
     "expectations_report_tpch",
+    "jaro_winkler_pairs_parts",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

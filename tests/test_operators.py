@@ -1452,3 +1452,43 @@ def test_exact_ntile_grouped_matches_window_ntile(spark, sf_dir):
         exact_ntile_grouped(docs, 4, "n_chars", "doc_id", "doc_id", max_groups=10)
     with pytest.raises(ValueError, match="n_tiles"):
         exact_ntile_grouped(docs, 0, "n_chars", "doc_id", "source")
+
+
+def test_jaro_winkler_join_reference_values(spark):
+    """The JW kernel must reproduce reference values (textbook
+    MARTHA/MARHTA etc.) and honor blocking + threshold; validation
+    errors raise."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.joins import (
+        jaro_winkler_join,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "MARTHA", "M"),
+            (2, "MARHTA", "M"),
+            (3, "DWAYNE", "D"),
+            (4, "DUANE", "D"),
+            (5, "DIXON", "D"),
+            (6, "DICKSONX", "D"),
+            (7, "ZZZZZZ", "Z"),
+        ],
+        "id long, name string, blk string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.jw
+        for r in jaro_winkler_join(
+            df, "id", "name", "blk", threshold=0.0, length_band=10
+        ).collect()
+    }
+    assert abs(out[(1, 2)] - 0.961111) < 1e-6   # MARTHA/MARHTA
+    assert abs(out[(3, 4)] - 0.84) < 1e-6       # DWAYNE/DUANE
+    assert abs(out[(5, 6)] - 0.813333) < 1e-6   # DIXON/DICKSONX
+    assert (1, 3) not in out                    # different block
+    assert (3, 5) in out and out[(3, 5)] < 0.7  # no Winkler boost
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        jaro_winkler_join(df, "id", "name", "blk", threshold=0.0 - 1)
+    with pytest.raises(ValueError, match="length_band"):
+        jaro_winkler_join(df, "id", "name", "blk", length_band=-1)
