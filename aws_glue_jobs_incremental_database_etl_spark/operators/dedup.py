@@ -964,3 +964,103 @@ def winnow_near_dup_pairs(
         .filter(F.col("overlap") >= threshold)
         .select("id_a", "id_b", "shared", "overlap")
     )
+
+
+# ------------------------------------------------- tf-idf cosine join
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_postings: int = 1000,
+    idf_scale: int = 10_000,
+) -> DataFrame:
+    """EXACT tf-idf weighted-cosine document-pair join via token
+    postings — the weighted counterpart of the Jaccard inverted-index
+    join: rare terms dominate the score instead of every shingle
+    counting equally.
+
+    Determinism contract: idf = ln((N+1)/(df+1)) + 1 is rounded and
+    scaled to an INTEGER weight (``idf_scale`` = 4 decimal digits),
+    so per-token weights, dot products, and squared norms all fold as
+    exact BIGINTs (order-free across engines); the only float ops are
+    one IEEE sqrt (correctly rounded by spec) and one division.
+    Magnitudes: w = tf·idf·1e4 ≈ 1e6, w² ≈ 1e12, × vocab-per-doc
+    stays orders under 2^63.
+
+    Scale shape: postings self-join keyed by token with the same
+    ``max_postings`` stop-term cap as the Jaccard join (a pair
+    connected ONLY by ubiquitous terms scores ≈ 0 anyway); norms are
+    one doc-keyed aggregate; N broadcasts as a 1-row frame."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_of(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    weighted = (
+        toks.join(dfreq.filter(F.col("df_") <= max_postings), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "token",
+            (
+                F.col("tf")
+                * F.round(
+                    (
+                        F.log(
+                            (F.col("n_docs") + 1).cast("double")
+                            / (F.col("df_") + 1).cast("double")
+                        )
+                        + 1.0
+                    )
+                    * idf_scale
+                ).cast("long")
+            ).alias("w"),
+        )
+        # persist: consumed by the norm aggregate AND both self-join
+        # sides (the jaccard/winnow multi-branch precedent)
+        .persist()
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a, b = weighted.alias("a"), weighted.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("n2_a").cast("double")
+                    * F.col("n2_b").cast("double")
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -8960,6 +8960,169 @@ def jaro_winkler_q(spark, sf_dir):
 
 
 
+@query(
+    "tfidf_cosine_pairs_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT id, token, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY id, token
+    ), dfq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), w AS (
+      SELECT id, token,
+             tf * CAST(ROUND((LN((n_docs + 1)
+                                 / CAST(df + 1 AS DOUBLE)) + 1.0)
+                             * 10000) AS BIGINT) AS w
+      FROM tf JOIN dfq USING (token), n
+      WHERE df <= 1000
+    ), norms AS (
+      SELECT id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY id
+    ), dots AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b,
+             ROUND(dot / sqrt(CAST(na.n2 AS DOUBLE)
+                              * CAST(nb.n2 AS DOUBLE)), 4) AS cos
+      FROM dots
+      JOIN norms na ON na.id = id_a
+      JOIN norms nb ON nb.id = id_b
+    ) WHERE cos >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def tfidf_cosine_q(spark, sf_dir):
+    """EXACT tf-idf weighted-cosine pair join
+    (dedup.tfidf_cosine_pairs): the weighted counterpart of the
+    Jaccard postings join — rare terms dominate instead of every
+    token counting equally, catching topical near-dups whose shingle
+    overlap is diluted by boilerplate.  Integer-scaled idf weights
+    make every dot product and norm an exact BIGINT fold (order-free
+    both engines); the only floats are one IEEE sqrt + one division.
+    Postings capped at df ≤ 1000 identically on both sides."""
+    from .operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_postings=1000
+    ).orderBy("id_a", "id_b")
+
+
+
+
+@query("cohens_kappa_quality_docs", None)  # oracle attached below (composed)
+def cohens_kappa_q(spark, sf_dir):
+    """Cohen's kappa agreement between the two shipped quality
+    raters — the hashed linear classifier (score >= 0.5) and the
+    Gopher rule battery (keep flag): the standard chance-corrected
+    check that two filters actually measure the same thing before one
+    replaces the other in a curation pipeline.  The 2x2 agreement
+    matrix folds as exact BIGINTs; po/pe/kappa are literal arithmetic
+    on five integers.  Oracle composes the classifier and Gopher
+    gates' own generated SQL, so the raters here are pinned to the
+    exact rater definitions those gates verify."""
+    from .operators.sampling import hash_bucket
+    from .operators.text import gopher_quality_flags, hashed_classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    dim = 4096
+    model = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("_t")
+        )
+        .select(hash_bucket(F.col("_t"), dim).alias("bucket"))
+        .distinct()
+        .select(
+            "bucket",
+            (
+                ((F.col("bucket") % 101).cast("double") - 50.0) / 500.0
+            ).alias("w"),
+        )
+    )
+    ra = hashed_classifier_score(d, model, dim=dim, bias=0.1).select(
+        F.col("id").alias("doc_id"),
+        (F.col("score") >= 0.5).cast("int").alias("a"),
+    )
+    rb = gopher_quality_flags(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("keep").alias("b")
+    )
+    m = ra.join(rb, "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("long")
+        .alias("n00"),
+    )
+    po = F.col("n11") + F.col("n00")
+    pe_num = (F.col("n11") + F.col("n10")) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    po_d = po.cast("double") / F.col("n")
+    pe_d = pe_num.cast("double") / (F.col("n") * F.col("n")).cast(
+        "double"
+    )
+    return m.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po_d, 6).alias("po"),
+        F.round(pe_d, 6).alias("pe"),
+        F.round((po_d - pe_d) / (F.lit(1.0) - pe_d), 6).alias("kappa"),
+    )
+
+
+def _cohens_kappa_oracle() -> str:
+    """Compose the classifier and Gopher oracles (both generated
+    above) into the 2x2 agreement fold."""
+    clf = O["classifier_score_docs"]
+    gopher = O["gopher_quality_docs"]
+    return f"""
+    WITH ra AS (
+      SELECT id AS doc_id, CAST(score >= 0.5 AS INTEGER) AS a
+      FROM ({clf}) c
+    ), rb AS (
+      SELECT id AS doc_id, keep AS b FROM ({gopher}) g
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM ra JOIN rb USING (doc_id)
+    )
+    SELECT n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           ROUND(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 6) AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / n
+                  - CAST((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                    / CAST(n * n AS DOUBLE))
+                 / (1.0 - CAST((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                          / CAST(n * n AS DOUBLE)), 6) AS kappa
+    FROM m
+    """
+
+
+O["cohens_kappa_quality_docs"] = _cohens_kappa_oracle()
+
 
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
@@ -13226,6 +13389,8 @@ _PRIORITY = [
     "gini_user_activity_events",
     "expectations_report_tpch",
     "jaro_winkler_pairs_parts",
+    "tfidf_cosine_pairs_docs",
+    "cohens_kappa_quality_docs",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

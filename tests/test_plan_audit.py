@@ -81,6 +81,9 @@ SINGLE_PARTITION_OK = {
     # rank itself is the distributed two-level construction)
     "expectations_report_tpch",  # six 1-row violation-count reports
     # unioned — each a global aggregate over a predicate filter
+    "tfidf_cosine_pairs_docs",   # 1-row corpus-count scalar (n_docs)
+    # broadcast into the idf weights
+    "cohens_kappa_quality_docs", # 1-row 2x2 agreement-matrix fold
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -135,6 +138,7 @@ BNLJ_OK = {
     "zorder_value_orders",
     "attribution_path_removal_events",  # the two 1-row scalar
     # totals cross-joined back onto the 4-channel report
+    "tfidf_cosine_pairs_docs",  # 1-row n_docs scalar cross join
     "hll_rolling_7d_users",  # days × daily-register interval join —
     # the probe side is the ≤span-days distinct-day frame (broadcast),
     # the build side ≤ days×256 register rows; bounded by the time
