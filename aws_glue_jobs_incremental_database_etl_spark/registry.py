@@ -9124,6 +9124,138 @@ def _cohens_kappa_oracle() -> str:
 O["cohens_kappa_quality_docs"] = _cohens_kappa_oracle()
 
 
+@query(
+    "k_anonymity_report_orders",
+    """
+    WITH g AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             COUNT(*) AS grp_size,
+             COUNT(DISTINCT o_custkey) AS n_sensitive
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority, order_year
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS k_violating_groups,
+           CAST(SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS l_violating_groups,
+           CAST(MIN(grp_size) AS BIGINT) AS min_group_size,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_l
+    FROM g
+    """,
+)
+def k_anonymity_q(spark, sf_dir):
+    """k-anonymity / l-diversity privacy report over the quasi-
+    identifier tuple (status, priority, order year) with the customer key
+    as the sensitive attribute: groups smaller than k = 5 re-identify their
+    members; groups with fewer than l = 3 distinct sensitive values
+    leak it even at size ≥ k.  The release-gate check a dataset
+    publisher runs before sharing — one grouped aggregate (map-side
+    partial) + one 1-row fold, pure integer counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("grp_size"),
+        F.countDistinct("o_custkey").alias("n_sensitive"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            F.when(F.col("grp_size") < 5, 1).otherwise(0)
+        ).cast("long").alias("k_violating_groups"),
+        F.sum(
+            F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0)
+        ).cast("long").alias("rows_at_risk"),
+        F.sum(
+            F.when(F.col("n_sensitive") < 3, 1).otherwise(0)
+        ).cast("long").alias("l_violating_groups"),
+        F.min("grp_size").cast("long").alias("min_group_size"),
+        F.min("n_sensitive").cast("long").alias("min_l"),
+    )
+
+
+
+@query(
+    "seasonal_adjust_dow_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS x
+      FROM events GROUP BY 1, 2
+    ), d2 AS (
+      SELECT event_type, day, x, dayofweek(day) AS dow FROM daily
+    ), per_dow AS (
+      SELECT event_type, dow, SUM(x) AS sdow,
+             CAST(COUNT(*) AS BIGINT) AS cdow
+      FROM d2 GROUP BY event_type, dow
+    ), overall AS (
+      SELECT event_type, SUM(x) AS sall,
+             CAST(COUNT(*) AS BIGINT) AS call
+      FROM d2 GROUP BY event_type
+    ), si AS (
+      SELECT p.event_type, p.dow,
+             ROUND((p.sdow * o.call) / (p.cdow * o.sall), 6)
+               AS seasonal_index
+      FROM per_dow p JOIN overall o ON o.event_type = p.event_type
+    )
+    SELECT d2.event_type, d2.day, d2.x, si.seasonal_index,
+           ROUND(d2.x / si.seasonal_index, 4) AS deseasonalized
+    FROM d2 JOIN si
+      ON si.event_type = d2.event_type AND si.dow = d2.dow
+    ORDER BY d2.event_type, d2.day
+    """,
+)
+def seasonal_adjust_q(spark, sf_dir):
+    """Day-of-week seasonal adjustment (the ratio-to-moving-average
+    decomposition's seasonal step, weekly period): seasonal index =
+    dow mean / overall mean per event type, deseasonalized value =
+    x / index — the series a weekday-aware anomaly monitor thresholds
+    instead of the raw one.  The index is one bounded (type × 7)-row
+    frame computed from the SAME dyadic ratio expression both
+    engines evaluate (products before division, one ROUND)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("x").alias("sdow"), F.count(F.lit(1)).alias("cdow")
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.sum("x").alias("sall"), F.count(F.lit(1)).alias("call")
+    )
+    si = per_dow.join(overall, "event_type").select(
+        "event_type",
+        "dow",
+        F.round(
+            (F.col("sdow") * F.col("call"))
+            / (F.col("cdow") * F.col("sall")),
+            6,
+        ).alias("seasonal_index"),
+    )
+    return (
+        daily.join(si, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "x",
+            "seasonal_index",
+            F.round(F.col("x") / F.col("seasonal_index"), 4).alias(
+                "deseasonalized"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
     """Clustering diagnostics over the literal seeded quantizer
@@ -13391,6 +13523,8 @@ _PRIORITY = [
     "jaro_winkler_pairs_parts",
     "tfidf_cosine_pairs_docs",
     "cohens_kappa_quality_docs",
+    "k_anonymity_report_orders",
+    "seasonal_adjust_dow_events",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

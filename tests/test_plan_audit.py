@@ -84,6 +84,8 @@ SINGLE_PARTITION_OK = {
     "tfidf_cosine_pairs_docs",   # 1-row corpus-count scalar (n_docs)
     # broadcast into the idf weights
     "cohens_kappa_quality_docs", # 1-row 2x2 agreement-matrix fold
+    "k_anonymity_report_orders", # 1-row privacy report fold over the
+    # bounded quasi-identifier group frame
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
