@@ -872,16 +872,23 @@ def winnow_fingerprints(
     )
     hashed = base.select(id_col, hs.alias("_hs"))
     nwin = F.greatest(F.size("_hs") - F.lit(window - 1), F.lit(1))
+    # two-level transform so each window's slice materializes ONCE
+    # (the naive form slices twice — once for array_min, once for
+    # array_position; measured ~25% of the whole fingerprint stage
+    # at sf1)
+    wins = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda j: F.struct(
+            j.alias("j"), F.slice("_hs", j, window).alias("win")
+        ),
+    )
     sel = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda j: (
-                j
+            wins,
+            lambda s: (
+                s["j"]
                 - 1
-                + F.array_position(
-                    F.slice("_hs", j, window),
-                    F.array_min(F.slice("_hs", j, window)),
-                )
+                + F.array_position(s["win"], F.array_min(s["win"]))
             ).cast("int"),
         )
     )

@@ -9256,6 +9256,171 @@ def seasonal_adjust_q(spark, sf_dir):
 
 
 
+@query(
+    "heaps_law_fit_docs",
+    r"""
+    WITH n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), dt AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_toks
+      FROM documents
+    ), fd AS (
+      SELECT token, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents)
+      WHERE token <> '' GROUP BY token
+    ), cp AS (
+      SELECT i, (i * n_docs) // 10 AS cutoff
+      FROM range(1, 11) t(i), n
+    ), vocab AS (
+      SELECT cp.i, CAST(COUNT(*) AS BIGINT) AS v
+      FROM cp JOIN fd ON fd.first_doc < cp.cutoff
+      GROUP BY cp.i
+    ), toks AS (
+      SELECT cp.i, CAST(SUM(dt.n_toks) AS BIGINT) AS tk
+      FROM cp JOIN dt ON dt.doc_id < cp.cutoff
+      GROUP BY cp.i
+    ), pts AS (
+      SELECT vocab.i, ROUND(LN(toks.tk), 6) AS x,
+             ROUND(LN(vocab.v), 6) AS y
+      FROM vocab JOIN toks ON toks.i = vocab.i
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(y, x), 4) AS beta,
+           ROUND(exp(regr_intercept(y, x)), 2) AS k
+    FROM pts
+    """,
+)
+def heaps_law_q(spark, sf_dir):
+    """Heaps' law fit V(n) = K·n^beta — vocabulary growth against
+    cumulative token volume, the scaling diagnostic that predicts
+    vocab size (and hash-feature collision rates, sketch widths,
+    tokenizer OOV pressure) at 100 TB from what the small corpus
+    shows.  Ten cumulative checkpoints in doc_id order: per-token
+    first-occurrence doc (one grouped MIN over the postings), vocab
+    and token totals per checkpoint via two bounded 10-row joins,
+    then a log-log OLS via regr_slope/regr_intercept over the 10
+    points (inputs rounded to 6 before the fit, outputs rounded)."""
+    ev = load_table(spark, sf_dir, "documents")
+    n = ev.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks_col = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    dt = ev.select(
+        "doc_id", F.size(toks_col).cast("long").alias("n_toks")
+    )
+    fd = (
+        ev.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cp = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(n))
+        .select("i", F.expr("(i * n_docs) div 10").alias("cutoff"))
+    )
+    vocab = (
+        cp.join(fd, fd["first_doc"] < cp["cutoff"])
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    tk = (
+        cp.join(dt, dt["doc_id"] < cp["cutoff"])
+        .groupBy("i")
+        .agg(F.sum("n_toks").alias("tk"))
+    )
+    pts = vocab.join(tk, "i").select(
+        F.round(F.log(F.col("tk").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("v").cast("double")), 6).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("beta"),
+        F.round(F.exp(F.expr("regr_intercept(y, x)")), 2).alias("k"),
+    )
+
+
+
+@query(
+    "rfm_user_scores_events",
+    """
+    WITH base AS (
+      SELECT user_id,
+             epoch_us(MAX(ts)) AS recency_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(value), 4) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), scored AS (
+      SELECT user_id, recency_us, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_us, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+      FROM base
+    )
+    SELECT user_id, recency_us, frequency, monetary,
+           r_score, f_score, m_score,
+           100 * r_score + 10 * f_score + m_score AS rfm
+    FROM scored ORDER BY user_id
+    """,
+)
+def rfm_scores_q(spark, sf_dir):
+    """RFM customer scoring (recency / frequency / monetary
+    quintiles, the classic segmentation): per-user purchase
+    aggregates, then THREE exact quintile assignments via
+    profile.exact_ntile — each the two-level distributed rank, no
+    single-partition sort over the user domain (a bare NTILE window,
+    the oracle's formulation, funnels every user through one
+    partition).  Recency is the exact-microsecond last-purchase
+    epoch; monetary rounds before ranking so the tie order is
+    engine-identical; rfm = 100r + 10f + m is the standard code."""
+    from .operators.profile import exact_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            epoch_us(F.max("ts")).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    r = exact_ntile(base, 5, "recency_us", "user_id", bucket_col="r_score")
+    f_ = exact_ntile(
+        r, 5, "frequency", "user_id", bucket_col="f_score"
+    )
+    m = exact_ntile(
+        f_, 5, "monetary", "user_id", bucket_col="m_score"
+    )
+    return m.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score")
+        ).alias("rfm"),
+    ).orderBy("user_id")
+
+
+
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
     """Clustering diagnostics over the literal seeded quantizer
@@ -13525,6 +13690,8 @@ _PRIORITY = [
     "cohens_kappa_quality_docs",
     "k_anonymity_report_orders",
     "seasonal_adjust_dow_events",
+    "heaps_law_fit_docs",
+    "rfm_user_scores_events",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

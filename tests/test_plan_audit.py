@@ -86,6 +86,8 @@ SINGLE_PARTITION_OK = {
     "cohens_kappa_quality_docs", # 1-row 2x2 agreement-matrix fold
     "k_anonymity_report_orders", # 1-row privacy report fold over the
     # bounded quasi-identifier group frame
+    "heaps_law_fit_docs",        # 1-row OLS fold over the literal
+    # 10-checkpoint log-log frame (plus the 1-row n_docs scalar)
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -141,6 +143,8 @@ BNLJ_OK = {
     "attribution_path_removal_events",  # the two 1-row scalar
     # totals cross-joined back onto the 4-channel report
     "tfidf_cosine_pairs_docs",  # 1-row n_docs scalar cross join
+    "heaps_law_fit_docs",       # 1-row n_docs scalar cross join into
+    # the 10-row checkpoint frame
     "hll_rolling_7d_users",  # days × daily-register interval join —
     # the probe side is the ≤span-days distinct-day frame (broadcast),
     # the build side ≤ days×256 register rows; bounded by the time
