@@ -9421,6 +9421,187 @@ def rfm_scores_q(spark, sf_dir):
 
 
 
+@query(
+    "vocab_coverage_curve_docs",
+    r"""
+    WITH tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+              AS token FROM documents)
+      WHERE token <> '' GROUP BY token
+    ), ranked AS (
+      SELECT token, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rnk
+      FROM tf
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM tf
+    ), ks AS (
+      SELECT unnest([10, 30, 100, 300, 1000]) AS k
+    )
+    SELECT ks.k,
+           CAST(SUM(CASE WHEN ranked.rnk <= ks.k THEN ranked.c
+                         ELSE 0 END) AS BIGINT) AS covered_tokens,
+           ANY_VALUE(tot.total) AS total_tokens,
+           ANY_VALUE(tot.vocab) AS vocab_size,
+           ROUND(CAST(SUM(CASE WHEN ranked.rnk <= ks.k THEN ranked.c
+                              ELSE 0 END) AS DOUBLE)
+                 / ANY_VALUE(tot.total), 6) AS coverage
+    FROM ks, ranked, tot
+    GROUP BY ks.k ORDER BY ks.k
+    """,
+)
+def vocab_coverage_q(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of all token
+    instances the top-k most frequent types cover, at k ∈ {10, 30,
+    100, 300, 1000} — the tokenizer/vocab-sizing companion to the
+    Zipf and Heaps fits (pick the smallest vocab hitting the target
+    coverage).  The rank orders TYPES (vocab-bounded, not corpus-
+    bounded — the Mann-Whitney design rule), counts fold as exact
+    BIGINTs, one division per k."""
+    ev = load_table(spark, sf_dir, "documents")
+    tf = (
+        ev.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    tot = tf.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(10,), (30,), (100,), (300,), (1000,)], "k int"
+    )
+    return (
+        ks.crossJoin(ranked)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("rnk") <= F.col("k"), F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+            F.first("total").alias("total_tokens"),
+            F.first("vocab").alias("vocab_size"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rnk") <= F.col("k"), F.col("c")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.first("total"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+
+@query(
+    "centroid_drift_labels_embeddings",
+    """
+    WITH e AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS v
+      FROM embeddings
+    ), comp AS (
+      SELECT label, i, CAST(SUM(v[i]) AS BIGINT) AS s
+      FROM e, range(1, 65) t(i)
+      GROUP BY label, i
+    ), c AS (
+      SELECT comp.label, list(s ORDER BY i) AS cent,
+             ANY_VALUE(cnt.n) AS n
+      FROM comp
+      JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY label) cnt
+        ON cnt.label = comp.label
+      GROUP BY comp.label
+    )
+    SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+           ROUND(
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> a.cent[i] * b.cent[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                      i -> a.cent[i] * a.cent[i])) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(range(1, 65),
+                        i -> b.cent[i] * b.cent[i])) AS DOUBLE))), 4)
+             AS centroid_cosine
+    FROM c a JOIN c b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def centroid_drift_q(spark, sf_dir):
+    """Per-label embedding centroid drift: the pairwise cosine grid
+    between label centroids — the embedding-space analogue of the
+    JSD/KS source-drift family (are two slices' representations
+    converging or separating?).  Components scale to integers
+    (×1e6, rounded) BEFORE summing so every centroid, dot product,
+    and norm folds as an exact BIGINT regardless of engine sum
+    order; the only floats are two IEEE sqrts and one division.
+    One grouped aggregate reduces the corpus; the grid is
+    labels², bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    c = e.groupBy("label").agg(
+        F.array(
+            *[
+                F.sum(F.element_at("v", i + 1)).cast("long")
+                for i in range(64)
+            ]
+        ).alias("cent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+
+    def dot(x, y):
+        acc = None
+        for i in range(64):
+            t = F.element_at(x, i + 1) * F.element_at(y, i + 1)
+            acc = t if acc is None else acc + t
+        return acc
+
+    ca, cb = F.col("a.cent"), F.col("b.cent")
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                dot(ca, cb).cast("double")
+                / (
+                    F.sqrt(dot(ca, ca).cast("double"))
+                    * F.sqrt(dot(cb, cb).cast("double"))
+                ),
+                4,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+
 @query("cluster_stats_embeddings", None)  # oracle attached below (generated)
 def cluster_stats_q(spark, sf_dir):
     """Clustering diagnostics over the literal seeded quantizer
@@ -13692,6 +13873,8 @@ _PRIORITY = [
     "seasonal_adjust_dow_events",
     "heaps_law_fit_docs",
     "rfm_user_scores_events",
+    "vocab_coverage_curve_docs",
+    "centroid_drift_labels_embeddings",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",

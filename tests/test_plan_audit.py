@@ -88,6 +88,9 @@ SINGLE_PARTITION_OK = {
     # bounded quasi-identifier group frame
     "heaps_law_fit_docs",        # 1-row OLS fold over the literal
     # 10-checkpoint log-log frame (plus the 1-row n_docs scalar)
+    "vocab_coverage_curve_docs", # rank window + totals over the TYPE
+    # table — vocab-bounded, not corpus-bounded (the Mann-Whitney
+    # design rule)
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -145,6 +148,10 @@ BNLJ_OK = {
     "tfidf_cosine_pairs_docs",  # 1-row n_docs scalar cross join
     "heaps_law_fit_docs",       # 1-row n_docs scalar cross join into
     # the 10-row checkpoint frame
+    "vocab_coverage_curve_docs",  # literal 5-row k frame × the
+    # vocab-bounded type table + 1-row totals
+    "centroid_drift_labels_embeddings",  # labels × labels theta join
+    # over the ≤|labels|-row centroid frame — dimension-bounded grid
     "hll_rolling_7d_users",  # days × daily-register interval join —
     # the probe side is the ≤span-days distinct-day frame (broadcast),
     # the build side ≤ days×256 register rows; bounded by the time
