@@ -745,6 +745,41 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007): search the
+    query's bucket AND every bucket at Hamming distance 1 from its
+    signature — the recall knob that costs (planes+1)/2^planes of the
+    corpus instead of rebuilding with fewer planes.  The probe set is
+    enumerated DRIVER-SIDE as literal bucket ids (planes+1 values),
+    so on a bucket-partitioned layout the filter resolves to
+    PartitionFilters exactly like the IVF nprobe scan; candidates
+    then exact-rank as usual."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, num_planes, seed)
+    qsig = 0
+    qv = np.asarray(query_vec)
+    for i, p in enumerate(planes):
+        if float(qv @ p) >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(num_planes)]
+    bucketed = hyperplane_lsh_bucket(corpus, vec_col, dim, num_planes, seed)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket").isin(probes)),
+        query_vec,
+        k,
+        id_col,
+        vec_col,
+    )
+
+
 def random_projection(
     df: DataFrame,
     vec_col: str,

@@ -1492,3 +1492,30 @@ def test_jaro_winkler_join_reference_values(spark):
         jaro_winkler_join(df, "id", "name", "blk", threshold=0.0 - 1)
     with pytest.raises(ValueError, match="length_band"):
         jaro_winkler_join(df, "id", "name", "blk", length_band=-1)
+
+
+def test_lsh_multiprobe_dominates_single_bucket(spark, sf_dir):
+    """Hamming-1 multiprobe must retrieve a SUPERSET of the single-
+    bucket candidates (the query bucket is in the probe set), so its
+    recall vs exact top-k can only be >= the single probe's."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+        cosine_topk_lsh_multiprobe,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    single = {
+        r.vec_id
+        for r in cosine_topk_lsh(emb, q, k=10, num_planes=6).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in cosine_topk_lsh_multiprobe(
+            emb, q, k=10, num_planes=6
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
