@@ -232,9 +232,14 @@ def exact_ntile(
     id_col: str,
     coarse_buckets: int = 32,
     bucket_col: str = "bucket",
+    cuts: list | None = None,
 ) -> DataFrame:
     """EXACT global ``NTILE(n) OVER (ORDER BY value, id)`` without the
     single-partition sort a bare unpartitioned Window plans.
+
+    ``cuts`` lets callers reuse one approxQuantile sketch across
+    several rankings of the same frame (placement only — exactness
+    never depends on it).
 
     Two-level rank construction (the classic distributed total-order
     ranking):
@@ -261,8 +266,9 @@ def exact_ntile(
         raise ValueError("n_tiles must be >= 1")
     from pyspark.sql.window import Window
 
-    probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
-    cuts = df.approxQuantile(value_col, probs, 1e-3)
+    if cuts is None:
+        probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
+        cuts = df.approxQuantile(value_col, probs, 1e-3)
     coarse = F.lit(0)
     for t in cuts:
         coarse = coarse + F.when(F.col(value_col) > t, 1).otherwise(0)
@@ -370,6 +376,7 @@ def exact_ntile_grouped(
     coarse_buckets: int = 32,
     bucket_col: str = "bucket",
     max_groups: int = 10_000,
+    cuts: list | None = None,
 ) -> DataFrame:
     """EXACT ``NTILE(n) OVER (PARTITION BY group ORDER BY value, id)``
     with the same two-level distributed-rank construction as
@@ -389,8 +396,9 @@ def exact_ntile_grouped(
         raise ValueError("n_tiles must be >= 1")
     from pyspark.sql.window import Window
 
-    probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
-    cuts = df.approxQuantile(value_col, probs, 1e-3)
+    if cuts is None:
+        probs = [i / coarse_buckets for i in range(1, coarse_buckets)]
+        cuts = df.approxQuantile(value_col, probs, 1e-3)
     coarse = F.lit(0)
     for t in cuts:
         coarse = coarse + F.when(F.col(value_col) > t, 1).otherwise(0)

@@ -12833,9 +12833,12 @@ def quantile_normalize_q(spark, sf_dir):
     division (order-free, engine-identical)."""
     from .operators.profile import exact_ntile, exact_ntile_grouped
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").persist()
+    # one approxQuantile sketch serves BOTH rankings (placement only)
+    cuts = docs.approxQuantile("n_chars", [i / 32 for i in range(1, 32)], 1e-3)
     pooled = exact_ntile(
-        docs, 20, "n_chars", "doc_id", bucket_col="pooled_bucket"
+        docs, 20, "n_chars", "doc_id", bucket_col="pooled_bucket",
+        cuts=cuts,
     )
     target = (
         pooled.groupBy("pooled_bucket")
@@ -12847,7 +12850,8 @@ def quantile_normalize_q(spark, sf_dir):
         .select(F.col("pooled_bucket").alias("b"), "qn")
     )
     per_source = exact_ntile_grouped(
-        docs, 20, "n_chars", "doc_id", "source", bucket_col="src_bucket"
+        docs, 20, "n_chars", "doc_id", "source", bucket_col="src_bucket",
+        cuts=cuts,
     )
     return (
         per_source.join(
