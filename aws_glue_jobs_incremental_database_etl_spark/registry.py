@@ -3327,6 +3327,83 @@ def lsh_multiprobe_q(spark, sf_dir):
 O["lsh_multiprobe_topk_embeddings"] = _lsh_multiprobe_oracle()
 
 
+@query(
+    "sessionize_capped_events",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, rn, t, 1 AS session_idx, t AS session_start
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.t,
+             CASE WHEN n.t - w.t > 1800000000
+                    OR n.t - w.session_start > 7200000000
+                  THEN w.session_idx + 1 ELSE w.session_idx END,
+             CASE WHEN n.t - w.t > 1800000000
+                    OR n.t - w.session_start > 7200000000
+                  THEN n.t ELSE w.session_start END
+      FROM e n JOIN walk w
+        ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    )
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(t) AS start_us, MAX(t) AS end_us
+    FROM walk GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def sessionize_capped_q(spark, sf_dir):
+    """Duration-capped sessionization (the GA4 rule: a session ends
+    after a 30-minute gap OR when it has lasted 2 hours since its
+    start) — genuinely recursive state, unlike the plain gap rule: a
+    split depends on the running session START, which a window
+    function cannot carry.  Same architecture as SES/Holt: one
+    user-partitioned sort feeds an applyInPandas walk over each
+    user's bounded event list; the oracle is the recursive-CTE twin
+    over exact-microsecond integers (no float state at all)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        epoch_us("ts").alias("t"),
+        "event_id",
+    )
+
+    GAP, CAP = 1_800_000_000, 7_200_000_000
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"]).reset_index(drop=True)
+        idxs = []
+        idx, start, prev = 0, None, None
+        for t in pdf["t"]:
+            if start is None or t - prev > GAP or t - start > CAP:
+                idx += 1
+                start = t
+            idxs.append(idx)
+            prev = t
+        pdf["session_idx"] = idxs
+        return pdf[["user_id", "t", "session_idx"]]
+
+    walked = base.groupBy("user_id").applyInPandas(
+        walk, "user_id long, t long, session_idx int"
+    )
+    return (
+        walked.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("t").alias("start_us"),
+            F.max("t").alias("end_us"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+
 
 def _centroid_assign_sql(centroids) -> str:
     """DuckDB twin of ``similarity.assign_nearest_centroid`` over a
@@ -13939,6 +14016,7 @@ _PRIORITY = [
     "vocab_coverage_curve_docs",
     "centroid_drift_labels_embeddings",
     "lsh_multiprobe_topk_embeddings",
+    "sessionize_capped_events",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
