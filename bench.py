@@ -116,6 +116,8 @@ HEADLINE = [
     "winnow_near_dup_pairs_docs",
     "attribution_multitouch_events",
     "quantile_normalize_by_source",
+    "tfidf_cosine_pairs_docs",
+    "sessionize_capped_events",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
