@@ -3404,6 +3404,160 @@ def sessionize_capped_q(spark, sf_dir):
 
 
 
+@query(
+    "interval_union_length_events",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ), ord AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS max_prev_e
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN max_prev_e IS NULL OR s > max_prev_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+      FROM ord
+    ), merged AS (
+      SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(e - s) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def interval_union_q(spark, sf_dir):
+    """Interval-union coverage (merge overlapping intervals, total
+    covered time): each event opens a 30-minute activity interval;
+    islands form where a start exceeds the running MAX of prior ends
+    — the monotone-state trick that keeps this pure windows (running
+    max + cumulative island counter), no recursion, no pandas.  The
+    billing/uptime primitive (distinct covered seconds, not event
+    counts).  All integer microseconds; two user-partitioned windows
+    + one grouped merge."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + F.lit(1_800_000_000)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    ordd = iv.withColumn(
+        "max_prev_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = ordd.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("max_prev_e").isNull()
+                | (F.col("s") > F.col("max_prev_e")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias(
+                "covered_us"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "clamped_balance_users_events",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id,
+             CAST(ROUND(value * 10000) AS BIGINT) - 500000 AS delta,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, rn, delta,
+             greatest(CAST(0 AS BIGINT), delta) AS bal
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.delta,
+             greatest(CAST(0 AS BIGINT), w.bal + n.delta)
+      FROM e n JOIN walk w
+        ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    )
+    SELECT user_id,
+           CAST(MAX(rn) AS BIGINT) AS n_events,
+           MAX(bal) AS peak_scaled,
+           MAX(CASE WHEN rn = mx THEN bal END) AS final_scaled
+    FROM walk JOIN (SELECT user_id AS u2, MAX(rn) AS mx
+                    FROM walk GROUP BY user_id) m
+      ON m.u2 = walk.user_id
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def clamped_balance_q(spark, sf_dir):
+    """Floor-clamped running balance (inventory/credit semantics:
+    balance never goes below zero, so deficits do NOT carry) — a
+    NON-linear recurrence no prefix-sum window can express: the clamp
+    makes each step depend on the clamped previous state.  Deltas are
+    value×1e4 − 50.0×1e4 as exact integers, the per-user walk is the
+    applyInPandas pattern (bounded per-user lists), and the oracle is
+    the recursive-CTE twin.  Reports peak and final balance per
+    user."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        (
+            F.round(F.col("value") * 10_000).cast("long")
+            - F.lit(500_000)
+        ).alias("delta"),
+        epoch_us("ts").alias("t"),
+        "event_id",
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"]).reset_index(drop=True)
+        bal, peak = 0, 0
+        for d in pdf["delta"]:
+            bal = max(0, bal + int(d))
+            peak = max(peak, bal)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "peak_scaled": [peak],
+                "final_scaled": [bal],
+            }
+        )
+
+    return (
+        base.groupBy("user_id")
+        .applyInPandas(
+            walk,
+            "user_id long, n_events long, peak_scaled long,"
+            " final_scaled long",
+        )
+        .orderBy("user_id")
+    )
+
+
+
 
 def _centroid_assign_sql(centroids) -> str:
     """DuckDB twin of ``similarity.assign_nearest_centroid`` over a
@@ -14017,6 +14171,8 @@ _PRIORITY = [
     "centroid_drift_labels_embeddings",
     "lsh_multiprobe_topk_embeddings",
     "sessionize_capped_events",
+    "interval_union_length_events",
+    "clamped_balance_users_events",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
