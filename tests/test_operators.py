@@ -1519,3 +1519,28 @@ def test_lsh_multiprobe_dominates_single_bucket(spark, sf_dir):
     }
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_winnow_xxhash_fast_path_guarantee(spark):
+    """The xxhash64 production path must keep the MOSS guarantee
+    (shared k+w−1 substring ⇒ shared fingerprint) — the selection
+    algorithm is hash-agnostic; only the oracle needs md5."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_near_dup_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "xx " + shared + " yy"), (2, shared + " zz different")],
+        "doc_id long, text string",
+    )
+    pairs = winnow_near_dup_pairs(
+        df, "doc_id", "text", threshold=0.2, hash_fn="xxhash64"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprints(df, hash_fn="sha1")
