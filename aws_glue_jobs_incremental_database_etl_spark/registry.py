@@ -3558,6 +3558,198 @@ def clamped_balance_q(spark, sf_dir):
 
 
 
+@query(
+    "rtbf_cascade_report",
+    """
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), o_del AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS rows_before,
+           CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS rows_deleted,
+           CAST((SELECT COUNT(*) FROM customer) -
+                (SELECT COUNT(*) FROM forget) AS BIGINT) AS rows_after
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM o_del) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) -
+                (SELECT COUNT(*) FROM o_del) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) -
+                (SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+                AS BIGINT)
+    ORDER BY tbl
+    """,
+)
+def rtbf_cascade_q(spark, sf_dir):
+    """Right-to-be-forgotten cascade report: a deletion set of
+    customers (the md5-free %-contract picks a deterministic ~1%)
+    propagates through the FK graph — their orders, and those orders'
+    line items — and the report pins exactly how many rows each table
+    sheds.  The compliance-audit twin of an actual cascade delete:
+    run it before the delete to scope blast radius, after to verify.
+
+    Scale: two semi-joins down the FK chain (broadcast — the deletion
+    set is small by construction; AQE handles it when it is not) +
+    per-table counts.  No row is rewritten here; the actual delete is
+    an anti-join write with the same plans."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    forget = customer.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey"
+    )
+    o_del = orders.join(
+        forget, orders["o_custkey"] == forget["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    l_del = lineitem.join(
+        o_del, lineitem["l_orderkey"] == o_del["o_orderkey"], "left_semi"
+    )
+
+    def row(tbl, total_df, del_df):
+        t = total_df.agg(F.count(F.lit(1)).alias("rows_before"))
+        d = del_df.agg(F.count(F.lit(1)).alias("rows_deleted"))
+        return (
+            t.crossJoin(F.broadcast(d))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "rows_before",
+                "rows_deleted",
+                (F.col("rows_before") - F.col("rows_deleted")).alias(
+                    "rows_after"
+                ),
+            )
+        )
+
+    return (
+        row("customer", customer, forget)
+        .unionByName(row("orders", orders, o_del))
+        .unionByName(row("lineitem", lineitem, l_del))
+        .orderBy("tbl")
+    )
+
+
+
+@query("curation_pipeline_v3", None)  # oracle attached below (composed)
+def curation_v3_q(spark, sf_dir):
+    """Round-5 curation pipeline end to end: data-contract quarantine
+    (short/empty docs dead-lettered) → WINNOWING near-dup pair
+    detection over the clean set (position-tolerant, max_df
+    boilerplate guard) → one-pass dedup (drop the larger id of every
+    pair) → per-source datasheet of survivors and dedup pressure.
+    The composed twin of curation_pipeline_v2 with the round-5
+    fingerprinting engine in the dedup seat; one hash-checked query
+    pins the whole chain."""
+    from .operators.dedup import winnow_near_dup_pairs
+    from .operators.quality import quarantine
+
+    d = load_table(spark, sf_dir, "documents")
+    clean, _bad = quarantine(
+        d,
+        {
+            "min_length": "n_chars >= 100",
+            "nonempty_text": "COALESCE(trim(text), '') <> ''",
+        },
+    )
+    clean = clean.persist()
+    pairs = winnow_near_dup_pairs(
+        clean, "doc_id", "text", k=5, window=4, threshold=0.4, max_df=50
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = clean.join(losers, "doc_id", "left_anti")
+    per_src_clean = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean")
+    )
+    per_src_drop = (
+        clean.join(losers, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    per_src_surv = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").cast("long").alias("survivor_chars"),
+    )
+    return (
+        per_src_clean.join(per_src_drop, "source", "left")
+        .join(per_src_surv, "source", "left")
+        .select(
+            "source",
+            "n_clean",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias(
+                "n_dropped"
+            ),
+            F.coalesce("n_survivors", F.lit(0)).cast("long").alias(
+                "n_survivors"
+            ),
+            F.coalesce("survivor_chars", F.lit(0)).cast("long").alias(
+                "survivor_chars"
+            ),
+            F.round(
+                F.coalesce("n_dropped", F.lit(0))
+                / F.col("n_clean").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def _curation_v3_oracle() -> str:
+    """Quarantine filter + the winnowing CTE chain re-rooted on the
+    clean set + the pair/loser/datasheet folds — one composed SQL."""
+    fp_chain = _winnow_fp_sql(src_table="clean")
+    return f"""
+    WITH clean AS (
+      SELECT doc_id, source, n_chars, text FROM documents
+      WHERE COALESCE(n_chars >= 100, FALSE)
+        AND COALESCE(trim(text), '') <> ''
+    ), {fp_chain},
+    dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+    kept AS (
+      SELECT fp_hash FROM dfp GROUP BY fp_hash HAVING COUNT(*) <= 50
+    ),
+    dk AS (SELECT dfp.doc_id, dfp.fp_hash
+           FROM dfp JOIN kept USING (fp_hash)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM dk GROUP BY doc_id),
+    sh AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM dk a JOIN dk b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    losers AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM sh
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE shared / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE) >= 0.4
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN l.doc_id IS NULL THEN c.n_chars
+                         ELSE 0 END) AS BIGINT) AS survivor_chars,
+           ROUND(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+    FROM clean c LEFT JOIN losers l ON l.doc_id = c.doc_id
+    GROUP BY c.source ORDER BY c.source
+    """
+
+
+
+
 
 def _centroid_assign_sql(centroids) -> str:
     """DuckDB twin of ``similarity.assign_nearest_centroid`` over a
@@ -12512,14 +12704,14 @@ def ivfpq_refine_q(spark, sf_dir):
 O["ivfpq_refine_topk_embeddings"] = _ivfpq_refine_oracle()
 
 
-def _winnow_fp_sql(k: int = 5, w: int = 4) -> str:
+def _winnow_fp_sql(k: int = 5, w: int = 4, src_table: str = "documents") -> str:
     """Shared CTE chain: the DuckDB twin of
     operators.dedup.winnow_fingerprints — same normalization, same
     60-bit md5 gram hash, same leftmost-min window selection
     (list_position ≙ array_position: both first-occurrence)."""
     return f"""c AS (
       SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
-      FROM documents
+      FROM {src_table}
     ), h AS (
       SELECT doc_id,
         list_transform(range(1, greatest(len(clean) - {k - 1}, 1) + 1),
@@ -12645,6 +12837,11 @@ def jaccard_prefix_q(spark, sf_dir):
     return jaccard_near_dup_pairs_prefix(
         d, "doc_id", "text", threshold=0.6, shingle_k=3
     )
+
+
+# _winnow_fp_sql is defined just above — the v3 pipeline gate (earlier
+# in the file) composes it, so its oracle attaches here
+O["curation_pipeline_v3"] = _curation_v3_oracle()
 
 
 
@@ -14173,6 +14370,8 @@ _PRIORITY = [
     "sessionize_capped_events",
     "interval_union_length_events",
     "clamped_balance_users_events",
+    "rtbf_cascade_report",
+    "curation_pipeline_v3",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
