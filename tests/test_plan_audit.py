@@ -91,6 +91,8 @@ SINGLE_PARTITION_OK = {
     "vocab_coverage_curve_docs", # rank window + totals over the TYPE
     # table — vocab-bounded, not corpus-bounded (the Mann-Whitney
     # design rule)
+    "rtbf_cascade_report",       # three 1-row per-table count reports
+    # (before/deleted) unioned — each a global aggregate
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -152,6 +154,8 @@ BNLJ_OK = {
     # vocab-bounded type table + 1-row totals
     "centroid_drift_labels_embeddings",  # labels × labels theta join
     # over the ≤|labels|-row centroid frame — dimension-bounded grid
+    "rtbf_cascade_report",      # 1-row deleted-count scalar cross
+    # joins onto the 1-row before-count frames
     "hll_rolling_7d_users",  # days × daily-register interval join —
     # the probe side is the ≤span-days distinct-day frame (broadcast),
     # the build side ≤ days×256 register rows; bounded by the time
