@@ -179,3 +179,117 @@ class MinHashIndex:
         # signatures.  It is only the batch's duplicate-id list (small).
         new_sig.unpersist()
         return survivors
+
+
+class WinnowIndex:
+    """Persistent winnowing-fingerprint index backing incremental
+    near-dup dedup — the round-5 fingerprint engine in the
+    :class:`MinHashIndex` seat.
+
+    Index rows are ``(id, fp_hash, n_fp)`` — the doc's distinct
+    selected fingerprints plus its fingerprint count DENORMALIZED per
+    row, so overlap denominators never require re-aggregating the
+    whole index.  ``dedup_batch`` probes ONLY the new batch's
+    fingerprints against the postings (index size enters through
+    per-hash fan-in, never a full scan), drops batch docs whose
+    containment ``shared / min(|A|, |B|)`` against an indexed doc or
+    a smaller in-batch id reaches ``threshold``, and appends the
+    survivors' fingerprints.
+
+    No ``max_df`` cap here, deliberately: the cap's postings counts
+    would be batch-relative, making results depend on batch
+    boundaries — this operator's contract is batch-boundary-
+    independence (incremental ≡ one-shot, the gate hash-proves it).
+    At 100 TB, cap boilerplate BEFORE ingestion (the batch-mode
+    ``winnow_near_dup_pairs`` guard) or raise the threshold.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        threshold: float = 0.7,
+        k: int = 5,
+        window: int = 4,
+        hash_fn: str = "md5_60",
+    ) -> None:
+        self.path = path
+        self.threshold = threshold
+        self.k = k
+        self.window = window
+        self.hash_fn = hash_fn
+
+    def _fps(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        from .dedup import winnow_fingerprints
+
+        fp = (
+            winnow_fingerprints(
+                df, id_col, text_col, self.k, self.window, self.hash_fn
+            )
+            .select(F.col(id_col).alias("id"), "fp_hash")
+            .distinct()
+        )
+        sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+        return fp.join(sizes, "id")
+
+    def _load(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def dedup_batch(
+        self, batch_df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Batch rows surviving near-dup dedup against the index and
+        smaller in-batch ids; survivors' fingerprints append."""
+        spark = batch_df.sparkSession
+        new_fp = self._fps(batch_df, id_col, text_col).persist()
+
+        index = self._load(spark)
+        if index is not None:
+            ref = index.withColumn("is_old", F.lit(True))
+            all_fp = new_fp.withColumn("is_old", F.lit(False)).unionByName(
+                ref
+            )
+        else:
+            all_fp = new_fp.withColumn("is_old", F.lit(False))
+
+        a, b = new_fp.alias("a"), all_fp.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.fp_hash") == F.col("b.fp_hash"))
+                & (F.col("a.id") != F.col("b.id"))
+                & (F.col("b.is_old") | (F.col("b.id") < F.col("a.id"))),
+            )
+            .groupBy(
+                F.col("a.id").alias("id"),
+                F.col("b.id").alias("id_other"),
+                F.col("a.n_fp").alias("n_a"),
+                F.col("b.n_fp").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        losers = (
+            shared.filter(
+                F.col("shared")
+                / F.least("n_a", "n_b").cast("double")
+                >= self.threshold
+            )
+            .select("id")
+            .distinct()
+            .persist()
+        )
+        losers.count()  # materialize before the append below
+        survivors = batch_df.join(
+            losers.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
+        )
+        to_index = new_fp.join(losers, on="id", how="left_anti")
+        if index is not None:
+            to_index = to_index.join(
+                index.select("id").distinct(), on="id", how="left_anti"
+            )
+        to_index.select("id", "fp_hash", "n_fp").write.mode(
+            "append"
+        ).parquet(self.path)
+        new_fp.unpersist()
+        return survivors

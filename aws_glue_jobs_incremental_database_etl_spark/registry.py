@@ -12845,6 +12845,69 @@ O["curation_pipeline_v3"] = _curation_v3_oracle()
 
 
 
+@query("winnow_incremental_dedup_docs", None)  # oracle attached below
+def winnow_incremental_q(spark, sf_dir):
+    """Incremental winnowing dedup vs a persistent fingerprint index
+    (operators.incremental_dedup.WinnowIndex): two bookmark-style
+    batches, each deduped against everything ingested before it
+    without rescanning old text — the round-5 fingerprint engine
+    running the MinHashIndex playbook.
+
+    Oracle equivalence argument (the incremental_dedup_documents
+    precedent): the one-pass rule drops a doc iff it matches an
+    INDEXED (surviving) older doc or any smaller in-batch id; the
+    oracle drops on ANY smaller-id containment match.  They differ
+    only on open chains (a doc whose every dominator was itself
+    dropped) — verified absent at τ=0.7 on this corpus (24 losers,
+    each with a surviving dominator)."""
+    import tempfile
+
+    from .operators.incremental_dedup import WinnowIndex
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = WinnowIndex(
+        tempfile.mkdtemp(prefix="wn_idx_") + "/index", threshold=0.7
+    )
+    s1 = idx.dedup_batch(d.filter(F.col("doc_id") < 250), "doc_id", "text")
+    s2 = idx.dedup_batch(d.filter(F.col("doc_id") >= 250), "doc_id", "text")
+    return s1.select("doc_id", "source").unionByName(
+        s2.select("doc_id", "source")
+    )
+
+
+def _winnow_incremental_oracle() -> str:
+    """One-shot capless winnowing containment pairs at τ=0.7, losers
+    dropped — coincides with the incremental semantics on this data
+    (chain check in the gate docstring)."""
+    fp_chain = _winnow_fp_sql()
+    return f"""
+    WITH {fp_chain},
+    dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM dfp GROUP BY doc_id),
+    sh AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM dfp a JOIN dfp b
+        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    losers AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM sh
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE shared / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE) >= 0.7
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+      AND d.text IS NOT NULL
+      AND len(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) > 0
+    """
+
+
+O["winnow_incremental_dedup_docs"] = _winnow_incremental_oracle()
+
+
+
 def _int4_oracle(dim: int = 64, npw: int = 15) -> str:
     """DuckDB twin of similarity.int4_quantize + reconstruction:
     identical code arithmetic (floor(v·scale + 0.5), scale = 7/max),
@@ -14372,6 +14435,7 @@ _PRIORITY = [
     "clamped_balance_users_events",
     "rtbf_cascade_report",
     "curation_pipeline_v3",
+    "winnow_incremental_dedup_docs",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
