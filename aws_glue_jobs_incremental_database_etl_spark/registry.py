@@ -14336,11 +14336,58 @@ def matryoshka_q(spark, sf_dir):
 # the driver's budget.
 
 _PRIORITY = [
-    # ---- round-5 rotation (VERDICT r4 Next-round #2): the 57 queries
-    # with no driver CORRECTNESS row across r1-r4, front-loaded so the
-    # driver's ~50-query window closes the evidence gap (all 57 are
-    # judge-verified green in the r4 full-gate run).  7 overflow to
-    # positions 51-57 for the next window.
+    # ---- round-6 rotation (VERDICT r5 Next-round #2): the 44 queries
+    # with no driver CORRECTNESS row across r1-r5 — the r5 window's 7
+    # overflow plus the 37 round-5-wave queries — front-loaded so one
+    # ~50-query window takes the driver-evidence union to 282/282.
+    # 43/44 were judge-green in the r5 full-gate run; the 44th
+    # (winnow_incremental_dedup_docs) is fixed this round (pinned
+    # file-list snapshot reads in WinnowIndex).
+    "winnow_incremental_dedup_docs",
+    "benford_digits_totalprice",
+    "degree_distribution_part_supplier",
+    "triangle_clustering_suppliers",
+    "bfs_distance_from_nation0",
+    "image_ahash_groups",
+    "top_session_paths",
+    "cusum_daily_drift_events",
+    "ivfpq_partitioned_topk_embeddings",
+    "kfold_assignment_docs",
+    "domain_cap_docs",
+    "ivf_append_topk_embeddings",
+    "cross_source_dup_matrix_docs",
+    "interarrival_stats_events",
+    "binary_topk_embeddings",
+    "matryoshka_topk_embeddings",
+    "ivfpq_refine_topk_embeddings",
+    "winnow_fingerprints_docs",
+    "winnow_near_dup_pairs_docs",
+    "jaccard_prefix_near_dup_docs",
+    "int4_quantize_embeddings",
+    "holt_smoothing_daily_events",
+    "attribution_multitouch_events",
+    "attribution_path_removal_events",
+    "quantile_normalize_by_source",
+    "ann_mrr_lsh_vs_exact",
+    "hll_rolling_7d_users",
+    "gini_user_activity_events",
+    "expectations_report_tpch",
+    "jaro_winkler_pairs_parts",
+    "tfidf_cosine_pairs_docs",
+    "cohens_kappa_quality_docs",
+    "k_anonymity_report_orders",
+    "seasonal_adjust_dow_events",
+    "heaps_law_fit_docs",
+    "rfm_user_scores_events",
+    "vocab_coverage_curve_docs",
+    "centroid_drift_labels_embeddings",
+    "lsh_multiprobe_topk_embeddings",
+    "sessionize_capped_events",
+    "interval_union_length_events",
+    "clamped_balance_users_events",
+    "rtbf_cascade_report",
+    "curation_pipeline_v3",
+    # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
     "recursive_order_decay",
@@ -14391,51 +14438,6 @@ _PRIORITY = [
     "conditional_aggregates_orders",
     "apply_in_arrow_event_stats",
     "revenue_share_of_parent",
-    "benford_digits_totalprice",
-    "degree_distribution_part_supplier",
-    "triangle_clustering_suppliers",
-    "bfs_distance_from_nation0",
-    "image_ahash_groups",
-    "top_session_paths",
-    "cusum_daily_drift_events",
-    # ---- round-5 new queries (judge-checked this round, driver next)
-    "ivfpq_partitioned_topk_embeddings",
-    "kfold_assignment_docs",
-    "domain_cap_docs",
-    "ivf_append_topk_embeddings",
-    "cross_source_dup_matrix_docs",
-    "interarrival_stats_events",
-    "binary_topk_embeddings",
-    "matryoshka_topk_embeddings",
-    "ivfpq_refine_topk_embeddings",
-    "winnow_fingerprints_docs",
-    "winnow_near_dup_pairs_docs",
-    "jaccard_prefix_near_dup_docs",
-    "int4_quantize_embeddings",
-    "holt_smoothing_daily_events",
-    "attribution_multitouch_events",
-    "attribution_path_removal_events",
-    "quantile_normalize_by_source",
-    "ann_mrr_lsh_vs_exact",
-    "hll_rolling_7d_users",
-    "gini_user_activity_events",
-    "expectations_report_tpch",
-    "jaro_winkler_pairs_parts",
-    "tfidf_cosine_pairs_docs",
-    "cohens_kappa_quality_docs",
-    "k_anonymity_report_orders",
-    "seasonal_adjust_dow_events",
-    "heaps_law_fit_docs",
-    "rfm_user_scores_events",
-    "vocab_coverage_curve_docs",
-    "centroid_drift_labels_embeddings",
-    "lsh_multiprobe_topk_embeddings",
-    "sessionize_capped_events",
-    "interval_union_length_events",
-    "clamped_balance_users_events",
-    "rtbf_cascade_report",
-    "curation_pipeline_v3",
-    "winnow_incremental_dedup_docs",
     # ---- driver-green in an earlier round, unchanged — re-confirmed
     # only if the window widens
     "hybrid_retrieval_pipeline",
