@@ -917,7 +917,7 @@ def winnow_near_dup_pairs(
     k: int = 5,
     window: int = 4,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
     hash_fn: str = "md5_60",
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint overlap: the
@@ -932,16 +932,28 @@ def winnow_near_dup_pairs(
     ``max_df`` is the 100 TB guard: fingerprints appearing in more
     than ``max_df`` documents (boilerplate) are dropped BEFORE the
     self-join, capping any bucket's fan-out at ``max_df²`` pairs.
+    It defaults ON (1000) — an uncapped postings self-join is the one
+    all-pairs blowup left in the dedup family, so disabling it is an
+    explicit decision: pass ``max_df=None`` only when the corpus is
+    known boilerplate-free (or small enough that df² fan-out is
+    acceptable), and note that doing so makes results corpus-size-
+    sensitive in the presence of templated text.
     """
-    # persist(): four plan branches consume this frame (df-cap count,
-    # sizes, both self-join sides) — uncached, Spark re-fingerprints
-    # the corpus once per branch (same measured trap as
-    # jaccard_near_dup_pairs' sized frame).
+    # localCheckpoint (not persist): four plan branches consume this
+    # frame (df-cap count, sizes, both self-join sides) — unshared,
+    # Spark re-fingerprints the corpus once per branch (same measured
+    # trap as jaccard_near_dup_pairs' sized frame).  Checkpoint blocks
+    # are GC-scoped: the ContextCleaner frees them when the caller
+    # drops the returned frame, unlike persist() whose cacheManager
+    # entry pins the cache until an explicit unpersist that a lazily-
+    # returning operator has no safe place to issue.  On a real
+    # cluster at 100 TB, swap for a reliable checkpoint dir (or a
+    # temp-table write) — localCheckpoint blocks die with executors.
     fp = (
         winnow_fingerprints(df, id_col, text_col, k, window, hash_fn)
         .select(id_col, "fp_hash")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         keep = (

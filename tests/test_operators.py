@@ -1370,6 +1370,26 @@ def test_winnow_guarantee_and_determinism(spark):
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
+    # the boilerplate guard defaults ON (an uncapped postings self-join
+    # is the dedup family's one all-pairs blowup) and drops over-cap
+    # fingerprints BEFORE pair generation: at max_df=1, every shared
+    # hash of the (1,2) pair is in two docs → no pairs survive
+    import inspect
+
+    assert (
+        inspect.signature(winnow_near_dup_pairs).parameters["max_df"].default
+        == 1000
+    )
+    capped = winnow_near_dup_pairs(
+        df, "doc_id", "text", k=5, window=4, threshold=0.2, max_df=1
+    ).collect()
+    assert capped == []
+    # explicit opt-out stays available
+    uncapped = winnow_near_dup_pairs(
+        df, "doc_id", "text", k=5, window=4, threshold=0.2, max_df=None
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in uncapped} == {(1, 2)}
+
     import pytest
 
     with pytest.raises(ValueError, match="k must be"):
