@@ -3364,7 +3364,15 @@ def sessionize_capped_q(spark, sf_dir):
     function cannot carry.  Same architecture as SES/Holt: one
     user-partitioned sort feeds an applyInPandas walk over each
     user's bounded event list; the oracle is the recursive-CTE twin
-    over exact-microsecond integers (no float state at all)."""
+    over exact-microsecond integers (no float state at all).
+
+    The walk jumps session-boundary-to-session-boundary in numpy
+    (O(sessions · log n) per user, C speed) instead of per-row
+    Python: gap splits are position-independent (precomputed from
+    diff once), and from a session start at t[i] the cap split is
+    just searchsorted(t, t[i] + CAP, 'right') — the per-row loop was
+    the #2 slowest headline at 4.4 s sf0.1."""
+    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
@@ -3378,19 +3386,36 @@ def sessionize_capped_q(spark, sf_dir):
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["t", "event_id"]).reset_index(drop=True)
-        idxs = []
-        idx, start, prev = 0, None, None
-        for t in pdf["t"]:
-            if start is None or t - prev > GAP or t - start > CAP:
-                idx += 1
-                start = t
-            idxs.append(idx)
-            prev = t
-        pdf["session_idx"] = idxs
+        t = pdf["t"].to_numpy()
+        n = len(t)
+        # positions where a >GAP silence forces a split regardless of
+        # session start — fixed for the whole user, computed once
+        gap_idx = np.flatnonzero(np.diff(t) > GAP) + 1
+        sess = np.empty(n, dtype=np.int32)
+        i, sid = 0, 0
+        while i < n:
+            sid += 1
+            g = gap_idx.searchsorted(i, side="right")
+            next_gap = gap_idx[g] if g < len(gap_idx) else n
+            # first event strictly beyond start + CAP (t sorted)
+            next_cap = int(np.searchsorted(t, t[i] + CAP, side="right"))
+            j = min(next_gap, next_cap)  # > i: both bounds exceed i
+            sess[i:j] = sid
+            i = j
+        pdf["session_idx"] = sess
         return pdf[["user_id", "t", "session_idx"]]
 
-    walked = base.groupBy("user_id").applyInPandas(
-        walk, "user_id long, t long, session_idx int"
+    # explicit-width repartition on the grouping key: it satisfies the
+    # walk's required clustering, so no second exchange is inserted —
+    # and unlike the implicit one, AQE won't coalesce it to a single
+    # partition when the shuffle is small (measured: that serialized
+    # all ~1.5k per-user walks through ONE Python worker, 3.6 s of
+    # pure per-group Arrow overhead; explicit 32-way is 0.9 s)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    walked = (
+        base.repartition(width, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(walk, "user_id long, t long, session_idx int")
     )
     return (
         walked.groupBy("user_id", "session_idx")
