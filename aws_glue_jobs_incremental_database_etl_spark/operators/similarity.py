@@ -437,6 +437,45 @@ def append_to_ivf_index(
     return index_path
 
 
+def append_to_ivfpq_index(
+    corpus_delta: DataFrame,
+    index_path: str,
+    centroids,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> str:
+    """:func:`append_to_ivf_index` for the IVF-PQ layout: corpus
+    growth folds into the on-disk code index WITHOUT re-encoding the
+    indexed corpus.  The delta is assigned against the SAME frozen
+    coarse quantizer, residual-PQ-encoded against the SAME frozen
+    codebooks (both must be the build's — retraining either means a
+    rebuild, as in any IVF-PQ system), and its m-byte code rows append
+    into the existing ``cluster=<id>/`` directories.  Per batch: one
+    map-only assign+encode and one cluster-keyed shuffle of the DELTA;
+    queries see the union immediately and ``append ≡ rebuild`` exactly
+    (the gate value-hashes it), because encoding is per-row against
+    frozen parameters.  At-least-once upstream replays need the same
+    ``txn.StagedCommit`` / batch-keyed discipline as the raw path."""
+    m = int(np.asarray(codebooks).shape[0])
+    assigned = assign_nearest_centroid_arrow(
+        corpus_delta, centroids, vec_col, cluster_col
+    )
+    enc = pq_encode_arrow(
+        assigned, codebooks, vec_col, centers=centroids, cluster_col=cluster_col
+    )
+    codes = [f"code_{s}" for s in range(m)]
+    (
+        enc.select(id_col, cluster_col, *codes)
+        .repartition(F.col(cluster_col))
+        .write.mode("append")
+        .partitionBy(cluster_col)
+        .parquet(index_path)
+    )
+    return index_path
+
+
 def cosine_topk_ivf_partitioned(
     spark,
     index_path: str,

@@ -12672,6 +12672,41 @@ def ivfpq_partitioned_q(spark, sf_dir):
 O["ivfpq_partitioned_topk_embeddings"] = _pq_ivf_residual_oracle()
 
 
+@query("ivfpq_append_topk_embeddings", None)  # oracle attached below
+def ivfpq_append_q(spark, sf_dir):
+    """Incremental maintenance of the on-disk IVF-PQ index (VERDICT
+    r5 #6 — similarity.append_to_ivfpq_index): build with HALF the
+    corpus, append the other half as a later batch (delta-only
+    assign + residual PQ encode + cluster-keyed append into the
+    existing partition dirs — the indexed corpus is never re-encoded
+    or rescanned), then query.  Same frozen centroids/codebooks as
+    the build, so append ≡ rebuild exactly: the one-shot full-corpus
+    residual oracle value-hashes the whole grow-then-query chain."""
+    from .operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        fixed_centroids,
+        ivfpq_topk_partitioned,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    loc = tempfile.mkdtemp(prefix="ivfpq_append_") + "/index"
+    build_ivfpq_index(emb.filter("vec_id % 2 = 0"), loc, cents, cb)
+    append_to_ivfpq_index(emb.filter("vec_id % 2 = 1"), loc, cents, cb)
+    return ivfpq_topk_partitioned(
+        spark, loc, list(qvec), cents, cb, k=10, nprobe=2
+    )
+
+
+O["ivfpq_append_topk_embeddings"] = _pq_ivf_residual_oracle()
+
+
 def _ivfpq_refine_oracle(cand: int = 30, k: int = 10) -> str:
     """DuckDB twin of similarity.ivfpq_refine_topk: the residual
     IVF-PQ oracle (nested CTE) widened to ``cand`` ADC candidates,
@@ -14412,6 +14447,9 @@ _PRIORITY = [
     "clamped_balance_users_events",
     "rtbf_cascade_report",
     "curation_pipeline_v3",
+    # ---- round-6 new queries (never judge/driver sampled yet —
+    # right behind the evidence-gap 44)
+    "ivfpq_append_topk_embeddings",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",

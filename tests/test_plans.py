@@ -186,6 +186,52 @@ def test_ivfpq_index_prunes_partitions_and_reads_codes_only(
     assert got == want
 
 
+def test_ivfpq_append_equals_rebuild_and_keeps_plan_levers(
+    spark, sf_dir, tmp_path
+):
+    """Growing the IVF-PQ index via append_to_ivfpq_index (VERDICT r5
+    #6) must (a) equal the one-shot full-corpus rebuild exactly —
+    encoding is per-row against frozen centroids/codebooks — and
+    (b) keep both plan levers on the grown index: PartitionFilters
+    on the probed cluster dirs AND a codes-only ReadSchema."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        fixed_centroids,
+        ivfpq_topk_partitioned,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    cents = fixed_centroids(64, 8, seed=7)
+    cb = pq_codebooks(64, 4, 16, seed=11)
+
+    grown = str(tmp_path / "ivfpq_grown")
+    build_ivfpq_index(emb.filter("vec_id % 2 = 0"), grown, cents, cb)
+    append_to_ivfpq_index(emb.filter("vec_id % 2 = 1"), grown, cents, cb)
+    rebuilt = str(tmp_path / "ivfpq_rebuilt")
+    build_ivfpq_index(emb, rebuilt, cents, cb)
+
+    top = ivfpq_topk_partitioned(spark, grown, q, cents, cb, k=10, nprobe=2)
+    p = plan_of(top)
+    assert "PartitionFilters" in p
+    assert "cluster" in p.split("PartitionFilters", 1)[1]
+    rs = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "embedding" not in rs and "code_0" in rs
+
+    got = [(r.vec_id, r.cluster, r.adc_dist) for r in top.collect()]
+    want = [
+        (r.vec_id, r.cluster, r.adc_dist)
+        for r in ivfpq_topk_partitioned(
+            spark, rebuilt, q, cents, cb, k=10, nprobe=2
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     """Runtime Bloom-filter join pruning (Spark 3.3+): when a shuffle
     join's build side carries a selective filter, the optimizer
