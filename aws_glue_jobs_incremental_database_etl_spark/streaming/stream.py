@@ -262,13 +262,23 @@ def run_streaming_ingestion(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float | None = 0.3,
+    engine: str = "minhash",
 ) -> None:
     """Continuous training-data ingestion: document stream → quality
-    filter → incremental near-dup dedup against the persistent MinHash
+    filter → incremental near-dup dedup against a persistent signature
     index → parquet append.  The streaming composition of the corpus
     pipeline (``training_data_pipeline`` is its batch twin): new data
     lands continuously, is deduped against EVERYTHING ingested so far
     without rescanning old text, and survivors append to the corpus.
+
+    ``engine`` picks the signature family: ``"minhash"`` (banded LSH
+    over shingle MinHash — whole-doc similarity) or ``"winnow"``
+    (winnowing fingerprints — position-aware substring overlap, the
+    MOSS engine; catches partial-overlap/boilerplate-insertion dups
+    MinHash dilutes).  Both are batch-boundary-independent: streamed
+    micro-batches ≡ one-shot batch dedup, and both read the index as
+    a pinned pre-append file snapshot so a replayed epoch can never
+    observe its own appends.
 
     Delivery: the checkpoint gives process-once micro-batches
     (availableNow drain = one bookmark-delimited run); survivors
@@ -287,10 +297,15 @@ def run_streaming_ingestion(
     a parquet table that at 100 TB should be bucketed by band
     signature (see ``operators/incremental_dedup.py``).
     """
-    from ..operators.incremental_dedup import MinHashIndex
+    from ..operators.incremental_dedup import MinHashIndex, WinnowIndex
     from ..operators.text import quality_filter
 
-    index = MinHashIndex(index_path)
+    if engine == "minhash":
+        index = MinHashIndex(index_path)
+    elif engine == "winnow":
+        index = WinnowIndex(index_path)
+    else:
+        raise ValueError(f"engine must be minhash or winnow, got {engine}")
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         import os
