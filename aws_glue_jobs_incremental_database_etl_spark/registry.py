@@ -3536,15 +3536,17 @@ def interval_union_q(spark, sf_dir):
 )
 def clamped_balance_q(spark, sf_dir):
     """Floor-clamped running balance (inventory/credit semantics:
-    balance never goes below zero, so deficits do NOT carry) — a
-    NON-linear recurrence no prefix-sum window can express: the clamp
-    makes each step depend on the clamped previous state.  Deltas are
-    value×1e4 − 50.0×1e4 as exact integers, the per-user walk is the
-    applyInPandas pattern (bounded per-user lists), and the oracle is
-    the recursive-CTE twin.  Reports peak and final balance per
-    user."""
-    import pandas as pd
-
+    balance never goes below zero, so deficits do NOT carry).  The
+    clamp LOOKS like a non-linear recurrence, but zero-floor clamping
+    has the classic reflection identity
+    ``bal_n = S_n − min(0, min_{k≤n} S_k)`` (prefix sum minus the
+    most negative prefix — the Skorokhod reflection / max(0,·) fold
+    closed form), so the whole walk is two user-partitioned windows
+    and one grouped fold: pure whole-stage-codegen JVM, no Python at
+    all (this replaced a per-row applyInPandas walk — round-6 perf
+    sweep).  Deltas are value×1e4 − 50.0×1e4 as exact integers; the
+    oracle is the recursive-CTE twin, which hash-proves the identity.
+    Reports peak and final balance per user."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "user_id",
@@ -3556,27 +3558,17 @@ def clamped_balance_q(spark, sf_dir):
         "event_id",
     )
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "event_id"]).reset_index(drop=True)
-        bal, peak = 0, 0
-        for d in pdf["delta"]:
-            bal = max(0, bal + int(d))
-            peak = max(peak, bal)
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "peak_scaled": [peak],
-                "final_scaled": [bal],
-            }
-        )
-
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    bal = (
+        base.withColumn("s", F.sum("delta").over(w))
+        .withColumn("bal", F.col("s") - F.least(F.lit(0), F.min("s").over(w)))
+    )
     return (
-        base.groupBy("user_id")
-        .applyInPandas(
-            walk,
-            "user_id long, n_events long, peak_scaled long,"
-            " final_scaled long",
+        bal.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("bal").alias("peak_scaled"),
+            F.max_by("bal", F.struct("t", "event_id")).alias("final_scaled"),
         )
         .orderBy("user_id")
     )
