@@ -831,19 +831,35 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
-    hash_fn: str = "md5_60",
+    hash_fn: str = "gram_code",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram
-    of the normalized text (lower-cased, non-alphanumerics stripped)
-    with the engine-portable 60-bit md5 prefix, slide a ``window`` of
-    consecutive gram hashes, and select each window's minimum
-    (leftmost on ties — both Spark ``array_position`` and DuckDB
-    ``list_position`` return the FIRST occurrence, so the selection is
-    engine-exact).  The guarantee: any shared substring of length
+    of the normalized text (lower-cased, non-alphanumerics stripped),
+    slide a ``window`` of consecutive gram hashes, and select each
+    window's minimum (leftmost on ties — engine-exact in both Spark
+    and DuckDB).  The guarantee: any shared substring of length
     ``k + window - 1`` produces at least one shared fingerprint, and
     expected density is ``2/(window+1)`` — a tunable, position-aware
     sketch that exact-hash and MinHash dedup both lack.
+
+    ``hash_fn``:
+
+    * ``gram_code`` (default, requires ``k <= 8``) — NOT a hash but an
+      exact base-128 integer encoding of the gram's ascii codes
+      (``c1·128^(k-1) + … + ck``, < 2^63 for k ≤ 8 since codes < 128).
+      Collision-FREE, engine-portable (pure integer arithmetic in both
+      Spark and DuckDB), and ~4× cheaper than md5 — the gram stage is
+      the dominant winnowing cost.  Min-selection becomes
+      lexicographic-smallest-gram selection: the MOSS guarantee only
+      needs a deterministic consistent ordering, so it holds
+      unchanged; the trade-off is selection bias toward
+      lexicographically small grams, which can skew posting lists on
+      adversarial corpora (the pair join's ``max_df`` guard bounds
+      that).
+    * ``md5_60`` — engine-portable 60-bit md5 prefix; unbiased,
+      use for ``k > 8``.
+    * ``xxhash64`` — fastest unbiased path, JVM-private (no SQL twin).
 
     Returns one row per selected fingerprint: ``(id, pos, fp_hash)``
     where ``pos`` is the 1-based gram offset in the normalized text.
@@ -851,55 +867,88 @@ def winnow_fingerprints(
     Scale: everything up to the final explode is a per-document
     array expression (map-only, no shuffle); output is ~``2n/(window
     +1)`` rows per doc.  Documents shorter than ``k`` normalized chars
-    contribute their whole cleaned text as a single gram; empty docs
-    are dropped."""
+    contribute their whole cleaned text as a single gram (gram_code
+    zero-pads the missing tail positions); empty docs are dropped."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    if hash_fn not in ("md5_60", "xxhash64"):
-        raise ValueError(f"hash_fn must be md5_60 or xxhash64, got {hash_fn}")
+    if hash_fn not in ("gram_code", "md5_60", "xxhash64"):
+        raise ValueError(
+            f"hash_fn must be gram_code, md5_60 or xxhash64, got {hash_fn}"
+        )
+    if hash_fn == "gram_code" and k > 8:
+        raise ValueError(
+            f"gram_code packs k ascii codes into 63 bits, so k <= 8 "
+            f"(got {k}); use md5_60 or xxhash64 for longer grams"
+        )
     clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     base = (
         df.select(F.col(id_col), clean.alias("_clean"))
         .filter(F.length("_clean") > 0)
     )
-    ngrams = F.greatest(F.length("_clean") - F.lit(k - 1), F.lit(1))
-    # md5_60 is the engine-portable (oracle-checkable) hash; xxhash64
-    # is the production fast path — same selection algorithm, ~2×
-    # cheaper gram hashing (the map stage dominates winnowing cost),
-    # but JVM-private so no SQL twin.
-    if hash_fn == "xxhash64":
-        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+    if hash_fn == "gram_code":
+        # codes array once per doc, then each gram is k primitive
+        # element_ats + shifts — no string slicing, no digest, no
+        # per-gram allocation.  try_element_at past the end → NULL →
+        # coalesce 0 (ascii('') is also 0 in both engines, so the
+        # short-doc single gram is identically zero-padded).
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length("_clean")),
+            lambda i: F.ascii(F.col("_clean").substr(i, F.lit(1))).cast(
+                "long"
+            ),
+        )
+        base = base.select(id_col, codes.alias("_codes"))
+        ngrams = F.greatest(F.size("_codes") - F.lit(k - 1), F.lit(1))
+
+        def gram_hash_at(i):
+            e = None
+            for j in range(k):
+                term = F.coalesce(
+                    F.try_element_at("_codes", (i + F.lit(j)).cast("int")),
+                    F.lit(0),
+                ) * F.lit(128 ** (k - 1 - j))
+                e = term if e is None else e + term
+            return e
+
+        hs = F.transform(F.sequence(F.lit(1), ngrams), gram_hash_at)
     else:
-        gram_hash = lambda g: F.conv(  # noqa: E731
-            F.substring(F.md5(g), 1, 15), 16, 10
-        ).cast("long")
-    hs = F.transform(
-        F.sequence(F.lit(1), ngrams),
-        lambda i: gram_hash(F.col("_clean").substr(i, F.lit(k))),
-    )
+        ngrams = F.greatest(F.length("_clean") - F.lit(k - 1), F.lit(1))
+        if hash_fn == "xxhash64":
+            gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+        else:
+            gram_hash = lambda g: F.conv(  # noqa: E731
+                F.substring(F.md5(g), 1, 15), 16, 10
+            ).cast("long")
+        hs = F.transform(
+            F.sequence(F.lit(1), ngrams),
+            lambda i: gram_hash(F.col("_clean").substr(i, F.lit(k))),
+        )
     hashed = base.select(id_col, hs.alias("_hs"))
     nwin = F.greatest(F.size("_hs") - F.lit(window - 1), F.lit(1))
-    # two-level transform so each window's slice materializes ONCE
-    # (the naive form slices twice — once for array_min, once for
-    # array_position; measured ~25% of the whole fingerprint stage
-    # at sf1)
-    wins = F.transform(
-        F.sequence(F.lit(1), nwin),
-        lambda j: F.struct(
-            j.alias("j"), F.slice("_hs", j, window).alias("win")
-        ),
-    )
-    sel = F.array_distinct(
-        F.transform(
-            wins,
-            lambda s: (
-                s["j"]
-                - 1
-                + F.array_position(s["win"], F.array_min(s["win"]))
-            ).cast("int"),
+
+    # Allocation-free leftmost-min selection: window fixed element_at
+    # probes + least() + a first-match coalesce chain — replaces the
+    # earlier slice()+array_min()+array_position() form, which
+    # allocated a w-long array AND a struct per window (measured ~25%
+    # of the fingerprint stage at sf1).  try_element_at: the single
+    # window of a shorter-than-w hash array probes past the end →
+    # NULL, which least() skips and the when() chain never matches —
+    # exactly list_min/list_position over the short slice.
+    def win_sel(j):
+        vals = [
+            F.try_element_at("_hs", (j + F.lit(t)).cast("int"))
+            for t in range(window)
+        ]
+        m = F.least(*vals) if window > 1 else vals[0]
+        pos = F.coalesce(
+            *[F.when(vals[t] == m, j + F.lit(t)) for t in range(window)]
         )
+        return pos.cast("int")
+
+    sel = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), nwin), win_sel)
     )
     return hashed.select(
         id_col, F.col("_hs"), F.explode(sel).alias("pos")
@@ -918,7 +967,7 @@ def winnow_near_dup_pairs(
     window: int = 4,
     threshold: float = 0.5,
     max_df: int | None = 1000,
-    hash_fn: str = "md5_60",
+    hash_fn: str = "gram_code",
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint overlap: the
     distinct fingerprint hashes per document form an inverted index,
@@ -956,13 +1005,16 @@ def winnow_near_dup_pairs(
         .localCheckpoint(eager=False)
     )
     if max_df is not None:
-        keep = (
+        # Anti-join against the OVER-cap hashes (small by construction
+        # — boilerplate only), broadcast: the earlier inner join
+        # against the keep set shuffled the full postings frame twice.
+        drop = (
             fp.groupBy("fp_hash")
             .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
+            .filter(F.col("_df") > max_df)
             .select("fp_hash")
         )
-        fp = fp.join(keep, "fp_hash")
+        fp = fp.join(F.broadcast(drop), "fp_hash", "left_anti")
     sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     a = fp.alias("a")
     b = fp.alias("b")

@@ -234,7 +234,7 @@ class WinnowIndex:
         threshold: float = 0.7,
         k: int = 5,
         window: int = 4,
-        hash_fn: str = "md5_60",
+        hash_fn: str = "gram_code",
     ) -> None:
         self.path = path
         self.threshold = threshold

@@ -12758,17 +12758,26 @@ O["ivfpq_refine_topk_embeddings"] = _ivfpq_refine_oracle()
 
 def _winnow_fp_sql(k: int = 5, w: int = 4, src_table: str = "documents") -> str:
     """Shared CTE chain: the DuckDB twin of
-    operators.dedup.winnow_fingerprints — same normalization, same
-    60-bit md5 gram hash, same leftmost-min window selection
+    operators.dedup.winnow_fingerprints(hash_fn='gram_code') — same
+    normalization, same exact base-128 ascii gram encoding (collision-
+    free integer, k <= 8; ascii('') = 0 in both engines zero-pads the
+    short-doc single gram), same leftmost-min window selection
     (list_position ≙ array_position: both first-occurrence)."""
+    if k > 8:
+        raise ValueError("gram_code twin requires k <= 8")
+    gram = " + ".join(
+        f"CAST(ascii(substr(clean, i + {j}, 1)) AS BIGINT) * {128 ** (k - 1 - j)}"
+        if k - 1 - j > 0
+        else f"ascii(substr(clean, i + {j}, 1))"
+        for j in range(k)
+    )
     return f"""c AS (
       SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
       FROM {src_table}
     ), h AS (
       SELECT doc_id,
         list_transform(range(1, greatest(len(clean) - {k - 1}, 1) + 1),
-          i -> CAST('0x' || substr(md5(substr(clean, i, {k})), 1, 15)
-               AS BIGINT)) AS hs
+          i -> {gram}) AS hs
       FROM c WHERE len(clean) > 0
     ), s AS (
       SELECT doc_id, hs,
@@ -12794,8 +12803,9 @@ def _winnow_fp_sql(k: int = 5, w: int = 4, src_table: str = "documents") -> str:
 )
 def winnow_fp_q(spark, sf_dir):
     """Winnowing document fingerprints (dedup.winnow_fingerprints —
-    Schleimer et al., SIGMOD 2003 / MOSS): rolling character-5-gram
-    md5 hashes, window-4 leftmost-min selection; any shared substring
+    Schleimer et al., SIGMOD 2003 / MOSS): exact base-128 character-
+    5-gram codes (gram_code), window-4 leftmost-min selection; any
+    shared substring
     of length k+w−1 = 8 normalized chars yields a shared fingerprint
     at ~2/(w+1) density.  Gate = per-doc fingerprint-set digest
     (count, XOR, min, max) so every selected (pos, hash) is pinned

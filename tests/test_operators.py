@@ -1398,6 +1398,49 @@ def test_winnow_guarantee_and_determinism(spark):
         winnow_fingerprints(df, window=0)
 
 
+def test_winnow_gram_code_exact_encoding(spark):
+    """gram_code (the default hash_fn) is an EXACT base-128 ascii
+    encoding, not a hash: fp_hash values are hand-computable, the
+    short-doc single gram zero-pads missing tail positions, k > 8
+    overflows 63 bits and must raise, and md5_60/xxhash64 remain
+    selectable with identical row shape."""
+    import pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    def code(gram: str, k: int = 5) -> int:
+        padded = [ord(c) for c in gram] + [0] * (k - len(gram))
+        v = 0
+        for c in padded[:k]:
+            v = v * 128 + c
+        return v
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy")], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, "doc_id", "text", k=5, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.pos] = r.fp_hash
+    # doc 1: grams at pos 1..4 are abcde..defgh; window-4 min over an
+    # increasing sequence is always the leftmost gram → single
+    # fingerprint at pos 1 = code("abcde")
+    assert by_doc[1] == {1: code("abcde")}
+    # doc 2 shorter than k: one zero-padded gram
+    assert by_doc[2] == {1: code("xy")}
+
+    with pytest.raises(ValueError, match="k <= 8"):
+        winnow_fingerprints(df, "doc_id", "text", k=9, window=4)
+    # md5_60 stays available for k > 8 (and yields different values)
+    md5_rows = winnow_fingerprints(
+        df, "doc_id", "text", k=9, window=4, hash_fn="md5_60"
+    ).collect()
+    assert {r.doc_id for r in md5_rows} == {1, 2}
+    assert all(r.fp_hash != code("abcde") for r in md5_rows)
+
+
 def test_int4_roundtrip_bound_and_packing(spark, sf_dir):
     """int4 pack→unpack must reconstruct within 0.5/scale per
     component (the round-half-up quantization bound), words must stay
