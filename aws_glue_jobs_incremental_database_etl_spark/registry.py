@@ -14385,6 +14385,631 @@ def matryoshka_q(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 wave: time-series diagnostics
+# =====================================================================
+
+@query(
+    "changepoint_mean_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, d, m,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS tn,
+             SUM(m) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             SUM(m) OVER (PARTITION BY event_type) AS stot
+      FROM daily
+    ), sc AS (
+      SELECT event_type, d, t, tn,
+             t * POWER(s / t - stot / tn, 2)
+               + (tn - t) * POWER((stot - s) / (tn - t) - stot / tn, 2)
+               AS score,
+             s / t AS ml, (stot - s) / (tn - t) AS mr
+      FROM idx WHERE t < tn
+    ), r AS (
+      SELECT event_type, d AS break_day, CAST(tn AS BIGINT) AS n_days,
+             ROUND(score, 6) AS score,
+             ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY score DESC, d ASC) AS rn
+      FROM sc
+    )
+    SELECT event_type, break_day, n_days, score, mean_left, mean_right
+    FROM r WHERE rn = 1
+    """,
+)
+def changepoint_q(spark, sf_dir):
+    """Single best mean-shift changepoint per event type (binary
+    segmentation, first split): split the daily-mean series at every
+    day t and score the between-segment sum of squares
+    ``t·(μ_L−μ)² + (T−t)·(μ_R−μ)²`` — the variance explained by a
+    one-break step function; the argmax day is where the level
+    shifted (the CUSUM screen's model-based sibling).  Daily means
+    round to 6 so both engines difference identical doubles; one
+    bounded per-type cumsum window computes every split's score from
+    prefix sums — O(T) per type, never a per-split rescan."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.round(F.sum("value"), 6) / F.count(F.lit(1)), 6).alias("m")
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("d")
+    idx = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).alias("t"),
+        F.count(F.lit(1)).over(wt).alias("tn"),
+        F.sum("m")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s"),
+        F.sum("m").over(wt).alias("stot"),
+    ).filter(F.col("t") < F.col("tn"))
+    mu = F.col("stot") / F.col("tn")
+    ml = F.col("s") / F.col("t")
+    mr = (F.col("stot") - F.col("s")) / (F.col("tn") - F.col("t"))
+    sc = idx.select(
+        "event_type",
+        "d",
+        "tn",
+        (
+            F.col("t") * F.pow(ml - mu, F.lit(2))
+            + (F.col("tn") - F.col("t")) * F.pow(mr - mu, F.lit(2))
+        ).alias("score"),
+        ml.alias("ml"),
+        mr.alias("mr"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("d").asc()
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("break_day"),
+            F.col("tn").cast("bigint").alias("n_days"),
+            F.round("score", 6).alias("score"),
+            F.round("ml", 6).alias("mean_left"),
+            F.round("mr", 6).alias("mean_right"),
+        )
+    )
+
+
+@query(
+    "acf_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+      FROM daily
+    ), st AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+             SUM(x * x) AS sxx
+      FROM idx GROUP BY event_type
+    ), lag_terms AS (
+      SELECT a.event_type, l.lag,
+             SUM(a.x * b.x) AS sxy, SUM(a.x) AS s1, SUM(b.x) AS s2,
+             COUNT(*) AS np
+      FROM idx a
+      JOIN (SELECT unnest(range(1, 8)) AS lag) l ON TRUE
+      JOIN idx b ON b.event_type = a.event_type AND b.t = a.t - l.lag
+      GROUP BY a.event_type, l.lag
+    )
+    SELECT t.event_type, CAST(t.lag AS BIGINT) AS lag,
+           ROUND(
+             (t.sxy - (s.sx / s.n) * (t.s1 + t.s2)
+                    + t.np * (s.sx / s.n) * (s.sx / s.n))
+             / (s.sxx - s.n * (s.sx / s.n) * (s.sx / s.n)), 6) AS acf
+    FROM lag_terms t JOIN st s USING (event_type)
+    ORDER BY event_type, lag
+    """,
+)
+def acf_q(spark, sf_dir):
+    """Autocorrelation function of daily event counts at lags 1–7 —
+    the seasonality/burst diagnostic behind the day-of-week adjuster
+    (a weekly cycle shows as an ACF spike at lag 7).  Standard
+    estimator ``Σ(x_t−μ)(x_{t−L}−μ) / Σ(x_t−μ)²`` expanded into pure
+    INTEGER sums (Σx_t·x_{t−L}, Σx over the lagged support, Σx²) so
+    every double op runs on exact integers in both engines — order-
+    free, no rounding until output.  The lag join runs on the tiny
+    per-type daily frame (≤ days·7 rows), never on raw events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    idx = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("t"),
+    )
+    st = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    terms = (
+        a.join(F.broadcast(lags), F.lit(True))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.t") == F.col("a.t") - F.col("lag")),
+        )
+        .groupBy("a.event_type", "lag")
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+            F.sum("a.x").alias("s1"),
+            F.sum("b.x").alias("s2"),
+            F.count(F.lit(1)).alias("np"),
+        )
+    )
+    mu = F.col("sx") / F.col("n")
+    return (
+        terms.join(st, "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("lag"),
+            F.round(
+                (
+                    F.col("sxy")
+                    - mu * (F.col("s1") + F.col("s2"))
+                    + F.col("np") * mu * mu
+                )
+                / (F.col("sxx") - F.col("n") * mu * mu),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@query(
+    "theil_sen_trend_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+      FROM daily
+    ), slopes AS (
+      SELECT a.event_type, (b.y - a.y) / (b.t - a.t) AS sl
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type AND b.t > a.t
+    )
+    SELECT event_type, ROUND(quantile_cont(sl, 0.5), 6) AS slope,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM slopes GROUP BY event_type ORDER BY event_type
+    """,
+)
+def theil_sen_q(spark, sf_dir):
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes of the daily-total series — breakdown point
+    ~29%, immune to the outlier days that wreck least squares (the
+    robust sibling of regr_value_trend).  Daily totals are ×1e4
+    integer-scaled sums (order-free exact), pair generation runs on
+    the tiny per-type daily frame (≤ T²/2 ≈ 66k pairs per type at a
+    year of days — bounded, never on raw events), and the median is
+    the proven percentile ≡ quantile_cont parity."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).cast(
+                "double"
+            )
+            / 10000
+        ).alias("y")
+    )
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("t"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.t") > F.col("a.t")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.t") - F.col("a.t"))).alias(
+            "sl"
+        ),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(sl, 0.5)"), 6).alias("slope"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "kaplan_meier_retention_events",
+    """
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nd
+      FROM events WHERE event_type = 'purchase'
+    ), subj AS (
+      SELECT CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                  ELSE datediff('day', d, nd) END AS life,
+             CASE WHEN nd IS NULL THEN 1 ELSE 0 END AS censored
+      FROM p, bounds
+    ), hist AS (
+      SELECT life, COUNT(*) AS n_all, SUM(1 - censored) AS deaths
+      FROM subj GROUP BY life
+    ), risk AS (
+      SELECT life, deaths,
+             SUM(n_all) OVER (ORDER BY life DESC
+                              ROWS UNBOUNDED PRECEDING) AS at_risk
+      FROM hist
+    )
+    SELECT CAST(life AS BIGINT) AS t_days,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(deaths AS BIGINT) AS deaths,
+           CASE WHEN MAX(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY life ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(exp(SUM(ln(CASE WHEN deaths = at_risk THEN 1.0
+                           ELSE 1.0 - CAST(deaths AS DOUBLE) / at_risk END))
+                     OVER (ORDER BY life ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM risk WHERE deaths > 0 ORDER BY t_days
+    """,
+)
+def kaplan_meier_q(spark, sf_dir):
+    """Kaplan–Meier repurchase curve: subjects are the gaps between a
+    user's consecutive purchase events (in days); each user's final
+    open gap — last purchase to the end of the observation window —
+    is right-CENSORED (the user didn't fail to repurchase, we just
+    stopped looking; dropping those gaps would bias the curve down,
+    the mistake KM exists to fix).  ``S(t) = Π_{t_i≤t} (1 − d_i/n_i)``
+    accumulated as exp(Σ ln(...)) over the ≤ n-days distinct gap
+    lengths (the established cross-engine ln/exp parity).  Gap
+    construction is one user-partitioned LEAD; at-risk counts are a
+    reverse cumulative sum over the ≤ 366-bucket gap histogram —
+    never a per-time rescan of subjects."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", F.to_date("ts").alias("d"))
+        .withColumn("nd", F.lead("d").over(wp))
+    )
+    subj = p.join(F.broadcast(bounds), F.lit(True)).select(
+        F.when(
+            F.col("nd").isNull(), F.datediff(F.col("maxd"), F.col("d"))
+        )
+        .otherwise(F.datediff(F.col("nd"), F.col("d")))
+        .alias("life"),
+        F.when(F.col("nd").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    # gap histogram (≤ 366 rows), then at_risk = reverse cumsum
+    hist = subj.groupBy("life").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.lit(1) - F.col("censored")).alias("deaths"),
+    )
+    wrev = Window.orderBy(F.col("life").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.withColumn("at_risk", F.sum("n_all").over(wrev)).filter(
+        F.col("deaths") > 0
+    )
+    wfwd = Window.orderBy("life").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # S hits exactly 0 when a death time wipes the whole risk set;
+    # ln(0) is an error in DuckDB and null in Spark, so the zero tail
+    # is carried by an explicit cumulative flag instead.
+    full_death = F.when(F.col("deaths") == F.col("at_risk"), 1).otherwise(0)
+    term = F.when(F.col("deaths") == F.col("at_risk"), F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.col("deaths").cast("double") / F.col("at_risk")
+    )
+    return risk.select(
+        F.col("life").cast("bigint").alias("t_days"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("deaths").cast("bigint").alias("deaths"),
+        F.when(F.max(full_death).over(wfwd) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(F.log(term)).over(wfwd)), 6))
+        .alias("survival"),
+    ).orderBy("t_days")
+
+
+@query(
+    "cuped_adjusted_lift_events",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS mind, MAX(CAST(ts AS DATE)) AS maxd
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(user_id AS BIGINT) % 2 AS grp,
+             SUM(CASE WHEN CAST(ts AS DATE) < mind
+                           + CAST((datediff('day', mind, maxd) + 1) / 2
+                                  AS INTEGER)
+                      THEN CAST(ROUND(value * 10000) AS BIGINT)
+                      ELSE 0 END) AS x_scaled,
+             SUM(CASE WHEN CAST(ts AS DATE) >= mind
+                           + CAST((datediff('day', mind, maxd) + 1) / 2
+                                  AS INTEGER)
+                      THEN CAST(ROUND(value * 10000) AS BIGINT)
+                      ELSE 0 END) AS y_scaled
+      FROM events, bounds GROUP BY user_id, mind, maxd
+    ), st AS (
+      SELECT COUNT(*) AS n, SUM(x_scaled) AS sx, SUM(y_scaled) AS sy,
+             SUM(x_scaled * x_scaled) AS sxx,
+             SUM(x_scaled * y_scaled) AS sxy,
+             SUM(y_scaled * y_scaled) AS syy
+      FROM per_user
+    ), theta AS (
+      SELECT n, sx, sy, syy,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+               AS th
+      FROM st
+    ), adj AS (
+      SELECT grp,
+             CAST(y_scaled AS DOUBLE) / 10000 AS y,
+             (y_scaled - th * (x_scaled - CAST(sx AS DOUBLE) / n)) / 10000
+               AS yc
+      FROM per_user, theta
+    )
+    SELECT CAST(grp AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(y), 6) AS mean_raw,
+           ROUND(AVG(yc), 6) AS mean_cuped,
+           ROUND((SELECT th FROM theta), 6) AS theta
+    FROM adj GROUP BY grp ORDER BY grp
+    """,
+)
+def cuped_q(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013): pre-period per-user spend as the covariate, post-period
+    spend as the metric, ``Y_cuped = Y − θ(X − X̄)`` with
+    ``θ = cov(X,Y)/var(X)`` pooled over all users — the adjusted
+    group means keep the same expected lift but shed the variance X
+    explains.  Group = user_id parity (the deterministic assignment
+    stand-in); period split at the midpoint date.  All moments are
+    ×1e4 integer-scaled exact sums, so θ and the adjusted means are
+    identical doubles in both engines; two aggregate passes over the
+    per-user frame, a 1-row θ broadcast between them."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("mind"),
+        F.max(F.to_date("ts")).alias("maxd"),
+    )
+    half = (F.datediff(F.col("maxd"), F.col("mind")) + 1) / 2
+    cut = F.date_add(F.col("mind"), half.cast("int"))
+    scaled = F.round(F.col("value") * 10000).cast("bigint")
+    per_user = (
+        e.join(F.broadcast(bounds), F.lit(True))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") < cut, scaled).otherwise(F.lit(0))
+            ).alias("x_scaled"),
+            F.sum(
+                F.when(F.to_date("ts") >= cut, scaled).otherwise(F.lit(0))
+            ).alias("y_scaled"),
+        )
+        .select(
+            (F.col("user_id") % 2).alias("grp"), "x_scaled", "y_scaled"
+        )
+    )
+    st = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_scaled").alias("sx"),
+        F.sum("y_scaled").alias("sy"),
+        F.sum(F.col("x_scaled") * F.col("x_scaled")).alias("sxx"),
+        F.sum(F.col("x_scaled") * F.col("y_scaled")).alias("sxy"),
+    )
+    th = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    )
+    theta = st.select(
+        th.alias("th"), (F.col("sx").cast("double") / F.col("n")).alias("xbar")
+    )
+    adj = per_user.join(F.broadcast(theta), F.lit(True)).select(
+        "grp",
+        (F.col("y_scaled").cast("double") / 10000).alias("y"),
+        (
+            (F.col("y_scaled") - F.col("th") * (F.col("x_scaled") - F.col("xbar")))
+            / 10000
+        ).alias("yc"),
+        "th",
+    )
+    return (
+        adj.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_raw"),
+            F.round(F.avg("yc"), 6).alias("mean_cuped"),
+            F.round(F.any_value("th"), 6).alias("theta"),
+        )
+        .select(
+            F.col("grp").cast("bigint").alias("grp"),
+            "n_users",
+            "mean_raw",
+            "mean_cuped",
+            "theta",
+        )
+        .orderBy("grp")
+    )
+
+
+# Abramowitz & Stegun 26.2.17 normal-CDF polynomial — the SAME
+# explicit arithmetic in both engines (exp() is the only libm call;
+# the established ln/exp parity).  |error| < 7.5e-8, far inside the
+# round-6 gate tolerance.
+_PHI_SQL = """(CASE WHEN {z} >= 0 THEN
+      1.0 - exp(-({z}) * ({z}) / 2.0) * 0.3989422804014327
+        * ((((1.330274429 * (1.0 / (1.0 + 0.2316419 * ({z})))
+              - 1.821255978) * (1.0 / (1.0 + 0.2316419 * ({z})))
+              + 1.781477937) * (1.0 / (1.0 + 0.2316419 * ({z})))
+              - 0.356563782) * (1.0 / (1.0 + 0.2316419 * ({z})))
+              + 0.319381530) * (1.0 / (1.0 + 0.2316419 * ({z})))
+    ELSE
+      exp(-({z}) * ({z}) / 2.0) * 0.3989422804014327
+        * ((((1.330274429 * (1.0 / (1.0 - 0.2316419 * ({z})))
+              - 1.821255978) * (1.0 / (1.0 - 0.2316419 * ({z})))
+              + 1.781477937) * (1.0 / (1.0 - 0.2316419 * ({z})))
+              - 0.356563782) * (1.0 / (1.0 - 0.2316419 * ({z})))
+              + 0.319381530) * (1.0 / (1.0 - 0.2316419 * ({z})))
+    END)"""
+
+
+@query(
+    "fdr_bh_dow_value_events",
+    f"""
+    WITH cells AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)
+                 * CAST(ROUND(value * 10000) AS BIGINT)) AS ss
+      FROM events GROUP BY event_type, isodow(CAST(ts AS DATE))
+    ), gstat AS (
+      SELECT SUM(n) AS gn, SUM(s) AS gs, SUM(ss) AS gss FROM cells
+    ), z AS (
+      SELECT event_type, dow, n,
+             (CAST(s AS DOUBLE) / n - CAST(gs AS DOUBLE) / gn)
+               / sqrt(((CAST(gss AS DOUBLE) - CAST(gs AS DOUBLE) * gs / gn)
+                       / (gn - 1)) / n) AS zst
+      FROM cells, gstat
+    ), p AS (
+      SELECT event_type, dow, n,
+             2.0 * (1.0 - {_PHI_SQL.format(z="abs(zst)")}) AS pval
+      FROM z
+    ), ranked AS (
+      SELECT event_type, dow, n, pval,
+             ROW_NUMBER() OVER (ORDER BY pval ASC, event_type ASC, dow ASC)
+               AS r,
+             COUNT(*) OVER () AS m
+      FROM p
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+           ROUND(pval, 6) AS pval,
+           ROUND(MIN(pval * m / r) OVER (ORDER BY r DESC
+                                         ROWS UNBOUNDED PRECEDING), 6)
+             AS p_adj,
+           CAST(CASE WHEN MIN(pval * m / r) OVER (ORDER BY r DESC
+                          ROWS UNBOUNDED PRECEDING) <= 0.05
+                THEN 1 ELSE 0 END AS BIGINT) AS reject
+    FROM ranked ORDER BY event_type, dow
+    """,
+)
+def fdr_bh_q(spark, sf_dir):
+    """Benjamini–Hochberg FDR over the (event_type × day-of-week)
+    mean-value grid — the multiple-comparisons correction every
+    metrics sweep needs once it tests 35 cells at once: per-cell
+    one-sample z vs the pooled mean, two-sided p via the
+    Abramowitz–Stegun Φ polynomial (explicit arithmetic, exp() the
+    only libm call), then the BH step-up ``p_adj(i) = min_{j≥i}
+    p(j)·m/j`` as one running-min window over the p-ranked list.
+    Moments are ×1e4 integer-scaled exact sums; the window runs over
+    m = 35 rows — single-partition by construction and bounded by the
+    test-grid size, never by data volume."""
+    e = load_table(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 10000).cast("bigint")
+    cells = e.groupBy(
+        "event_type", (F.weekday(F.to_date("ts")) + 1).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled).alias("s"),
+        F.sum(scaled * scaled).alias("ss"),
+    )
+    glob = cells.agg(
+        F.sum("n").alias("gn"), F.sum("s").alias("gs"), F.sum("ss").alias("gss")
+    )
+    gmean = F.col("gs").cast("double") / F.col("gn")
+    gvar = (
+        F.col("gss").cast("double")
+        - F.col("gs").cast("double") * F.col("gs") / F.col("gn")
+    ) / (F.col("gn") - 1)
+    z = cells.join(F.broadcast(glob), F.lit(True)).select(
+        "event_type",
+        "dow",
+        "n",
+        (
+            (F.col("s").cast("double") / F.col("n") - gmean)
+            / F.sqrt(gvar / F.col("n"))
+        ).alias("zst"),
+    )
+
+    def phi(zc):
+        # A&S 26.2.17 for z >= 0; mirrored for z < 0
+        def tail(za):
+            k = 1.0 / (1.0 + 0.2316419 * za)
+            poly = (
+                (((1.330274429 * k - 1.821255978) * k + 1.781477937) * k
+                 - 0.356563782) * k + 0.319381530
+            ) * k
+            return F.exp(-za * za / 2.0) * 0.3989422804014327 * poly
+
+        return F.when(zc >= 0, 1.0 - tail(zc)).otherwise(tail(-zc))
+
+    p = z.select(
+        "event_type",
+        "dow",
+        "n",
+        (2.0 * (1.0 - phi(F.abs(F.col("zst"))))).alias("pval"),
+    )
+    wr = Window.orderBy(
+        F.col("pval").asc(), F.col("event_type").asc(), F.col("dow").asc()
+    )
+    ranked = p.select(
+        "event_type",
+        "dow",
+        "n",
+        "pval",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    wmin = Window.orderBy(F.col("r").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    padj = F.min(F.col("pval") * F.col("m") / F.col("r")).over(wmin)
+    return ranked.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("pval", 6).alias("pval"),
+        F.round(padj, 6).alias("p_adj"),
+        F.when(padj <= 0.05, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("reject"),
+    ).orderBy("event_type", "dow")
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in
