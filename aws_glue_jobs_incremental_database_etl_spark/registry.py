@@ -15009,6 +15009,291 @@ def fdr_bh_q(spark, sf_dir):
     ).orderBy("event_type", "dow")
 
 
+def _silhouette_oracle(dim: int = 64) -> str:
+    """DuckDB twin of the simplified silhouette: ×1e6 integer-scaled
+    components, centroid means as BIGINT/BIGINT divisions, and the
+    per-point squared distance as the SAME explicit left-to-right
+    64-term chain the Spark side builds (bit-identical doubles)."""
+    d2 = " + ".join(
+        f"(CAST(v[{i + 1}] AS DOUBLE) - CAST(c.cent[{i + 1}] AS DOUBLE)"
+        f" / c.n) * (CAST(v[{i + 1}] AS DOUBLE)"
+        f" - CAST(c.cent[{i + 1}] AS DOUBLE) / c.n)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS v
+      FROM embeddings
+    ), comp AS (
+      SELECT label, i, CAST(SUM(v[i]) AS BIGINT) AS s
+      FROM e, range(1, {dim + 1}) t(i)
+      GROUP BY label, i
+    ), c AS (
+      SELECT comp.label, list(s ORDER BY i) AS cent, ANY_VALUE(cnt.n) AS n
+      FROM comp
+      JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY label) cnt ON cnt.label = comp.label
+      GROUP BY comp.label
+    ), dist AS (
+      SELECT e.vec_id, e.label AS own, c.label AS cl,
+             sqrt({d2}) / 1000000 AS d
+      FROM e, c
+    ), ab AS (
+      SELECT vec_id, ANY_VALUE(own) AS label,
+             MIN(CASE WHEN cl = own THEN d END) AS a,
+             MIN(CASE WHEN cl <> own THEN d END) AS b
+      FROM dist GROUP BY vec_id
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_silhouette,
+           ROUND(AVG(a), 6) AS mean_intra,
+           ROUND(AVG(b), 6) AS mean_nearest_other
+    FROM ab GROUP BY label ORDER BY label
+    """
+
+
+@query("silhouette_labels_embeddings", None)  # oracle attached below
+def silhouette_q(spark, sf_dir):
+    """Simplified silhouette per label (centroid-based, Hruschka et
+    al.): a(i) = distance to the OWN label centroid, b(i) = distance
+    to the nearest OTHER centroid, s = (b−a)/max(a,b) — the cluster-
+    quality score that says whether the label partition actually
+    separates the embedding space (the eval the SemDeDup/IVF
+    clustering steps need before anyone trusts their buckets).  The
+    full-silhouette's O(n²) pairwise pass collapses to one centroid
+    broadcast + a map-only distance chain — the form that survives
+    100 TB.  Components integer-scale (×1e6) so centroids are exact;
+    distances are identical left-to-right 64-term double chains in
+    both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    c = e.groupBy(F.col("label").alias("cl")).agg(
+        F.array(
+            *[F.sum(F.element_at("v", i + 1)).cast("long") for i in range(64)]
+        ).alias("cent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d2 = None
+    for i in range(64):
+        t = (
+            F.element_at("v", i + 1).cast("double")
+            - F.element_at("cent", i + 1).cast("double") / F.col("n")
+        )
+        term = t * t
+        d2 = term if d2 is None else d2 + term
+    dist = e.join(F.broadcast(c), F.lit(True)).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "cl",
+        (F.sqrt(d2) / 1_000_000).alias("d"),
+    )
+    ab = dist.groupBy("vec_id").agg(
+        F.any_value("own").alias("label"),
+        F.min(F.when(F.col("cl") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("own"), F.col("d"))).alias("b"),
+    )
+    return (
+        ab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(
+                F.avg(
+                    (F.col("b") - F.col("a"))
+                    / F.greatest(F.col("a"), F.col("b"))
+                ),
+                6,
+            ).alias("mean_silhouette"),
+            F.round(F.avg("a"), 6).alias("mean_intra"),
+            F.round(F.avg("b"), 6).alias("mean_nearest_other"),
+        )
+        .orderBy("label")
+    )
+
+
+O["silhouette_labels_embeddings"] = _silhouette_oracle()
+
+
+@query("modularity_lpa_part_supplier", None)  # oracle attached below
+def modularity_q(spark, sf_dir):
+    """Newman modularity of the 3-round LPA communities on the
+    part–supplier shipment graph: ``Q_c = L_c/m − (D_c/2m)²`` per
+    community (internal-edge share minus the share a degree-
+    preserving random rewiring would give) — the standard "are these
+    communities real" score for the LPA output the lpa gate already
+    pins.  Everything is integer counts (internal edges, degree
+    sums, m) until the final two divisions; the community pass is
+    one edge⋈label join + a grouped count — no new graph machinery,
+    just the eval on top."""
+    from .operators.components import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_partkey").cast("bigint").alias("u"),
+        (F.col("l_suppkey").cast("bigint") + 10000000).alias("v"),
+    ).distinct()
+    labels = label_propagation(
+        li.select(
+            F.col("l_partkey").cast("bigint").alias("u"),
+            (F.col("l_suppkey").cast("bigint") + 10000000).alias("v"),
+        ),
+        iterations=3,
+    ).select("id", "label")
+    # undirected degree per node over the deduped edge set
+    und = raw.select("u", "v").union(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    m = raw.agg(F.count(F.lit(1)).alias("m"))
+    lab_a = labels.select(F.col("id").alias("u"), F.col("label").alias("cu"))
+    lab_b = labels.select(F.col("id").alias("v"), F.col("label").alias("cv"))
+    internal = (
+        raw.join(lab_a, "u")
+        .join(lab_b, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    dsum = (
+        deg.join(lab_a, "u")
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.sum("deg").alias("d_c"), F.count(F.lit(1)).alias("n_nodes"))
+    )
+    out = (
+        dsum.join(internal, "community", "left")
+        .join(F.broadcast(m), F.lit(True))
+        .select(
+            F.col("community").cast("bigint").alias("community"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.coalesce(F.col("l_c"), F.lit(0)).cast("bigint").alias(
+                "internal_edges"
+            ),
+            F.col("d_c").cast("bigint").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.col("l_c"), F.lit(0)).cast("double")
+                / F.col("m")
+                - (F.col("d_c").cast("double") / (2 * F.col("m")))
+                * (F.col("d_c").cast("double") / (2 * F.col("m"))),
+                6,
+            ).alias("q_contribution"),
+        )
+    )
+    return out.orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+
+
+def _modularity_oracle() -> str:
+    lpa = _lpa_oracle(3)
+    # _lpa_oracle ends with its own SELECT; re-root it as a CTE
+    body = lpa.strip()
+    assert body.startswith("WITH ")
+    head, tail = body.rsplit("SELECT id AS node, label", 1)
+    return f"""
+    {head} , labs AS (
+      SELECT id AS node, label {tail}
+    ), und AS (
+      SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw
+    ), deg AS (
+      SELECT u, COUNT(*) AS deg FROM und GROUP BY u
+    ), mm AS (
+      SELECT COUNT(*) AS m FROM raw
+    ), internal AS (
+      SELECT la.label AS community, COUNT(*) AS l_c
+      FROM raw
+      JOIN labs la ON la.node = raw.u
+      JOIN labs lb ON lb.node = raw.v
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    ), dsum AS (
+      SELECT la.label AS community, SUM(deg.deg) AS d_c,
+             COUNT(*) AS n_nodes
+      FROM deg JOIN labs la ON la.node = deg.u
+      GROUP BY la.label
+    )
+    SELECT CAST(dsum.community AS BIGINT) AS community,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(l_c, 0) AS BIGINT) AS internal_edges,
+           CAST(d_c AS BIGINT) AS degree_sum,
+           ROUND(CAST(COALESCE(l_c, 0) AS DOUBLE) / m
+                 - (CAST(d_c AS DOUBLE) / (2 * m))
+                 * (CAST(d_c AS DOUBLE) / (2 * m)), 6) AS q_contribution
+    FROM dsum LEFT JOIN internal USING (community), mm
+    ORDER BY n_nodes DESC, community ASC
+    """
+
+
+O["modularity_lpa_part_supplier"] = _modularity_oracle()
+
+
+@query(
+    "mutual_info_lang_source_docs",
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT SUM(n) AS nn FROM cells
+    ), ml AS (
+      SELECT lang, SUM(n) AS nl FROM cells GROUP BY lang
+    ), ms AS (
+      SELECT source, SUM(n) AS ns FROM cells GROUP BY source
+    )
+    SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+           ROUND(ln((CAST(c.n AS DOUBLE) * nn) / (CAST(nl AS DOUBLE) * ns)),
+                 6) AS pmi,
+           ROUND(SUM((CAST(c.n AS DOUBLE) / nn)
+                     * ln((CAST(c.n AS DOUBLE) * nn)
+                          / (CAST(nl AS DOUBLE) * ns))) OVER (), 6)
+             AS mi_nats
+    FROM cells c JOIN ml USING (lang) JOIN ms USING (source), tot
+    ORDER BY lang, source
+    """,
+)
+def mutual_info_q(spark, sf_dir):
+    """Mutual information between the lang and source columns — the
+    "is language confounded with corpus slice" screen a sampling plan
+    needs before per-source caps silently skew the language mix.
+    Per-cell pointwise MI plus the corpus MI (Σ p(l,s)·pmi) repeated
+    per row via an all-rows window — the window runs over the
+    langs×sources grid (bounded by cardinality product, never data
+    volume).  Counts are exact integers; ln on identical rationals is
+    the established parity."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    ml = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
+    ms = cells.groupBy("source").agg(F.sum("n").alias("ns"))
+    j = (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .join(F.broadcast(tot), F.lit(True))
+    )
+    pmi = F.log(
+        (F.col("n").cast("double") * F.col("nn"))
+        / (F.col("nl").cast("double") * F.col("ns"))
+    )
+    return j.select(
+        "lang",
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round(
+            F.sum((F.col("n").cast("double") / F.col("nn")) * pmi).over(
+                Window.partitionBy()
+            ),
+            6,
+        ).alias("mi_nats"),
+    ).orderBy("lang", "source")
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
