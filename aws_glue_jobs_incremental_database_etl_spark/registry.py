@@ -15294,6 +15294,375 @@ def mutual_info_q(spark, sf_dir):
     ).orderBy("lang", "source")
 
 
+@query(
+    "kmv_distinct_users_events",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM events
+    ), ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hv ASC) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM h
+    )
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(LEAST(n_exact, 64) AS BIGINT) AS k,
+           CAST(hv AS BIGINT) AS kth_hash,
+           ROUND(CASE WHEN n_exact <= 64 THEN CAST(n_exact AS DOUBLE)
+                 ELSE (64 - 1)
+                      / (CAST(hv AS DOUBLE) / 1152921504606846976) END, 6)
+             AS kmv_estimate
+    FROM ranked WHERE r = LEAST(n_exact, 64)
+    ORDER BY event_type
+    """,
+)
+def kmv_q(spark, sf_dir):
+    """KMV / bottom-k distinct sketch per event type (Bar-Yossef et
+    al. 2002): keep the k = 64 smallest 60-bit hashes of the key;
+    the k-th smallest normalized to [0,1) estimates density, so
+    ``D̂ = (k−1)/(h_k/2^60)`` — the DETERMINISTIC distinct sketch
+    (HLL's register race has no exact twin; KMV's bottom-k is a pure
+    order statistic, so the oracle reproduces it bit-for-bit).
+    Mergeable: union bottom-k sets, re-take the bottom k — same
+    shape as the HLL/CMS merge family.  Under k distincts the sketch
+    IS the exact set.  The rank window runs on the hash-distinct
+    frame; at 100 TB the bottom-k folds per-partition first (each
+    partition's candidates cap at k) — the window form is the gate's
+    exactness luxury."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    wt = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(wt.orderBy(F.col("hv").asc())).alias("r"),
+        F.count(F.lit(1)).over(wt).alias("n_exact"),
+    )
+    kk = F.least(F.col("n_exact"), F.lit(64))
+    return (
+        ranked.filter(F.col("r") == kk)
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            kk.cast("bigint").alias("k"),
+            F.col("hv").cast("bigint").alias("kth_hash"),
+            F.round(
+                F.when(
+                    F.col("n_exact") <= 64, F.col("n_exact").cast("double")
+                ).otherwise(
+                    F.lit(63.0)
+                    / (F.col("hv").cast("double") / F.lit(2.0**60))
+                ),
+                6,
+            ).alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _lof_oracle(dim: int = 64, k: int = 10, topn: int = 20) -> str:
+    """DuckDB twin of the brute-force LOF: exact ×1e6-integer squared
+    L2 (BIGINT term chain — order-free), rank-k neighborhoods with
+    (d², id) tie-break, reach-dist/lrd/LOF per the textbook."""
+    d2 = " + ".join(
+        f"(a.v[{i + 1}] - b.v[{i + 1}]) * (a.v[{i + 1}] - b.v[{i + 1}])"
+        for i in range(dim)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS v
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             sqrt(CAST({d2} AS DOUBLE)) / 1000000 AS d
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ), nk AS (
+      SELECT ida, idb, d FROM (
+        SELECT ida, idb, d,
+               ROW_NUMBER() OVER (PARTITION BY ida
+                                  ORDER BY d ASC, idb ASC) AS r
+        FROM pairs
+      ) WHERE r <= {k}
+    ), kd AS (
+      SELECT ida AS id, MAX(d) AS kdist FROM nk GROUP BY ida
+    ), lrd AS (
+      SELECT nk.ida AS id,
+             {k}.0 / SUM(GREATEST(kd.kdist, nk.d)) AS lrd
+      FROM nk JOIN kd ON kd.id = nk.idb
+      GROUP BY nk.ida
+    ), lof AS (
+      SELECT nk.ida AS id, AVG(lb.lrd / la.lrd) AS lof
+      FROM nk
+      JOIN lrd la ON la.id = nk.ida
+      JOIN lrd lb ON lb.id = nk.idb
+      GROUP BY nk.ida
+    )
+    SELECT CAST(lof.id AS BIGINT) AS vec_id, e.label,
+           ROUND(kd.kdist, 6) AS kdist,
+           ROUND(lrd.lrd, 6) AS lrd,
+           ROUND(lof.lof, 6) AS lof
+    FROM lof
+    JOIN kd ON kd.id = lof.id
+    JOIN lrd ON lrd.id = lof.id
+    JOIN e ON e.vec_id = lof.id
+    ORDER BY lof.lof DESC, vec_id ASC LIMIT {topn}
+    """
+
+
+@query("lof_outliers_embeddings", None)  # oracle attached below
+def lof_q(spark, sf_dir):
+    """Local outlier factor (Breunig et al., SIGMOD 2000), k = 10,
+    top-20 outliers: density-RELATIVE anomaly scoring — a point is
+    outlying if its neighborhood is sparser than its neighbors'
+    neighborhoods, which catches the cluster-edge cases a global
+    distance cutoff misses.  k-distance with (d, id) tie-break,
+    reach-dist = max(kdist(b), d(a,b)), lrd = k/Σreach, LOF = mean
+    lrd ratio — the full textbook chain, every distance an exact
+    ×1e6-integer L2 before one sqrt.  This gate runs the O(n²)
+    brute-force pair pass (it IS the baseline); the 100 TB path
+    generates candidates from the IVF cluster neighborhoods and
+    reranks — same downstream chain, bounded pair mass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    d2 = None
+    for i in range(64):
+        t = F.element_at(F.col("a.v"), i + 1) - F.element_at(
+            F.col("b.v"), i + 1
+        )
+        term = t * t
+        d2 = term if d2 is None else d2 + term
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ida"),
+        F.col("b.vec_id").alias("idb"),
+        (F.sqrt(d2.cast("double")) / 1_000_000).alias("d"),
+    )
+    wr = Window.partitionBy("ida").orderBy(
+        F.col("d").asc(), F.col("idb").asc()
+    )
+    nk = (
+        pairs.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 10)
+        .select("ida", "idb", "d")
+    )
+    kd = nk.groupBy(F.col("ida").alias("id")).agg(F.max("d").alias("kdist"))
+    lrd = (
+        nk.join(kd.select(F.col("id").alias("idb"), "kdist"), "idb")
+        .groupBy(F.col("ida").alias("id"))
+        .agg(
+            (
+                F.lit(10.0) / F.sum(F.greatest(F.col("kdist"), F.col("d")))
+            ).alias("lrd")
+        )
+    )
+    lof = (
+        nk.join(lrd.select(F.col("id").alias("ida"), F.col("lrd").alias("lrd_a")), "ida")
+        .join(lrd.select(F.col("id").alias("idb"), F.col("lrd").alias("lrd_b")), "idb")
+        .groupBy(F.col("ida").alias("id"))
+        .agg(F.avg(F.col("lrd_b") / F.col("lrd_a")).alias("lof"))
+    )
+    return (
+        lof.join(kd, "id")
+        .join(lrd, "id")
+        .join(e.select(F.col("vec_id").alias("id"), "label"), "id")
+        .select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            "label",
+            F.round("kdist", 6).alias("kdist"),
+            F.round("lrd", 6).alias("lrd"),
+            F.round("lof", 6).alias("lof"),
+        )
+        .orderBy(F.col("lof").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+O["lof_outliers_embeddings"] = _lof_oracle()
+
+
+@query(
+    "naive_bayes_langid_docs",
+    """
+    WITH cl AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
+      FROM documents
+    ), train_g AS (
+      SELECT lang, unnest(list_transform(range(1, len(clean)),
+                                         i -> substr(clean, i, 2))) AS g
+      FROM cl WHERE doc_id % 2 = 0 AND len(clean) >= 2
+    ), tc AS (
+      SELECT g, lang, COUNT(*) AS c FROM train_g GROUP BY g, lang
+    ), ls AS (
+      SELECT lang, SUM(c) AS tok FROM tc GROUP BY lang
+    ), pri AS (
+      SELECT lang, COUNT(*) AS nd FROM cl WHERE doc_id % 2 = 0
+      GROUP BY lang
+    ), gl AS (
+      SELECT (SELECT COUNT(DISTINCT g) FROM tc) AS vocab,
+             (SELECT COUNT(*) FROM cl WHERE doc_id % 2 = 0) AS ntr
+    ), test_g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(clean)),
+                                           i -> substr(clean, i, 2))) AS g
+      FROM cl WHERE doc_id % 2 = 1 AND len(clean) >= 2
+    ), tg AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM test_g GROUP BY doc_id, g
+    ), dt AS (
+      SELECT c.doc_id, c.lang AS actual,
+             COALESCE((SELECT SUM(cnt) FROM tg WHERE tg.doc_id = c.doc_id),
+                      0) AS t
+      FROM cl c WHERE c.doc_id % 2 = 1
+    ), matched AS (
+      SELECT tg.doc_id, tc.lang,
+             SUM(tg.cnt * ln((tc.c + 1.0) / (ls.tok + gl.vocab))) AS sm,
+             SUM(tg.cnt) AS mc
+      FROM tg JOIN tc USING (g) JOIN ls USING (lang), gl
+      GROUP BY tg.doc_id, tc.lang
+    ), scores AS (
+      SELECT dt.doc_id, dt.actual, ls.lang,
+             ln(CAST(pri.nd AS DOUBLE) / gl.ntr)
+             + COALESCE(m.sm, 0)
+             + (dt.t - COALESCE(m.mc, 0))
+               * ln(1.0 / (ls.tok + gl.vocab)) AS score
+      FROM dt
+      CROSS JOIN ls
+      JOIN pri ON pri.lang = ls.lang
+      LEFT JOIN matched m ON m.doc_id = dt.doc_id AND m.lang = ls.lang,
+      gl
+    ), pred AS (
+      SELECT doc_id, actual, lang AS predicted FROM (
+        SELECT doc_id, actual, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted ORDER BY actual, predicted
+    """,
+)
+def naive_bayes_q(spark, sf_dir):
+    """Multinomial naive Bayes language ID trained INSIDE the query:
+    even doc_ids train (char-bigram counts per lang, Laplace-
+    smoothed), odd doc_ids score, output is the actual×predicted
+    confusion matrix — the whole train/predict loop as one dataflow,
+    the pattern a 100 TB pipeline uses to fit cheap per-slice
+    classifiers without leaving the engine.  The unseen-gram mass is
+    folded algebraically — score = ln prior + Σ_matched cnt·ln p̂ +
+    (T − matched)·ln(1/(tok+V)) — so the join only carries grams the
+    lang HAS seen (≤ 1296 bigrams/lang, broadcastable), never the
+    doc×vocab cross.  Counts are exact integers; ln on identical
+    rationals is the established parity; argmax ties break (score
+    DESC, lang ASC)."""
+    d = load_table(spark, sf_dir, "documents")
+    cl = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("clean"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("clean") - 1),
+        lambda i: F.col("clean").substr(i, F.lit(2)),
+    )
+    train_g = (
+        cl.filter((F.col("doc_id") % 2 == 0) & (F.length("clean") >= 2))
+        .select("lang", F.explode(grams).alias("g"))
+    )
+    tc = train_g.groupBy("g", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ls = tc.groupBy("lang").agg(F.sum("c").alias("tok"))
+    tr = cl.filter(F.col("doc_id") % 2 == 0)
+    pri = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    gl = tc.select("g").distinct().agg(F.count(F.lit(1)).alias("vocab"))
+    gl = gl.join(tr.agg(F.count(F.lit(1)).alias("ntr")), F.lit(True))
+    test_g = (
+        cl.filter((F.col("doc_id") % 2 == 1) & (F.length("clean") >= 2))
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    tg = test_g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    dt = (
+        cl.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.col("lang").alias("actual"))
+        .join(
+            tg.groupBy("doc_id").agg(F.sum("cnt").alias("t")),
+            "doc_id",
+            "left",
+        )
+        .fillna({"t": 0})
+    )
+    matched = (
+        tg.join(F.broadcast(tc), "g")
+        .join(F.broadcast(ls), "lang")
+        .join(F.broadcast(gl), F.lit(True))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.log(
+                    (F.col("c") + 1.0) / (F.col("tok") + F.col("vocab"))
+                )
+            ).alias("sm"),
+            F.sum("cnt").alias("mc"),
+        )
+    )
+    scores = (
+        dt.join(F.broadcast(ls), F.lit(True))
+        .join(F.broadcast(pri), "lang")
+        .join(F.broadcast(gl), F.lit(True))
+        .join(
+            matched,
+            ["doc_id", "lang"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "lang",
+            (
+                F.log(F.col("nd").cast("double") / F.col("ntr"))
+                + F.coalesce(F.col("sm"), F.lit(0.0))
+                + (F.col("t") - F.coalesce(F.col("mc"), F.lit(0)))
+                * F.log(F.lit(1.0) / (F.col("tok") + F.col("vocab")))
+            ).alias("score"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
