@@ -15663,6 +15663,306 @@ def naive_bayes_q(spark, sf_dir):
     )
 
 
+@query(
+    "backtest_ses_daily_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS x
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ), ses AS (
+      SELECT event_type, rn, x, x AS s FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn, n.x, 0.5 * n.x + 0.5 * h.s
+      FROM num n JOIN ses h
+        ON n.event_type = h.event_type AND n.rn = h.rn + 1
+    ), fc AS (
+      SELECT n.event_type, n.x AS y, h.s AS f_ses, hx.x AS f_naive
+      FROM num n
+      JOIN ses h ON h.event_type = n.event_type AND h.rn = n.rn - 1
+      JOIN num hx ON hx.event_type = n.event_type AND hx.rn = n.rn - 1
+      WHERE n.rn > 5
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           ROUND(AVG(ABS(y - f_ses)), 6) AS mae_ses,
+           ROUND(AVG(ABS(y - f_naive)), 6) AS mae_naive,
+           ROUND(AVG(ABS(y - f_ses) / ABS(y)), 6) AS mape_ses,
+           ROUND(AVG(ABS(y - f_naive) / ABS(y)), 6) AS mape_naive
+    FROM fc GROUP BY event_type ORDER BY event_type
+    """,
+)
+def backtest_ses_q(spark, sf_dir):
+    """Rolling-origin one-step backtest of SES (α = 1/2) against the
+    naive last-value forecast — the eval that decides whether a
+    smoother EARNS its place before anyone alarms on its forecasts.
+    The SES recurrence yields every prefix state in ONE pass, so the
+    full backtest costs exactly one smoothing walk: forecast for day
+    t is the state after day t−1; score MAE/MAPE over t > 5 (burn-
+    in).  α = 1/2 keeps every smoothing step a dyadic fp op — the
+    Holt-gate trick — so states match the recursive-CTE oracle
+    bit-for-bit; only the error means are rounded."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("x")
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = None
+        states = []
+        for x in pdf["x"]:
+            s = x if s is None else 0.5 * x + 0.5 * s
+            states.append(s)
+        pdf["s"] = states
+        pdf["f_ses"] = pdf["s"].shift(1)
+        pdf["f_naive"] = pdf["x"].shift(1)
+        pdf["rn"] = range(1, len(pdf) + 1)
+        out = pdf[pdf["rn"] > 5]
+        return out[["event_type", "x", "f_ses", "f_naive"]].rename(
+            columns={"x": "y"}
+        )
+
+    fc = daily.groupBy("event_type").applyInPandas(
+        walk,
+        "event_type string, y double, f_ses double, f_naive double",
+    )
+    return (
+        fc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+            F.round(F.avg(F.abs(F.col("y") - F.col("f_ses"))), 6).alias(
+                "mae_ses"
+            ),
+            F.round(F.avg(F.abs(F.col("y") - F.col("f_naive"))), 6).alias(
+                "mae_naive"
+            ),
+            F.round(
+                F.avg(F.abs(F.col("y") - F.col("f_ses")) / F.abs("y")), 6
+            ).alias("mape_ses"),
+            F.round(
+                F.avg(F.abs(F.col("y") - F.col("f_naive")) / F.abs("y")), 6
+            ).alias("mape_naive"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "split_leakage_winnow_docs",
+    f"""
+    WITH {{WINNOW_FP}},
+    d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+    kept AS (
+      SELECT fp_hash FROM d GROUP BY fp_hash HAVING COUNT(*) <= 50
+    ),
+    dk AS (SELECT d.doc_id, d.fp_hash FROM d JOIN kept USING (fp_hash)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM dk GROUP BY doc_id),
+    sh AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM dk a JOIN dk b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM sh
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE shared / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE) >= 0.4
+    ),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 15) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'val' END AS sp
+      FROM documents
+    ),
+    tagged AS (
+      SELECT LEAST(sa.sp, sb.sp) AS split_a,
+             GREATEST(sa.sp, sb.sp) AS split_b,
+             CASE WHEN sa.sp <> sb.sp THEN
+               CASE WHEN sa.sp = 'val' THEN p.id_a ELSE p.id_b END
+             END AS leaked_val_doc
+      FROM pairs p
+      JOIN split sa ON sa.doc_id = p.id_a
+      JOIN split sb ON sb.doc_id = p.id_b
+    )
+    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT leaked_val_doc) AS BIGINT)
+             AS n_leaked_val_docs
+    FROM tagged GROUP BY split_a, split_b ORDER BY split_a, split_b
+    """,
+)
+def split_leakage_q(spark, sf_dir):
+    """Train/val near-dup leakage audit: assign the md5-contract 80/20
+    split, then count winnowing near-dup pairs (τ = 0.4, max_df = 50)
+    WITHIN and ACROSS splits — the check that catches eval
+    contamination the leakage-safe splitter exists to prevent (a
+    random split of a near-dup-ridden corpus leaks; this measures how
+    much).  Reports pair counts per split combination and the number
+    of distinct val docs with a train near-dup (the docs whose eval
+    loss is memorization).  Pair generation is the bounded winnowing
+    postings join; the split tag is a map-side md5."""
+    from .operators.dedup import winnow_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = winnow_near_dup_pairs(
+        d, "doc_id", "text", k=5, window=4, threshold=0.4, max_df=50
+    ).select("id_a", "id_b")
+    split = d.select(
+        "doc_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("val"))
+        .alias("sp"),
+    )
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("sp").alias("spa"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("sp").alias("spb"))
+    tagged = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("spa", "spb").alias("split_a"),
+            F.greatest("spa", "spb").alias("split_b"),
+            F.when(
+                F.col("spa") != F.col("spb"),
+                F.when(F.col("spa") == "val", F.col("id_a")).otherwise(
+                    F.col("id_b")
+                ),
+            ).alias("leaked_val_doc"),
+        )
+    )
+    return (
+        tagged.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("leaked_val_doc")
+            .cast("bigint")
+            .alias("n_leaked_val_docs"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+O["split_leakage_winnow_docs"] = O["split_leakage_winnow_docs"].replace(
+    "{WINNOW_FP}", _winnow_fp_sql()
+)
+
+
+@query(
+    "xcorr_leadlag_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xa,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS xb
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), idx AS (
+      SELECT xa, xb, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily
+    ), st AS (
+      SELECT COUNT(*) AS n, SUM(xa) AS sa, SUM(xb) AS sb,
+             SUM(xa * xa) AS saa, SUM(xb * xb) AS sbb
+      FROM idx
+    ), terms AS (
+      SELECT l.lag, SUM(a.xa * b.xb) AS sab,
+             SUM(a.xa) AS s1, SUM(b.xb) AS s2, COUNT(*) AS np
+      FROM idx a
+      JOIN (SELECT unnest(range(-3, 4)) AS lag) l ON TRUE
+      JOIN idx b ON b.t = a.t + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(t.lag AS BIGINT) AS lag,
+           CAST(t.np AS BIGINT) AS n_overlap,
+           ROUND((t.sab - (CAST(s.sa AS DOUBLE) / s.n) * t.s2
+                        - (CAST(s.sb AS DOUBLE) / s.n) * t.s1
+                        + t.np * (CAST(s.sa AS DOUBLE) / s.n)
+                               * (CAST(s.sb AS DOUBLE) / s.n))
+                 / (sqrt(s.saa - s.n * (CAST(s.sa AS DOUBLE) / s.n)
+                                     * (CAST(s.sa AS DOUBLE) / s.n))
+                    * sqrt(s.sbb - s.n * (CAST(s.sb AS DOUBLE) / s.n)
+                                       * (CAST(s.sb AS DOUBLE) / s.n))),
+                 6) AS xcorr
+    FROM terms t, st s ORDER BY lag
+    """,
+)
+def xcorr_q(spark, sf_dir):
+    """Lead–lag cross-correlation between the click and purchase
+    daily-count series at lags −3…+3 — does activity in one channel
+    LEAD conversions (positive-lag peak) or trail them?  The cross-
+    series sibling of the ACF gate, same integer-sum expansion
+    (Σx·y, marginal sums over the overlap, global moments) so every
+    double op runs on exact integers in both engines; the lag join
+    runs on the ≤ days-sized daily frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("xa"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("xb"),
+    )
+    idx = daily.select(
+        "xa", "xb", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    st = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a, b = idx.alias("a"), idx.alias("b")
+    terms = (
+        a.join(F.broadcast(lags), F.lit(True))
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.xa") * F.col("b.xb")).alias("sab"),
+            F.sum("a.xa").alias("s1"),
+            F.sum("b.xb").alias("s2"),
+            F.count(F.lit(1)).alias("np"),
+        )
+    )
+    ma = F.col("sa").cast("double") / F.col("n")
+    mb = F.col("sb").cast("double") / F.col("n")
+    return (
+        terms.join(F.broadcast(st), F.lit(True))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("np").cast("bigint").alias("n_overlap"),
+            F.round(
+                (
+                    F.col("sab")
+                    - ma * F.col("s2")
+                    - mb * F.col("s1")
+                    + F.col("np") * ma * mb
+                )
+                / (
+                    F.sqrt(F.col("saa") - F.col("n") * ma * ma)
+                    * F.sqrt(F.col("sbb") - F.col("n") * mb * mb)
+                ),
+                6,
+            ).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
