@@ -16031,6 +16031,21 @@ _PRIORITY = [
     # ---- round-6 new queries (never judge/driver sampled yet —
     # right behind the evidence-gap 44)
     "ivfpq_append_topk_embeddings",
+    "changepoint_mean_daily_events",
+    "acf_daily_events",
+    "theil_sen_trend_daily_events",
+    "kaplan_meier_retention_events",
+    "cuped_adjusted_lift_events",
+    "fdr_bh_dow_value_events",
+    "silhouette_labels_embeddings",
+    "modularity_lpa_part_supplier",
+    "mutual_info_lang_source_docs",
+    "kmv_distinct_users_events",
+    "lof_outliers_embeddings",
+    "naive_bayes_langid_docs",
+    "backtest_ses_daily_events",
+    "split_leakage_winnow_docs",
+    "xcorr_leadlag_events",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",

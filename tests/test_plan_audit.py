@@ -19,6 +19,20 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-6 wave: bounded global-scalar / tiny-grid plans
+    "kaplan_meier_retention_events",  # ≤366-bucket gap histogram:
+    # global reverse-cumsum + survival windows run on the bounded
+    # lifetime grid, plus the 1-row max-date broadcast
+    "cuped_adjusted_lift_events",     # 1-row theta/moment state
+    # folded back as a broadcast cross join
+    "fdr_bh_dow_value_events",        # BH step-up runs on the 35-row
+    # (type × dow) test grid — bounded by the grid, not data
+    "modularity_lpa_part_supplier",   # 1-row edge-count m broadcast
+    "mutual_info_lang_source_docs",   # all-rows MI window over the
+    # langs×sources grid (bounded by cardinality product)
+    "naive_bayes_langid_docs",        # 1-row vocab/train-count state
+    "xcorr_leadlag_events",           # daily two-series frame (≤366
+    # rows): global row_number + the 1-row moments broadcast
     "agg_lineitem_stats",        # 1-row global aggregate result
     "benford_digits_totalprice", # 1-row total for the share divide
     "bloom_prefilter_docs",      # packed filter → 1-row broadcast map
@@ -99,6 +113,20 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-6 wave: 1-row scalar broadcasts and bounded grids
+    "acf_daily_events",               # 7-row lag table × daily frame
+    "kaplan_meier_retention_events",  # 1-row max-date broadcast
+    "cuped_adjusted_lift_events",     # 1-row bounds + theta broadcasts
+    "fdr_bh_dow_value_events",        # 1-row pooled-moment broadcast
+    "silhouette_labels_embeddings",   # labels-row centroid broadcast
+    # (≤ label-cardinality rows against the point frame)
+    "modularity_lpa_part_supplier",   # 1-row m broadcast
+    "mutual_info_lang_source_docs",   # 1-row total broadcast
+    "lof_outliers_embeddings",        # the audited brute-force pair
+    # pass: vec_id≠vec_id theta self-join — the gate's exact baseline,
+    # IVF-candidate generation is the scale path (see docstring)
+    "naive_bayes_langid_docs",        # 1-row vocab/train-count state
+    "xcorr_leadlag_events",           # 7-row lag table + 1-row moments
     "ann_recall_lsh_vs_exact",
     "benford_digits_totalprice",
     "chisq_lang_drift_by_source",  # sources × langs expected grid —
