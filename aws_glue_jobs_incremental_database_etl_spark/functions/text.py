@@ -161,3 +161,72 @@ def char_entropy_from_chars(chars: Column) -> Column:
         lambda acc, cnt: acc - (cnt / n) * F.log(cnt / n),
     )
     return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
+def with_char_entropy(
+    df, text_col: str = "text", out_col: str = "entropy"
+):
+    """Sorted run-length character entropy as a STAGED projection
+    chain: sort once, boundary indices once, run counts once, fold
+    once — O(n log n) per doc vs the per-distinct filter scans of
+    :func:`char_entropy_from_chars` (O(alphabet·n); measured 2.4 s →
+    ~1 s for the sf0.1 corpus).
+
+    Each level lands in a real column because Catalyst INLINES a
+    multi-referenced alias's expression into every reference when
+    projections collapse — handed one expression tree, ``array_sort``
+    re-sorts per element access and the boundary filter re-runs per
+    count (measured: minutes, not seconds).  CollapseProject keeps
+    non-cheap multi-referenced aliases staged, so DataFrame-level
+    selects are the reliable fence; a Column-level helper cannot be.
+
+    Appends ``out_col`` (double) and drops the intermediates.
+    Summation runs in sorted-character order — the SQL twin must sort
+    too (engine-identical fp accumulation)."""
+    others = [c for c in df.columns]
+    staged = df.select(*others, F.split(F.col(text_col), "").alias("_cs"))
+    staged = staged.select(
+        *others, F.array_sort("_cs").alias("_s"), F.size("_cs").alias("_n")
+    )
+    # try_element_at: i = 1 probes index 0 in the second disjunct
+    # (NULL, matching DuckDB's s[0]); element_at would ANSI-error
+    staged = staged.select(
+        *others,
+        "_n",
+        F.filter(
+            F.sequence(F.lit(1), F.col("_n")),
+            lambda i: (i == 1)
+            | (
+                F.try_element_at("_s", i.cast("int"))
+                != F.try_element_at("_s", (i - 1).cast("int"))
+            ),
+        ).alias("_b"),
+    )
+    staged = staged.select(
+        *others,
+        "_n",
+        F.transform(
+            F.sequence(F.lit(1), F.size("_b")),
+            lambda j: (
+                F.when(
+                    j < F.size("_b"),
+                    F.element_at("_b", (j + 1).cast("int")),
+                ).otherwise(F.col("_n") + 1)
+                - F.element_at("_b", j.cast("int"))
+            ).cast("double"),
+        ).alias("_c"),
+    )
+    nd = F.col("_n").cast("double")
+    return staged.select(
+        *others,
+        F.when(
+            F.col("_n") > 0,
+            F.aggregate(
+                "_c",
+                F.lit(0.0),
+                lambda acc, cnt: acc - (cnt / nd) * F.log(cnt / nd),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )

@@ -5889,34 +5889,45 @@ def quantize_q(spark, sf_dir):
 @query(
     "char_entropy_docs",
     """
+    WITH t AS (
+      SELECT doc_id, list_sort(string_split(text, '')) AS s,
+             len(string_split(text, '')) AS n
+      FROM documents
+    ), b AS (
+      SELECT doc_id, s, n,
+             list_filter(range(1, n + 1),
+                         i -> i = 1 OR s[i] <> s[i - 1]) AS bounds
+      FROM t
+    ), c AS (
+      SELECT doc_id, n,
+             list_transform(range(1, len(bounds) + 1),
+               j -> CAST((CASE WHEN j < len(bounds) THEN bounds[j + 1]
+                          ELSE n + 1 END) - bounds[j] AS DOUBLE)) AS cnts
+      FROM b
+    )
     SELECT doc_id,
-           ROUND(CASE WHEN len(cs) > 0 THEN
-             list_sum(list_transform(list_distinct(cs),
-               c -> -(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
-                      / len(cs))
-                    * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
-                         / len(cs))))
+           ROUND(CASE WHEN n > 0 THEN
+             list_sum(list_transform(cnts,
+               c -> -(c / n) * ln(c / n)))
            ELSE 0.0 END, 6) AS entropy
-    FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents) t
+    FROM c
     """,
 )
 def char_entropy_q(spark, sf_dir):
-    """Character-entropy quality signal (functions.text.char_entropy):
-    the compression-style filter axis — repeated-char spam scores near
-    0, hex/base64 blobs score above the prose band.  Map-only HOF
-    chain (no explode, no shuffle); the DuckDB oracle replays the same
-    per-distinct-character lambda algebra."""
+    """Character-entropy quality signal (functions.text.
+    with_char_entropy): the compression-style filter axis —
+    repeated-char spam scores near 0, hex/base64 blobs score above
+    the prose band.  Map-only STAGED projection chain (no explode, no
+    shuffle): sorted run-length counts, O(n log n) per doc instead of
+    a filter scan per distinct character, each level a real column so
+    Catalyst can't inline the sort into every element access; the
+    DuckDB oracle replays the identical sorted-order summation."""
     d = load_table(spark, sf_dir, "documents")
-    from .functions.text import char_entropy_from_chars
+    from .functions.text import with_char_entropy
 
-    # stage the split into a column so the entropy HOFs read a
-    # materialized array instead of inlining the split per reference
-    return d.select(
-        "doc_id", F.split("text", "").alias("_cs")
-    ).select(
-        "doc_id",
-        F.round(char_entropy_from_chars(F.col("_cs")), 6).alias("entropy"),
-    )
+    return with_char_entropy(
+        d.select("doc_id", "text"), text_col="text"
+    ).select("doc_id", F.round("entropy", 6).alias("entropy"))
 
 
 @query(
