@@ -15964,6 +15964,407 @@ def xcorr_q(spark, sf_dir):
     )
 
 
+@query(
+    "isotonic_calibration_events",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS y
+      FROM events GROUP BY user_id
+    ), rng AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi FROM per_user
+    ), binned AS (
+      SELECT LEAST(CAST(floor((x - lo) * 12.0 / (hi - lo + 1))
+                         AS INTEGER), 11) AS bin,
+             y
+      FROM per_user, rng
+    ), bins AS (
+      SELECT bin, COUNT(*) AS w, SUM(y) AS g FROM binned GROUP BY bin
+    ), cum AS (
+      SELECT bin, w, g,
+             SUM(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(g) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cg
+      FROM bins
+    ), grid AS (
+      SELECT j.bin AS bin, i.bin AS i, k.bin AS k,
+             CAST(k.cg - (i.cg - i.g) AS DOUBLE)
+               / (k.cw - (i.cw - i.w)) AS seg_avg
+      FROM cum j
+      JOIN cum i ON i.bin <= j.bin
+      JOIN cum k ON k.bin >= j.bin
+    ), fit AS (
+      SELECT bin, MAX(mn) AS iso FROM (
+        SELECT bin, i, MIN(seg_avg) AS mn FROM grid GROUP BY bin, i
+      ) GROUP BY bin
+    )
+    SELECT c.bin AS bin, CAST(c.w AS BIGINT) AS n_users,
+           ROUND(CAST(c.g AS DOUBLE) / c.w, 6) AS raw_rate,
+           ROUND(f.iso, 6) AS isotonic_rate
+    FROM cum c JOIN fit f ON f.bin = c.bin ORDER BY bin
+    """,
+)
+def isotonic_q(spark, sf_dir):
+    """Isotonic calibration of P(heavy purchaser | click-activity
+    bin) via the PAV MINIMAX identity ``ŷ_j = max_{i≤j} min_{k≥j}
+    avg(i..k)`` — pool-adjacent-violators without the sequential
+    pooling loop: over B = 12 bounded bins the i×k segment grid is
+    144 cells of weighted averages from two cumsums, exact integers
+    until the division, so both engines agree bit-for-bit.  The
+    monotone fit is what a score→probability mapping must be before
+    thresholding; raw-vs-isotonic shows exactly where the empirical
+    curve violates monotonicity.  Bins are data-bounded (the grid is
+    B³ ≤ 1728 rows); the per-user pass is one hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    rng = per_user.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = per_user.join(F.broadcast(rng), F.lit(True)).select(
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                * 12.0
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+            F.lit(11),
+        ).alias("bin"),
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("w"), F.sum("y").alias("g")
+    )
+    wc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        "w",
+        "g",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("g").over(wc).alias("cg"),
+    )
+    j, i, k = cum.alias("j"), cum.alias("i"), cum.alias("k")
+    grid = (
+        j.join(i, F.col("i.bin") <= F.col("j.bin"))
+        .join(k, F.col("k.bin") >= F.col("j.bin"))
+        .select(
+            F.col("j.bin").alias("bin"),
+            F.col("i.bin").alias("i"),
+            (
+                (F.col("k.cg") - (F.col("i.cg") - F.col("i.g"))).cast(
+                    "double"
+                )
+                / (F.col("k.cw") - (F.col("i.cw") - F.col("i.w")))
+            ).alias("seg_avg"),
+        )
+    )
+    fit = (
+        grid.groupBy("bin", "i")
+        .agg(F.min("seg_avg").alias("mn"))
+        .groupBy("bin")
+        .agg(F.max("mn").alias("iso"))
+    )
+    return (
+        cum.join(fit, "bin")
+        .select(
+            "bin",
+            F.col("w").cast("bigint").alias("n_users"),
+            F.round(F.col("g").cast("double") / F.col("w"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 6).alias("isotonic_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "segmented_trend_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS ys
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, ys,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+               AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS tn,
+             SUM(ys) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS cys,
+             SUM(ys) OVER (PARTITION BY event_type) AS stot
+      FROM daily
+    ), brk AS (
+      SELECT event_type, t AS b FROM (
+        SELECT event_type, t,
+               t * POWER(CAST(cys AS DOUBLE) / t / 10000
+                         - CAST(stot AS DOUBLE) / tn / 10000, 2)
+                 + (tn - t)
+                 * POWER(CAST(stot - cys AS DOUBLE) / (tn - t) / 10000
+                         - CAST(stot AS DOUBLE) / tn / 10000, 2) AS sc,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY t * POWER(CAST(cys AS DOUBLE)
+                                        / t / 10000
+                                        - CAST(stot AS DOUBLE) / tn
+                                        / 10000, 2)
+                                      + (tn - t)
+                                      * POWER(CAST(stot - cys AS DOUBLE)
+                                        / (tn - t) / 10000
+                                        - CAST(stot AS DOUBLE) / tn
+                                        / 10000, 2) DESC, t ASC) AS rn
+        FROM idx WHERE t < tn
+      ) WHERE rn = 1
+    ), seg AS (
+      SELECT i.event_type,
+             CASE WHEN i.t <= brk.b THEN 0 ELSE 1 END AS seg,
+             i.t, i.ys
+      FROM idx i JOIN brk ON brk.event_type = i.event_type
+    ), ols AS (
+      SELECT event_type, seg, COUNT(*) AS n,
+             SUM(t) AS st, SUM(t * t) AS stt,
+             SUM(ys) AS sy, SUM(t * ys) AS sty
+      FROM seg GROUP BY event_type, seg
+    )
+    SELECT o.event_type, CAST(o.seg AS BIGINT) AS segment,
+           CAST(o.n AS BIGINT) AS n_days,
+           CAST(brk.b AS BIGINT) AS break_t,
+           ROUND((CAST(o.sty AS DOUBLE) - CAST(o.st AS DOUBLE) * o.sy / o.n)
+                 / (CAST(o.stt AS DOUBLE) - CAST(o.st AS DOUBLE) * o.st
+                    / o.n) / 10000, 6) AS slope,
+           ROUND((CAST(o.sy AS DOUBLE) / o.n
+                  - (CAST(o.sty AS DOUBLE) - CAST(o.st AS DOUBLE) * o.sy
+                     / o.n)
+                    / (CAST(o.stt AS DOUBLE) - CAST(o.st AS DOUBLE) * o.st
+                       / o.n)
+                    * (CAST(o.st AS DOUBLE) / o.n)) / 10000, 6)
+             AS intercept
+    FROM ols o JOIN brk ON brk.event_type = o.event_type
+    ORDER BY o.event_type, segment
+    """,
+)
+def segmented_trend_q(spark, sf_dir):
+    """Piecewise-linear (segmented) regression: re-detect each type's
+    best mean-shift break (the changepoint gate's prefix-sum score),
+    then fit exact OLS on each side — slope/intercept per segment,
+    the "did the TREND change or just the level" follow-up a
+    structural-break alarm needs.  All regression moments are ×1e4
+    integer sums (order-free); the break argmax and both fits come
+    from the same bounded per-type daily frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("ys")
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("d")
+    idx = daily.select(
+        "event_type",
+        "ys",
+        F.row_number().over(wo).alias("t"),
+        F.count(F.lit(1)).over(wt).alias("tn"),
+        F.sum("ys")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cys"),
+        F.sum("ys").over(wt).alias("stot"),
+    )
+    mu = F.col("stot").cast("double") / F.col("tn") / 10000
+    ml = F.col("cys").cast("double") / F.col("t") / 10000
+    mr = (
+        (F.col("stot") - F.col("cys")).cast("double")
+        / (F.col("tn") - F.col("t"))
+        / 10000
+    )
+    sc = F.col("t") * F.pow(ml - mu, F.lit(2)) + (
+        F.col("tn") - F.col("t")
+    ) * F.pow(mr - mu, F.lit(2))
+    wr = Window.partitionBy("event_type").orderBy(
+        sc.desc(), F.col("t").asc()
+    )
+    brk = (
+        idx.filter(F.col("t") < F.col("tn"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("t").alias("b"))
+    )
+    seg = idx.join(F.broadcast(brk), "event_type").select(
+        "event_type",
+        F.when(F.col("t") <= F.col("b"), 0).otherwise(1).alias("seg"),
+        "t",
+        "ys",
+    )
+    ols = seg.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("ys").alias("sy"),
+        F.sum(F.col("t") * F.col("ys")).alias("sty"),
+    )
+    slope_raw = (
+        F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy") / F.col("n")
+    ) / (
+        F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st") / F.col("n")
+    )
+    return (
+        ols.join(F.broadcast(brk), "event_type")
+        .select(
+            "event_type",
+            F.col("seg").cast("bigint").alias("segment"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("b").cast("bigint").alias("break_t"),
+            F.round(slope_raw / 10000, 6).alias("slope"),
+            F.round(
+                (
+                    F.col("sy").cast("double") / F.col("n")
+                    - slope_raw * (F.col("st").cast("double") / F.col("n"))
+                )
+                / 10000,
+                6,
+            ).alias("intercept"),
+        )
+        .orderBy("event_type", "segment")
+    )
+
+
+@query(
+    "holt_winters_daily_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS x
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ), init AS (
+      SELECT event_type,
+             list_sum(list_transform(xs, v -> v)) / 7 AS l0,
+             xs
+      FROM (
+        SELECT event_type, list(x ORDER BY rn) AS xs
+        FROM num WHERE rn <= 7 GROUP BY event_type
+      )
+    ), hw AS (
+      SELECT n.event_type, n.day, n.rn, n.x,
+             i.l0 AS level, CAST(0.0 AS DOUBLE) AS trend,
+             list_transform(i.xs, v -> v - i.l0) AS sv,
+             CAST(NULL AS DOUBLE) AS seasonal,
+             CAST(NULL AS DOUBLE) AS forecast
+      FROM num n JOIN init i ON i.event_type = n.event_type
+      WHERE n.rn = 7
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn, n.x,
+             0.5 * (n.x - h.sv[1]) + 0.5 * (h.level + h.trend),
+             0.5 * ((0.5 * (n.x - h.sv[1])
+                     + 0.5 * (h.level + h.trend)) - h.level)
+               + 0.5 * h.trend,
+             list_append(h.sv[2:7],
+               0.5 * (n.x - (0.5 * (n.x - h.sv[1])
+                             + 0.5 * (h.level + h.trend)))
+                 + 0.5 * h.sv[1]),
+             0.5 * (n.x - (0.5 * (n.x - h.sv[1])
+                           + 0.5 * (h.level + h.trend)))
+               + 0.5 * h.sv[1],
+             NULL
+      FROM num n JOIN hw h
+        ON n.event_type = h.event_type AND n.rn = h.rn + 1
+    )
+    SELECT event_type, day, x, level, trend, seasonal,
+           level + trend + sv[1] AS forecast
+    FROM hw WHERE rn > 7
+    ORDER BY event_type, day
+    """,
+)
+def holt_winters_q(spark, sf_dir):
+    """Holt–Winters ADDITIVE seasonal smoothing (α = β = γ = 1/2,
+    period 7) — the weekly-cycle-aware forecaster that completes the
+    SES → Holt → seasonal-adjust family: level, trend, AND a rotating
+    7-slot seasonal state (carried as a list through the recursion).
+    Init: level = first-week mean, trend = 0, seasonals = first-week
+    deviations; every subsequent step is dyadic (×1/2) fp arithmetic
+    in the exact op order of the oracle's recursive CTE, so states
+    and forecasts match bit-for-bit with no output rounding.  The
+    walk is one applyInPandas kernel over each type's ≤O(days) daily
+    rows — the bounded-series pattern the Holt gate set."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("x")
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) <= 7:
+            return pdf.iloc[0:0].assign(
+                level=0.0, trend=0.0, seasonal=0.0, forecast=0.0
+            )[
+                [
+                    "event_type",
+                    "day",
+                    "x",
+                    "level",
+                    "trend",
+                    "seasonal",
+                    "forecast",
+                ]
+            ]
+        xs = list(pdf["x"])
+        # same op order as the CTE: list_sum folds left-to-right
+        acc = 0.0
+        for v in xs[:7]:
+            acc = acc + v
+        level = acc / 7
+        trend = 0.0
+        sv = [v - level for v in xs[:7]]
+        rows = []
+        for t in range(7, len(xs)):
+            x = xs[t]
+            s_old = sv[0]
+            new_level = 0.5 * (x - s_old) + 0.5 * (level + trend)
+            new_trend = 0.5 * (new_level - level) + 0.5 * trend
+            s_new = 0.5 * (x - new_level) + 0.5 * s_old
+            sv = sv[1:] + [s_new]
+            level, trend = new_level, new_trend
+            rows.append(
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "day": pdf["day"].iloc[t],
+                    "x": x,
+                    "level": level,
+                    "trend": trend,
+                    "seasonal": s_new,
+                    "forecast": level + trend + sv[0],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            walk,
+            "event_type string, day date, x double, level double,"
+            " trend double, seasonal double, forecast double",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -16047,6 +16448,9 @@ _PRIORITY = [
     "backtest_ses_daily_events",
     "split_leakage_winnow_docs",
     "xcorr_leadlag_events",
+    "isotonic_calibration_events",
+    "segmented_trend_daily_events",
+    "holt_winters_daily_events",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",

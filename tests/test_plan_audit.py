@@ -33,6 +33,9 @@ SINGLE_PARTITION_OK = {
     "naive_bayes_langid_docs",        # 1-row vocab/train-count state
     "xcorr_leadlag_events",           # daily two-series frame (≤366
     # rows): global row_number + the 1-row moments broadcast
+    "isotonic_calibration_events",    # cumsum window over the 12-bin
+    # calibration table + 1-row min/max range broadcast — bounded by
+    # the literal bin count, never data volume
     "agg_lineitem_stats",        # 1-row global aggregate result
     "benford_digits_totalprice", # 1-row total for the share divide
     "bloom_prefilter_docs",      # packed filter → 1-row broadcast map
@@ -127,6 +130,9 @@ BNLJ_OK = {
     # IVF-candidate generation is the scale path (see docstring)
     "naive_bayes_langid_docs",        # 1-row vocab/train-count state
     "xcorr_leadlag_events",           # 7-row lag table + 1-row moments
+    "isotonic_calibration_events",    # 1-row range broadcast + the
+    # 12-bin i≤j≤k theta grid (≤ B³ = 1728 rows by the literal bin
+    # count)
     "ann_recall_lsh_vs_exact",
     "benford_digits_totalprice",
     "chisq_lang_drift_by_source",  # sources × langs expected grid —
