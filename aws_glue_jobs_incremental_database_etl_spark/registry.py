@@ -16365,6 +16365,132 @@ def holt_winters_q(spark, sf_dir):
     )
 
 
+@query(
+    "burst_viterbi_daily_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, day, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS tn,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY event_type) AS mu
+      FROM daily
+    ), fwd AS (
+      SELECT event_type, day, rn, tn, mu,
+             (mu - y * ln(mu)) AS c0,
+             (1.1 * mu - y * ln(1.1 * mu)) + ln(CAST(tn AS DOUBLE)) AS c1,
+             0 AS d0, 0 AS d1
+      FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn, n.tn, n.mu,
+             (n.mu - n.y * ln(n.mu)) + LEAST(f.c0, f.c1),
+             (1.1 * n.mu - n.y * ln(1.1 * n.mu))
+               + LEAST(f.c0 + ln(CAST(n.tn AS DOUBLE)), f.c1),
+             CASE WHEN f.c1 < f.c0 THEN 1 ELSE 0 END,
+             CASE WHEN f.c1 <= f.c0 + ln(CAST(n.tn AS DOUBLE))
+                  THEN 1 ELSE 0 END
+      FROM num n JOIN fwd f
+        ON n.event_type = f.event_type AND n.rn = f.rn + 1
+    ), bwd AS (
+      SELECT event_type, rn, day,
+             CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS state,
+             CASE WHEN c1 < c0 THEN d1 ELSE d0 END AS prev
+      FROM fwd WHERE rn = tn
+      UNION ALL
+      SELECT f.event_type, f.rn, f.day, b.prev,
+             CASE WHEN b.prev = 1 THEN f.d1 ELSE f.d0 END
+      FROM fwd f JOIN bwd b
+        ON f.event_type = b.event_type AND f.rn = b.rn - 1
+    )
+    SELECT b.event_type, b.day, CAST(d.y AS BIGINT) AS y,
+           CAST(b.state AS BIGINT) AS state,
+           ROUND(f.c0 - f.c1, 6) AS cost_margin
+    FROM bwd b
+    JOIN fwd f ON f.event_type = b.event_type AND f.rn = b.rn
+    JOIN daily d ON d.event_type = b.event_type AND d.day = b.day
+    ORDER BY b.event_type, b.day
+    """,
+)
+def burst_q(spark, sf_dir):
+    """Kleinberg-style burst detection (Kleinberg, KDD 2002 — the
+    2-state discrete variant) over daily event counts: a base state
+    emitting at the series mean μ and a burst state at 1.1μ, Poisson
+    negative-log-likelihood emission costs, a ln(T) toll for ENTERING
+    the burst state, Viterbi forward pass + backtrack.  The principled
+    version of the rolling-z/CUSUM alarms: a burst must pay for its
+    transition, so isolated spikes don't flap the state.  Output is
+    the full per-day Viterbi trace (state + forward cost margin),
+    which pins the entire recursion even on a burst-free corpus —
+    this synthetic stream is genuinely unbursty, so the honest answer
+    is all-base-state with margins, not fabricated episodes.  The
+    per-type series is bounded (≤366 rows), walked in one
+    applyInPandas kernel whose float ops replay the oracle's recursive
+    CTE exactly (libm ln on identical rationals, LEAST on identical
+    doubles)."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        tn = len(ys)
+        mu = float(sum(ys)) / tn
+        toll = math.log(float(tn))
+        e0 = lambda y: mu - y * math.log(mu)  # noqa: E731
+        e1 = lambda y: 1.1 * mu - y * math.log(1.1 * mu)  # noqa: E731
+        c0, c1 = e0(ys[0]), e1(ys[0]) + toll
+        d0s, d1s = [0], [0]
+        c0s, c1s = [c0], [c1]
+        for t in range(1, tn):
+            d0 = 1 if c1 < c0 else 0
+            d1 = 1 if c1 <= c0 + toll else 0
+            nc0 = e0(ys[t]) + min(c0, c1)
+            nc1 = e1(ys[t]) + min(c0 + toll, c1)
+            c0, c1 = nc0, nc1
+            d0s.append(d0)
+            d1s.append(d1)
+            c0s.append(c0)
+            c1s.append(c1)
+        states = [0] * tn
+        states[tn - 1] = 1 if c1s[tn - 1] < c0s[tn - 1] else 0
+        for t in range(tn - 1, 0, -1):
+            states[t - 1] = d1s[t] if states[t] == 1 else d0s[t]
+        rows = [
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "day": pdf["day"].iloc[t],
+                "y": ys[t],
+                "state": states[t],
+                "cost_margin": round(c0s[t] - c1s[t], 6),
+            }
+            for t in range(tn)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "day", "y", "state", "cost_margin"],
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            walk,
+            "event_type string, day date, y long, state long,"
+            " cost_margin double",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -16451,6 +16577,7 @@ _PRIORITY = [
     "isotonic_calibration_events",
     "segmented_trend_daily_events",
     "holt_winters_daily_events",
+    "burst_viterbi_daily_events",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",

@@ -690,3 +690,61 @@ def test_parquet_aggregate_pushdown_reads_footers_only(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketed tables co-locate join keys at WRITE time: a join of
+    two tables bucketed by the same key into the same bucket count
+    runs as a SortMergeJoin with NO Exchange on either side — the
+    100 TB pattern for repeated fact⋈fact joins (pay one shuffle at
+    layout time, never again per query).  A plain parquet⋈parquet
+    twin of the same join must show the two shuffles this layout
+    removes, and both plans must agree on the result."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="bucket_wh_")
+    saved = spark.conf.get("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        (
+            o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .option("path", f"{wh}/orders_b")
+            .mode("overwrite")
+            .saveAsTable("orders_bucketed")
+        )
+        (
+            c.selectExpr("c_custkey AS o_custkey", "c_name")
+            .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .option("path", f"{wh}/cust_b")
+            .mode("overwrite")
+            .saveAsTable("cust_bucketed")
+        )
+        ob = spark.table("orders_bucketed")
+        cb = spark.table("cust_bucketed")
+        joined = ob.join(cb, "o_custkey").groupBy("c_name").count()
+        # force SMJ so the bucket layout (not a broadcast) carries it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p, p[:1500]
+        assert "Bucketed: true" in p, p[:1500]
+        # the groupBy(c_name) agg legitimately shuffles on ITS key;
+        # the join keys must never appear in an Exchange
+        assert "Exchange hashpartitioning(o_custkey" not in p, p[:1500]
+
+        plain = (
+            o.join(
+                c.selectExpr("c_custkey AS o_custkey", "c_name"),
+                "o_custkey",
+            )
+            .groupBy("c_name")
+            .count()
+        )
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(o_custkey" in pp, pp[:1500]
+        assert sorted(joined.collect()) == sorted(plain.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.sources.bucketing.enabled", saved)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS cust_bucketed")
