@@ -243,12 +243,18 @@ class WinnowIndex:
         self.hash_fn = hash_fn
 
     def _fps(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        from .dedup import winnow_fingerprints
+        from .dedup import winnow_fingerprints, winnow_fingerprints_np
 
-        fp = (
-            winnow_fingerprints(
+        if self.hash_fn == "gram_code" and self.k <= 8:
+            raw = winnow_fingerprints_np(
+                df, id_col, text_col, self.k, self.window
+            )
+        else:
+            raw = winnow_fingerprints(
                 df, id_col, text_col, self.k, self.window, self.hash_fn
             )
+        fp = (
+            raw
             .select(F.col(id_col).alias("id"), "fp_hash")
             .distinct()
         )

@@ -12821,11 +12821,11 @@ def winnow_fp_q(spark, sf_dir):
     at ~2/(w+1) density.  Gate = per-doc fingerprint-set digest
     (count, XOR, min, max) so every selected (pos, hash) is pinned
     without shipping the full table."""
-    from .operators.dedup import winnow_fingerprints
+    from .operators.dedup import winnow_fingerprints_np
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+        winnow_fingerprints_np(docs, "doc_id", "text", k=5, window=4)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_fp"),

@@ -1441,6 +1441,36 @@ def test_winnow_gram_code_exact_encoding(spark):
     assert all(r.fp_hash != code("abcde") for r in md5_rows)
 
 
+def test_winnow_np_equals_expression(spark, sf_dir):
+    """The Arrow numpy winnowing fast path must produce EXACTLY the
+    expression path's rows — every (id, pos, fp_hash), including the
+    zero-padded short-doc gram and leftmost-tie window selection."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_np,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    extra = spark.createDataFrame(
+        [(9001, "ab"), (9002, ""), (9003, "AAAA aaaa AAAA !!"), (9004, None)],
+        "doc_id long, text string",
+    ).select("doc_id", "text")
+    both = docs.select("doc_id", "text").unionByName(extra)
+    expr_rows = {
+        (r.doc_id, r.pos, r.fp_hash)
+        for r in winnow_fingerprints(
+            both, "doc_id", "text", k=5, window=4, hash_fn="gram_code"
+        ).collect()
+    }
+    np_rows = {
+        (r.doc_id, r.pos, r.fp_hash)
+        for r in winnow_fingerprints_np(
+            both, "doc_id", "text", k=5, window=4
+        ).collect()
+    }
+    assert expr_rows == np_rows and len(np_rows) > 100
+
+
 def test_knn_exact_matches_jvm_chain(spark, sf_dir):
     """knn_exact's BLAS-block path must equal the JVM per-pair
     integer-chain formulation exactly — same neighbors, same ranks,
