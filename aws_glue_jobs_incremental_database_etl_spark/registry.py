@@ -16491,6 +16491,84 @@ def burst_q(spark, sf_dir):
     )
 
 
+@query(
+    "corr_matrix_event_types",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), wide AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             COUNT(*) AS n, SUM(a.y) AS sa, SUM(b.y) AS sb,
+             SUM(a.y * a.y) AS saa, SUM(b.y * b.y) AS sbb,
+             SUM(a.y * b.y) AS sab
+      FROM daily a JOIN daily b
+        ON b.d = a.d AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT ta AS type_a, tb AS type_b, CAST(n AS BIGINT) AS n_days,
+           ROUND((sab - CAST(sa AS DOUBLE) * sb / n)
+                 / (sqrt(saa - CAST(sa AS DOUBLE) * sa / n)
+                    * sqrt(sbb - CAST(sb AS DOUBLE) * sb / n)), 6)
+             AS pearson
+    FROM wide ORDER BY type_a, type_b
+    """,
+)
+def corr_matrix_q(spark, sf_dir):
+    """Pairwise Pearson correlation grid of the per-type daily count
+    series — do channels move together (shared seasonality/outages)
+    or independently?  The same-day self-join runs on the bounded
+    daily frame (days × types rows), all moments are exact integer
+    sums, and the output is the types² upper triangle — the
+    multi-series companion of the lag-scanning xcorr gate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    wide = (
+        a.join(
+            b,
+            (F.col("b.d") == F.col("a.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.y").alias("sa"),
+            F.sum("b.y").alias("sb"),
+            F.sum(F.col("a.y") * F.col("a.y")).alias("saa"),
+            F.sum(F.col("b.y") * F.col("b.y")).alias("sbb"),
+            F.sum(F.col("a.y") * F.col("b.y")).alias("sab"),
+        )
+    )
+    return wide.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            (
+                F.col("sab")
+                - F.col("sa").cast("double") * F.col("sb") / F.col("n")
+            )
+            / (
+                F.sqrt(
+                    F.col("saa")
+                    - F.col("sa").cast("double") * F.col("sa") / F.col("n")
+                )
+                * F.sqrt(
+                    F.col("sbb")
+                    - F.col("sb").cast("double") * F.col("sb") / F.col("n")
+                )
+            ),
+            6,
+        ).alias("pearson"),
+    ).orderBy("type_a", "type_b")
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -16578,6 +16656,7 @@ _PRIORITY = [
     "segmented_trend_daily_events",
     "holt_winters_daily_events",
     "burst_viterbi_daily_events",
+    "corr_matrix_event_types",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
