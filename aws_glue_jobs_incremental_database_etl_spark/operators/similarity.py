@@ -1849,6 +1849,7 @@ def knn_exact(
     vec_col: str = "embedding",
     k: int = 10,
     scale: int = 1_000_000,
+    group_col: str | None = None,
 ) -> DataFrame:
     """All-pairs exact k-nearest-neighbor join (squared L2 over
     ×``scale`` integer-scaled components) — the brute-force baseline
@@ -1867,22 +1868,43 @@ def knn_exact(
     per-pair expression.  That is the right BASELINE shape while the
     corpus matrix fits executor memory; past that, generate
     candidates from IVF cluster neighborhoods (``cosine_topk_ivf``)
-    and rerank — same downstream contract."""
+    and rerank — same downstream contract.
+
+    ``group_col``: restrict candidates to rows sharing the group
+    value (e.g. an IVF cluster id) — the broadcast becomes one
+    matrix per group and each row multiplies only against its own
+    group's block, dropping pair mass from n² to Σ|group|²."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = df.sparkSession
-    scaled = df.select(
+    cols = [
         F.col(id_col).cast("long").alias("_id"),
         F.transform(
             vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")
         ).alias("_v"),
-    )
+    ]
+    if group_col is not None:
+        cols.append(F.col(group_col).cast("long").alias("_g"))
+    scaled = df.select(*cols)
     rows = scaled.collect()
-    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast((mat * mat).sum(axis=1))
+    groups: dict = {}
+    for r in rows:
+        g = r["_g"] if group_col is not None else 0
+        groups.setdefault(g, ([], []))
+        groups[g][0].append(r["_id"])
+        groups[g][1].append(r["_v"])
+    packed = {
+        g: (
+            np.array(ids_, dtype=np.int64),
+            np.array(vs, dtype=np.float64),
+        )
+        for g, (ids_, vs) in groups.items()
+    }
+    packed = {
+        g: (ids_, mat, (mat * mat).sum(axis=1))
+        for g, (ids_, mat) in packed.items()
+    }
+    b_packed = spark.sparkContext.broadcast(packed)
 
     out_schema = StructType(
         [
@@ -1895,26 +1917,39 @@ def knn_exact(
     def block(batches):
         import pandas as pd
 
-        B, Bids, Bn = b_mat.value, b_ids.value, b_norms.value
+        P = b_packed.value
         for pdf in batches:
             if not len(pdf):
                 continue
             A = np.array(pdf["_v"].tolist(), dtype=np.float64)
             Aids = pdf["_id"].to_numpy(dtype=np.int64)
+            if "_g" in pdf.columns:
+                Ags = pdf["_g"].to_numpy(dtype=np.int64)
+            else:
+                Ags = np.zeros(len(A), dtype=np.int64)
             an = (A * A).sum(axis=1)
-            # exact: all products/sums are integers < 2^53
-            d2 = an[:, None] + Bn[None, :] - 2.0 * (A @ B.T)
             outa, outb, outd = [], [], []
-            for i in range(len(A)):
-                row = d2[i]
-                self_mask = Bids == Aids[i]
-                row = np.where(self_mask, np.inf, row)
-                kth = np.partition(row, k - 1)[k - 1]
-                cand = np.nonzero(row <= kth)[0]
-                order = cand[np.lexsort((Bids[cand], row[cand]))][:k]
-                outa.extend([Aids[i]] * len(order))
-                outb.extend(Bids[order].tolist())
-                outd.extend(row[order].astype(np.int64).tolist())
+            for g in np.unique(Ags):
+                Bids, B, Bn = P[int(g)]
+                sel = np.nonzero(Ags == g)[0]
+                # exact: all products/sums are integers < 2^53
+                d2 = (
+                    an[sel][:, None]
+                    + Bn[None, :]
+                    - 2.0 * (A[sel] @ B.T)
+                )
+                for j, i in enumerate(sel):
+                    row = d2[j]
+                    row = np.where(Bids == Aids[i], np.inf, row)
+                    kk = min(k, len(row) - 1)
+                    if kk <= 0:
+                        continue
+                    kth = np.partition(row, kk - 1)[kk - 1]
+                    cand = np.nonzero(row <= kth)[0]
+                    order = cand[np.lexsort((Bids[cand], row[cand]))][:kk]
+                    outa.extend([Aids[i]] * len(order))
+                    outb.extend(Bids[order].tolist())
+                    outd.extend(row[order].astype(np.int64).tolist())
             yield pd.DataFrame({"ida": outa, "idb": outb, "d2": outd})
 
     return scaled.mapInPandas(block, out_schema)

@@ -16569,6 +16569,173 @@ def corr_matrix_q(spark, sf_dir):
     ).orderBy("type_a", "type_b")
 
 
+def _lof_ivf_oracle(dim: int = 64, k: int = 10, topn: int = 20) -> str:
+    """DuckDB twin of the IVF-bucketed LOF: literal-quantizer cluster
+    assignment (bit-identical chain), candidate pairs ONLY within a
+    cluster, then the textbook kdist/reach/lrd/LOF chain with the
+    per-point effective neighbor count (small clusters yield < k
+    neighbors)."""
+    from .operators.similarity import fixed_centroids
+
+    cents = fixed_centroids(64, 8, seed=7)
+    d2 = " + ".join(
+        f"(a.v[{i + 1}] - b.v[{i + 1}]) * (a.v[{i + 1}] - b.v[{i + 1}])"
+        for i in range(dim)
+    )
+    return f"""
+    WITH c0 AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS v
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, label, v, {_centroid_assign_sql(cents)} AS dl
+      FROM c0
+    ), e AS MATERIALIZED (
+      SELECT vec_id, label, v,
+             CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER)
+               AS cluster
+      FROM d
+    ), pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             sqrt(CAST({d2} AS DOUBLE)) / 1000000 AS dd
+      FROM e a JOIN e b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    ), nk AS MATERIALIZED (
+      SELECT ida, idb, dd FROM (
+        SELECT ida, idb, dd,
+               ROW_NUMBER() OVER (PARTITION BY ida
+                                  ORDER BY dd ASC, idb ASC) AS r
+        FROM pairs
+      ) WHERE r <= {k}
+    ), kd AS (
+      SELECT ida AS id, MAX(dd) AS kdist FROM nk GROUP BY ida
+    ), lrd AS (
+      SELECT nk.ida AS id,
+             COUNT(*) / SUM(GREATEST(kd.kdist, nk.dd)) AS lrd
+      FROM nk JOIN kd ON kd.id = nk.idb
+      GROUP BY nk.ida
+    ), lof AS (
+      SELECT nk.ida AS id, AVG(lb.lrd / la.lrd) AS lof
+      FROM nk
+      JOIN lrd la ON la.id = nk.ida
+      JOIN lrd lb ON lb.id = nk.idb
+      GROUP BY nk.ida
+    )
+    SELECT CAST(lof.id AS BIGINT) AS vec_id, e.label,
+           CAST(e.cluster AS BIGINT) AS cluster,
+           ROUND(kd.kdist, 6) AS kdist,
+           ROUND(lof.lof, 6) AS lof
+    FROM lof
+    JOIN kd ON kd.id = lof.id
+    JOIN e ON e.vec_id = lof.id
+    ORDER BY lof.lof DESC, vec_id ASC LIMIT {topn}
+    """
+
+
+@query("lof_ivf_outliers_embeddings", None)  # oracle attached below
+def lof_ivf_q(spark, sf_dir):
+    """IVF-bucketed LOF — the SCALE path the brute-force gate
+    documents, made concrete: candidate neighbors come only from the
+    point's own coarse-quantizer cluster (literal seeded centroids,
+    bit-exact assignment both engines), so the pair mass drops from
+    n² to Σ|cluster|² and the join shuffles on the cluster key —
+    partition-parallel at 100 TB where the global pair pass is not.
+    Small clusters yield fewer than k neighbors; lrd and LOF use the
+    per-point effective count, per Breunig's definition.  The LOF
+    values approximate the global-kNN gate's (neighbors restricted to
+    the bucket) — the standard ANN-LOF trade, here made measurable
+    against its exact sibling."""
+    from .operators.similarity import assign_nearest_centroid, fixed_centroids
+
+    cents = fixed_centroids(64, 8, seed=7)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "e", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    # localCheckpoint: the assigned frame feeds both self-join sides
+    # AND the final label join; uncheckpointed, the 8x64-term
+    # assignment chain re-evaluates per reference (measured 38 s ->
+    # ~3 s at sf0.01 across both engines with the twin MATERIALIZED)
+    e = (
+        assign_nearest_centroid(emb, cents, vec_col="e")
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1_000_000).cast(
+                    "long"
+                ),
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from .operators.similarity import knn_exact
+
+    nk = (
+        knn_exact(
+            e.select("vec_id", "cluster", F.col("v").alias("embedding"))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding", lambda x: x.cast("double") / 1_000_000
+                ),
+            ),
+            "vec_id",
+            "embedding",
+            k=10,
+            group_col="cluster",
+        )
+        .select(
+            "ida",
+            "idb",
+            (F.sqrt(F.col("d2").cast("double")) / 1_000_000).alias("dd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kd = nk.groupBy(F.col("ida").alias("id")).agg(F.max("dd").alias("kdist"))
+    lrd = (
+        nk.join(kd.select(F.col("id").alias("idb"), "kdist"), "idb")
+        .groupBy(F.col("ida").alias("id"))
+        .agg(
+            (
+                F.count(F.lit(1)) / F.sum(F.greatest(F.col("kdist"), F.col("dd")))
+            ).alias("lrd")
+        )
+    )
+    lof = (
+        nk.join(
+            lrd.select(F.col("id").alias("ida"), F.col("lrd").alias("lrd_a")),
+            "ida",
+        )
+        .join(
+            lrd.select(F.col("id").alias("idb"), F.col("lrd").alias("lrd_b")),
+            "idb",
+        )
+        .groupBy(F.col("ida").alias("id"))
+        .agg(F.avg(F.col("lrd_b") / F.col("lrd_a")).alias("lof"))
+    )
+    return (
+        lof.join(kd, "id")
+        .join(e.select(F.col("vec_id").alias("id"), "label", "cluster"), "id")
+        .select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            "label",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.round("kdist", 6).alias("kdist"),
+            F.round("lof", 6).alias("lof"),
+        )
+        .orderBy(F.col("lof").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+O["lof_ivf_outliers_embeddings"] = _lof_ivf_oracle()
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -16657,6 +16824,7 @@ _PRIORITY = [
     "holt_winters_daily_events",
     "burst_viterbi_daily_events",
     "corr_matrix_event_types",
+    "lof_ivf_outliers_embeddings",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",

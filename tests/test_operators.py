@@ -1521,6 +1521,48 @@ def test_knn_exact_matches_jvm_chain(spark, sf_dir):
     per_row = Counter(ida for ida, _ in got)
     assert set(per_row.values()) == {5}
 
+    # grouped path: same contract with candidates restricted to the
+    # group — equal to the JVM-chain rank computed within groups
+    grouped = emb.withColumn("grp", (F.col("vec_id") % 3).cast("long"))
+    got_g = {
+        (r.ida, r.idb): r.d2
+        for r in knn_exact(
+            grouped, "vec_id", "embedding", k=5, group_col="grp"
+        ).collect()
+    }
+    eg = grouped.select(
+        "vec_id",
+        "grp",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    ag, bg = eg.alias("a"), eg.alias("b")
+    d2g = None
+    for i in range(64):
+        t = F.element_at(F.col("a.v"), i + 1) - F.element_at(
+            F.col("b.v"), i + 1
+        )
+        d2g = t * t if d2g is None else d2g + t * t
+    pg = ag.join(
+        bg,
+        (F.col("a.grp") == F.col("b.grp"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("ida"),
+        F.col("b.vec_id").alias("idb"),
+        d2g.alias("d2"),
+    )
+    wg = W.partitionBy("ida").orderBy(F.col("d2").asc(), F.col("idb").asc())
+    want_g = {
+        (r.ida, r.idb): r.d2
+        for r in pg.withColumn("r", F.row_number().over(wg))
+        .filter(F.col("r") <= 5)
+        .collect()
+    }
+    assert got_g == want_g
+
 
 def test_int4_roundtrip_bound_and_packing(spark, sf_dir):
     """int4 pack→unpack must reconstruct within 0.5/scale per
