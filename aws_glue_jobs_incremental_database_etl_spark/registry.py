@@ -16736,6 +16736,319 @@ def lof_ivf_q(spark, sf_dir):
 O["lof_ivf_outliers_embeddings"] = _lof_ivf_oracle()
 
 
+# ----------------------------------------------------- model-eval suite
+
+def _scored_docs(spark, sf_dir):
+    """Shared (doc_id, score, y) frame for the model-eval gates: the
+    hashed linear classifier as the score, long-document (n_chars ≥
+    300, the corpus median) as the binary truth.  (Gopher keep is
+    degenerate on this corpus — every doc fails the battery — so it
+    cannot anchor a ranking eval; the kappa gate's value was exactly
+    that it exposes such pathologies.)"""
+    from .operators.sampling import hash_bucket
+    from .operators.text import hashed_classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    dim = 4096
+    model = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("_t")
+        )
+        .select(hash_bucket(F.col("_t"), dim).alias("bucket"))
+        .distinct()
+        .select(
+            "bucket",
+            (
+                ((F.col("bucket") % 101).cast("double") - 50.0) / 500.0
+            ).alias("w"),
+        )
+    )
+    sc = hashed_classifier_score(d, model, dim=dim, bias=0.1).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    lab = d.select(
+        "doc_id", (F.col("n_chars") >= 300).cast("int").alias("y")
+    )
+    return sc.join(lab, "doc_id")
+
+
+def _scored_sql() -> str:
+    """DuckDB twin of ``_scored_docs`` composed from the classifier
+    gate's own generated SQL."""
+    clf = O["classifier_score_docs"]
+    return f"""sc AS (
+      SELECT id AS doc_id, score FROM ({clf}) c
+    ), lab AS (
+      SELECT doc_id, CAST(n_chars >= 300 AS INTEGER) AS y FROM documents
+    ), scored AS (
+      SELECT sc.doc_id, sc.score, lab.y FROM sc JOIN lab USING (doc_id)
+    )"""
+
+
+@query("roc_auc_quality_docs", None)  # oracle attached below (composed)
+def roc_auc_q(spark, sf_dir):
+    """ROC-AUC of the hashed classifier against the Gopher truth —
+    the discrimination summary every swap-a-filter decision needs
+    beyond kappa's single-threshold agreement.  Tie-corrected
+    Mann–Whitney form WITHOUT materializing pos×neg pairs: group by
+    distinct score, one cumulative window over the score-sorted
+    groups, numerator = Σ_g (2·pos_g·neg_below_g + pos_g·neg_g) as
+    exact BIGINTs, AUC = num/(2·n1·n0) — one division at the end.
+    Bounded by distinct scores, never by document pairs."""
+    scored = _scored_docs(spark, sf_dir)
+    g = scored.groupBy("score").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "pos",
+        "neg",
+        (F.sum("neg").over(w) - F.col("neg")).alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum(
+            F.lit(2) * F.col("pos") * F.col("neg_below")
+            + F.col("pos") * F.col("neg")
+        ).alias("num2"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query("average_precision_quality_docs", None)  # oracle attached below
+def avg_precision_q(spark, sf_dir):
+    """Average precision (area under the precision–recall curve,
+    step interpolation, ties handled at the score-group level):
+    ``AP = Σ_g (pos_g/n1)·(cum_pos_g/cum_all_g)`` over score groups
+    in descending order — the rare-positive-robust companion of
+    ROC-AUC (AUC flatters a classifier when negatives dominate; AP
+    does not).  One grouped pass + one cumulative window over the
+    distinct-score frame, exact integer counts into each rational."""
+    scored = _scored_docs(spark, sf_dir)
+    g = scored.groupBy("score").agg(
+        F.sum("y").alias("pos"), F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "pos",
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("cnt").over(w).alias("cum_all"),
+    )
+    tot = scored.agg(
+        F.sum("y").alias("n1"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cum.join(F.broadcast(tot), F.lit(True))
+        .agg(
+            F.any_value("n1").cast("bigint").alias("n_pos"),
+            F.any_value("n").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(
+                    (F.col("pos").cast("double") / F.col("n1"))
+                    * (
+                        F.col("cum_pos").cast("double")
+                        / F.col("cum_all")
+                    )
+                ),
+                6,
+            ).alias("average_precision"),
+        )
+    )
+
+
+@query("decile_lift_quality_docs", None)  # oracle attached below
+def decile_lift_q(spark, sf_dir):
+    """Decile gains/lift table: rank docs by classifier score
+    (deterministic (score DESC, doc_id ASC) order), cut into 10
+    equal-count bins, report each decile's positive rate and lift
+    over the base rate — the "how deep can I trust the ranking"
+    readout reviewers ask for before setting a keep-threshold.
+    Integer counts per decile; at 100 TB the row_number rank swaps
+    for the exact_ntile two-level construction (same contract)."""
+    scored = _scored_docs(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = scored.select(
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    dec = ranked.select(
+        "y",
+        "n",
+        F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("int").alias(
+            "decile"
+        ),
+    )
+    base = scored.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("base_rate")
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+        .join(F.broadcast(base), F.lit(True))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs"), 6
+            ).alias("pos_rate"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n_docs"))
+                / F.col("base_rate"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query("best_f1_threshold_quality_docs", None)  # oracle attached below
+def best_f1_q(spark, sf_dir):
+    """Best-F1 operating point: sweep every distinct score as the
+    keep-threshold (predict positive when score ≥ t), compute
+    tp/fp/fn from one cumulative window over the score-sorted
+    groups, and return the threshold maximizing F1 (ties → higher
+    threshold).  The kappa gate fixed t = 0.5 by fiat; this is where
+    the fiat should have come from.  Bounded by distinct scores —
+    the full sweep costs one window, not one pass per candidate."""
+    scored = _scored_docs(spark, sf_dir)
+    g = scored.groupBy("score").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = scored.agg(F.sum("y").alias("n1"))
+    cum = g.select(
+        F.col("score").alias("threshold"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    ).join(F.broadcast(tot), F.lit(True))
+    f1 = (
+        F.lit(2.0)
+        * F.col("tp")
+        / (F.lit(2) * F.col("tp") + F.col("fp") + (F.col("n1") - F.col("tp")))
+    )
+    wr = Window.orderBy(f1.desc(), F.col("threshold").desc())
+    return (
+        cum.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            F.round("threshold", 6).alias("threshold"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            (F.col("n1") - F.col("tp")).cast("bigint").alias("fn"),
+            F.round(f1, 6).alias("f1"),
+        )
+    )
+
+
+O["roc_auc_quality_docs"] = f"""
+    WITH {_scored_sql()}, g AS (
+      SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT pos, neg,
+             SUM(neg) OVER (ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) - neg AS neg_below
+      FROM g
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(2 * pos * neg_below + pos * neg) AS DOUBLE)
+                 / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+    FROM cum
+    """
+
+O["average_precision_quality_docs"] = f"""
+    WITH {_scored_sql()}, g AS (
+      SELECT score, SUM(y) AS pos, COUNT(*) AS cnt
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT pos,
+             SUM(pos) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_pos,
+             SUM(cnt) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_all
+      FROM g
+    ), tot AS (
+      SELECT SUM(y) AS n1, COUNT(*) AS n FROM scored
+    )
+    SELECT CAST(tot.n1 AS BIGINT) AS n_pos,
+           CAST(tot.n AS BIGINT) AS n_docs,
+           ROUND(SUM((CAST(pos AS DOUBLE) / tot.n1)
+                     * (CAST(cum_pos AS DOUBLE) / cum_all)), 6)
+             AS average_precision
+    FROM cum, tot GROUP BY tot.n1, tot.n
+    """
+
+O["decile_lift_quality_docs"] = f"""
+    WITH {_scored_sql()}, ranked AS (
+      SELECT y,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ), dec AS (
+      SELECT y, CAST(floor((rn - 1) * 10.0 / n) AS INTEGER) AS decile FROM ranked
+    ), base AS (
+      SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS base_rate FROM scored
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+           ROUND((CAST(SUM(y) AS DOUBLE) / COUNT(*)) / base.base_rate, 6)
+             AS lift
+    FROM dec, base GROUP BY decile, base.base_rate ORDER BY decile
+    """
+
+O["best_f1_threshold_quality_docs"] = f"""
+    WITH {_scored_sql()}, g AS (
+      SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM scored GROUP BY score
+    ), tot AS (SELECT SUM(y) AS n1 FROM scored),
+    cum AS (
+      SELECT score AS threshold,
+             SUM(pos) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(neg) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS fp
+      FROM g
+    ), f AS (
+      SELECT threshold, tp, fp, tot.n1,
+             2.0 * tp / (2 * tp + fp + (tot.n1 - tp)) AS f1,
+             ROW_NUMBER() OVER (
+               ORDER BY 2.0 * tp / (2 * tp + fp + (tot.n1 - tp)) DESC,
+                        threshold DESC) AS r
+      FROM cum, tot
+    )
+    SELECT ROUND(threshold, 6) AS threshold, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(n1 - tp AS BIGINT) AS fn,
+           ROUND(f1, 6) AS f1
+    FROM f WHERE r = 1
+    """
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -16825,6 +17138,10 @@ _PRIORITY = [
     "burst_viterbi_daily_events",
     "corr_matrix_event_types",
     "lof_ivf_outliers_embeddings",
+    "roc_auc_quality_docs",
+    "average_precision_quality_docs",
+    "decile_lift_quality_docs",
+    "best_f1_threshold_quality_docs",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
