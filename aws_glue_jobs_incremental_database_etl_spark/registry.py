@@ -16774,6 +16774,16 @@ def _scored_docs(spark, sf_dir):
     return sc.join(lab, "doc_id")
 
 
+def _score_bin(score):
+    """Clip to [0, 1] and bin to a LITERAL 1001-bucket grid —
+    the threshold sweep that stays bounded at 100 TB (per-distinct-
+    score windows grow with data; a quantized sweep does not).
+    floor() in both engines (CAST would round in DuckDB)."""
+    return F.floor(
+        F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)) * 1000
+    ).cast("int")
+
+
 def _scored_sql() -> str:
     """DuckDB twin of ``_scored_docs`` composed from the classifier
     gate's own generated SQL."""
@@ -16797,12 +16807,14 @@ def roc_auc_q(spark, sf_dir):
     groups, numerator = Σ_g (2·pos_g·neg_below_g + pos_g·neg_g) as
     exact BIGINTs, AUC = num/(2·n1·n0) — one division at the end.
     Bounded by distinct scores, never by document pairs."""
-    scored = _scored_docs(spark, sf_dir)
-    g = scored.groupBy("score").agg(
+    scored = _scored_docs(spark, sf_dir).select(
+        "y", _score_bin(F.col("score")).alias("bin")
+    )
+    g = scored.groupBy("bin").agg(
         F.sum("y").alias("pos"),
         F.sum(F.lit(1) - F.col("y")).alias("neg"),
     )
-    w = Window.orderBy("score").rowsBetween(
+    w = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = g.select(
@@ -16831,17 +16843,20 @@ def roc_auc_q(spark, sf_dir):
 @query("average_precision_quality_docs", None)  # oracle attached below
 def avg_precision_q(spark, sf_dir):
     """Average precision (area under the precision–recall curve,
-    step interpolation, ties handled at the score-group level):
-    ``AP = Σ_g (pos_g/n1)·(cum_pos_g/cum_all_g)`` over score groups
-    in descending order — the rare-positive-robust companion of
-    ROC-AUC (AUC flatters a classifier when negatives dominate; AP
-    does not).  One grouped pass + one cumulative window over the
-    distinct-score frame, exact integer counts into each rational."""
-    scored = _scored_docs(spark, sf_dir)
-    g = scored.groupBy("score").agg(
+    step interpolation, ties handled at the bin level):
+    ``AP = Σ_g (pos_g/n1)·(cum_pos_g/cum_all_g)`` over the literal
+    1001-bucket score grid in descending order — the rare-positive-
+    robust companion of ROC-AUC (AUC flatters a classifier when
+    negatives dominate; AP does not).  One grouped pass + one
+    LITERAL-bounded cumulative window, exact integer counts into
+    each rational."""
+    scored = _scored_docs(spark, sf_dir).select(
+        "y", _score_bin(F.col("score")).alias("bin")
+    )
+    g = scored.groupBy("bin").agg(
         F.sum("y").alias("pos"), F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = g.select(
@@ -16923,24 +16938,26 @@ def decile_lift_q(spark, sf_dir):
 
 @query("best_f1_threshold_quality_docs", None)  # oracle attached below
 def best_f1_q(spark, sf_dir):
-    """Best-F1 operating point: sweep every distinct score as the
+    """Best-F1 operating point: sweep every score bin as the
     keep-threshold (predict positive when score ≥ t), compute
-    tp/fp/fn from one cumulative window over the score-sorted
-    groups, and return the threshold maximizing F1 (ties → higher
-    threshold).  The kappa gate fixed t = 0.5 by fiat; this is where
-    the fiat should have come from.  Bounded by distinct scores —
-    the full sweep costs one window, not one pass per candidate."""
-    scored = _scored_docs(spark, sf_dir)
-    g = scored.groupBy("score").agg(
+    tp/fp/fn from one cumulative window over the literal 1001-bucket
+    score grid, and return the threshold maximizing F1 (ties →
+    higher threshold).  The kappa gate fixed t = 0.5 by fiat; this
+    is where the fiat should have come from.  The sweep is
+    LITERAL-bounded — one window, not one pass per candidate."""
+    scored = _scored_docs(spark, sf_dir).select(
+        "y", _score_bin(F.col("score")).alias("bin")
+    )
+    g = scored.groupBy("bin").agg(
         F.sum("y").alias("pos"),
         F.sum(F.lit(1) - F.col("y")).alias("neg"),
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     tot = scored.agg(F.sum("y").alias("n1"))
     cum = g.select(
-        F.col("score").alias("threshold"),
+        (F.col("bin").cast("double") / 1000).alias("threshold"),
         F.sum("pos").over(w).alias("tp"),
         F.sum("neg").over(w).alias("fp"),
     ).join(F.broadcast(tot), F.lit(True))
@@ -16964,12 +16981,16 @@ def best_f1_q(spark, sf_dir):
 
 
 O["roc_auc_quality_docs"] = f"""
-    WITH {_scored_sql()}, g AS (
-      SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
-      FROM scored GROUP BY score
+    WITH {_scored_sql()}, b AS (
+      SELECT y, CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 1000)
+                     AS INTEGER) AS bin
+      FROM scored
+    ), g AS (
+      SELECT bin, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM b GROUP BY bin
     ), cum AS (
       SELECT pos, neg,
-             SUM(neg) OVER (ORDER BY score
+             SUM(neg) OVER (ORDER BY bin
                             ROWS UNBOUNDED PRECEDING) - neg AS neg_below
       FROM g
     )
@@ -16981,14 +17002,18 @@ O["roc_auc_quality_docs"] = f"""
     """
 
 O["average_precision_quality_docs"] = f"""
-    WITH {_scored_sql()}, g AS (
-      SELECT score, SUM(y) AS pos, COUNT(*) AS cnt
-      FROM scored GROUP BY score
+    WITH {_scored_sql()}, bb AS (
+      SELECT y, CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 1000)
+                     AS INTEGER) AS bin
+      FROM scored
+    ), g AS (
+      SELECT bin, SUM(y) AS pos, COUNT(*) AS cnt
+      FROM bb GROUP BY bin
     ), cum AS (
       SELECT pos,
-             SUM(pos) OVER (ORDER BY score DESC
+             SUM(pos) OVER (ORDER BY bin DESC
                             ROWS UNBOUNDED PRECEDING) AS cum_pos,
-             SUM(cnt) OVER (ORDER BY score DESC
+             SUM(cnt) OVER (ORDER BY bin DESC
                             ROWS UNBOUNDED PRECEDING) AS cum_all
       FROM g
     ), tot AS (
@@ -17023,15 +17048,19 @@ O["decile_lift_quality_docs"] = f"""
     """
 
 O["best_f1_threshold_quality_docs"] = f"""
-    WITH {_scored_sql()}, g AS (
-      SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
-      FROM scored GROUP BY score
-    ), tot AS (SELECT SUM(y) AS n1 FROM scored),
+    WITH {_scored_sql()}, bb AS (
+      SELECT y, CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 1000)
+                     AS INTEGER) AS bin
+      FROM scored
+    ), g AS (
+      SELECT bin, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM bb GROUP BY bin
+    ), tot AS (SELECT SUM(y) AS n1 FROM bb),
     cum AS (
-      SELECT score AS threshold,
-             SUM(pos) OVER (ORDER BY score DESC
+      SELECT CAST(bin AS DOUBLE) / 1000 AS threshold,
+             SUM(pos) OVER (ORDER BY bin DESC
                             ROWS UNBOUNDED PRECEDING) AS tp,
-             SUM(neg) OVER (ORDER BY score DESC
+             SUM(neg) OVER (ORDER BY bin DESC
                             ROWS UNBOUNDED PRECEDING) AS fp
       FROM g
     ), f AS (
