@@ -36,6 +36,14 @@ SINGLE_PARTITION_OK = {
     "isotonic_calibration_events",    # cumsum window over the 12-bin
     # calibration table + 1-row min/max range broadcast — bounded by
     # the literal bin count, never data volume
+    "roc_auc_quality_docs",           # cumulative windows over the
+    # LITERAL 1001-bucket score grid (clip-binned sweep) + 1-row agg
+    "average_precision_quality_docs", # same literal-bounded grid
+    "best_f1_threshold_quality_docs", # same literal-bounded grid
+    "decile_lift_quality_docs",       # global row_number rank — at
+    # 100 TB swaps for exact_ntile_grouped (same contract, proven by
+    # the quantile-normalization gate); the gate keeps the simple
+    # rank for oracle exactness
     "agg_lineitem_stats",        # 1-row global aggregate result
     "benford_digits_totalprice", # 1-row total for the share divide
     "bloom_prefilter_docs",      # packed filter → 1-row broadcast map
@@ -133,6 +141,9 @@ BNLJ_OK = {
     "isotonic_calibration_events",    # 1-row range broadcast + the
     # 12-bin i≤j≤k theta grid (≤ B³ = 1728 rows by the literal bin
     # count)
+    "average_precision_quality_docs", # 1-row totals broadcast
+    "decile_lift_quality_docs",       # 1-row base-rate broadcast
+    "best_f1_threshold_quality_docs", # 1-row n1 broadcast
     "ann_recall_lsh_vs_exact",
     "benford_digits_totalprice",
     "chisq_lang_drift_by_source",  # sources × langs expected grid —
