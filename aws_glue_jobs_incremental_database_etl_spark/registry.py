@@ -17078,6 +17078,77 @@ O["best_f1_threshold_quality_docs"] = f"""
     """
 
 
+@query(
+    "er_clusters_parts",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk,
+             len(p_name) AS l
+      FROM part WHERE p_partkey % 10 = 0
+    ), pairs AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+       AND abs(a.l - b.l) <= 4
+      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+      SELECT id, MIN(r) AS cluster FROM reach GROUP BY id
+    )
+    SELECT CAST(comp.cluster AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ANY_VALUE(cn.p_name) AS canonical_name
+    FROM comp
+    JOIN p cn ON cn.p_partkey = comp.cluster
+    GROUP BY comp.cluster
+    ORDER BY cluster_id
+    """,
+)
+def er_clusters_q(spark, sf_dir):
+    """Entity-resolution pipeline end to end: blocking (first char +
+    length band) → Jaro-Winkler match join (τ = 0.93, the
+    cross-engine-pinned kernel) → connected components (min-label
+    propagation) → canonical clusters with the min-key member as the
+    survivor record — the full Fellegi–Sunter-style dedup a master-
+    data pipeline runs, composed from three already-pinned operator
+    families in one hash-checked query.  Pair mass is bounded by the
+    blocking (never all-pairs); components cost O(diameter) rounds on
+    the tiny match graph."""
+    from .operators.components import connected_components
+    from .operators.joins import jaro_winkler_join
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 10 == 0
+    )
+    blocked = part.withColumn("blk", F.substring("p_name", 1, 1))
+    pairs = jaro_winkler_join(
+        blocked, "p_partkey", "p_name", "blk",
+        threshold=0.93, length_band=4,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    names = part.select(
+        F.col("p_partkey").alias("cluster_id_key"), "p_name"
+    )
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .join(
+            names, F.col("cluster_id") == F.col("cluster_id_key")
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_members",
+            F.col("p_name").alias("canonical_name"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -17171,6 +17242,7 @@ _PRIORITY = [
     "average_precision_quality_docs",
     "decile_lift_quality_docs",
     "best_f1_threshold_quality_docs",
+    "er_clusters_parts",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
