@@ -17149,6 +17149,354 @@ def er_clusters_q(spark, sf_dir):
     )
 
 
+@query(
+    "degree_assortativity_part_supplier",
+    """
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS u,
+             CAST(l_suppkey AS BIGINT) + 10000000 AS v
+      FROM lineitem
+    ), und AS (
+      SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw
+    ), deg AS (
+      SELECT u AS id, COUNT(*) AS d FROM und GROUP BY u
+    ), ed AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM und e
+      JOIN deg da ON da.id = e.u
+      JOIN deg db ON db.id = e.v
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+             SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+             SUM(dx * dy) AS sxy
+      FROM ed
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           ROUND((sxy - CAST(sx AS DOUBLE) * sy / n)
+                 / (sqrt(sxx - CAST(sx AS DOUBLE) * sx / n)
+                    * sqrt(syy - CAST(sy AS DOUBLE) * sy / n)), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def assortativity_q(spark, sf_dir):
+    """Degree assortativity of the part–supplier shipment graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    every edge (both directions, the standard undirected convention)
+    — negative means hubs attach to leaves (the usual
+    bipartite/web shape), positive means a core-periphery risk for
+    partition balance.  One degree aggregate + one edge⋈degree join,
+    exact integer moments, a single division pair at the end — the
+    graph-health scalar that predicts join-key skew before pagerank
+    runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_partkey").cast("bigint").alias("u"),
+        (F.col("l_suppkey").cast("bigint") + 10000000).alias("v"),
+    ).distinct()
+    und = raw.union(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ed = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("d").alias("dx")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dy")), "v")
+        .select("dx", "dy")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    return m.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (
+                F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+            )
+            / (
+                F.sqrt(
+                    F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                )
+                * F.sqrt(
+                    F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "khop_reach_suppliers",
+    """
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS u,
+             CAST(l_suppkey AS BIGINT) + 10000000 AS v
+      FROM lineitem
+    ), und AS (
+      SELECT u, v FROM raw UNION SELECT v, u FROM raw
+    ), seeds AS (
+      SELECT DISTINCT v AS id FROM raw WHERE (v - 10000000) % 10 = 0
+    ), h1 AS (
+      SELECT DISTINCT s.id, e.v AS n FROM seeds s JOIN und e ON e.u = s.id
+    ), h2 AS (
+      SELECT DISTINCT h1.id, e.v AS n
+      FROM h1 JOIN und e ON e.u = h1.n
+      WHERE e.v <> h1.id
+    ), h3 AS (
+      SELECT DISTINCT h2.id, e.v AS n
+      FROM h2 JOIN und e ON e.u = h2.n
+    )
+    SELECT CAST(s.id - 10000000 AS BIGINT) AS suppkey,
+           (SELECT COUNT(*) FROM h1 WHERE h1.id = s.id) AS reach_1,
+           (SELECT COUNT(*) FROM (
+              SELECT n FROM h2 WHERE h2.id = s.id
+              EXCEPT SELECT n FROM h1 WHERE h1.id = s.id
+              EXCEPT SELECT s.id) t) AS reach_2,
+           (SELECT COUNT(*) FROM (
+              SELECT n FROM h3 WHERE h3.id = s.id
+              EXCEPT SELECT n FROM h2 WHERE h2.id = s.id
+              EXCEPT SELECT n FROM h1 WHERE h1.id = s.id
+              EXCEPT SELECT s.id) t) AS reach_3
+    FROM seeds s ORDER BY suppkey
+    """,
+)
+def khop_q(spark, sf_dir):
+    """k-hop reach profile (1–3 hops) for a deterministic 10% supplier
+    seed set on the shipment graph — the neighborhood-growth curve
+    that sizes frontier memory for any BFS-family job before it runs
+    (reach_2 exploding = the small-world wall).  Three rounds of
+    frontier⋈edges joins with cumulative-visited de-dup — the bounded-
+    round BFS pattern of bfs_distance, reported as per-seed counts of
+    NEWLY reached nodes per hop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_partkey").cast("bigint").alias("u"),
+        (F.col("l_suppkey").cast("bigint") + 10000000).alias("v"),
+    ).distinct()
+    und = raw.union(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    seeds = (
+        raw.select(F.col("v").alias("id"))
+        .distinct()
+        .filter((F.col("id") - 10000000) % 10 == 0)
+    )
+    h1 = (
+        seeds.join(und, seeds["id"] == und["u"])
+        .select("id", F.col("v").alias("n"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h2 = (
+        h1.join(und, h1["n"] == und["u"])
+        .select("id", und["v"].alias("n2"))
+        .filter(F.col("n2") != F.col("id"))
+        .select("id", F.col("n2").alias("n"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h3 = (
+        h2.join(und, h2["n"] == und["u"])
+        .select("id", und["v"].alias("n3"))
+        .select("id", F.col("n3").alias("n"))
+        .distinct()
+    )
+    r1 = h1.groupBy("id").agg(F.count(F.lit(1)).alias("reach_1"))
+    new2 = h2.join(h1, ["id", "n"], "left_anti").filter(
+        F.col("n") != F.col("id")
+    )
+    r2 = new2.groupBy("id").agg(F.count(F.lit(1)).alias("reach_2"))
+    new3 = (
+        h3.join(h2, ["id", "n"], "left_anti")
+        .join(h1, ["id", "n"], "left_anti")
+        .filter(F.col("n") != F.col("id"))
+    )
+    r3 = new3.groupBy("id").agg(F.count(F.lit(1)).alias("reach_3"))
+    return (
+        seeds.join(r1, "id", "left")
+        .join(r2, "id", "left")
+        .join(r3, "id", "left")
+        .select(
+            (F.col("id") - 10000000).cast("bigint").alias("suppkey"),
+            F.coalesce("reach_1", F.lit(0)).cast("bigint").alias("reach_1"),
+            F.coalesce("reach_2", F.lit(0)).cast("bigint").alias("reach_2"),
+            F.coalesce("reach_3", F.lit(0)).cast("bigint").alias("reach_3"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def _grouped_auc_sql(group_expr: str, group_alias: str) -> str:
+    """Pair-free tie-corrected AUC per group over the literal
+    1001-bucket score grid — the roc_auc gate's construction with a
+    partition key."""
+    return f"""
+    WITH {_scored_sql()}, bb AS (
+      SELECT {group_expr} AS {group_alias}, y,
+             CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 1000)
+                  AS INTEGER) AS bin
+      FROM scored JOIN documents USING (doc_id)
+    ), g AS (
+      SELECT {group_alias}, bin, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM bb GROUP BY {group_alias}, bin
+    ), cum AS (
+      SELECT {group_alias}, pos, neg,
+             SUM(neg) OVER (PARTITION BY {group_alias} ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) - neg AS neg_below
+      FROM g
+    )
+    SELECT {group_alias},
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(2 * pos * neg_below + pos * neg) AS DOUBLE)
+                 / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+    FROM cum GROUP BY {group_alias} ORDER BY {group_alias}
+    """
+
+
+def _grouped_auc(spark, sf_dir, group_col):
+    scored = _scored_docs(spark, sf_dir).select(
+        "doc_id", "y", _score_bin(F.col("score")).alias("bin")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    withg = scored.join(d.select("doc_id", group_col), "doc_id")
+    g = withg.groupBy(group_col, "bin").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    w = Window.partitionBy(group_col).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        group_col,
+        "pos",
+        "neg",
+        (F.sum("neg").over(w) - F.col("neg")).alias("neg_below"),
+    )
+    return (
+        cum.groupBy(group_col)
+        .agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("neg").cast("bigint").alias("n_neg"),
+            F.round(
+                F.sum(
+                    F.lit(2) * F.col("pos") * F.col("neg_below")
+                    + F.col("pos") * F.col("neg")
+                ).cast("double")
+                / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy(group_col)
+    )
+
+
+@query("auc_by_lang_docs", None)  # oracle attached below
+def auc_by_lang_q(spark, sf_dir):
+    """Per-language ROC-AUC — the slice-fairness readout: a filter
+    whose headline AUC hides a collapsed slice (one language where
+    ranking is no better than chance) silently skews the corpus it
+    curates.  The roc_auc gate's pair-free windowed construction,
+    partitioned by lang — one extra key in the groupBy/window, no new
+    machinery."""
+    return _grouped_auc(spark, sf_dir, "lang")
+
+
+O["auc_by_lang_docs"] = _grouped_auc_sql("lang", "lang")
+
+
+@query("cv_auc_folds_docs", None)  # oracle attached below
+def cv_auc_q(spark, sf_dir):
+    """Cross-validated AUC: the md5-contract 5-fold assignment
+    (sampling.kfold_assign) partitions the eval, AUC per fold plus
+    the across-fold spread — the variance bar a single headline AUC
+    needs before anyone trusts a 0.01 improvement.  Same pair-free
+    windowed AUC, partitioned by fold; the fold column is the
+    engine-portable md5 bucket, so the oracle replays the exact
+    split."""
+    from .operators.sampling import kfold_assign
+
+    scored = _scored_docs(spark, sf_dir).select(
+        "doc_id", "y", _score_bin(F.col("score")).alias("bin")
+    )
+    withf = kfold_assign(scored, "doc_id", k=5)
+    g = withf.groupBy("fold", "bin").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    w = Window.partitionBy("fold").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "fold",
+        "pos",
+        "neg",
+        (F.sum("neg").over(w) - F.col("neg")).alias("neg_below"),
+    )
+    return (
+        cum.groupBy("fold")
+        .agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("neg").cast("bigint").alias("n_neg"),
+            F.round(
+                F.sum(
+                    F.lit(2) * F.col("pos") * F.col("neg_below")
+                    + F.col("pos") * F.col("neg")
+                ).cast("double")
+                / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
+                6,
+            ).alias("auc"),
+        )
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_pos",
+            "n_neg",
+            "auc",
+        )
+        .orderBy("fold")
+    )
+
+
+def _cv_auc_oracle() -> str:
+    return f"""
+    WITH {_scored_sql()}, bb AS (
+      SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold,
+             y,
+             CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 1000)
+                  AS INTEGER) AS bin
+      FROM scored
+    ), g AS (
+      SELECT fold, bin, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM bb GROUP BY fold, bin
+    ), cum AS (
+      SELECT fold, pos, neg,
+             SUM(neg) OVER (PARTITION BY fold ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) - neg AS neg_below
+      FROM g
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(2 * pos * neg_below + pos * neg) AS DOUBLE)
+                 / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+    FROM cum GROUP BY fold ORDER BY fold
+    """
+
+
+O["cv_auc_folds_docs"] = _cv_auc_oracle()
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -17243,6 +17591,10 @@ _PRIORITY = [
     "decile_lift_quality_docs",
     "best_f1_threshold_quality_docs",
     "er_clusters_parts",
+    "degree_assortativity_part_supplier",
+    "khop_reach_suppliers",
+    "auc_by_lang_docs",
+    "cv_auc_folds_docs",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",
