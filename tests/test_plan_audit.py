@@ -44,6 +44,9 @@ SINGLE_PARTITION_OK = {
     # 100 TB swaps for exact_ntile_grouped (same contract, proven by
     # the quantile-normalization gate); the gate keeps the simple
     # rank for oracle exactness
+    "degree_assortativity_part_supplier",  # 1-row moment fold (the
+    # edge⋈degree join itself is distributed; only the 6-scalar
+    # reduction is single-partition)
     "agg_lineitem_stats",        # 1-row global aggregate result
     "benford_digits_totalprice", # 1-row total for the share divide
     "bloom_prefilter_docs",      # packed filter → 1-row broadcast map
