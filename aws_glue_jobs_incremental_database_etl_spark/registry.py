@@ -17497,6 +17497,108 @@ def _cv_auc_oracle() -> str:
 O["cv_auc_folds_docs"] = _cv_auc_oracle()
 
 
+@query("spearman_chars_score_docs", None)  # oracle attached below
+def spearman_q(spark, sf_dir):
+    """Spearman rank correlation between document length and the
+    classifier score — the monotone-dependence check behind the
+    eval suite's choice of a length truth label (is the classifier
+    just a length detector?).  Textbook tie handling with ZERO
+    sorting: the average rank of a tied value group is
+    ``below + (cnt+1)/2``, so DOUBLED average ranks
+    (``2·below + cnt + 1``) are exact INTEGERS from one cumulative
+    sum over each column's distinct-value frame (bounded by the value
+    domain, the Mann–Whitney design rule), and Spearman is Pearson on
+    those integers (affine-invariant) — every moment an exact BIGINT
+    until the final division."""
+    scored = _scored_docs(spark, sf_dir).select(
+        "doc_id", _score_bin(F.col("score")).alias("sbin")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    both = scored.join(d, "doc_id").select("n_chars", "sbin")
+
+    def rank2(df, col):
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return g.select(
+            col,
+            (
+                F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r2_{col}"),
+        )
+
+    j = both.join(F.broadcast(rank2(both, "n_chars")), "n_chars").join(
+        F.broadcast(rank2(both, "sbin")), "sbin"
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2_n_chars").alias("sx"),
+        F.sum("r2_sbin").alias("sy"),
+        F.sum(F.col("r2_n_chars") * F.col("r2_n_chars")).alias("sxx"),
+        F.sum(F.col("r2_sbin") * F.col("r2_sbin")).alias("syy"),
+        F.sum(F.col("r2_n_chars") * F.col("r2_sbin")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(
+            (
+                F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+            )
+            / (
+                F.sqrt(
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                )
+                * F.sqrt(
+                    F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                )
+            ),
+            6,
+        ).alias("spearman"),
+    )
+
+
+O["spearman_chars_score_docs"] = f"""
+    WITH {_scored_sql()}, bt AS (
+      SELECT d.n_chars,
+             CAST(floor(LEAST(GREATEST(s.score, 0.0), 1.0) * 1000)
+                  AS INTEGER) AS sbin
+      FROM scored s JOIN documents d USING (doc_id)
+    ), rx AS (
+      SELECT n_chars,
+             2 * (SUM(cnt) OVER (ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) - cnt)
+               + cnt + 1 AS r2x
+      FROM (SELECT n_chars, COUNT(*) AS cnt FROM bt GROUP BY n_chars)
+    ), ry AS (
+      SELECT sbin,
+             2 * (SUM(cnt) OVER (ORDER BY sbin
+                                 ROWS UNBOUNDED PRECEDING) - cnt)
+               + cnt + 1 AS r2y
+      FROM (SELECT sbin, COUNT(*) AS cnt FROM bt GROUP BY sbin)
+    ), j AS (
+      SELECT r2x, r2y FROM bt
+      JOIN rx USING (n_chars) JOIN ry USING (sbin)
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(r2x) AS sx, SUM(r2y) AS sy,
+             SUM(r2x * r2x) AS sxx, SUM(r2y * r2y) AS syy,
+             SUM(r2x * r2y) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND((sxy - CAST(sx AS DOUBLE) * sy / n)
+                 / (sqrt(sxx - CAST(sx AS DOUBLE) * sx / n)
+                    * sqrt(syy - CAST(sy AS DOUBLE) * sy / n)), 6)
+             AS spearman
+    FROM m
+    """
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -17595,6 +17697,7 @@ _PRIORITY = [
     "khop_reach_suppliers",
     "auc_by_lang_docs",
     "cv_auc_folds_docs",
+    "spearman_chars_score_docs",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",

@@ -44,6 +44,9 @@ SINGLE_PARTITION_OK = {
     # 100 TB swaps for exact_ntile_grouped (same contract, proven by
     # the quantile-normalization gate); the gate keeps the simple
     # rank for oracle exactness
+    "spearman_chars_score_docs",      # value-domain cumsum windows
+    # (n_chars domain + the 1001-bin grid — the Mann-Whitney rule)
+    # plus the 1-row moment fold
     "degree_assortativity_part_supplier",  # 1-row moment fold (the
     # edge⋈degree join itself is distributed; only the 6-scalar
     # reduction is single-partition)
