@@ -17613,13 +17613,41 @@ O["spearman_chars_score_docs"] = f"""
 # the driver's budget.
 
 _PRIORITY = [
-    # ---- round-6 rotation (VERDICT r5 Next-round #2): the 44 queries
-    # with no driver CORRECTNESS row across r1-r5 — the r5 window's 7
-    # overflow plus the 37 round-5-wave queries — front-loaded so one
-    # ~50-query window takes the driver-evidence union to 282/282.
-    # 43/44 were judge-green in the r5 full-gate run; the 44th
-    # (winnow_incremental_dedup_docs) is fixed this round (pinned
-    # file-list snapshot reads in WinnowIndex).
+    # ---- round-7 rotation (VERDICT r6 Next-round #2): the 26 queries
+    # with no driver CORRECTNESS row across r1-r6 (all round-6-wave
+    # additions past the r6 window's 50-query cut; all 26 were
+    # judge-verified green in the r6 full 314/314 oracle run).  One
+    # more ~50-query window closes the driver-evidence union at
+    # 314/314.
+    "auc_by_lang_docs",
+    "average_precision_quality_docs",
+    "backtest_ses_daily_events",
+    "best_f1_threshold_quality_docs",
+    "burst_viterbi_daily_events",
+    "corr_matrix_event_types",
+    "cv_auc_folds_docs",
+    "decile_lift_quality_docs",
+    "degree_assortativity_part_supplier",
+    "er_clusters_parts",
+    "fdr_bh_dow_value_events",
+    "holt_winters_daily_events",
+    "isotonic_calibration_events",
+    "khop_reach_suppliers",
+    "kmv_distinct_users_events",
+    "lof_ivf_outliers_embeddings",
+    "lof_outliers_embeddings",
+    "modularity_lpa_part_supplier",
+    "mutual_info_lang_source_docs",
+    "naive_bayes_langid_docs",
+    "roc_auc_quality_docs",
+    "segmented_trend_daily_events",
+    "silhouette_labels_embeddings",
+    "spearman_chars_score_docs",
+    "split_leakage_winnow_docs",
+    "xcorr_leadlag_events",
+    # ---- round-6 rotation (driver-green r6): the 44 queries with no
+    # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
+    # the r6 window.
     "winnow_incremental_dedup_docs",
     "benford_digits_totalprice",
     "degree_distribution_part_supplier",
@@ -17664,40 +17692,13 @@ _PRIORITY = [
     "clamped_balance_users_events",
     "rtbf_cascade_report",
     "curation_pipeline_v3",
-    # ---- round-6 new queries (never judge/driver sampled yet —
-    # right behind the evidence-gap 44)
+    # ---- round-6 new queries driver-sampled green in the r6 window
     "ivfpq_append_topk_embeddings",
     "changepoint_mean_daily_events",
     "acf_daily_events",
     "theil_sen_trend_daily_events",
     "kaplan_meier_retention_events",
     "cuped_adjusted_lift_events",
-    "fdr_bh_dow_value_events",
-    "silhouette_labels_embeddings",
-    "modularity_lpa_part_supplier",
-    "mutual_info_lang_source_docs",
-    "kmv_distinct_users_events",
-    "lof_outliers_embeddings",
-    "naive_bayes_langid_docs",
-    "backtest_ses_daily_events",
-    "split_leakage_winnow_docs",
-    "xcorr_leadlag_events",
-    "isotonic_calibration_events",
-    "segmented_trend_daily_events",
-    "holt_winters_daily_events",
-    "burst_viterbi_daily_events",
-    "corr_matrix_event_types",
-    "lof_ivf_outliers_embeddings",
-    "roc_auc_quality_docs",
-    "average_precision_quality_docs",
-    "decile_lift_quality_docs",
-    "best_f1_threshold_quality_docs",
-    "er_clusters_parts",
-    "degree_assortativity_part_supplier",
-    "khop_reach_suppliers",
-    "auc_by_lang_docs",
-    "cv_auc_folds_docs",
-    "spearman_chars_score_docs",
     # ---- driver-green in r5 (the r4 rotation), unchanged
     "listagg_status_by_priority",
     "lateral_customer_order_stats",

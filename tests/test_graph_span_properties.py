@@ -164,7 +164,11 @@ def test_merge_components_equals_full_recompute(spark, edges, split_pct):
         )
     else:
         labels1 = universe.withColumn("component", F.col("id"))
-    delta = spark.createDataFrame(e2 or [(1, 1)], "id_a long, id_b long")
+    delta = (
+        spark.createDataFrame(e2, "id_a long, id_b long")
+        if e2
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
     got = {
         r["id"]: r["component"]
         for r in merge_components(labels1, delta).collect()
