@@ -1850,6 +1850,7 @@ def knn_exact(
     k: int = 10,
     scale: int = 1_000_000,
     group_col: str | None = None,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """All-pairs exact k-nearest-neighbor join (squared L2 over
     ×``scale`` integer-scaled components) — the brute-force baseline
@@ -1873,7 +1874,13 @@ def knn_exact(
     ``group_col``: restrict candidates to rows sharing the group
     value (e.g. an IVF cluster id) — the broadcast becomes one
     matrix per group and each row multiplies only against its own
-    group's block, dropping pair mass from n² to Σ|group|²."""
+    group's block, dropping pair mass from n² to Σ|group|².
+
+    Driver-memory guard: the corpus collect is capped at
+    ``max_broadcast_rows`` and raises past it rather than OOMing the
+    driver — past the cap use :func:`knn_exact_grouped` (fully
+    distributed, zero broadcast) with IVF cluster ids, or generate
+    candidates from ``cosine_topk_ivf`` and rerank."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = df.sparkSession
@@ -1886,7 +1893,14 @@ def knn_exact(
     if group_col is not None:
         cols.append(F.col(group_col).cast("long").alias("_g"))
     scaled = df.select(*cols)
-    rows = scaled.collect()
+    rows = scaled.limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"knn_exact: corpus exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use knn_exact_grouped (per-cluster "
+            "executor-side blocks, no broadcast) or cosine_topk_ivf "
+            "candidates + rerank"
+        )
     groups: dict = {}
     for r in rows:
         g = r["_g"] if group_col is not None else 0
@@ -1953,3 +1967,85 @@ def knn_exact(
             yield pd.DataFrame({"ida": outa, "idb": outb, "d2": outd})
 
     return scaled.mapInPandas(block, out_schema)
+
+
+def knn_exact_grouped(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1_000_000,
+    group_col: str = "cluster",
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Fully distributed per-group exact kNN — the 100 TB shape of
+    ``knn_exact(group_col=...)``.
+
+    Candidates are restricted to the point's own group (e.g. an IVF
+    coarse cluster), so instead of collecting the corpus to the
+    driver and broadcasting it, each group's candidate matrix is
+    built EXECUTOR-SIDE from the group itself via
+    ``groupBy(group).applyInPandas``: one shuffle on the group key,
+    zero broadcast, zero driver collect — executor memory is
+    O(max |group| × d) and pair compute Σ|group|².  Within a group
+    the A-side is processed in ``block_rows`` chunks so the distance
+    block stays O(block_rows × |group|).
+
+    Same numeric contract as :func:`knn_exact`: components round to
+    ×``scale`` integers, every float64 product of two ≤1e6 integers
+    summed over ≤64 dims is < 2^53 so the BLAS matmul is EXACT
+    integer arithmetic; ties broken by ``(d², idb)``.  Rows whose
+    group value is NULL form their own group (null-safe by
+    construction — the pandas block never reads the key).  Groups
+    with a single row emit nothing (no OTHER row exists), matching
+    ``knn_exact``'s ``kk <= 0`` skip."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    scaled = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("_v"),
+    )
+    out_schema = StructType(
+        [
+            StructField("ida", LongType()),
+            StructField("idb", LongType()),
+            StructField("d2", LongType()),
+        ]
+    )
+
+    def per_group(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame(
+                {
+                    "ida": pd.Series(dtype="int64"),
+                    "idb": pd.Series(dtype="int64"),
+                    "d2": pd.Series(dtype="int64"),
+                }
+            )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        B = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        Bn = (B * B).sum(axis=1)
+        outa, outb, outd = [], [], []
+        for s in range(0, n, block_rows):
+            e = min(n, s + block_rows)
+            # exact: all products/sums are integers < 2^53
+            d2 = Bn[s:e][:, None] + Bn[None, :] - 2.0 * (B[s:e] @ B.T)
+            for j in range(e - s):
+                i = s + j
+                row = np.where(ids == ids[i], np.inf, d2[j])
+                kk = min(k, n - 1)
+                kth = np.partition(row, kk - 1)[kk - 1]
+                cand = np.nonzero(row <= kth)[0]
+                order = cand[np.lexsort((ids[cand], row[cand]))][:kk]
+                outa.extend([ids[i]] * len(order))
+                outb.extend(ids[order].tolist())
+                outd.extend(row[order].astype(np.int64).tolist())
+        return pd.DataFrame({"ida": outa, "idb": outb, "d2": outd})
+
+    return scaled.groupBy("_g").applyInPandas(per_group, out_schema)

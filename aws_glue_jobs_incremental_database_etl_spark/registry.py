@@ -16641,8 +16641,13 @@ def lof_ivf_q(spark, sf_dir):
     documents, made concrete: candidate neighbors come only from the
     point's own coarse-quantizer cluster (literal seeded centroids,
     bit-exact assignment both engines), so the pair mass drops from
-    n² to Σ|cluster|² and the join shuffles on the cluster key —
-    partition-parallel at 100 TB where the global pair pass is not.
+    n² to Σ|cluster|² and the kNN shuffles on the cluster key —
+    partition-parallel at 100 TB where the global pair pass is not:
+    knn_exact_grouped builds each cluster's BLAS block EXECUTOR-SIDE
+    inside groupBy(cluster).applyInPandas — zero driver collect, zero
+    broadcast, executor memory O(max |cluster| × d) (the global
+    knn_exact baseline, by contrast, broadcasts the corpus and caps
+    it at max_broadcast_rows).
     Small clusters yield fewer than k neighbors; lrd and LOF use the
     per-point effective count, per Breunig's definition.  The LOF
     values approximate the global-kNN gate's (neighbors restricted to
@@ -16673,10 +16678,10 @@ def lof_ivf_q(spark, sf_dir):
         )
         .localCheckpoint(eager=False)
     )
-    from .operators.similarity import knn_exact
+    from .operators.similarity import knn_exact_grouped
 
     nk = (
-        knn_exact(
+        knn_exact_grouped(
             e.select("vec_id", "cluster", F.col("v").alias("embedding"))
             .withColumn(
                 "embedding",

@@ -1564,6 +1564,87 @@ def test_knn_exact_matches_jvm_chain(spark, sf_dir):
     assert got_g == want_g
 
 
+def test_knn_exact_grouped_distributed(spark, sf_dir):
+    """knn_exact_grouped (executor-side per-cluster blocks, zero
+    broadcast/collect) must equal the broadcast-based
+    knn_exact(group_col=...) pair-for-pair, survive NULL group
+    values, and keep its plan a pure groupBy→applyInPandas shuffle
+    (FlatMapGroupsInPandas, no BroadcastExchange)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        knn_exact,
+        knn_exact_grouped,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    grouped = emb.withColumn("grp", (F.col("vec_id") % 4).cast("long"))
+    want = {
+        (r.ida, r.idb): r.d2
+        for r in knn_exact(
+            grouped, "vec_id", "embedding", k=5, group_col="grp"
+        ).collect()
+    }
+    out = knn_exact_grouped(
+        grouped, "vec_id", "embedding", k=5, group_col="grp"
+    )
+    got = {(r.ida, r.idb): r.d2 for r in out.collect()}
+    assert got == want and len(got) > 100
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+
+    # tiny block_rows must chunk without changing results
+    got_small = {
+        (r.ida, r.idb): r.d2
+        for r in knn_exact_grouped(
+            grouped, "vec_id", "embedding", k=5, group_col="grp",
+            block_rows=7,
+        ).collect()
+    }
+    assert got_small == want
+
+    # NULL group values form their own candidate pool, no crash
+    nulled = grouped.withColumn(
+        "grp",
+        F.when(F.col("vec_id") % 4 == 0, F.lit(None)).otherwise(
+            F.col("grp")
+        ),
+    )
+    rows = knn_exact_grouped(
+        nulled, "vec_id", "embedding", k=3, group_col="grp"
+    ).collect()
+    null_ids = {
+        r.vec_id for r in nulled.filter("grp is null").collect()
+    }
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r.ida, set()).add(r.idb)
+    for a, bs in by_a.items():
+        if a in null_ids:
+            assert bs <= null_ids
+        else:
+            assert not (bs & null_ids)
+
+
+def test_knn_exact_broadcast_guard(spark, sf_dir):
+    """knn_exact raises past max_broadcast_rows (naming the
+    distributed alternative) instead of collecting an oversized
+    corpus to the driver."""
+    import pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        knn_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    with pytest.raises(ValueError, match="knn_exact_grouped"):
+        knn_exact(emb, "vec_id", "embedding", k=5, max_broadcast_rows=10)
+    # at the cap exactly: no raise
+    knn_exact(
+        emb.limit(10), "vec_id", "embedding", k=3, max_broadcast_rows=10
+    ).collect()
+
+
 def test_int4_roundtrip_bound_and_packing(spark, sf_dir):
     """int4 pack→unpack must reconstruct within 0.5/scale per
     component (the round-half-up quantization bound), words must stay
