@@ -23,7 +23,9 @@ already-indexed ids are never re-appended.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +37,73 @@ from .dedup import (
     shingles_from_tokens,
     tokens_of,
 )
+
+
+def _check_local_scheme(path: str) -> None:
+    """The snapshot/compaction plumbing below pins file lists via
+    ``os.listdir`` — local filesystem only.  A remote-FS path
+    (s3://, hdfs://, gs://, ...) would silently list nothing and be
+    treated as an EMPTY index, skipping all history dedup — fail
+    loudly instead.  On object storage, port ``_index_files`` to the
+    Hadoop FileSystem API (``spark._jvm`` ``FileSystem.listStatus``);
+    the pinned-snapshot and ``_REPLACES``-manifest contracts carry
+    over unchanged."""
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"incremental dedup index at non-local path {path!r}: the "
+            "snapshot pin and compaction manifest use local-FS "
+            "listings; resolve listings through the Hadoop FileSystem "
+            "API for remote schemes"
+        )
+
+
+def _heal_index(path: str) -> None:
+    """Finish an interrupted compaction GC: a committed ``compact-<n>``
+    directory lists the loose part files / older compact dirs it
+    superseded in its ``_REPLACES`` manifest — delete any still
+    present (a crash landed between the compaction commit and its GC;
+    reading both would double-count fingerprints and inflate
+    ``shared``).  Idempotent; no-op when nothing is pending."""
+    if not os.path.isdir(path):
+        return
+    for e in os.listdir(path):
+        p = os.path.join(path, e)
+        if not (e.startswith("compact-") and os.path.isdir(p)):
+            continue
+        manifest = os.path.join(p, "_REPLACES")
+        if not os.path.exists(manifest):
+            continue
+        with open(manifest) as f:
+            for victim in f.read().splitlines():
+                if not victim or victim == e:
+                    continue
+                v = os.path.join(path, victim)
+                if os.path.isdir(v):
+                    shutil.rmtree(v, ignore_errors=True)
+                elif os.path.exists(v):
+                    os.remove(v)
+
+
+def _index_files(path: str) -> list[str]:
+    """Snapshot file list for the index: loose appended part files at
+    the top level plus part files inside committed ``compact-<n>``
+    directories (staging dirs start with ``.`` and are skipped)."""
+    files = []
+    for e in sorted(os.listdir(path)):
+        p = os.path.join(path, e)
+        if e.startswith(("_", ".")):
+            continue
+        if os.path.isdir(p) and e.startswith("compact-"):
+            files.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+            )
+        elif e.endswith(".parquet"):
+            files.append(p)
+    return files
 
 
 def _load_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
@@ -49,17 +118,119 @@ def _load_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
     ``clearCache()``, repeated actions — sees exactly the pre-append
     index.  On object storage the same pin is the manifest listing; at
     100 TB a directory listing per batch is the normal metadata cost.
-    """
+
+    Manifest-aware: heals any interrupted compaction GC first, then
+    lists loose part files + committed ``compact-<n>`` contents
+    (:func:`_index_files`).  Local filesystem only — remote schemes
+    raise (:func:`_check_local_scheme`) rather than silently reading
+    an empty index."""
+    _check_local_scheme(path)
     if not os.path.exists(path):
         return None
-    files = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    _heal_index(path)
+    files = _index_files(path)
     if not files:
         return None
     return spark.read.parquet(*files)
+
+
+def _compact_index(spark: SparkSession, path: str) -> int:
+    """Fold ALL current index state — loose per-batch part files plus
+    older ``compact-*`` dirs — into one ``compact-<n>`` directory with
+    few large files, so ``_load_snapshot``'s per-batch listing and
+    Spark's per-file open cost stay O(1)-ish instead of growing with
+    every ingested batch (VERDICT r6 #4; log-structured compaction,
+    the ``IncrementalJoinView.compact`` pattern on a flat index dir).
+
+    Crash safety: the compacted dir carries a ``_REPLACES`` manifest
+    naming everything it supersedes, publishes via staging + ONE
+    atomic rename, and GCs the victims strictly after the commit;
+    ``_heal_index`` (run before every snapshot read) finishes the GC
+    if a crash interrupts it — no interleaving double-counts.
+    Concurrent appends are NOT coordinated against (same single-writer
+    contract as ``dedup_batch`` itself).
+
+    Returns the number of superseded entries (0 = nothing to do)."""
+    _check_local_scheme(path)
+    if not os.path.isdir(path):
+        return 0
+    _heal_index(path)
+    victims = [
+        e
+        for e in sorted(os.listdir(path))
+        if not e.startswith(("_", "."))
+        and (
+            e.endswith(".parquet")
+            or (
+                e.startswith("compact-")
+                and os.path.isdir(os.path.join(path, e))
+            )
+        )
+    ]
+    if len(victims) <= 1:
+        return 0
+    files = _index_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    # ~64 MB target files: small indexes fold to one file, large ones
+    # keep enough files for parallel reads
+    n_out = max(1, min(256, total_bytes // (64 << 20) + 1))
+    next_id = 1 + max(
+        (
+            int(e.split("-", 1)[1])
+            for e in victims
+            if e.startswith("compact-") and e.split("-", 1)[1].isdigit()
+        ),
+        default=0,
+    )
+    cid = f"compact-{next_id}"
+    staging = os.path.join(path, f".staging-{cid}")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    spark.read.parquet(*files).coalesce(int(n_out)).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    with open(os.path.join(staging, "_REPLACES"), "w") as f:
+        f.write("\n".join(victims))
+    os.rename(staging, os.path.join(path, cid))  # commit point
+    for e in victims:  # GC strictly after the commit
+        v = os.path.join(path, e)
+        if os.path.isdir(v):
+            shutil.rmtree(v, ignore_errors=True)
+        elif os.path.exists(v):
+            os.remove(v)
+    return len(victims)
+
+
+def _ensure_meta(path: str, meta: dict) -> None:
+    """Pin the index's fingerprint-domain config on disk and validate
+    it on every reopen.  Without this, an index built under one
+    config silently reopened under another (e.g. a default hash_fn
+    change across versions) fingerprints new batches in a DISJOINT
+    hash domain — every historical near-dup survives with shared=0
+    instead of failing loudly.  ``_META.json`` is an underscore file:
+    invisible to the parquet file listing."""
+    _check_local_scheme(path)
+    mp = os.path.join(path, "_META.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            on_disk = json.load(f)
+        if on_disk != meta:
+            raise ValueError(
+                f"index at {path!r} was created with {on_disk}, "
+                f"reopened with {meta}: fingerprint domains would "
+                "diverge (historical near-dups silently survive). "
+                "Reopen with the original parameters or rebuild."
+            )
+        return
+    if os.path.isdir(path) and _index_files(path):
+        raise ValueError(
+            f"index at {path!r} has data but no _META.json (created "
+            "by a pre-metadata version): write the original "
+            "parameters to _META.json to adopt it, or rebuild."
+        )
+    os.makedirs(path, exist_ok=True)
+    with open(mp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
 
 
 class MinHashIndex:
@@ -81,6 +252,22 @@ class MinHashIndex:
         self.bands = bands
         self.rows = num_hashes // bands
         self.shingle_k = shingle_k
+
+    def _meta(self) -> dict:
+        return {
+            "kind": "minhash",
+            "threshold": self.threshold,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_k": self.shingle_k,
+        }
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold per-batch index files into one ``compact-<n>`` dir —
+        see :func:`_compact_index`.  Dedup results are byte-identical
+        before/after (the snapshot read just lists different files
+        holding the same rows)."""
+        return _compact_index(spark, self.path)
 
     # -- signature plumbing ------------------------------------------------
 
@@ -141,6 +328,7 @@ class MinHashIndex:
         corpus text.
         """
         spark = batch_df.sparkSession
+        _ensure_meta(self.path, self._meta())
         new_sig = self._signatures(batch_df, id_col, text_col).persist()
         new_banded = self._banded(new_sig)
 
@@ -242,6 +430,22 @@ class WinnowIndex:
         self.window = window
         self.hash_fn = hash_fn
 
+    def _meta(self) -> dict:
+        return {
+            "kind": "winnow",
+            "threshold": self.threshold,
+            "k": self.k,
+            "window": self.window,
+            "hash_fn": self.hash_fn,
+        }
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold per-batch index files into one ``compact-<n>`` dir —
+        see :func:`_compact_index`.  Dedup results are byte-identical
+        before/after (the snapshot read just lists different files
+        holding the same rows)."""
+        return _compact_index(spark, self.path)
+
     def _fps(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         from .dedup import winnow_fingerprints, winnow_fingerprints_np
 
@@ -281,6 +485,7 @@ class WinnowIndex:
         wrong answer — survivors re-executing against the post-append
         index double-counted ``shared`` and halved the threshold)."""
         spark = batch_df.sparkSession
+        _ensure_meta(self.path, self._meta())
         new_fp = self._fps(batch_df, id_col, text_col).persist()
 
         index = self._load(spark)
