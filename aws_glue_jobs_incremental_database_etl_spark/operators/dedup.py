@@ -1018,7 +1018,26 @@ def winnow_near_dup_pairs(
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("fp_hash")
+            .localCheckpoint(eager=False)
         )
+        # Observability (the guard defaults ON since round 6): when it
+        # actually drops fingerprints, results are corpus-dependent —
+        # say so, with the over-cap hash count, instead of silently
+        # losing every pair that shared only boilerplate.  The count
+        # materializes the checkpointed drop frame the anti-join
+        # reuses, so the extra action costs one small aggregate.
+        n_over = drop.count()
+        if n_over:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "winnow_near_dup_pairs: max_df=%d dropped %d over-cap "
+                "fingerprint hashes (boilerplate guard) — pairs sharing "
+                "only those hashes will not surface; pass max_df=None "
+                "to disable (reads the docstring's scale caveat first)",
+                max_df,
+                n_over,
+            )
         fp = fp.join(F.broadcast(drop), "fp_hash", "left_anti")
     sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     a = fp.alias("a")

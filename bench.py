@@ -222,6 +222,28 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Cross-round comparability (VERDICT r6 #5): the committed
+    # BENCH_LOCAL.json from the PREVIOUS round still holds that
+    # round's per-query timings at this point (we overwrite it below)
+    # — report the total over the intersection of query sets, so
+    # adding headline queries never reads as a regression.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = os.path.join(here, "BENCH_LOCAL.json")
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == result["sf"]:
+            common = sorted(set(prev.get("queries", {})) & set(timings))
+            result["common_subset"] = {
+                "n_queries": len(common),
+                "value": round(sum(timings[q] for q in common), 3),
+                "prev_value": round(
+                    sum(prev["queries"][q] for q in common), 3
+                ),
+            }
+    except (OSError, ValueError, KeyError):
+        pass  # first run / foreign format — comparison is additive
+
     # sf1 spot-bench: 10× the sf0.1 data (generated once, cached under
     # .benchdata/), one timed run per query — catches nonlinear scaling
     # (pair explosion, iteration cost, bucket fan-out) that min-of-2 at
@@ -256,7 +278,6 @@ def main() -> None:
     # summary, UNCONDITIONALLY: total, count, sf, sf1 total, the 5
     # slowest queries, and a pointer to the committed BENCH_LOCAL.json
     # carrying the full per-query dicts.
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(result, f, indent=1)
     summary = {
@@ -268,6 +289,8 @@ def main() -> None:
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
         "detail": "BENCH_LOCAL.json",
     }
+    if "common_subset" in result:
+        summary["common_subset"] = result["common_subset"]
     if "sf1" in result:
         summary["sf1_total_s"] = result["sf1"]["value"]
     elif "sf1_error" in result:

@@ -40,10 +40,9 @@ SINGLE_PARTITION_OK = {
     # LITERAL 1001-bucket score grid (clip-binned sweep) + 1-row agg
     "average_precision_quality_docs", # same literal-bounded grid
     "best_f1_threshold_quality_docs", # same literal-bounded grid
-    "decile_lift_quality_docs",       # global row_number rank — at
-    # 100 TB swaps for exact_ntile_grouped (same contract, proven by
-    # the quantile-normalization gate); the gate keeps the simple
-    # rank for oracle exactness
+    "decile_lift_quality_docs",       # 1-row count/base-rate scalar
+    # state only — the rank itself is the distributed two-level
+    # exact_global_rank construction (VERDICT r6 #6 swap landed r7)
     "spearman_chars_score_docs",      # value-domain cumsum windows
     # (n_chars domain + the 1001-bin grid — the Mann-Whitney rule)
     # plus the 1-row moment fold
@@ -139,9 +138,6 @@ BNLJ_OK = {
     # (≤ label-cardinality rows against the point frame)
     "modularity_lpa_part_supplier",   # 1-row m broadcast
     "mutual_info_lang_source_docs",   # 1-row total broadcast
-    "lof_outliers_embeddings",        # the audited brute-force pair
-    # pass: vec_id≠vec_id theta self-join — the gate's exact baseline,
-    # IVF-candidate generation is the scale path (see docstring)
     "naive_bayes_langid_docs",        # 1-row vocab/train-count state
     "xcorr_leadlag_events",           # 7-row lag table + 1-row moments
     "isotonic_calibration_events",    # 1-row range broadcast + the
