@@ -18364,6 +18364,361 @@ def pacf_q(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave: causality / chain dynamics / cardinality sketches
+# =====================================================================
+
+@query(
+    "granger_lag1_events",
+    """
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS xv,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS yv
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), idx AS (
+      SELECT xv, yv, ROW_NUMBER() OVER (ORDER BY d) AS t FROM days
+    ), tri AS (
+      SELECT a.yv AS w, b.yv AS u, b.xv AS v
+      FROM idx a JOIN idx b ON b.t = a.t - 1
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(u) AS su, SUM(v) AS sv, SUM(w) AS sw,
+             SUM(u * u) AS suu, SUM(v * v) AS svv, SUM(u * v) AS suv,
+             SUM(u * w) AS suw, SUM(v * w) AS svw, SUM(w * w) AS sww
+      FROM tri
+    ), c AS (
+      SELECT n,
+             suu - CAST(su AS DOUBLE) * su / n AS cuu,
+             svv - CAST(sv AS DOUBLE) * sv / n AS cvv,
+             suv - CAST(su AS DOUBLE) * sv / n AS cuv,
+             suw - CAST(su AS DOUBLE) * sw / n AS cuw,
+             svw - CAST(sv AS DOUBLE) * sw / n AS cvw,
+             sww - CAST(sw AS DOUBLE) * sw / n AS cww
+      FROM m
+    ), fit AS (
+      SELECT n,
+             (cvv * cuw - cuv * cvw) / (cuu * cvv - cuv * cuv) AS b_y,
+             (cuu * cvw - cuv * cuw) / (cuu * cvv - cuv * cuv) AS c_x,
+             cww - ((cvv * cuw - cuv * cvw) / (cuu * cvv - cuv * cuv)) * cuw
+                 - ((cuu * cvw - cuv * cuw) / (cuu * cvv - cuv * cuv)) * cvw
+               AS rss_full,
+             cww - cuw * cuw / cuu AS rss_restricted
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(b_y, 6) AS beta_y_lag, ROUND(c_x, 6) AS beta_x_lag,
+           ROUND(rss_restricted, 6) AS rss_restricted,
+           ROUND(rss_full, 6) AS rss_full,
+           ROUND((rss_restricted - rss_full) / (rss_full / (n - 3)), 6)
+             AS f_stat
+    FROM fit
+    """,
+)
+def granger_q(spark, sf_dir):
+    """Granger-style lag-1 test: do yesterday's VIEW counts help
+    predict today's PURCHASE counts beyond yesterday's purchases?
+    Full model y_t = a + b·y_{t−1} + c·x_{t−1} vs restricted
+    y_t = a + b·y_{t−1}, both solved in closed form from centered
+    moments (2-regressor normal equations — determinant algebra, no
+    iterative solver), F = ((RSS_r − RSS_f)/1)/(RSS_f/(n−3)).  Every
+    moment is an exact integer sum over the bounded daily frame; the
+    lag join is a self-join on the day index — O(days), one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "xv"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("yv"),
+    )
+    idx = days.select(
+        "xv", "yv", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    tri = a.join(b, F.col("b.t") == F.col("a.t") - 1).select(
+        F.col("a.yv").alias("w"),
+        F.col("b.yv").alias("u"),
+        F.col("b.xv").alias("v"),
+    )
+    m = tri.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("w")).alias("suw"),
+        F.sum(F.col("v") * F.col("w")).alias("svw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    n = F.col("n")
+    c = m.select(
+        "n",
+        (F.col("suu") - F.col("su").cast("double") * F.col("su") / n).alias(
+            "cuu"
+        ),
+        (F.col("svv") - F.col("sv").cast("double") * F.col("sv") / n).alias(
+            "cvv"
+        ),
+        (F.col("suv") - F.col("su").cast("double") * F.col("sv") / n).alias(
+            "cuv"
+        ),
+        (F.col("suw") - F.col("su").cast("double") * F.col("sw") / n).alias(
+            "cuw"
+        ),
+        (F.col("svw") - F.col("sv").cast("double") * F.col("sw") / n).alias(
+            "cvw"
+        ),
+        (F.col("sww") - F.col("sw").cast("double") * F.col("sw") / n).alias(
+            "cww"
+        ),
+    )
+    det = F.col("cuu") * F.col("cvv") - F.col("cuv") * F.col("cuv")
+    b_y = (F.col("cvv") * F.col("cuw") - F.col("cuv") * F.col("cvw")) / det
+    c_x = (F.col("cuu") * F.col("cvw") - F.col("cuv") * F.col("cuw")) / det
+    rss_full = F.col("cww") - b_y * F.col("cuw") - c_x * F.col("cvw")
+    rss_r = F.col("cww") - F.col("cuw") * F.col("cuw") / F.col("cuu")
+    return c.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(b_y, 6).alias("beta_y_lag"),
+        F.round(c_x, 6).alias("beta_x_lag"),
+        F.round(rss_r, 6).alias("rss_restricted"),
+        F.round(rss_full, 6).alias("rss_full"),
+        F.round((rss_r - rss_full) / (rss_full / (F.col("n") - 3)), 6).alias(
+            "f_stat"
+        ),
+    )
+
+
+@query(
+    "entropy_rate_transitions_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), tr AS (
+      SELECT event_type AS cur, nxt, COUNT(*) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ), rowt AS (
+      SELECT cur, SUM(c) AS rc FROM tr GROUP BY cur
+    ), tot AS (
+      SELECT SUM(c) AS n, COUNT(DISTINCT cur) AS k FROM tr
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_transitions,
+           CAST(t.k AS BIGINT) AS n_states,
+           ROUND(-SUM((CAST(tr.c AS DOUBLE) / t.n)
+                      * LN(CAST(tr.c AS DOUBLE) / r.rc)), 6)
+             AS entropy_rate,
+           ROUND(-SUM((CAST(tr.c AS DOUBLE) / t.n)
+                      * LN(CAST(tr.c AS DOUBLE) / r.rc)) / LN(t.k), 6)
+             AS entropy_rate_norm
+    FROM tr JOIN rowt r USING (cur) CROSS JOIN tot t
+    GROUP BY t.n, t.k
+    """,
+)
+def entropy_rate_q(spark, sf_dir):
+    """Entropy rate of the per-user event chain: H = −Σᵢⱼ π̂ᵢ Pᵢⱼ ln Pᵢⱼ
+    with π̂ the empirical transition-source distribution — how
+    predictable the NEXT action is given the current one (ln-k
+    normalized to [0,1]).  One per-user LEAD window builds the
+    transition stream; everything after is aggregates on the
+    |states|²-bounded count grid — the transition-matrix gate's
+    information-theoretic summary."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rowt = tr.groupBy("cur").agg(F.sum("c").alias("rc"))
+    tot = tr.agg(
+        F.sum("c").alias("n"), F.countDistinct("cur").alias("k")
+    )
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double") / F.col("rc")
+    )
+    return (
+        tr.join(F.broadcast(rowt), "cur")
+        .join(F.broadcast(tot), F.lit(True))
+        .groupBy("n", "k")
+        .agg(
+            F.round(-F.sum(term), 6).alias("entropy_rate"),
+            F.round(
+                -F.sum(term) / F.log(F.col("k").cast("double")), 6
+            ).alias("entropy_rate_norm"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.col("k").cast("bigint").alias("n_states"),
+            "entropy_rate",
+            "entropy_rate_norm",
+        )
+    )
+
+
+@query(
+    "linear_counting_daily_users_events",
+    """
+    WITH pos AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 4096 AS p,
+             user_id
+      FROM events
+    ), agg AS (
+      SELECT d, COUNT(DISTINCT p) AS z, COUNT(DISTINCT user_id) AS exact
+      FROM pos GROUP BY d
+    )
+    SELECT d AS day, CAST(z AS BIGINT) AS occupied,
+           CAST(exact AS BIGINT) AS exact_distinct,
+           CASE WHEN z >= 4096 THEN NULL
+                ELSE ROUND(-4096.0 * LN((4096.0 - z) / 4096.0), 6)
+           END AS lc_estimate
+    FROM agg ORDER BY day
+    """,
+)
+def linear_counting_q(spark, sf_dir):
+    """Linear-counting distinct-user estimate per day: hash each user
+    to one of m=4096 bitmap positions (the repo's md5-mod contract —
+    hashlib/DuckDB/Spark parity proven by the sharding gates), count
+    occupied positions z, estimate n̂ = −m·ln((m−z)/m).  The bitmap is
+    a fixed-size MERGEABLE daily sketch (OR across partitions/days);
+    the exact distinct rides along as the accuracy readout.  Saturated
+    bitmaps (z = m) yield NULL — DuckDB ln(0) errors where Spark
+    returns null, so the guard is explicit in BOTH engines."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 4096
+    )
+    agg = e.select(F.to_date("ts").alias("d"), p.alias("p"), "user_id").groupBy(
+        "d"
+    ).agg(
+        F.countDistinct("p").alias("z"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    return agg.select(
+        F.col("d").alias("day"),
+        F.col("z").cast("bigint").alias("occupied"),
+        F.col("exact").cast("bigint").alias("exact_distinct"),
+        F.when(F.col("z") >= 4096, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                -4096.0 * F.log((4096.0 - F.col("z")) / 4096.0), 6
+            )
+        )
+        .alias("lc_estimate"),
+    ).orderBy("day")
+
+
+@query(
+    "markov_stationary_event_types",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), tr AS (
+      SELECT event_type AS cur, nxt, COUNT(*) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ), rowt AS (
+      SELECT cur, SUM(c) AS rc FROM tr GROUP BY cur
+    ), sts AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS i
+      FROM (SELECT DISTINCT event_type AS s FROM events)
+    ), kk AS (SELECT COUNT(*) AS k FROM sts),
+    dense AS (
+      SELECT a.i AS i, b.i AS j,
+             CASE WHEN r.rc IS NULL THEN 1.0 / kk.k
+                  ELSE COALESCE(t.c, 0) / CAST(r.rc AS DOUBLE) END AS p
+      FROM sts a CROSS JOIN sts b CROSS JOIN kk
+      LEFT JOIN tr t ON t.cur = a.s AND t.nxt = b.s
+      LEFT JOIN rowt r ON r.cur = a.s
+    ), rows_ AS (
+      SELECT i, list(p ORDER BY j) AS pr FROM dense GROUP BY i
+    ), mat AS (SELECT list(pr ORDER BY i) AS M FROM rows_),
+    it AS (
+      SELECT 0 AS n, list_transform(range(1, k + 1), x -> 1.0 / k) AS pi
+      FROM kk
+      UNION ALL
+      SELECT n + 1,
+             list_transform(range(1, len(pi) + 1),
+               j -> list_sum(list_transform(range(1, len(pi) + 1),
+                      i -> pi[i] * M[i][j])))
+      FROM it, mat WHERE n < 30
+    )
+    SELECT s.s AS event_type, ROUND(it.pi[s.i], 6) AS stationary_p
+    FROM it, sts s WHERE it.n = 30 ORDER BY event_type
+    """,
+)
+def markov_stationary_q(spark, sf_dir):
+    """Stationary distribution of the per-user event-type Markov
+    chain: 30 power-iteration steps π ← πP from uniform — where user
+    sessions settle in the long run, the chain-level complement of
+    the one-step transition-matrix gate.  The 100 TB work (the
+    per-user LEAD + transition counting) is fully distributed; the
+    iteration itself runs on the |states|² grid — BOUNDED BY THE
+    EVENT-TYPE DIMENSION, the same class as the audited bucket-count
+    collects — with dangling rows (states with no outgoing
+    transitions) patched to uniform, and left-to-right accumulation
+    matching the oracle's list_sum order bit-for-bit.  The DuckDB
+    twin carries π as a LIST through a recursive CTE (the
+    holt_winters pattern) because recursive terms cannot aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = (
+        seq.groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    states = sorted(
+        r["event_type"]
+        for r in e.select("event_type").distinct().collect()
+    )
+    k = len(states)
+    pos = {s: i for i, s in enumerate(states)}
+    counts = [[0] * k for _ in range(k)]
+    for r in tr:
+        counts[pos[r["cur"]]][pos[r["nxt"]]] += r["c"]
+    P = []
+    for i in range(k):
+        rc = sum(counts[i])
+        P.append(
+            [1.0 / k] * k
+            if rc == 0
+            else [counts[i][j] / float(rc) for j in range(k)]
+        )
+    pi = [1.0 / k] * k
+    for _ in range(30):
+        nxt = []
+        for j in range(k):
+            acc = 0.0
+            for i in range(k):  # ascending i = the oracle's list_sum order
+                acc += pi[i] * P[i][j]
+            nxt.append(acc)
+        pi = nxt
+    return spark.createDataFrame(
+        [(s, round(pi[pos[s]], 6)) for s in states],
+        "event_type string, stationary_p double",
+    ).orderBy("event_type")
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in
