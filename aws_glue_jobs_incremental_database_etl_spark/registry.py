@@ -18719,6 +18719,334 @@ def markov_stationary_q(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave: link prediction / forecast scoring / corpus novelty
+# =====================================================================
+
+@query(
+    "adamic_adar_links_suppliers",
+    """
+    WITH e AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+             CAST(l_suppkey AS BIGINT) AS s
+      FROM lineitem
+    ), deg AS (
+      SELECT p, COUNT(*) AS d FROM e GROUP BY p
+    ), pairs AS (
+      SELECT a.s AS s_a, b.s AS s_b,
+             SUM(1.0 / LN(d.d)) AS aa, COUNT(*) AS common_parts
+      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      JOIN deg d ON d.p = a.p
+      WHERE d.d >= 2
+      GROUP BY a.s, b.s
+    ), ranked AS (
+      SELECT s_a, s_b, common_parts, aa,
+             ROW_NUMBER() OVER (ORDER BY aa DESC, s_a ASC, s_b ASC) AS rn
+      FROM pairs
+    )
+    SELECT CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+           CAST(common_parts AS BIGINT) AS common_parts,
+           ROUND(aa, 6) AS adamic_adar
+    FROM ranked WHERE rn <= 20 ORDER BY adamic_adar DESC, s_a, s_b
+    """,
+)
+def adamic_adar_q(spark, sf_dir):
+    """Adamic–Adar link prediction on the supplier co-supply graph:
+    supplier pairs sharing parts score Σ_p 1/ln(deg p) over their
+    common parts — rare shared parts count more than ubiquitous ones
+    — and the top-20 predicted links surface.  Pair generation is the
+    postings self-join on the part key (bounded per-part fan-out,
+    never all-pairs — the Jaccard-family shape); the degree weight
+    joins in on the same key, so one shuffle keys everything.  At
+    100 TB add the dedup family's max-df cap on part degree to bound
+    the worst bucket."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").cast("bigint").alias("p"),
+        F.col("l_suppkey").cast("bigint").alias("s"),
+    ).distinct()
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(
+            deg.filter(F.col("d") >= 2).withColumnRenamed("p", "dp"),
+            F.col("a.p") == F.col("dp"),
+        )
+        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .agg(
+            F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("aa"),
+            F.count(F.lit(1)).alias("common_parts"),
+        )
+    )
+    w = Window.orderBy(F.col("aa").desc(), F.col("s_a").asc(), F.col("s_b").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("s_a").cast("bigint").alias("s_a"),
+            F.col("s_b").cast("bigint").alias("s_b"),
+            F.col("common_parts").cast("bigint").alias("common_parts"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), "s_a", "s_b")
+    )
+
+
+@query(
+    "smape_mase_backtest_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS x
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily
+    ), ses AS (
+      SELECT event_type, rn, x, x AS s FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn, n.x, 0.5 * n.x + 0.5 * h.s
+      FROM num n JOIN ses h
+        ON n.event_type = h.event_type AND n.rn = h.rn + 1
+    ), fc AS (
+      SELECT n.event_type, n.x AS y, h.s AS f_ses, hx.x AS f_naive
+      FROM num n
+      JOIN ses h ON h.event_type = n.event_type AND h.rn = n.rn - 1
+      JOIN num hx ON hx.event_type = n.event_type AND hx.rn = n.rn - 1
+      WHERE n.rn > 5
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           ROUND(AVG(CASE WHEN ABS(f_ses) + ABS(y) = 0 THEN 0.0
+                     ELSE 2.0 * ABS(y - f_ses) / (ABS(f_ses) + ABS(y))
+                     END), 6) AS smape_ses,
+           ROUND(AVG(CASE WHEN ABS(f_naive) + ABS(y) = 0 THEN 0.0
+                     ELSE 2.0 * ABS(y - f_naive) / (ABS(f_naive) + ABS(y))
+                     END), 6) AS smape_naive,
+           ROUND(AVG(ABS(y - f_ses)) / AVG(ABS(y - f_naive)), 6) AS mase_ses
+    FROM fc GROUP BY event_type ORDER BY event_type
+    """,
+)
+def smape_mase_q(spark, sf_dir):
+    """Scale-free forecast scoring over the SES backtest (the
+    backtest_ses gate's dyadic-α walk, rescored): sMAPE for both SES
+    and the naive forecaster, and MASE — SES MAE scaled by the naive
+    MAE on the SAME forecast window, so "is the smoother beating
+    persistence" reads directly as MASE < 1.  Zero-denominator sMAPE
+    terms are defined 0 in BOTH engines (no silent null drops); the
+    per-type walk is the one-pass applyInPandas recurrence, states
+    bit-exact vs the recursive-CTE oracle."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("x")
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = None
+        states = []
+        for x in pdf["x"]:
+            s = x if s is None else 0.5 * x + 0.5 * s
+            states.append(s)
+        pdf["s"] = states
+        pdf["f_ses"] = pdf["s"].shift(1)
+        pdf["f_naive"] = pdf["x"].shift(1)
+        pdf["rn"] = range(1, len(pdf) + 1)
+        out = pdf[pdf["rn"] > 5]
+        return out[["event_type", "x", "f_ses", "f_naive"]].rename(
+            columns={"x": "y"}
+        )
+
+    fc = daily.groupBy("event_type").applyInPandas(
+        walk,
+        "event_type string, y double, f_ses double, f_naive double",
+    )
+
+    def smape(fcol):
+        den = F.abs(F.col(fcol)) + F.abs(F.col("y"))
+        return F.avg(
+            F.when(den == 0, F.lit(0.0)).otherwise(
+                2.0 * F.abs(F.col("y") - F.col(fcol)) / den
+            )
+        )
+
+    return (
+        fc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+            F.round(smape("f_ses"), 6).alias("smape_ses"),
+            F.round(smape("f_naive"), 6).alias("smape_naive"),
+            F.round(
+                F.avg(F.abs(F.col("y") - F.col("f_ses")))
+                / F.avg(F.abs(F.col("y") - F.col("f_naive"))),
+                6,
+            ).alias("mase_ses"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ngram_novelty_prefix_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id, source,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM toks
+    ), posts AS (
+      SELECT doc_id, source, unnest(sh) AS g FROM d
+    ), firsts AS (
+      SELECT g, MIN(doc_id) AS fd FROM posts GROUP BY g
+    ), per_doc AS (
+      SELECT p.doc_id, p.source, COUNT(*) AS n_sh,
+             SUM(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END) AS n_new
+      FROM posts p JOIN firsts f USING (g)
+      GROUP BY p.doc_id, p.source
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           ROUND(CAST(SUM(n_new) AS DOUBLE) / SUM(n_sh), 6)
+             AS novelty_ratio
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def ngram_novelty_q(spark, sf_dir):
+    """Corpus-prefix n-gram novelty per source: the share of each
+    document's distinct 3-token shingles whose FIRST occurrence (by
+    doc_id order) is that document — the "how much genuinely new text
+    does this source add" curve that decides ingestion order and
+    catches mirror sources before near-dup pairing spends compute on
+    them.  Shingles reuse the dedup family's tokenization contract;
+    the first-seen pass is one min-aggregate on the shingle key (the
+    postings shuffle), and the ratio is exact integer sums — no
+    pairwise anything."""
+    from .operators.dedup import shingles_from_tokens, tokens_of
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # stage tokens as a real column: Catalyst inlines multi-referenced
+    # lambda subtrees (the shingle expr reads its input 4x)
+    sh = (
+        d.withColumn("_toks", tokens_of(F.col("text")))
+        .withColumn("sh", shingles_from_tokens(F.col("_toks"), 3))
+        .select("doc_id", "source", F.explode("sh").alias("g"))
+    )
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        sh.join(firsts, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.round(
+                F.sum("n_new").cast("double") / F.sum("n_sh"), 6
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "script_char_profile_docs",
+    """
+    WITH per_doc AS (
+      SELECT lang, LENGTH(text) AS n,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS n_upper,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[a-z]', '', 'g'))
+               AS n_lower,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digit,
+             LENGTH(text)
+               - LENGTH(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+               AS n_space
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(n_upper) AS DOUBLE) / SUM(n), 6) AS upper_ratio,
+           ROUND(CAST(SUM(n_lower) AS DOUBLE) / SUM(n), 6) AS lower_ratio,
+           ROUND(CAST(SUM(n_digit) AS DOUBLE) / SUM(n), 6) AS digit_ratio,
+           ROUND(CAST(SUM(n_space) AS DOUBLE) / SUM(n), 6) AS space_ratio,
+           ROUND(CAST(SUM(n - n_upper - n_lower - n_digit - n_space)
+                      AS DOUBLE) / SUM(n), 6) AS other_ratio
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def script_profile_q(spark, sf_dir):
+    """Character-class profile per language: corpus-level ratios of
+    ASCII upper/lower/digit/whitespace/other — the cheap script
+    sanity screen that catches mislabeled languages, HTML spill
+    (other_ratio spike) and ALL-CAPS shouting corpora before any
+    model-based scorer runs.  Counts are regexp-strip length deltas
+    (explicit ASCII classes — engine-portable, unlike \\s which
+    differs between Java and RE2 regex), aggregated as exact integer
+    sums with ONE ratio at the end — map-only + one lang-keyed
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_class(pat):
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), pat, "")
+        )
+
+    per_doc = d.select(
+        "lang",
+        F.length("text").alias("n"),
+        n_class("[A-Z]").alias("n_upper"),
+        n_class("[a-z]").alias("n_lower"),
+        n_class("[0-9]").alias("n_digit"),
+        n_class("[ \t\n\r]").alias("n_space"),
+    )
+    ratio = lambda c: F.round(  # noqa: E731
+        F.sum(c).cast("double") / F.sum("n"), 6
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_chars"),
+            ratio("n_upper").alias("upper_ratio"),
+            ratio("n_lower").alias("lower_ratio"),
+            ratio("n_digit").alias("digit_ratio"),
+            ratio("n_space").alias("space_ratio"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    - F.col("n_upper")
+                    - F.col("n_lower")
+                    - F.col("n_digit")
+                    - F.col("n_space")
+                ).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("other_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in
