@@ -19047,6 +19047,290 @@ def script_profile_q(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave: binned rank association + submodular selection
+# =====================================================================
+
+@query("kendall_tau_chars_score_docs", None)  # oracle attached below
+def kendall_tau_q(spark, sf_dir):
+    """Kendall tau-b between document length and classifier score on
+    a LITERAL 64×63 bin grid — the rank-association check that,
+    unlike Spearman, reads directly as P(concordant)−P(discordant).
+    Exact tau over raw values needs pairwise dominance counts; on the
+    binned grid the dominance sums become TWO cumulative windows over
+    the dense 4032-cell literal frame (column-cumulative over x per
+    y-slice, then cumulative / reverse-cumulative over y per x-slice)
+    — concordant C = Σ cnt·D_lt and discordant D = Σ cnt·D_gt as
+    exact BIGINTs, tie terms from the bin marginals, all bounded by
+    the grid, never by document pairs.  The dense grid comes from ONE
+    spark.range (no cross join); only the final 1-row reduction is
+    single-partition."""
+    scored = _scored_docs(spark, sf_dir).select(
+        "doc_id", _score_bin(F.col("score")).alias("sbin")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    obs = (
+        scored.join(d, "doc_id")
+        .select(
+            F.least(F.floor(F.col("n_chars") / 50), F.lit(63))
+            .cast("int")
+            .alias("xb"),
+            F.least(F.floor(F.col("sbin") / 16), F.lit(62))
+            .cast("int")
+            .alias("yb"),
+        )
+        .groupBy("xb", "yb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = spark.range(0, 64 * 63).select(
+        (F.col("id") / 63).cast("int").alias("xb"),
+        (F.col("id") % 63).cast("int").alias("yb"),
+    )
+    grid = dense.join(obs, ["xb", "yb"], "left").select(
+        "xb", "yb", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    wy = Window.partitionBy("yb").orderBy("xb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g1 = grid.select(
+        "xb", "yb", "cnt", F.coalesce(F.sum("cnt").over(wy), F.lit(0)).alias("cl")
+    )
+    wx_asc = Window.partitionBy("xb").orderBy("yb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wx_desc = (
+        Window.partitionBy("xb")
+        .orderBy(F.col("yb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g1.select(
+        "xb",
+        "yb",
+        "cnt",
+        F.coalesce(F.sum("cl").over(wx_asc), F.lit(0)).alias("dlt"),
+        F.coalesce(F.sum("cl").over(wx_desc), F.lit(0)).alias("dgt"),
+    )
+    cd = g2.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("dlt")).alias("conc"),
+        F.sum(F.col("cnt") * F.col("dgt")).alias("disc"),
+    )
+    tx = grid.groupBy("xb").agg(F.sum("cnt").alias("t"))
+    ty = grid.groupBy("yb").agg(F.sum("cnt").alias("t"))
+    n1 = tx.agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("bigint").alias("n1")
+    )
+    n2 = ty.agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("bigint").alias("n2")
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    return (
+        cd.join(F.broadcast(n1), F.lit(True))
+        .join(F.broadcast(n2), F.lit(True))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("conc").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            F.round(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+O["kendall_tau_chars_score_docs"] = f"""
+    WITH {_scored_sql()}, binned AS (
+      SELECT LEAST(CAST(floor(d.n_chars / 50.0) AS INTEGER), 63) AS xb,
+             LEAST(CAST(floor(
+               floor(LEAST(GREATEST(s.score, 0.0), 1.0) * 1000) / 16.0)
+               AS INTEGER), 62) AS yb
+      FROM scored s JOIN documents d USING (doc_id)
+    ), obs AS (
+      SELECT xb, yb, COUNT(*) AS cnt FROM binned GROUP BY xb, yb
+    ), dense AS (
+      SELECT CAST(floor(i / 63.0) AS INTEGER) AS xb,
+             CAST(i % 63 AS INTEGER) AS yb
+      FROM (SELECT unnest(range(0, 4032)) AS i)
+    ), grid AS (
+      SELECT d.xb, d.yb, COALESCE(o.cnt, 0) AS cnt
+      FROM dense d LEFT JOIN obs o ON o.xb = d.xb AND o.yb = d.yb
+    ), g1 AS (
+      SELECT xb, yb, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY yb ORDER BY xb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+      FROM grid
+    ), g2 AS (
+      SELECT xb, yb, cnt,
+             COALESCE(SUM(cl) OVER (PARTITION BY xb ORDER BY yb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dlt,
+             COALESCE(SUM(cl) OVER (PARTITION BY xb ORDER BY yb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dgt
+      FROM g1
+    ), cd AS (
+      SELECT SUM(cnt) AS n, SUM(cnt * dlt) AS conc, SUM(cnt * dgt) AS disc
+      FROM g2
+    ), tiex AS (
+      SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+      FROM (SELECT SUM(cnt) AS t FROM grid GROUP BY xb)
+    ), tiey AS (
+      SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+      FROM (SELECT SUM(cnt) AS t FROM grid GROUP BY yb)
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n1 AS DOUBLE)
+                        * CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n2
+                               AS DOUBLE)), 6) AS tau_b
+    FROM cd CROSS JOIN tiex CROSS JOIN tiey
+    """
+
+
+@query("facility_location_select_embeddings", None)  # oracle below
+def facility_location_q(spark, sf_dir):
+    """Greedy facility-location selection: pick 5 of the 20 anchor
+    candidates (vec_id < 20) maximizing Σ_x max_{c∈S} sim⁺(x,c) —
+    the submodular "cover the corpus with representatives" objective
+    behind coreset/exemplar selection for training-data curation
+    (MMR optimizes diversity among the SELECTED; facility location
+    optimizes coverage of EVERYTHING ELSE).  sim⁺ is the clipped
+    ×1e6-integer-scaled dot product (64 dims × 1e12 per term < 2^53:
+    the BLAS-exactness contract), so every gain is an exact BIGINT —
+    the greedy argmax is engine-deterministic by construction, no FP
+    tie ambiguity.  The corpus×20 sim frame is the audited
+    bounded-anchor broadcast shape, built ONCE; each of the 5 rounds
+    is one 20-row aggregate + a corpus-keyed best-coverage update
+    (driver sees only the 1-row argmax — the bounded-scalar collect
+    class).  The DuckDB twin unrolls the 5 greedy stages as chained
+    CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    cand = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        emb.join(F.broadcast(cand), F.lit(True))
+        .select(
+            F.col("vec_id").alias("x"),
+            "c",
+            F.greatest(dot, F.lit(0).cast("long")).alias("sp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = sims.select("x").distinct().select(
+        "x", F.lit(0).cast("long").alias("best")
+    )
+    chosen: list = []
+    rows = []
+    for rnd in range(1, 6):
+        gains = (
+            sims.filter(~F.col("c").isin(chosen) if chosen else F.lit(True))
+            .join(best, "x")
+            .groupBy("c")
+            .agg(
+                F.sum(F.greatest(F.col("sp") - F.col("best"), F.lit(0))).alias(
+                    "gain"
+                )
+            )
+        )
+        pick = gains.orderBy(F.col("gain").desc(), F.col("c").asc()).first()
+        chosen.append(pick["c"])
+        rows.append((rnd, pick["c"], int(pick["gain"])))
+        best = (
+            best.join(
+                sims.filter(F.col("c") == pick["c"]).select("x", "sp"), "x"
+            )
+            .select("x", F.greatest("best", "sp").alias("best"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        [
+            (r, c, round(g / 1e12, 6))
+            for r, c, g in rows
+        ],
+        "round bigint, vec_id bigint, gain double",
+    ).orderBy("round")
+
+
+def _fl_oracle() -> str:
+    prev_sel: list[str] = []
+    stages = []
+    for r in range(1, 6):
+        excl = (
+            " AND ".join(f"s.c <> (SELECT c FROM s{k})" for k in prev_sel)
+            if prev_sel
+            else "TRUE"
+        )
+        bprev = f"b{r - 1}" if r > 1 else None
+        if r == 1:
+            stages.append(
+                "g1 AS (SELECT c, SUM(sp) AS gain FROM sims s GROUP BY c)"
+            )
+        else:
+            stages.append(
+                f"g{r} AS (SELECT s.c, SUM(GREATEST(s.sp - b.best, 0)) AS gain"
+                f" FROM sims s JOIN {bprev} b USING (x)"
+                f" WHERE {excl} GROUP BY s.c)"
+            )
+        stages.append(
+            f"s{r} AS (SELECT c, gain FROM g{r}"
+            f" ORDER BY gain DESC, c ASC LIMIT 1)"
+        )
+        if r == 1:
+            stages.append(
+                "b1 AS (SELECT s.x, s.sp AS best FROM sims s"
+                " WHERE s.c = (SELECT c FROM s1))"
+            )
+        else:
+            stages.append(
+                f"b{r} AS (SELECT b.x, GREATEST(b.best, s.sp) AS best"
+                f" FROM b{r - 1} b JOIN sims s ON s.x = b.x"
+                f" WHERE s.c = (SELECT c FROM s{r}))"
+            )
+        prev_sel.append(str(r))
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT c FROM s{r}) AS vec_id,"
+        f" (SELECT gain FROM s{r}) AS gain_i"
+        for r in range(1, 6)
+    )
+    return f"""
+    WITH ints AS (
+      SELECT vec_id, list_transform(embedding,
+               e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ), cand AS (
+      SELECT vec_id AS c, v AS cv FROM ints WHERE vec_id < 20
+    ), sims AS MATERIALIZED (
+      SELECT p.vec_id AS x, c.c,
+             GREATEST(list_sum(list_transform(range(1, 65),
+               i -> p.v[i] * c.cv[i])), 0) AS sp
+      FROM ints p CROSS JOIN cand c
+    ), {", ".join(stages)}
+    SELECT CAST(round AS BIGINT) AS round, CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(gain_i / 1e12, 6) AS gain
+    FROM ({finals}) ORDER BY round
+    """
+
+
+O["facility_location_select_embeddings"] = _fl_oracle()
+
+
+# =====================================================================
 # Driver-facing registration order
 # =====================================================================
 # The correctness driver checks queries in registration order and in
