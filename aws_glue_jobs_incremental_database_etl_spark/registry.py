@@ -19376,6 +19376,26 @@ _PRIORITY = [
     "spearman_chars_score_docs",
     "split_leakage_winnow_docs",
     "xcorr_leadlag_events",
+    # ---- round-7 new queries (never driver/judge sampled — right
+    # behind the evidence-gap 26 so one 50-query window covers both)
+    "cramers_v_lang_source_docs",
+    "hellinger_lang_by_source_docs",
+    "anova_dow_value_events",
+    "iqr_outlier_fences_orders",
+    "permutation_entropy_daily_events",
+    "hurst_rs_daily_events",
+    "sax_symbols_daily_events",
+    "pacf_daily_events",
+    "granger_lag1_events",
+    "entropy_rate_transitions_events",
+    "linear_counting_daily_users_events",
+    "markov_stationary_event_types",
+    "adamic_adar_links_suppliers",
+    "smape_mase_backtest_events",
+    "ngram_novelty_prefix_docs",
+    "script_char_profile_docs",
+    "kendall_tau_chars_score_docs",
+    "facility_location_select_embeddings",
     # ---- round-6 rotation (driver-green r6): the 44 queries with no
     # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
     # the r6 window.

@@ -125,6 +125,13 @@ HEADLINE = [
     "split_leakage_winnow_docs",
     "kaplan_meier_retention_events",
     "changepoint_mean_daily_events",
+    # round-7 additions
+    "ngram_novelty_prefix_docs",      # shingle postings + min-agg pass
+    "adamic_adar_links_suppliers",    # postings pair join + degree
+    "facility_location_select_embeddings",  # 5 greedy rounds
+    "kendall_tau_chars_score_docs",   # classifier + dense-grid windows
+    "script_char_profile_docs",
+    "entropy_rate_transitions_events",
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -158,6 +165,9 @@ SF1_SPOT = [
     "ivfpq_partitioned_topk_embeddings",
     # round-5 late wave: fingerprint-postings pair growth
     "winnow_near_dup_pairs_docs",
+    # round-7: shingle-postings and co-supply pair growth risks
+    "ngram_novelty_prefix_docs",
+    "adamic_adar_links_suppliers",
 ]
 
 

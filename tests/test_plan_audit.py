@@ -19,6 +19,17 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-7 wave: 1-row scalar folds / literal-grid reductions
+    "cramers_v_lang_source_docs",     # 1-row n/r/c totals + the 1-row
+    # chi-square fold over the langs×sources bounded grid
+    "hellinger_lang_by_source_docs",  # 1-row corpus-count scalar
+    "granger_lag1_events",            # 1-row 10-moment fold over the
+    # bounded daily frame — everything after is scalar algebra
+    "entropy_rate_transitions_events",  # 1-row totals over the
+    # |states|²-bounded transition grid
+    "kendall_tau_chars_score_docs",   # 1-row C/D reduction + 1-row
+    # tie-term folds — the dominance windows themselves partition by
+    # the literal 64/63 bin keys, never single-partition
     # ---- round-6 wave: bounded global-scalar / tiny-grid plans
     "kaplan_meier_retention_events",  # ≤366-bucket gap histogram:
     # global reverse-cumsum + survival windows run on the bounded
@@ -129,6 +140,17 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-7 wave: 1-row scalar / literal-dimension broadcasts
+    "cramers_v_lang_source_docs",     # 1-row totals crossJoin onto
+    # the dimension-bounded contingency grid
+    "hellinger_lang_by_source_docs",  # 1-row corpus count crossJoin
+    "hurst_rs_daily_events",          # 3-row literal window-size
+    # frame × the bounded per-type daily index
+    "pacf_daily_events",              # 3-row literal lag frame (the
+    # acf gate's audited shape) + 1-row moment broadcast
+    "entropy_rate_transitions_events",  # 1-row totals crossJoin
+    "kendall_tau_chars_score_docs",   # two 1-row tie-term broadcasts
+    # onto the 1-row C/D frame
     # ---- round-6 wave: 1-row scalar broadcasts and bounded grids
     "acf_daily_events",               # 7-row lag table × daily frame
     "kaplan_meier_retention_events",  # 1-row max-date broadcast
