@@ -30,6 +30,12 @@ SINGLE_PARTITION_OK = {
     "kendall_tau_chars_score_docs",   # 1-row C/D reduction + 1-row
     # tie-term folds — the dominance windows themselves partition by
     # the literal 64/63 bin keys, never single-partition
+    "neyman_allocation_orders",       # 1-row allocation denominator
+    "t_closeness_report_orders",      # 1-row corpus count + 1-row
+    # TV report fold over the dimension-bounded group grid
+    "best_split_gini_docs",           # cumulative window over the
+    # LITERAL 1001-bucket score grid + 1-row totals (the best-F1
+    # gate's audited shape with a Gini objective)
     # ---- round-6 wave: bounded global-scalar / tiny-grid plans
     "kaplan_meier_retention_events",  # ≤366-bucket gap histogram:
     # global reverse-cumsum + survival windows run on the bounded
@@ -151,6 +157,10 @@ BNLJ_OK = {
     "entropy_rate_transitions_events",  # 1-row totals crossJoin
     "kendall_tau_chars_score_docs",   # two 1-row tie-term broadcasts
     # onto the 1-row C/D frame
+    "neyman_allocation_orders",       # 1-row denominator crossJoin
+    "t_closeness_report_orders",      # segments-dimension × group
+    # grid cross join (chisq class) + 1-row corpus count
+    "best_split_gini_docs",           # 1-row totals crossJoin
     # ---- round-6 wave: 1-row scalar broadcasts and bounded grids
     "acf_daily_events",               # 7-row lag table × daily frame
     "kaplan_meier_retention_events",  # 1-row max-date broadcast
