@@ -19982,6 +19982,663 @@ def ktruss_q(spark, sf_dir):
     ).orderBy("round")
 
 
+@query("brier_decomposition_quality_docs", None)  # oracle attached below
+def brier_decomp_q(spark, sf_dir):
+    """Murphy decomposition of the Brier score for the hashed
+    classifier: ``brier = reliability − resolution + uncertainty``
+    over a 10-bucket calibration table — the companion readout to
+    calibration_ece_docs (ECE says HOW FAR the reliability diagram
+    is from the diagonal; the decomposition says how much of the
+    error is mis-calibration vs the classifier simply not separating
+    the classes vs irreducible base-rate noise).  Scores are clipped
+    to the literal 1001-bucket grid first so every moment
+    (Σbin, Σbin², Σbin·y) is an exact BIGINT — the bounded-sweep
+    contract of the eval suite; the 10-bucket fold and 1-row totals
+    are the only non-distributed steps."""
+    scored = _scored_docs(spark, sf_dir).select(
+        "y", _score_bin(F.col("score")).alias("bin")
+    )
+    g = scored.groupBy(
+        F.least(F.floor(F.col("bin") / 100), F.lit(9))
+        .cast("int")
+        .alias("cb")
+    ).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("y").alias("sy"),
+        F.sum("bin").alias("sb"),
+        F.sum(F.col("bin").cast("bigint") * F.col("bin")).alias("sbb"),
+        F.sum(F.col("bin").cast("bigint") * F.col("y")).alias("sby"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy_t")
+    )
+    j = g.join(F.broadcast(tot), F.lit(True))
+    conf = F.col("sb").cast("double") / (F.lit(1000.0) * F.col("nb"))
+    acc = F.col("sy").cast("double") / F.col("nb")
+    ybar = F.col("sy_t").cast("double") / F.col("n")
+    av_ybar = F.any_value("sy_t").cast("double") / F.any_value("n")
+    return j.agg(
+        F.any_value("n").cast("bigint").alias("n_docs"),
+        F.round(
+            (
+                F.sum("sbb").cast("double") / 1e6
+                - F.lit(2.0) * F.sum("sby").cast("double") / 1e3
+                + F.any_value("sy_t")
+            )
+            / F.any_value("n"),
+            6,
+        ).alias("brier"),
+        F.round(
+            F.sum(F.col("nb") * (conf - acc) * (conf - acc))
+            / F.any_value("n"),
+            6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(F.col("nb") * (acc - ybar) * (acc - ybar))
+            / F.any_value("n"),
+            6,
+        ).alias("resolution"),
+        F.round(av_ybar * (F.lit(1.0) - av_ybar), 6).alias("uncertainty"),
+    )
+
+
+O["brier_decomposition_quality_docs"] = f"""
+    WITH {_scored_sql()}, b AS (
+      SELECT y, CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 1000)
+                     AS INTEGER) AS bin
+      FROM scored
+    ), g AS (
+      SELECT LEAST(CAST(floor(bin / 100) AS INTEGER), 9) AS cb,
+             COUNT(*) AS nb, SUM(y) AS sy, SUM(bin) AS sb,
+             SUM(CAST(bin AS BIGINT) * bin) AS sbb,
+             SUM(CAST(bin AS BIGINT) * y) AS sby
+      FROM b GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(y) AS sy_t FROM b
+    ), gg AS (
+      SELECT nb, sbb, sby,
+             CAST(sb AS DOUBLE) / (1000.0 * nb) AS conf,
+             CAST(sy AS DOUBLE) / nb AS acc
+      FROM g
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_docs,
+           ROUND((CAST(SUM(sbb) AS DOUBLE) / 1e6
+                  - 2.0 * CAST(SUM(sby) AS DOUBLE) / 1e3
+                  + tot.sy_t) / tot.n, 6) AS brier,
+           ROUND(SUM(nb * (conf - acc) * (conf - acc)) / tot.n, 6)
+             AS reliability,
+           ROUND(SUM(nb * (acc - CAST(tot.sy_t AS DOUBLE) / tot.n)
+                        * (acc - CAST(tot.sy_t AS DOUBLE) / tot.n))
+                 / tot.n, 6) AS resolution,
+           ROUND((CAST(tot.sy_t AS DOUBLE) / tot.n)
+                 * (1.0 - CAST(tot.sy_t AS DOUBLE) / tot.n), 6)
+             AS uncertainty
+    FROM gg, tot GROUP BY tot.n, tot.sy_t
+    """
+
+
+@query(
+    "conformal_interval_events",
+    """
+    WITH e AS (
+      SELECT event_type, value, CAST(event_id AS BIGINT) % 3 AS fold
+      FROM events
+    ), fit AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+               / (10000.0 * COUNT(*)) AS pred
+      FROM e WHERE fold = 0 GROUP BY event_type
+    ), calib AS (
+      SELECT e.event_type, quantile_cont(abs(value - pred), 0.9) AS q_hat
+      FROM e JOIN fit USING (event_type)
+      WHERE fold = 1 GROUP BY e.event_type
+    )
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(ANY_VALUE(q_hat), 6) AS q_hat,
+           ROUND(AVG(CASE WHEN abs(value - pred) <= q_hat
+                          THEN 1.0 ELSE 0.0 END), 6) AS coverage
+    FROM e JOIN fit USING (event_type) JOIN calib USING (event_type)
+    WHERE fold = 2 GROUP BY e.event_type ORDER BY event_type
+    """,
+)
+def conformal_q(spark, sf_dir):
+    """Split-conformal prediction intervals with honest coverage: a
+    three-way event_id-parity split (fold 0 fits the per-type mean
+    predictor, fold 1 calibrates the 90th-percentile absolute
+    residual q̂, fold 2 measures empirical coverage of pred ± q̂) —
+    the distribution-free uncertainty wrapper every point forecast
+    should ship with, and the eval harness for it.  The predictor
+    mean is an exact ×1e4 integer sum; q̂ is the proven
+    percentile ≡ quantile_cont parity; coverage is an average of
+    exact 0/1 indicators.  Everything is per-event_type grouped —
+    no global state beyond broadcast-joined per-type scalars."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 3).alias("fold")
+    )
+    fit = (
+        e.filter(F.col("fold") == 0)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("value") * 10000).cast("bigint")
+                ).cast("double")
+                / (F.lit(10000.0) * F.count(F.lit(1)))
+            ).alias("pred")
+        )
+    )
+    calib = (
+        e.filter(F.col("fold") == 1)
+        .join(F.broadcast(fit), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - pred), 0.9)").alias("q_hat")
+        )
+    )
+    test = (
+        e.filter(F.col("fold") == 2)
+        .join(F.broadcast(fit), "event_type")
+        .join(F.broadcast(calib), "event_type")
+    )
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(F.any_value("q_hat"), 6).alias("q_hat"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.abs(F.col("value") - F.col("pred"))
+                        <= F.col("q_hat"),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "nelson_aalen_hazard_events",
+    """
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nd
+      FROM events WHERE event_type = 'purchase'
+    ), subj AS (
+      SELECT CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                  ELSE datediff('day', d, nd) END AS life,
+             CASE WHEN nd IS NULL THEN 1 ELSE 0 END AS censored
+      FROM p, bounds
+    ), hist AS (
+      SELECT life, COUNT(*) AS n_all, SUM(1 - censored) AS deaths
+      FROM subj GROUP BY life
+    ), risk AS (
+      SELECT life, deaths,
+             SUM(n_all) OVER (ORDER BY life DESC
+                              ROWS UNBOUNDED PRECEDING) AS at_risk
+      FROM hist
+    )
+    SELECT CAST(life AS BIGINT) AS t_days,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(deaths AS BIGINT) AS deaths,
+           ROUND(SUM(CAST(deaths AS DOUBLE) / at_risk)
+                 OVER (ORDER BY life ROWS UNBOUNDED PRECEDING), 6)
+             AS cum_hazard
+    FROM risk WHERE deaths > 0 ORDER BY t_days
+    """,
+)
+def nelson_aalen_q(spark, sf_dir):
+    """Nelson–Aalen cumulative-hazard estimator over the repurchase
+    gaps — Kaplan–Meier's additive sibling: ``H(t) = Σ_{t_i≤t}
+    d_i/n_i`` instead of the product-limit survival, the form whose
+    increments ARE the discrete hazard and that stays finite when a
+    death time wipes the risk set (no ln(0) guard needed at all —
+    the reason actuaries plot H, not S, for diagnostics).  Identical
+    scale story to the KM gate: one user-partitioned LEAD for gap
+    construction, a ≤366-bucket gap histogram, and the at-risk
+    reverse cumsum + hazard forward cumsum both run on the bounded
+    lifetime grid (cites kaplan_meier_retention_events)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", F.to_date("ts").alias("d"))
+        .withColumn("nd", F.lead("d").over(wp))
+    )
+    subj = p.join(F.broadcast(bounds), F.lit(True)).select(
+        F.when(
+            F.col("nd").isNull(), F.datediff(F.col("maxd"), F.col("d"))
+        )
+        .otherwise(F.datediff(F.col("nd"), F.col("d")))
+        .alias("life"),
+        F.when(F.col("nd").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    hist = subj.groupBy("life").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.lit(1) - F.col("censored")).alias("deaths"),
+    )
+    wrev = Window.orderBy(F.col("life").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.withColumn("at_risk", F.sum("n_all").over(wrev)).filter(
+        F.col("deaths") > 0
+    )
+    wfwd = Window.orderBy("life").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return risk.select(
+        F.col("life").cast("bigint").alias("t_days"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("deaths").cast("bigint").alias("deaths"),
+        F.round(
+            F.sum(
+                F.col("deaths").cast("double") / F.col("at_risk")
+            ).over(wfwd),
+            6,
+        ).alias("cum_hazard"),
+    ).orderBy("t_days")
+
+
+@query(
+    "distinct_ngram_diversity_docs",
+    r"""
+    WITH toks AS MATERIALIZED (
+      SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), uni AS (
+      SELECT source, 1 AS gram_n, unnest(w) AS g FROM toks
+    ), ix2 AS (
+      SELECT source, w, unnest(range(1, len(w))) AS i FROM toks
+    ), bi AS (
+      SELECT source, 2 AS gram_n, w[i] || ' ' || w[i + 1] AS g FROM ix2
+    ), ix3 AS (
+      SELECT source, w, unnest(range(1, len(w) - 1)) AS i FROM toks
+    ), tri AS (
+      SELECT source, 3 AS gram_n,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+      FROM ix3
+    ), allg AS (
+      SELECT * FROM uni UNION ALL SELECT * FROM bi
+      UNION ALL SELECT * FROM tri
+    )
+    SELECT source, gram_n,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams,
+           ROUND(CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+             AS ratio
+    FROM allg GROUP BY source, gram_n ORDER BY source, gram_n
+    """,
+)
+def distinct_ngram_q(spark, sf_dir):
+    """Distinct-n diversity ratios per source (distinct-1/2/3 — Li et
+    al. 2016's repetition diagnostic): the share of unigram, bigram
+    and trigram occurrences that are unique within each source — the
+    standard collapse detector for generated/synthetic corpora
+    (dup_ngram_stats profiles which grams repeat; this is the
+    corpus-level diversity scalar that trend dashboards track).
+    Grams are built positionally from one whitespace split (Spark:
+    index-lambda transform over the STAGED token array; DuckDB:
+    range-subscript unnest — the _LM_CE_SQL construction), then one
+    (source, n)-grouped count + count-distinct; both engines shuffle
+    on gram keys, never materializing cross-doc pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    )
+    uni = toks.select(
+        "source", F.lit(1).alias("gram_n"), F.explode("w").alias("g")
+    )
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.lit(2).alias("gram_n"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> "
+                    "concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("g"),
+        )
+    )
+    tri = (
+        toks.filter(F.size("w") >= 3)
+        .select(
+            "source",
+            F.lit(3).alias("gram_n"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), i -> "
+                    "concat(element_at(w, i), ' ', element_at(w, i + 1),"
+                    " ' ', element_at(w, i + 2)))"
+                )
+            ).alias("g"),
+        )
+    )
+    allg = uni.unionByName(bi).unionByName(tri)
+    return (
+        allg.groupBy("source", "gram_n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.countDistinct("g").cast("bigint").alias("distinct_grams"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("distinct_grams").cast("double") / F.col("total"), 6
+            ),
+        )
+        .orderBy("source", "gram_n")
+    )
+
+
+@query(
+    "hits_authority_suppliers",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), a1 AS (
+      SELECT s, COUNT(*) AS a FROM e GROUP BY s
+    ), h1 AS (
+      SELECT e.p, SUM(a1.a) AS h FROM e JOIN a1 USING (s) GROUP BY e.p
+    ), a2 AS (
+      SELECT e.s, SUM(h1.h) AS a FROM e JOIN h1 USING (p) GROUP BY e.s
+    ), norm AS (
+      SELECT SUM(a) AS z FROM a2
+    )
+    SELECT s AS suppkey, CAST(a AS BIGINT) AS score_raw,
+           ROUND(CAST(a AS DOUBLE) / z, 6) AS authority
+    FROM a2, norm ORDER BY a DESC, s LIMIT 15
+    """,
+)
+def hits_q(spark, sf_dir):
+    """HITS hubs-and-authorities on the bipartite part→supplier graph
+    (Kleinberg 1999), two unrolled power-iteration rounds with the
+    normalization DEFERRED to the output: starting from unit hubs,
+    authority₁ = in-degree, hub₁(p) = Σ authority₁ over p's
+    suppliers, authority₂(s) = Σ hub₁ over s's parts — every
+    intermediate is an exact BIGINT (deferred L1 normalization
+    rescales all scores identically, so the round-2 authority
+    RANKING is the true HITS ranking with zero float drift; divide
+    by Σ once at the end for display).  PageRank ranks by random-walk
+    mass; HITS separates 'stocks many parts' (authority) from
+    'supplies the well-stocked parts' (mutual reinforcement).  Two
+    key-partitioned join+agg rounds, O(E) exchange each, distributed
+    top-15 tail."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a1 = li.groupBy("s").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        li.join(a1, "s")
+        .groupBy("p")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        li.join(h1, "p")
+        .groupBy("s")
+        .agg(F.sum("h").alias("a"))
+    )
+    norm = a2.agg(F.sum("a").alias("z"))
+    return (
+        a2.join(F.broadcast(norm), F.lit(True))
+        .orderBy(F.col("a").desc(), F.col("s"))
+        .limit(15)
+        .select(
+            F.col("s").alias("suppkey"),
+            F.col("a").cast("bigint").alias("score_raw"),
+            F.round(F.col("a").cast("double") / F.col("z"), 6).alias(
+                "authority"
+            ),
+        )
+    )
+
+
+@query(
+    "fano_factor_users_events",
+    """
+    WITH bounds AS (
+      SELECT datediff('day', MIN(CAST(ts AS DATE)),
+                      MAX(CAST(ts AS DATE))) + 1 AS n_days
+      FROM events
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), pu AS (
+      SELECT user_id, SUM(c) AS tot,
+             SUM(CAST(c AS HUGEINT) * c) AS ssq,
+             COUNT(*) AS active_days
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, CAST(tot AS BIGINT) AS n_events,
+           CAST(active_days AS BIGINT) AS active_days,
+           ROUND(CAST(n_days * ssq - CAST(tot AS HUGEINT) * tot AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * tot), 6) AS fano
+    FROM pu, bounds
+    ORDER BY CAST(n_days * ssq - CAST(tot AS HUGEINT) * tot AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * tot) DESC, user_id
+    LIMIT 20
+    """,
+)
+def fano_q(spark, sf_dir):
+    """Fano factor (variance-to-mean ratio of DAILY event counts,
+    zeros included) per user, top-20 burstiest: Poisson arrivals give
+    Fano = 1, so ≫1 flags batchy/scripted/bot-like accounts where
+    inter-arrival moments (interarrival_stats_events) only see the
+    active periods.  The day grid is NEVER materialized: with Z zero
+    days, mean = tot/D and Σ(c−μ)² over all D days reduces to
+    (D·Σc² − tot²)/D from active-day moments alone — population
+    variance from two exact integers (widened decimal/HUGEINT, the
+    Spearman contract) and the global day-count scalar.  Ranking key
+    is the integer-derived double itself, not its rounding; ties
+    break on user_id; distributed top-20 tail."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).alias("n_days")
+    )
+    daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pu = daily.groupBy("user_id").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ssq"),
+        F.count(F.lit(1)).alias("active_days"),
+    )
+    j = pu.join(F.broadcast(bounds), F.lit(True))
+    fano = (
+        F.col("n_days") * F.col("ssq")
+        - F.col("tot").cast("decimal(38,0)") * F.col("tot")
+    ).cast("double") / (F.col("n_days").cast("double") * F.col("tot"))
+    return (
+        j.withColumn("_f", fano)
+        .orderBy(F.col("_f").desc(), F.col("user_id"))
+        .limit(20)
+        .select(
+            "user_id",
+            F.col("tot").cast("bigint").alias("n_events"),
+            F.col("active_days").cast("bigint").alias("active_days"),
+            F.round(F.col("_f"), 6).alias("fano"),
+        )
+    )
+
+
+@query(
+    "did_lift_events",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS mind, MAX(CAST(ts AS DATE)) AS maxd
+      FROM events
+    ), cells AS (
+      SELECT CAST(user_id AS BIGINT) % 2 AS grp,
+             CASE WHEN CAST(ts AS DATE) >= mind
+                       + CAST((datediff('day', mind, maxd) + 1) / 2
+                              AS INTEGER)
+                  THEN 1 ELSE 0 END AS post,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v
+      FROM events, bounds
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(CAST(SUM(CASE WHEN grp = 1 AND post = 0 THEN v END) AS DOUBLE)
+            / (10000.0 * COUNT(CASE WHEN grp = 1 AND post = 0 THEN 1 END)),
+            6) AS mean_t_pre,
+      ROUND(CAST(SUM(CASE WHEN grp = 1 AND post = 1 THEN v END) AS DOUBLE)
+            / (10000.0 * COUNT(CASE WHEN grp = 1 AND post = 1 THEN 1 END)),
+            6) AS mean_t_post,
+      ROUND(CAST(SUM(CASE WHEN grp = 0 AND post = 0 THEN v END) AS DOUBLE)
+            / (10000.0 * COUNT(CASE WHEN grp = 0 AND post = 0 THEN 1 END)),
+            6) AS mean_c_pre,
+      ROUND(CAST(SUM(CASE WHEN grp = 0 AND post = 1 THEN v END) AS DOUBLE)
+            / (10000.0 * COUNT(CASE WHEN grp = 0 AND post = 1 THEN 1 END)),
+            6) AS mean_c_post,
+      ROUND((CAST(SUM(CASE WHEN grp = 1 AND post = 1 THEN v END) AS DOUBLE)
+             / (10000.0 * COUNT(CASE WHEN grp = 1 AND post = 1 THEN 1 END))
+             - CAST(SUM(CASE WHEN grp = 1 AND post = 0 THEN v END)
+                    AS DOUBLE)
+             / (10000.0 * COUNT(CASE WHEN grp = 1 AND post = 0 THEN 1 END)))
+            - (CAST(SUM(CASE WHEN grp = 0 AND post = 1 THEN v END)
+                    AS DOUBLE)
+               / (10000.0 * COUNT(CASE WHEN grp = 0 AND post = 1 THEN 1 END))
+               - CAST(SUM(CASE WHEN grp = 0 AND post = 0 THEN v END)
+                      AS DOUBLE)
+               / (10000.0
+                  * COUNT(CASE WHEN grp = 0 AND post = 0 THEN 1 END))),
+            6) AS did
+    FROM cells
+    """,
+)
+def did_q(spark, sf_dir):
+    """Difference-in-differences estimator on the CUPED split (treat =
+    user_id parity, period = observation-window midpoint): DiD =
+    (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) —
+    the quasi-experimental lift estimate that survives a level shift
+    between arms because each arm differences out its own baseline
+    (CUPED reduces variance of a post-only readout; DiD removes
+    pre-existing bias).  All four cell means come from exact ×1e4
+    integer sums in ONE conditional-aggregate pass over events —
+    zero joins, one shuffle, a single output row."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("mind"),
+        F.max(F.to_date("ts")).alias("maxd"),
+    )
+    cut = F.date_add(
+        F.col("mind"),
+        F.floor(
+            (F.datediff(F.col("maxd"), F.col("mind")) + 1) / 2
+        ).cast("int"),
+    )
+    cells = e.join(F.broadcast(bounds), F.lit(True)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(F.to_date("ts") >= cut, 1).otherwise(0).alias("post"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+
+    def cell_mean(g, p):
+        cond = (F.col("grp") == g) & (F.col("post") == p)
+        return F.sum(F.when(cond, F.col("v"))).cast("double") / (
+            F.lit(10000.0) * F.count(F.when(cond, F.lit(1)))
+        )
+
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(cell_mean(1, 0), 6).alias("mean_t_pre"),
+        F.round(cell_mean(1, 1), 6).alias("mean_t_post"),
+        F.round(cell_mean(0, 0), 6).alias("mean_c_pre"),
+        F.round(cell_mean(0, 1), 6).alias("mean_c_post"),
+        F.round(
+            (cell_mean(1, 1) - cell_mean(1, 0))
+            - (cell_mean(0, 1) - cell_mean(0, 0)),
+            6,
+        ).alias("did"),
+    )
+
+
+@query(
+    "hill_diversity_docs",
+    r"""
+    WITH cnt AS (
+      SELECT source, g, COUNT(*) AS c
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS g
+            FROM documents)
+      GROUP BY source, g
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS richness,
+           ROUND(exp(ln(CAST(SUM(c) AS DOUBLE))
+                     - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       / SUM(c)), 4) AS hill_shannon,
+           ROUND(CAST(SUM(c) AS DOUBLE) * SUM(c)
+                 / CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE), 4)
+             AS hill_simpson
+    FROM cnt GROUP BY source ORDER BY source
+    """,
+)
+def hill_q(spark, sf_dir):
+    """Hill-number diversity profile of each source's token
+    distribution — the three effective-vocabulary sizes ecology
+    settled on: q=0 richness (raw vocab), q=1 exp(Shannon entropy)
+    (typical-token vocabulary), q=2 inverse Simpson (dominant-token
+    vocabulary).  A source whose richness is huge but whose hill₂ is
+    tiny is boilerplate wearing a long tail — the single-number
+    comparison Zipf slopes and Heaps curves only show graphically.
+    One gram-keyed count shuffle, then per-source folds: Σc and Σc²
+    exact integers (HUGEINT/decimal widened), the entropy term via
+    the proven ln/exp parity; hill₁ = exp(ln N − Σc·ln c / N)
+    algebraically avoids per-type p·ln p underflow."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("g"),
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return (
+        cnt.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("richness"),
+            F.round(
+                F.exp(
+                    F.log(n.cast("double"))
+                    - F.sum(
+                        F.col("c").cast("double")
+                        * F.log(F.col("c").cast("double"))
+                    )
+                    / n
+                ),
+                4,
+            ).alias("hill_shannon"),
+            F.round(
+                n.cast("double")
+                * n
+                / F.sum(
+                    F.col("c").cast("decimal(38,0)") * F.col("c")
+                ).cast("double"),
+                4,
+            ).alias("hill_simpson"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -20054,6 +20711,14 @@ _PRIORITY = [
     "best_split_gini_docs",
     "markov_next_event_accuracy",
     "ktruss_prune_suppliers",
+    "brier_decomposition_quality_docs",
+    "conformal_interval_events",
+    "nelson_aalen_hazard_events",
+    "distinct_ngram_diversity_docs",
+    "hits_authority_suppliers",
+    "fano_factor_users_events",
+    "did_lift_events",
+    "hill_diversity_docs",
     # ---- round-6 rotation (driver-green r6): the 44 queries with no
     # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
     # the r6 window.

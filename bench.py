@@ -132,6 +132,12 @@ HEADLINE = [
     "kendall_tau_chars_score_docs",   # classifier + dense-grid windows
     "script_char_profile_docs",
     "entropy_rate_transitions_events",
+    "item_cooccurrence_cosine_parts",  # basket postings pair join
+    "ktruss_prune_suppliers",         # wedge-close triangle rounds
+    "distinct_ngram_diversity_docs",  # 3 gram explodes + count-distinct
+    "hits_authority_suppliers",       # two join+agg power rounds
+    "hill_diversity_docs",            # gram-keyed count + entropy fold
+    "brier_decomposition_quality_docs",  # classifier + 10-bucket fold
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

@@ -19,6 +19,20 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-7 wave 2: 1-row scalar folds / bounded-grid windows
+    "brier_decomposition_quality_docs",  # 1-row totals + the final
+    # fold over the LITERAL 10-bucket calibration table (the eval
+    # suite's audited bounded-sweep shape)
+    "nelson_aalen_hazard_events",     # ≤366-bucket gap histogram:
+    # at-risk reverse cumsum + hazard forward cumsum on the bounded
+    # lifetime grid, plus the 1-row max-date broadcast (the
+    # kaplan_meier audited shape)
+    "hits_authority_suppliers",       # 1-row L1 normalizer — the two
+    # power-iteration rounds themselves are key-partitioned join+agg
+    "fano_factor_users_events",       # 1-row observation-window
+    # day-count scalar broadcast
+    "did_lift_events",                # 1-row date-bounds scalar + the
+    # single-row conditional-aggregate result
     # ---- round-7 wave: 1-row scalar folds / literal-grid reductions
     "cramers_v_lang_source_docs",     # 1-row n/r/c totals + the 1-row
     # chi-square fold over the langs×sources bounded grid
@@ -146,6 +160,14 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-7 wave 2: 1-row scalar broadcasts
+    "brier_decomposition_quality_docs",  # 1-row (n, Σy) totals
+    # crossJoin onto the 10-bucket calibration table
+    "nelson_aalen_hazard_events",     # 1-row max-date broadcast onto
+    # the purchase-gap frame (the kaplan_meier audited shape)
+    "hits_authority_suppliers",       # 1-row normalizer crossJoin
+    "fano_factor_users_events",       # 1-row day-count crossJoin
+    "did_lift_events",                # 1-row date-bounds crossJoin
     # ---- round-7 wave: 1-row scalar / literal-dimension broadcasts
     "cramers_v_lang_source_docs",     # 1-row totals crossJoin onto
     # the dimension-bounded contingency grid
