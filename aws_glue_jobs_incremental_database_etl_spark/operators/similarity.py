@@ -1904,6 +1904,14 @@ def knn_exact(
     groups: dict = {}
     for r in rows:
         g = r["_g"] if group_col is not None else 0
+        if g is None:
+            # a NULL group would NaN-poison the int64 cast in the
+            # pandas block — fail loudly with the null-safe alternative
+            raise ValueError(
+                f"knn_exact: NULL value in group_col={group_col!r} "
+                f"(id={r['_id']}); assign every row a group, or use "
+                "knn_exact_grouped, which is null-safe by construction"
+            )
         groups.setdefault(g, ([], []))
         groups[g][0].append(r["_id"])
         groups[g][1].append(r["_v"])

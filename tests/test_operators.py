@@ -1645,6 +1645,27 @@ def test_knn_exact_broadcast_guard(spark, sf_dir):
     ).collect()
 
 
+def test_knn_exact_null_group_raises(spark, sf_dir):
+    """knn_exact with group_col raises loudly on a NULL group value
+    (which would otherwise NaN-poison the int64 cast inside the
+    pandas block), naming the null-safe alternative."""
+    import pytest
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        knn_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    nulled = emb.withColumn(
+        "grp",
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None)).otherwise(
+            (F.col("vec_id") % 3).cast("long")
+        ),
+    )
+    with pytest.raises(ValueError, match="null-safe"):
+        knn_exact(nulled, "vec_id", "embedding", k=3, group_col="grp")
+
+
 def test_int4_roundtrip_bound_and_packing(spark, sf_dir):
     """int4 pack→unpack must reconstruct within 0.5/scale per
     component (the round-half-up quantization bound), words must stay
