@@ -20639,6 +20639,599 @@ def hill_q(spark, sf_dir):
     )
 
 
+@query(
+    "group_sequential_monitor_events",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(user_id AS BIGINT) % 2 AS grp,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v
+      FROM events
+    ), daily AS (
+      SELECT d,
+             COUNT(CASE WHEN grp = 1 THEN 1 END) AS nt_d,
+             COUNT(CASE WHEN grp = 0 THEN 1 END) AS nc_d,
+             COALESCE(SUM(CASE WHEN grp = 1 THEN v END), 0) AS st_d,
+             COALESCE(SUM(CASE WHEN grp = 0 THEN v END), 0) AS sc_d,
+             COALESCE(SUM(CASE WHEN grp = 1
+                               THEN CAST(v AS HUGEINT) * v END), 0) AS qt_d,
+             COALESCE(SUM(CASE WHEN grp = 0
+                               THEN CAST(v AS HUGEINT) * v END), 0) AS qc_d
+      FROM cells GROUP BY d
+    ), cum AS (
+      SELECT d,
+             SUM(nt_d) OVER w AS nt, SUM(nc_d) OVER w AS nc,
+             SUM(st_d) OVER w AS st, SUM(sc_d) OVER w AS sc,
+             SUM(qt_d) OVER w AS qt, SUM(qc_d) OVER w AS qc
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    ), z AS (
+      SELECT d, nt, nc,
+             (CAST(st AS DOUBLE) / (10000.0 * nt)
+              - CAST(sc AS DOUBLE) / (10000.0 * nc))
+             / sqrt((CAST(qt AS DOUBLE) / 1e8
+                     - nt * (CAST(st AS DOUBLE) / (10000.0 * nt))
+                          * (CAST(st AS DOUBLE) / (10000.0 * nt)))
+                    / (nt - 1) / nt
+                    + (CAST(qc AS DOUBLE) / 1e8
+                       - nc * (CAST(sc AS DOUBLE) / (10000.0 * nc))
+                            * (CAST(sc AS DOUBLE) / (10000.0 * nc)))
+                      / (nc - 1) / nc) AS zz
+      FROM cum WHERE nt >= 2 AND nc >= 2
+    )
+    SELECT d, CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+           ROUND(zz, 6) AS z,
+           CAST(CASE WHEN abs(zz) > 2.413 THEN 1 ELSE 0 END AS INTEGER)
+             AS crossed
+    FROM z ORDER BY d
+    """,
+)
+def group_seq_q(spark, sf_dir):
+    """Group-sequential experiment monitoring: the cumulative Welch
+    z-statistic of treatment-vs-control mean value after EACH day of
+    the experiment, flagged against a Pocock-style constant boundary
+    (2.413 — the 5%-overall level for ~daily looks; the fixed-horizon
+    1.96 is invalid under continuous peeking, the single most common
+    A/B-testing error).  Day-level moment deltas (n, Σv, Σv² — ×1e4
+    integers, squares HUGEINT/decimal-widened) are the ONLY things
+    computed from events; the cumulative windows, Welch variances and
+    boundary checks all run on the ≤observation-days grid, so the
+    monitor costs one grouped pass regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select(
+        F.to_date("ts").alias("d"),
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    t = F.col("grp") == 1
+    c = F.col("grp") == 0
+    vv = F.col("v").cast("decimal(38,0)") * F.col("v")
+    daily = cells.groupBy("d").agg(
+        F.count(F.when(t, F.lit(1))).alias("nt_d"),
+        F.count(F.when(c, F.lit(1))).alias("nc_d"),
+        F.coalesce(F.sum(F.when(t, F.col("v"))), F.lit(0)).alias("st_d"),
+        F.coalesce(F.sum(F.when(c, F.col("v"))), F.lit(0)).alias("sc_d"),
+        F.coalesce(
+            F.sum(F.when(t, vv)), F.lit(0).cast("decimal(38,0)")
+        ).alias("qt_d"),
+        F.coalesce(
+            F.sum(F.when(c, vv)), F.lit(0).cast("decimal(38,0)")
+        ).alias("qc_d"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "d",
+        F.sum("nt_d").over(w).alias("nt"),
+        F.sum("nc_d").over(w).alias("nc"),
+        F.sum("st_d").over(w).alias("st"),
+        F.sum("sc_d").over(w).alias("sc"),
+        F.sum("qt_d").over(w).alias("qt"),
+        F.sum("qc_d").over(w).alias("qc"),
+    ).filter((F.col("nt") >= 2) & (F.col("nc") >= 2))
+    mt = F.col("st").cast("double") / (F.lit(10000.0) * F.col("nt"))
+    mc = F.col("sc").cast("double") / (F.lit(10000.0) * F.col("nc"))
+    zz = (mt - mc) / F.sqrt(
+        (F.col("qt").cast("double") / 1e8 - F.col("nt") * mt * mt)
+        / (F.col("nt") - 1)
+        / F.col("nt")
+        + (F.col("qc").cast("double") / 1e8 - F.col("nc") * mc * mc)
+        / (F.col("nc") - 1)
+        / F.col("nc")
+    )
+    return cum.select(
+        "d",
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        F.round(zz, 6).alias("z"),
+        F.when(F.abs(zz) > 2.413, 1).otherwise(0).alias("crossed"),
+    ).orderBy("d")
+
+
+@query(
+    "negbin_overdispersion_events",
+    """
+    WITH bounds AS (
+      SELECT datediff('day', MIN(CAST(ts AS DATE)),
+                      MAX(CAST(ts AS DATE))) + 1 AS nd
+      FROM events
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), pt AS (
+      SELECT event_type, SUM(c) AS tot,
+             SUM(CAST(c AS HUGEINT) * c) AS ssq
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           ROUND(CAST(tot AS DOUBLE) / nd, 6) AS mean_daily,
+           ROUND(CAST(nd * ssq - CAST(tot AS HUGEINT) * tot AS DOUBLE)
+                 / (CAST(nd AS DOUBLE) * tot), 6) AS vmr,
+           CASE WHEN CAST(nd * ssq - CAST(tot AS HUGEINT) * tot AS DOUBLE)
+                     / (CAST(nd AS DOUBLE) * nd) > CAST(tot AS DOUBLE) / nd
+                THEN ROUND((CAST(tot AS DOUBLE) / nd)
+                           * (CAST(tot AS DOUBLE) / nd)
+                           / (CAST(nd * ssq - CAST(tot AS HUGEINT) * tot
+                                   AS DOUBLE) / (CAST(nd AS DOUBLE) * nd)
+                              - CAST(tot AS DOUBLE) / nd), 6)
+           END AS nb_r
+    FROM pt, bounds ORDER BY event_type
+    """,
+)
+def negbin_q(spark, sf_dir):
+    """Negative-binomial overdispersion fit of each event type's
+    daily-count series (zeros included algebraically, the Fano-gate
+    fold): variance-to-mean ratio (Poisson = 1) plus the
+    method-of-moments NB size parameter r = μ²/(σ² − μ) — the number
+    a capacity planner needs to set tail quantiles when arrivals are
+    burstier than Poisson (NULL when the series is UNDER-dispersed
+    and NB doesn't apply — the engine-portable guard, no fabricated
+    r).  Population variance from two exact integers per type:
+    σ² = (D·Σc² − tot²)/D² with HUGEINT/decimal-widened squares and
+    the 1-row day-count scalar broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).alias("nd")
+    )
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pt = daily.groupBy("event_type").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ssq"),
+    )
+    j = pt.join(F.broadcast(bounds), F.lit(True))
+    mean = F.col("tot").cast("double") / F.col("nd")
+    wide = (
+        F.col("nd") * F.col("ssq")
+        - F.col("tot").cast("decimal(38,0)") * F.col("tot")
+    ).cast("double")
+    var = wide / (F.col("nd").cast("double") * F.col("nd"))
+    vmr = wide / (F.col("nd").cast("double") * F.col("tot"))
+    return j.select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(vmr, 6).alias("vmr"),
+        F.when(
+            var > mean, F.round(mean * mean / (var - mean), 6)
+        ).alias("nb_r"),
+    ).orderBy("event_type")
+
+
+@query(
+    "peak_concurrency_events",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS tu,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, tu,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM g
+    ), sess AS (
+      SELECT MIN(tu) AS su, MAX(tu) + 1800000000 AS eu
+      FROM s GROUP BY user_id, seq
+    ), span AS (
+      SELECT su, eu, unnest(range(CAST(floor(su / 86400000000.0) AS BIGINT),
+                                  CAST(floor((eu - 1) / 86400000000.0)
+                                       AS BIGINT) + 1)) AS k
+      FROM sess
+    ), pts AS (
+      SELECT k, GREATEST(su, k * 86400000000) AS t, 1 AS delta FROM span
+      UNION ALL
+      SELECT k, LEAST(eu, (k + 1) * 86400000000) AS t, -1 AS delta
+      FROM span
+    ), run AS (
+      SELECT k, delta,
+             SUM(delta) OVER (PARTITION BY k ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM pts
+    )
+    SELECT DATE '1970-01-01' + CAST(k AS INTEGER) AS day,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY k ORDER BY day
+    """,
+)
+def peak_concurrency_q(spark, sf_dir):
+    """Peak concurrent active sessions per day — the load-profile
+    number capacity is provisioned against (interval_union measures
+    covered TIME, this measures simultaneous DEMAND).  Sessions are
+    the 30-min-gap sessionization with a 30-min activity TTL
+    (end = last event + 30 min, half-open); each session explodes
+    into the ≤2-3 days it spans with µs-exact clipped endpoints, and
+    each day's sweep is the classic +1/−1 running sum with releases
+    ordered before arrivals at equal instants (half-open intervals
+    never self-overlap).  Everything is integer microseconds; the
+    sweep windows are DAY-partitioned (never a global sort), so the
+    plan scales by adding days, not by widening a partition."""
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", "event_id", "ts", epoch_us(F.col("ts")).alias("tu")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("tu").over(wp).isNull()
+            | (F.col("tu") - F.lag("tu").over(wp) > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    wc = Window.partitionBy("user_id").orderBy("tu").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = g.withColumn("seq", F.sum("is_new").over(wc))
+    sess = s.groupBy("user_id", "seq").agg(
+        F.min("tu").alias("su"),
+        (F.max("tu") + 1800000000).alias("eu"),
+    )
+    day_us = 86400000000
+    span = sess.select(
+        "su",
+        "eu",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("su") / day_us),
+                F.floor((F.col("eu") - 1) / day_us),
+            )
+        ).alias("k"),
+    )
+    pts = span.select(
+        "k",
+        F.greatest(F.col("su"), F.col("k") * day_us).alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        span.select(
+            "k",
+            F.least(F.col("eu"), (F.col("k") + 1) * day_us).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wk = Window.partitionBy("k").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = pts.withColumn("running", F.sum("delta").over(wk))
+    return (
+        run.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.max("running").cast("bigint").alias("peak_concurrent"),
+        )
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("k").cast("int")
+            ).alias("day"),
+            "n_sessions",
+            "peak_concurrent",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "laspeyres_price_index_lineitem",
+    """
+    WITH py AS (
+      SELECT l_partkey AS part, year(l_shipdate) AS yr,
+             SUM(CAST(ROUND(l_extendedprice / l_quantity * 1000000)
+                      AS BIGINT)) AS sp,
+             COUNT(*) AS cnt,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+      FROM lineitem GROUP BY l_partkey, year(l_shipdate)
+    ), base_yr AS (
+      SELECT MIN(yr) AS y0 FROM py
+    ), base AS (
+      SELECT part, CAST(sp AS DOUBLE) / cnt AS p0, q AS q0
+      FROM py, base_yr WHERE yr = y0
+    ), num AS (
+      SELECT py.yr, COUNT(*) AS n_parts,
+             SUM(CAST(py.sp AS DOUBLE) / py.cnt * base.q0) AS v
+      FROM py JOIN base ON base.part = py.part
+      GROUP BY py.yr
+    ), denom AS (
+      SELECT SUM(p0 * q0) AS v0 FROM base
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(n_parts AS BIGINT) AS n_parts,
+           ROUND(v / v0, 6) AS laspeyres_index
+    FROM num, denom ORDER BY yr
+    """,
+)
+def laspeyres_q(spark, sf_dir):
+    """Laspeyres price index per ship year: Σ p̄_t(part)·q₀(part) /
+    Σ p̄₀(part)·q₀(part) — price inflation measured against the BASE
+    year's basket, so quantity-mix shifts can't masquerade as price
+    moves (the raw avg-unit-price trend conflates the two).  Per-row
+    unit prices round to ×1e6 integers at extraction, so each
+    part-year mean price is a ratio of exact integers; base-year
+    quantities are exact integer weights; the basket join is a plain
+    part-keyed equi-join (only base-year parts participate, per the
+    fixed-basket definition) and the denominator rides a 1-row
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") / F.col("l_quantity") * 1000000
+            ).cast("bigint")
+        ).alias("sp"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"),
+    )
+    base_yr = py.agg(F.min("yr").alias("y0"))
+    base = (
+        py.join(F.broadcast(base_yr), F.lit(True))
+        .filter(F.col("yr") == F.col("y0"))
+        .select(
+            "part",
+            (F.col("sp").cast("double") / F.col("cnt")).alias("p0"),
+            F.col("q").alias("q0"),
+        )
+    )
+    num = (
+        py.join(base.select("part", "q0", "p0"), "part")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.col("sp").cast("double") / F.col("cnt") * F.col("q0")
+            ).alias("v"),
+        )
+    )
+    denom = base.agg(F.sum(F.col("p0") * F.col("q0")).alias("v0"))
+    return (
+        num.join(F.broadcast(denom), F.lit(True))
+        .select(
+            F.col("yr").cast("bigint").alias("yr"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.round(F.col("v") / F.col("v0"), 6).alias("laspeyres_index"),
+        )
+        .orderBy("yr")
+    )
+
+
+@query(
+    "runs_test_daily_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), med AS (
+      SELECT quantile_cont(CAST(c AS DOUBLE), 0.5) AS m FROM daily
+    ), lab AS (
+      SELECT d, CASE WHEN c > m THEN 1 ELSE 0 END AS above
+      FROM daily, med WHERE CAST(c AS DOUBLE) <> m
+    ), rr AS (
+      SELECT above,
+             CASE WHEN LAG(above) OVER (ORDER BY d) IS NULL
+                    OR above <> LAG(above) OVER (ORDER BY d)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lab
+    ), st AS (
+      SELECT SUM(is_new) AS runs, SUM(above) AS n1,
+             SUM(1 - above) AS n2, COUNT(*) AS n
+      FROM rr
+    )
+    SELECT CAST(n AS BIGINT) AS n_days_used,
+           CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS runs,
+           ROUND((runs - (2.0 * n1 * n2 / n + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z
+    FROM st
+    """,
+)
+def runs_test_q(spark, sf_dir):
+    """Wald–Wolfowitz runs test on the daily event-count series: are
+    above-median and below-median days randomly interleaved, or does
+    the series run in streaks (regime shifts, ramps, weekly cycles —
+    anything that violates the i.i.d. assumption every per-day
+    significance test upstream quietly makes)?  Median via the proven
+    percentile ≡ quantile_cont parity, exact-median days dropped per
+    the classic recipe; the run count is one LAG over the bounded
+    daily grid and E[R], Var[R] close over exact integer counts."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    med = daily.agg(
+        F.expr("percentile(cast(c as double), 0.5)").alias("m")
+    )
+    lab = (
+        daily.join(F.broadcast(med), F.lit(True))
+        .filter(F.col("c").cast("double") != F.col("m"))
+        .select(
+            "d", F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("above")
+        )
+    )
+    wd = Window.orderBy("d")
+    rr = lab.select(
+        "above",
+        F.when(
+            F.lag("above").over(wd).isNull()
+            | (F.col("above") != F.lag("above").over(wd)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    st = rr.agg(
+        F.sum("is_new").alias("runs"),
+        F.sum("above").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).alias("n2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n, n1, n2, runs = (
+        F.col("n"),
+        F.col("n1"),
+        F.col("n2"),
+        F.col("runs"),
+    )
+    return st.select(
+        n.cast("bigint").alias("n_days_used"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        runs.cast("bigint").alias("runs"),
+        F.round(
+            (runs - (F.lit(2.0) * n1 * n2 / n + 1))
+            / F.sqrt(
+                F.lit(2.0)
+                * n1
+                * n2
+                * (F.lit(2.0) * n1 * n2 - n)
+                / (n.cast("double") * n * (n - 1))
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "mann_kendall_trend_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), s AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d > a.d
+      GROUP BY a.event_type
+    ), nn AS (
+      SELECT event_type, COUNT(*) AS n FROM daily GROUP BY event_type
+    ), ties AS (
+      SELECT event_type,
+             SUM(CAST(t * (t - 1) AS BIGINT) * (2 * t + 5)) AS tie_term
+      FROM (SELECT event_type, c, COUNT(*) AS t
+            FROM daily GROUP BY event_type, c) g
+      WHERE t > 1 GROUP BY event_type
+    ), v AS (
+      SELECT nn.event_type, nn.n, s.s_stat,
+             (CAST(nn.n * (nn.n - 1) AS BIGINT) * (2 * nn.n + 5)
+              - COALESCE(ties.tie_term, 0)) / 18.0 AS var_s
+      FROM nn JOIN s USING (event_type)
+      LEFT JOIN ties USING (event_type)
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z
+    FROM v ORDER BY event_type
+    """,
+)
+def mann_kendall_q(spark, sf_dir):
+    """Mann–Kendall monotone-trend test per event type — the
+    SIGNIFICANCE companion to the Theil–Sen slope gate (same pairwise
+    construction; Theil–Sen answers 'how steep', this answers 'is it
+    real'): S = Σ_{i<j} sign(c_j − c_i) over the bounded per-type
+    daily frame, tie-corrected variance from the per-value run
+    lengths, continuity-corrected z.  Every quantity up to the final
+    division is an exact BIGINT; the pair join stays on the ≤days²/2
+    daily grid, never on raw events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("t") * (F.col("t") - 1)).cast("bigint")
+                * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            (
+                (F.col("n") * (F.col("n") - 1)).cast("bigint")
+                * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    var_s = F.col("var18") / 18.0
+    return v.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.round(
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt(var_s),
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1) / F.sqrt(var_s),
+            )
+            .otherwise(0.0),
+            6,
+        ).alias("z"),
+    ).orderBy("event_type")
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -20719,6 +21312,12 @@ _PRIORITY = [
     "fano_factor_users_events",
     "did_lift_events",
     "hill_diversity_docs",
+    "group_sequential_monitor_events",
+    "negbin_overdispersion_events",
+    "peak_concurrency_events",
+    "laspeyres_price_index_lineitem",
+    "runs_test_daily_events",
+    "mann_kendall_trend_events",
     # ---- round-6 rotation (driver-green r6): the 44 queries with no
     # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
     # the r6 window.

@@ -138,6 +138,9 @@ HEADLINE = [
     "hits_authority_suppliers",       # two join+agg power rounds
     "hill_diversity_docs",            # gram-keyed count + entropy fold
     "brier_decomposition_quality_docs",  # classifier + 10-bucket fold
+    "peak_concurrency_events",        # sessionize + day-exploded sweeps
+    "mann_kendall_trend_events",      # bounded daily pair join
+    "laspeyres_price_index_lineitem",  # part-year agg + basket join
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

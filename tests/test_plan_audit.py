@@ -19,6 +19,15 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-7 wave 3: bounded daily-grid windows / 1-row scalars
+    "group_sequential_monitor_events",  # cumulative-moment windows
+    # over the ≤observation-days grid (the xcorr/isotonic audited
+    # shape); events contribute only day-level moment deltas
+    "runs_test_daily_events",         # LAG over the bounded daily
+    # grid + the 1-row median broadcast + 1-row closing counts
+    "negbin_overdispersion_events",   # 1-row day-count scalar
+    "laspeyres_price_index_lineitem",  # 1-row base-year + 1-row
+    # basket-denominator broadcasts; the basket join is part-keyed
     # ---- round-7 wave 2: 1-row scalar folds / bounded-grid windows
     "brier_decomposition_quality_docs",  # 1-row totals + the final
     # fold over the LITERAL 10-bucket calibration table (the eval
@@ -160,6 +169,12 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-7 wave 3: 1-row scalar broadcasts
+    "negbin_overdispersion_events",   # 1-row day-count crossJoin
+    "laspeyres_price_index_lineitem",  # 1-row base-year pick + 1-row
+    # denominator crossJoin
+    "runs_test_daily_events",         # 1-row median crossJoin onto
+    # the bounded daily grid
     # ---- round-7 wave 2: 1-row scalar broadcasts
     "brier_decomposition_quality_docs",  # 1-row (n, Σy) totals
     # crossJoin onto the 10-bucket calibration table
