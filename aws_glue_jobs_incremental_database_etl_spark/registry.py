@@ -21232,6 +21232,575 @@ def mann_kendall_q(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@query(
+    "chao1_good_turing_docs",
+    r"""
+    WITH cnt AS (
+      SELECT source, g, COUNT(*) AS c
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS g
+            FROM documents)
+      GROUP BY source, g
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           ROUND(COUNT(*)
+                 + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                   / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)),
+                 4) AS chao1,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS gt_unseen_mass
+    FROM cnt GROUP BY source ORDER BY source
+    """,
+)
+def chao1_q(spark, sf_dir):
+    """Chao1 vocabulary-richness estimator + Good–Turing unseen mass
+    per source: the observed vocab UNDERCOUNTS the true vocabulary
+    exactly when singletons abound, and Chao1's bias-corrected
+    D + f₁(f₁−1)/(2(f₂+1)) estimates how much is still unseen, while
+    GT's f₁/N is the probability the NEXT token is novel — together
+    the "how much more is out there" readout that tells a crawl
+    planner whether a source is exhausted (Heaps fits the growth
+    curve; this estimates its asymptote from one snapshot).  One
+    gram-keyed count shuffle, then per-source folds over exact
+    integer abundance counts."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("g"),
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            f1.cast("bigint").alias("f1"),
+            f2.cast("bigint").alias("f2"),
+            F.round(
+                F.count(F.lit(1))
+                + f1.cast("double") * (f1 - 1) / (F.lit(2.0) * (f2 + 1)),
+                4,
+            ).alias("chao1"),
+            F.round(f1.cast("double") / F.sum("c"), 6).alias(
+                "gt_unseen_mass"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "james_stein_user_shrinkage_events",
+    """
+    WITH pu AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS s,
+             SUM(CAST(CAST(ROUND(value * 10000) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(value * 10000) AS BIGINT)) AS q
+      FROM events GROUP BY user_id
+    ), st AS (
+      SELECT COUNT(*) AS k, SUM(n) AS ntot, SUM(s) AS stot,
+             SUM(CAST(q AS DOUBLE) / 1e8
+                 - n * (CAST(s AS DOUBLE) / (10000.0 * n))
+                     * (CAST(s AS DOUBLE) / (10000.0 * n))) AS ssw,
+             SUM(n - 1) AS dfw,
+             SUM(n * (CAST(s AS DOUBLE) / (10000.0 * n))
+                   * (CAST(s AS DOUBLE) / (10000.0 * n))) AS snm2
+      FROM pu WHERE n >= 2
+    ), pars AS (
+      SELECT CAST(stot AS DOUBLE) / (10000.0 * ntot) AS m,
+             ssw / dfw AS s2w,
+             GREATEST((snm2 - ntot * (CAST(stot AS DOUBLE)
+                                      / (10000.0 * ntot))
+                              * (CAST(stot AS DOUBLE) / (10000.0 * ntot))
+                       - (k - 1) * (ssw / dfw))
+                      / (CAST(ntot AS DOUBLE)
+                         - CAST(SUM_NN AS DOUBLE) / ntot), 0.0) AS tau2
+      FROM st, (SELECT SUM(CAST(n AS HUGEINT) * n) AS SUM_NN
+                FROM pu WHERE n >= 2)
+    ), sh AS (
+      SELECT user_id, n,
+             CAST(s AS DOUBLE) / (10000.0 * n) AS raw,
+             CASE WHEN tau2 > 0
+                  THEN (n / (n + s2w / tau2))
+                       * (CAST(s AS DOUBLE) / (10000.0 * n))
+                       + (1 - n / (n + s2w / tau2)) * m
+                  ELSE m END AS shrunk
+      FROM pu, pars WHERE n >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(raw, 6) AS raw_mean, ROUND(shrunk, 6) AS shrunk_mean,
+           ROUND(abs(shrunk - raw), 6) AS correction
+    FROM sh
+    ORDER BY ROUND(abs(shrunk - raw), 6) DESC, user_id LIMIT 20
+    """,
+)
+def james_stein_q(spark, sf_dir):
+    """Empirical-Bayes (James–Stein-style) shrinkage of per-user mean
+    event value toward the grand mean — the fix for the universal
+    leaderboard artifact where tiny-sample users top every ranking:
+    weight w_u = n_u/(n_u + s²_w/τ̂²) with the within-user variance
+    s²_w pooled from exact ×1e4-integer moments and the between-user
+    variance τ̂² by the one-way random-effects method of moments
+    (clamped at 0 → full pooling).  Reports the 20 most-corrected
+    users (rounded-key ordering, user_id tie-break) — exactly the
+    accounts a naive per-user mean would misrank.  Users contribute
+    three exact integers each; everything after is 1-row scalar
+    algebra."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 10000).cast("bigint")
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v.cast("decimal(38,0)") * v).alias("q"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mean_u = F.col("s").cast("double") / (F.lit(10000.0) * F.col("n"))
+    st = pu.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("ntot"),
+        F.sum("s").alias("stot"),
+        F.sum(
+            F.col("q").cast("double") / 1e8
+            - F.col("n") * mean_u * mean_u
+        ).alias("ssw"),
+        F.sum(F.col("n") - 1).alias("dfw"),
+        F.sum(F.col("n") * mean_u * mean_u).alias("snm2"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias(
+            "sum_nn"
+        ),
+    )
+    m = F.col("stot").cast("double") / (F.lit(10000.0) * F.col("ntot"))
+    s2w = F.col("ssw") / F.col("dfw")
+    tau2 = F.greatest(
+        (
+            F.col("snm2")
+            - F.col("ntot") * m * m
+            - (F.col("k") - 1) * s2w
+        )
+        / (
+            F.col("ntot").cast("double")
+            - F.col("sum_nn").cast("double") / F.col("ntot")
+        ),
+        F.lit(0.0),
+    )
+    pars = st.select(
+        m.alias("m"), s2w.alias("s2w"), tau2.alias("tau2")
+    )
+    j = pu.join(F.broadcast(pars), F.lit(True))
+    raw = F.col("s").cast("double") / (F.lit(10000.0) * F.col("n"))
+    w = F.col("n") / (F.col("n") + F.col("s2w") / F.col("tau2"))
+    shrunk = F.when(
+        F.col("tau2") > 0, w * raw + (1 - w) * F.col("m")
+    ).otherwise(F.col("m"))
+    return (
+        j.select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(raw, 6).alias("raw_mean"),
+            F.round(shrunk, 6).alias("shrunk_mean"),
+            F.round(F.abs(shrunk - raw), 6).alias("correction"),
+        )
+        .orderBy(F.col("correction").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "delta_method_ratio_metric_events",
+    """
+    WITH pu AS (
+      SELECT user_id, CAST(user_id AS BIGINT) % 2 AS grp,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS x,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS y
+      FROM events GROUP BY user_id
+    ), arm AS (
+      SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pu GROUP BY grp
+    ), r AS (
+      SELECT grp, n, sy, CAST(sx AS DOUBLE) / (10000.0 * sy) AS ratio,
+             (CAST(sxx AS DOUBLE) / 1e8
+              - 2 * (CAST(sx AS DOUBLE) / (10000.0 * sy))
+                  * (CAST(sxy AS DOUBLE) / 10000.0)
+              + (CAST(sx AS DOUBLE) / (10000.0 * sy))
+                * (CAST(sx AS DOUBLE) / (10000.0 * sy))
+                * CAST(syy AS DOUBLE))
+             / (CAST(sy AS DOUBLE) * sy) * n / (n - 1.0) AS var_r
+      FROM arm
+    )
+    SELECT ROUND(MAX(CASE WHEN grp = 1 THEN ratio END), 6) AS r_treat,
+           ROUND(MAX(CASE WHEN grp = 0 THEN ratio END), 6) AS r_ctrl,
+           ROUND(sqrt(SUM(var_r)), 6) AS se_diff,
+           ROUND((MAX(CASE WHEN grp = 1 THEN ratio END)
+                  - MAX(CASE WHEN grp = 0 THEN ratio END))
+                 / sqrt(SUM(var_r)), 6) AS z
+    FROM r
+    """,
+)
+def delta_ratio_q(spark, sf_dir):
+    """Delta-method z-test for a RATIO metric (value per active
+    user-day) between the parity arms — the test naive per-row
+    t-tests get wrong because both numerator and denominator vary
+    per user (randomization unit ≠ analysis unit, the single most
+    cited A/B pitfall after peeking): Var(X̄/Ȳ) ≈ (Sxx − 2R·Sxy +
+    R²·Syy)·n/(n−1)/ (ΣY)² from per-user exact integer moments
+    (×1e4 values, HUGEINT/decimal-widened squares).  One grouped
+    pass per user, a 2-row arm fold, a 1-row report."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 10000).cast("bigint")
+    pu = e.groupBy("user_id").agg(
+        F.first(F.col("user_id") % 2).alias("grp"),
+        F.sum(v).alias("x"),
+        F.countDistinct(F.to_date("ts")).alias("y"),
+    )
+    arm = pu.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    ratio = F.col("sx").cast("double") / (F.lit(10000.0) * F.col("sy"))
+    var_r = (
+        (
+            F.col("sxx").cast("double") / 1e8
+            - 2 * ratio * (F.col("sxy").cast("double") / 10000.0)
+            + ratio * ratio * F.col("syy").cast("double")
+        )
+        / (F.col("sy").cast("double") * F.col("sy"))
+        * F.col("n")
+        / (F.col("n") - F.lit(1.0))
+    )
+    r = arm.select(
+        "grp", ratio.alias("ratio"), var_r.alias("var_r")
+    )
+    return r.agg(
+        F.round(
+            F.max(F.when(F.col("grp") == 1, F.col("ratio"))), 6
+        ).alias("r_treat"),
+        F.round(
+            F.max(F.when(F.col("grp") == 0, F.col("ratio"))), 6
+        ).alias("r_ctrl"),
+        F.round(F.sqrt(F.sum("var_r")), 6).alias("se_diff"),
+        F.round(
+            (
+                F.max(F.when(F.col("grp") == 1, F.col("ratio")))
+                - F.max(F.when(F.col("grp") == 0, F.col("ratio")))
+            )
+            / F.sqrt(F.sum("var_r")),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "mde_power_events",
+    """
+    WITH pu AS (
+      SELECT user_id, CAST(user_id AS BIGINT) % 2 AS grp,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS x
+      FROM events GROUP BY user_id
+    ), arm AS (
+      SELECT grp, COUNT(*) AS n, SUM(x) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pu GROUP BY grp
+    ), v AS (
+      SELECT grp, n, CAST(sx AS DOUBLE) / (10000.0 * n) AS mean,
+             (CAST(sxx AS DOUBLE) / 1e8
+              - n * (CAST(sx AS DOUBLE) / (10000.0 * n))
+                  * (CAST(sx AS DOUBLE) / (10000.0 * n))) / (n - 1)
+               AS s2
+      FROM arm
+    )
+    SELECT CAST(MAX(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n_treat,
+           CAST(MAX(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_ctrl,
+           ROUND(MAX(CASE WHEN grp = 0 THEN mean END), 6) AS ctrl_mean,
+           ROUND((1.959964 + 0.841621)
+                 * sqrt(MAX(CASE WHEN grp = 1 THEN s2 / n END)
+                        + MAX(CASE WHEN grp = 0 THEN s2 / n END)), 6)
+             AS mde_abs,
+           ROUND((1.959964 + 0.841621)
+                 * sqrt(MAX(CASE WHEN grp = 1 THEN s2 / n END)
+                        + MAX(CASE WHEN grp = 0 THEN s2 / n END))
+                 / MAX(CASE WHEN grp = 0 THEN mean END), 6) AS mde_rel
+    FROM v
+    """,
+)
+def mde_q(spark, sf_dir):
+    """Minimum detectable effect at 80% power / 5% two-sided α for
+    the CURRENT sample sizes and variances (per-user total value as
+    the analysis unit): MDE = (z_{.975} + z_{.80})·√(s²_t/n_t +
+    s²_c/n_c) — the pre-readout sanity check that tells an
+    experimenter whether the test can even see the effect size they
+    care about, from the same exact ×1e4-integer user-level moments
+    the monitor uses (z constants as literals, both engines evaluate
+    the identical double chain)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 10000).cast("bigint")
+    pu = e.groupBy("user_id").agg(
+        F.first(F.col("user_id") % 2).alias("grp"),
+        F.sum(v).alias("x"),
+    )
+    arm = pu.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / (F.lit(10000.0) * F.col("n"))
+    s2 = (
+        F.col("sxx").cast("double") / 1e8 - F.col("n") * mean * mean
+    ) / (F.col("n") - 1)
+    vv = arm.select(
+        "grp", F.col("n"), mean.alias("mean"), s2.alias("s2")
+    )
+    zsum = F.lit(1.959964 + 0.841621)
+    t_var = F.max(F.when(F.col("grp") == 1, F.col("s2") / F.col("n")))
+    c_var = F.max(F.when(F.col("grp") == 0, F.col("s2") / F.col("n")))
+    c_mean = F.max(F.when(F.col("grp") == 0, F.col("mean")))
+    return vv.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n")))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.max(F.when(F.col("grp") == 0, F.col("n")))
+        .cast("bigint")
+        .alias("n_ctrl"),
+        F.round(c_mean, 6).alias("ctrl_mean"),
+        F.round(zsum * F.sqrt(t_var + c_var), 6).alias("mde_abs"),
+        F.round(zsum * F.sqrt(t_var + c_var) / c_mean, 6).alias(
+            "mde_rel"
+        ),
+    )
+
+
+@query(
+    "symspell_variants_parts",
+    r"""
+    WITH vocab AS MATERIALIZED (
+      SELECT g AS t, COUNT(*) AS c
+      FROM (SELECT unnest(string_split_regex(lower(trim(p_name)), '\s+'))
+              AS g
+            FROM part)
+      WHERE regexp_matches(g, '^[a-z]+$')
+        AND len(g) BETWEEN 3 AND 15
+      GROUP BY g
+    ), posts AS MATERIALIZED (
+      SELECT DISTINCT t, c, v FROM (
+        SELECT t, c, t AS v FROM vocab
+        UNION ALL
+        SELECT t, c,
+               substr(t, 1, i - 1) || substr(t, i + 1) AS v
+        FROM (SELECT t, c, unnest(range(1, len(t) + 1)) AS i FROM vocab)
+      )
+    ), cand AS (
+      SELECT a.t AS tok_a, b.t AS tok_b,
+             ANY_VALUE(a.c) AS c_a, ANY_VALUE(b.c) AS c_b
+      FROM posts a JOIN posts b ON a.v = b.v AND a.t < b.t
+      GROUP BY a.t, b.t
+    )
+    SELECT tok_a, tok_b,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b
+    FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+    ORDER BY tok_a, tok_b
+    """,
+)
+def symspell_q(spark, sf_dir):
+    """SymSpell symmetric-delete candidate generation + verify over
+    the part-name vocabulary: every token posts itself PLUS its
+    delete-1 variants, an equi-join on the variant key surfaces all
+    edit-distance-1 candidates (deletions/insertions via
+    original↔delete, substitutions via shared same-position delete),
+    and ONE Levenshtein call per CANDIDATE confirms — the standard
+    SymSpell contract (candidates can be distance 2 when the shared
+    delete sits at different positions, e.g. old/rod, so the verify
+    is part of the algorithm, not a patch).  This is the fuzzy-
+    blocking scale shape: postings ≈ Σ|token| per DISTINCT token and
+    the join is exact-key, vs. edit_distance_pairs' all-pairs
+    Levenshtein that no filter saves at 100 TB.  Survivor pairs
+    (cold/old, red/rod) are blocking keys for the entity-resolution
+    pass (er_clusters_parts).  ASCII-only tokens keep lexicographic
+    ordering collation-proof."""
+    p = load_table(spark, sf_dir, "part")
+    vocab = (
+        p.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("p_name"))), r"\s+")
+            ).alias("t")
+        )
+        .filter(
+            F.col("t").rlike("^[a-z]+$")
+            & F.length("t").between(3, 15)
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dels = vocab.select(
+        "t",
+        "c",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t)), i -> "
+                "concat(substring(t, 1, i - 1), substring(t, i + 1)))"
+            )
+        ).alias("v"),
+    )
+    posts = (
+        vocab.select("t", "c", F.col("t").alias("v"))
+        .unionAll(dels)
+        .distinct()
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.v") == F.col("a.v"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(
+            F.col("a.t").alias("tok_a"), F.col("b.t").alias("tok_b")
+        )
+        .agg(
+            F.any_value(F.col("a.c")).alias("c_a"),
+            F.any_value(F.col("b.c")).alias("c_b"),
+        )
+    )
+    return (
+        cand.filter(F.levenshtein("tok_a", "tok_b") <= 1)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+@query(
+    "position_attribution_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seg
+      FROM events
+    ), segs AS (
+      SELECT user_id, COALESCE(seg, 0) AS seg, event_type, ts, event_id, v
+      FROM seq
+    ), pur AS (
+      SELECT user_id, seg, MAX(v) AS pv
+      FROM segs WHERE event_type = 'purchase' GROUP BY user_id, seg
+    ), touches AS (
+      SELECT s.user_id, s.seg, s.event_type, pur.pv,
+             ROW_NUMBER() OVER (PARTITION BY s.user_id, s.seg
+                                ORDER BY s.ts, s.event_id) AS r,
+             COUNT(*) OVER (PARTITION BY s.user_id, s.seg) AS m
+      FROM segs s JOIN pur ON pur.user_id = s.user_id
+                          AND pur.seg = s.seg
+      WHERE s.event_type <> 'purchase'
+    ), credit AS (
+      SELECT event_type,
+             CAST(pv AS DOUBLE) / 10000.0
+             * CASE WHEN m = 1 THEN 1.0
+                    WHEN m = 2 THEN 0.5
+                    WHEN r = 1 OR r = m THEN 0.4
+                    ELSE 0.2 / (m - 2) END AS cr
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(cr), 2) AS credited_value
+    FROM credit GROUP BY event_type ORDER BY event_type
+    """,
+)
+def position_attribution_q(spark, sf_dir):
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase's value splits 40/20/40 across its path — the
+    non-purchase touches since the user's previous purchase — with
+    first and last touch earning 40% each and the middle sharing 20%
+    (n=1 → 100%, n=2 → 50/50); the industry-standard middle ground
+    between last-touch (all credit to the closer) and linear (no
+    position signal).  Paths are built with ONE purchase-count
+    window per user (strictly-preceding frame, so the purchase
+    anchors its own segment), position/size from per-segment
+    windows — all user-partitioned, no self-joins; credited value
+    sums per touch type from exact ×1e4-integer purchase values."""
+    e = load_table(spark, sf_dir, "events")
+    wseg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wseg),
+            F.lit(0),
+        ).alias("seg"),
+    )
+    pur = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "seg")
+        .agg(F.max("v").alias("pv"))
+    )
+    wt = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    wm = Window.partitionBy("user_id", "seg")
+    touches = (
+        seq.filter(F.col("event_type") != "purchase")
+        .join(pur, ["user_id", "seg"])
+        .select(
+            "event_type",
+            "pv",
+            F.row_number().over(wt).alias("r"),
+            F.count(F.lit(1)).over(wm).alias("m"),
+        )
+    )
+    cr = (
+        F.col("pv").cast("double")
+        / 10000.0
+        * F.when(F.col("m") == 1, 1.0)
+        .when(F.col("m") == 2, 0.5)
+        .when((F.col("r") == 1) | (F.col("r") == F.col("m")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("m") - 2))
+    )
+    return (
+        touches.select("event_type", cr.alias("cr"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("cr"), 2).alias("credited_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -21318,6 +21887,12 @@ _PRIORITY = [
     "laspeyres_price_index_lineitem",
     "runs_test_daily_events",
     "mann_kendall_trend_events",
+    "chao1_good_turing_docs",
+    "james_stein_user_shrinkage_events",
+    "delta_method_ratio_metric_events",
+    "mde_power_events",
+    "symspell_variants_parts",
+    "position_attribution_events",
     # ---- round-6 rotation (driver-green r6): the 44 queries with no
     # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
     # the r6 window.

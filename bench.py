@@ -141,6 +141,9 @@ HEADLINE = [
     "peak_concurrency_events",        # sessionize + day-exploded sweeps
     "mann_kendall_trend_events",      # bounded daily pair join
     "laspeyres_price_index_lineitem",  # part-year agg + basket join
+    "chao1_good_turing_docs",         # gram-keyed abundance counts
+    "james_stein_user_shrinkage_events",  # per-user moments + 1-row state
+    "position_attribution_events",    # purchase-anchored path windows
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

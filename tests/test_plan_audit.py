@@ -19,6 +19,12 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-7 wave 4: 1-row scalar folds
+    "james_stein_user_shrinkage_events",  # 1-row pooled-moment state
+    # (m, s2w, tau2) folded back as a broadcast cross join
+    "delta_method_ratio_metric_events",  # 2-row arm fold + the 1-row
+    # z report
+    "mde_power_events",               # 2-row arm fold + 1-row report
     # ---- round-7 wave 3: bounded daily-grid windows / 1-row scalars
     "group_sequential_monitor_events",  # cumulative-moment windows
     # over the ≤observation-days grid (the xcorr/isotonic audited
@@ -169,6 +175,9 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-7 wave 4: 1-row scalar broadcasts
+    "james_stein_user_shrinkage_events",  # 1-row (m, s2w, tau2)
+    # crossJoin onto the per-user frame
     # ---- round-7 wave 3: 1-row scalar broadcasts
     "negbin_overdispersion_events",   # 1-row day-count crossJoin
     "laspeyres_price_index_lineitem",  # 1-row base-year pick + 1-row
