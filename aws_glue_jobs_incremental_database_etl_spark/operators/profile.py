@@ -826,3 +826,92 @@ def grouped_sketch_quantiles(
     return hit.select(
         "group", "prob", F.round(q, 6).alias("quantile"), "n_rows"
     )
+
+
+def experiment_daily_moments(events: DataFrame) -> DataFrame:
+    """Day-level moment deltas for the group-sequential experiment
+    monitor (registry ``group_sequential_monitor_events`` and its
+    streaming twin): per calendar day, the treatment/control
+    (user_id parity) row counts, ×1e4-integer value sums, and
+    HUGEINT/decimal-widened squared sums.  These six exact integers
+    per day are the ONLY state the monitor needs — they fold
+    additively across batches (sum per day), which is what makes the
+    streaming twin exactly-once-mergeable."""
+    cells = events.select(
+        F.to_date("ts").alias("d"),
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    t = F.col("grp") == 1
+    c = F.col("grp") == 0
+    vv = F.col("v").cast("decimal(38,0)") * F.col("v")
+    return cells.groupBy("d").agg(
+        F.count(F.when(t, F.lit(1))).alias("nt_d"),
+        F.count(F.when(c, F.lit(1))).alias("nc_d"),
+        F.coalesce(F.sum(F.when(t, F.col("v"))), F.lit(0)).alias("st_d"),
+        F.coalesce(F.sum(F.when(c, F.col("v"))), F.lit(0)).alias("sc_d"),
+        F.coalesce(
+            F.sum(F.when(t, vv)), F.lit(0).cast("decimal(38,0)")
+        ).alias("qt_d"),
+        F.coalesce(
+            F.sum(F.when(c, vv)), F.lit(0).cast("decimal(38,0)")
+        ).alias("qc_d"),
+    )
+
+
+def merge_daily_moments(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Additive fold of two day-level moment frames (same schema as
+    :func:`experiment_daily_moments`) — exact integer sums per day,
+    so fold order and batch boundaries cannot change the result."""
+    return (
+        prev.unionByName(delta)
+        .groupBy("d")
+        .agg(
+            F.sum("nt_d").alias("nt_d"),
+            F.sum("nc_d").alias("nc_d"),
+            F.sum("st_d").alias("st_d"),
+            F.sum("sc_d").alias("sc_d"),
+            F.sum("qt_d").cast("decimal(38,0)").alias("qt_d"),
+            F.sum("qc_d").cast("decimal(38,0)").alias("qc_d"),
+        )
+    )
+
+
+def sequential_z_report(
+    daily: DataFrame, boundary: float = 2.413
+) -> DataFrame:
+    """Cumulative Welch z per day from day-level moment deltas, with
+    a Pocock-style constant ``boundary`` — the readout half of the
+    group-sequential monitor.  All windows run on the bounded
+    observation-days grid; identical expression structure in the
+    batch gate, its DuckDB twin, and the streaming twin, so all
+    three produce bit-identical doubles from the same moments."""
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "d",
+        F.sum("nt_d").over(w).alias("nt"),
+        F.sum("nc_d").over(w).alias("nc"),
+        F.sum("st_d").over(w).alias("st"),
+        F.sum("sc_d").over(w).alias("sc"),
+        F.sum("qt_d").over(w).alias("qt"),
+        F.sum("qc_d").over(w).alias("qc"),
+    ).filter((F.col("nt") >= 2) & (F.col("nc") >= 2))
+    mt = F.col("st").cast("double") / (F.lit(10000.0) * F.col("nt"))
+    mc = F.col("sc").cast("double") / (F.lit(10000.0) * F.col("nc"))
+    zz = (mt - mc) / F.sqrt(
+        (F.col("qt").cast("double") / 1e8 - F.col("nt") * mt * mt)
+        / (F.col("nt") - 1)
+        / F.col("nt")
+        + (F.col("qc").cast("double") / 1e8 - F.col("nc") * mc * mc)
+        / (F.col("nc") - 1)
+        / F.col("nc")
+    )
+    return cum.select(
+        "d",
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        F.round(zz, 6).alias("z"),
+        F.when(F.abs(zz) > boundary, 1).otherwise(0).alias("crossed"),
+    ).orderBy("d")

@@ -20697,56 +20697,13 @@ def group_seq_q(spark, sf_dir):
     computed from events; the cumulative windows, Welch variances and
     boundary checks all run on the ≤observation-days grid, so the
     monitor costs one grouped pass regardless of corpus size."""
+    from .operators.profile import (
+        experiment_daily_moments,
+        sequential_z_report,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    cells = e.select(
-        F.to_date("ts").alias("d"),
-        (F.col("user_id") % 2).alias("grp"),
-        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
-    )
-    t = F.col("grp") == 1
-    c = F.col("grp") == 0
-    vv = F.col("v").cast("decimal(38,0)") * F.col("v")
-    daily = cells.groupBy("d").agg(
-        F.count(F.when(t, F.lit(1))).alias("nt_d"),
-        F.count(F.when(c, F.lit(1))).alias("nc_d"),
-        F.coalesce(F.sum(F.when(t, F.col("v"))), F.lit(0)).alias("st_d"),
-        F.coalesce(F.sum(F.when(c, F.col("v"))), F.lit(0)).alias("sc_d"),
-        F.coalesce(
-            F.sum(F.when(t, vv)), F.lit(0).cast("decimal(38,0)")
-        ).alias("qt_d"),
-        F.coalesce(
-            F.sum(F.when(c, vv)), F.lit(0).cast("decimal(38,0)")
-        ).alias("qc_d"),
-    )
-    w = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = daily.select(
-        "d",
-        F.sum("nt_d").over(w).alias("nt"),
-        F.sum("nc_d").over(w).alias("nc"),
-        F.sum("st_d").over(w).alias("st"),
-        F.sum("sc_d").over(w).alias("sc"),
-        F.sum("qt_d").over(w).alias("qt"),
-        F.sum("qc_d").over(w).alias("qc"),
-    ).filter((F.col("nt") >= 2) & (F.col("nc") >= 2))
-    mt = F.col("st").cast("double") / (F.lit(10000.0) * F.col("nt"))
-    mc = F.col("sc").cast("double") / (F.lit(10000.0) * F.col("nc"))
-    zz = (mt - mc) / F.sqrt(
-        (F.col("qt").cast("double") / 1e8 - F.col("nt") * mt * mt)
-        / (F.col("nt") - 1)
-        / F.col("nt")
-        + (F.col("qc").cast("double") / 1e8 - F.col("nc") * mc * mc)
-        / (F.col("nc") - 1)
-        / F.col("nc")
-    )
-    return cum.select(
-        "d",
-        F.col("nt").cast("bigint").alias("n_treat"),
-        F.col("nc").cast("bigint").alias("n_ctrl"),
-        F.round(zz, 6).alias("z"),
-        F.when(F.abs(zz) > 2.413, 1).otherwise(0).alias("crossed"),
-    ).orderBy("d")
+    return sequential_z_report(experiment_daily_moments(e))
 
 
 @query(

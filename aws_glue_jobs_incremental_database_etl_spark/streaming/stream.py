@@ -606,3 +606,47 @@ def streaming_join_view_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def run_experiment_monitor(
+    stream_df: DataFrame, checkpoint: str, state_path: str
+) -> None:
+    """Streaming twin of the group-sequential experiment monitor
+    (registry ``group_sequential_monitor_events``): drain everything
+    currently available, folding each micro-batch's day-level moment
+    deltas (exact ×1e4 integers + decimal-widened squares, from
+    ``operators.profile.experiment_daily_moments``) into the
+    persisted per-day moment state via :func:`sketch_fold_writer` —
+    exactly-once batch-id commits, staging + atomic-rename publishes,
+    replay-safe.  Because the fold is an ADDITIVE integer merge per
+    day, any batch split of the same events produces bit-identical
+    state, and :func:`monitor_z_series` over that state equals the
+    batch gate bit-for-bit (same shared z expressions)."""
+    from ..operators.profile import (
+        experiment_daily_moments,
+        merge_daily_moments,
+    )
+
+    writer = sketch_fold_writer(
+        state_path, experiment_daily_moments, merge_daily_moments
+    )
+    q = (
+        stream_df.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def monitor_z_series(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current z-vs-boundary readout of a streaming experiment
+    monitor: the cumulative Welch z per day computed from the
+    persisted day-level moment state — the identical
+    ``sequential_z_report`` expressions the batch gate uses, so
+    streamed and batch readouts agree bit-for-bit on the same
+    events."""
+    from ..operators.profile import sequential_z_report
+
+    return sequential_z_report(read_sketch(spark, state_path))

@@ -816,3 +816,57 @@ def test_exactly_once_append_survives_batch_replay(spark, tmp_path):
     writer(spark.createDataFrame([(99,), (100,)], "v long"), 7)
     assert spark.read.parquet(f"{out}/batch-*").count() == 52
     assert not os.path.exists(f"{out}/.staging-7")
+
+
+def test_streaming_experiment_monitor_matches_batch_and_replays(
+    spark, tmp_path, sf_dir
+):
+    """The group-sequential monitor's streaming twin: draining the
+    events corpus in two arbitrary file batches and reading the z
+    series from the persisted moment state must equal the batch gate
+    bit-for-bit (additive exact-integer state + shared z
+    expressions), and a replayed drain with no new data must change
+    nothing (exactly-once batch-id commits)."""
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        monitor_z_series,
+        run_experiment_monitor,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+
+    ev = load_table(spark, sf_dir, "events")
+    # two arbitrary, uneven file batches of the same corpus
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_experiment_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    ev.filter(F.col("event_id") % 3 != 0).write.mode("append").parquet(src)
+    run_experiment_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+
+    streamed = [
+        (str(r.d), r.n_treat, r.n_ctrl, r.z, r.crossed)
+        for r in monitor_z_series(spark, state).collect()
+    ]
+    batch = [
+        (str(r.d), r.n_treat, r.n_ctrl, r.z, r.crossed)
+        for r in Q["group_sequential_monitor_events"](spark, sf_dir)
+        .collect()
+    ]
+    assert streamed == batch and len(streamed) > 5
+
+    # replayed drain: committed epochs skip wholesale, state unchanged
+    run_experiment_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    again = [
+        (str(r.d), r.n_treat, r.n_ctrl, r.z, r.crossed)
+        for r in monitor_z_series(spark, state).collect()
+    ]
+    assert again == streamed
