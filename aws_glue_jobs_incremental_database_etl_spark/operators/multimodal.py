@@ -401,6 +401,77 @@ def image_average_hash(
     )
 
 
+def image_difference_hash(
+    df: DataFrame, dim: int = 16, decoder: str = "fake"
+) -> DataFrame:
+    """Perceptual difference-hash per image → ``(media_id, dhash,
+    decode_ok)``: decode, reduce to ``dim + 1`` intensity cells, set
+    bit ``k`` iff cell ``k+1`` > cell ``k`` — the gradient-direction
+    signature (dHash) that survives global brightness/contrast shifts
+    aHash's mean threshold is sensitive to; running BOTH and
+    intersecting buckets is the standard high-precision image-dedup
+    recipe (cites ``image_average_hash``; same banding story as
+    SimHash).
+
+    ``decoder='fake'`` compares the deterministic integer accumulator
+    stream directly — adjacent-cell comparisons need no mean at all,
+    so the hash is pure integer arithmetic and the gate query carries
+    a full SQL oracle.  ``decoder='ppm'`` compares real per-band
+    pixel means from the stdlib PPM decoder.  Arrow-batched
+    mapInPandas, map-only."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "full-format image decoding requires an image library "
+            "(PIL/opencv) not present in this environment; use "
+            "decoder='ppm' (real stdlib PPM decode) or 'fake'"
+        )
+    if decoder not in ("fake", "ppm"):
+        raise ValueError(f"unknown decoder: {decoder}")
+    if not 1 <= dim <= 63:
+        raise ValueError("dim must be in [1, 63] (hash packs into a long)")
+
+    def one(payload: bytes) -> tuple[int, bool]:
+        if decoder == "fake":
+            acc = _fake_decode_acc(payload, dim + 1)
+            h = 0
+            for k in range(dim):
+                if acc[k + 1] > acc[k]:
+                    h |= 1 << k
+            return h, True
+        try:
+            feats = ppm_features(payload, dim + 1)
+        except (ValueError, IndexError):
+            return 0, False
+        h = 0
+        for k in range(dim):
+            if feats[k + 1] > feats[k]:
+                h |= 1 << k
+        return h, True
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashed = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [h for h, _ in hashed],
+                    "decode_ok": [ok for _, ok in hashed],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
 def resize_image(
     df: DataFrame, out_w: int, out_h: int, decoder: str = "ppm"
 ) -> DataFrame:

@@ -11107,6 +11107,67 @@ def image_ahash_q(spark, sf_dir):
 O["image_ahash_groups"] = _image_ahash_oracle()
 
 
+def _image_dhash_oracle(dim: int = 16) -> str:
+    """SQL twin of image_difference_hash's fake-decoder path: the
+    same byte recurrence over dim+1 accumulators, bit k iff
+    a_{k+1} > a_k — adjacent integer comparisons, no mean at all."""
+    byte = (
+        lambda k: f"CAST('0x' || substr(H, 2*({k} % L) + 1, 2) AS INT)"
+    )
+    accs = [f"({byte(0)}) % 997 AS a0"] + [
+        f"((a{k-1} * 31 + {byte(k)}) % 997) AS a{k}"
+        for k in range(1, dim + 1)
+    ]
+    bits = " + ".join(
+        f"CASE WHEN a{k+1} > a{k} THEN {1 << k} ELSE 0 END"
+        for k in range(dim)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), acc AS (
+      SELECT media_id, {", ".join(accs)} FROM base
+    ), h AS (
+      SELECT media_id, CAST({bits} AS BIGINT) AS dhash FROM acc
+    )
+    SELECT dhash, COUNT(*) AS n_images,
+           MIN(media_id) AS min_id, MAX(media_id) AS max_id
+    FROM h GROUP BY dhash
+    """
+
+
+@query("image_dhash_groups", None)  # oracle attached below (generated)
+def image_dhash_q(spark, sf_dir):
+    """Perceptual difference-hash bucketing
+    (operators.multimodal.image_difference_hash): identical-dHash
+    groups are near-duplicate image candidates by GRADIENT direction
+    — robust to the global brightness/contrast shifts that move
+    aHash's mean threshold; intersecting aHash and dHash buckets is
+    the standard precision upgrade for image dedup.  Same gate-media
+    convention as image_ahash_groups; the adjacent-cell integer
+    comparisons replay bit-for-bit in SQL."""
+    from .operators.multimodal import image_difference_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    h = image_difference_hash(media, dim=16)
+    return h.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("min_id"),
+        F.max("media_id").alias("max_id"),
+    )
+
+
+O["image_dhash_groups"] = _image_dhash_oracle()
+
+
 @query(
     "top_session_paths",
     """
@@ -21850,6 +21911,7 @@ _PRIORITY = [
     "mde_power_events",
     "symspell_variants_parts",
     "position_attribution_events",
+    "image_dhash_groups",
     # ---- round-6 rotation (driver-green r6): the 44 queries with no
     # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
     # the r6 window.

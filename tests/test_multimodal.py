@@ -326,3 +326,60 @@ def test_resample_audio_upsample_and_identity(spark):
         bytes(resample_audio(df, 4000).collect()[0]["payload"])
     )
     assert same == samples
+
+
+def test_image_dhash_fake_adjacent_compare(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        _fake_decode_acc,
+        image_difference_hash,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=20)
+    rows = {
+        r["media_id"]: r
+        for r in image_difference_hash(media, dim=16).collect()
+    }
+    assert len(rows) == 20 and all(r["decode_ok"] for r in rows.values())
+    payload = media.filter("media_id = 7").collect()[0]["payload"]
+    acc = _fake_decode_acc(bytes(payload), 17)
+    expect = sum(1 << k for k in range(16) if acc[k + 1] > acc[k])
+    assert rows[7]["dhash"] == expect
+    assert 0 <= rows[7]["dhash"] < (1 << 16)
+
+
+def test_image_dhash_ppm_decoder_and_malformed(spark):
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        image_difference_hash,
+    )
+
+    # intensity gradient down the raster -> alternating-free rising bits
+    pix = sum(([v, v, v] * 2 for v in (0, 64, 128, 255)), [])
+    rows = [(1, _ppm_bytes(2, 4, pix)), (2, b"garbage")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r
+        for r in image_difference_hash(df, dim=6, decoder="ppm").collect()
+    }
+    assert out[1]["decode_ok"] and out[1]["dhash"] > 0
+    assert not out[2]["decode_ok"] and out[2]["dhash"] == 0
+
+
+def test_image_dhash_brightness_invariance_vs_ahash(spark):
+    """dHash's selling point, pinned: a global brightness shift
+    changes every cell by the same amount, so adjacent-cell
+    COMPARISONS (dHash) are unchanged while the mean THRESHOLD
+    (aHash) flips bits for cells near the old mean."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        image_difference_hash,
+    )
+
+    pix = sum(([v, v, v] * 2 for v in (10, 60, 110, 200)), [])
+    shifted = [min(255, p + 40) for p in pix]
+    rows = [(1, _ppm_bytes(2, 4, pix)), (2, _ppm_bytes(2, 4, shifted))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r["dhash"]
+        for r in image_difference_hash(df, dim=6, decoder="ppm").collect()
+    }
+    assert out[1] == out[2]
