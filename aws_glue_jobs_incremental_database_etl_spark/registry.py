@@ -21819,6 +21819,281 @@ def position_attribution_q(spark, sf_dir):
     )
 
 
+@query(
+    "gumbel_tail_events",
+    """
+    WITH dmax AS (
+      SELECT CAST(ts AS DATE) AS d,
+             MAX(CAST(ROUND(value * 10000) AS BIGINT)) AS mx
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), st AS (
+      SELECT COUNT(*) AS n, SUM(mx) AS s,
+             SUM(CAST(mx AS HUGEINT) * mx) AS q
+      FROM dmax
+    ), fit AS (
+      SELECT n,
+             CAST(s AS DOUBLE) / (10000.0 * n) AS m,
+             sqrt((CAST(q AS DOUBLE) / 1e8
+                   - n * (CAST(s AS DOUBLE) / (10000.0 * n))
+                       * (CAST(s AS DOUBLE) / (10000.0 * n))) / (n - 1))
+               * sqrt(6.0) / 3.141592653589793 AS beta
+      FROM st
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(m - 0.5772156649015329 * beta, 4) AS mu,
+           ROUND(beta, 4) AS beta,
+           ROUND((m - 0.5772156649015329 * beta)
+                 - beta * ln(-ln(1.0 - 1.0 / 30)), 4) AS return_30d,
+           ROUND((m - 0.5772156649015329 * beta)
+                 - beta * ln(-ln(1.0 - 1.0 / 365)), 4) AS return_365d
+    FROM fit
+    """,
+)
+def gumbel_q(spark, sf_dir):
+    """Gumbel extreme-value fit of the DAILY MAXIMUM event value —
+    the capacity-planning distribution for 'how big is the worst
+    value we'll see in a month / a year': block maxima are Gumbel-
+    domain for light-tailed parents (Fisher–Tippett), the
+    method-of-moments fit is β = s·√6/π, μ = m − γβ, and the
+    T-period return level is μ − β·ln(−ln(1−1/T)).  Daily maxima are
+    exact ×1e4 integers; the ≤366-row moment fold and literal
+    constants (γ, π) make every double identical cross-engine; mean
+    and quantile gates describe the typical day — this prices the
+    worst one."""
+    e = load_table(spark, sf_dir, "events")
+    dmax = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.max(F.round(F.col("value") * 10000).cast("bigint")).alias("mx")
+    )
+    st = dmax.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("q"),
+    )
+    m = F.col("s").cast("double") / (F.lit(10000.0) * F.col("n"))
+    beta = (
+        F.sqrt(
+            (F.col("q").cast("double") / 1e8 - F.col("n") * m * m)
+            / (F.col("n") - 1)
+        )
+        * F.sqrt(F.lit(6.0))
+        / F.lit(3.141592653589793)
+    )
+    mu = m - F.lit(0.5772156649015329) * beta
+    rl = lambda t: mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / t))
+    return st.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(mu, 4).alias("mu"),
+        F.round(beta, 4).alias("beta"),
+        F.round(rl(30), 4).alias("return_30d"),
+        F.round(rl(365), 4).alias("return_365d"),
+    )
+
+
+@query(
+    "poisson_surprise_events",
+    """
+    WITH bounds AS (
+      SELECT datediff('day', MIN(CAST(ts AS DATE)),
+                      MAX(CAST(ts AS DATE))) + 1 AS nd
+      FROM events
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), rate AS (
+      SELECT user_id, SUM(c) AS tot FROM daily GROUP BY user_id
+    )
+    SELECT daily.user_id, daily.d,
+           CAST(daily.c AS BIGINT) AS n_events,
+           ROUND((daily.c - CAST(tot AS DOUBLE) / nd)
+                 / sqrt(CAST(tot AS DOUBLE) / nd), 6) AS surprise_z
+    FROM daily JOIN rate ON rate.user_id = daily.user_id, bounds
+    ORDER BY (daily.c - CAST(tot AS DOUBLE) / nd)
+             / sqrt(CAST(tot AS DOUBLE) / nd) DESC,
+             daily.user_id, daily.d
+    LIMIT 20
+    """,
+)
+def poisson_surprise_q(spark, sf_dir):
+    """Poisson surprise score per user-day: z = (c − λ̂_u)/√λ̂_u
+    against the user's OWN baseline rate λ̂_u = total/observation
+    days — the per-entity anomaly detector that catches a normally
+    quiet account having a 50-event day, which every global
+    threshold misses because the corpus-wide day counts look normal.
+    Baselines come from one per-user fold of exact integers; the
+    score join is user-keyed (partitioned, never broadcast-wide);
+    the 1-row day-count scalar rides a broadcast; top-20 by the
+    unrounded integer-derived key, (user, day) tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).alias("nd")
+    )
+    daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rate = daily.groupBy("user_id").agg(F.sum("c").alias("tot"))
+    j = daily.join(rate, "user_id").join(F.broadcast(bounds), F.lit(True))
+    lam = F.col("tot").cast("double") / F.col("nd")
+    z = (F.col("c") - lam) / F.sqrt(lam)
+    return (
+        j.withColumn("_z", z)
+        .orderBy(F.col("_z").desc(), F.col("user_id"), F.col("d"))
+        .limit(20)
+        .select(
+            "user_id",
+            "d",
+            F.col("c").cast("bigint").alias("n_events"),
+            F.round(F.col("_z"), 6).alias("surprise_z"),
+        )
+    )
+
+
+@query(
+    "label_centroid_cosine_embeddings",
+    """
+    WITH cells AS (
+      SELECT label, i,
+             SUM(CAST(ROUND(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT))
+               AS s
+      FROM (SELECT label, embedding AS e,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+      GROUP BY label, i
+    ), norms AS (
+      SELECT label, SUM(CAST(s AS DOUBLE) * s) AS nn FROM cells
+      GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(a.s AS DOUBLE) * b.s) AS ab
+      FROM cells a JOIN cells b
+        ON b.i = a.i AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(ab / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS centroid_cos
+    FROM dots
+    JOIN norms na ON na.label = dots.label_a
+    JOIN norms nb ON nb.label = dots.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def label_centroid_q(spark, sf_dir):
+    """Pairwise cosine similarity of per-label embedding CENTROIDS —
+    the class-separation map: labels whose centroids sit near cosine
+    1 are the confusable pairs a classifier (or a semantic-dedup
+    pass) will blur, and a source whose centroid drifts toward
+    another's is the embedding-space smell of content duplication
+    across slices.  Centroid cells are exact ×1e6-integer sums via
+    one (label, dim)-keyed shuffle (sums commute — no vector
+    averaging in floats); the cosine grid joins on the literal dim
+    key and is ≤labels² rows.  Per-pair silhouette says how tight
+    each cluster is; this says how far apart their CENTERS are."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 1000000).cast(
+                        "long"
+                    ),
+                )
+            ).alias("i0", "v"),
+        )
+        .select("label", (F.col("i0") + 1).alias("i"), "v")
+        .groupBy("label", "i")
+        .agg(F.sum("v").alias("s"))
+    )
+    norms = cells.groupBy("label").agg(
+        F.sum(F.col("s").cast("double") * F.col("s")).alias("nn")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("b.i") == F.col("a.i"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(F.sum(F.col("a.s").cast("double") * F.col("b.s")).alias("ab"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("ab") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+                6,
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@query(
+    "hill_tail_index_orders",
+    """
+    WITH topk AS (
+      SELECT o_totalprice AS x
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 101
+    ), cut AS (
+      SELECT MIN(x) AS xk FROM topk
+    )
+    SELECT CAST(COUNT(*) - 1 AS BIGINT) AS k,
+           ROUND(ANY_VALUE(xk), 2) AS x_threshold,
+           ROUND((COUNT(*) - 1)
+                 / SUM(CASE WHEN x > xk THEN ln(x / xk) ELSE 0 END), 6)
+             AS hill_alpha
+    FROM topk, cut
+    """,
+)
+def hill_tail_q(spark, sf_dir):
+    """Hill tail-index estimator over the top-100 order totals:
+    α̂ = k / Σ ln(x_i/x_{k+1}) — the standard answer to 'HOW heavy is
+    the heavy tail' (α < 2 ⇒ infinite variance: means and CUPED-style
+    variance tricks stop working; Zipf/Gini gates say the
+    distribution is skewed, this measures the tail exponent that
+    decides which statistics survive it).  The only data-sized step
+    is a distributed top-101 (TakeOrderedAndProject with orderkey
+    tie-break, so both engines pick the identical value multiset);
+    the log fold runs on 101 rows.  Ties AT the threshold contribute
+    ln(1) = 0 — handled explicitly so both engines agree when the
+    boundary value repeats."""
+    o = load_table(spark, sf_dir, "orders")
+    topk = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), F.col("o_orderkey").asc())
+        .limit(101)
+        .select("x")
+    )
+    cut = topk.agg(F.min("x").alias("xk"))
+    j = topk.join(F.broadcast(cut), F.lit(True))
+    return j.agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("k"),
+        F.round(F.any_value("xk"), 2).alias("x_threshold"),
+        F.round(
+            (F.count(F.lit(1)) - 1)
+            / F.sum(
+                F.when(
+                    F.col("x") > F.col("xk"),
+                    F.log(F.col("x") / F.col("xk")),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("hill_alpha"),
+    )
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -21912,6 +22187,10 @@ _PRIORITY = [
     "symspell_variants_parts",
     "position_attribution_events",
     "image_dhash_groups",
+    "gumbel_tail_events",
+    "poisson_surprise_events",
+    "label_centroid_cosine_embeddings",
+    "hill_tail_index_orders",
     # ---- round-6 rotation (driver-green r6): the 44 queries with no
     # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
     # the r6 window.

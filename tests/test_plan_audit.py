@@ -19,6 +19,12 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-7 wave 5: 1-row scalar folds / literal-101-row folds
+    "gumbel_tail_events",             # ≤366-row daily-max moment fold
+    # → 1-row fit
+    "poisson_surprise_events",        # 1-row day-count scalar
+    "hill_tail_index_orders",         # the log fold runs on the
+    # literal 101-row top-k frame + its 1-row threshold broadcast
     # ---- round-7 wave 4: 1-row scalar folds
     "james_stein_user_shrinkage_events",  # 1-row pooled-moment state
     # (m, s2w, tau2) folded back as a broadcast cross join
@@ -175,6 +181,10 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-7 wave 5: 1-row scalar broadcasts
+    "poisson_surprise_events",        # 1-row day-count crossJoin
+    "hill_tail_index_orders",         # 1-row threshold crossJoin onto
+    # the literal 101-row top-k frame
     # ---- round-7 wave 4: 1-row scalar broadcasts
     "james_stein_user_shrinkage_events",  # 1-row (m, s2w, tau2)
     # crossJoin onto the per-user frame
