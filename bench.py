@@ -144,6 +144,8 @@ HEADLINE = [
     "chao1_good_turing_docs",         # gram-keyed abundance counts
     "james_stein_user_shrinkage_events",  # per-user moments + 1-row state
     "position_attribution_events",    # purchase-anchored path windows
+    "label_centroid_cosine_embeddings",  # (label, dim)-keyed cells
+    "poisson_surprise_events",        # user-keyed rate join + top-20
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
