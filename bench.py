@@ -182,6 +182,11 @@ SF1_SPOT = [
     # round-7: shingle-postings and co-supply pair growth risks
     "ngram_novelty_prefix_docs",
     "adamic_adar_links_suppliers",
+    # round-7 late waves: co-order pair growth feeding the bounded
+    # truss, basket-postings pair growth, and session-sweep growth
+    "ktruss_prune_suppliers",
+    "item_cooccurrence_cosine_parts",
+    "peak_concurrency_events",
 ]
 
 
