@@ -22094,6 +22094,207 @@ def hill_tail_q(spark, sf_dir):
     )
 
 
+@query(
+    "qte_quantile_lift_events",
+    """
+    WITH pu AS (
+      SELECT user_id, CAST(user_id AS BIGINT) % 2 AS grp,
+             CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS x
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT grp,
+             quantile_cont(x, 0.25) AS q25, quantile_cont(x, 0.5) AS q50,
+             quantile_cont(x, 0.75) AS q75, quantile_cont(x, 0.9) AS q90
+      FROM pu GROUP BY grp
+    ), long AS (
+      SELECT CAST(0.25 AS DOUBLE) AS p,
+             MAX(CASE WHEN grp = 1 THEN q25 END) AS qt,
+             MAX(CASE WHEN grp = 0 THEN q25 END) AS qc FROM arms
+      UNION ALL
+      SELECT 0.5, MAX(CASE WHEN grp = 1 THEN q50 END),
+             MAX(CASE WHEN grp = 0 THEN q50 END) FROM arms
+      UNION ALL
+      SELECT 0.75, MAX(CASE WHEN grp = 1 THEN q75 END),
+             MAX(CASE WHEN grp = 0 THEN q75 END) FROM arms
+      UNION ALL
+      SELECT 0.9, MAX(CASE WHEN grp = 1 THEN q90 END),
+             MAX(CASE WHEN grp = 0 THEN q90 END) FROM arms
+    )
+    SELECT p, ROUND(qt, 6) AS q_treat, ROUND(qc, 6) AS q_ctrl,
+           ROUND(qt - qc, 6) AS qte
+    FROM long ORDER BY p
+    """,
+)
+def qte_q(spark, sf_dir):
+    """Quantile treatment effects on per-user total value — where in
+    the DISTRIBUTION the treatment acts: a mean lift (DiD/CUPED) that
+    lives entirely above the median is a whales-only effect and ships
+    a different product decision than a uniform shift; QTE at
+    p ∈ {.25, .5, .75, .9} is the standard readout.  Per-user totals
+    are exact ×1e4 integers; each arm computes four quantiles in one
+    grouped pass (percentile ≡ quantile_cont, the proven parity); the
+    2-row arm frame pivots to the literal 4-row report."""
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.first(F.col("user_id") % 2).alias("grp"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).cast(
+                "double"
+            )
+            / 10000.0
+        ).alias("x"),
+    )
+    arms = pu.groupBy("grp").agg(
+        *[
+            F.expr(f"percentile(x, {p})").alias(f"q{int(p*100)}")
+            for p in (0.25, 0.5, 0.75, 0.9)
+        ]
+    )
+    longs = None
+    for p in (0.25, 0.5, 0.75, 0.9):
+        c = f"q{int(p*100)}"
+        one = arms.agg(
+            F.lit(p).alias("p"),
+            F.max(F.when(F.col("grp") == 1, F.col(c))).alias("qt"),
+            F.max(F.when(F.col("grp") == 0, F.col(c))).alias("qc"),
+        )
+        longs = one if longs is None else longs.unionByName(one)
+    return longs.select(
+        "p",
+        F.round("qt", 6).alias("q_treat"),
+        F.round("qc", 6).alias("q_ctrl"),
+        F.round(F.col("qt") - F.col("qc"), 6).alias("qte"),
+    ).orderBy("p")
+
+
+@query(
+    "fd_violation_profile_docs",
+    """
+    WITH sl AS (
+      SELECT 'source->lang' AS fd, source AS det,
+             COUNT(DISTINCT lang) AS nd, COUNT(*) AS n
+      FROM documents GROUP BY source
+    ), ls AS (
+      SELECT 'lang->source' AS fd, lang AS det,
+             COUNT(DISTINCT source) AS nd, COUNT(*) AS n
+      FROM documents GROUP BY lang
+    ), fds AS (
+      SELECT * FROM sl UNION ALL SELECT * FROM ls
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(MAX(nd) AS BIGINT) AS max_distinct_dependents,
+           ROUND(CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS DOUBLE)
+                 / SUM(n), 6) AS violating_row_share
+    FROM fds GROUP BY fd ORDER BY fd
+    """,
+)
+def fd_violation_q(spark, sf_dir):
+    """Functional-dependency violation profile — the data-contract
+    check schema types can't express: for each declared candidate FD
+    (source→lang, lang→source) report how many determinant groups
+    map to MORE than one dependent value and what share of rows sit
+    in violating groups.  An FD that 'mostly holds' is how silent
+    join fan-outs and bad dimension keys ship; profiling it is one
+    determinant-keyed count-distinct per FD — groups shrink the data
+    before anything global runs."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def profile(fd, det, dep):
+        return d.groupBy(F.col(det).alias("det")).agg(
+            F.lit(fd).alias("fd"),
+            F.countDistinct(dep).alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    both = profile("source->lang", "source", "lang").unionByName(
+        profile("lang->source", "lang", "source")
+    )
+    return (
+        both.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("violating_groups"),
+            F.max("nd").cast("bigint").alias("max_distinct_dependents"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nd") > 1, F.col("n")).otherwise(0)
+                ).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("violating_row_share"),
+        )
+        .orderBy("fd")
+    )
+
+
+@query("ess_importance_weights_docs", None)  # oracle attached below
+def ess_weights_q(spark, sf_dir):
+    """Effective sample size of importance weights per source — the
+    collapse detector every reweighted-sampling pipeline (DSIR,
+    quality-classifier keep-probabilities, temperature mixing) needs
+    BEFORE training on the weights: ESS = (Σw)²/Σw² drops from n
+    (uniform) toward 1 (one document carries all the mass), and an
+    ess_ratio ≪ 1 says the reweighting silently shrank the corpus.
+    Weights here are the hashed classifier's clipped keep-scores on
+    the literal 1001-grid, so Σw and Σw² are EXACT integer sums
+    (×1e3 / ×1e6 scales cancel in the ratio) — one grouped pass,
+    engine-identical arithmetic."""
+    scored = _scored_docs(spark, sf_dir).select(
+        "doc_id", _score_bin(F.col("score")).alias("w")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = scored.join(d, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w").cast("bigint") * F.col("w")).alias("sww"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("sw").cast("double")
+                * F.col("sw")
+                / F.col("sww"),
+                2,
+            ).alias("ess"),
+            F.round(
+                F.col("sw").cast("double")
+                * F.col("sw")
+                / (F.col("sww") * F.col("n_docs")),
+                6,
+            ).alias("ess_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+O["ess_importance_weights_docs"] = f"""
+    WITH {_scored_sql()}, b AS (
+      SELECT doc_id, CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 1000)
+                          AS INTEGER) AS w
+      FROM scored
+    ), j AS (
+      SELECT b.w, d.source FROM b JOIN documents d USING (doc_id)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(w) AS DOUBLE) * SUM(w)
+                 / SUM(CAST(w AS BIGINT) * w), 2) AS ess,
+           ROUND(CAST(SUM(w) AS DOUBLE) * SUM(w)
+                 / (SUM(CAST(w AS BIGINT) * w) * COUNT(*)), 6)
+             AS ess_ratio
+    FROM j GROUP BY source ORDER BY source
+    """
+
+
 # =====================================================================
 # Driver-facing registration order
 # =====================================================================
@@ -22191,6 +22392,9 @@ _PRIORITY = [
     "poisson_surprise_events",
     "label_centroid_cosine_embeddings",
     "hill_tail_index_orders",
+    "qte_quantile_lift_events",
+    "fd_violation_profile_docs",
+    "ess_importance_weights_docs",
     # ---- round-6 rotation (driver-green r6): the 44 queries with no
     # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
     # the r6 window.

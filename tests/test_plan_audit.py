@@ -19,6 +19,9 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-7 wave 6: bounded pivots
+    "qte_quantile_lift_events",       # 2-row arm quantile frame
+    # pivoted to the literal 4-row QTE report
     # ---- round-7 wave 5: 1-row scalar folds / literal-101-row folds
     "gumbel_tail_events",             # ≤366-row daily-max moment fold
     # → 1-row fit
