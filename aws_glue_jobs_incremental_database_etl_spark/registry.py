@@ -22309,12 +22309,45 @@ O["ess_importance_weights_docs"] = f"""
 # the driver's budget.
 
 _PRIORITY = [
-    # ---- round-7 rotation (VERDICT r6 Next-round #2): the 26 queries
+    # ---- round-8 rotation (VERDICT r7 Next-round #1): the 28 late
+    # round-7 queries with no driver CORRECTNESS row (past the r7
+    # window's 50-query cut; all 28 judge-verified green in the r7
+    # full 366/366 oracle run).  This window closes the driver
+    # evidence union at 366/366.
+    "brier_decomposition_quality_docs",
+    "conformal_interval_events",
+    "nelson_aalen_hazard_events",
+    "distinct_ngram_diversity_docs",
+    "hits_authority_suppliers",
+    "fano_factor_users_events",
+    "did_lift_events",
+    "hill_diversity_docs",
+    "group_sequential_monitor_events",
+    "negbin_overdispersion_events",
+    "peak_concurrency_events",
+    "laspeyres_price_index_lineitem",
+    "runs_test_daily_events",
+    "mann_kendall_trend_events",
+    "chao1_good_turing_docs",
+    "james_stein_user_shrinkage_events",
+    "delta_method_ratio_metric_events",
+    "mde_power_events",
+    "symspell_variants_parts",
+    "position_attribution_events",
+    "image_dhash_groups",
+    "gumbel_tail_events",
+    "poisson_surprise_events",
+    "label_centroid_cosine_embeddings",
+    "hill_tail_index_orders",
+    "qte_quantile_lift_events",
+    "fd_violation_profile_docs",
+    "ess_importance_weights_docs",
+    # ---- round-8 new queries (never sampled — right behind the 28
+    # evidence-gap queries so the 50-query window covers both)
+    # ---- round-7 rotation (driver-green r7): the 26 queries
     # with no driver CORRECTNESS row across r1-r6 (all round-6-wave
-    # additions past the r6 window's 50-query cut; all 26 were
-    # judge-verified green in the r6 full 314/314 oracle run).  One
-    # more ~50-query window closes the driver-evidence union at
-    # 314/314.
+    # additions past the r6 window's 50-query cut; all sampled 50/50
+    # green in the r7 window).
     "auc_by_lang_docs",
     "average_precision_quality_docs",
     "backtest_ses_daily_events",
@@ -22367,34 +22400,6 @@ _PRIORITY = [
     "best_split_gini_docs",
     "markov_next_event_accuracy",
     "ktruss_prune_suppliers",
-    "brier_decomposition_quality_docs",
-    "conformal_interval_events",
-    "nelson_aalen_hazard_events",
-    "distinct_ngram_diversity_docs",
-    "hits_authority_suppliers",
-    "fano_factor_users_events",
-    "did_lift_events",
-    "hill_diversity_docs",
-    "group_sequential_monitor_events",
-    "negbin_overdispersion_events",
-    "peak_concurrency_events",
-    "laspeyres_price_index_lineitem",
-    "runs_test_daily_events",
-    "mann_kendall_trend_events",
-    "chao1_good_turing_docs",
-    "james_stein_user_shrinkage_events",
-    "delta_method_ratio_metric_events",
-    "mde_power_events",
-    "symspell_variants_parts",
-    "position_attribution_events",
-    "image_dhash_groups",
-    "gumbel_tail_events",
-    "poisson_surprise_events",
-    "label_centroid_cosine_embeddings",
-    "hill_tail_index_orders",
-    "qte_quantile_lift_events",
-    "fd_violation_profile_docs",
-    "ess_importance_weights_docs",
     # ---- round-6 rotation (driver-green r6): the 44 queries with no
     # driver CORRECTNESS row across r1-r5, all sampled 50/50 green in
     # the r6 window.
