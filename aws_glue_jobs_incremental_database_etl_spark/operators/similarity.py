@@ -1963,11 +1963,15 @@ def knn_exact(
                 for j, i in enumerate(sel):
                     row = d2[j]
                     row = np.where(Bids == Aids[i], np.inf, row)
-                    kk = min(k, len(row) - 1)
+                    # duplicate ids mask >1 entry to inf — cut the
+                    # top-k over FINITE candidates only, else kth=inf
+                    # admits inf rows whose int64 cast is INT64_MIN
+                    finite = np.nonzero(np.isfinite(row))[0]
+                    kk = min(k, len(finite))
                     if kk <= 0:
                         continue
-                    kth = np.partition(row, kk - 1)[kk - 1]
-                    cand = np.nonzero(row <= kth)[0]
+                    kth = np.partition(row[finite], kk - 1)[kk - 1]
+                    cand = finite[row[finite] <= kth]
                     order = cand[np.lexsort((Bids[cand], row[cand]))][:kk]
                     outa.extend([Aids[i]] * len(order))
                     outb.extend(Bids[order].tolist())
@@ -2047,9 +2051,15 @@ def knn_exact_grouped(
             for j in range(e - s):
                 i = s + j
                 row = np.where(ids == ids[i], np.inf, d2[j])
-                kk = min(k, n - 1)
-                kth = np.partition(row, kk - 1)[kk - 1]
-                cand = np.nonzero(row <= kth)[0]
+                # duplicate ids mask >1 entry to inf — cut the top-k
+                # over FINITE candidates only, else kth=inf admits
+                # inf rows whose int64 cast is INT64_MIN
+                finite = np.nonzero(np.isfinite(row))[0]
+                kk = min(k, len(finite))
+                if kk <= 0:
+                    continue
+                kth = np.partition(row[finite], kk - 1)[kk - 1]
+                cand = finite[row[finite] <= kth]
                 order = cand[np.lexsort((ids[cand], row[cand]))][:kk]
                 outa.extend([ids[i]] * len(order))
                 outb.extend(ids[order].tolist())

@@ -1645,6 +1645,36 @@ def test_knn_exact_broadcast_guard(spark, sf_dir):
     ).collect()
 
 
+def test_knn_duplicate_ids_no_garbage_rows(spark, sf_dir):
+    """Duplicate ids mask >1 candidate to inf; with fewer than k
+    finite candidates the top-k cut must emit FEWER rows — never
+    inf-distance rows int64-cast to INT64_MIN (advisor r7)."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        knn_exact,
+        knn_exact_grouped,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(3)
+    # 3 distinct ids, each duplicated → per query, 4 same-id rows are
+    # masked out of 6, leaving only 4 finite candidates for k=5
+    dup = emb.union(emb).withColumn("grp", F.lit(0).cast("long"))
+    for out in (
+        knn_exact(dup, "vec_id", "embedding", k=5, group_col="grp"),
+        knn_exact_grouped(dup, "vec_id", "embedding", k=5, group_col="grp"),
+    ):
+        rows = out.collect()
+        assert rows, "under-populated groups should still emit finite rows"
+        for r in rows:
+            assert r.d2 >= 0, f"garbage distance {r.d2} leaked"
+            assert r.ida != r.idb
+        per_query = {}
+        for r in rows:
+            per_query[r.ida] = per_query.get(r.ida, 0) + 1
+        # each id occurs as a query row TWICE (it's duplicated) and
+        # each query row has only 4 finite candidates, not k=5
+        assert all(c <= 8 for c in per_query.values())
+
+
 def test_knn_exact_null_group_raises(spark, sf_dir):
     """knn_exact with group_col raises loudly on a NULL group value
     (which would otherwise NaN-poison the int64 cast inside the
