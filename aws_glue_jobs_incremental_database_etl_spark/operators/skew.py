@@ -66,3 +66,51 @@ def recommend_salt(df: DataFrame, key_cols: list[str], target_share: float = 0.0
     import math
 
     return math.ceil(max_share / target_share)
+
+
+def cap_key_fanout(
+    df: DataFrame,
+    key_col: str,
+    max_df: int | None = 256,
+    what: str = "postings",
+) -> DataFrame:
+    """Drop every key whose fan-out (rows per key — pass a frame
+    already distinct on (key, item)) exceeds ``max_df``, BEFORE a
+    postings self-join on that key: the 100 TB guard that bounds any
+    bucket's pair fan-out at ``max_df²`` (the ``winnow_near_dup_pairs``
+    ``max_df`` pattern, generalized to any keyed self-join — VERDICT
+    r7 #2 wired it into the Adamic–Adar part key and the item2item
+    basket key as a default instead of a docstring deferral).
+
+    Defaults ON: an uncapped postings self-join is the one all-pairs
+    blowup shape, and a single ubiquitous key (boilerplate
+    fingerprint, mega-basket, hub part) is exactly what 1000× more
+    data adds.  The over-cap key set is small by construction →
+    broadcast anti-join, no extra shuffle of the postings frame.
+    When keys are actually dropped a warning reports the count —
+    results become corpus-dependent at that point, which must be
+    observable, never silent.  ``max_df=None`` opts out explicitly.
+    """
+    if max_df is None:
+        return df
+    over = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(key_col)
+        .localCheckpoint(eager=False)
+    )
+    n_over = over.count()
+    if n_over:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cap_key_fanout: max_df=%d dropped %d over-cap %s keys "
+            "(fan-out guard) — pairs through those keys will not "
+            "surface; pass max_df=None to disable (read the scale "
+            "caveat first)",
+            max_df,
+            n_over,
+            what,
+        )
+    return df.join(F.broadcast(over), key_col, "left_anti")

@@ -18817,14 +18817,19 @@ def adamic_adar_q(spark, sf_dir):
     — and the top-20 predicted links surface.  Pair generation is the
     postings self-join on the part key (bounded per-part fan-out,
     never all-pairs — the Jaccard-family shape); the degree weight
-    joins in on the same key, so one shuffle keys everything.  At
-    100 TB add the dedup family's max-df cap on part degree to bound
-    the worst bucket."""
+    joins in on the same key, so one shuffle keys everything.  The
+    100 TB guard is wired on by default: ``cap_key_fanout`` drops
+    hub parts with degree > 256 (far above this schema's max of 52
+    at sf0.1, so gates are unchanged) via a broadcast anti-join and
+    logs the drop count — bounding the worst bucket at 256² pairs."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.skew import cap_key_fanout
+
     li = load_table(spark, sf_dir, "lineitem")
     e = li.select(
         F.col("l_partkey").cast("bigint").alias("p"),
         F.col("l_suppkey").cast("bigint").alias("s"),
     ).distinct()
+    e = cap_key_fanout(e, "p", max_df=256, what="part-degree")
     deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
@@ -19445,11 +19450,17 @@ def item_cooccur_q(spark, sf_dir):
     classic Amazon item2item score), top-20 pairs with ≥2 shared
     baskets.  Pair generation is the basket-keyed postings self-join
     (bounded per-order fan-out, never item×item); the item-count
-    dimension joins back on the part key.  At 100 TB cap basket size
-    (the association-rules gate's guard) to bound the worst order."""
+    dimension joins back on the part key.  The 100 TB guard is wired
+    on by default: ``cap_key_fanout`` drops mega-baskets with > 256
+    items (far above this schema's max of 17 at sf0.1, so gates are
+    unchanged) via a broadcast anti-join and logs the drop count —
+    bounding the worst order at 256² pairs."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.skew import cap_key_fanout
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
+    li = cap_key_fanout(li, "l_orderkey", max_df=256, what="basket-size")
     n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = li.alias("a"), li.alias("b")
     co = (

@@ -658,6 +658,40 @@ def test_skew_stats_and_salt_recommendation(spark):
     assert recommend_salt(uniform, ["k"], target_share=0.05) == 1
 
 
+def test_cap_key_fanout_drops_hub_keys_and_warns(spark, caplog):
+    """The postings-self-join fan-out guard: a hub key past max_df is
+    anti-joined out (warning fired with the drop count), under-cap
+    keys pass through untouched, max_df=None opts out."""
+    import logging
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.skew import (
+        cap_key_fanout,
+    )
+
+    # key 7 is the hub: 30 items; keys 1..5 hold 3 items each
+    rows = [(7, i) for i in range(30)] + [
+        (k, i) for k in range(1, 6) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "k long, item long")
+    with caplog.at_level(logging.WARNING):
+        capped = cap_key_fanout(df, "k", max_df=10, what="unit-test")
+        out = capped.collect()
+    assert {r.k for r in out} == {1, 2, 3, 4, 5}
+    assert len(out) == 15
+    assert any(
+        "dropped 1 over-cap unit-test keys" in r.message for r in caplog.records
+    )
+    # broadcast anti-join — the postings frame is never re-shuffled
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        assert cap_key_fanout(df, "k", max_df=None).count() == 45
+        assert cap_key_fanout(df, "k", max_df=30).count() == 45  # at cap: keep
+    assert not caplog.records
+
+
 def test_repetition_signals_known_values(spark):
     from aws_glue_jobs_incremental_database_etl_spark.operators.text import repetition_signals
 
