@@ -190,6 +190,77 @@ SF1_SPOT = [
 ]
 
 
+# sf1 regression tripwire (VERDICT r7 #6): every sf1 probe emits its
+# ratio vs this run's sf0.1 min-of-2 timing, and the bench exits
+# nonzero past the bound — a committed quadratic regression should
+# fail the script, not wait for a human to divide two JSON fields.
+# Default bound 9× for the linear family (10× rows, AQE coalesce and
+# fixed overheads keep honest linear queries under it).  Per-query
+# overrides document the measured structural exceptions; probes
+# faster than SF1_MIN_SECONDS are skipped (a 0.3 s base is all noise
+# floor — single-shot sf1 vs min-of-2 sf0.1 swings 3× on this host).
+SF1_RATIO_BOUND_DEFAULT = 9.0
+SF1_MIN_SECONDS = 5.0
+SF1_RATIO_BOUND = {
+    # co-supply degree grows with SF, so pair fan-out grows faster
+    # than rows until the max_df=256 cap binds (measured 8.15× in r7
+    # pre-cap); headroom for the cap-threshold region
+    "adamic_adar_links_suppliers": 12.0,
+}
+
+
+def sf1_ratio_violations(
+    base: dict[str, float],
+    sf1: dict[str, float],
+    default_bound: float = SF1_RATIO_BOUND_DEFAULT,
+    bounds: dict[str, float] | None = None,
+    min_seconds: float = SF1_MIN_SECONDS,
+) -> tuple[dict[str, float], list[str]]:
+    """Per-probe sf1/sf0.1 ratios plus the list of bound violations
+    (empty = pass).  Pure function so the tripwire itself is unit-
+    testable with a synthetic quadratic query."""
+    merged = dict(SF1_RATIO_BOUND)
+    merged.update(bounds or {})
+    ratios: dict[str, float] = {}
+    violations: list[str] = []
+    for name, t1 in sf1.items():
+        t0 = base.get(name)
+        if not t0:
+            continue
+        ratio = round(t1 / t0, 2)
+        ratios[name] = ratio
+        bound = merged.get(name, default_bound)
+        if t1 >= min_seconds and ratio > bound:
+            violations.append(
+                f"{name}: {t1:.2f}s at sf1 = {ratio:.1f}x its sf0.1 "
+                f"{t0:.2f}s (bound {bound:.1f}x)"
+            )
+    return ratios, violations
+
+
+def host_load() -> dict:
+    """Snapshot host business for cross-round bench comparability
+    (VERDICT r7 #8): a uniform timing drift with elevated load1 here
+    is a busier-host signature, decidable from artifacts alone."""
+    out: dict = {"cpus": os.cpu_count()}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        out.update(
+            load1=float(parts[0]),
+            load5=float(parts[1]),
+            load15=float(parts[2]),
+            runnable_over_total=parts[3],
+        )
+    except (OSError, IndexError, ValueError):
+        try:
+            la = os.getloadavg()
+            out.update(load1=la[0], load5=la[1], load15=la[2])
+        except OSError:
+            pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from aws_glue_jobs_incremental_database_etl_spark.session import get_spark
@@ -198,6 +269,7 @@ def main() -> None:
     # Console progress bars share stdout/stderr with the result line;
     # the driver captures only the final ~3 KB of output, so any noise
     # after (or interleaved with) the JSON line can truncate it.
+    load_start = host_load()
     spark = get_spark(
         app_name="bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -249,6 +321,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host_load": {"start": load_start, "end": host_load()},
     }
 
     # Cross-round comparability (VERDICT r6 #5): the committed
@@ -292,12 +365,16 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 sf1_timings[name] = round(time.time() - t0, 2)
+            ratios, violations = sf1_ratio_violations(timings, sf1_timings)
             result["sf1"] = {
                 "value": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
                 "rows_factor": 10,
+                "ratio_vs_sf01": ratios,
             }
-        except Exception as e:  # sf1 is additive — never fail the bench
+            if violations:
+                result["sf1"]["violations"] = violations
+        except Exception as e:  # sf1 setup is additive — never fail the bench
             result["sf1_error"] = f"{type(e).__name__}: {e}"
 
     # Full result (pretty) always lands next to the repo for the judge.
@@ -322,11 +399,19 @@ def main() -> None:
         summary["common_subset"] = result["common_subset"]
     if "sf1" in result:
         summary["sf1_total_s"] = result["sf1"]["value"]
+        if "violations" in result["sf1"]:
+            summary["sf1_violations"] = len(result["sf1"]["violations"])
     elif "sf1_error" in result:
         summary["sf1_error"] = result["sf1_error"][:120]
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) <= 1024, f"bench summary line too long: {len(line)}"
     print(line, flush=True)
+    if result.get("sf1", {}).get("violations"):
+        # the regression tripwire: superlinear growth past the bound
+        # fails the bench run loudly (details in BENCH_LOCAL.json)
+        for v in result["sf1"]["violations"]:
+            print(f"SF1 RATIO VIOLATION: {v}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

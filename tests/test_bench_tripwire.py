@@ -1,0 +1,70 @@
+"""The bench harness's sf1 regression tripwire (VERDICT r7 #6).
+
+``sf1_ratio_violations`` is a pure function over the two timing dicts,
+so the tripwire is pinned hermetically: a deliberate quadratic query
+(10× rows → ~100× time) must trip it, linear and iteration-floor
+queries must not, and the noise floor / per-query overrides apply.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import (  # noqa: E402
+    SF1_RATIO_BOUND,
+    host_load,
+    sf1_ratio_violations,
+)
+
+
+def test_quadratic_query_trips():
+    base = {"linear_q": 2.0, "quadratic_q": 1.5, "iter_q": 5.0}
+    sf1 = {"linear_q": 16.0, "quadratic_q": 140.0, "iter_q": 14.0}
+    ratios, violations = sf1_ratio_violations(base, sf1)
+    assert ratios == {"linear_q": 8.0, "quadratic_q": 93.33, "iter_q": 2.8}
+    assert len(violations) == 1
+    assert violations[0].startswith("quadratic_q:")
+    assert "93.3x" in violations[0]
+
+
+def test_noise_floor_skips_tiny_probes():
+    # 0.1 s → 2.0 s is 20× but under the 5 s floor: all noise, no trip
+    _, violations = sf1_ratio_violations({"tiny_q": 0.1}, {"tiny_q": 2.0})
+    assert violations == []
+    # the same ratio above the floor trips
+    _, violations = sf1_ratio_violations({"big_q": 1.0}, {"big_q": 20.0})
+    assert len(violations) == 1
+
+
+def test_per_query_bound_override():
+    base = {"adamic_adar_links_suppliers": 2.0, "other_q": 2.0}
+    sf1 = {"adamic_adar_links_suppliers": 22.0, "other_q": 22.0}
+    ratios, violations = sf1_ratio_violations(base, sf1)
+    # 11x: within adamic_adar's documented 12x override, past the
+    # default 9x for everything else
+    assert ratios["adamic_adar_links_suppliers"] == 11.0
+    assert len(violations) == 1 and violations[0].startswith("other_q:")
+    # explicit bounds param overrides the table
+    _, violations = sf1_ratio_violations(
+        base, sf1, bounds={"other_q": 15.0, "adamic_adar_links_suppliers": 10.0}
+    )
+    assert len(violations) == 1
+    assert violations[0].startswith("adamic_adar_links_suppliers:")
+
+
+def test_unknown_base_query_skipped():
+    _, violations = sf1_ratio_violations({}, {"new_q": 100.0})
+    assert violations == []
+
+
+def test_bound_table_documented():
+    # every override must stay a finite float above the default's intent
+    for name, bound in SF1_RATIO_BOUND.items():
+        assert isinstance(name, str) and bound > 0
+
+
+def test_host_load_snapshot_shape():
+    snap = host_load()
+    assert snap["cpus"] >= 1
+    assert "load1" in snap and snap["load1"] >= 0.0
