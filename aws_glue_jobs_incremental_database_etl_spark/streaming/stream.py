@@ -263,6 +263,7 @@ def run_streaming_ingestion(
     text_col: str = "text",
     min_quality: float | None = 0.3,
     engine: str = "minhash",
+    compact_every_n_batches: int | None = 16,
 ) -> None:
     """Continuous training-data ingestion: document stream → quality
     filter → incremental near-dup dedup against a persistent signature
@@ -296,6 +297,17 @@ def run_streaming_ingestion(
     State per batch is O(batch + touched index buckets); the index is
     a parquet table that at 100 TB should be bucketed by band
     signature (see ``operators/incremental_dedup.py``).
+
+    The index gains a file per batch; ``compact_every_n_batches``
+    (default 16, ``None`` = manual-only) folds it via the index's own
+    ``compact()`` every n-th epoch, strictly AFTER that epoch's corpus
+    commit, so listing and per-file open cost stay bounded over an
+    unbounded ingest (VERDICT r7 #4).  Replay-safe by construction:
+    dedup results are byte-identical before/after compaction, a crash
+    between the corpus commit and the compaction replays the epoch
+    into the skip path (compaction simply waits for the next cadence
+    hit), and a crash INSIDE compaction heals on the next index read
+    (the ``_REPLACES`` manifest contract).
     """
     from ..operators.incremental_dedup import MinHashIndex, WinnowIndex
     from ..operators.text import quality_filter
@@ -322,6 +334,13 @@ def run_streaming_ingestion(
             shutil.rmtree(tmp)
         survivors.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)  # the commit point
+        if (
+            compact_every_n_batches
+            and (batch_id + 1) % compact_every_n_batches == 0
+        ):
+            # strictly after the corpus commit: the survivors lineage
+            # is already severed from the files compaction GCs
+            index.compact(batch.sparkSession)
 
     q = (
         stream_df.writeStream.foreachBatch(_ingest)
