@@ -1,0 +1,1455 @@
+"""Round-8 wave: omnibus / post-hoc / sequential testing, robust
+variants, and drift monitors — split-registry domain module.
+
+Registration order is preserved by the package ``__init__`` importing
+the domain modules in the original file order; ``Q``/``O`` are the
+shared dicts from ``._core``.
+"""
+
+from __future__ import annotations
+
+import tempfile  # noqa: F401
+
+import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ..functions import epoch_us  # noqa: F401
+from ..tables import load_table  # noqa: F401
+from ._core import (  # noqa: F401
+    _LM_CE_SQL,
+    _SHINGLE_INTER_SQL,
+    O,
+    Q,
+    query,
+)
+
+
+# =====================================================================
+# Round-8 wave: omnibus / post-hoc / sequential testing
+# =====================================================================
+
+@query(
+    "g_test_dow_events",
+    """
+    WITH cells AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS r,
+             COUNT(DISTINCT dow) AS c
+      FROM cells
+    ), marg AS (
+      SELECT c.event_type, c.dow, c.o,
+             SUM(c.o) OVER (PARTITION BY c.event_type) AS rt,
+             SUM(c.o) OVER (PARTITION BY c.dow) AS ct
+      FROM cells c
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_events,
+           CAST((t.r - 1) * (t.c - 1) AS BIGINT) AS df,
+           ROUND(2 * SUM(CASE WHEN m.o > 0 THEN m.o * LN(
+                 m.o / (CAST(m.rt AS DOUBLE) * m.ct / t.n)) ELSE 0 END),
+                 6) AS g_stat
+    FROM marg m CROSS JOIN tot t
+    GROUP BY t.n, t.r, t.c
+    """,
+)
+def g_test_dow_q(spark, sf_dir):
+    """Log-likelihood-ratio test of independence (G-test) on the
+    event_type × ISO-day-of-week contingency table — the
+    information-theoretic twin of the Pearson χ² drift gate
+    (G = 2·Σ O·ln(O/E) = 2N·MI in nats, additive under partitioning
+    where χ² is not, which is why G is the right form to MERGE across
+    shards at 100 TB).  One hash agg reduces the corpus to the r×c
+    grid; marginals are windows over that literal grid.  Zero cells
+    contribute 0 (lim x·ln x = 0).  Spark weekday()+1 ≙ DuckDB
+    isodow."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.weekday(F.to_date("ts")) + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = (
+        cells.withColumn(
+            "rt", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+        .withColumn(
+            "r",
+            F.size(
+                F.collect_set("event_type").over(Window.partitionBy())
+            ),
+        )
+        .withColumn(
+            "c", F.size(F.collect_set("dow").over(Window.partitionBy()))
+        )
+    )
+    term = F.when(
+        F.col("o") > 0,
+        F.col("o")
+        * F.log(
+            F.col("o")
+            / (F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        m.groupBy("n", "r", "c")
+        .agg(F.round(2 * F.sum(term), 6).alias("g_stat"))
+        .select(
+            F.col("n").cast("bigint").alias("n_events"),
+            ((F.col("r") - 1) * (F.col("c") - 1))
+            .cast("bigint")
+            .alias("df"),
+            "g_stat",
+        )
+    )
+
+
+@query(
+    "brown_forsythe_orders",
+    """
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+               AS med_c
+      FROM orders GROUP BY o_orderpriority
+    ), w AS (
+      SELECT o.o_orderpriority,
+             CAST(ROUND(2 * ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                                - m.med_c)) AS BIGINT) AS w
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ), cells AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(w) AS s,
+             SUM(CAST(w AS HUGEINT) * w) AS ss
+      FROM w GROUP BY o_orderpriority
+    ), agg AS (
+      SELECT COUNT(*) AS k, SUM(n) AS n,
+             SUM(CAST(s AS DOUBLE) * s / n) AS sb_raw,
+             SUM(s) AS gs, SUM(CAST(ss AS DOUBLE)) AS gss
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders, CAST(k AS BIGINT) AS n_groups,
+           ROUND(((sb_raw - CAST(gs AS DOUBLE) * gs / n) / (k - 1))
+                 / ((gss - sb_raw) / (n - k)), 6) AS f_stat
+    FROM agg
+    """,
+)
+def brown_forsythe_q(spark, sf_dir):
+    """Brown–Forsythe (median-based Levene) test of variance
+    homogeneity across order priorities — the gatekeeper for the
+    equal-variance assumption upstream of the pooled-variance tests.
+    One-way ANOVA F on w = |x − median_g|: medians per group over
+    exact integer cents, then w doubled so the k+0.5 median case
+    stays EXACT integer; squared sums accumulate decimal(38,0) ≙
+    HUGEINT (w² ≤ 1e16 × 150k rows overflows int64 at sf0.1).  Spark
+    percentile ≙ DuckDB quantile_cont (parity pinned by the weighted
+    median gate)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile(cents, F.lit(0.5)).alias("med_c")
+    )
+    w = (
+        o.select("o_orderpriority", cents.alias("c"))
+        .join(med, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round(2 * F.abs(F.col("c") - F.col("med_c")))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    cells = w.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("s"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("ss"),
+    )
+    agg = cells.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sb_raw"
+        ),
+        F.sum("s").alias("gs"),
+        F.sum(F.col("ss").cast("double")).alias("gss"),
+    )
+    ssb = F.col("sb_raw") - F.col("gs").cast("double") * F.col("gs") / F.col(
+        "n"
+    )
+    ssw = F.col("gss") - F.col("sb_raw")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "tukey_hsd_priority_orders",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS g, COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
+             SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS ss
+      FROM orders GROUP BY o_orderpriority
+    ), msw AS (
+      SELECT SUM(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+               / (SUM(n) - COUNT(*)) AS msw
+      FROM cells
+    )
+    SELECT a.g AS g_a, b.g AS g_b,
+           ROUND((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                 / 100.0, 4) AS mean_diff,
+           ROUND(ABS(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                 / sqrt(m.msw / 2 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat,
+           ABS(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                 / sqrt(m.msw / 2 * (1.0 / a.n + 1.0 / b.n)) > 3.858
+             AS significant
+    FROM cells a JOIN cells b ON a.g < b.g CROSS JOIN msw m
+    ORDER BY g_a, g_b
+    """,
+)
+def tukey_hsd_q(spark, sf_dir):
+    """Tukey HSD post-hoc sweep after the ANOVA omnibus: every pair of
+    order-priority groups gets the studentized-range statistic
+    q = |x̄_a − x̄_b| / √(MSW/2 · (1/n_a + 1/n_b)) with the
+    Tukey–Kramer unequal-n correction, flagged at q₀.₀₅(k=5, df=∞) =
+    3.858 (fixed critical constant, documented — no p interpolation).
+    The corpus reduces to k=5 exact integer-cents moment cells; the
+    pair sweep is a self-join of a 5-row frame (broadcast, k² pairs).
+    Means/MSW in cents, mean_diff reported in dollars."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cells = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("ss"),
+    )
+    msw = cells.groupBy().agg(
+        (
+            F.sum(
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("msw")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    mean_a = F.col("a.s").cast("double") / F.col("a.n")
+    mean_b = F.col("b.s").cast("double") / F.col("b.n")
+    se = F.sqrt(
+        F.col("msw") / 2 * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+    )
+    qstat = F.abs(mean_a - mean_b) / se
+    return (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .join(F.broadcast(msw), F.lit(True))
+        .select(
+            F.col("a.g").alias("g_a"),
+            F.col("b.g").alias("g_b"),
+            F.round((mean_a - mean_b) / 100.0, 4).alias("mean_diff"),
+            F.round(qstat, 6).alias("q_stat"),
+            (qstat > 3.858).alias("significant"),
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+@query(
+    "kruskal_wallis_dow_value_events",
+    """
+    WITH obs AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ), hist AS (
+      SELECT event_type, v, COUNT(*) AS t FROM obs GROUP BY event_type, v
+    ), rk AS (
+      SELECT event_type, v, t,
+             SUM(t) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before
+      FROM hist
+    ), rank_of AS (
+      SELECT event_type, v,
+             COALESCE(cum_before, 0) + (t + 1) / 2.0 AS avg_rank, t
+      FROM rk
+    ), grp AS (
+      SELECT o.event_type, o.dow, COUNT(*) AS nj, SUM(r.avg_rank) AS rj
+      FROM obs o JOIN rank_of r ON o.event_type = r.event_type AND o.v = r.v
+      GROUP BY o.event_type, o.dow
+    ), n AS (
+      SELECT event_type, SUM(nj) AS n FROM grp GROUP BY event_type
+    ), tie AS (
+      SELECT event_type,
+             SUM(CAST(t AS DOUBLE) * t * t - t) AS tie_sum
+      FROM rank_of GROUP BY event_type
+    ), h AS (
+      SELECT g.event_type, ANY_VALUE(n.n) AS n, COUNT(*) AS k,
+             12.0 / (ANY_VALUE(n.n) * (ANY_VALUE(n.n) + 1.0))
+               * SUM(g.rj * g.rj / g.nj)
+               - 3 * (ANY_VALUE(n.n) + 1.0) AS h_raw
+      FROM grp g JOIN n ON g.event_type = n.event_type
+      GROUP BY g.event_type
+    )
+    SELECT h.event_type, CAST(h.n AS BIGINT) AS n_events,
+           CAST(h.k AS BIGINT) AS n_groups,
+           ROUND(h.h_raw, 6) AS h_stat,
+           ROUND(h.h_raw / (1 - t.tie_sum
+                 / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n)), 6)
+             AS h_tie_adj
+    FROM h JOIN tie t ON h.event_type = t.event_type
+    ORDER BY h.event_type
+    """,
+)
+def kruskal_wallis_q(spark, sf_dir):
+    """Kruskal–Wallis rank test of event value across day-of-week
+    groups per event type — the distribution-free twin of the ANOVA
+    omnibus gate, with the exact tie correction.  The 100 TB shape:
+    average ranks come from the cumulative window over the QUANTIZED
+    value histogram (×100 cents grid, ≤|domain| rows per type), never
+    a per-row sort — rank_of is a bounded-grid frame joined back to
+    the (type, dow, v) counts, so the only row-scale operations are
+    two hash aggs.  Ranks are exact halves (k or k+0.5) → R_j sums
+    exact; tie term uses Σ(t³−t) over the same histogram."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("t"))
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank_of = hist.select(
+        "event_type",
+        "v",
+        "t",
+        (
+            F.coalesce(F.sum("t").over(wv), F.lit(0))
+            + (F.col("t") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    grp = (
+        obs.groupBy("event_type", "dow", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(rank_of, ["event_type", "v"])
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("c").alias("nj"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("rj"),
+        )
+    )
+    n = grp.groupBy("event_type").agg(F.sum("nj").alias("n"))
+    tie = rank_of.groupBy("event_type").agg(
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_sum")
+    )
+    h = (
+        grp.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            (
+                12.0
+                / (F.first("n") * (F.first("n") + 1.0))
+                * F.sum(F.col("rj") * F.col("rj") / F.col("nj"))
+                - 3 * (F.first("n") + 1.0)
+            ).alias("h_raw"),
+        )
+    )
+    return (
+        h.join(tie, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("k").cast("bigint").alias("n_groups"),
+            F.round("h_raw", 6).alias("h_stat"),
+            F.round(
+                F.col("h_raw")
+                / (
+                    1
+                    - F.col("tie_sum")
+                    / (
+                        F.col("n").cast("double")
+                        * F.col("n")
+                        * F.col("n")
+                        - F.col("n")
+                    )
+                ),
+                6,
+            ).alias("h_tie_adj"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sprt_purchase_rate_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+      FROM events GROUP BY 1
+    ), llr AS (
+      SELECT day, n, x,
+             x * LN(0.22 / 0.18) + (n - x) * LN(0.78 / 0.82) AS llr_day
+      FROM daily
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events, CAST(x AS BIGINT) AS n_purch,
+           ROUND(llr_day, 6) AS llr_day,
+           ROUND(SUM(llr_day) OVER (ORDER BY day), 6) AS cum_llr,
+           CASE WHEN SUM(llr_day) OVER (ORDER BY day) >= LN(0.9 / 0.05)
+                THEN 'accept_h1'
+                WHEN SUM(llr_day) OVER (ORDER BY day) <= LN(0.1 / 0.95)
+                THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM llr ORDER BY day
+    """,
+)
+def sprt_q(spark, sf_dir):
+    """Wald's sequential probability ratio test on the daily purchase
+    rate — H0: p = 0.18 vs H1: p = 0.22 (α = 0.05, β = 0.10, all
+    fixed documented constants): per day the binomial log-likelihood
+    ratio increment, cumulated in day order, labeled against the Wald
+    boundaries ln((1−β)/α) / ln(β/(1−α)).  This is the always-valid
+    sequential family's simplest member (the group-sequential monitor
+    gate is its z-test sibling); the corpus reduces to one row per
+    day before any window, so the ordered cumulation runs on a
+    bounded series.  State is per-day (non-sticky) by contract —
+    the first-crossing day is visible as the first non-continue
+    row."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    import math
+
+    la = math.log(0.22 / 0.18)
+    lb = math.log(0.78 / 0.82)
+    hi = math.log(0.9 / 0.05)
+    lo = math.log(0.1 / 0.95)
+    llr = daily.withColumn(
+        "llr_day", F.col("x") * la + (F.col("n") - F.col("x")) * lb
+    )
+    wd = Window.orderBy("day")
+    cum = F.sum("llr_day").over(wd)
+    return llr.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("x").cast("bigint").alias("n_purch"),
+        F.round("llr_day", 6).alias("llr_day"),
+        F.round(cum, 6).alias("cum_llr"),
+        F.when(cum >= hi, "accept_h1")
+        .when(cum <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+    ).orderBy("day")
+
+
+@query(
+    "page_hinkley_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS m
+      FROM events GROUP BY 1, 2
+    ), acc AS (
+      SELECT event_type, day, m,
+             AVG(m) OVER (PARTITION BY event_type ORDER BY day) AS rm
+      FROM daily
+    ), mt AS (
+      SELECT event_type, day, m, rm,
+             SUM(m - rm - 0.005) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS mt
+      FROM acc
+    )
+    SELECT event_type, day, ROUND(m, 6) AS daily_mean,
+           ROUND(mt - MIN(mt) OVER (PARTITION BY event_type ORDER BY day),
+                 6) AS ph_stat,
+           mt - MIN(mt) OVER (PARTITION BY event_type ORDER BY day) > 5.0
+             AS alarm
+    FROM mt ORDER BY event_type, day
+    """,
+)
+def page_hinkley_q(spark, sf_dir):
+    """Page–Hinkley upward-drift monitor on each event type's daily
+    mean value: M_t = Σ_{i≤t}(x_i − x̄_i − δ) with the running mean
+    x̄_i and allowance δ = 0.005, PH_t = M_t − min_{s≤t} M_s, alarm
+    past λ = 5 — the classic sequential change detector (the CUSUM
+    gate's self-normalizing sibling; this variant needs no known
+    baseline mean).  The corpus reduces to one exact integer-cents
+    row per (type, day) before the three ordered windows, all over
+    the bounded daily series.  Daily means divide exact integer sums
+    so both engines see identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("m")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    acc = daily.withColumn("rm", F.avg("m").over(wd))
+    mt = acc.withColumn(
+        "mt", F.sum(F.col("m") - F.col("rm") - 0.005).over(wd)
+    )
+    ph = F.col("mt") - F.min("mt").over(wd)
+    return mt.select(
+        "event_type",
+        "day",
+        F.round("m", 6).alias("daily_mean"),
+        F.round(ph, 6).alias("ph_stat"),
+        (ph > 5.0).alias("alarm"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "ewma_control_chart_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS x
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), base AS (
+      SELECT event_type, AVG(x) AS mu,
+             sqrt((SUM(x * x) - SUM(x) * SUM(x) / COUNT(*))
+                  / (COUNT(*) - 1)) AS sigma
+      FROM daily GROUP BY event_type
+    ), ew AS (
+      SELECT event_type, day, rn, x, x AS s FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn, n.x, 0.25 * n.x + 0.75 * e.s
+      FROM num n JOIN ew e
+        ON n.event_type = e.event_type AND n.rn = e.rn + 1
+    )
+    SELECT e.event_type, e.day, ROUND(e.x, 6) AS daily_mean,
+           ROUND(e.s, 6) AS ewma,
+           ROUND(b.mu + 3 * b.sigma * sqrt(0.25 / 1.75
+                 * (1 - power(0.5625, e.rn))), 6) AS ucl,
+           ROUND(b.mu - 3 * b.sigma * sqrt(0.25 / 1.75
+                 * (1 - power(0.5625, e.rn))), 6) AS lcl,
+           e.s > b.mu + 3 * b.sigma * sqrt(0.25 / 1.75
+                 * (1 - power(0.5625, e.rn)))
+           OR e.s < b.mu - 3 * b.sigma * sqrt(0.25 / 1.75
+                 * (1 - power(0.5625, e.rn))) AS out_of_control
+    FROM ew e JOIN base b ON e.event_type = b.event_type
+    ORDER BY e.event_type, e.day
+    """,
+)
+def ewma_chart_q(spark, sf_dir):
+    """EWMA control chart (λ = 1/4) on each event type's daily mean:
+    s_t = λx_t + (1−λ)s_{t−1} with exact dyadic arithmetic (0.25 and
+    0.75 are powers-of-two sums, so Spark's fold and the oracle's
+    recursive CTE produce bit-identical levels — the SES gate's
+    trick), against the finite-horizon control limits
+    μ ± 3σ·√(λ/(2−λ)·(1−(1−λ)^{2t})).  μ/σ are the in-control
+    estimates from the whole daily series.  The recursion walks the
+    BOUNDED per-type daily array inside one applyInPandas kernel —
+    the stream-ready shape (the experiment monitor folds the same
+    daily deltas)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("x")
+    )
+    base = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma"),
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = None
+        out = []
+        for x in pdf["x"]:
+            s = x if s is None else 0.25 * x + 0.75 * s
+            out.append(s)
+        pdf["s"] = out
+        pdf["rn"] = range(1, len(pdf) + 1)
+        return pdf
+
+    ew = daily.groupBy("event_type").applyInPandas(
+        ewma, "event_type string, day date, x double, s double, rn long"
+    )
+    width = 3 * F.col("sigma") * F.sqrt(
+        F.lit(0.25 / 1.75) * (1 - F.pow(F.lit(0.5625), F.col("rn")))
+    )
+    ucl = F.col("mu") + width
+    lcl = F.col("mu") - width
+    return (
+        ew.join(base, "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.round("x", 6).alias("daily_mean"),
+            F.round("s", 6).alias("ewma"),
+            F.round(ucl, 6).alias("ucl"),
+            F.round(lcl, 6).alias("lcl"),
+            ((F.col("s") > ucl) | (F.col("s") < lcl)).alias(
+                "out_of_control"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# =====================================================================
+# Round-8 wave: stylometry / corpus similarity / keyword extraction
+# =====================================================================
+
+@query(
+    "burrows_delta_sources_docs",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+'))
+               AS w
+      FROM documents
+    ), wc AS (
+      SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w
+    ), tot AS (
+      SELECT source, SUM(c) AS t FROM wc GROUP BY source
+    ), top AS (
+      SELECT w FROM wc GROUP BY w
+      ORDER BY SUM(c) DESC, w LIMIT 20
+    ), grid AS (
+      SELECT tot.source, top.w,
+             1000.0 * COALESCE(wc.c, 0) / tot.t AS f
+      FROM tot CROSS JOIN top
+      LEFT JOIN wc ON wc.source = tot.source AND wc.w = top.w
+    ), stats AS (
+      SELECT w, COUNT(*) AS ns, SUM(f) AS sf, SUM(f * f) AS sff
+      FROM grid GROUP BY w
+    ), z AS (
+      SELECT g.source, g.w,
+             (g.f - s.sf / s.ns)
+             / sqrt((s.sff - s.sf * s.sf / s.ns) / (s.ns - 1)) AS z
+      FROM grid g JOIN stats s ON g.w = s.w
+    ), delta AS (
+      SELECT a.source AS s_a, b.source AS s_b,
+             AVG(ABS(a.z - b.z)) AS delta
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    ), ranked AS (
+      SELECT s_a, s_b, delta,
+             ROW_NUMBER() OVER (ORDER BY delta ASC, s_a, s_b) AS rn
+      FROM delta
+    )
+    SELECT s_a, s_b, ROUND(delta, 6) AS burrows_delta
+    FROM ranked WHERE rn <= 10 ORDER BY burrows_delta, s_a, s_b
+    """,
+)
+def burrows_delta_q(spark, sf_dir):
+    """Burrows' Delta stylometric distance between sources: the 20
+    highest-frequency corpus words become the feature set, each
+    source's per-1000-token rate is z-scored across sources per word,
+    and Delta(a,b) = mean |z_a − z_b| — the standard
+    authorship-attribution measure (Burrows 2002); the 10 most
+    similar source pairs surface.  The corpus reduces to the
+    |sources|×20 rate grid via two hash aggs; everything after
+    (z-scores, the pair sweep) runs on that literal grid.  Std is the
+    explicit moment formula, IDENTICAL expression both engines —
+    never the builtin stddev (single-pass vs Welford would diverge in
+    the last ulp)."""
+    from ..operators.dedup import tokens_of
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_of(F.col("text"))).alias("w")
+    )
+    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = wc.groupBy("source").agg(F.sum("c").alias("t"))
+    top = (
+        wc.groupBy("w")
+        .agg(F.sum("c").alias("cw"))
+        .orderBy(F.col("cw").desc(), "w")
+        .limit(20)
+        .select("w")
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(top))
+        .join(wc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                1000.0
+                * F.coalesce(F.col("c"), F.lit(0))
+                / F.col("t")
+            ).alias("f"),
+        )
+    )
+    stats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"),
+    )
+    z = grid.join(stats, "w").select(
+        "source",
+        "w",
+        (
+            (F.col("f") - F.col("sf") / F.col("ns"))
+            / F.sqrt(
+                (F.col("sff") - F.col("sf") * F.col("sf") / F.col("ns"))
+                / (F.col("ns") - 1)
+            )
+        ).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    delta = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s_a"), F.col("b.source").alias("s_b")
+        )
+        .agg(F.avg(F.abs(F.col("a.z") - F.col("b.z"))).alias("delta"))
+    )
+    return (
+        delta.orderBy(F.col("delta").asc(), "s_a", "s_b")
+        .limit(10)
+        .select(
+            "s_a", "s_b", F.round("delta", 6).alias("burrows_delta")
+        )
+        .orderBy("burrows_delta", "s_a", "s_b")
+    )
+
+
+@query(
+    "char_trigram_source_similarity_docs",
+    """
+    WITH s AS (
+      SELECT source, lower(trim(text)) AS t FROM documents
+      WHERE len(lower(trim(text))) >= 3
+    ), grams AS (
+      SELECT source, substring(t, i, 3) AS g,
+             COUNT(*) AS c
+      FROM (SELECT source, t, unnest(range(1, len(t) - 1)) AS i FROM s)
+      GROUP BY source, substring(t, i, 3)
+    ), norms AS (
+      SELECT source, SUM(CAST(c AS HUGEINT) * c) AS nrm FROM grams
+      GROUP BY source
+    ), dots AS (
+      SELECT a.source AS s_a, b.source AS s_b,
+             SUM(CAST(a.c AS HUGEINT) * b.c) AS dot
+      FROM grams a JOIN grams b
+        ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    ), cosine AS (
+      SELECT d.s_a, d.s_b,
+             CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+               AS cos
+      FROM dots d JOIN norms na ON na.source = d.s_a
+                  JOIN norms nb ON nb.source = d.s_b
+    ), ranked AS (
+      SELECT s_a, s_b, cos,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, s_a, s_b) AS rn
+      FROM cosine
+    )
+    SELECT s_a, s_b, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rn <= 10 ORDER BY cosine DESC, s_a, s_b
+    """,
+)
+def char_trigram_sim_q(spark, sf_dir):
+    """Character-trigram profile cosine between sources — the
+    language/style fingerprint underlying classic n-gram language ID
+    (Cavnar–Trenkle), here as a source-pair similarity map (top-10
+    pairs).  Per-source gram counts are one hash agg; the pair sweep
+    is the postings self-join on the GRAM key (per-gram fan-out ≤
+    |sources|, never all-pairs over rows); dot/norm products
+    accumulate decimal(38,0) ≙ HUGEINT (counts² × gram variety passes
+    int64 at sf1).  Spark 1-based substring ≙ DuckDB substring with
+    range(1, len−1)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "source", F.lower(F.trim(F.col("text"))).alias("t")
+    ).filter(F.length("t") >= 3)
+    grams = (
+        s.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 2),
+                    lambda i: F.col("t").substr(i, F.lit(3)),
+                )
+            ).alias("g"),
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = grams.groupBy("source").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("nrm")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s_a"), F.col("b.source").alias("s_b")
+        )
+        .agg(
+            F.sum(
+                F.col("a.c").cast("decimal(38,0)") * F.col("b.c")
+            ).alias("dot")
+        )
+    )
+    cos = (
+        dots.join(
+            norms.select(
+                F.col("source").alias("s_a"), F.col("nrm").alias("na")
+            ),
+            "s_a",
+        )
+        .join(
+            norms.select(
+                F.col("source").alias("s_b"), F.col("nrm").alias("nb")
+            ),
+            "s_b",
+        )
+        .select(
+            "s_a",
+            "s_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )
+    return (
+        cos.orderBy(F.col("cos").desc(), "s_a", "s_b")
+        .limit(10)
+        .select("s_a", "s_b", F.round("cos", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "s_a", "s_b")
+    )
+
+
+@query(
+    "spectral_entropy_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), terms AS (
+      SELECT event_type, n, k.k,
+             SUM(x * cos(-2 * pi() * k.k * t / n)) AS a,
+             SUM(x * sin(-2 * pi() * k.k * t / n)) AS b
+      FROM idx CROSS JOIN
+           (SELECT unnest(range(1, 200)) AS k) k
+      WHERE k.k <= n // 2
+      GROUP BY event_type, n, k.k
+    ), power AS (
+      SELECT event_type, n, k, a * a + b * b AS p,
+             SUM(a * a + b * b) OVER (PARTITION BY event_type) AS ptot,
+             COUNT(*) OVER (PARTITION BY event_type) AS nk
+      FROM terms
+    ), ent AS (
+      SELECT event_type, ANY_VALUE(n) AS n, ANY_VALUE(nk) AS nk,
+             -SUM(CASE WHEN p > 0 THEN p / ptot * LN(p / ptot)
+                       ELSE 0 END) AS h
+      FROM power GROUP BY event_type
+    ), peak AS (
+      SELECT event_type, k AS peak_k, p / ptot AS peak_share,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY p DESC, k ASC) AS rn
+      FROM power
+    )
+    SELECT e.event_type, CAST(e.n AS BIGINT) AS n_days,
+           CAST(e.nk AS BIGINT) AS n_freqs,
+           ROUND(e.h, 6) AS spectral_entropy,
+           ROUND(e.h / LN(e.nk), 6) AS normalized_entropy,
+           CAST(p.peak_k AS BIGINT) AS peak_k,
+           ROUND(p.peak_share, 6) AS peak_share
+    FROM ent e JOIN peak p ON e.event_type = p.event_type AND p.rn = 1
+    ORDER BY e.event_type
+    """,
+)
+def spectral_entropy_q(spark, sf_dir):
+    """Spectral entropy of each event type's daily-count series: an
+    O(n²) exact DFT over the BOUNDED daily grid (n ≤ series days, so
+    the day×frequency term table is ≤ n²/2 rows per type — the
+    periodogram, not an approximation), Shannon entropy of the
+    normalized power spectrum, plus the peak frequency bin and its
+    power share.  Low entropy = strongly periodic (the seasonality
+    the SAX/ACF gates see), high = white-noise-like.  The corpus
+    reduces to one integer count per (type, day) before the grid
+    join; integer inputs keep the cos/sin sums' cross-engine drift
+    below the ROUND(6) horizon."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wt = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "x",
+        (F.row_number().over(wt.orderBy("day")) - 1).alias("t"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    ks = idx.select(
+        "event_type",
+        "x",
+        "t",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n") / 2).cast("int"))
+        ).alias("k"),
+    )
+    import math
+
+    ang = -2 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    terms = ks.groupBy("event_type", "n", "k").agg(
+        F.sum(F.col("x") * F.cos(ang)).alias("a"),
+        F.sum(F.col("x") * F.sin(ang)).alias("b"),
+    )
+    p = F.col("a") * F.col("a") + F.col("b") * F.col("b")
+    power = terms.select(
+        "event_type",
+        "n",
+        "k",
+        p.alias("p"),
+        F.sum(p).over(wt).alias("ptot"),
+        F.count(F.lit(1)).over(wt).alias("nk"),
+    )
+    ent = power.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first("nk").alias("nk"),
+        (
+            -F.sum(
+                F.when(
+                    F.col("p") > 0,
+                    F.col("p")
+                    / F.col("ptot")
+                    * F.log(F.col("p") / F.col("ptot")),
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("h"),
+    )
+    peak = (
+        power.withColumn(
+            "rn",
+            F.row_number().over(
+                wt.orderBy(F.col("p").desc(), F.col("k").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("k").alias("peak_k"),
+            (F.col("p") / F.col("ptot")).alias("peak_share"),
+        )
+    )
+    return (
+        ent.join(peak, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("nk").cast("bigint").alias("n_freqs"),
+            F.round("h", 6).alias("spectral_entropy"),
+            F.round(F.col("h") / F.log(F.col("nk")), 6).alias(
+                "normalized_entropy"
+            ),
+            F.col("peak_k").cast("bigint").alias("peak_k"),
+            F.round("peak_share", 6).alias("peak_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# Round-8 wave: eval separation / ANN diagnostics / sketch set ops
+# =====================================================================
+
+@query("ks_separation_quality_docs", None)  # oracle attached below
+def ks_separation_q(spark, sf_dir):
+    """Kolmogorov–Smirnov separation of the hashed-classifier score
+    between long and short documents — the credit-scoring "KS
+    statistic" (max CDF gap) that complements ROC-AUC with WHERE the
+    discrimination peaks (the natural operating threshold).  Same
+    bounded shape as the AUC gate: scores quantize to the literal
+    1001-bucket grid, one cumulative window over the grid, KS = max
+    |F₁(b) − F₀(b)| with the first-peak bin as tiebreak.  Exact
+    integer cumulative counts; one division per bucket at the end."""
+    from .wave6_ts import _score_bin, _scored_docs
+
+    scored = _scored_docs(spark, sf_dir).select(
+        "y", _score_bin(F.col("score")).alias("bin")
+    )
+    g = scored.groupBy("bin").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    cum = g.select(
+        "bin",
+        F.sum("pos").over(w).alias("cpos"),
+        F.sum("neg").over(w).alias("cneg"),
+        F.sum("pos").over(tot).alias("n1"),
+        F.sum("neg").over(tot).alias("n0"),
+    )
+    gap = F.abs(
+        F.col("cpos").cast("double") / F.col("n1")
+        - F.col("cneg").cast("double") / F.col("n0")
+    )
+    ranked = cum.select(
+        "bin",
+        "n1",
+        "n0",
+        gap.alias("gap"),
+        F.row_number()
+        .over(Window.orderBy(gap.desc(), F.col("bin").asc()))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        F.round("gap", 6).alias("ks_stat"),
+        F.col("bin").cast("bigint").alias("ks_bin"),
+    )
+
+
+def _ks_separation_oracle() -> str:
+    from .wave6_ts import _scored_sql
+
+    return f"""
+    WITH {_scored_sql()}, b AS (
+      SELECT y, CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 1000)
+                     AS INTEGER) AS bin
+      FROM scored
+    ), g AS (
+      SELECT bin, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM b GROUP BY bin
+    ), cum AS (
+      SELECT bin,
+             SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cpos,
+             SUM(neg) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cneg,
+             SUM(pos) OVER () AS n1, SUM(neg) OVER () AS n0
+      FROM g
+    ), ranked AS (
+      SELECT bin, n1, n0,
+             ABS(CAST(cpos AS DOUBLE) / n1 - CAST(cneg AS DOUBLE) / n0)
+               AS gap,
+             ROW_NUMBER() OVER (ORDER BY
+               ABS(CAST(cpos AS DOUBLE) / n1 - CAST(cneg AS DOUBLE) / n0)
+                 DESC, bin ASC) AS rn
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           ROUND(gap, 6) AS ks_stat, CAST(bin AS BIGINT) AS ks_bin
+    FROM ranked WHERE rn = 1
+    """
+
+
+O["ks_separation_quality_docs"] = _ks_separation_oracle()
+
+
+@query("pq_distortion_embeddings", None)  # oracle attached below (generated)
+def pq_distortion_q(spark, sf_dir):
+    """Product-quantization reconstruction distortion per subspace —
+    the codebook-quality diagnostic behind every PQ deployment
+    decision (how much ADC error does 4 bytes/vector buy?): per
+    subspace, the squared-L2 between each vector's slice and its
+    nearest codeword (= the encode-time min over the SAME literal
+    distance chains the ADC gate pins), averaged corpus-wide, plus
+    the worst-reconstructed vector.  Map-only over vectors, one
+    m-row report; the per-row chains are bit-identical in SQL, the
+    per-subspace mean rounds at 6 (ulp-level fold-order drift only)."""
+    from ..operators.similarity import _subspace_distances, pq_codebooks
+
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    m, _, sub = cb.shape
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cols = [
+        F.array_min(_subspace_distances(cb[s], s * sub)).alias(f"e{s}")
+        for s in range(m)
+    ]
+    errs = emb.select("vec_id", *cols)
+    rows = []
+    for s in range(m):
+        wr = Window.orderBy(F.col(f"e{s}").desc(), F.col("vec_id").asc())
+        rows.append(
+            errs.select(
+                F.lit(s).cast("bigint").alias("subspace"),
+                F.col("vec_id"),
+                F.col(f"e{s}").alias("err"),
+                F.row_number().over(wr).alias("rn"),
+                F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+                F.avg(f"e{s}").over(Window.partitionBy()).alias("mse"),
+            ).filter(F.col("rn") == 1)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "subspace",
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.round("mse", 6).alias("mse"),
+        F.round("err", 6).alias("max_err"),
+        F.col("vec_id").cast("bigint").alias("worst_vec_id"),
+    ).orderBy("subspace")
+
+
+def _pq_distortion_oracle() -> str:
+    """Same literal chains as ``_pq_adc_oracle``; per-subspace
+    list_min is the reconstruction error."""
+    from ..operators.similarity import pq_codebooks
+
+    cb = pq_codebooks(64, 4, 16, seed=11)
+    m, _, sub = cb.shape
+
+    def chain(vals, base, var):
+        return "(" + " + ".join(
+            f"({var}[{base + i + 1}] - {float(v)!r})"
+            f" * ({var}[{base + i + 1}] - {float(v)!r})"
+            for i, v in enumerate(vals)
+        ) + ")"
+
+    dls = ",\n           ".join(
+        "[" + ",\n            ".join(chain(c, s * sub, "e") for c in cb[s])
+        + f"] AS dl{s}"
+        for s in range(m)
+    )
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT {s} AS subspace, vec_id, list_min(dl{s}) AS err
+      FROM d"""
+        for s in range(m)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id,
+           {dls}
+      FROM c
+    ), errs AS (
+{branches}
+    ), ranked AS (
+      SELECT subspace, vec_id, err,
+             ROW_NUMBER() OVER (PARTITION BY subspace
+                                ORDER BY err DESC, vec_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY subspace) AS n,
+             AVG(err) OVER (PARTITION BY subspace) AS mse
+      FROM errs
+    )
+    SELECT CAST(subspace AS BIGINT) AS subspace, CAST(n AS BIGINT) AS n_vecs,
+           ROUND(mse, 6) AS mse, ROUND(err, 6) AS max_err,
+           CAST(vec_id AS BIGINT) AS worst_vec_id
+    FROM ranked WHERE rn = 1 ORDER BY subspace
+    """
+
+
+O["pq_distortion_embeddings"] = _pq_distortion_oracle()
+
+
+@query(
+    "rp_distance_preservation_embeddings",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 50
+    ), ex AS (
+      SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i
+      WHERE vec_id < 50
+    ), signed AS (
+      SELECT vec_id, i, x,
+             (CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || j.j),
+                    1, 8)) AS BIGINT) % 2) * 2 - 1 AS s,
+             j.j AS j
+      FROM ex, (SELECT unnest(['0','1','2','3']) AS j) j
+    ), proj AS (
+      SELECT vec_id, CAST(j AS INTEGER) AS j,
+             CAST(ROUND(SUM(x * s), 4) AS DOUBLE) AS p
+      FROM signed GROUP BY vec_id, j
+    ), pv AS (
+      SELECT vec_id, list(p ORDER BY j) AS p FROM proj GROUP BY vec_id
+    ), pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_sum(list_transform(range(1, 65),
+               k -> CAST((a.v[k] - b.v[k]) * (a.v[k] - b.v[k]) AS DOUBLE)))
+               / 1e12 AS d2o,
+             (pa.p[1] - pb.p[1]) * (pa.p[1] - pb.p[1])
+             + (pa.p[2] - pb.p[2]) * (pa.p[2] - pb.p[2])
+             + (pa.p[3] - pb.p[3]) * (pa.p[3] - pb.p[3])
+             + (pa.p[4] - pb.p[4]) * (pa.p[4] - pb.p[4]) AS d2p
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      JOIN pv pa ON pa.vec_id = a.vec_id
+      JOIN pv pb ON pb.vec_id = b.vec_id
+    ), ratios AS (
+      SELECT (d2p / 4.0) / (d2o / 64.0) AS r
+      FROM pairs WHERE d2o > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(r), 6) AS mean_ratio,
+           ROUND(MIN(r), 6) AS min_ratio,
+           ROUND(MAX(r), 6) AS max_ratio,
+           ROUND(AVG(CASE WHEN r BETWEEN 0.5 AND 2.0 THEN 1.0 ELSE 0.0 END),
+                 6) AS frac_within_2x
+    FROM ratios
+    """,
+)
+def rp_preservation_q(spark, sf_dir):
+    """Johnson–Lindenstrauss distance-preservation audit of the ±1
+    random projection (64→4 dims): over a fixed 50-vector anchor set
+    (1225 pairs, bounded by construction — the audit needs a sample,
+    not the corpus), the per-dimension-normalized squared-distance
+    ratio (d²_proj/4)/(d²_orig/64), whose mean ≈ 1 is the JL
+    guarantee and whose spread is what a 4-dim sketch actually costs.
+    Original distances are EXACT ×1e6-integer sums (the knn_exact
+    convention); projected components round to 4 decimals on both
+    sides before differencing (the projection gate's contract), so
+    every ratio is bit-identical cross-engine."""
+    from ..operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+        ).alias("v"),
+    )
+    proj = random_projection(emb, "embedding", 4, id_col="vec_id").select(
+        "vec_id",
+        F.transform(
+            "projected", lambda x: F.round(x, 4).cast("double")
+        ).alias("p"),
+    )
+    a = base.alias("a").join(proj.alias("pa"), "vec_id").select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+    )
+    b = base.alias("b").join(proj.alias("pb"), "vec_id").select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    )
+    d2o = (
+        F.aggregate(
+            F.zip_with(
+                F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / 1e12
+    )
+    d2p = None
+    for i in range(4):
+        t = F.col("pa")[i] - F.col("pb")[i]
+        term = t * t
+        d2p = term if d2p is None else d2p + term
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(d2o.alias("d2o"), d2p.alias("d2p"))
+        .filter(F.col("d2o") > 0)
+        .select(((F.col("d2p") / 4.0) / (F.col("d2o") / 64.0)).alias("r"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("r"), 6).alias("mean_ratio"),
+        F.round(F.min("r"), 6).alias("min_ratio"),
+        F.round(F.max("r"), 6).alias("max_ratio"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("r") >= 0.5) & (F.col("r") <= 2.0), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("frac_within_2x"),
+    )
+
+
+@query(
+    "kmv_jaccard_daily_users_events",
+    """
+    WITH h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM h
+    ), pairs AS (
+      SELECT d1.day AS day_a, d2.day AS day_b
+      FROM days d1 JOIN days d2 ON d2.day = d1.day + INTERVAL 1 DAY
+    ), uni AS (
+      SELECT p.day_a, p.day_b, x.hv,
+             MAX(CASE WHEN x.day = p.day_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN x.day = p.day_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN h x ON x.day = p.day_a OR x.day = p.day_b
+      GROUP BY p.day_a, p.day_b, x.hv
+    ), ranked AS (
+      SELECT day_a, day_b, hv, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY day_a
+                                ORDER BY hv ASC) AS r,
+             COUNT(*) OVER (PARTITION BY day_a) AS n_union
+      FROM uni
+    ), est AS (
+      SELECT day_a, day_b,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS shared,
+             COUNT(*) AS k_u,
+             ANY_VALUE(n_union) AS n_union
+      FROM ranked WHERE r <= 64
+      GROUP BY day_a, day_b
+    ), exact AS (
+      SELECT day_a, day_b,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS n_inter,
+             COUNT(*) AS n_union
+      FROM uni GROUP BY day_a, day_b
+    )
+    SELECT e.day_a, e.day_b,
+           CAST(e.n_inter AS BIGINT) AS n_inter,
+           CAST(e.n_union AS BIGINT) AS n_union,
+           ROUND(CAST(e.n_inter AS DOUBLE) / e.n_union, 6) AS exact_jaccard,
+           CAST(s.k_u AS BIGINT) AS k_used,
+           ROUND(CAST(s.shared AS DOUBLE) / s.k_u, 6) AS kmv_jaccard
+    FROM exact e JOIN est s ON e.day_a = s.day_a AND e.day_b = s.day_b
+    ORDER BY e.day_a
+    """,
+)
+def kmv_jaccard_q(spark, sf_dir):
+    """Day-over-day user-set Jaccard from KMV bottom-k sketches
+    (Beyer et al. 2007): for each consecutive-day pair, the bottom 64
+    md5 hashes of the UNION act as a uniform sample of it, and the
+    fraction of them present in both days estimates J(A,B) — the
+    k-statistics set-operation trick that lets fixed-size per-day
+    sketches answer intersection questions mergeably (exact distinct
+    intersections don't merge; bottom-k unions do).  The exact
+    Jaccard rides along as the calibration column — at 100 TB only
+    the sketch path survives (per-day bottom-64 folds partition-
+    local); md5 keeps both engines on the identical hash domain.
+    Deterministic: pure order statistics, no RNG."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        F.to_date("ts").alias("day"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    days = h.select("day").distinct()
+    pairs = days.alias("d1").join(
+        days.alias("d2"),
+        F.col("d2.day") == F.date_add(F.col("d1.day"), 1),
+    ).select(F.col("d1.day").alias("day_a"), F.col("d2.day").alias("day_b"))
+    uni = (
+        pairs.join(
+            h,
+            (F.col("day") == F.col("day_a"))
+            | (F.col("day") == F.col("day_b")),
+        )
+        .groupBy("day_a", "day_b", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("day") == F.col("day_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("day") == F.col("day_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("day_a")
+    ranked = uni.select(
+        "day_a",
+        "day_b",
+        "in_a",
+        "in_b",
+        F.row_number().over(wp.orderBy(F.col("hv").asc())).alias("r"),
+        F.count(F.lit(1)).over(wp).alias("n_union"),
+    )
+    est = (
+        ranked.filter(F.col("r") <= 64)
+        .groupBy("day_a", "day_b")
+        .agg(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+                .otherwise(0)
+            ).alias("shared"),
+            F.count(F.lit(1)).alias("k_u"),
+        )
+    )
+    exact = uni.groupBy("day_a", "day_b").agg(
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+            .otherwise(0)
+        ).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return (
+        exact.join(est, ["day_a", "day_b"])
+        .select(
+            "day_a",
+            "day_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("n_union").cast("bigint").alias("n_union"),
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union"), 6
+            ).alias("exact_jaccard"),
+            F.col("k_u").cast("bigint").alias("k_used"),
+            F.round(
+                F.col("shared").cast("double") / F.col("k_u"), 6
+            ).alias("kmv_jaccard"),
+        )
+        .orderBy("day_a")
+    )

@@ -19,6 +19,22 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-8 wave: bounded-grid windows / 1-row scalar folds
+    "g_test_dow_events",              # marginal windows run over the
+    # r×c contingency grid (≤ |types|·7 rows after the hash agg)
+    "brown_forsythe_orders",          # 1-row global moment fold from
+    # the k=5 group cells
+    "tukey_hsd_priority_orders",      # 1-row MSW scalar broadcast over
+    # the k² pair sweep of the 5-row cell frame
+    "sprt_purchase_rate_events",      # ordered cumulation over the
+    # bounded daily series (≤366 rows after the day agg)
+    "ewma_control_chart_events",      # per-type recursion on the
+    # bounded daily array; final orderBy only
+    "kruskal_wallis_dow_value_events",  # final orderBy on the ≤|types|
+    # report rows (ranks come from the quantized-histogram window,
+    # partitioned by type)
+    "page_hinkley_daily_events",      # final orderBy on the bounded
+    # per-(type, day) report
     # ---- round-7 wave 6: bounded pivots
     "qte_quantile_lift_events",       # 2-row arm quantile frame
     # pivoted to the literal 4-row QTE report
@@ -184,6 +200,9 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-8 wave: 1-row scalar broadcasts / k-row pair sweeps
+    "tukey_hsd_priority_orders",      # 1-row MSW crossJoin + the
+    # 5-row×5-row inequality pair join (both broadcast literals)
     # ---- round-7 wave 5: 1-row scalar broadcasts
     "poisson_surprise_events",        # 1-row day-count crossJoin
     "hill_tail_index_orders",         # 1-row threshold crossJoin onto
