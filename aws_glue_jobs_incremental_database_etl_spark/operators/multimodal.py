@@ -742,3 +742,247 @@ def text_to_wav_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(
         batches, schema=out_schema
     )
+
+
+def _phash_weights(grid: int = 8, block: int = 4) -> list[tuple[int, int, list[float]]]:
+    """Literal DCT-II weight vectors for the low-frequency ``block``×
+    ``block`` corner (DC excluded), index order i = grid*y + x.  Both
+    the Python kernel and the generated SQL twin consume THESE floats
+    in THIS order, so the multiply-add chains are bit-identical."""
+    import math
+
+    out = []
+    for u in range(block):
+        for v in range(block):
+            if u == 0 and v == 0:
+                continue
+            w = [
+                math.cos(math.pi * (2 * x + 1) * u / (2 * grid))
+                * math.cos(math.pi * (2 * y + 1) * v / (2 * grid))
+                for y in range(grid)
+                for x in range(grid)
+            ]
+            out.append((u, v, w))
+    return out
+
+
+def image_perceptual_hash(
+    df: DataFrame, grid: int = 8, decoder: str = "fake"
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) per image → ``(media_id, phash,
+    decode_ok)``: decode to a ``grid``×``grid`` intensity raster, take
+    the 2-D DCT-II, keep the low-frequency 4×4 corner minus DC (15
+    coefficients — the spectrum's shape, not its pixels), set bit k
+    iff coefficient k exceeds the median of the 15.  pHash survives
+    resize/blur/compression that flip aHash/dHash bits, because those
+    operations perturb high frequencies the block discards; together
+    the three hashes are the standard image-dedup precision ladder.
+
+    ``decoder='fake'`` rasterizes the deterministic accumulator
+    stream; every multiply-add runs in index order over the SAME
+    literal cosine weights the generated SQL twin embeds, so the gate
+    replays bit-for-bit.  ``decoder='ppm'`` rasterizes real pixels
+    (stdlib PPM) into grid-band lumas.  ``decoder='real'`` stays the
+    PIL/opencv integration point.  Arrow-batched mapInPandas,
+    map-only — the 100 TB shape is a scan."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "full-format image decoding requires an image library "
+            "(PIL/opencv) not present in this environment; use "
+            "decoder='ppm' (real stdlib PPM decode) or 'fake'"
+        )
+    if decoder not in ("fake", "ppm"):
+        raise ValueError(f"unknown decoder: {decoder}")
+    weights = _phash_weights(grid)
+
+    def _cells_ppm(payload: bytes) -> list[float]:
+        w, h, raster = decode_ppm(payload)
+        cells = []
+        for gy in range(grid):
+            r0, r1 = h * gy // grid, max(h * (gy + 1) // grid, h * gy // grid + 1)
+            for gx in range(grid):
+                c0, c1 = w * gx // grid, max(w * (gx + 1) // grid, w * gx // grid + 1)
+                tot = cnt = 0
+                for y in range(r0, min(r1, h)):
+                    row = raster[3 * w * y : 3 * w * (y + 1)]
+                    seg = row[3 * c0 : 3 * c1]
+                    tot += sum(seg)
+                    cnt += len(seg)
+                cells.append(tot / (255.0 * cnt))
+        return cells
+
+    def one(payload: bytes) -> tuple[int, bool]:
+        if decoder == "fake":
+            cells = [float(a) for a in _fake_decode_acc(payload, grid * grid)]
+            ok = True
+        else:
+            try:
+                cells = _cells_ppm(payload)
+                ok = True
+            except (ValueError, IndexError, ZeroDivisionError):
+                return 0, False
+        coeffs = []
+        for _, _, w in weights:
+            acc = 0.0
+            for i in range(grid * grid):  # index order = the SQL chain
+                acc += cells[i] * w[i]
+            coeffs.append(acc)
+        med = sorted(coeffs)[len(coeffs) // 2]
+        h = 0
+        for k, c in enumerate(coeffs):
+            if c > med:
+                h |= 1 << k
+        return h, ok
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashed = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [h for h, _ in hashed],
+                    "decode_ok": [ok for _, ok in hashed],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def _dft_weights(window: int = 32, n_bins: int = 8) -> list[tuple[int, list[float], list[float]]]:
+    """Literal DFT cos/sin weight vectors per frequency bin (k =
+    1..n_bins) over one window — shared verbatim by the Python kernel
+    and the generated SQL twin (same floats, same summation order)."""
+    import math
+
+    out = []
+    for k in range(1, n_bins + 1):
+        cosw = [math.cos(-2 * math.pi * k * t / window) for t in range(window)]
+        sinw = [math.sin(-2 * math.pi * k * t / window) for t in range(window)]
+        out.append((k, cosw, sinw))
+    return out
+
+
+def audio_spectral_centroid(
+    df: DataFrame,
+    window_samples: int = 32,
+    n_bins: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Windowed spectral centroid + spread per audio payload →
+    ``(media_id, window_id, centroid, spread, decode_ok)``: per
+    ``window_samples`` frame, an exact DFT over ``n_bins`` bins
+    (literal cos/sin weights, summed in sample order), power
+    P_k = A_k² + B_k², centroid = Σk·P/ΣP (the "brightness" feature
+    every audio classifier starts from), spread = √(Σ(k−c)²·P/ΣP).
+
+    ``decoder='fake'`` derives samples from the deterministic
+    accumulator stream (c = 2·acc − 997, the audio-gate convention);
+    ``decoder='wav'`` decodes real PCM via the stdlib parser;
+    ``decoder='real'`` remains the ffmpeg/libsndfile integration
+    point.  mapInPandas, 1-row-in → N-windows-out, map-only."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "full-format audio decoding requires ffmpeg/libsndfile, "
+            "not present in this environment; use decoder='wav' "
+            "(real stdlib PCM WAV decode) or 'fake'"
+        )
+    if decoder not in ("fake", "wav"):
+        raise ValueError(f"unknown decoder: {decoder}")
+    weights = _dft_weights(window_samples, n_bins)
+
+    def windows_of(payload: bytes, duration_ms) -> list[list[float]]:
+        if decoder == "fake":
+            n = max(
+                window_samples,
+                (int(duration_ms) // 50) if duration_ms is not None else 64,
+            )
+            acc = _fake_decode_acc(payload, n)
+            samples = [float(2 * a - 997) for a in acc]
+        else:
+            _, raw = decode_wav(payload)
+            samples = [float(s) for s in raw]
+        return [
+            samples[s : s + window_samples]
+            for s in range(0, len(samples) - window_samples + 1, window_samples)
+        ]
+
+    def one(payload: bytes, duration_ms):
+        rows = []
+        try:
+            wins = windows_of(payload, duration_ms)
+        except (ValueError, IndexError):
+            return [(0, 0.0, 0.0, False)]
+        for wid, w in enumerate(wins):
+            ps = []
+            for k, cosw, sinw in weights:
+                a = 0.0
+                b = 0.0
+                for t in range(window_samples):  # sample order = SQL chain
+                    a += w[t] * cosw[t]
+                    b += w[t] * sinw[t]
+                ps.append((k, a * a + b * b))
+            ptot = 0.0
+            for _, p in ps:
+                ptot += p
+            if ptot <= 0.0:
+                rows.append((wid, 0.0, 0.0, True))
+                continue
+            cen = 0.0
+            for k, p in ps:
+                cen += k * p
+            cen /= ptot
+            var = 0.0
+            for k, p in ps:
+                var += (k - cen) * (k - cen) * p
+            rows.append((wid, cen, (var / ptot) ** 0.5, True))
+        return rows
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("window_id", T.IntegerType()),
+            T.StructField("centroid", T.DoubleType()),
+            T.StructField("spread", T.DoubleType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, wids, cens, sprs, oks = [], [], [], [], []
+            durs = (
+                pdf["duration_ms"]
+                if "duration_ms" in pdf.columns
+                else [None] * len(pdf)
+            )
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], durs):
+                for wid, cen, spr, ok in one(payload, dur):
+                    mids.append(mid)
+                    wids.append(wid)
+                    cens.append(cen)
+                    sprs.append(spr)
+                    oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "window_id": pd.Series(wids, dtype="int32"),
+                    "centroid": pd.Series(cens, dtype="float64"),
+                    "spread": pd.Series(sprs, dtype="float64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    cols = ["media_id", "payload"] + (
+        ["duration_ms"] if "duration_ms" in df.columns else []
+    )
+    return df.select(*cols).mapInPandas(batches, schema=out_schema)

@@ -1113,29 +1113,37 @@ def pq_distortion_q(spark, sf_dir):
         for s in range(m)
     ]
     errs = emb.select("vec_id", *cols)
+    # per-subspace stats as ONE aggregation (no global rank window —
+    # a data-sized single partition at scale); the argmax carries the
+    # smallest-id tiebreak inside a struct max
     rows = []
     for s in range(m):
-        wr = Window.orderBy(F.col(f"e{s}").desc(), F.col("vec_id").asc())
         rows.append(
-            errs.select(
+            errs.agg(
                 F.lit(s).cast("bigint").alias("subspace"),
-                F.col("vec_id"),
-                F.col(f"e{s}").alias("err"),
-                F.row_number().over(wr).alias("rn"),
-                F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-                F.avg(f"e{s}").over(Window.partitionBy()).alias("mse"),
-            ).filter(F.col("rn") == 1)
+                F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                F.round(F.avg(f"e{s}"), 6).alias("mse"),
+                F.round(F.max(f"e{s}"), 6).alias("max_err"),
+                F.max(
+                    F.struct(
+                        F.col(f"e{s}").alias("err"),
+                        (-F.col("vec_id")).alias("nid"),
+                    )
+                )
+                .getField("nid")
+                .alias("nid"),
+            ).select(
+                "subspace",
+                "n_vecs",
+                "mse",
+                "max_err",
+                (-F.col("nid")).cast("bigint").alias("worst_vec_id"),
+            )
         )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out.select(
-        "subspace",
-        F.col("n").cast("bigint").alias("n_vecs"),
-        F.round("mse", 6).alias("mse"),
-        F.round("err", 6).alias("max_err"),
-        F.col("vec_id").cast("bigint").alias("worst_vec_id"),
-    ).orderBy("subspace")
+    return out.orderBy("subspace")
 
 
 def _pq_distortion_oracle() -> str:
@@ -1295,7 +1303,7 @@ def rp_preservation_q(spark, sf_dir):
         term = t * t
         d2p = term if d2p is None else d2p + term
     pairs = (
-        a.join(b, F.col("ia") < F.col("ib"))
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
         .select(d2o.alias("d2o"), d2p.alias("d2p"))
         .filter(F.col("d2o") > 0)
         .select(((F.col("d2p") / 4.0) / (F.col("d2o") / 64.0)).alias("r"))
@@ -1452,4 +1460,759 @@ def kmv_jaccard_q(spark, sf_dir):
             ).alias("kmv_jaccard"),
         )
         .orderBy("day_a")
+    )
+
+
+# =====================================================================
+# Round-8 wave: multimodal perceptual features
+# =====================================================================
+
+def _acc_chain_ctes(n: int, step: int = 8) -> tuple[str, str]:
+    """The fake-decoder accumulator recurrence unrolled ``step`` per
+    CTE (DuckDB lateral-alias binder depth), from a CTE named
+    ``base`` with (media_id, H, L).  Returns (ctes_sql, last_name)."""
+    byte = lambda k: f"CAST('0x' || substr(H, 2*({k} % L) + 1, 2) AS INT)"
+
+    def acc_expr(k: int) -> str:
+        if k == 0:
+            return f"({byte(0)}) % 997 AS a0"
+        return f"((a{k-1} * 31 + {byte(k)}) % 997) AS a{k}"
+
+    ctes = []
+    for g in range(0, n, step):
+        cols = ", ".join(acc_expr(k) for k in range(g, min(g + step, n)))
+        src = "base" if g == 0 else f"acc{g // step - 1}"
+        ctes.append(f"acc{g // step} AS (SELECT *, {cols} FROM {src})")
+    return ", ".join(ctes), f"acc{(n - 1) // step}"
+
+
+def _image_phash_oracle(grid: int = 8) -> str:
+    """SQL twin of ``image_perceptual_hash``'s fake-decoder path: the
+    64-cell accumulator raster, 15 DCT coefficients as literal-weight
+    multiply-add chains in the kernel's exact index order, median via
+    list_sort, bit k iff coeff k > median."""
+    from ..operators.multimodal import _phash_weights
+
+    weights = _phash_weights(grid)
+    ctes, last = _acc_chain_ctes(grid * grid)
+    coeffs = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"a{i} * CAST({float(w[i])!r} AS DOUBLE)"
+            for i in range(grid * grid)
+        )
+        + f") AS c{k}"
+        for k, (_, _, w) in enumerate(weights)
+    )
+    clist = "[" + ", ".join(f"c{k}" for k in range(len(weights))) + "]"
+    bits = " + ".join(
+        f"CASE WHEN c{k} > med THEN {1 << k} ELSE 0 END"
+        for k in range(len(weights))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), {ctes}, co AS (
+      SELECT media_id,
+           {coeffs}
+      FROM {last}
+    ), md AS (
+      SELECT *, list_sort({clist})[{len(weights) // 2 + 1}] AS med FROM co
+    ), h AS (
+      SELECT media_id, CAST({bits} AS BIGINT) AS phash FROM md
+    )
+    SELECT phash, COUNT(*) AS n_images,
+           MIN(media_id) AS min_id, MAX(media_id) AS max_id
+    FROM h GROUP BY phash
+    """
+
+
+@query("image_phash_groups", None)  # oracle attached below (generated)
+def image_phash_q(spark, sf_dir):
+    """Perceptual DCT-hash bucketing (operators.multimodal.
+    image_perceptual_hash): identical-pHash groups are near-duplicate
+    image candidates by SPECTRUM shape — the low-frequency 4×4 DCT
+    corner vs the median — which survives the resize/blur/compression
+    edits that flip aHash (mean) and dHash (gradient) bits; the three
+    hashes together are the image-dedup precision ladder.  Same
+    gate-media convention as the aHash/dHash gates; the literal-weight
+    DCT chains replay bit-for-bit in SQL (same floats, same index
+    order)."""
+    from ..operators.multimodal import image_perceptual_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    h = image_perceptual_hash(media, grid=8)
+    return h.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("min_id"),
+        F.max("media_id").alias("max_id"),
+    )
+
+
+O["image_phash_groups"] = _image_phash_oracle()
+
+
+def _audio_centroid_oracle(n_samples: int = 64, ws: int = 32, nb: int = 8) -> str:
+    """SQL twin of ``audio_spectral_centroid``'s fake path at the
+    gate's fixed duration: acc recurrence → c = 2·acc − 997, per
+    window the literal cos/sin DFT chains in sample order, power,
+    centroid and spread folds in bin order."""
+    from ..operators.multimodal import _dft_weights
+
+    weights = _dft_weights(ws, nb)
+    ctes, last = _acc_chain_ctes(n_samples)
+    cs = ", ".join(f"(2 * a{k} - 997) AS s{k}" for k in range(n_samples))
+    windows = []
+    for win in range(n_samples // ws):
+        lo = win * ws
+        ab = ", ".join(
+            "("
+            + " + ".join(
+                f"s{lo + t} * CAST({float(cosw[t])!r} AS DOUBLE)"
+                for t in range(ws)
+            )
+            + f") AS a{k}, ("
+            + " + ".join(
+                f"s{lo + t} * CAST({float(sinw[t])!r} AS DOUBLE)"
+                for t in range(ws)
+            )
+            + f") AS b{k}"
+            for k, cosw, sinw in weights
+        )
+        ps = ", ".join(
+            f"(a{k} * a{k} + b{k} * b{k}) AS p{k}" for k, _, _ in weights
+        )
+        ptot = " + ".join(f"p{k}" for k, _, _ in weights)
+        cen = " + ".join(f"{k} * p{k}" for k, _, _ in weights)
+        var = " + ".join(
+            f"({k} - cen) * ({k} - cen) * p{k}" for k, _, _ in weights
+        )
+        windows.append(
+            f"""    SELECT media_id, {win} AS window_id,
+           ROUND(cen, 6) AS centroid,
+           ROUND(sqrt(({var}) / ptot), 6) AS spread
+    FROM (
+      SELECT media_id, ({ptot}) AS ptot,
+             ({cen}) / ({ptot}) AS cen, *
+      FROM (SELECT media_id, {ps} FROM
+            (SELECT media_id, {ab} FROM sam) ab_{win}) p_{win}
+    ) f_{win}"""
+        )
+    body = "\n    UNION ALL\n".join(windows)
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), {ctes}, sam AS (
+      SELECT media_id, {cs} FROM {last}
+    )
+    {body}
+    """
+
+
+@query("audio_spectral_centroid_windows", None)  # oracle attached below
+def audio_centroid_q(spark, sf_dir):
+    """Windowed spectral centroid + spread (operators.multimodal.
+    audio_spectral_centroid): per 32-sample frame an exact 8-bin DFT
+    over literal cos/sin weights, centroid = Σk·P/ΣP ("brightness" —
+    the first feature of every audio classifier/quality filter) and
+    its spread.  Gate media at the audio gate's fixed 3200 ms → 64
+    samples → 2 windows so the DFT unrolls into a static SQL twin;
+    kernel and SQL share the same weight floats and summation order,
+    so every double matches bit-for-bit before the final ROUND."""
+    from ..operators.multimodal import audio_spectral_centroid
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(3200).cast("long").alias("duration_ms"),
+    )
+    return audio_spectral_centroid(media, window_samples=32, n_bins=8).select(
+        "media_id",
+        "window_id",
+        F.round("centroid", 6).alias("centroid"),
+        F.round("spread", 6).alias("spread"),
+    )
+
+
+O["audio_spectral_centroid_windows"] = _audio_centroid_oracle()
+
+
+# =====================================================================
+# Round-8 wave: design-based sampling / paired eval / sessions / graph
+# =====================================================================
+
+@query(
+    "pps_sampling_ht_orders",
+    """
+    WITH t AS (
+      SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_c
+      FROM orders
+    ), marked AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS x_c,
+             CAST('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) / 4294967296.0 AS u,
+             LEAST(1.0, 500.0 * CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                        / t.total_c) AS p
+      FROM orders o CROSS JOIN t
+    ), s AS (
+      SELECT x_c, p FROM marked WHERE u < p
+    )
+    SELECT 500 AS n_target,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(SUM(x_c / p) / 100.0, 2) AS ht_estimate,
+           ROUND((SELECT total_c FROM t) / 100.0, 2) AS true_total,
+           ROUND(ABS(SUM(x_c / p) - (SELECT total_c FROM t))
+                 / (SELECT total_c FROM t), 6) AS rel_error
+    FROM s
+    """,
+)
+def pps_ht_q(spark, sf_dir):
+    """Probability-proportional-to-size Poisson sampling with the
+    Horvitz–Thompson total estimator: inclusion probability
+    p_i = min(1, n·x_i/X), the md5-uniform as the deterministic
+    "coin" (the repo's sampling contract — any engine replays the
+    exact sample), estimate Σ_{sampled} x_i/p_i vs the true total.
+    The design-based-survey workhorse for "estimate a 100 TB sum
+    from a skew-aware sample": big orders enter almost surely
+    (p = 1 ⇒ contribute exactly x_i), small ones carry weight X/n
+    when sampled — note x_i/p_i = X/n exactly for every p<1 unit, so
+    the HT fold is numerically exact rational arithmetic, not a
+    float accumulation."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    t = o.agg(F.sum(cents).alias("total_c"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    marked = o.join(F.broadcast(t), F.lit(True)).select(
+        cents.alias("x_c"),
+        u.alias("u"),
+        F.least(
+            F.lit(1.0), F.lit(500.0) * cents / F.col("total_c")
+        ).alias("p"),
+        "total_c",
+    )
+    s = marked.filter(F.col("u") < F.col("p"))
+    return s.agg(
+        F.first("total_c").alias("total_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(F.col("x_c") / F.col("p")).alias("ht_c"),
+    ).select(
+        F.lit(500).alias("n_target"),
+        "n_sampled",
+        F.round(F.col("ht_c") / 100.0, 2).alias("ht_estimate"),
+        F.round(F.col("total_c") / 100.0, 2).alias("true_total"),
+        F.round(
+            F.abs(F.col("ht_c") - F.col("total_c")) / F.col("total_c"), 6
+        ).alias("rel_error"),
+    )
+
+
+@query("mcnemar_paired_quality_docs", None)  # oracle attached below
+def mcnemar_q(spark, sf_dir):
+    """McNemar's paired test comparing two document-quality
+    classifiers on the SAME corpus — the right test for "did swapping
+    the filter change accuracy?", since paired designs make the
+    marginal-accuracy z-test invalid: only the discordant cells
+    matter, χ² = (|b−c|−1)²/(b+c) with continuity correction, where
+    b = only-A-correct, c = only-B-correct against the long-document
+    truth.  Classifier A = the hashed linear scorer at 0.5;
+    B = a char-length heuristic (n_chars ≥ 280).  One join + one
+    4-cell fold — the corpus reduces to four integers."""
+    from .wave6_ts import _scored_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = _scored_docs(spark, sf_dir)
+    ab = scored.join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    ).select(
+        "y",
+        (F.col("score") >= 0.5).cast("int").alias("a"),
+        (F.col("n_chars") >= 280).cast("int").alias("b"),
+    )
+    cells = ab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("a") == F.col("y")).cast("int"))
+            * ((F.col("b") != F.col("y")).cast("int"))
+        ).alias("only_a"),
+        F.sum(
+            ((F.col("a") != F.col("y")).cast("int"))
+            * ((F.col("b") == F.col("y")).cast("int"))
+        ).alias("only_b"),
+        F.avg((F.col("a") == F.col("y")).cast("double")).alias("acc_a"),
+        F.avg((F.col("b") == F.col("y")).cast("double")).alias("acc_b"),
+    )
+    bc = F.col("only_a") + F.col("only_b")
+    chi2 = F.when(
+        bc > 0,
+        (F.abs(F.col("only_a") - F.col("only_b")) - 1)
+        * (F.abs(F.col("only_a") - F.col("only_b")) - 1)
+        / bc.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round("acc_a", 6).alias("acc_classifier"),
+        F.round("acc_b", 6).alias("acc_heuristic"),
+        F.col("only_a").cast("bigint").alias("only_a_correct"),
+        F.col("only_b").cast("bigint").alias("only_b_correct"),
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+    )
+
+
+def _mcnemar_oracle() -> str:
+    from .wave6_ts import _scored_sql
+
+    return f"""
+    WITH {_scored_sql()}, ab AS (
+      SELECT s.y, CAST(s.score >= 0.5 AS INTEGER) AS a,
+             CAST(d.n_chars >= 280 AS INTEGER) AS b
+      FROM scored s JOIN documents d USING (doc_id)
+    ), cells AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(a = y AS INTEGER) * CAST(b <> y AS INTEGER))
+               AS only_a,
+             SUM(CAST(a <> y AS INTEGER) * CAST(b = y AS INTEGER))
+               AS only_b,
+             AVG(CAST(a = y AS INTEGER)) AS acc_a,
+             AVG(CAST(b = y AS INTEGER)) AS acc_b
+      FROM ab
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(acc_a, 6) AS acc_classifier,
+           ROUND(acc_b, 6) AS acc_heuristic,
+           CAST(only_a AS BIGINT) AS only_a_correct,
+           CAST(only_b AS BIGINT) AS only_b_correct,
+           ROUND(CASE WHEN only_a + only_b > 0
+                 THEN (ABS(only_a - only_b) - 1) * (ABS(only_a - only_b) - 1)
+                      / CAST(only_a + only_b AS DOUBLE)
+                 ELSE 0 END, 6) AS mcnemar_chi2
+    FROM cells
+    """
+
+
+O["mcnemar_paired_quality_docs"] = _mcnemar_oracle()
+
+
+@query(
+    "session_entropy_users_events",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), un AS (
+      SELECT user_id, SUM(c) AS n FROM ut GROUP BY user_id
+    ), ue AS (
+      SELECT ut.user_id, ANY_VALUE(un.n) AS n,
+             -SUM((CAST(ut.c AS DOUBLE) / un.n)
+                  * LN(CAST(ut.c AS DOUBLE) / un.n)) AS h
+      FROM ut JOIN un ON ut.user_id = un.user_id
+      GROUP BY ut.user_id
+    ), bucketed AS (
+      SELECT CAST(floor(LN(n) / LN(2)) AS BIGINT) AS activity_bucket,
+             n, h
+      FROM ue
+    )
+    SELECT activity_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(CAST(n AS DOUBLE)), 4) AS avg_events,
+           ROUND(AVG(h), 6) AS avg_entropy,
+           ROUND(MIN(h), 6) AS min_entropy,
+           ROUND(MAX(h), 6) AS max_entropy
+    FROM bucketed GROUP BY activity_bucket ORDER BY activity_bucket
+    """,
+)
+def session_entropy_q(spark, sf_dir):
+    """Per-user behavioral entropy over event types, profiled by
+    activity magnitude (log₂ event-count buckets): low-entropy heavy
+    users are bots/single-purpose automation, high-entropy ones are
+    organic browsers — the standard behavioral-diversity signal for
+    traffic-quality filtering.  Two user-keyed hash aggs reduce the
+    stream to one (user, entropy) row; the bucket profile is a third.
+    Per-user entropy folds ≤|event-types| rational terms, so the only
+    float fold is over ≤5 values per user."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    un = ut.groupBy("user_id").agg(F.sum("c").alias("n"))
+    share = F.col("c").cast("double") / F.col("n")
+    ue = (
+        ut.join(un, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n").alias("n"),
+            (-F.sum(share * F.log(share))).alias("h"),
+        )
+    )
+    b = ue.select(
+        F.floor(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0)))
+        .cast("bigint")
+        .alias("activity_bucket"),
+        "n",
+        "h",
+    )
+    return (
+        b.groupBy("activity_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg(F.col("n").cast("double")), 4).alias(
+                "avg_events"
+            ),
+            F.round(F.avg("h"), 6).alias("avg_entropy"),
+            F.round(F.min("h"), 6).alias("min_entropy"),
+            F.round(F.max("h"), 6).alias("max_entropy"),
+        )
+        .orderBy("activity_bucket")
+    )
+
+
+@query(
+    "seasonal_strength_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS x
+      FROM events GROUP BY 1, 2, 3
+    ), dowm AS (
+      SELECT event_type, dow,
+             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m
+      FROM daily GROUP BY event_type, dow
+    ), r AS (
+      SELECT d.event_type, d.x, d.x - m.m AS resid
+      FROM daily d JOIN dowm m
+        ON d.event_type = m.event_type AND d.dow = m.dow
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(CAST(x AS DOUBLE) * x) - AVG(CAST(x AS DOUBLE))
+                 * AVG(CAST(x AS DOUBLE)), 6) AS var_total,
+           ROUND(AVG(resid * resid) - AVG(resid) * AVG(resid), 6)
+             AS var_resid,
+           ROUND(GREATEST(0.0, 1.0
+                 - (AVG(resid * resid) - AVG(resid) * AVG(resid))
+                 / (AVG(CAST(x AS DOUBLE) * x) - AVG(CAST(x AS DOUBLE))
+                    * AVG(CAST(x AS DOUBLE)))), 6) AS seasonal_strength
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def seasonal_strength_q(spark, sf_dir):
+    """STL-style seasonal-strength score per event type:
+    F = max(0, 1 − Var(residual)/Var(series)) after removing
+    day-of-week means from the daily count series — the one-number
+    "how weekly is this metric" that decides whether the seasonal
+    adjuster (seasonal_adjust_dow gate) is worth applying.  Two hash
+    aggs to the daily and dow grids; population variances via the
+    moment identity on integer counts (exact until the final
+    divisions)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    dowm = daily.groupBy("event_type", "dow").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    r = daily.join(dowm, ["event_type", "dow"]).select(
+        "event_type",
+        "x",
+        (F.col("x") - F.col("m")).alias("resid"),
+    )
+    xd = F.col("x").cast("double")
+    var_total = F.avg(xd * F.col("x")) - F.avg(xd) * F.avg(xd)
+    var_resid = F.avg(F.col("resid") * F.col("resid")) - F.avg(
+        "resid"
+    ) * F.avg("resid")
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(var_total, 6).alias("var_total"),
+            F.round(var_resid, 6).alias("var_resid"),
+            F.round(
+                F.greatest(F.lit(0.0), 1.0 - var_resid / var_total), 6
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "closeness_centrality_suppliers",
+    """
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+             CAST(l_suppkey AS BIGINT) AS s
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM raw a JOIN raw b ON a.p = b.p AND a.s <> b.s
+    ), deg AS (
+      SELECT u AS s, COUNT(*) AS d FROM e GROUP BY u
+    ), anchors AS (
+      SELECT s, d FROM deg ORDER BY d DESC, s ASC LIMIT 20
+    ), h1 AS (
+      SELECT DISTINCT a.s AS id, e.v AS n
+      FROM anchors a JOIN e ON e.u = a.s
+    ), h2 AS (
+      SELECT DISTINCT h1.id, e.v AS n
+      FROM h1 JOIN e ON e.u = h1.n
+      WHERE e.v <> h1.id
+    ), h2new AS (
+      SELECT id, n FROM h2 EXCEPT SELECT id, n FROM h1
+    ), h3 AS (
+      SELECT DISTINCT h2new.id, e.v AS n
+      FROM h2new JOIN e ON e.u = h2new.n
+      WHERE e.v <> h2new.id
+    ), h3new AS (
+      SELECT id, n FROM h3
+      EXCEPT SELECT id, n FROM h2new
+      EXCEPT SELECT id, n FROM h1
+    ), counts AS (
+      SELECT a.s, a.d,
+             (SELECT COUNT(*) FROM h1 WHERE h1.id = a.s) AS n1,
+             (SELECT COUNT(*) FROM h2new WHERE h2new.id = a.s) AS n2,
+             (SELECT COUNT(*) FROM h3new WHERE h3new.id = a.s) AS n3
+      FROM anchors a
+    )
+    SELECT CAST(s AS BIGINT) AS suppkey, CAST(d AS BIGINT) AS degree,
+           CAST(n1 AS BIGINT) AS reach_1, CAST(n2 AS BIGINT) AS reach_2,
+           CAST(n3 AS BIGINT) AS reach_3,
+           ROUND(n1 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic_centrality
+    FROM counts ORDER BY harmonic_centrality DESC, suppkey
+    """,
+)
+def closeness_q(spark, sf_dir):
+    """Harmonic closeness centrality (3-hop horizon) for the top-20
+    highest-degree suppliers on the co-supply graph — "who is closest
+    to everyone" for routing/influence questions, in the horizon-
+    bounded form that survives scale (exact closeness needs a full
+    BFS per node; the ≤3-hop harmonic sum H = Σ_d n_d/d is the
+    standard truncation, and the anchor set is a literal top-k).
+    Three frontier⋈edges rounds with cumulative de-dup (the khop/BFS
+    audited shape); the co-supply edge postings join is part-keyed
+    with bounded fan-out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_partkey").cast("bigint").alias("p"),
+        F.col("l_suppkey").cast("bigint").alias("s"),
+    ).distinct()
+    a, b = raw.alias("a"), raw.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy(F.col("u").alias("s")).agg(F.count(F.lit(1)).alias("d"))
+    anchors = deg.orderBy(F.col("d").desc(), F.col("s").asc()).limit(20)
+    h1 = (
+        anchors.select(F.col("s").alias("id"))
+        .join(e, F.col("id") == F.col("u"))
+        .select("id", F.col("v").alias("n"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h2 = (
+        h1.join(e, h1["n"] == e["u"])
+        .select("id", e["v"].alias("n2"))
+        .filter(F.col("n2") != F.col("id"))
+        .select("id", F.col("n2").alias("n"))
+        .distinct()
+    )
+    h2new = h2.exceptAll(h1).distinct().localCheckpoint(eager=False)
+    h3 = (
+        h2new.join(e, h2new["n"] == e["u"])
+        .select("id", e["v"].alias("n2"))
+        .filter(F.col("n2") != F.col("id"))
+        .select("id", F.col("n2").alias("n"))
+        .distinct()
+    )
+    h3new = (
+        h3.exceptAll(h2new).exceptAll(h1).distinct().localCheckpoint(eager=False)
+    )
+    c1 = h1.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = h2new.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
+    c3 = h3new.groupBy("id").agg(F.count(F.lit(1)).alias("n3"))
+    out = (
+        anchors.withColumnRenamed("s", "id")
+        .join(c1, "id", "left")
+        .join(c2, "id", "left")
+        .join(c3, "id", "left")
+        .select(
+            F.col("id").cast("bigint").alias("suppkey"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n1", F.lit(0)).cast("bigint").alias("reach_1"),
+            F.coalesce("n2", F.lit(0)).cast("bigint").alias("reach_2"),
+            F.coalesce("n3", F.lit(0)).cast("bigint").alias("reach_3"),
+        )
+    )
+    return out.select(
+        "suppkey",
+        "degree",
+        "reach_1",
+        "reach_2",
+        "reach_3",
+        F.round(
+            F.col("reach_1")
+            + F.col("reach_2") / 2.0
+            + F.col("reach_3") / 3.0,
+            6,
+        ).alias("harmonic_centrality"),
+    ).orderBy(F.col("harmonic_centrality").desc(), "suppkey")
+
+
+@query(
+    "rake_keywords_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE COALESCE(trim(text), '') <> ''
+    ), pos AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+    ), stop AS (
+      SELECT w FROM pos GROUP BY w
+      ORDER BY COUNT(*) DESC, w LIMIT 5
+    ), marked AS (
+      SELECT p.doc_id, p.pos, p.w,
+             CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END AS is_stop
+      FROM pos p LEFT JOIN stop s ON p.w = s.w
+    ), grp AS (
+      SELECT doc_id, pos, w, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM marked
+    ), phrase_words AS (
+      SELECT doc_id, g, pos, w FROM grp WHERE is_stop = 0
+    ), phrases AS (
+      SELECT doc_id, g,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM phrase_words GROUP BY doc_id, g
+    ), word_stats AS (
+      SELECT pw.w, COUNT(*) AS freq, SUM(ph.plen) AS deg
+      FROM phrase_words pw
+      JOIN phrases ph ON pw.doc_id = ph.doc_id AND pw.g = ph.g
+      GROUP BY pw.w
+    ), scored AS (
+      SELECT ph.phrase, COUNT(*) AS n_occurrences,
+             ANY_VALUE(sc.score) AS score
+      FROM phrases ph JOIN (
+        SELECT p2.doc_id, p2.g,
+               SUM(CAST(ws.deg AS DOUBLE) / ws.freq) AS score
+        FROM phrase_words p2 JOIN word_stats ws ON p2.w = ws.w
+        GROUP BY p2.doc_id, p2.g
+      ) sc ON ph.doc_id = sc.doc_id AND ph.g = sc.g
+      GROUP BY ph.phrase
+    ), ranked AS (
+      SELECT phrase, n_occurrences, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, phrase ASC) AS rn
+      FROM scored
+    )
+    SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           ROUND(score, 6) AS rake_score
+    FROM ranked WHERE rn <= 15 ORDER BY rake_score DESC, phrase
+    """,
+)
+def rake_q(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) with an adaptive
+    stoplist: the 5 highest-frequency corpus words act as phrase
+    delimiters (this corpus has no function words, so the stoplist is
+    learned, not fixed — the docstring-documented twist), candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands
+    via the cumulative stop count), each word scores degree/frequency
+    over the phrase corpus, a phrase scores the sum of its words'
+    scores, and the top-15 distinct phrases surface.  Per-doc
+    windows are position-bounded; everything else is word/phrase-
+    keyed hash aggs — the map-reduce shape keyword extraction has at
+    any scale."""
+    from ..operators.dedup import tokens_of
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.coalesce(F.trim("text"), F.lit("")) != ""
+    )
+    pos = d.select(
+        "doc_id",
+        F.posexplode(tokens_of(F.col("text"))).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    stop = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(5)
+        .select("w")
+    )
+    marked = pos.join(
+        F.broadcast(stop.withColumn("is_stop", F.lit(1))), "w", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.coalesce("is_stop", F.lit(0)).alias("is_stop"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grp = marked.withColumn("g", F.sum("is_stop").over(wd))
+    phrase_words = grp.filter(F.col("is_stop") == 0).select(
+        "doc_id", "g", "pos", "w"
+    )
+    phrases = phrase_words.groupBy("doc_id", "g").agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("pos", "w"))).getField("w")
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    word_stats = (
+        phrase_words.join(phrases, ["doc_id", "g"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+    )
+    phrase_scores = (
+        phrase_words.join(word_stats, "w")
+        .groupBy("doc_id", "g")
+        .agg(
+            F.sum(F.col("deg").cast("double") / F.col("freq")).alias(
+                "score"
+            )
+        )
+    )
+    scored = (
+        phrases.join(phrase_scores, ["doc_id", "g"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.first("score").alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "phrase")
+        .limit(15)
+        .select(
+            "phrase",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.round("score", 6).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
     )

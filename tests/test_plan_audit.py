@@ -35,6 +35,15 @@ SINGLE_PARTITION_OK = {
     # partitioned by type)
     "page_hinkley_daily_events",      # final orderBy on the bounded
     # per-(type, day) report
+    "ks_separation_quality_docs",     # cumulative window over the
+    # LITERAL 1001-bucket score grid (the AUC-family audited shape)
+    "pq_distortion_embeddings",       # four 1-row per-subspace moment
+    # folds (agg, not rank windows) unioned into the m-row report
+    "rp_distance_preservation_embeddings",  # 1-row ratio-summary fold
+    # over the literal 1225-pair anchor sweep
+    "pps_sampling_ht_orders",         # 1-row corpus-total fold + the
+    # 1-row HT summary
+    "mcnemar_paired_quality_docs",    # 1-row 4-cell fold
     # ---- round-7 wave 6: bounded pivots
     "qte_quantile_lift_events",       # 2-row arm quantile frame
     # pivoted to the literal 4-row QTE report
@@ -203,6 +212,13 @@ BNLJ_OK = {
     # ---- round-8 wave: 1-row scalar broadcasts / k-row pair sweeps
     "tukey_hsd_priority_orders",      # 1-row MSW crossJoin + the
     # 5-row×5-row inequality pair join (both broadcast literals)
+    "rp_distance_preservation_embeddings",  # 50-row anchor-set
+    # inequality pair join (1225 pairs, bounded by the literal id cap)
+    "pps_sampling_ht_orders",         # 1-row corpus-total crossJoin
+    "burrows_delta_sources_docs",     # |sources|×20-word literal grid
+    # crossJoin (the rate grid both z-scores and pairs read)
+    "kmv_jaccard_daily_users_events",  # day-pair × per-day hash frame
+    # OR-join: ≤|days| pair rows broadcast against the daily hashes
     # ---- round-7 wave 5: 1-row scalar broadcasts
     "poisson_surprise_events",        # 1-row day-count crossJoin
     "hill_tail_index_orders",         # 1-row threshold crossJoin onto
