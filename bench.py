@@ -146,6 +146,21 @@ HEADLINE = [
     "position_attribution_events",    # purchase-anchored path windows
     "label_centroid_cosine_embeddings",  # (label, dim)-keyed cells
     "poisson_surprise_events",        # user-keyed rate join + top-20
+    # round-8 additions
+    "kruskal_wallis_dow_value_events",  # quantized-histogram rank windows
+    "burrows_delta_sources_docs",     # token agg + 20-word z grid
+    "char_trigram_source_similarity_docs",  # gram postings pair join
+    "spectral_entropy_daily_events",  # bounded day×freq DFT grid
+    "ks_separation_quality_docs",     # classifier + 1001-bucket sweep
+    "pq_distortion_embeddings",       # 64 literal chains, map-only
+    "kmv_jaccard_daily_users_events",  # per-day bottom-64 sketches
+    "closeness_centrality_suppliers",  # 3 BFS rounds from 20 anchors
+    "rake_keywords_docs",             # islands phrases + word stats
+    "ewma_control_chart_events",      # bounded per-type recursion
+    "image_phash_groups",             # 15 DCT chains per image
+    "audio_spectral_centroid_windows",  # 16 DFT chains per window
+    "pps_sampling_ht_orders",         # md5-coin sample + exact HT fold
+    "g_test_dow_events",              # r×c grid windows
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -187,6 +202,14 @@ SF1_SPOT = [
     "ktruss_prune_suppliers",
     "item_cooccurrence_cosine_parts",
     "peak_concurrency_events",
+    # round-8: postings-pair growth, per-day-partition window growth,
+    # co-supply edge growth feeding the bounded BFS, histogram-grid
+    # growth, and phrase-corpus growth
+    "char_trigram_source_similarity_docs",
+    "kmv_jaccard_daily_users_events",
+    "closeness_centrality_suppliers",
+    "kruskal_wallis_dow_value_events",
+    "rake_keywords_docs",
 ]
 
 

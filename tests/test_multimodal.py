@@ -383,3 +383,92 @@ def test_image_dhash_brightness_invariance_vs_ahash(spark):
         for r in image_difference_hash(df, dim=6, decoder="ppm").collect()
     }
     assert out[1] == out[2]
+
+
+def test_phash_brightness_invariant_ppm(spark):
+    """pHash bits compare non-DC DCT coefficients to their median —
+    both a uniform brightness SHIFT (changes DC only) and a contrast
+    SCALE (scales coeffs and median together) must leave the hash
+    unchanged, while a structurally different image must differ."""
+    import pyspark.sql.types as T
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        image_perceptual_hash,
+    )
+
+    w = h = 16
+    # generic (pseudo-random) luminance: no symmetric structure, so no
+    # DCT coefficient ties at the median — the shift perturbation is
+    # ~1e-12 while coefficient-median gaps are O(1)
+    base = [((x * 37 + y * 101 + x * y * 13) % 149) % 176 for y in range(h) for x in range(w)]
+    shifted = [v + 40 for v in base]  # uniform, never clips (max 215)
+    checker = [255 if (x + y) % 2 == 0 else 0 for y in range(h) for x in range(w)]
+
+    def rgb(lum):
+        return [c for v in lum for c in (v, v, v)]
+
+    rows = [
+        (0, bytes(_ppm_bytes(w, h, rgb(base)))),
+        (1, bytes(_ppm_bytes(w, h, rgb(shifted)))),
+        (2, bytes(_ppm_bytes(w, h, rgb(checker)))),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.media_id: (r.phash, r.decode_ok)
+        for r in image_perceptual_hash(df, grid=8, decoder="ppm").collect()
+    }
+    assert all(ok for _, ok in got.values())
+    assert got[0][0] == got[1][0]  # brightness shift: same hash
+    assert got[0][0] != got[2][0]  # different structure: different hash
+
+    # fake path is deterministic and integer-driven
+    f2 = image_perceptual_hash(df, grid=8, decoder="fake")
+    a = {r.media_id: r.phash for r in f2.collect()}
+    b = {r.media_id: r.phash for r in f2.collect()}
+    assert a == b
+
+    with pytest.raises(NotImplementedError):
+        image_perceptual_hash(df, decoder="real")
+
+
+def test_audio_spectral_centroid_pure_tone(spark):
+    """A pure cosine at DFT bin k must put (nearly) all power in bin
+    k: centroid == k exactly, spread == 0."""
+    import math
+
+    import pyspark.sql.types as T
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        audio_spectral_centroid,
+    )
+
+    ws = 32
+    tone_k = 4
+    samples = [
+        int(round(10000 * math.cos(2 * math.pi * tone_k * t / ws)))
+        for t in range(ws * 2)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, _wav_bytes(samples))], schema)
+    rows = audio_spectral_centroid(
+        df, window_samples=ws, n_bins=8, decoder="wav"
+    ).collect()
+    assert len(rows) == 2  # two full windows
+    for r in rows:
+        assert r.decode_ok
+        assert abs(r.centroid - tone_k) < 1e-6
+        assert r.spread < 1e-3
+
+    with pytest.raises(NotImplementedError):
+        audio_spectral_centroid(df, decoder="real")
