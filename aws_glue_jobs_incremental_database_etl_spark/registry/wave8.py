@@ -2216,3 +2216,599 @@ def rake_q(spark, sf_dir):
         )
         .orderBy(F.col("rake_score").desc(), "phrase")
     )
+
+
+# =====================================================================
+# Round-8 wave: effect sizes / inequality / corpus comparison / OLS
+# diagnostics
+# =====================================================================
+
+@query(
+    "cvm_two_sample_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), hist AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS c2
+      FROM obs GROUP BY v
+    ), tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM hist
+    ), cum AS (
+      SELECT v, c1, c2,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+      FROM hist
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n_f, CAST(t.n2 AS BIGINT) AS n_o,
+           ROUND(CAST(t.n1 AS DOUBLE) * t.n2
+                 / ((t.n1 + t.n2) * (t.n1 + t.n2))
+                 * SUM((c.c1 + c.c2)
+                       * (CAST(c.f1 AS DOUBLE) / t.n1
+                          - CAST(c.f2 AS DOUBLE) / t.n2)
+                       * (CAST(c.f1 AS DOUBLE) / t.n1
+                          - CAST(c.f2 AS DOUBLE) / t.n2)), 6) AS cvm_t
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def cvm_q(spark, sf_dir):
+    """Two-sample Cramér–von Mises statistic between finished and
+    open orders' price distributions — the whole-distribution drift
+    test that weights EVERY quantile (KS sees only the single largest
+    CDF gap; CvM integrates the squared gap, catching spread/shape
+    drift KS dilutes).  T = n₁n₂/(n₁+n₂)² · Σ_pooled (F₁−F₂)².  The
+    corpus reduces to the quantized-cents histogram; the cumulative
+    CDFs are one ordered window over that bounded value domain (the
+    Kruskal–Wallis audited grid shape); counts stay exact integers
+    until the final divisions."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    obs = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = hist.select(
+        "c1",
+        "c2",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+    )
+    gap = F.col("f1").cast("double") / F.col("n1") - F.col("f2").cast(
+        "double"
+    ) / F.col("n2")
+    return cum.groupBy("n1", "n2").agg(
+        F.round(
+            F.col("n1").cast("double")
+            * F.col("n2")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2")))
+            * F.sum((F.col("c1") + F.col("c2")) * gap * gap),
+            6,
+        ).alias("cvm_t")
+    ).select(
+        F.col("n1").cast("bigint").alias("n_f"),
+        F.col("n2").cast("bigint").alias("n_o"),
+        "cvm_t",
+    )
+
+
+@query(
+    "cliffs_delta_quantity_returnflag",
+    """
+    WITH obs AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), hist AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS c2
+      FROM obs GROUP BY v
+    ), cum AS (
+      SELECT v, c1, c2,
+             COALESCE(SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c2_below
+      FROM hist
+    ), u AS (
+      SELECT SUM(c1) AS n1,
+             (SELECT SUM(c2) FROM hist) AS n2,
+             SUM(c1 * (c2_below + c2 / 2.0)) AS u_stat
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_r, CAST(n2 AS BIGINT) AS n_n,
+           ROUND(u_stat, 2) AS u_stat,
+           ROUND(2.0 * u_stat / (CAST(n1 AS DOUBLE) * n2) - 1.0, 6)
+             AS cliffs_delta,
+           CASE WHEN ABS(2.0 * u_stat / (CAST(n1 AS DOUBLE) * n2) - 1.0)
+                     < 0.147 THEN 'negligible'
+                WHEN ABS(2.0 * u_stat / (CAST(n1 AS DOUBLE) * n2) - 1.0)
+                     < 0.33 THEN 'small'
+                WHEN ABS(2.0 * u_stat / (CAST(n1 AS DOUBLE) * n2) - 1.0)
+                     < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM u
+    """,
+)
+def cliffs_delta_q(spark, sf_dir):
+    """Cliff's delta effect size between returned and non-returned
+    line quantities — the answer to "the Mann–Whitney test is
+    significant, but does it MATTER": δ = P(X>Y) − P(X<Y) ∈ [−1, 1]
+    with the standard Romano magnitude labels, computed tie-correctly
+    from the quantized histogram (U = Σ_v c₁(v)·(c₂_below + c₂/2)) —
+    no pair enumeration, one bounded-grid window, exact integers into
+    the final two divisions."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    obs = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "R", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == "N", 1).otherwise(0)).alias("c2"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c2").over(wb), F.lit(0)).alias("c2_below"),
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.col("c2_below") + F.col("c2") / 2.0)
+        ).alias("u_stat"),
+    )
+    delta = 2.0 * F.col("u_stat") / (
+        F.col("n1").cast("double") * F.col("n2")
+    ) - 1.0
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_r"),
+        F.col("n2").cast("bigint").alias("n_n"),
+        F.round("u_stat", 2).alias("u_stat"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@query(
+    "theil_inequality_users_events",
+    """
+    WITH ut AS (
+      SELECT e.user_id,
+             SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS x
+      FROM events e GROUP BY e.user_id
+    ), dom AS (
+      SELECT user_id, event_type AS grp FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type ASC)
+                 AS rn
+        FROM events GROUP BY user_id, event_type
+      ) WHERE rn = 1
+    ), j AS (
+      SELECT d.grp, u.x FROM ut u JOIN dom d ON u.user_id = d.user_id
+      WHERE u.x > 0
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx FROM j
+    ), g AS (
+      SELECT grp, COUNT(*) AS ng, SUM(x) AS sg,
+             SUM(CAST(x AS DOUBLE) * LN(x)) AS sxlnx
+      FROM j GROUP BY grp
+    ), parts AS (
+      SELECT g.grp, g.ng, g.sg, t.n, t.sx,
+             (CAST(g.sg AS DOUBLE) / t.sx)
+               * LN((CAST(g.sg AS DOUBLE) / g.ng)
+                    / (CAST(t.sx AS DOUBLE) / t.n)) AS between_g,
+             (CAST(g.sg AS DOUBLE) / t.sx)
+               * (g.sxlnx / g.sg - LN(CAST(g.sg AS DOUBLE) / g.ng))
+               AS within_g
+      FROM g CROSS JOIN tot t
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_users,
+           ROUND(SUM(between_g), 6) AS theil_between,
+           ROUND(SUM(within_g), 6) AS theil_within,
+           ROUND(SUM(between_g) + SUM(within_g), 6) AS theil_total
+    FROM parts
+    """,
+)
+def theil_q(spark, sf_dir):
+    """Theil T inequality of per-user total value, DECOMPOSED by each
+    user's dominant event type — the inequality measure worth having
+    precisely because it decomposes additively: T = T_between +
+    T_within (Gini does not), so "is the concentration driven by the
+    purchase-heavy cohort or within it" is one query.  Income-style
+    form T = Σ(x/X)ln((x/μ_ratio)); within terms fold per group from
+    Σx·ln(x) moments, so the corpus reduces to one row per group.
+    Exact integer cents into the logs; the decomposition identity is
+    visible in the output (between + within = total)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ut = e.groupBy("user_id").agg(F.sum(cents).alias("x"))
+    dom = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("c").desc(), F.col("event_type").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("grp"))
+    )
+    j = ut.join(dom, "user_id").filter(F.col("x") > 0)
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    g = j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x").cast("double") * F.log(F.col("x"))).alias(
+            "sxlnx"
+        ),
+    )
+    p = g.join(F.broadcast(tot), F.lit(True))
+    share = F.col("sg").cast("double") / F.col("sx")
+    mu_g = F.col("sg").cast("double") / F.col("ng")
+    mu = F.col("sx").cast("double") / F.col("n")
+    parts = p.select(
+        "n",
+        (share * F.log(mu_g / mu)).alias("between_g"),
+        (
+            share
+            * (F.col("sxlnx") / F.col("sg") - F.log(mu_g))
+        ).alias("within_g"),
+    )
+    return parts.groupBy().agg(
+        F.first("n").cast("bigint").alias("n_users"),
+        F.round(F.sum("between_g"), 6).alias("theil_between"),
+        F.round(F.sum("within_g"), 6).alias("theil_within"),
+        F.round(F.sum("between_g") + F.sum("within_g"), 6).alias(
+            "theil_total"
+        ),
+    )
+
+
+@query(
+    "fightin_words_lang_docs",
+    r"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ), lw AS (
+      SELECT lang, w, COUNT(*) AS y FROM toks GROUP BY lang, w
+    ), wt AS (
+      SELECT w, SUM(y) AS yw FROM lw GROUP BY w
+    ), lt AS (
+      SELECT lang, SUM(y) AS nl FROM lw GROUP BY lang
+    ), v AS (
+      SELECT COUNT(*) AS nv, SUM(yw) AS n FROM wt
+    ), z AS (
+      SELECT lw.lang, lw.w,
+             LN((lw.y + 0.5) / (lt.nl + 0.5 * v.nv - lw.y - 0.5))
+             - LN((wt.yw - lw.y + 0.5)
+                  / (v.n - lt.nl + 0.5 * v.nv - (wt.yw - lw.y) - 0.5))
+               AS delta,
+             sqrt(1.0 / (lw.y + 0.5) + 1.0 / (wt.yw - lw.y + 0.5))
+               AS se
+      FROM lw JOIN wt ON lw.w = wt.w
+              JOIN lt ON lw.lang = lt.lang
+              CROSS JOIN v
+    ), ranked AS (
+      SELECT lang, w, delta / se AS zscore,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY delta / se DESC, w ASC) AS rn
+      FROM z
+    )
+    SELECT lang, w AS word, ROUND(zscore, 6) AS log_odds_z
+    FROM ranked WHERE rn <= 3 ORDER BY lang, log_odds_z DESC, word
+    """,
+)
+def fightin_words_q(spark, sf_dir):
+    """"Fightin' Words" (Monroe–Colaresi–Quinn 2008): which words
+    mark each language, via z-scored log-odds-ratios with a Dirichlet
+    prior (α = 0.5 per word) of lang vs rest-of-corpus — the
+    statistically-grounded replacement for raw TF-IDF keyword lists
+    that over-weights rare flukes.  Top-3 marker words per lang.  The
+    corpus reduces to the (lang, word) count grid; priors make every
+    log finite; gram-keyed hash aggs only."""
+    from ..operators.dedup import tokens_of
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens_of(F.col("text"))).alias("w"))
+    lw = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("y"))
+    wt = lw.groupBy("w").agg(F.sum("y").alias("yw"))
+    lt = lw.groupBy("lang").agg(F.sum("y").alias("nl"))
+    v = wt.agg(
+        F.count(F.lit(1)).alias("nv"), F.sum("yw").alias("n")
+    )
+    z = (
+        lw.join(wt, "w")
+        .join(F.broadcast(lt), "lang")
+        .join(F.broadcast(v), F.lit(True))
+    )
+    delta = F.log(
+        (F.col("y") + 0.5)
+        / (F.col("nl") + 0.5 * F.col("nv") - F.col("y") - 0.5)
+    ) - F.log(
+        (F.col("yw") - F.col("y") + 0.5)
+        / (
+            F.col("n")
+            - F.col("nl")
+            + 0.5 * F.col("nv")
+            - (F.col("yw") - F.col("y"))
+            - 0.5
+        )
+    )
+    se = F.sqrt(
+        1.0 / (F.col("y") + 0.5) + 1.0 / (F.col("yw") - F.col("y") + 0.5)
+    )
+    ranked = z.select(
+        "lang", "w", (delta / se).alias("zscore")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("zscore").desc(), F.col("w").asc()
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select("lang", F.col("w").alias("word"), F.round("zscore", 6).alias("log_odds_z"))
+        .orderBy("lang", F.col("log_odds_z").desc(), "word")
+    )
+
+
+@query(
+    "cooks_distance_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS DOUBLE) AS t
+      FROM daily
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS stt,
+             SUM(y) AS sy, SUM(t * y) AS sty
+      FROM idx GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, n, st / n AS tbar,
+             stt - st * st / n AS sxx,
+             (sty - st * sy / n) / (stt - st * st / n) AS b,
+             (sy - (sty - st * sy / n) / (stt - st * st / n) * st) / n AS a
+      FROM m
+    ), resid AS (
+      SELECT i.event_type, i.day, i.t, i.y,
+             i.y - f.a - f.b * i.t AS e,
+             1.0 / f.n + (i.t - f.tbar) * (i.t - f.tbar) / f.sxx AS h,
+             f.n AS n
+      FROM idx i JOIN fit f ON i.event_type = f.event_type
+    ), s2 AS (
+      SELECT event_type, SUM(e * e) / (ANY_VALUE(n) - 2) AS s2
+      FROM resid GROUP BY event_type
+    ), d AS (
+      SELECT r.event_type, r.day, r.e, r.h,
+             r.e * r.e * r.h / (2 * s.s2 * (1 - r.h) * (1 - r.h)) AS cooks_d,
+             ROW_NUMBER() OVER (PARTITION BY r.event_type
+               ORDER BY r.e * r.e * r.h
+                        / (2 * s.s2 * (1 - r.h) * (1 - r.h)) DESC,
+                        r.day ASC) AS rn
+      FROM resid r JOIN s2 s ON r.event_type = s.event_type
+    )
+    SELECT event_type, day, ROUND(e, 6) AS residual,
+           ROUND(h, 6) AS leverage, ROUND(cooks_d, 6) AS cooks_d
+    FROM d WHERE rn <= 3 ORDER BY event_type, cooks_d DESC, day
+    """,
+)
+def cooks_q(spark, sf_dir):
+    """Cook's distance for the per-type daily trend regression — the
+    influence diagnostic that answers "is this trend real or is one
+    anomalous day steering the fit": closed-form leverage
+    h = 1/n + (t−t̄)²/Sxx for simple OLS, D = e²h/(p·s²(1−h)²), top-3
+    most influential days per type.  The corpus reduces to the
+    bounded daily grid; the fit is pure moments (one row per type);
+    windows are type-partitioned.  Companion to the
+    regression-residual-outlier gate, which flags big residuals —
+    influence ≠ residual (a boundary day with a modest residual can
+    dominate the slope)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("y")
+    )
+    idx = daily.withColumn(
+        "t",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("double"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    sxx = F.col("stt") - F.col("st") * F.col("st") / F.col("n")
+    b = (F.col("sty") - F.col("st") * F.col("sy") / F.col("n")) / sxx
+    fit = m.select(
+        "event_type",
+        "n",
+        (F.col("st") / F.col("n")).alias("tbar"),
+        sxx.alias("sxx"),
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("st")) / F.col("n")).alias("a"),
+    )
+    resid = idx.join(fit, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("t") - F.col("tbar"))
+            * (F.col("t") - F.col("tbar"))
+            / F.col("sxx")
+        ).alias("h"),
+        "n",
+    )
+    s2 = resid.groupBy("event_type").agg(
+        (F.sum(F.col("e") * F.col("e")) / (F.first("n") - 2)).alias("s2")
+    )
+    cooks = F.col("e") * F.col("e") * F.col("h") / (
+        2 * F.col("s2") * (1 - F.col("h")) * (1 - F.col("h"))
+    )
+    d = resid.join(s2, "event_type").withColumn(
+        "cooks_d", cooks
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("cooks_d").desc(), F.col("day").asc()
+            )
+        ),
+    )
+    return (
+        d.filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            "day",
+            F.round("e", 6).alias("residual"),
+            F.round("h", 6).alias("leverage"),
+            F.round("cooks_d", 6).alias("cooks_d"),
+        )
+        .orderBy("event_type", F.col("cooks_d").desc(), "day")
+    )
+
+
+@query(
+    "durbin_watson_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS DOUBLE) AS t
+      FROM daily
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS stt,
+             SUM(y) AS sy, SUM(t * y) AS sty
+      FROM idx GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, n,
+             (sty - st * sy / n) / (stt - st * st / n) AS b,
+             (sy - (sty - st * sy / n) / (stt - st * st / n) * st) / n AS a
+      FROM m
+    ), resid AS (
+      SELECT i.event_type, i.day,
+             i.y - f.a - f.b * i.t AS e,
+             LAG(i.y - f.a - f.b * i.t) OVER (
+               PARTITION BY i.event_type ORDER BY i.day) AS ep,
+             f.n AS n, f.b AS b
+      FROM idx i JOIN fit f ON i.event_type = f.event_type
+    )
+    SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n_days,
+           ROUND(ANY_VALUE(b), 6) AS slope,
+           ROUND(SUM(CASE WHEN ep IS NOT NULL
+                          THEN (e - ep) * (e - ep) ELSE 0 END)
+                 / SUM(e * e), 6) AS durbin_watson
+    FROM resid GROUP BY event_type ORDER BY event_type
+    """,
+)
+def durbin_watson_q(spark, sf_dir):
+    """Durbin–Watson autocorrelation diagnostic on the per-type daily
+    trend residuals — DW = Σ(e_t − e_{t−1})²/Σe², ≈2 means the OLS
+    inference upstream (regr_* gates, trend tests) is safe, →0 means
+    positive serial correlation is shrinking the honest standard
+    errors (the classic way daily metrics fake significance).  Same
+    bounded daily-grid OLS moments as the Cook's-distance gate; one
+    LAG window per type."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("y")
+    )
+    idx = daily.withColumn(
+        "t",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("double"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    sxx = F.col("stt") - F.col("st") * F.col("st") / F.col("n")
+    b = (F.col("sty") - F.col("st") * F.col("sy") / F.col("n")) / sxx
+    fit = m.select(
+        "event_type",
+        "n",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("st")) / F.col("n")).alias("a"),
+    )
+    ew = Window.partitionBy("event_type").orderBy("day")
+    resid = idx.join(fit, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+        "n",
+        "b",
+    ).withColumn("ep", F.lag("e").over(ew))
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n_days"),
+            F.round(F.first("b"), 6).alias("slope"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("ep").isNotNull(),
+                        (F.col("e") - F.col("ep"))
+                        * (F.col("e") - F.col("ep")),
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum(F.col("e") * F.col("e")),
+                6,
+            ).alias("durbin_watson"),
+        )
+        .orderBy("event_type")
+    )

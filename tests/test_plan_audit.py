@@ -44,6 +44,14 @@ SINGLE_PARTITION_OK = {
     "pps_sampling_ht_orders",         # 1-row corpus-total fold + the
     # 1-row HT summary
     "mcnemar_paired_quality_docs",    # 1-row 4-cell fold
+    "cvm_two_sample_orders",          # cumulative window over the
+    # quantized-cents value domain (bounded grid) + 1-row fold
+    "cliffs_delta_quantity_returnflag",  # cumulative window over the
+    # ≤50-value quantity domain + 1-row U fold
+    "theil_inequality_users_events",  # 1-row corpus totals + 1-row
+    # decomposition fold over the ≤|event-types| group rows
+    "fightin_words_lang_docs",        # 1-row vocab-size/corpus-total
+    # fold (the only global step; the z grid is (lang, word)-keyed)
     # ---- round-7 wave 6: bounded pivots
     "qte_quantile_lift_events",       # 2-row arm quantile frame
     # pivoted to the literal 4-row QTE report
@@ -219,6 +227,10 @@ BNLJ_OK = {
     # crossJoin (the rate grid both z-scores and pairs read)
     "kmv_jaccard_daily_users_events",  # day-pair × per-day hash frame
     # OR-join: ≤|days| pair rows broadcast against the daily hashes
+    "theil_inequality_users_events",  # 1-row totals crossJoin onto
+    # the ≤|event-types| group rows
+    "fightin_words_lang_docs",        # 1-row vocab-totals crossJoin
+    # onto the (lang, word) grid
     # ---- round-7 wave 5: 1-row scalar broadcasts
     "poisson_surprise_events",        # 1-row day-count crossJoin
     "hill_tail_index_orders",         # 1-row threshold crossJoin onto
