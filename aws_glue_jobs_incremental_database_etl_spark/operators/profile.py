@@ -915,3 +915,65 @@ def sequential_z_report(
         F.round(zz, 6).alias("z"),
         F.when(F.abs(zz) > boundary, 1).otherwise(0).alias("crossed"),
     ).orderBy("d")
+
+
+def drift_daily_moments(events: DataFrame) -> DataFrame:
+    """Day-level moment deltas for the Page–Hinkley drift monitor
+    (registry ``page_hinkley_daily_events`` and its streaming twin):
+    per (event_type, day), the row count and exact ×100-integer value
+    sum — the only state the monitor needs, additive across batches
+    (sum per day), which is what makes the streaming twin
+    exactly-once-mergeable."""
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("bigint")
+        ).alias("s_d"),
+    )
+
+
+def merge_drift_daily_moments(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Additive fold of two drift-moment frames (schema of
+    :func:`drift_daily_moments`) — exact integer sums per (type, day),
+    so fold order and batch boundaries cannot change the result."""
+    return (
+        prev.unionByName(delta)
+        .groupBy("event_type", "d")
+        .agg(F.sum("n_d").alias("n_d"), F.sum("s_d").alias("s_d"))
+    )
+
+
+def page_hinkley_report(
+    moments: DataFrame, delta: float = 0.005, lam: float = 5.0
+) -> DataFrame:
+    """Page–Hinkley readout over day-level drift moments — THE shared
+    expressions of the batch gate and the streaming twin, so both
+    agree bit-for-bit on the same events: daily mean m = s/n/100
+    (exact integer division both engines), running mean allowance,
+    M_t = Σ(m − m̄ − δ), PH_t = M_t − min_{s≤t} M_s, alarm past λ.
+    All three ordered windows run on the bounded per-type daily
+    grid."""
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("event_type").orderBy("d")
+    acc = moments.select(
+        "event_type",
+        F.col("d").alias("day"),
+        (
+            F.col("s_d").cast("double") / F.col("n_d") / 100.0
+        ).alias("m"),
+    ).withColumn("rm", F.avg("m").over(Window.partitionBy("event_type").orderBy("day")))
+    wdy = Window.partitionBy("event_type").orderBy("day")
+    mt = acc.withColumn(
+        "mt", F.sum(F.col("m") - F.col("rm") - delta).over(wdy)
+    )
+    ph = F.col("mt") - F.min("mt").over(wdy)
+    return mt.select(
+        "event_type",
+        "day",
+        F.round("m", 6).alias("daily_mean"),
+        F.round(ph, 6).alias("ph_stat"),
+        (ph > lam).alias("alarm"),
+    ).orderBy("event_type", "day")

@@ -496,27 +496,15 @@ def page_hinkley_q(spark, sf_dir):
     baseline mean).  The corpus reduces to one exact integer-cents
     row per (type, day) before the three ordered windows, all over
     the bounded daily series.  Daily means divide exact integer sums
-    so both engines see identical doubles."""
+    so both engines see identical doubles.  The moment builder and
+    readout are SHARED with the streaming twin
+    (``streaming.run_drift_monitor`` folds the same additive
+    day-level state; ``drift_ph_series`` reads it through these very
+    expressions), so streamed ≡ batch bit-for-bit."""
+    from ..operators.profile import drift_daily_moments, page_hinkley_report
+
     e = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        (
-            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
-        ).alias("m")
-    )
-    wd = Window.partitionBy("event_type").orderBy("day")
-    acc = daily.withColumn("rm", F.avg("m").over(wd))
-    mt = acc.withColumn(
-        "mt", F.sum(F.col("m") - F.col("rm") - 0.005).over(wd)
-    )
-    ph = F.col("mt") - F.min("mt").over(wd)
-    return mt.select(
-        "event_type",
-        "day",
-        F.round("m", 6).alias("daily_mean"),
-        F.round(ph, 6).alias("ph_stat"),
-        (ph > 5.0).alias("alarm"),
-    ).orderBy("event_type", "day")
+    return page_hinkley_report(drift_daily_moments(e))
 
 
 @query(

@@ -669,3 +669,46 @@ def monitor_z_series(spark: SparkSession, state_path: str) -> DataFrame:
     from ..operators.profile import sequential_z_report
 
     return sequential_z_report(read_sketch(spark, state_path))
+
+
+def run_drift_monitor(
+    stream_df: DataFrame, checkpoint: str, state_path: str
+) -> None:
+    """Streaming twin of the Page–Hinkley drift monitor (registry
+    ``page_hinkley_daily_events``): drain everything currently
+    available, folding each micro-batch's (event_type, day)-level
+    count/sum deltas (exact ×100 integers, from
+    ``operators.profile.drift_daily_moments``) into persisted state
+    via :func:`sketch_fold_writer` — exactly-once batch-id commits,
+    staging + atomic-rename publishes, replay-safe.  The fold is an
+    ADDITIVE integer merge per (type, day), so any batch split of the
+    same events produces bit-identical state, and
+    :func:`drift_ph_series` over that state equals the batch gate
+    bit-for-bit (same shared report expressions)."""
+    from ..operators.profile import (
+        drift_daily_moments,
+        merge_drift_daily_moments,
+    )
+
+    writer = sketch_fold_writer(
+        state_path, drift_daily_moments, merge_drift_daily_moments
+    )
+    q = (
+        stream_df.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def drift_ph_series(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current Page–Hinkley readout of a streaming drift monitor: the
+    PH statistic per (type, day) computed from the persisted day
+    moments — the identical ``page_hinkley_report`` expressions the
+    batch gate uses, so streamed and batch readouts agree bit-for-bit
+    on the same events."""
+    from ..operators.profile import page_hinkley_report
+
+    return page_hinkley_report(read_sketch(spark, state_path))

@@ -978,3 +978,52 @@ def test_streaming_experiment_monitor_matches_batch_and_replays(
         for r in monitor_z_series(spark, state).collect()
     ]
     assert again == streamed
+
+
+def test_streaming_drift_monitor_matches_batch_and_replays(
+    spark, tmp_path, sf_dir
+):
+    """The Page–Hinkley drift monitor's streaming twin: draining the
+    events corpus in two uneven file batches and reading the PH
+    series from the persisted (type, day) moment state must equal the
+    batch gate bit-for-bit (additive exact-integer state + the shared
+    page_hinkley_report expressions), and a replayed drain must
+    change nothing."""
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        drift_ph_series,
+        run_drift_monitor,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 4 == 0).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_drift_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    ev.filter(F.col("event_id") % 4 != 0).write.mode("append").parquet(src)
+    run_drift_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+
+    def key(r):
+        return (r.event_type, str(r.day), r.daily_mean, r.ph_stat, r.alarm)
+
+    streamed = [key(r) for r in drift_ph_series(spark, state).collect()]
+    batch = [
+        key(r)
+        for r in Q["page_hinkley_daily_events"](spark, sf_dir).collect()
+    ]
+    assert streamed == batch and len(streamed) > 20
+
+    # replayed drain with no new data: state unchanged
+    run_drift_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    again = [key(r) for r in drift_ph_series(spark, state).collect()]
+    assert again == streamed
