@@ -2800,3 +2800,263 @@ def durbin_watson_q(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "anova_two_way_interaction_events",
+    """
+    WITH obs AS (
+      SELECT event_type AS a, isodow(CAST(ts AS DATE)) AS b,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v
+      FROM events
+    ), cells AS (
+      SELECT a, b, COUNT(*) AS n, SUM(v) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS ss
+      FROM obs GROUP BY a, b
+    ), tot AS (
+      SELECT SUM(n) AS n, SUM(s) AS s, SUM(CAST(ss AS DOUBLE)) AS ss,
+             COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+             SUM(CAST(s AS DOUBLE) * s / n) AS sscells_raw
+      FROM cells
+    ), ma AS (
+      SELECT SUM(CAST(sa AS DOUBLE) * sa / na) AS ssa_raw
+      FROM (SELECT a, SUM(n) AS na, SUM(s) AS sa FROM cells GROUP BY a)
+    ), mb AS (
+      SELECT SUM(CAST(sb AS DOUBLE) * sb / nb) AS ssb_raw
+      FROM (SELECT b, SUM(n) AS nb, SUM(s) AS sb FROM cells GROUP BY b)
+    ), f AS (
+      SELECT t.n, t.ka, t.kb,
+             ma.ssa_raw - CAST(t.s AS DOUBLE) * t.s / t.n AS ssa,
+             mb.ssb_raw - CAST(t.s AS DOUBLE) * t.s / t.n AS ssb,
+             t.sscells_raw - ma.ssa_raw - mb.ssb_raw
+               + CAST(t.s AS DOUBLE) * t.s / t.n AS ssab,
+             t.ss - t.sscells_raw AS sse
+      FROM tot t CROSS JOIN ma CROSS JOIN mb
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           ROUND((ssa / (ka - 1)) / (sse / (n - ka * kb)), 6) AS f_type,
+           ROUND((ssb / (kb - 1)) / (sse / (n - ka * kb)), 6) AS f_dow,
+           ROUND((ssab / ((ka - 1) * (kb - 1)))
+                 / (sse / (n - ka * kb)), 6) AS f_interaction,
+           ROUND(ssab / (ssab + sse), 6) AS partial_eta_sq
+    FROM f
+    """,
+)
+def anova_two_way_q(spark, sf_dir):
+    """Two-way ANOVA with interaction on event value over type × ISO
+    day-of-week — the question the one-way gates can't ask: does the
+    DAY effect DIFFER BY TYPE (an interaction), or do the two factors
+    just add?  Sequential (Type-I) sums of squares from exact ×1e4
+    integer cell moments (the standard caveat for unbalanced designs,
+    documented): SSA/SSB from marginal folds, SSAB = SS_cells − SSA −
+    SSB, SSE = Σx² − SS_cells, all reduced to the a×b grid in one
+    hash agg; HUGEINT ≙ decimal(38,0) squared sums."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 10000).cast("bigint")
+    cells = e.groupBy(
+        F.col("event_type").alias("a"),
+        (F.weekday(F.to_date("ts")) + 1).alias("b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v.cast("decimal(38,0)") * v).alias("ss"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum(F.col("ss").cast("double")).alias("ss"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sscells_raw"
+        ),
+    )
+    ma = (
+        cells.groupBy("a")
+        .agg(F.sum("n").alias("na"), F.sum("s").alias("sa"))
+        .agg(
+            F.sum(
+                F.col("sa").cast("double") * F.col("sa") / F.col("na")
+            ).alias("ssa_raw")
+        )
+    )
+    mb = (
+        cells.groupBy("b")
+        .agg(F.sum("n").alias("nb"), F.sum("s").alias("sb"))
+        .agg(
+            F.sum(
+                F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+            ).alias("ssb_raw")
+        )
+    )
+    f = tot.join(F.broadcast(ma), F.lit(True)).join(
+        F.broadcast(mb), F.lit(True)
+    )
+    grand = F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssa = F.col("ssa_raw") - grand
+    ssb = F.col("ssb_raw") - grand
+    ssab = F.col("sscells_raw") - F.col("ssa_raw") - F.col("ssb_raw") + grand
+    sse = F.col("ss") - F.col("sscells_raw")
+    dfe = F.col("n") - F.col("ka") * F.col("kb")
+    return f.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round((ssa / (F.col("ka") - 1)) / (sse / dfe), 6).alias("f_type"),
+        F.round((ssb / (F.col("kb") - 1)) / (sse / dfe), 6).alias("f_dow"),
+        F.round(
+            (ssab / ((F.col("ka") - 1) * (F.col("kb") - 1))) / (sse / dfe),
+            6,
+        ).alias("f_interaction"),
+        F.round(ssab / (ssab + sse), 6).alias("partial_eta_sq"),
+    )
+
+
+@query(
+    "textrank_keywords_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE COALESCE(trim(text), '') <> ''
+    ), pos AS (
+      SELECT doc_id, i AS p, ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+    ), vocab AS (
+      SELECT w FROM pos GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 30
+    ), adj AS (
+      SELECT a.w AS u, b.w AS v, COUNT(*) AS c
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      WHERE a.w <> b.w
+        AND a.w IN (SELECT w FROM vocab) AND b.w IN (SELECT w FROM vocab)
+      GROUP BY a.w, b.w
+    ), e AS (
+      SELECT u, v, SUM(c) AS c FROM (
+        SELECT u, v, c FROM adj UNION ALL SELECT v, u, c FROM adj
+      ) GROUP BY u, v
+    ), nodes AS (
+      SELECT DISTINCT u AS id FROM e
+    ), sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    wsum AS (
+      SELECT u, CAST(SUM(c) AS DOUBLE) AS d FROM e GROUP BY u
+    ), p0 AS (
+      SELECT id, 1.0 / (SELECT n FROM sc) AS r FROM nodes
+    ), c1 AS (
+      SELECT e.v, SUM(p0.r * e.c / wsum.d) AS s
+      FROM e JOIN wsum USING (u) JOIN p0 ON p0.id = e.u GROUP BY e.v
+    ), p1 AS (
+      SELECT nodes.id,
+             0.15 / (SELECT n FROM sc) + 0.85 * COALESCE(c1.s, 0) AS r
+      FROM nodes LEFT JOIN c1 ON c1.v = nodes.id
+    ), c2 AS (
+      SELECT e.v, SUM(p1.r * e.c / wsum.d) AS s
+      FROM e JOIN wsum USING (u) JOIN p1 ON p1.id = e.u GROUP BY e.v
+    ), p2 AS (
+      SELECT nodes.id,
+             0.15 / (SELECT n FROM sc) + 0.85 * COALESCE(c2.s, 0) AS r
+      FROM nodes LEFT JOIN c2 ON c2.v = nodes.id
+    ), c3 AS (
+      SELECT e.v, SUM(p2.r * e.c / wsum.d) AS s
+      FROM e JOIN wsum USING (u) JOIN p2 ON p2.id = e.u GROUP BY e.v
+    ), p3 AS (
+      SELECT nodes.id,
+             0.15 / (SELECT n FROM sc) + 0.85 * COALESCE(c3.s, 0) AS r
+      FROM nodes LEFT JOIN c3 ON c3.v = nodes.id
+    ), ranked AS (
+      SELECT id, r, ROW_NUMBER() OVER (ORDER BY r DESC, id ASC) AS rn
+      FROM p3
+    )
+    SELECT id AS word, ROUND(r, 9) AS textrank
+    FROM ranked WHERE rn <= 10 ORDER BY textrank DESC, word
+    """,
+)
+def textrank_q(spark, sf_dir):
+    """TextRank keyword scores (Mihalcea–Tarau 2004): weighted
+    PageRank over the word co-occurrence graph (adjacent-token pairs,
+    symmetric, top-30-frequency vocabulary as the bounded node set),
+    three damped rounds r' = 0.15/n + 0.85·Σ w_uv/W_u·r_u, top-10
+    keywords — the graph-centrality alternative to RAKE's
+    degree/frequency scores (they disagree exactly where a word is
+    frequent but peripheral).  The corpus reduces to the ≤30²
+    weighted edge grid after one positional self-join per doc; the
+    iteration is the PageRank gate's unrolled shape on a literal
+    vocabulary."""
+    from ..operators.dedup import tokens_of
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.coalesce(F.trim("text"), F.lit("")) != ""
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(tokens_of(F.col("text"))).alias("p", "w")
+    )
+    vocab = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(30)
+        .select("w")
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .filter(F.col("a.w") != F.col("b.w"))
+        .join(
+            F.broadcast(vocab.withColumnRenamed("w", "wa")),
+            F.col("a.w") == F.col("wa"),
+        )
+        .join(
+            F.broadcast(vocab.withColumnRenamed("w", "wb")),
+            F.col("b.w") == F.col("wb"),
+        )
+        .groupBy(F.col("a.w").alias("u"), F.col("b.w").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = (
+        adj.select("u", "v", "c")
+        .unionAll(
+            adj.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "c"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("u").alias("id")).distinct()
+    n_nodes = nodes.agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    wsum = e.groupBy("u").agg(F.sum("c").cast("double").alias("d"))
+    r = nodes.join(F.broadcast(n_nodes), F.lit(True)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(wsum, "u")
+            .join(r.withColumnRenamed("id", "u"), "u")
+            .groupBy("v")
+            .agg(
+                F.sum(
+                    F.col("r") * F.col("c") / F.col("d")
+                ).alias("s")
+            )
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("v", "id"), "id", "left")
+            .join(F.broadcast(n_nodes), F.lit(True))
+            .select(
+                "id",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        r.orderBy(F.col("r").desc(), "id")
+        .limit(10)
+        .select(F.col("id").alias("word"), F.round("r", 9).alias("textrank"))
+        .orderBy(F.col("textrank").desc(), "word")
+    )

@@ -52,6 +52,10 @@ SINGLE_PARTITION_OK = {
     # decomposition fold over the ≤|event-types| group rows
     "fightin_words_lang_docs",        # 1-row vocab-size/corpus-total
     # fold (the only global step; the z grid is (lang, word)-keyed)
+    "anova_two_way_interaction_events",  # 1-row grand/marginal moment
+    # folds from the a×b cell grid
+    "textrank_keywords_docs",         # 1-row node-count fold; ranking
+    # runs on the literal ≤30-word vocabulary grid
     # ---- round-7 wave 6: bounded pivots
     "qte_quantile_lift_events",       # 2-row arm quantile frame
     # pivoted to the literal 4-row QTE report
@@ -231,6 +235,10 @@ BNLJ_OK = {
     # the ≤|event-types| group rows
     "fightin_words_lang_docs",        # 1-row vocab-totals crossJoin
     # onto the (lang, word) grid
+    "anova_two_way_interaction_events",  # 1-row marginal-fold
+    # crossJoins onto the 1-row totals
+    "textrank_keywords_docs",         # 1-row node-count crossJoin per
+    # damped round over the ≤30-node grid
     # ---- round-7 wave 5: 1-row scalar broadcasts
     "poisson_surprise_events",        # 1-row day-count crossJoin
     "hill_tail_index_orders",         # 1-row threshold crossJoin onto
