@@ -161,6 +161,10 @@ HEADLINE = [
     "audio_spectral_centroid_windows",  # 16 DFT chains per window
     "pps_sampling_ht_orders",         # md5-coin sample + exact HT fold
     "g_test_dow_events",              # r×c grid windows
+    "textrank_keywords_docs",         # positional self-join + 3 rounds
+    "fightin_words_lang_docs",        # (lang, word) grid log-odds
+    "cvm_two_sample_orders",          # quantized-grid CDF window
+    "theil_inequality_users_events",  # two user-keyed aggs + folds
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
