@@ -24,8 +24,6 @@ already-indexed ids are never re-appended.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,137 +37,17 @@ from .dedup import (
 )
 
 
-def _join(base: str, *parts: str) -> str:
-    """Path join that works for both plain local paths and scheme'd
-    URIs (``file://``, ``hdfs://``, ``s3a://``): the index layout only
-    ever nests simple entry names, so '/'-joining is exact."""
-    out = base.rstrip("/")
-    for p in parts:
-        out += "/" + p
-    return out
-
-
-class _LocalFS:
-    """``os``/``shutil``-backed index filesystem for scheme-less local
-    paths — no JVM round-trips on the (default) local fast path."""
-
-    def exists(self, p: str) -> bool:
-        return os.path.exists(p)
-
-    def isdir(self, p: str) -> bool:
-        return os.path.isdir(p)
-
-    def listdir(self, p: str) -> list[str]:
-        return sorted(os.listdir(p))
-
-    def getsize(self, p: str) -> int:
-        return os.path.getsize(p)
-
-    def delete(self, p: str) -> None:
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
-        elif os.path.exists(p):
-            os.remove(p)
-
-    def rename(self, src: str, dst: str) -> None:
-        os.rename(src, dst)
-
-    def mkdirs(self, p: str) -> None:
-        os.makedirs(p, exist_ok=True)
-
-    def read_text(self, p: str) -> str:
-        with open(p) as f:
-            return f.read()
-
-    def write_text(self, p: str, text: str) -> None:
-        with open(p, "w") as f:
-            f.write(text)
-
-
-class _HadoopFS:
-    """Hadoop ``FileSystem``-backed index filesystem for scheme'd
-    paths (``file://`` in tests as the hermetic object-store stand-in;
-    ``hdfs://``/``s3a://`` in production, given the connector jars on
-    the Spark classpath).  Same contract as :class:`_LocalFS`; the
-    pinned-snapshot and ``_REPLACES``-manifest semantics carry over
-    unchanged.  Note ``rename`` is the compaction commit point — on
-    HDFS it is atomic; on S3A it is a copy (the ``_REPLACES`` heal
-    pass still keeps a crash there from double-counting)."""
-
-    def __init__(self, spark: SparkSession, base: str) -> None:
-        self._jvm = spark._jvm
-        self._conf = spark._jsc.hadoopConfiguration()
-        try:
-            self._fs = self._jpath(base).getFileSystem(self._conf)
-        except Exception as e:  # e.g. no connector jar for the scheme
-            raise NotImplementedError(
-                f"incremental dedup index at non-local path {base!r}: "
-                "no Hadoop FileSystem for this scheme on the Spark "
-                "classpath (for s3a:// add hadoop-aws + aws sdk jars; "
-                f"for gs:// the gcs-connector): {e}"
-            ) from e
-
-    def _jpath(self, s: str):
-        return self._jvm.org.apache.hadoop.fs.Path(s)
-
-    def exists(self, p: str) -> bool:
-        return bool(self._fs.exists(self._jpath(p)))
-
-    def isdir(self, p: str) -> bool:
-        jp = self._jpath(p)
-        return bool(self._fs.exists(jp)) and bool(
-            self._fs.getFileStatus(jp).isDirectory()
-        )
-
-    def listdir(self, p: str) -> list[str]:
-        return sorted(
-            st.getPath().getName()
-            for st in self._fs.listStatus(self._jpath(p))
-        )
-
-    def getsize(self, p: str) -> int:
-        return int(self._fs.getFileStatus(self._jpath(p)).getLen())
-
-    def delete(self, p: str) -> None:
-        self._fs.delete(self._jpath(p), True)
-
-    def rename(self, src: str, dst: str) -> None:
-        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
-            raise OSError(f"rename {src!r} -> {dst!r} failed")
-
-    def mkdirs(self, p: str) -> None:
-        self._fs.mkdirs(self._jpath(p))
-
-    def read_text(self, p: str) -> str:
-        stream = self._fs.open(self._jpath(p))
-        reader = self._jvm.java.io.BufferedReader(
-            self._jvm.java.io.InputStreamReader(stream, "UTF-8")
-        )
-        try:
-            lines = []
-            while True:
-                ln = reader.readLine()
-                if ln is None:
-                    break
-                lines.append(ln)
-            return "\n".join(lines)
-        finally:
-            reader.close()
-
-    def write_text(self, p: str, text: str) -> None:
-        out = self._fs.create(self._jpath(p), True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+from ..fsutil import HadoopFS as _HadoopFS  # noqa: F401  (re-export)
+from ..fsutil import LocalFS as _LocalFS  # noqa: F401  (re-export)
+from ..fsutil import join_path as _join
 
 
 def _fs_for(spark: SparkSession, path: str):
-    """Pick the index filesystem backend: plain paths use the local
-    ``os`` fast path; any ``scheme://`` path resolves through the
-    Hadoop FileSystem API (VERDICT r7 #3 — previously remote schemes
-    raised).  An unsupported scheme still fails loudly (at
-    ``getFileSystem``), never silently reads an empty index."""
+    """Pick the index filesystem backend (``fsutil``): plain paths use
+    the local ``os`` fast path; any ``scheme://`` path resolves
+    through the Hadoop FileSystem API (VERDICT r7 #3 — previously
+    remote schemes raised).  An unsupported scheme still fails loudly
+    (at ``getFileSystem``), never silently reads an empty index."""
     if "://" in path:
         return _HadoopFS(spark, path)
     return _LocalFS()

@@ -425,7 +425,9 @@ class IncrementalPipeline:
         reference's "old data stays queryable" contract (E2).
         """
         path = self.target_path(source_name)
-        if not os.path.exists(path):
+        from .fsutil import fs_for
+
+        if not fs_for(path, self.spark).exists(path):
             raise FileNotFoundError(path)
         from pyspark.sql import types as T
 
