@@ -3060,3 +3060,62 @@ def textrank_q(spark, sf_dir):
         .select(F.col("id").alias("word"), F.round("r", 9).alias("textrank"))
         .orderBy(F.col("textrank").desc(), "word")
     )
+
+
+@query(
+    "hhi_concentration_customers",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT SUM(x) AS sx, COUNT(*) AS n FROM cust
+    ), top4 AS (
+      SELECT SUM(x) AS s4 FROM (
+        SELECT x FROM cust ORDER BY x DESC, o_custkey ASC LIMIT 4
+      )
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           ROUND(SUM((CAST(c.x AS DOUBLE) / t.sx)
+                     * (CAST(c.x AS DOUBLE) / t.sx)) * 10000, 4) AS hhi,
+           ROUND(10000.0 / t.n, 4) AS hhi_uniform,
+           ROUND(CAST(f.s4 AS DOUBLE) / t.sx, 6) AS cr4
+    FROM cust c CROSS JOIN tot t CROSS JOIN top4 f
+    GROUP BY t.n, t.sx, f.s4
+    """,
+)
+def hhi_q(spark, sf_dir):
+    """Herfindahl–Hirschman revenue-concentration index over
+    customers (HHI = 10000·Σ share², the antitrust-standard
+    concentration scale) plus the CR4 top-4 concentration ratio and
+    the uniform-market floor 10000/n — the "is our revenue one lost
+    account away from trouble" number, complementing the Gini gate's
+    inequality curve with the concentration economists actually
+    threshold (1500/2500).  One customer-keyed agg, a 1-row total, a
+    deterministic top-4 (TakeOrdered), one fold — shares are exact
+    integer ratios into the final squares."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("x"))
+    tot = cust.agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    top4 = (
+        cust.orderBy(F.col("x").desc(), F.col("o_custkey").asc())
+        .limit(4)
+        .agg(F.sum("x").alias("s4"))
+    )
+    share = F.col("x").cast("double") / F.col("sx")
+    return (
+        cust.join(F.broadcast(tot), F.lit(True))
+        .join(F.broadcast(top4), F.lit(True))
+        .groupBy("n", "sx", "s4")
+        .agg(F.round(F.sum(share * share) * 10000, 4).alias("hhi"))
+        .select(
+            F.col("n").cast("bigint").alias("n_customers"),
+            "hhi",
+            F.round(F.lit(10000.0) / F.col("n"), 4).alias("hhi_uniform"),
+            F.round(
+                F.col("s4").cast("double") / F.col("sx"), 6
+            ).alias("cr4"),
+        )
+    )

@@ -56,6 +56,7 @@ SINGLE_PARTITION_OK = {
     # folds from the a×b cell grid
     "textrank_keywords_docs",         # 1-row node-count fold; ranking
     # runs on the literal ≤30-word vocabulary grid
+    "hhi_concentration_customers",    # 1-row total + 1-row top-4 fold
     # ---- round-7 wave 6: bounded pivots
     "qte_quantile_lift_events",       # 2-row arm quantile frame
     # pivoted to the literal 4-row QTE report
@@ -239,6 +240,8 @@ BNLJ_OK = {
     # crossJoins onto the 1-row totals
     "textrank_keywords_docs",         # 1-row node-count crossJoin per
     # damped round over the ≤30-node grid
+    "hhi_concentration_customers",    # 1-row total + 1-row top-4
+    # crossJoins onto the per-customer frame
     # ---- round-7 wave 5: 1-row scalar broadcasts
     "poisson_surprise_events",        # 1-row day-count crossJoin
     "hill_tail_index_orders",         # 1-row threshold crossJoin onto
