@@ -70,9 +70,20 @@ class LocalFS:
             pass
 
     def walk_files(self, root: str) -> Iterator[str]:
+        """Yield every file under ``root`` as a path RELATIVE to
+        ``root`` (contract shared with :class:`HadoopFS` — relative
+        yields sidestep backend URI normalization entirely: Hadoop
+        renders ``file:///x`` as ``file:/x``, so absolute yields would
+        force every caller to re-derive the prefix length)."""
+        out = []
         for r, _dirs, files in os.walk(root):
-            for f in sorted(files):
-                yield os.path.join(r, f)
+            for f in files:
+                out.append(
+                    os.path.relpath(os.path.join(r, f), root).replace(
+                        os.sep, "/"
+                    )
+                )
+        yield from sorted(out)
 
     def read_text(self, p: str) -> str:
         with open(p) as f:
@@ -148,10 +159,31 @@ class HadoopFS:
             pass
 
     def walk_files(self, root: str) -> Iterator[str]:
-        it = self._fs.listFiles(self._jpath(root), True)
+        """Yield every file under ``root`` RELATIVE to ``root``.
+
+        The prefix to strip is the backend-normalized root
+        (``getFileStatus(root).getPath()``) — the exact string form
+        ``listFiles`` renders children in — NOT the caller's ``root``
+        string: Hadoop normalizes empty-authority URIs
+        (``file:///x`` → ``file:/x``), so slicing by the caller's
+        string length would eat leading characters of the first
+        relative component (corrupting e.g. partition directory
+        names)."""
+        jroot = self._jpath(root)
+        prefix = (
+            self._fs.getFileStatus(jroot).getPath().toString().rstrip("/")
+            + "/"
+        )
+        it = self._fs.listFiles(jroot, True)
         out = []
         while it.hasNext():
-            out.append(it.next().getPath().toString())
+            p = it.next().getPath().toString()
+            if not p.startswith(prefix):
+                raise ValueError(
+                    f"walk_files: listed path {p!r} is not under the "
+                    f"normalized root {prefix!r}"
+                )
+            out.append(p[len(prefix) :])
         yield from sorted(out)
 
     def read_text(self, p: str) -> str:

@@ -344,19 +344,31 @@ class MinHashIndex:
             )
             .dropDuplicates(["id", "sh_b"])
         )
-        # localCheckpoint (eager) BEFORE the index append below: it
+        # Eager checkpoint BEFORE the index append below: it
         # materializes losers — the survivors frame is returned lazily
         # and must never observe the signatures this very call appends
         # — AND severs its lineage from the pinned snapshot files, so
         # a later compact()'s GC of those files cannot break a
-        # still-lazy survivors frame
+        # still-lazy survivors frame.  When the session has a RELIABLE
+        # checkpoint dir configured (sparkContext.setCheckpointDir —
+        # HDFS/object store on a real cluster), use checkpoint(): the
+        # blocks land on replicated storage and survive executor loss.
+        # Otherwise fall back to localCheckpoint(), whose blocks are
+        # executor-local and NON-replicated: on a multi-executor
+        # cluster an executor loss makes a still-lazy survivors frame
+        # unrecoverable (job failure, never a wrong answer) — at the
+        # 100 TB design point, set a checkpoint dir.
         losers = (
             cand.withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard") >= self.threshold)
             .select("id")
             .distinct()
-            .localCheckpoint()
         )
+        sc = batch_df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            losers = losers.checkpoint(eager=True)
+        else:
+            losers = losers.localCheckpoint()
         survivors = batch_df.join(
             losers.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
         )

@@ -62,7 +62,7 @@ def _dirname(p: str) -> str:
 
 
 def _basename(p: str) -> str:
-    return p.rstrip("/").rsplit("/", 1)[1]
+    return p.rstrip("/").rsplit("/", 1)[-1]
 
 
 class StagedCommit:
@@ -91,12 +91,15 @@ class StagedCommit:
         moves: list[tuple[str, str]] = []
         for t in self._tables:
             staging, final = t["staging"], t["final"]
-            for path in fs.walk_files(staging):
-                name = _basename(path)
+            # walk_files yields paths RELATIVE to staging (the fsutil
+            # contract) — src/dst are rebuilt in the caller's own path
+            # space, immune to backend URI normalization (the
+            # file:///x → file:/x slice bug)
+            for rel in fs.walk_files(staging):
+                name = _basename(rel)
                 if not _is_data_file(name):
                     continue
-                rel = path[len(staging) :].lstrip("/")
-                moves.append((path, join_path(final, rel)))
+                moves.append((join_path(staging, rel), join_path(final, rel)))
         return moves
 
     # -- commit ------------------------------------------------------------
@@ -155,19 +158,24 @@ def _apply_manifest(
     bookmarks.commit()
     fs.delete(manifest["staging_root"])
     parent = _dirname(manifest["staging_root"].rstrip("/"))
+    fs.rmdir_if_empty(parent)  # drop the now-empty _staging root
+    # retain the manifest as this run's immutable publish record —
+    # the table's transaction history (see published_history /
+    # read_table_asof); _txn/ itself keeps only pending manifests
+    applied_dir = join_path(_dirname(manifest_path), "applied")
+    applied_dst = join_path(applied_dir, _basename(manifest_path))
+    if not fs.exists(manifest_path):
+        return  # concurrent recovery already archived it
+    fs.mkdirs(applied_dir)
     try:
-        fs.rmdir_if_empty(parent)  # drop the now-empty _staging root
-        # retain the manifest as this run's immutable publish record —
-        # the table's transaction history (see published_history /
-        # read_table_asof); _txn/ itself keeps only pending manifests
-        applied_dir = join_path(_dirname(manifest_path), "applied")
-        fs.mkdirs(applied_dir)
-        fs.replace(
-            manifest_path,
-            join_path(applied_dir, _basename(manifest_path)),
-        )
-    except FileNotFoundError:
-        pass  # concurrent recovery finished cleanup first
+        fs.replace(manifest_path, applied_dst)
+    except OSError:
+        # concurrent recovery archived it between our checks — fine as
+        # long as it landed (HadoopFS.rename raises plain OSError, not
+        # FileNotFoundError, when the source vanished — mirror the
+        # move loop's tolerance)
+        if not fs.exists(applied_dst):
+            raise
 
 
 def _applied_manifests(target_location: str) -> list[dict[str, Any]]:

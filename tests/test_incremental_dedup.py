@@ -158,3 +158,36 @@ def test_winnow_replayed_batch_never_reappends_ids(spark, widx):
     widx.dedup_batch(b, "doc_id", "text")  # at-least-once upstream replay
     ids = [r.id for r in widx.indexed_ids(spark).collect()]
     assert sorted(ids) == [1, 2]
+
+
+def test_reliable_checkpoint_dir_honored(spark, tmp_path):
+    """With sparkContext.setCheckpointDir configured, dedup_batch's
+    losers materialization goes through RELIABLE checkpoint() (blocks
+    on replicated storage, survives executor loss at the 100 TB design
+    point) instead of executor-local localCheckpoint — ADVICE r8 #4.
+    Results are identical either way; this pins that the checkpoint
+    dir actually receives the rdd checkpoint data."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(ckpt)
+    try:
+        idx = MinHashIndex(str(tmp_path / "mh_ck"), threshold=0.7, shingle_k=2)
+        idx.dedup_batch(_df(spark, [(1, BASE), (2, OTHER)]), "doc_id", "text")
+        out = idx.dedup_batch(
+            _df(spark, [(10, NEAR), (11, THIRD)]), "doc_id", "text"
+        )
+        assert {r.doc_id for r in out.collect()} == {11}
+        # the reliable-checkpoint directory was actually written to
+        walked = [
+            f for _r, _d, fs in os.walk(ckpt) for f in fs
+        ]
+        assert walked, "checkpoint dir configured but never used"
+    finally:
+        # unset so later tests exercise the localCheckpoint fast path
+        # (no public unset API — flip the Scala var back to None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )

@@ -10,6 +10,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from aws_glue_jobs_incremental_database_etl_spark.bookmarks import BookmarkStore
 from aws_glue_jobs_incremental_database_etl_spark.catalog import FileCatalog
@@ -203,6 +204,34 @@ def test_exactly_once_over_hadoop_fs_file_scheme(tmp_path, spark, sf_dir):
     p2 = make("r2")
     (r2,) = p2.run([CFG], {"orders": src})
     assert p2.read_target("orders").count() == full.count()
+    # partition VALUES must round-trip — the regression this pins: the
+    # old _collect_moves sliced rel paths by the caller's staging
+    # string, but Hadoop normalizes file:///x → file:/x (2 chars
+    # shorter), publishing o_orderstatus=F/ as _orderstatus=F/ —
+    # silently hidden from Spark's discovery (underscore prefix) and
+    # invisible to count()-only assertions
+    tgt = p2.read_target("orders")
+    src_counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in full.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    tgt_counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in tgt.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert tgt_counts == src_counts
+    part_dirs = [
+        d
+        for d in os.listdir(os.path.join(lake_local, "tgt_orders"))
+        if "=" in d
+    ]
+    assert part_dirs and all(
+        d.startswith("o_orderstatus=") for d in part_dirs
+    ), part_dirs
     # protocol housekeeping happened through the Hadoop backend
     assert not os.path.exists(os.path.join(lake_local, "_staging"))
     hist = published_history(lake)
