@@ -73,7 +73,8 @@ def cap_key_fanout(
     key_col: str,
     max_df: int | None = 256,
     what: str = "postings",
-) -> DataFrame:
+    return_counts: bool = False,
+):
     """Drop every key whose fan-out (rows per key — pass a frame
     already distinct on (key, item)) exceeds ``max_df``, BEFORE a
     postings self-join on that key: the 100 TB guard that bounds any
@@ -90,16 +91,28 @@ def cap_key_fanout(
     When keys are actually dropped a warning reports the count —
     results become corpus-dependent at that point, which must be
     observable, never silent.  ``max_df=None`` opts out explicitly.
+
+    ``return_counts=True`` additionally returns the per-key fan-out
+    frame ``(key_col, _df)`` RESTRICTED to the kept keys (VERDICT r8
+    #6: callers like Adamic–Adar need the same count-by-key as a
+    degree weight — sharing the materialized counts means ONE count
+    aggregate in the plan instead of two identical ones).  Kept keys'
+    counts are identical pre/post cap — the cap drops whole keys,
+    never trims rows within a key.
     """
     if max_df is None:
+        if return_counts:
+            counts = df.groupBy(key_col).agg(
+                F.count(F.lit(1)).alias("_df")
+            )
+            return df, counts
         return df
-    over = (
+    counts = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select(key_col)
         .localCheckpoint(eager=False)
     )
+    over = counts.filter(F.col("_df") > max_df).select(key_col)
     n_over = over.count()
     if n_over:
         import logging
@@ -113,4 +126,7 @@ def cap_key_fanout(
             n_over,
             what,
         )
-    return df.join(F.broadcast(over), key_col, "left_anti")
+    kept = df.join(F.broadcast(over), key_col, "left_anti")
+    if return_counts:
+        return kept, counts.filter(F.col("_df") <= max_df)
+    return kept

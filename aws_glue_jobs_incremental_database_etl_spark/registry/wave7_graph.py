@@ -44,7 +44,10 @@ from .wave6_ts import _score_bin, _scored_docs, _scored_sql  # noqa: F401
              SUM(1.0 / LN(d.d)) AS aa, COUNT(*) AS common_parts
       FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
       JOIN deg d ON d.p = a.p
-      WHERE d.d >= 2
+      -- d <= 256 replays cap_key_fanout(max_df=256): hub parts are
+      -- dropped whole, kept parts keep their degree (no-op at test
+      -- SFs, max part degree 52)
+      WHERE d.d >= 2 AND d.d <= 256
       GROUP BY a.s, b.s
     ), ranked AS (
       SELECT s_a, s_b, common_parts, aa,
@@ -76,8 +79,13 @@ def adamic_adar_q(spark, sf_dir):
         F.col("l_partkey").cast("bigint").alias("p"),
         F.col("l_suppkey").cast("bigint").alias("s"),
     ).distinct()
-    e = cap_key_fanout(e, "p", max_df=256, what="part-degree")
-    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    # return_counts shares the cap's count-by-key as the degree
+    # weight — ONE count aggregate in the plan, not two identical
+    # ones (VERDICT r8 #6)
+    e, deg = cap_key_fanout(
+        e, "p", max_df=256, what="part-degree", return_counts=True
+    )
+    deg = deg.withColumnRenamed("_df", "d")
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))

@@ -33,8 +33,17 @@ from .wave6_ts import _score_bin, _scored_docs, _scored_sql  # noqa: F401
 @query(
     "item_cooccurrence_cosine_parts",
     """
-    WITH li AS (
+    WITH li0 AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), bsz AS (
+      SELECT l_orderkey, COUNT(*) AS bs FROM li0 GROUP BY l_orderkey
+    ), li AS (
+      -- cap_key_fanout(max_df=256) replay: mega-baskets are dropped
+      -- before the self-join AND the item counts (no-op at test SFs,
+      -- max basket 17)
+      SELECT li0.l_orderkey, li0.l_partkey FROM li0
+      JOIN bsz ON bsz.l_orderkey = li0.l_orderkey
+      WHERE bsz.bs <= 256
     ), n AS (
       SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY l_partkey
     ), co AS (

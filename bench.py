@@ -233,11 +233,9 @@ SF1_RATIO_BOUND = {
     # than rows until the max_df=256 cap binds (measured 8.15× in r7
     # pre-cap, 5.46× post-cap); headroom for the cap-threshold region
     "adamic_adar_links_suppliers": 12.0,
-    # the union-rank window per day pair sorts |users/day| rows, which
-    # grows 10× with rows (n log n, measured 8.82× — legitimately
-    # near-linear, but one noisy draw from the 9× default); the
-    # production shape folds per-partition bottom-k first (docstring)
-    "kmv_jaccard_daily_users_events": 12.0,
+    # (kmv_jaccard's 12× override retired in r9: the per-partition
+    # bottom-64 pre-fold + explode equi-join replaced the global
+    # union-rank window and the OR-join — VERDICT r8 #5)
 }
 
 

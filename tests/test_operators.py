@@ -691,6 +691,21 @@ def test_cap_key_fanout_drops_hub_keys_and_warns(spark, caplog):
         assert cap_key_fanout(df, "k", max_df=30).count() == 45  # at cap: keep
     assert not caplog.records
 
+    # return_counts shares the cap's count-by-key with the caller
+    # (VERDICT r8 #6): counts cover the KEPT keys only, with the
+    # same values a post-cap count-by-key would produce
+    kept, counts = cap_key_fanout(
+        df, "k", max_df=10, what="unit-test", return_counts=True
+    )
+    got = {r.k: r._df for r in counts.collect()}
+    assert got == {k: 3 for k in range(1, 6)}
+    assert kept.count() == 15
+    kept_n, counts_n = cap_key_fanout(
+        df, "k", max_df=None, return_counts=True
+    )
+    assert kept_n.count() == 45
+    assert {r.k: r._df for r in counts_n.collect()}[7] == 30
+
 
 def test_repetition_signals_known_values(spark):
     from aws_glue_jobs_incremental_database_etl_spark.operators.text import repetition_signals

@@ -230,8 +230,6 @@ BNLJ_OK = {
     "pps_sampling_ht_orders",         # 1-row corpus-total crossJoin
     "burrows_delta_sources_docs",     # |sources|×20-word literal grid
     # crossJoin (the rate grid both z-scores and pairs read)
-    "kmv_jaccard_daily_users_events",  # day-pair × per-day hash frame
-    # OR-join: ≤|days| pair rows broadcast against the daily hashes
     "theil_inequality_users_events",  # 1-row totals crossJoin onto
     # the ≤|event-types| group rows
     "fightin_words_lang_docs",        # 1-row vocab-totals crossJoin
