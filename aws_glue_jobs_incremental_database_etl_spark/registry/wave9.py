@@ -1,0 +1,1194 @@
+"""Round-9 wave: heteroscedastic/ordered/stratified inference, robust
+two-sample tests, portmanteau autocorrelation, inequality curves,
+cluster-validity indices, containment dedup, burstiness, survival
+comparison, and STL-style decomposition — split-registry domain
+module.
+
+Registration order is preserved by the package ``__init__`` importing
+the domain modules in the original file order; ``Q``/``O`` are the
+shared dicts from ``._core``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ..tables import load_table  # noqa: F401
+from ._core import (  # noqa: F401
+    O,
+    Q,
+    query,
+)
+
+
+# =====================================================================
+# Round-9 wave 1: heteroscedastic / ordered / stratified inference
+# =====================================================================
+
+@query(
+    "welch_anova_priority_orders",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS g, COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
+             SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS ss
+      FROM orders GROUP BY o_orderpriority
+    ), wcells AS (
+      SELECT g, n, CAST(s AS DOUBLE) / n AS m,
+             n / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) AS w
+      FROM cells
+    ), tot AS (
+      SELECT COUNT(*) AS k, SUM(w) AS sw, SUM(w * m) AS swm FROM wcells
+    ), parts AS (
+      SELECT c.g, c.n, c.w, c.m, t.k, t.sw,
+             c.w * (c.m - t.swm / t.sw) * (c.m - t.swm / t.sw) AS a_g,
+             (1 - c.w / t.sw) * (1 - c.w / t.sw) / (c.n - 1) AS h_g
+      FROM wcells c CROSS JOIN tot t
+    )
+    SELECT CAST(ANY_VALUE(k) AS BIGINT) AS n_groups,
+           ROUND(SUM(a_g) / (ANY_VALUE(k) - 1)
+                 / (1 + 2.0 * (ANY_VALUE(k) - 2) / (ANY_VALUE(k)
+                    * ANY_VALUE(k) - 1) * SUM(h_g)), 6) AS w_stat,
+           CAST(ANY_VALUE(k) - 1 AS BIGINT) AS df1,
+           ROUND((ANY_VALUE(k) * ANY_VALUE(k) - 1.0) / (3.0 * SUM(h_g)), 4)
+             AS df2
+    FROM parts
+    """,
+)
+def welch_anova_q(spark, sf_dir):
+    """Welch's heteroscedastic ANOVA across order priorities — the
+    omnibus that stays valid when group variances differ (classic
+    ANOVA's MSW pooling is exactly what breaks under variance
+    heterogeneity; the Brown–Forsythe gate tests FOR that
+    heterogeneity, this one tests the means DESPITE it):
+    W* = Σwᵢ(x̄ᵢ−x̄w)²/(k−1) / (1 + 2(k−2)/(k²−1)·Σhᵢ) with
+    wᵢ = nᵢ/sᵢ², hᵢ = (1−wᵢ/Σw)²/(nᵢ−1), and the Welch–Satterthwaite
+    df₂ = (k²−1)/(3Σhᵢ).  The corpus reduces to k=5 exact
+    integer-cents moment cells; everything after is k-row scalar
+    math."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cells = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("ss"),
+    )
+    wcells = cells.select(
+        "g",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        (
+            F.col("n")
+            / (
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+        ).alias("w"),
+    )
+    tot = wcells.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("m")).alias("swm"),
+    )
+    parts = wcells.join(F.broadcast(tot), F.lit(True)).select(
+        "k",
+        (
+            F.col("w")
+            * (F.col("m") - F.col("swm") / F.col("sw"))
+            * (F.col("m") - F.col("swm") / F.col("sw"))
+        ).alias("a_g"),
+        (
+            (1 - F.col("w") / F.col("sw"))
+            * (1 - F.col("w") / F.col("sw"))
+            / (F.col("n") - 1)
+        ).alias("h_g"),
+    )
+    return parts.agg(
+        F.first("k").cast("bigint").alias("n_groups"),
+        F.round(
+            F.sum("a_g")
+            / (F.first("k") - 1)
+            / (
+                1
+                + 2.0
+                * (F.first("k") - 2)
+                / (F.first("k") * F.first("k") - 1)
+                * F.sum("h_g")
+            ),
+            6,
+        ).alias("w_stat"),
+        (F.first("k") - 1).cast("bigint").alias("df1"),
+        F.round(
+            (F.first("k") * F.first("k") - 1.0) / (3.0 * F.sum("h_g")), 4
+        ).alias("df2"),
+    )
+
+
+# The D'Agostino Z transforms are long closed-form scalar chains; one
+# shared SQL string per output keeps Spark (via F.expr) and DuckDB on
+# BIT-IDENTICAL expression trees — the pHash literal-chain trick
+# applied to formulas instead of weights.  Inputs are one row of
+# (nd, g1, b2) doubles.
+_DAG_Y = "(g1 * sqrt((nd + 1) * (nd + 3) / (6 * (nd - 2))))"
+_DAG_B2T = (
+    "(3.0 * (nd * nd + 27 * nd - 70) * (nd + 1) * (nd + 3)"
+    " / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9)))"
+)
+_DAG_W2 = f"(-1.0 + sqrt(2.0 * ({_DAG_B2T} - 1)))"
+_DAG_DELTA = f"(1.0 / sqrt(ln(sqrt({_DAG_W2}))))"
+_DAG_ALPHA = f"(sqrt(2.0 / ({_DAG_W2} - 1)))"
+_DAG_Z1 = (
+    f"({_DAG_DELTA} * ln({_DAG_Y} / {_DAG_ALPHA}"
+    f" + sqrt(({_DAG_Y} / {_DAG_ALPHA}) * ({_DAG_Y} / {_DAG_ALPHA}) + 1)))"
+)
+_DAG_EB2 = "(3.0 * (nd - 1) / (nd + 1))"
+_DAG_VB2 = (
+    "(24.0 * nd * (nd - 2) * (nd - 3)"
+    " / ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5)))"
+)
+_DAG_X = f"((b2 - {_DAG_EB2}) / sqrt({_DAG_VB2}))"
+_DAG_SB1 = (
+    "(6.0 * (nd * nd - 5 * nd + 2) / ((nd + 7) * (nd + 9))"
+    " * sqrt(6.0 * (nd + 3) * (nd + 5) / (nd * (nd - 2) * (nd - 3))))"
+)
+_DAG_A = (
+    f"(6.0 + 8.0 / {_DAG_SB1} * (2.0 / {_DAG_SB1}"
+    f" + sqrt(1.0 + 4.0 / ({_DAG_SB1} * {_DAG_SB1}))))"
+)
+_DAG_Z2 = (
+    f"(((1.0 - 2.0 / (9.0 * {_DAG_A}))"
+    f" - cbrt((1.0 - 2.0 / {_DAG_A})"
+    f" / (1.0 + {_DAG_X} * sqrt(2.0 / ({_DAG_A} - 4)))))"
+    f" / sqrt(2.0 / (9.0 * {_DAG_A})))"
+)
+
+
+@query(
+    "dagostino_k2_totalprice",
+    f"""
+    WITH mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(o_totalprice) AS BIGINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)) AS s2,
+             SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)) AS s3,
+             SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)) AS s4
+      FROM orders
+    ), cm AS (
+      SELECT CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM mom
+    ), gg AS (
+      SELECT nd,
+             (r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+               / pow(r2 - mu * mu, 1.5) AS g1,
+             (r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
+               / ((r2 - mu * mu) * (r2 - mu * mu)) AS b2
+      FROM cm
+    )
+    SELECT CAST(nd AS BIGINT) AS n_orders,
+           ROUND(g1, 6) AS skew_g1,
+           ROUND(b2, 6) AS kurt_b2,
+           ROUND({_DAG_Z1}, 6) AS z_skew,
+           ROUND({_DAG_Z2}, 6) AS z_kurt,
+           ROUND({_DAG_Z1} * {_DAG_Z1} + {_DAG_Z2} * {_DAG_Z2}, 6) AS k2_stat
+    FROM gg
+    """,
+)
+def dagostino_k2_q(spark, sf_dir):
+    """D'Agostino–Pearson K² omnibus normality test on order totals —
+    the moments-only normality check that scales where Shapiro–Wilk
+    (needs a full sort and n ≤ 5000) cannot: skewness g1 through
+    D'Agostino's Z₁ transform, kurtosis b2 through Anscombe–Glynn's
+    Z₂, K² = Z₁² + Z₂² ~ χ²₂ under normality.  One pass of exact
+    integer raw moments (whole-dollar grid so s4 stays inside
+    decimal(38,0) ≡ HUGEINT at any SF), then scalar closed forms —
+    built from ONE shared SQL string per transform (F.expr) so both
+    engines evaluate bit-identical trees."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice")).cast("bigint")
+    vd = v.cast("decimal(38,0)")
+    mom = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(vd * v * v).alias("s3"),
+        F.sum(vd * v * v * v).alias("s4"),
+    )
+    cm = mom.select(
+        F.col("n").cast("double").alias("nd"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        (F.col("s2").cast("double") / F.col("n")).alias("r2"),
+        (F.col("s3").cast("double") / F.col("n")).alias("r3"),
+        (F.col("s4").cast("double") / F.col("n")).alias("r4"),
+    )
+    gg = cm.select(
+        "nd",
+        F.expr(
+            "(r3 - 3 * mu * r2 + 2 * mu * mu * mu)"
+            " / pow(r2 - mu * mu, 1.5)"
+        ).alias("g1"),
+        F.expr(
+            "(r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)"
+            " / ((r2 - mu * mu) * (r2 - mu * mu))"
+        ).alias("b2"),
+    )
+    return gg.select(
+        F.col("nd").cast("bigint").alias("n_orders"),
+        F.round("g1", 6).alias("skew_g1"),
+        F.round("b2", 6).alias("kurt_b2"),
+        F.round(F.expr(_DAG_Z1), 6).alias("z_skew"),
+        F.round(F.expr(_DAG_Z2), 6).alias("z_kurt"),
+        F.round(
+            F.expr(f"{_DAG_Z1} * {_DAG_Z1} + {_DAG_Z2} * {_DAG_Z2}"), 6
+        ).alias("k2_stat"),
+    )
+
+
+@query(
+    "cochran_armitage_priority_returns",
+    """
+    WITH cells AS (
+      SELECT CAST(substr(o.o_orderpriority, 1, 1) AS INT) AS sc,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS a
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS nn, SUM(a) AS aa,
+             SUM(CAST(sc AS DOUBLE) * n) AS ssn,
+             SUM(CAST(sc AS DOUBLE) * sc * n) AS ss2n,
+             SUM(CAST(sc AS DOUBLE) * a) AS ssa
+      FROM cells
+    )
+    SELECT CAST(nn AS BIGINT) AS n_lines,
+           ROUND(CAST(aa AS DOUBLE) / nn, 6) AS pooled_rate,
+           ROUND((ssa - ssn * (CAST(aa AS DOUBLE) / nn))
+                 / sqrt((CAST(aa AS DOUBLE) / nn)
+                        * (1 - CAST(aa AS DOUBLE) / nn)
+                        * (ss2n - ssn * ssn / nn)), 6) AS z_trend,
+           ROUND((ssa - ssn * (CAST(aa AS DOUBLE) / nn))
+                 * (ssa - ssn * (CAST(aa AS DOUBLE) / nn))
+                 / ((CAST(aa AS DOUBLE) / nn)
+                    * (1 - CAST(aa AS DOUBLE) / nn)
+                    * (ss2n - ssn * ssn / nn)), 6) AS chi2_trend
+    FROM tot
+    """,
+)
+def cochran_armitage_q(spark, sf_dir):
+    """Cochran–Armitage trend test: does the return RATE move
+    monotonically with order priority (scores 1..5 from the priority
+    prefix)?  The dose-response test a χ² of independence cannot
+    answer (χ² detects ANY deviation; CA concentrates its one degree
+    of freedom on the ordered trend):
+    z = Σsᵢ(aᵢ−nᵢp̄) / √(p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N)).  The join
+    reduces to k=5 exact integer cells — the scores are small
+    integers so every sum is exact until the final division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        li.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("sc")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("a"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("a").alias("aa"),
+        F.sum(F.col("sc").cast("double") * F.col("n")).alias("ssn"),
+        F.sum(
+            F.col("sc").cast("double") * F.col("sc") * F.col("n")
+        ).alias("ss2n"),
+        F.sum(F.col("sc").cast("double") * F.col("a")).alias("ssa"),
+    )
+    p = F.col("aa").cast("double") / F.col("nn")
+    t_num = F.col("ssa") - F.col("ssn") * p
+    var = p * (1 - p) * (
+        F.col("ss2n") - F.col("ssn") * F.col("ssn") / F.col("nn")
+    )
+    return tot.select(
+        F.col("nn").cast("bigint").alias("n_lines"),
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(t_num / F.sqrt(var), 6).alias("z_trend"),
+        F.round(t_num * t_num / var, 6).alias("chi2_trend"),
+    )
+
+
+@query(
+    "mantel_haenszel_weekend_purchase_events",
+    """
+    WITH cells AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+                  AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN isodow(CAST(ts AS DATE)) < 6
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN isodow(CAST(ts AS DATE)) < 6
+                  AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS d
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT wk, a, b, c, d, a + b + c + d AS n FROM cells
+      WHERE a + b + c + d >= 2
+        AND (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+    ), folds AS (
+      SELECT COUNT(*) AS n_strata,
+             SUM(CAST(a AS DOUBLE) * d / n) AS sad,
+             SUM(CAST(b AS DOUBLE) * c / n) AS sbc,
+             SUM(a) AS sa,
+             SUM(CAST(a + b AS DOUBLE) * (a + c) / n) AS sea,
+             SUM(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                 / (CAST(n AS DOUBLE) * n * (n - 1))) AS sva
+      FROM s
+    )
+    SELECT CAST(n_strata AS BIGINT) AS n_strata,
+           ROUND(sad / sbc, 6) AS or_mh,
+           ROUND((ABS(sa - sea) - 0.5) * (ABS(sa - sea) - 0.5) / sva, 6)
+             AS chi2_mh
+    FROM folds
+    """,
+)
+def mantel_haenszel_q(spark, sf_dir):
+    """Mantel–Haenszel pooled odds ratio: weekend exposure vs purchase
+    outcome, stratified by ISO week — the confounder-adjusted
+    association the crude 2×2 gets wrong whenever traffic mix shifts
+    week to week (Simpson's reversal is exactly what stratification
+    guards against).  ORₘₕ = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) plus the MH χ²
+    with continuity correction against the hypergeometric
+    expectation.  Each stratum folds to four integers map-side; the
+    estimator is a ratio of two additive folds, so it merges across
+    any partitioning — degenerate strata (empty margin) are excluded
+    by contract."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    wknd = (F.weekday(day) + 1) >= 6
+    purch = F.col("event_type") == "purchase"
+    cells = e.groupBy(
+        F.date_trunc("week", day).cast("date").alias("wk")
+    ).agg(
+        F.sum(F.when(wknd & purch, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(wknd & ~purch, 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~wknd & purch, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~wknd & ~purch, 1).otherwise(0)).alias("d"),
+    )
+    s = cells.withColumn(
+        "n", F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).filter(
+        (F.col("n") >= 2)
+        & (F.col("a") + F.col("b") > 0)
+        & (F.col("c") + F.col("d") > 0)
+        & (F.col("a") + F.col("c") > 0)
+        & (F.col("b") + F.col("d") > 0)
+    )
+    folds = s.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("a").cast("double") * F.col("d") / F.col("n")).alias(
+            "sad"
+        ),
+        F.sum(F.col("b").cast("double") * F.col("c") / F.col("n")).alias(
+            "sbc"
+        ),
+        F.sum("a").alias("sa"),
+        F.sum(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("c"))
+            / F.col("n")
+        ).alias("sea"),
+        F.sum(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+        ).alias("sva"),
+    )
+    return folds.select(
+        F.col("n_strata").cast("bigint").alias("n_strata"),
+        F.round(F.col("sad") / F.col("sbc"), 6).alias("or_mh"),
+        F.round(
+            (F.abs(F.col("sa") - F.col("sea")) - 0.5)
+            * (F.abs(F.col("sa") - F.col("sea")) - 0.5)
+            / F.col("sva"),
+            6,
+        ).alias("chi2_mh"),
+    )
+
+
+@query(
+    "ljung_box_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), mstats AS (
+      SELECT event_type, COUNT(*) AS n, AVG(CAST(y AS DOUBLE)) AS mu
+      FROM daily GROUP BY event_type
+    ), dev AS (
+      SELECT d.event_type, d.day,
+             CAST(d.y AS DOUBLE) - m.mu AS e, m.n
+      FROM daily d JOIN mstats m ON d.event_type = m.event_type
+    ), lagged AS (
+      SELECT event_type, n, e,
+             LAG(e, 1) OVER w AS e1, LAG(e, 2) OVER w AS e2,
+             LAG(e, 3) OVER w AS e3, LAG(e, 4) OVER w AS e4,
+             LAG(e, 5) OVER w AS e5, LAG(e, 6) OVER w AS e6,
+             LAG(e, 7) OVER w AS e7
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), acf AS (
+      SELECT event_type, ANY_VALUE(n) AS n,
+             SUM(e * e) AS c0,
+             SUM(e * e1) AS c1, SUM(e * e2) AS c2, SUM(e * e3) AS c3,
+             SUM(e * e4) AS c4, SUM(e * e5) AS c5, SUM(e * e6) AS c6,
+             SUM(e * e7) AS c7
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(c1 / c0, 6) AS r1,
+           ROUND(n * (n + 2.0) * (
+             (c1 / c0) * (c1 / c0) / (n - 1)
+             + (c2 / c0) * (c2 / c0) / (n - 2)
+             + (c3 / c0) * (c3 / c0) / (n - 3)
+             + (c4 / c0) * (c4 / c0) / (n - 4)
+             + (c5 / c0) * (c5 / c0) / (n - 5)
+             + (c6 / c0) * (c6 / c0) / (n - 6)
+             + (c7 / c0) * (c7 / c0) / (n - 7)), 6) AS q_lb
+    FROM acf ORDER BY event_type
+    """,
+)
+def ljung_box_q(spark, sf_dir):
+    """Ljung–Box portmanteau Q over the first 7 lags of each type's
+    daily count series — "is there ANY autocorrelation left" in one
+    number (~χ²₇ under white noise), the residual-whiteness check
+    that should follow every trend/seasonal fit (the Durbin–Watson
+    gate sees only lag 1; weekly patterns live at lag 7).  The
+    corpus reduces to the bounded daily grid; the 7 lag products
+    come from ONE window pass (SUM(e·e₋ₖ) with missing leading lags
+    null ≡ the truncated Σ_{t>k}), then Q = n(n+2)Σ rₖ²/(n−k)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    mstats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("y").cast("double")).alias("mu"),
+    )
+    dev = daily.join(mstats, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("y").cast("double") - F.col("mu")).alias("e"),
+        "n",
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dev.select(
+        "event_type",
+        "n",
+        "e",
+        *[F.lag("e", k).over(w).alias(f"e{k}") for k in range(1, 8)],
+    )
+    acf = lagged.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("c0"),
+        *[
+            F.sum(F.col("e") * F.col(f"e{k}")).alias(f"c{k}")
+            for k in range(1, 8)
+        ],
+    )
+    rk = lambda k: (F.col(f"c{k}") / F.col("c0"))
+    q = F.col("n") * (F.col("n") + 2.0) * sum(
+        rk(k) * rk(k) / (F.col("n") - k) for k in range(1, 8)
+    )
+    return acf.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(rk(1), 6).alias("r1"),
+        F.round(q, 6).alias("q_lb"),
+    ).orderBy("event_type")
+
+
+# =====================================================================
+# Round-9 wave 2: ordered-alternative / blocked / robust rank tests
+# =====================================================================
+
+@query(
+    "jonckheere_priority_totalprice_orders",
+    """
+    WITH hist AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS j,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS v, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), dense AS (
+      SELECT g.v, s.j, COALESCE(h.c, 0) AS c
+      FROM (SELECT DISTINCT v FROM hist) g
+      CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS j) s
+      LEFT JOIN hist h ON h.v = g.v AND h.j = s.j
+    ), tb AS (
+      SELECT v, j, c,
+             COALESCE(SUM(c) OVER (PARTITION BY v ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ties_lower
+      FROM dense
+    ), cb AS (
+      SELECT v, j, c, ties_lower,
+             COALESCE(SUM(ties_lower) OVER (PARTITION BY j ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below_lower
+      FROM tb
+    ), jt AS (
+      SELECT SUM(c * (below_lower + ties_lower / 2.0)) AS jt_stat FROM cb
+    ), gsz AS (
+      SELECT j, SUM(c) AS ni FROM hist GROUP BY j
+    ), tsz AS (
+      SELECT v, SUM(c) AS t FROM hist GROUP BY v
+    ), moms AS (
+      SELECT (SELECT SUM(ni) FROM gsz) AS n,
+             (SELECT SUM(CAST(ni AS DOUBLE) * ni) FROM gsz) AS sn2,
+             (SELECT SUM(CAST(ni AS DOUBLE) * (ni - 1) * (2 * ni + 5))
+              FROM gsz) AS u1,
+             (SELECT SUM(CAST(ni AS DOUBLE) * (ni - 1) * (ni - 2))
+              FROM gsz) AS u2,
+             (SELECT SUM(CAST(ni AS DOUBLE) * (ni - 1)) FROM gsz) AS u3,
+             (SELECT SUM(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5))
+              FROM tsz) AS w1,
+             (SELECT SUM(CAST(t AS DOUBLE) * (t - 1) * (t - 2))
+              FROM tsz) AS w2,
+             (SELECT SUM(CAST(t AS DOUBLE) * (t - 1)) FROM tsz) AS w3
+    ), fin AS (
+      SELECT j.jt_stat, m.n,
+             (CAST(m.n AS DOUBLE) * m.n - m.sn2) / 4.0 AS e_jt,
+             (CAST(m.n AS DOUBLE) * (m.n - 1) * (2 * m.n + 5)
+              - m.u1 - m.w1) / 72.0
+             + m.u2 * m.w2
+               / (36.0 * m.n * (m.n - 1) * (m.n - 2))
+             + m.u3 * m.w3 / (8.0 * m.n * (m.n - 1)) AS var_jt
+      FROM jt j CROSS JOIN moms m
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND(jt_stat, 2) AS jt_stat,
+           ROUND(e_jt, 2) AS e_jt,
+           ROUND((jt_stat - e_jt) / sqrt(var_jt), 6) AS z_jt
+    FROM fin
+    """,
+)
+def jonckheere_q(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-alternative test: do order totals
+    trend monotonically across the priority ladder (1-URGENT … 5-LOW)?
+    The test Kruskal–Wallis wastes power on when the alternative is
+    ORDERED: JT = Σ_{i<j} #{x_i < x_j} (+½ ties), z-scored against
+    the tie-corrected Hollander–Wolfe null moments.  The 100 TB
+    shape: pair counts come from TWO cumulative windows over the
+    dense (whole-dollar value × 5 scores) grid — ties_lower
+    cumulates over the score axis at fixed value, below_lower over
+    the value axis at fixed score — never a pair join; the grid is
+    price-domain-bounded.  All tie/group moments fold from the same
+    histogram."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("j"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    scores = spark.range(1, 6).select(F.col("id").cast("int").alias("j"))
+    dense = (
+        hist.select("v")
+        .distinct()
+        .crossJoin(F.broadcast(scores))
+        .join(hist, ["v", "j"], "left")
+        .select("v", "j", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_tie = (
+        Window.partitionBy("v")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tb = dense.withColumn(
+        "ties_lower", F.coalesce(F.sum("c").over(w_tie), F.lit(0))
+    )
+    w_below = (
+        Window.partitionBy("j")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = tb.withColumn(
+        "below_lower", F.coalesce(F.sum("ties_lower").over(w_below), F.lit(0))
+    )
+    jt = cb.agg(
+        F.sum(
+            F.col("c") * (F.col("below_lower") + F.col("ties_lower") / 2.0)
+        ).alias("jt_stat")
+    )
+    gsz = hist.groupBy("j").agg(F.sum("c").alias("ni"))
+    tsz = hist.groupBy("v").agg(F.sum("c").alias("t"))
+    nid = F.col("ni").cast("double")
+    moms_g = gsz.agg(
+        F.sum("ni").alias("n"),
+        F.sum(nid * F.col("ni")).alias("sn2"),
+        F.sum(nid * (F.col("ni") - 1) * (2 * F.col("ni") + 5)).alias("u1"),
+        F.sum(nid * (F.col("ni") - 1) * (F.col("ni") - 2)).alias("u2"),
+        F.sum(nid * (F.col("ni") - 1)).alias("u3"),
+    )
+    td = F.col("t").cast("double")
+    moms_t = tsz.agg(
+        F.sum(td * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("w1"),
+        F.sum(td * (F.col("t") - 1) * (F.col("t") - 2)).alias("w2"),
+        F.sum(td * (F.col("t") - 1)).alias("w3"),
+    )
+    nd = F.col("n").cast("double")
+    fin = (
+        jt.join(F.broadcast(moms_g), F.lit(True))
+        .join(F.broadcast(moms_t), F.lit(True))
+        .select(
+            "jt_stat",
+            "n",
+            ((nd * F.col("n") - F.col("sn2")) / 4.0).alias("e_jt"),
+            (
+                (nd * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                 - F.col("u1") - F.col("w1")) / 72.0
+                + F.col("u2") * F.col("w2")
+                / (36.0 * nd * (F.col("n") - 1) * (F.col("n") - 2))
+                + F.col("u3") * F.col("w3")
+                / (8.0 * nd * (F.col("n") - 1))
+            ).alias("var_jt"),
+        )
+    )
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("jt_stat", 2).alias("jt_stat"),
+        F.round("e_jt", 2).alias("e_jt"),
+        F.round(
+            (F.col("jt_stat") - F.col("e_jt")) / F.sqrt(F.col("var_jt")), 6
+        ).alias("z_jt"),
+    )
+
+
+@query(
+    "friedman_dow_weeks_events",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), complete AS (
+      SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+    ), blocks AS (
+      SELECT d.wk, d.dow, d.y FROM daily d JOIN complete c ON d.wk = c.wk
+    ), ranked AS (
+      SELECT wk, dow,
+             COALESCE(SUM(1) OVER (PARTITION BY wk ORDER BY y
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (SUM(1) OVER (PARTITION BY wk ORDER BY y
+                RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1) / 2.0
+               AS r
+      FROM blocks
+    ), sums AS (
+      SELECT dow, SUM(r) AS rj FROM ranked GROUP BY dow
+    ), a1 AS (
+      SELECT SUM(r * r) AS a1,
+             COUNT(DISTINCT wk) AS b
+      FROM ranked
+    )
+    SELECT CAST(a.b AS BIGINT) AS n_blocks,
+           CAST(7 AS BIGINT) AS n_treatments,
+           ROUND((7 - 1) * ((SELECT SUM(rj * rj) FROM sums) / a.b
+                 - a.b * 7 * 8 * 8 / 4.0)
+                 / (a.a1 - a.b * 7 * 8 * 8 / 4.0), 6) AS chi2_friedman
+    FROM a1 a
+    """,
+)
+def friedman_q(spark, sf_dir):
+    """Friedman blocked rank test: does day-of-week move daily event
+    volume, BLOCKING on the week (so weekly level shifts — launches,
+    seasonality — cancel instead of inflating the error term the way
+    they would in a one-way test)?  Conover's tie-corrected form
+    T = (k−1)(ΣR_j²/b − bk(k+1)²/4)/(A₁ − bk(k+1)²/4) over complete
+    7-day blocks, which reduces to the classic
+    12/(bk(k+1))ΣR_j² − 3b(k+1) when ties are absent.  Within-block
+    midranks come from two RANGE-frame window counts over ≤7-row
+    partitions; everything else is bounded-grid folds."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = e.groupBy(
+        F.date_trunc("week", day).cast("date").alias("wk"),
+        (F.weekday(day) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    complete = daily.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("nd")
+    ).filter(F.col("nd") == 7).select("wk")
+    blocks = daily.join(complete, "wk")
+    w_lt = (
+        Window.partitionBy("wk")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = (
+        Window.partitionBy("wk").orderBy("y").rangeBetween(0, 0)
+    )
+    ranked = blocks.select(
+        "wk",
+        "dow",
+        (
+            F.coalesce(F.sum(F.lit(1)).over(w_lt), F.lit(0))
+            + (F.sum(F.lit(1)).over(w_eq) + 1) / 2.0
+        ).alias("r"),
+    )
+    sums = ranked.groupBy("dow").agg(F.sum("r").alias("rj"))
+    a1 = ranked.agg(
+        F.sum(F.col("r") * F.col("r")).alias("a1"),
+        F.countDistinct("wk").alias("b"),
+    )
+    srj = sums.agg(F.sum(F.col("rj") * F.col("rj")).alias("srj2"))
+    k = 7
+    c_term = F.col("b") * k * (k + 1) * (k + 1) / 4.0
+    return (
+        a1.join(F.broadcast(srj), F.lit(True))
+        .select(
+            F.col("b").cast("bigint").alias("n_blocks"),
+            F.lit(k).cast("bigint").alias("n_treatments"),
+            F.round(
+                (k - 1)
+                * (F.col("srj2") / F.col("b") - c_term)
+                / (F.col("a1") - c_term),
+                6,
+            ).alias("chi2_friedman"),
+        )
+    )
+
+
+@query(
+    "yuen_trimmed_ttest_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), hist AS (
+      SELECT g, v, COUNT(*) AS c FROM obs GROUP BY g, v
+    ), cum AS (
+      SELECT g, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+      FROM hist
+    ), tot AS (
+      SELECT g, SUM(c) AS n,
+             CAST(FLOOR(SUM(c) / 5.0) AS BIGINT) AS gt
+      FROM hist GROUP BY g
+    ), jx AS (
+      SELECT c.g, c.v, c.c, c.cb, t.n, t.gt,
+             GREATEST(0, LEAST(c.cb + c.c, t.n - t.gt)
+                      - GREATEST(c.cb, t.gt)) AS e
+      FROM cum c JOIN tot t ON c.g = t.g
+    ), folds AS (
+      SELECT g, ANY_VALUE(n) AS n, ANY_VALUE(gt) AS gt,
+             SUM(v * e) AS ts,
+             SUM(CAST(v AS HUGEINT) * v * e) AS tss,
+             MIN(CASE WHEN cb + c >= gt + 1 THEN v END) AS v_lo,
+             MIN(CASE WHEN cb + c >= n - gt THEN v END) AS v_hi
+      FROM jx GROUP BY g
+    ), stats AS (
+      SELECT g, n, gt, n - 2 * gt AS h,
+             CAST(ts AS DOUBLE) / (n - 2 * gt) AS tm,
+             ((CAST(tss AS DOUBLE) + CAST(gt AS DOUBLE) * v_lo * v_lo
+               + CAST(gt AS DOUBLE) * v_hi * v_hi)
+              - (CAST(ts AS DOUBLE) + CAST(gt AS DOUBLE) * v_lo
+                 + CAST(gt AS DOUBLE) * v_hi)
+                * (CAST(ts AS DOUBLE) + CAST(gt AS DOUBLE) * v_lo
+                   + CAST(gt AS DOUBLE) * v_hi) / n) / (n - 1) AS s2w
+      FROM folds
+    ), two AS (
+      SELECT MAX(CASE WHEN g = 'F' THEN h END) AS h1,
+             MAX(CASE WHEN g = 'O' THEN h END) AS h2,
+             MAX(CASE WHEN g = 'F' THEN tm END) AS tm1,
+             MAX(CASE WHEN g = 'O' THEN tm END) AS tm2,
+             MAX(CASE WHEN g = 'F' THEN s2w * (n - 1.0)
+                 / (h * (h - 1.0)) END) AS d1,
+             MAX(CASE WHEN g = 'O' THEN s2w * (n - 1.0)
+                 / (h * (h - 1.0)) END) AS d2
+      FROM stats
+    )
+    SELECT CAST(h1 AS BIGINT) AS h_f, CAST(h2 AS BIGINT) AS h_o,
+           ROUND((tm1 - tm2) / 100.0, 4) AS trimmed_mean_diff,
+           ROUND((tm1 - tm2) / sqrt(d1 + d2), 6) AS yuen_t,
+           ROUND((d1 + d2) * (d1 + d2)
+                 / (d1 * d1 / (h1 - 1) + d2 * d2 / (h2 - 1)), 4) AS df
+    FROM two
+    """,
+)
+def yuen_q(spark, sf_dir):
+    """Yuen's trimmed-mean t-test between finished and open orders —
+    the robust two-sample location test that survives the heavy
+    tails Welch's t does not (20 % trim each side, winsorized
+    variance, Welch–Satterthwaite df on the trimmed counts).  The
+    100 TB shape: order statistics come from the cents-quantized
+    histogram (one per-group cumulative window over the bounded
+    price domain, the CvM/Cliff's-δ audited pattern) — the trim
+    multiplicity e(v) = overlap of [cb, cb+c) with [g, n−g) is
+    integer-exact, and the winsorized moments stay in exact integers
+    (HUGEINT ≡ decimal(38,0)) until the final divisions."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    obs = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cb", F.coalesce(F.sum("c").over(wv), F.lit(0))
+    )
+    tot = hist.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.floor(F.sum("c") / 5.0).cast("long").alias("gt"),
+    )
+    jx = cum.join(tot, "g").withColumn(
+        "e",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("cb") + F.col("c"), F.col("n") - F.col("gt"))
+            - F.greatest(F.col("cb"), F.col("gt")),
+        ),
+    )
+    folds = jx.groupBy("g").agg(
+        F.first("n").alias("n"),
+        F.first("gt").alias("gt"),
+        F.sum(F.col("v") * F.col("e")).alias("ts"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("v") * F.col("e")
+        ).alias("tss"),
+        F.min(
+            F.when(F.col("cb") + F.col("c") >= F.col("gt") + 1, F.col("v"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(
+                F.col("cb") + F.col("c") >= F.col("n") - F.col("gt"),
+                F.col("v"),
+            )
+        ).alias("v_hi"),
+    )
+    gtd = F.col("gt").cast("double")
+    ws = F.col("ts").cast("double") + gtd * F.col("v_lo") + gtd * F.col("v_hi")
+    wss = (
+        F.col("tss").cast("double")
+        + gtd * F.col("v_lo") * F.col("v_lo")
+        + gtd * F.col("v_hi") * F.col("v_hi")
+    )
+    stats = folds.select(
+        "g",
+        "n",
+        "gt",
+        (F.col("n") - 2 * F.col("gt")).alias("h"),
+        (
+            F.col("ts").cast("double") / (F.col("n") - 2 * F.col("gt"))
+        ).alias("tm"),
+        ((wss - ws * ws / F.col("n")) / (F.col("n") - 1)).alias("s2w"),
+    )
+    di = F.col("s2w") * (F.col("n") - 1.0) / (F.col("h") * (F.col("h") - 1.0))
+    two = stats.agg(
+        F.max(F.when(F.col("g") == "F", F.col("h"))).alias("h1"),
+        F.max(F.when(F.col("g") == "O", F.col("h"))).alias("h2"),
+        F.max(F.when(F.col("g") == "F", F.col("tm"))).alias("tm1"),
+        F.max(F.when(F.col("g") == "O", F.col("tm"))).alias("tm2"),
+        F.max(F.when(F.col("g") == "F", di)).alias("d1"),
+        F.max(F.when(F.col("g") == "O", di)).alias("d2"),
+    )
+    return two.select(
+        F.col("h1").cast("bigint").alias("h_f"),
+        F.col("h2").cast("bigint").alias("h_o"),
+        F.round((F.col("tm1") - F.col("tm2")) / 100.0, 4).alias(
+            "trimmed_mean_diff"
+        ),
+        F.round(
+            (F.col("tm1") - F.col("tm2"))
+            / F.sqrt(F.col("d1") + F.col("d2")),
+            6,
+        ).alias("yuen_t"),
+        F.round(
+            (F.col("d1") + F.col("d2"))
+            * (F.col("d1") + F.col("d2"))
+            / (
+                F.col("d1") * F.col("d1") / (F.col("h1") - 1)
+                + F.col("d2") * F.col("d2") / (F.col("h2") - 1)
+            ),
+            4,
+        ).alias("df"),
+    )
+
+
+@query(
+    "lorenz_curve_customers",
+    """
+    WITH ct AS (
+      SELECT o_custkey,
+             CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  / 100.0) AS BIGINT) AS v
+      FROM orders GROUP BY o_custkey
+    ), hist AS (
+      SELECT v, COUNT(*) AS c FROM ct GROUP BY v
+    ), cum AS (
+      SELECT v, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cc_before,
+             COALESCE(SUM(v * c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cv_before
+      FROM hist
+    ), tot AS (
+      SELECT SUM(c) AS n, SUM(v * c) AS s,
+             SUM(v * (c * cc_before + c * (c + 1) / 2)) AS srank
+      FROM cum
+    ), qs AS (
+      SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS q
+    ), pick AS (
+      SELECT q.q, t.n, t.s, t.srank,
+             CAST(FLOOR(q.q * t.n / 10.0) AS BIGINT) AS rq,
+             c.v, c.cc_before, c.cv_before
+      FROM qs q CROSS JOIN tot t
+      JOIN cum c ON c.cc_before < CAST(FLOOR(q.q * t.n / 10.0) AS BIGINT)
+                AND c.cc_before + c.c
+                    >= CAST(FLOOR(q.q * t.n / 10.0) AS BIGINT)
+    )
+    SELECT CAST(q AS BIGINT) AS decile,
+           ROUND(CAST(rq AS DOUBLE) / n, 6) AS cum_pop_share,
+           ROUND((cv_before + CAST(v AS DOUBLE) * (rq - cc_before))
+                 / s, 6) AS cum_value_share,
+           ROUND(2.0 * srank / (CAST(n AS DOUBLE) * s)
+                 - (n + 1.0) / n, 6) AS gini
+    FROM pick ORDER BY decile
+    """,
+)
+def lorenz_q(spark, sf_dir):
+    """Lorenz curve + Gini of customer revenue concentration: the
+    poorest ⌊qN/10⌋ customers hold L(q) of total revenue, q = 1..10,
+    with the exact grouped-data Gini G = 2·Σrank·x/(N·Σx) − (N+1)/N
+    riding along (the curve the HHI gate summarizes to one number —
+    the curve says WHERE the concentration lives).  The 100 TB
+    shape: per-customer totals quantize to the whole-dollar grid, so
+    all order statistics come from one cumulative window over the
+    price-domain-bounded histogram — the decile thresholds probe the
+    straddling cell via a broadcast 10-row inequality join, and rank
+    sums over ties are the exact triangular-number fold."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ct = o.groupBy("o_custkey").agg(
+        F.round(F.sum(cents) / 100.0).cast("bigint").alias("v")
+    )
+    hist = ct.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("cc_before"),
+        F.coalesce(F.sum(F.col("v") * F.col("c")).over(wv), F.lit(0)).alias(
+            "cv_before"
+        ),
+    )
+    tot = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("s"),
+        F.sum(
+            F.col("v")
+            * (
+                F.col("c") * F.col("cc_before")
+                + F.col("c") * (F.col("c") + 1) / 2
+            )
+        ).alias("srank"),
+    )
+    qs = spark.range(1, 11).select(F.col("id").alias("q"))
+    rq = F.floor(F.col("q") * F.col("n") / 10.0).cast("long")
+    pick = (
+        F.broadcast(qs.join(F.broadcast(tot), F.lit(True)))
+        .withColumn("rq", rq)
+        .join(
+            cum,
+            (F.col("cc_before") < F.col("rq"))
+            & (F.col("cc_before") + F.col("c") >= F.col("rq")),
+        )
+    )
+    return pick.select(
+        F.col("q").cast("bigint").alias("decile"),
+        F.round(F.col("rq").cast("double") / F.col("n"), 6).alias(
+            "cum_pop_share"
+        ),
+        F.round(
+            (
+                F.col("cv_before")
+                + F.col("v").cast("double") * (F.col("rq") - F.col("cc_before"))
+            )
+            / F.col("s"),
+            6,
+        ).alias("cum_value_share"),
+        F.round(
+            2.0 * F.col("srank") / (F.col("n").cast("double") * F.col("s"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("decile")
+
+
+def _phi_spark(zc):
+    """Abramowitz–Stegun 26.2.17 normal CDF (the fdr_bh gate's
+    polynomial, shared constants) — explicit arithmetic, exp() the
+    only libm call, identical tree to ``wave6_ts._PHI_SQL``."""
+
+    def tail(za):
+        k = 1.0 / (1.0 + 0.2316419 * za)
+        poly = (
+            (((1.330274429 * k - 1.821255978) * k + 1.781477937) * k
+             - 0.356563782) * k + 0.319381530
+        ) * k
+        return F.exp(-za * za / 2.0) * 0.3989422804014327 * poly
+
+    return F.when(zc >= 0, 1.0 - tail(zc)).otherwise(tail(-zc))
+
+
+def _holm_oracle() -> str:
+    from .wave6_ts import _PHI_SQL
+
+    return f"""
+    WITH cells AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)
+                 * CAST(ROUND(value * 10000) AS BIGINT)) AS ss
+      FROM events GROUP BY event_type, isodow(CAST(ts AS DATE))
+    ), gstat AS (
+      SELECT SUM(n) AS gn, SUM(s) AS gs, SUM(ss) AS gss FROM cells
+    ), z AS (
+      SELECT event_type, dow, n,
+             (CAST(s AS DOUBLE) / n - CAST(gs AS DOUBLE) / gn)
+               / sqrt(((CAST(gss AS DOUBLE) - CAST(gs AS DOUBLE) * gs / gn)
+                       / (gn - 1)) / n) AS zst
+      FROM cells, gstat
+    ), p AS (
+      SELECT event_type, dow, n,
+             2.0 * (1.0 - {_PHI_SQL.format(z="abs(zst)")}) AS pval
+      FROM z
+    ), ranked AS (
+      SELECT event_type, dow, n, pval,
+             ROW_NUMBER() OVER (ORDER BY pval ASC, event_type ASC, dow ASC)
+               AS r,
+             COUNT(*) OVER () AS m
+      FROM p
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+           ROUND(pval, 6) AS pval,
+           ROUND(LEAST(1.0, MAX(pval * (m - r + 1)) OVER (ORDER BY r ASC
+                 ROWS UNBOUNDED PRECEDING)), 6) AS p_adj,
+           CAST(CASE WHEN LEAST(1.0, MAX(pval * (m - r + 1))
+                          OVER (ORDER BY r ASC ROWS UNBOUNDED PRECEDING))
+                          <= 0.05
+                THEN 1 ELSE 0 END AS BIGINT) AS reject
+    FROM ranked ORDER BY event_type, dow
+    """
+
+
+@query("holm_bonferroni_dow_events", None)  # oracle attached below
+def holm_q(spark, sf_dir):
+    """Holm–Bonferroni step-down over the (event_type × day-of-week)
+    mean-value grid — the FWER-controlling sibling of the fdr_bh
+    gate (BH bounds the FALSE-DISCOVERY RATE; Holm bounds the chance
+    of ANY false positive — the right control when one wrong launch
+    decision is expensive): p₍ᵢ₎ adjusted by the running max of
+    p₍ⱼ₎·(m−j+1), clipped at 1.  Same exact-moment z grid and
+    Abramowitz–Stegun Φ as fdr_bh; the step-down is one running-MAX
+    window over the m = |types|·7 ranked rows — bounded by the test
+    grid, never by data volume."""
+    e = load_table(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 10000).cast("bigint")
+    cells = e.groupBy(
+        "event_type", (F.weekday(F.to_date("ts")) + 1).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled).alias("s"),
+        F.sum(scaled * scaled).alias("ss"),
+    )
+    glob = cells.agg(
+        F.sum("n").alias("gn"),
+        F.sum("s").alias("gs"),
+        F.sum("ss").alias("gss"),
+    )
+    gmean = F.col("gs").cast("double") / F.col("gn")
+    gvar = (
+        F.col("gss").cast("double")
+        - F.col("gs").cast("double") * F.col("gs") / F.col("gn")
+    ) / (F.col("gn") - 1)
+    z = cells.join(F.broadcast(glob), F.lit(True)).select(
+        "event_type",
+        "dow",
+        "n",
+        (
+            (F.col("s").cast("double") / F.col("n") - gmean)
+            / F.sqrt(gvar / F.col("n"))
+        ).alias("zst"),
+    )
+    p = z.select(
+        "event_type",
+        "dow",
+        "n",
+        (2.0 * (1.0 - _phi_spark(F.abs(F.col("zst"))))).alias("pval"),
+    )
+    wr = Window.orderBy(
+        F.col("pval").asc(), F.col("event_type").asc(), F.col("dow").asc()
+    )
+    ranked = p.select(
+        "event_type",
+        "dow",
+        "n",
+        "pval",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    wmax = Window.orderBy(F.col("r").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    padj = F.least(
+        F.lit(1.0),
+        F.max(F.col("pval") * (F.col("m") - F.col("r") + 1)).over(wmax),
+    )
+    return ranked.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("pval", 6).alias("pval"),
+        F.round(padj, 6).alias("p_adj"),
+        F.when(padj <= 0.05, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("reject"),
+    ).orderBy("event_type", "dow")
+
+
+O["holm_bonferroni_dow_events"] = _holm_oracle()
