@@ -279,6 +279,73 @@ def jaccard_near_dup_pairs(
     )
 
 
+def containment_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs: C = shared / min(|A|, |B|)
+    ≥ ``threshold`` (id_a < id_b) — the asymmetric overlap measure
+    Jaccard misses: a document embedded verbatim inside a much larger
+    one has tiny Jaccard (union is huge) but containment ≈ 1, which
+    is exactly the quote/boilerplate/subset-duplication shape a
+    training-data decontamination pass must catch (Broder's
+    containment, the measure behind suffix-array substring decontam).
+
+    Same inverted-postings plan as :func:`jaccard_near_dup_pairs`
+    (hash postings, stop-shingle ``max_postings`` guard, one pair
+    aggregation); only the final score differs.  Jaccard rides along
+    for calibration — C ≥ J always.
+    """
+    sized = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
+        .select("id", tokens_of(F.col("text")).alias("_toks"))
+        .select(
+            "id",
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), shingle_k),
+                lambda s: F.xxhash64(s),
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
+    )
+    postings = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    rare = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_postings)
+        .select("shingle")
+    )
+    postings = postings.join(rare, "shingle")
+    a, b = postings.alias("a"), postings.alias("b")
+    pair_shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    c = F.col("shared") / F.least("n_a", "n_b").cast("double")
+    j = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+    return (
+        pair_shared.withColumn("containment", c)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment", 6).alias("containment"),
+            F.round(j, 6).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_near_dup_pairs_prefix(
     df: DataFrame,
     id_col: str,

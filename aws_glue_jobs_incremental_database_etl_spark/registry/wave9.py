@@ -1192,3 +1192,425 @@ def holm_q(spark, sf_dir):
 
 
 O["holm_bonferroni_dow_events"] = _holm_oracle()
+
+
+# =====================================================================
+# Round-9 wave 3: cluster validity / containment dedup / burstiness
+# =====================================================================
+
+_EMB_DIM = 64
+
+
+def _db_point_chain_sql() -> str:
+    """Point-to-centroid squared distance: the silhouette gate's
+    64-term left-to-right chain, verbatim."""
+    return " + ".join(
+        f"(CAST(v[{i + 1}] AS DOUBLE) - CAST(c.cent[{i + 1}] AS DOUBLE)"
+        f" / c.n) * (CAST(v[{i + 1}] AS DOUBLE)"
+        f" - CAST(c.cent[{i + 1}] AS DOUBLE) / c.n)"
+        for i in range(_EMB_DIM)
+    )
+
+
+def _db_cent_chain_sql() -> str:
+    """Centroid-to-centroid squared distance chain (a vs b)."""
+    return " + ".join(
+        f"(CAST(a.cent[{i + 1}] AS DOUBLE) / a.n"
+        f" - CAST(b.cent[{i + 1}] AS DOUBLE) / b.n)"
+        f" * (CAST(a.cent[{i + 1}] AS DOUBLE) / a.n"
+        f" - CAST(b.cent[{i + 1}] AS DOUBLE) / b.n)"
+        for i in range(_EMB_DIM)
+    )
+
+
+_EMB_CENT_SQL = f"""e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS v
+      FROM embeddings
+    ), comp AS (
+      SELECT label, i, CAST(SUM(v[i]) AS BIGINT) AS s
+      FROM e, range(1, {_EMB_DIM + 1}) t(i)
+      GROUP BY label, i
+    ), c AS (
+      SELECT comp.label, list(s ORDER BY i) AS cent, ANY_VALUE(cnt.n) AS n
+      FROM comp
+      JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY label) cnt ON cnt.label = comp.label
+      GROUP BY comp.label
+    )"""
+
+
+@query(
+    "davies_bouldin_embeddings",
+    f"""
+    WITH {_EMB_CENT_SQL}, dist AS (
+      SELECT e.label AS own, c.label AS cl,
+             sqrt({_db_point_chain_sql()}) / 1000000 AS d
+      FROM e JOIN c ON e.label = c.label
+    ), s AS (
+      SELECT own AS label, COUNT(*) AS n_points, AVG(d) AS s_i
+      FROM dist GROUP BY own
+    ), m AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt({_db_cent_chain_sql()}) / 1000000 AS mij
+      FROM c a JOIN c b ON a.label <> b.label
+    ), r AS (
+      SELECT m.la AS label, MAX((sa.s_i + sb.s_i) / m.mij) AS r_i
+      FROM m JOIN s sa ON sa.label = m.la
+             JOIN s sb ON sb.label = m.lb
+      GROUP BY m.la
+    ), db AS (
+      SELECT AVG(r_i) AS db_index FROM r
+    )
+    SELECT s.label, CAST(s.n_points AS BIGINT) AS n_points,
+           ROUND(s.s_i, 6) AS scatter,
+           ROUND(r.r_i, 6) AS r_i,
+           ROUND(db.db_index, 6) AS db_index
+    FROM s JOIN r ON s.label = r.label CROSS JOIN db
+    ORDER BY s.label
+    """,
+)
+def davies_bouldin_q(spark, sf_dir):
+    """Davies–Bouldin index over the embedding labels — the cluster-
+    validity score that punishes what silhouette's average can hide:
+    the single WORST neighbor per cluster (Rᵢ = max_j (Sᵢ+Sⱼ)/Mᵢⱼ;
+    lower is better).  Same 100 TB shape as the silhouette gate —
+    one k-row centroid broadcast, map-only point distances, then
+    k²-row scalar math; components integer-scale ×1e6 so centroids
+    are exact rationals and the distance chains are identical
+    left-to-right trees in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    c = e.groupBy(F.col("label").alias("cl")).agg(
+        F.array(
+            *[
+                F.sum(F.element_at("v", i + 1)).cast("long")
+                for i in range(_EMB_DIM)
+            ]
+        ).alias("cent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d2 = None
+    for i in range(_EMB_DIM):
+        t = (
+            F.element_at("v", i + 1).cast("double")
+            - F.element_at("cent", i + 1).cast("double") / F.col("n")
+        )
+        term = t * t
+        d2 = term if d2 is None else d2 + term
+    dist = e.join(F.broadcast(c), e["label"] == c["cl"]).select(
+        F.col("label").alias("own"),
+        (F.sqrt(d2) / 1_000_000).alias("d"),
+    )
+    s = dist.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_points"), F.avg("d").alias("s_i")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    m2 = None
+    for i in range(_EMB_DIM):
+        t = (
+            F.element_at(F.col("a.cent"), i + 1).cast("double") / F.col("a.n")
+            - F.element_at(F.col("b.cent"), i + 1).cast("double")
+            / F.col("b.n")
+        )
+        term = t * t
+        m2 = term if m2 is None else m2 + term
+    m = a.join(F.broadcast(b), F.col("a.cl") != F.col("b.cl")).select(
+        F.col("a.cl").alias("la"),
+        F.col("b.cl").alias("lb"),
+        (F.sqrt(m2) / 1_000_000).alias("mij"),
+    )
+    sa = s.select(F.col("label").alias("la"), F.col("s_i").alias("s_a"))
+    sb = s.select(F.col("label").alias("lb"), F.col("s_i").alias("s_b"))
+    r = (
+        m.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.max((F.col("s_a") + F.col("s_b")) / F.col("mij")).alias("r_i")
+        )
+    )
+    db = r.agg(F.avg("r_i").alias("db_index"))
+    return (
+        s.join(r, "label")
+        .join(F.broadcast(db), F.lit(True))
+        .select(
+            "label",
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.round("s_i", 6).alias("scatter"),
+            F.round("r_i", 6).alias("r_i"),
+            F.round("db_index", 6).alias("db_index"),
+        )
+        .orderBy("label")
+    )
+
+
+def _ch_between_chain_sql() -> str:
+    """Per-label centroid-to-global squared distance chain — same
+    left-to-right association as the Spark loop."""
+    return " + ".join(
+        f"(CAST(c.cent[{i + 1}] AS DOUBLE) / c.n"
+        f" - CAST(g.gv[{i + 1}] AS DOUBLE) / w.nn)"
+        f" * (CAST(c.cent[{i + 1}] AS DOUBLE) / c.n"
+        f" - CAST(g.gv[{i + 1}] AS DOUBLE) / w.nn)"
+        for i in range(_EMB_DIM)
+    )
+
+
+@query(
+    "calinski_harabasz_embeddings",
+    f"""
+    WITH {_EMB_CENT_SQL}, pt AS (
+      SELECT e.label,
+             SUM((SELECT SUM(CAST(x * x AS HUGEINT))
+                  FROM unnest(v) AS t(x))) AS ss_all
+      FROM e GROUP BY e.label
+    ), wp AS (
+      SELECT c.label, pt.ss_all,
+             (SELECT SUM(CAST(s * s AS HUGEINT) )
+              FROM unnest(c.cent) AS t(s)) AS cent2,
+             c.n
+      FROM c JOIN pt ON pt.label = c.label
+    ), w AS (
+      SELECT SUM(CAST(ss_all AS DOUBLE) - CAST(cent2 AS DOUBLE) / n)
+               / 1e12 AS w_ss,
+             SUM(n) AS nn, COUNT(*) AS k
+      FROM wp
+    ), gl AS (
+      SELECT i, SUM(s) AS gs
+      FROM (SELECT unnest(cent) AS s,
+                   unnest(range(1, {_EMB_DIM + 1})) AS i FROM c)
+      GROUP BY i
+    ), g AS (
+      SELECT list(gs ORDER BY i) AS gv FROM gl
+    ), b AS (
+      SELECT SUM(c.n * ({_ch_between_chain_sql()})) AS b_ss
+      FROM c CROSS JOIN w CROSS JOIN g
+    )
+    SELECT CAST(w.nn AS BIGINT) AS n_vecs, CAST(w.k AS BIGINT) AS n_labels,
+           ROUND(LN(b.b_ss / 1e12), 6) AS log_between_ss,
+           ROUND(LN(w.w_ss), 6) AS log_within_ss,
+           ROUND((b.b_ss / 1e12 / (w.k - 1)) / (w.w_ss / (w.nn - w.k)), 4)
+             AS ch_index
+    FROM w CROSS JOIN b
+    """,
+)
+def calinski_harabasz_q(spark, sf_dir):
+    """Calinski–Harabasz (variance-ratio) index over the embedding
+    labels: CH = (B/(k−1))/(W/(n−k)) — higher = tighter, better-
+    separated clusters; the scale-free companion to Davies–Bouldin
+    (CH rewards global separation, DB punishes the worst neighbor).
+    The 100 TB shape is pure exact moments: W folds per label from
+    Σ‖v‖² − ‖Σv‖²/n (×1e6 integers, HUGEINT ≡ decimal(38,0) sums —
+    no per-point doubles to drift), B is k-row scalar math on the
+    same centroid sums, so the only data-sized pass is one hash
+    aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("v"),
+    )
+    point_ss = F.aggregate(
+        F.transform("v", lambda x: (x * x).cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    cells = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(point_ss).alias("ss_all"),
+        F.array(
+            *[
+                F.sum(F.element_at("v", i + 1)).cast("long")
+                for i in range(_EMB_DIM)
+            ]
+        ).alias("cent"),
+    )
+    cent2 = F.aggregate(
+        F.transform("cent", lambda s: (s * s).cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    wp = cells.select(
+        "label",
+        "n",
+        "cent",
+        (
+            F.col("ss_all").cast("double") - cent2.cast("double") / F.col("n")
+        ).alias("w_g"),
+    )
+    w = wp.agg(
+        (F.sum("w_g") / 1e12).alias("w_ss"),
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.array(
+            *[
+                F.sum(F.element_at("cent", i + 1)).cast("long")
+                for i in range(_EMB_DIM)
+            ]
+        ).alias("gsum"),
+    )
+    b2 = None
+    for i in range(_EMB_DIM):
+        t = (
+            F.element_at("cent", i + 1).cast("double") / F.col("n")
+            - F.element_at("gsum", i + 1).cast("double") / F.col("nn")
+        )
+        term = t * t
+        b2 = term if b2 is None else b2 + term
+    b = (
+        wp.join(F.broadcast(w), F.lit(True))
+        .select((F.col("n") * b2).alias("b_g"))
+        .agg(F.sum("b_g").alias("b_ss"))
+    )
+    return (
+        w.join(F.broadcast(b), F.lit(True))
+        .select(
+            F.col("nn").cast("bigint").alias("n_vecs"),
+            F.col("k").cast("bigint").alias("n_labels"),
+            # the raw scatter sums live at ~1e12-1e24 where double ulp
+            # beats any fixed rounding — report them log-scale and the
+            # CH RATIO, where relative (not absolute) error is what
+            # rounding sees
+            F.round(F.log(F.col("b_ss") / 1e12), 6).alias("log_between_ss"),
+            F.round(F.log("w_ss"), 6).alias("log_within_ss"),
+            F.round(
+                (F.col("b_ss") / 1e12 / (F.col("k") - 1))
+                / (F.col("w_ss") / (F.col("nn") - F.col("k"))),
+                4,
+            ).alias("ch_index"),
+        )
+    )
+
+
+@query(
+    "containment_near_dup_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM toks
+    ), posts AS MATERIALIZED (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(c::DOUBLE / LEAST(na, nb), 6) AS containment,
+           ROUND(c::DOUBLE / (na + nb - c), 6) AS jaccard
+    FROM inter WHERE c::DOUBLE / LEAST(na, nb) >= 0.5
+    """,
+)
+def containment_q(spark, sf_dir):
+    """Shingle-containment near-dup pairs: C = shared/min(|A|,|B|) ≥
+    0.5 — the asymmetric overlap measure the Jaccard gate
+    structurally misses (a doc quoted verbatim inside a much larger
+    one has J ≈ |A|/|B| ≈ 0 but C ≈ 1), i.e. the quote/boilerplate/
+    subset-duplication shape a decontamination pass must catch.
+    Same inverted-postings plan as jaccard_near_dup_docs (the oracle
+    is its twin with only the score changed); Jaccard rides along as
+    the calibration column."""
+    from ..operators.dedup import containment_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.5, shingle_k=3
+    )
+
+
+@query(
+    "term_burstiness_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, COUNT(*) AS f FROM toks GROUP BY doc_id, w
+    ), nd AS (
+      SELECT COUNT(*) AS d FROM documents
+    ), stats AS (
+      SELECT w, SUM(f) AS total, COUNT(*) AS df,
+             SUM(f * f) AS s2
+      FROM tf GROUP BY w
+    ), ranked AS (
+      SELECT w, total, df, s2,
+             ROW_NUMBER() OVER (ORDER BY total DESC, w ASC) AS rn
+      FROM stats
+    )
+    SELECT w AS term, CAST(total AS BIGINT) AS total_count,
+           CAST(df AS BIGINT) AS doc_freq,
+           ROUND(CAST(total AS DOUBLE) / d, 6) AS mean_per_doc,
+           ROUND((CAST(s2 AS DOUBLE) / d
+                  - (CAST(total AS DOUBLE) / d)
+                    * (CAST(total AS DOUBLE) / d))
+                 / (CAST(total AS DOUBLE) / d), 6) AS burstiness_vmr
+    FROM ranked CROSS JOIN nd WHERE rn <= 20
+    ORDER BY total_count DESC, term
+    """,
+)
+def burstiness_q(spark, sf_dir):
+    """Church–Gale term burstiness for the 20 highest-volume terms:
+    variance-to-mean ratio of the per-document count (zeros
+    included) — VMR ≈ 1 is Poisson scatter (function words), VMR ≫ 1
+    means the term CLUMPS into few documents (topical/boilerplate
+    terms — the signal that separates a term that is frequent
+    because it is everywhere from one that is frequent because a few
+    documents spam it, which is what dedup/quality filters care
+    about).  Exact integer (Σf, Σf²) folds per term; zero cells
+    contribute nothing to either sum, so the all-docs moments need
+    only the corpus doc count."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("d"))
+    stats = tf.groupBy("w").agg(
+        F.sum("f").alias("total"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("f") * F.col("f")).alias("s2"),
+    )
+    top = stats.orderBy(F.col("total").desc(), F.col("w").asc()).limit(20)
+    mean = F.col("total").cast("double") / F.col("d")
+    return (
+        top.join(F.broadcast(nd), F.lit(True))
+        .select(
+            F.col("w").alias("term"),
+            F.col("total").cast("bigint").alias("total_count"),
+            F.col("df").cast("bigint").alias("doc_freq"),
+            F.round(mean, 6).alias("mean_per_doc"),
+            F.round(
+                (F.col("s2").cast("double") / F.col("d") - mean * mean)
+                / mean,
+                6,
+            ).alias("burstiness_vmr"),
+        )
+        .orderBy(F.col("total_count").desc(), "term")
+    )
