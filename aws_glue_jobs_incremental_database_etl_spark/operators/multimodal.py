@@ -986,3 +986,103 @@ def audio_spectral_centroid(
         ["duration_ms"] if "duration_ms" in df.columns else []
     )
     return df.select(*cols).mapInPandas(batches, schema=out_schema)
+
+
+def audio_zcr_rms(
+    df: DataFrame,
+    window_samples: int = 32,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Windowed zero-crossing rate + RMS energy per audio payload →
+    ``(media_id, window_id, n_crossings, rms, decode_ok)``: per
+    ``window_samples`` frame, ZCR counts strict sign changes
+    (sₜ·sₜ₋₁ < 0) and RMS = √(Σs²/w) — the two cheapest features in
+    every voice-activity / silence-trim / speech-vs-music front-end
+    (ZCR tracks spectral brightness without a DFT; RMS is loudness).
+    Exact integer sums into one final sqrt.
+
+    Decoder contract matches :func:`audio_spectral_centroid`:
+    ``'fake'`` = the deterministic accumulator stream (c = 2·acc −
+    997, the audio-gate convention), ``'wav'`` = the stdlib PCM
+    parser, ``'real'`` = the documented ffmpeg/libsndfile
+    integration point.  mapInPandas, map-only."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "full-format audio decoding requires ffmpeg/libsndfile, "
+            "not present in this environment; use decoder='wav' "
+            "(real stdlib PCM WAV decode) or 'fake'"
+        )
+    if decoder not in ("fake", "wav"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def windows_of(payload: bytes, duration_ms) -> list[list[int]]:
+        if decoder == "fake":
+            n = max(
+                window_samples,
+                (int(duration_ms) // 50) if duration_ms is not None else 64,
+            )
+            acc = _fake_decode_acc(payload, n)
+            samples = [2 * a - 997 for a in acc]
+        else:
+            _, raw = decode_wav(payload)
+            samples = list(raw)
+        return [
+            samples[s : s + window_samples]
+            for s in range(0, len(samples) - window_samples + 1, window_samples)
+        ]
+
+    def one(payload: bytes, duration_ms):
+        try:
+            wins = windows_of(payload, duration_ms)
+        except (ValueError, IndexError):
+            return [(0, 0, 0.0, False)]
+        rows = []
+        for wid, w in enumerate(wins):
+            zc = 0
+            ss = 0
+            for t in range(window_samples):
+                ss += w[t] * w[t]
+                if t > 0 and w[t] * w[t - 1] < 0:
+                    zc += 1
+            rows.append((wid, zc, (ss / float(window_samples)) ** 0.5, True))
+        return rows
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("window_id", T.IntegerType()),
+            T.StructField("n_crossings", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, wids, zcs, rmss, oks = [], [], [], [], []
+            durs = (
+                pdf["duration_ms"]
+                if "duration_ms" in pdf.columns
+                else [None] * len(pdf)
+            )
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], durs):
+                for wid, zc, rms, ok in one(payload, dur):
+                    mids.append(mid)
+                    wids.append(wid)
+                    zcs.append(zc)
+                    rmss.append(rms)
+                    oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "window_id": pd.Series(wids, dtype="int32"),
+                    "n_crossings": pd.Series(zcs, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    cols = ["media_id", "payload"] + (
+        ["duration_ms"] if "duration_ms" in df.columns else []
+    )
+    return df.select(*cols).mapInPandas(batches, schema=out_schema)

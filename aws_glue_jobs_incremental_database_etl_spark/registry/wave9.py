@@ -715,8 +715,8 @@ def jonckheere_q(spark, sf_dir):
     )
     SELECT CAST(a.b AS BIGINT) AS n_blocks,
            CAST(7 AS BIGINT) AS n_treatments,
-           ROUND((7 - 1) * ((SELECT SUM(rj * rj) FROM sums) / a.b
-                 - a.b * 7 * 8 * 8 / 4.0)
+           ROUND((7 - 1) * ((SELECT SUM(rj * rj) FROM sums)
+                 - a.b * a.b * 7 * 8 * 8 / 4.0)
                  / (a.a1 - a.b * 7 * 8 * 8 / 4.0), 6) AS chi2_friedman
     FROM a1 a
     """,
@@ -764,6 +764,10 @@ def friedman_q(spark, sf_dir):
     )
     srj = sums.agg(F.sum(F.col("rj") * F.col("rj")).alias("srj2"))
     k = 7
+    # Conover T1 = (k−1)·(ΣR_j² − b²k(k+1)²/4) / (A1 − bk(k+1)²/4):
+    # the numerator's centering term carries b², the denominator's b
+    # (the b-vs-b² asymmetry is easy to flatten — the hand pin in
+    # test_wave9_ops caught exactly that, in BOTH engines at once)
     c_term = F.col("b") * k * (k + 1) * (k + 1) / 4.0
     return (
         a1.join(F.broadcast(srj), F.lit(True))
@@ -772,7 +776,7 @@ def friedman_q(spark, sf_dir):
             F.lit(k).cast("bigint").alias("n_treatments"),
             F.round(
                 (k - 1)
-                * (F.col("srj2") / F.col("b") - c_term)
+                * (F.col("srj2") - F.col("b") * c_term)
                 / (F.col("a1") - c_term),
                 6,
             ).alias("chi2_friedman"),
@@ -1613,4 +1617,329 @@ def burstiness_q(spark, sf_dir):
             ).alias("burstiness_vmr"),
         )
         .orderBy(F.col("total_count").desc(), "term")
+    )
+
+
+# =====================================================================
+# Round-9 wave 4: audio energy features / STL shares / log-rank
+# =====================================================================
+
+def _audio_zcr_oracle(n_samples: int = 64, ws: int = 32) -> str:
+    """SQL twin of ``audio_zcr_rms``'s fake path at the gate's fixed
+    duration: acc recurrence → s = 2·acc − 997, per window exact
+    integer Σs² and strict-sign-change counts, one final sqrt."""
+    from .wave8 import _acc_chain_ctes
+
+    ctes, last = _acc_chain_ctes(n_samples)
+    cs = ", ".join(f"(2 * a{k} - 997) AS s{k}" for k in range(n_samples))
+    windows = []
+    for win in range(n_samples // ws):
+        lo = win * ws
+        ss = " + ".join(f"s{lo + t} * s{lo + t}" for t in range(ws))
+        zc = " + ".join(
+            f"(CASE WHEN s{lo + t} * s{lo + t - 1} < 0 THEN 1 ELSE 0 END)"
+            for t in range(lo + 1, lo + ws) for t in [t - lo]
+        )
+        windows.append(
+            f"""    SELECT media_id, {win} AS window_id,
+           CAST(({zc}) AS INT) AS n_crossings,
+           ROUND(sqrt(({ss}) / {float(ws)!r}), 6) AS rms
+    FROM sam"""
+        )
+    body = "\n    UNION ALL\n".join(windows)
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), {ctes}, sam AS (
+      SELECT media_id, {cs} FROM {last}
+    )
+    {body}
+    """
+
+
+@query("audio_zcr_rms_windows", None)  # oracle attached below (generated)
+def audio_zcr_q(spark, sf_dir):
+    """Windowed zero-crossing rate + RMS energy (operators.multimodal.
+    audio_zcr_rms): the two cheapest audio-pipeline features — ZCR
+    approximates brightness with zero DFT cost, RMS is the loudness
+    every voice-activity / silence-trim front-end thresholds on.
+    Gate media at the audio gates' fixed 3200 ms → 64 samples → 2
+    windows; the kernel's integer Σs² and strict sign-change counts
+    replay exactly in SQL (one final sqrt per window)."""
+    from ..operators.multimodal import audio_zcr_rms
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(3200).cast("long").alias("duration_ms"),
+    )
+    return audio_zcr_rms(media, window_samples=32).select(
+        "media_id",
+        "window_id",
+        "n_crossings",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+O["audio_zcr_rms_windows"] = _audio_zcr_oracle()
+
+
+@query(
+    "stl_decompose_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS y
+      FROM events GROUP BY 1, 2, 3
+    ), tr AS (
+      SELECT event_type, day, dow, y,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN SUM(CAST(y AS DOUBLE)) OVER w / 7 END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, day, dow, y, trend, y - trend AS d
+      FROM tr WHERE trend IS NOT NULL
+    ), seas AS (
+      SELECT event_type, dow, AVG(d) AS s
+      FROM det GROUP BY event_type, dow
+    ), rem AS (
+      SELECT d.event_type, d.y, d.trend, d.d, s.s,
+             d.d - s.s AS r
+      FROM det d JOIN seas s
+        ON d.event_type = s.event_type AND d.dow = s.dow
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(trend * trend) - AVG(trend) * AVG(trend), 6)
+             AS var_trend,
+           ROUND(AVG(s * s) - AVG(s) * AVG(s), 6) AS var_seasonal,
+           ROUND(AVG(r * r) - AVG(r) * AVG(r), 6) AS var_remainder,
+           ROUND(GREATEST(0.0, 1.0 - (AVG(r * r) - AVG(r) * AVG(r))
+                 / (AVG(d * d) - AVG(d) * AVG(d))), 6)
+             AS seasonal_strength,
+           ROUND(GREATEST(0.0, 1.0 - (AVG(r * r) - AVG(r) * AVG(r))
+                 / (AVG((y - s) * (y - s))
+                    - AVG(y - s) * AVG(y - s))), 6) AS trend_strength
+    FROM rem GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stl_decompose_q(spark, sf_dir):
+    """STL-style additive decomposition of each type's daily count
+    series — y = trend (centered 7-day moving average, complete
+    windows only) + seasonal (day-of-week mean of the detrended
+    series) + remainder — reporting component variances plus the
+    Hyndman–Wang strength-of-trend/seasonality pair
+    F = max(0, 1 − Var(R)/Var(·)) that the forecasting gates
+    (Holt-Winters, seasonal-adjust) should be gated ON (the
+    seasonal_strength gate answers "how weekly"; this one also says
+    how much is TREND, from the same decomposition).  Everything
+    runs on the bounded per-type daily grid: one centered window,
+    two hash aggs."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = e.groupBy(
+        "event_type",
+        day.alias("day"),
+        (F.weekday(day) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "dow",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum(F.col("y").cast("double")).over(w) / 7,
+        ).alias("trend"),
+    )
+    det = tr.filter(F.col("trend").isNotNull()).withColumn(
+        "d", F.col("y") - F.col("trend")
+    )
+    seas = det.groupBy("event_type", "dow").agg(F.avg("d").alias("s"))
+    rem = det.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        "y",
+        "trend",
+        "d",
+        "s",
+        (F.col("d") - F.col("s")).alias("r"),
+    )
+
+    def pvar(c):
+        return F.avg(c * c) - F.avg(c) * F.avg(c)
+
+    return (
+        rem.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(pvar(F.col("trend")), 6).alias("var_trend"),
+            F.round(pvar(F.col("s")), 6).alias("var_seasonal"),
+            F.round(pvar(F.col("r")), 6).alias("var_remainder"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0), 1.0 - pvar(F.col("r")) / pvar(F.col("d"))
+                ),
+                6,
+            ).alias("seasonal_strength"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - pvar(F.col("r")) / pvar(F.col("y") - F.col("s")),
+                ),
+                6,
+            ).alias("trend_strength"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "logrank_weekend_repurchase_events",
+    """
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nd
+      FROM events WHERE event_type = 'purchase'
+    ), subj AS (
+      SELECT CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS grp,
+             CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                  ELSE datediff('day', d, nd) END AS life,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS died
+      FROM p, bounds
+    ), cells AS (
+      SELECT life, grp, COUNT(*) AS n_all, SUM(died) AS deaths
+      FROM subj GROUP BY life, grp
+    ), dense AS (
+      SELECT l.life, g.grp, COALESCE(c.n_all, 0) AS n_all,
+             COALESCE(c.deaths, 0) AS deaths
+      FROM (SELECT DISTINCT life FROM cells) l
+      CROSS JOIN (SELECT unnest([0, 1]) AS grp) g
+      LEFT JOIN cells c ON c.life = l.life AND c.grp = g.grp
+    ), risk AS (
+      SELECT life, grp, deaths,
+             SUM(n_all) OVER (PARTITION BY grp ORDER BY life DESC
+                              ROWS UNBOUNDED PRECEDING) AS at_risk
+      FROM dense
+    ), times AS (
+      SELECT life,
+             SUM(CASE WHEN grp = 1 THEN deaths ELSE 0 END) AS d1,
+             SUM(deaths) AS dt,
+             SUM(CASE WHEN grp = 1 THEN at_risk ELSE 0 END) AS n1,
+             SUM(at_risk) AS nt
+      FROM risk GROUP BY life
+      HAVING SUM(deaths) > 0 AND SUM(at_risk) > 1
+    ), folds AS (
+      SELECT SUM(d1) AS o1,
+             SUM(CAST(dt AS DOUBLE) * n1 / nt) AS e1,
+             SUM(CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt)
+                 * (1 - CAST(n1 AS DOUBLE) / nt)
+                 * (nt - dt) / (nt - 1)) AS v
+      FROM times
+    )
+    SELECT CAST(o1 AS BIGINT) AS observed_weekend,
+           ROUND(e1, 6) AS expected_weekend,
+           ROUND((o1 - e1) / sqrt(v), 6) AS z_logrank,
+           ROUND((o1 - e1) * (o1 - e1) / v, 6) AS chi2_logrank
+    FROM folds
+    """,
+)
+def logrank_q(spark, sf_dir):
+    """Log-rank test comparing repurchase survival curves between
+    weekend-started and weekday-started purchase gaps — the test the
+    Kaplan–Meier gate's curves NEED before anyone reads a difference
+    off them (censoring-aware; a t-test on raw gaps is biased by the
+    open gaps): at each death time, observed-vs-hypergeometric-
+    expected weekend deaths, χ² = (O−E)²/ΣV.  Same gap/censoring
+    construction as kaplan_meier_retention_events; at-risk counts are
+    reverse cumulative sums over the dense (life × 2 groups) grid —
+    bounded by the day span, never a per-time rescan."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.to_date("ts").alias("d"), "ts", "event_id"
+        )
+        .withColumn("nd", F.lead("d").over(wp))
+    )
+    subj = p.join(F.broadcast(bounds), F.lit(True)).select(
+        F.when((F.weekday("d") + 1) >= 6, 1).otherwise(0).alias("grp"),
+        F.when(
+            F.col("nd").isNull(), F.datediff("maxd", "d")
+        ).otherwise(F.datediff("nd", "d")).alias("life"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("died"),
+    )
+    cells = subj.groupBy("life", "grp").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("died").alias("deaths")
+    )
+    grps = spark.range(0, 2).select(F.col("id").cast("int").alias("grp"))
+    dense = (
+        cells.select("life")
+        .distinct()
+        .crossJoin(F.broadcast(grps))
+        .join(cells, ["life", "grp"], "left")
+        .select(
+            "life",
+            "grp",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+            F.coalesce("deaths", F.lit(0)).alias("deaths"),
+        )
+    )
+    wr = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("life").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = dense.select(
+        "life", "grp", "deaths", F.sum("n_all").over(wr).alias("at_risk")
+    )
+    times = (
+        risk.groupBy("life")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, F.col("deaths")).otherwise(0)).alias("d1"),
+            F.sum("deaths").alias("dt"),
+            F.sum(F.when(F.col("grp") == 1, F.col("at_risk")).otherwise(0)).alias("n1"),
+            F.sum("at_risk").alias("nt"),
+        )
+        .filter((F.col("dt") > 0) & (F.col("nt") > 1))
+    )
+    n1r = F.col("n1").cast("double") / F.col("nt")
+    folds = times.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("dt").cast("double") * F.col("n1") / F.col("nt")).alias("e1"),
+        F.sum(
+            F.col("dt").cast("double")
+            * n1r
+            * (1 - n1r)
+            * (F.col("nt") - F.col("dt"))
+            / (F.col("nt") - 1)
+        ).alias("v"),
+    )
+    return folds.select(
+        F.col("o1").cast("bigint").alias("observed_weekend"),
+        F.round("e1", 6).alias("expected_weekend"),
+        F.round(
+            (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v")), 6
+        ).alias("z_logrank"),
+        F.round(
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.col("v"),
+            6,
+        ).alias("chi2_logrank"),
     )

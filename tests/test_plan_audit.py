@@ -19,6 +19,35 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
+    "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
+    # k=5 priority cells + the final 1-row W* fold
+    "dagostino_k2_totalprice",        # 1-row raw-moment fold; the Z
+    # transforms are scalar math on that row
+    "cochran_armitage_priority_returns",  # 1-row score-moment fold
+    # from the k=5 cells
+    "mantel_haenszel_weekend_purchase_events",  # 1-row MH fold from
+    # the ≤|weeks| stratum cells
+    "jonckheere_priority_totalprice_orders",  # 1-row JT/moment folds;
+    # the two cumulative windows are (value-grid × 5)-bounded and
+    # partitioned by v / by score
+    "friedman_dow_weeks_events",      # 1-row A1/ΣR² folds from the
+    # ≤(weeks×7) rank grid; midranks windowed per 7-row block
+    "yuen_trimmed_ttest_orders",      # per-group cumulative window
+    # over the quantized-cents price domain (the CvM audited shape)
+    # + the final 2-group pivot fold
+    "lorenz_curve_customers",         # cumulative window over the
+    # whole-dollar customer-total grid + 1-row totals fold
+    "holm_bonferroni_dow_events",     # ranked/running-max windows over
+    # the m = |types|·7 p-value grid (the fdr_bh audited shape)
+    "davies_bouldin_embeddings",      # k=10 centroid/scatter folds;
+    # the k² pair sweep and the 1-row DB mean are label-bounded
+    "calinski_harabasz_embeddings",   # 1-row W/B moment folds from
+    # the k=10 label cells
+    "term_burstiness_docs",           # TakeOrdered top-20 terms + the
+    # 1-row corpus doc-count fold
+    "logrank_weekend_repurchase_events",  # reverse-cumulative window
+    # over the (≤day-span × 2 groups) dense risk grid + 1-row fold
     # ---- round-8 wave: bounded-grid windows / 1-row scalar folds
     "g_test_dow_events",              # marginal windows run over the
     # r×c contingency grid (≤ |types|·7 rows after the hash agg)
@@ -222,6 +251,26 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
+    "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
+    # the k=5 weighted cells
+    "jonckheere_priority_totalprice_orders",  # broadcast 5-row literal
+    # score frame onto the value grid + two 1-row moment crossJoins
+    "friedman_dow_weeks_events",      # 1-row ΣR² crossJoin onto the
+    # 1-row A1 fold
+    "lorenz_curve_customers",         # broadcast 10-row decile-
+    # threshold frame probed against the cumulative grid (inequality
+    # join bounded by 10 × grid)
+    "holm_bonferroni_dow_events",     # 1-row grand-moment crossJoin
+    # onto the |types|·7 cell grid (the fdr_bh audited shape)
+    "davies_bouldin_embeddings",      # k×k centroid pair sweep +
+    # 1-row DB-mean crossJoin (k = 10 labels)
+    "calinski_harabasz_embeddings",   # 1-row global-centroid fold
+    # crossJoined onto the k=10 cells
+    "term_burstiness_docs",           # 1-row corpus doc-count
+    # crossJoin onto the top-20 term rows
+    "logrank_weekend_repurchase_events",  # 1-row max-day bound + the
+    # broadcast 2-row group frame onto the life grid
     # ---- round-8 wave: 1-row scalar broadcasts / k-row pair sweeps
     "tukey_hsd_priority_orders",      # 1-row MSW crossJoin + the
     # 5-row×5-row inequality pair join (both broadcast literals)
