@@ -977,3 +977,74 @@ def page_hinkley_report(
         F.round(ph, 6).alias("ph_stat"),
         (ph > lam).alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+def cusum_chart_report(
+    moments: DataFrame, k: float = 0.5, h: float = 4.0
+) -> DataFrame:
+    """Two-sided tabular CUSUM chart over day-level drift moments
+    (schema of :func:`drift_daily_moments`) — THE shared expressions
+    of the batch gate (registry ``cusum_chart_daily_events``) and the
+    streaming readout (:func:`streaming.drift_cusum_series`), so both
+    agree bit-for-bit on the same events:
+    S⁺_t = max(0, S⁺_{t−1} + (m_t − μ − k·σ)),
+    S⁻_t = max(0, S⁻_{t−1} + (μ − m_t − k·σ)), alarm past h·σ
+    (Page 1954 / NIST tabular form; k = slack in σ units, h = decision
+    interval).  μ/σ are the in-control estimates from the whole daily
+    series; the recursion walks the BOUNDED per-type daily array in
+    one applyInPandas kernel whose fold order equals the oracle's
+    recursive CTE — bit-identical doubles."""
+    import pandas as pd
+
+    daily = moments.select(
+        "event_type",
+        F.col("d").alias("day"),
+        (F.col("s_d").cast("double") / F.col("n_d") / 100.0).alias("x"),
+    )
+    base = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        mu = pdf["mu"].iloc[0]
+        ks = k * pdf["sigma"].iloc[0]
+        sp = 0.0
+        sn = 0.0
+        sps, sns = [], []
+        for x in pdf["x"]:
+            sp = max(0.0, sp + (x - mu - ks))
+            sn = max(0.0, sn + (mu - x - ks))
+            sps.append(sp)
+            sns.append(sn)
+        pdf["sp"] = sps
+        pdf["sn"] = sns
+        return pdf
+
+    cu = (
+        daily.join(base, "event_type")
+        .groupBy("event_type")
+        .applyInPandas(
+            fold,
+            "event_type string, day date, x double, mu double, "
+            "sigma double, sp double, sn double",
+        )
+    )
+    return cu.select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("daily_mean"),
+        F.round("sp", 6).alias("cusum_pos"),
+        F.round("sn", 6).alias("cusum_neg"),
+        (
+            (F.col("sp") > h * F.col("sigma"))
+            | (F.col("sn") > h * F.col("sigma"))
+        ).alias("alarm"),
+    ).orderBy("event_type", "day")

@@ -1943,3 +1943,301 @@ def logrank_q(spark, sf_dir):
             6,
         ).alias("chi2_logrank"),
     )
+
+
+@query(
+    "cusum_chart_daily_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS x
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), base AS (
+      SELECT event_type, AVG(x) AS mu,
+             sqrt((SUM(x * x) - SUM(x) * SUM(x) / COUNT(*))
+                  / (COUNT(*) - 1)) AS sigma
+      FROM daily GROUP BY event_type
+    ), cu AS (
+      SELECT n.event_type, n.day, n.rn, n.x, b.mu, b.sigma,
+             GREATEST(0, n.x - b.mu - 0.5 * b.sigma) AS sp,
+             GREATEST(0, b.mu - n.x - 0.5 * b.sigma) AS sn
+      FROM num n JOIN base b ON n.event_type = b.event_type
+      WHERE n.rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn, n.x, c.mu, c.sigma,
+             GREATEST(0, c.sp + (n.x - c.mu - 0.5 * c.sigma)),
+             GREATEST(0, c.sn + (c.mu - n.x - 0.5 * c.sigma))
+      FROM num n JOIN cu c
+        ON n.event_type = c.event_type AND n.rn = c.rn + 1
+    )
+    SELECT event_type, day, ROUND(x, 6) AS daily_mean,
+           ROUND(sp, 6) AS cusum_pos, ROUND(sn, 6) AS cusum_neg,
+           (sp > 4 * sigma OR sn > 4 * sigma) AS alarm
+    FROM cu ORDER BY event_type, day
+    """,
+)
+def cusum_chart_q(spark, sf_dir):
+    """Two-sided tabular CUSUM chart (k = 0.5σ slack, h = 4σ decision
+    interval) on each type's daily mean — the sustained-small-shift
+    alarm that completes the drift-monitor trio (Page–Hinkley
+    self-normalizes, EWMA smooths, CUSUM accumulates signed excess):
+    S⁺/S⁻ recursions via ``profile.cusum_chart_report``, the SAME
+    shared expressions the streaming readout
+    ``streaming.drift_cusum_series`` reads over the persisted
+    (type, day) drift state — streamed ≡ batch bit-for-bit.  The
+    recursion walks the bounded per-type daily array; the oracle is
+    the recursive-CTE twin with identical fold order."""
+    from ..operators.profile import cusum_chart_report, drift_daily_moments
+
+    e = load_table(spark, sf_dir, "events")
+    return cusum_chart_report(drift_daily_moments(e))
+
+
+@query(
+    "pages_trend_dow_weeks_events",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), complete AS (
+      SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+    ), blocks AS (
+      SELECT d.wk, d.dow, d.y FROM daily d JOIN complete c ON d.wk = c.wk
+    ), ranked AS (
+      SELECT wk, dow,
+             COALESCE(SUM(1) OVER (PARTITION BY wk ORDER BY y
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (SUM(1) OVER (PARTITION BY wk ORDER BY y
+                RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1) / 2.0
+               AS r
+      FROM blocks
+    ), l AS (
+      SELECT SUM(dow * r) AS l_stat,
+             COUNT(DISTINCT wk) AS b
+      FROM ranked
+    )
+    SELECT CAST(b AS BIGINT) AS n_blocks,
+           ROUND(l_stat, 2) AS l_stat,
+           ROUND(b * 7 * 8 * 8 / 4.0, 2) AS e_l,
+           ROUND((l_stat - b * 7 * 8 * 8 / 4.0)
+                 / sqrt(b * 49 * 64 * 6 / 144.0), 6) AS z_l
+    FROM l
+    """,
+)
+def pages_trend_q(spark, sf_dir):
+    """Page's L trend test: is daily volume MONOTONE across the week
+    (Mon < Tue < … < Sun as the ordered alternative), blocking on
+    the week — the ordered sibling of the Friedman gate exactly as
+    Jonckheere is Kruskal–Wallis's (an omnibus spends k−1 df; L
+    concentrates on the ordered trend): L = Σ_j j·R_j over the same
+    complete-block midranks, z-scored against E[L] = bk(k+1)²/4 and
+    the no-ties Var[L] = bk²(k+1)²(k−1)/144 (documented normal
+    approximation; midranks keep L exact under ties).  Same bounded
+    rank grid as the Friedman gate — one more fold over it."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = e.groupBy(
+        F.date_trunc("week", day).cast("date").alias("wk"),
+        (F.weekday(day) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    complete = daily.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("nd")
+    ).filter(F.col("nd") == 7).select("wk")
+    blocks = daily.join(complete, "wk")
+    w_lt = (
+        Window.partitionBy("wk")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("wk").orderBy("y").rangeBetween(0, 0)
+    ranked = blocks.select(
+        "wk",
+        "dow",
+        (
+            F.coalesce(F.sum(F.lit(1)).over(w_lt), F.lit(0))
+            + (F.sum(F.lit(1)).over(w_eq) + 1) / 2.0
+        ).alias("r"),
+    )
+    l = ranked.agg(
+        F.sum(F.col("dow") * F.col("r")).alias("l_stat"),
+        F.countDistinct("wk").alias("b"),
+    )
+    e_l = F.col("b") * 7 * 8 * 8 / 4.0
+    var_l = F.col("b") * 49 * 64 * 6 / 144.0
+    return l.select(
+        F.col("b").cast("bigint").alias("n_blocks"),
+        F.round("l_stat", 2).alias("l_stat"),
+        F.round(e_l, 2).alias("e_l"),
+        F.round((F.col("l_stat") - e_l) / F.sqrt(var_l), 6).alias("z_l"),
+    )
+
+
+@query(
+    "yules_k_sources_docs",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT source, w, COUNT(*) AS f FROM toks GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(10000.0 * (SUM(CAST(f AS DOUBLE) * f) - SUM(f))
+                 / (CAST(SUM(f) AS DOUBLE) * SUM(f)), 6) AS yules_k
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def yules_k_q(spark, sf_dir):
+    """Yule's K lexical-repetitiveness characteristic per source:
+    K = 10⁴·(Σ_m m²V_m − N)/N² ≡ 10⁴·(Σ_w f_w² − N)/N² — the
+    length-invariant repetition constant stylometry uses where
+    type-token ratio fails (TTR shrinks with N; K does not), and a
+    cheap template/boilerplate detector per corpus slice.  One exact
+    integer (Σf, Σf²) fold over the per-source term histogram."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(
+                10000.0
+                * (
+                    F.sum(F.col("f").cast("double") * F.col("f"))
+                    - F.sum("f")
+                )
+                / (F.sum("f").cast("double") * F.sum("f")),
+                6,
+            ).alias("yules_k"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gesd_oracle(rounds: int = 3) -> str:
+    """Unrolled GESD rounds: each round recomputes exact moments of
+    the remaining set (previous picks anti-joined) and takes the max
+    studentized deviate (ties: value DESC, key ASC)."""
+    ctes = [
+        """obs0 AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    )"""
+    ]
+    sels = []
+    for r in range(rounds):
+        ctes.append(
+            f"""m{r} AS (
+      SELECT COUNT(*) AS n, SUM(v) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM obs{r}
+    ), d{r} AS (
+      SELECT k, v,
+             ABS(v - CAST(s1 AS DOUBLE) / n)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      / (n - 1)) AS stud
+      FROM obs{r} CROSS JOIN m{r}
+    ), pick{r} AS (
+      SELECT k, v, stud FROM d{r}
+      ORDER BY stud DESC, k ASC LIMIT 1
+    ), obs{r + 1} AS (
+      SELECT o.k, o.v FROM obs{r} o
+      WHERE o.k NOT IN (SELECT k FROM pick{r})
+    )"""
+        )
+        sels.append(
+            f"""    SELECT {r + 1} AS round, CAST(k AS BIGINT) AS o_orderkey,
+           ROUND(v / 100.0, 2) AS totalprice,
+           ROUND(stud, 6) AS studentized
+    FROM pick{r}"""
+        )
+    body = "\n    UNION ALL\n".join(sels)
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n{body}\n    ORDER BY round\n    "
+    )
+
+
+@query("gesd_outliers_totalprice", None)  # oracle attached below (generated)
+def gesd_q(spark, sf_dir):
+    """Generalized ESD outlier rounds (Rosner 1983) on order totals:
+    r = 3 successive max-studentized-deviates, each computed on the
+    set with the PREVIOUS picks removed — the masking-proof form of
+    Grubbs (a second outlier inflates s and hides the first from a
+    single-pass rule; GESD re-estimates after every removal).  Each
+    round is one exact-integer moment fold plus a struct-max argmax
+    — r bounded passes by design, no sort, no window; significance
+    thresholds (λ_i from t quantiles) are left to the caller, the
+    deviates themselves are the deliverable."""
+    o = load_table(spark, sf_dir, "orders")
+    remaining = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    out = None
+    for r in range(3):
+        mom = remaining.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+        )
+        mean = F.col("s1").cast("double") / F.col("n")
+        sd = F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        )
+        dev = remaining.join(F.broadcast(mom), F.lit(True)).select(
+            "k", "v", (F.abs(F.col("v") - mean) / sd).alias("stud")
+        )
+        pick = (
+            dev.agg(
+                F.max(
+                    F.struct(
+                        F.col("stud").alias("stud"),
+                        (-F.col("k")).alias("nk"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.lit(r + 1).alias("round"),
+                (-F.col("p.nk")).cast("bigint").alias("o_orderkey"),
+                F.round(F.col("p.v") / 100.0, 2).alias("totalprice"),
+                F.round(F.col("p.stud"), 6).alias("studentized"),
+            )
+        )
+        out = pick if out is None else out.unionByName(pick)
+        picked_key = pick.select(
+            F.col("o_orderkey").alias("k")
+        )
+        remaining = remaining.join(
+            F.broadcast(picked_key), "k", "left_anti"
+        )
+    return out.orderBy("round")
+
+
+O["gesd_outliers_totalprice"] = _gesd_oracle()

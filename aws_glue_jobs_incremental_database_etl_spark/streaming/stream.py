@@ -712,3 +712,18 @@ def drift_ph_series(spark: SparkSession, state_path: str) -> DataFrame:
     from ..operators.profile import page_hinkley_report
 
     return page_hinkley_report(read_sketch(spark, state_path))
+
+
+def drift_cusum_series(spark: SparkSession, state_path: str) -> DataFrame:
+    """Tabular-CUSUM readout of a streaming drift monitor: the
+    two-sided chart computed from the SAME persisted (type, day)
+    moments :func:`run_drift_monitor` folds — no second state, one
+    more report over it — via the shared
+    ``profile.cusum_chart_report`` expressions, so streamed and batch
+    readouts agree bit-for-bit on the same events (the Page–Hinkley
+    twin's pattern; PH self-normalizes against the running mean,
+    CUSUM charts against the in-control μ/σ with a slack k — the two
+    standard drift alarms over one state)."""
+    from ..operators.profile import cusum_chart_report
+
+    return cusum_chart_report(read_sketch(spark, state_path))

@@ -165,6 +165,17 @@ HEADLINE = [
     "fightin_words_lang_docs",        # (lang, word) grid log-odds
     "cvm_two_sample_orders",          # quantized-grid CDF window
     "theil_inequality_users_events",  # two user-keyed aggs + folds
+    # round-9 additions
+    "jonckheere_priority_totalprice_orders",  # dense value×5 grid, 2 windows
+    "yuen_trimmed_ttest_orders",      # cents-histogram trim windows
+    "lorenz_curve_customers",         # customer agg + dollar-grid window
+    "davies_bouldin_embeddings",      # 64-term chains + k² pair sweep
+    "calinski_harabasz_embeddings",   # exact per-label moment folds
+    "containment_near_dup_docs",      # shingle-postings pair join
+    "term_burstiness_docs",           # (doc, word) tf agg + top-20
+    "audio_zcr_rms_windows",          # integer window folds per media
+    "logrank_weekend_repurchase_events",  # gap grid + reverse cum
+    "ljung_box_daily_events",         # 7-lag window over daily grid
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -214,6 +225,12 @@ SF1_SPOT = [
     "closeness_centrality_suppliers",
     "kruskal_wallis_dow_value_events",
     "rake_keywords_docs",
+    # round-9: value-grid growth (dense score grid + cents histogram),
+    # shingle-postings pair growth, and the (doc, word) tf agg
+    "jonckheere_priority_totalprice_orders",
+    "yuen_trimmed_ttest_orders",
+    "containment_near_dup_docs",
+    "term_burstiness_docs",
 ]
 
 

@@ -48,6 +48,10 @@ SINGLE_PARTITION_OK = {
     # 1-row corpus doc-count fold
     "logrank_weekend_repurchase_events",  # reverse-cumulative window
     # over the (≤day-span × 2 groups) dense risk grid + 1-row fold
+    "pages_trend_dow_weeks_events",   # 1-row L fold from the
+    # ≤(weeks×7) midrank grid (the Friedman audited shape)
+    "gesd_outliers_totalprice",       # three 1-row moment folds +
+    # struct-max argmaxes (r = 3 bounded rounds by design)
     # ---- round-8 wave: bounded-grid windows / 1-row scalar folds
     "g_test_dow_events",              # marginal windows run over the
     # r×c contingency grid (≤ |types|·7 rows after the hash agg)
@@ -271,6 +275,8 @@ BNLJ_OK = {
     # crossJoin onto the top-20 term rows
     "logrank_weekend_repurchase_events",  # 1-row max-day bound + the
     # broadcast 2-row group frame onto the life grid
+    "gesd_outliers_totalprice",       # three 1-row moment crossJoins
+    # onto the shrinking remaining set
     # ---- round-8 wave: 1-row scalar broadcasts / k-row pair sweeps
     "tukey_hsd_priority_orders",      # 1-row MSW crossJoin + the
     # 5-row×5-row inequality pair join (both broadcast literals)

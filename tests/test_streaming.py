@@ -1027,3 +1027,49 @@ def test_streaming_drift_monitor_matches_batch_and_replays(
     )
     again = [key(r) for r in drift_ph_series(spark, state).collect()]
     assert again == streamed
+
+
+def test_streaming_cusum_readout_equals_batch_gate(spark, sf_dir, tmp_path):
+    """The tabular-CUSUM readout over the SAME persisted drift state
+    run_drift_monitor folds must equal the batch
+    cusum_chart_daily_events gate bit-for-bit — two alarms, one
+    exactly-once state (the Page–Hinkley twin's contract extended to
+    the second report)."""
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        drift_cusum_series,
+        run_drift_monitor,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_drift_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    ev.filter(F.col("event_id") % 3 != 0).write.mode("append").parquet(src)
+    run_drift_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+
+    def key(r):
+        return (
+            r.event_type,
+            str(r.day),
+            r.daily_mean,
+            r.cusum_pos,
+            r.cusum_neg,
+            r.alarm,
+        )
+
+    streamed = [key(r) for r in drift_cusum_series(spark, state).collect()]
+    batch = [
+        key(r)
+        for r in Q["cusum_chart_daily_events"](spark, sf_dir).collect()
+    ]
+    assert streamed == batch and len(streamed) > 20
