@@ -246,6 +246,18 @@ def read_table_asof(
     files: list[str] = []
     final = None
     for m in _applied_manifests(target_location):
+        if (
+            m.get("base")
+            and m.get("seq", 0) > seq
+            and table_name in m.get("tables", {})
+        ):
+            # history below the rollup horizon was compacted away —
+            # a partial reconstruction would be silently wrong
+            raise ValueError(
+                f"history before seq {m['seq']} was compacted by "
+                f"expire_history; snapshot reads of {table_name!r} at "
+                f"seq {seq} are no longer available"
+            )
         if m.get("seq", 0) > seq:
             continue
         t_final = m.get("tables", {}).get(table_name)
@@ -290,3 +302,65 @@ def recover_pending(target_location: str, bookmarks: BookmarkStore) -> list[str]
         # anything still here has no manifest → the run never committed
         fs.delete(staging_dir)
     return recovered
+
+
+def expire_history(
+    target_location: str, keep_last: int = 100
+) -> list[str]:
+    """History retention by ROLLUP: compact every applied manifest
+    older than the newest ``keep_last`` into one synthetic BASE
+    manifest carrying the union of their published files.
+
+    The applied manifests are per-run DELTAS — the audit trail behind
+    :func:`published_history` and the snapshot index behind
+    :func:`read_table_asof` — so deleting old ones outright would
+    silently truncate EVERY later snapshot (a seq-S read accumulates
+    files from all manifests ≤ S).  Rollup keeps snapshots complete:
+    ``read_table_asof`` stays exact for any seq ≥ the base's seq and
+    RAISES for seqs strictly below it (that history is gone — the
+    Iceberg ``expire_snapshots`` contract), while per-run lineage for
+    the compacted runs collapses into one ``base-…`` history entry.
+
+    Idempotent under rerun (moves dedupe by destination, so a crash
+    between base-write and old-manifest deletion re-converges on the
+    next call); same single-writer contract as commit/recovery; all
+    I/O routes through ``fsutil`` so scheme'd targets work.  Returns
+    the compacted run_ids (oldest first)."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    loc = target_location.rstrip("/")
+    fs = fs_for(loc)
+    applied = f"{loc}/_txn/applied"
+    if not fs.isdir(applied):
+        return []
+    manifests = _applied_manifests(loc)  # oldest first
+    to_drop = manifests[: max(0, len(manifests) - keep_last)]
+    if not to_drop:
+        return []
+    tables: dict[str, str] = {}
+    moves: dict[str, list[str]] = {}  # dst -> [src, dst]; dedupe by dst
+    expired: list[str] = []
+    for m in to_drop:
+        tables.update(m.get("tables", {}))
+        for src_p, dst in m.get("moves", []):
+            moves[dst] = [src_p, dst]
+        expired += m.get("expired_run_ids", []) or [m["run_id"]]
+    base_seq = max(m.get("seq", 0) for m in to_drop)
+    base = {
+        "run_id": f"base-{base_seq:012d}",
+        "seq": base_seq,
+        "base": True,
+        "expired_run_ids": expired,
+        "tables": tables,
+        "moves": sorted(moves.values()),
+        "staging_root": "",
+        "bookmarks": {},
+    }
+    tmp = join_path(applied, f"manifest-{base['run_id']}.json.tmp")
+    dst = join_path(applied, f"manifest-{base['run_id']}.json")
+    fs.write_text(tmp, json.dumps(base, indent=2))
+    fs.replace(tmp, dst)
+    for m in to_drop:
+        if m["run_id"] != base["run_id"]:
+            fs.delete(join_path(applied, f"manifest-{m['run_id']}.json"))
+    return [r for r in expired]

@@ -472,3 +472,47 @@ def test_audio_spectral_centroid_pure_tone(spark):
 
     with pytest.raises(NotImplementedError):
         audio_spectral_centroid(df, decoder="real")
+
+
+def test_audio_zcr_rms_known_waveforms(spark):
+    """Hand-checkable waveforms through the REAL WAV decode path: a
+    constant signal has zero crossings and RMS = |c|; a strict
+    alternating ±A signal crosses on every adjacent pair (31 per
+    32-sample window) with RMS = A; a square wave at bin 4 crosses
+    8 times per window.  decoder='real' stays an explicit stub."""
+    import pyspark.sql.types as T
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        audio_zcr_rms,
+    )
+
+    ws = 32
+    const = [500] * ws
+    alt = [700 if t % 2 == 0 else -700 for t in range(ws)]
+    square = [300 if (t // 4) % 2 == 0 else -300 for t in range(ws)]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, _wav_bytes(const)),
+            (2, _wav_bytes(alt)),
+            (3, _wav_bytes(square)),
+        ],
+        schema,
+    )
+    got = {
+        r.media_id: r
+        for r in audio_zcr_rms(df, window_samples=ws, decoder="wav").collect()
+    }
+    assert got[1].n_crossings == 0 and abs(got[1].rms - 500.0) < 1e-9
+    assert got[2].n_crossings == ws - 1 and abs(got[2].rms - 700.0) < 1e-9
+    # square wave flips sign at t = 4, 8, ..., 28 -> 7 crossings
+    assert got[3].n_crossings == 7 and abs(got[3].rms - 300.0) < 1e-9
+    assert all(r.decode_ok for r in got.values())
+
+    with pytest.raises(NotImplementedError):
+        audio_zcr_rms(df, decoder="real")

@@ -243,3 +243,65 @@ def test_exactly_once_over_hadoop_fs_file_scheme(tmp_path, spark, sf_dir):
     # then recover through the Hadoop backend
     bm = BookmarkStore(str(tmp_path / "bookmarks.json"))
     assert recover_pending(lake, bm) == []  # nothing pending
+
+
+def test_expire_history_retention(env, spark, sf_dir):
+    """expire_history ROLLS UP the oldest applied manifests into one
+    base manifest: per-run lineage for compacted runs collapses into
+    a base-… history entry, snapshot reads at/after the horizon stay
+    EXACT (the delta union is preserved), reads below it raise, the
+    current table is untouched, and rerun/no-op cases behave."""
+    from aws_glue_jobs_incremental_database_etl_spark.txn import (
+        expire_history,
+        published_history,
+        read_table_asof,
+    )
+
+    tmp_path, make = env
+    lake = str(tmp_path / "lake")
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for i, cut in enumerate((500, 1000, None)):
+        pred = f"o_orderkey <= {cut}" if cut else None
+        src = _src(spark, sf_dir, tmp_path, pred)
+        make(f"r{i + 1}").run([CFG], {"orders": src})
+    hist = published_history(lake)
+    assert [h["run_id"] for h in hist] == ["r1", "r2", "r3"]
+    total = spark.read.parquet(f"{lake}/tgt_orders").count()
+    assert total == full.count()
+    r1_rows = read_table_asof(spark, lake, "tgt_orders", hist[0]["seq"]).count()
+
+    assert expire_history(lake, keep_last=2) == ["r1"]
+    hist2 = published_history(lake)
+    assert [h["run_id"] for h in hist2] == [
+        f"base-{hist[0]['seq']:012d}",
+        "r2",
+        "r3",
+    ]
+    # current data untouched
+    assert spark.read.parquet(f"{lake}/tgt_orders").count() == total
+    # snapshots at/after the horizon stay EXACT through the base
+    asof_latest = read_table_asof(spark, lake, "tgt_orders", hist2[-1]["seq"])
+    assert asof_latest.count() == total
+    assert (
+        read_table_asof(spark, lake, "tgt_orders", hist[0]["seq"]).count()
+        == r1_rows
+    )
+    # rerun is a no-op when under the limit
+    assert expire_history(lake, keep_last=3) == []
+
+    # compact further: base + r2 fold into a new base; reads below the
+    # new horizon raise instead of silently returning a partial table
+    assert expire_history(lake, keep_last=1) == ["r1", "r2"]
+    hist3 = published_history(lake)
+    assert [h["run_id"] for h in hist3] == [
+        f"base-{hist[1]['seq']:012d}",
+        "r3",
+    ]
+    assert (
+        read_table_asof(spark, lake, "tgt_orders", hist3[-1]["seq"]).count()
+        == total
+    )
+    with pytest.raises(ValueError):
+        read_table_asof(spark, lake, "tgt_orders", hist[0]["seq"])
+    # current table still fully readable regardless
+    assert spark.read.parquet(f"{lake}/tgt_orders").count() == total
