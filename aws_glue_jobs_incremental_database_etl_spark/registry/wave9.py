@@ -2241,3 +2241,228 @@ def gesd_q(spark, sf_dir):
 
 
 O["gesd_outliers_totalprice"] = _gesd_oracle()
+
+
+@query(
+    "wasserstein_drift_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), hist AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS c2
+      FROM obs GROUP BY v
+    ), tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM hist
+    ), cum AS (
+      SELECT v, c1, c2,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2,
+             LEAD(v) OVER (ORDER BY v) AS nv
+      FROM hist
+    ), seg AS (
+      SELECT ABS(CAST(f1 AS HUGEINT) * t.n2 - CAST(f2 AS HUGEINT) * t.n1)
+               * (nv - v) AS num, t.n1, t.n2
+      FROM cum CROSS JOIN tot t WHERE nv IS NOT NULL
+    )
+    SELECT CAST(ANY_VALUE(n1) AS BIGINT) AS n_f,
+           CAST(ANY_VALUE(n2) AS BIGINT) AS n_o,
+           ROUND(CAST(SUM(num) AS DOUBLE)
+                 / (CAST(ANY_VALUE(n1) AS DOUBLE) * ANY_VALUE(n2))
+                 / 100.0, 6) AS wasserstein_1
+    FROM seg
+    """,
+)
+def wasserstein_q(spark, sf_dir):
+    """1-D Wasserstein (earth-mover's) distance between finished and
+    open order price distributions — the drift number with UNITS
+    (dollars of probability mass moved), completing the drift ladder
+    (KS takes the max CDF gap, CvM integrates its square, W₁
+    integrates the gap itself — the only one whose magnitude is
+    directly actionable): W₁ = Σ|F₁(v)−F₂(v)|·Δv over the merged
+    cents grid.  Fully EXACT integers until one final division —
+    the gap is |cum₁·n₂ − cum₂·n₁| (no per-row CDF doubles to
+    drift), scaled by the integer grid step, folded in
+    decimal(38,0) ≡ HUGEINT."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    obs = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("c2"),
+    )
+    tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c1").over(wv).alias("f1"),
+        F.sum("c2").over(wv).alias("f2"),
+        F.lead("v").over(Window.orderBy("v")).alias("nv"),
+    )
+    seg = (
+        cum.filter(F.col("nv").isNotNull())
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            (
+                F.abs(
+                    F.col("f1").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+                )
+                * (F.col("nv") - F.col("v"))
+            ).alias("num"),
+            "n1",
+            "n2",
+        )
+    )
+    return seg.agg(
+        F.first("n1").cast("bigint").alias("n_f"),
+        F.first("n2").cast("bigint").alias("n_o"),
+        F.round(
+            F.sum("num").cast("double")
+            / (F.first("n1").cast("double") * F.first("n2"))
+            / 100.0,
+            6,
+        ).alias("wasserstein_1"),
+    )
+
+
+@query(
+    "rmst_repurchase_events",
+    """
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nd
+      FROM events WHERE event_type = 'purchase'
+    ), subj AS (
+      SELECT CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                  ELSE datediff('day', d, nd) END AS life,
+             CASE WHEN nd IS NULL THEN 1 ELSE 0 END AS censored
+      FROM p, bounds
+    ), hist AS (
+      SELECT life, COUNT(*) AS n_all, SUM(1 - censored) AS deaths
+      FROM subj GROUP BY life
+    ), risk AS (
+      SELECT life, deaths,
+             SUM(n_all) OVER (ORDER BY life DESC
+                              ROWS UNBOUNDED PRECEDING) AS at_risk
+      FROM hist
+    ), km AS (
+      SELECT life, deaths, at_risk,
+             CASE WHEN MAX(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY life ROWS UNBOUNDED PRECEDING) = 1
+                  THEN 0.0
+                  ELSE exp(SUM(ln(CASE WHEN deaths = at_risk THEN 1.0
+                             ELSE 1.0 - CAST(deaths AS DOUBLE) / at_risk
+                             END))
+                       OVER (ORDER BY life ROWS UNBOUNDED PRECEDING))
+             END AS s
+      FROM risk WHERE deaths > 0
+    ), steps AS (
+      SELECT life, s,
+             LAG(s, 1, 1.0) OVER (ORDER BY life) AS s_prev,
+             LAG(life, 1, 0) OVER (ORDER BY life) AS life_prev
+      FROM km WHERE life <= 30
+    ), area AS (
+      SELECT SUM(s_prev * (life - life_prev)) AS a,
+             MAX(life) AS last_t, MAX(s) AS _x,
+             ANY_VALUE(0) AS _z
+      FROM steps
+    ), tail AS (
+      SELECT s FROM steps ORDER BY life DESC LIMIT 1
+    )
+    SELECT CAST(30 AS BIGINT) AS tau_days,
+           CAST((SELECT COUNT(*) FROM subj) AS BIGINT) AS n_gaps,
+           ROUND(a.a + t.s * (30 - a.last_t), 6) AS rmst_days
+    FROM area a CROSS JOIN tail t
+    """,
+)
+def rmst_q(spark, sf_dir):
+    """Restricted mean survival time of the repurchase gap at τ = 30
+    days — ∫₀^τ S(t)dt over the Kaplan–Meier curve: "average days to
+    repurchase within a month", the censoring-honest summary a plain
+    mean-of-gaps overstates and a median hides (and the standard
+    reporting companion to the log-rank gate: log-rank says WHETHER
+    curves differ, RMST says BY HOW MANY DAYS).  Same gap/censoring
+    construction and exp(Σln) survival accumulation as the KM gate;
+    the step integral is one LAG window over the ≤τ death-time grid
+    plus a tail rectangle to τ."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"), "ts", "event_id")
+        .withColumn("nd", F.lead("d").over(wp))
+    )
+    subj = p.join(F.broadcast(bounds), F.lit(True)).select(
+        F.when(
+            F.col("nd").isNull(), F.datediff("maxd", "d")
+        ).otherwise(F.datediff("nd", "d")).alias("life"),
+        F.when(F.col("nd").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    hist = subj.groupBy("life").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(1 - F.col("censored")).alias("deaths"),
+    )
+    wr = Window.orderBy(F.col("life").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.select(
+        "life", "deaths", F.sum("n_all").over(wr).alias("at_risk")
+    ).filter(F.col("deaths") > 0)
+    wl = Window.orderBy("life").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dead_all = F.max(
+        F.when(F.col("deaths") == F.col("at_risk"), 1).otherwise(0)
+    ).over(wl)
+    logs = F.sum(
+        F.log(
+            F.when(F.col("deaths") == F.col("at_risk"), F.lit(1.0)).otherwise(
+                1.0 - F.col("deaths").cast("double") / F.col("at_risk")
+            )
+        )
+    ).over(wl)
+    km = risk.select(
+        "life",
+        F.when(dead_all == 1, F.lit(0.0)).otherwise(F.exp(logs)).alias("s"),
+    )
+    wo = Window.orderBy("life")
+    steps = km.filter(F.col("life") <= 30).select(
+        "life",
+        "s",
+        F.lag("s", 1, 1.0).over(wo).alias("s_prev"),
+        F.lag("life", 1, 0).over(wo).alias("life_prev"),
+    )
+    area = steps.agg(
+        F.sum(F.col("s_prev") * (F.col("life") - F.col("life_prev"))).alias(
+            "a"
+        ),
+        F.max("life").alias("last_t"),
+        F.max(F.struct(F.col("life"), F.col("s")))
+        .getField("s")
+        .alias("s_last"),
+    )
+    n_gaps = subj.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        area.join(F.broadcast(n_gaps), F.lit(True))
+        .select(
+            F.lit(30).cast("bigint").alias("tau_days"),
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.round(
+                F.col("a") + F.col("s_last") * (30 - F.col("last_t")), 6
+            ).alias("rmst_days"),
+        )
+    )

@@ -50,6 +50,10 @@ SINGLE_PARTITION_OK = {
     # over the (≤day-span × 2 groups) dense risk grid + 1-row fold
     "pages_trend_dow_weeks_events",   # 1-row L fold from the
     # ≤(weeks×7) midrank grid (the Friedman audited shape)
+    "wasserstein_drift_orders",       # cumulative window over the
+    # quantized-cents grid (the CvM audited shape) + 1-row fold
+    "rmst_repurchase_events",         # KM survival windows over the
+    # ≤day-span death grid + 1-row step-integral fold
     "gesd_outliers_totalprice",       # three 1-row moment folds +
     # struct-max argmaxes (r = 3 bounded rounds by design)
     # ---- round-8 wave: bounded-grid windows / 1-row scalar folds
@@ -277,6 +281,10 @@ BNLJ_OK = {
     # broadcast 2-row group frame onto the life grid
     "gesd_outliers_totalprice",       # three 1-row moment crossJoins
     # onto the shrinking remaining set
+    "wasserstein_drift_orders",       # 1-row (n1, n2) totals crossJoin
+    # onto the cents grid
+    "rmst_repurchase_events",         # 1-row max-day bound + 1-row
+    # gap-count crossJoins
     # ---- round-8 wave: 1-row scalar broadcasts / k-row pair sweeps
     "tukey_hsd_priority_orders",      # 1-row MSW crossJoin + the
     # 5-row×5-row inequality pair join (both broadcast literals)
