@@ -1086,3 +1086,109 @@ def audio_zcr_rms(
         ["duration_ms"] if "duration_ms" in df.columns else []
     )
     return df.select(*cols).mapInPandas(batches, schema=out_schema)
+
+
+def image_edge_stats(
+    df: DataFrame,
+    grid: int = 8,
+    threshold: int = 250_000,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Sobel edge statistics per image → ``(media_id, n_edge_pixels,
+    mean_gradient, decode_ok)``: decode to a ``grid``×``grid``
+    intensity raster, apply the 3×3 Sobel pair at every interior
+    pixel (gx = right column minus left, centers doubled; gy
+    transposed), count pixels whose squared magnitude exceeds
+    ``threshold`` and average the magnitude — the blur/blank/
+    synthetic-image detector every image-quality filter starts from
+    (near-zero edge density = flat or heavily blurred payload).
+
+    Decoder contract matches the hash family: ``'fake'`` rasterizes
+    the deterministic accumulator stream (integer cells → gx/gy and
+    their squares are EXACT integers; the only floating step is one
+    sqrt per pixel, summed in row-major order — the generated SQL
+    twin replays the identical chain), ``'ppm'`` rasterizes real
+    pixels via the stdlib parser, ``'real'`` stays the PIL/opencv
+    integration point.  mapInPandas, map-only."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "full-format image decoding requires an image library "
+            "(PIL/opencv) not present in this environment; use "
+            "decoder='ppm' (real stdlib PPM decode) or 'fake'"
+        )
+    if decoder not in ("fake", "ppm"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def _cells_ppm(payload: bytes) -> list[float]:
+        w, h, raster = decode_ppm(payload)
+        cells = []
+        for gy_ in range(grid):
+            r0 = h * gy_ // grid
+            r1 = max(h * (gy_ + 1) // grid, r0 + 1)
+            for gx_ in range(grid):
+                c0 = w * gx_ // grid
+                c1 = max(w * (gx_ + 1) // grid, c0 + 1)
+                tot = cnt = 0
+                for y in range(r0, min(r1, h)):
+                    seg = raster[3 * w * y : 3 * w * (y + 1)][3 * c0 : 3 * c1]
+                    tot += sum(seg)
+                    cnt += len(seg)
+                cells.append(tot / (255.0 * cnt))
+        return cells
+
+    def one(payload: bytes) -> tuple[int, float, bool]:
+        if decoder == "fake":
+            cells = list(_fake_decode_acc(payload, grid * grid))
+        else:
+            try:
+                cells = _cells_ppm(payload)
+            except (ValueError, IndexError, ZeroDivisionError):
+                return 0, 0.0, False
+        c = lambda y, x: cells[y * grid + x]
+        n_edge = 0
+        tot = 0.0
+        n_int = (grid - 2) * (grid - 2)
+        for y in range(1, grid - 1):  # row-major = the SQL chain order
+            for x in range(1, grid - 1):
+                gx = (
+                    c(y - 1, x + 1) + 2 * c(y, x + 1) + c(y + 1, x + 1)
+                ) - (c(y - 1, x - 1) + 2 * c(y, x - 1) + c(y + 1, x - 1))
+                gy = (
+                    c(y + 1, x - 1) + 2 * c(y + 1, x) + c(y + 1, x + 1)
+                ) - (c(y - 1, x - 1) + 2 * c(y - 1, x) + c(y - 1, x + 1))
+                m2 = gx * gx + gy * gy
+                if m2 > threshold:
+                    n_edge += 1
+                tot += m2 ** 0.5
+        return n_edge, tot / n_int, True
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_edge_pixels", T.IntegerType()),
+            T.StructField("mean_gradient", T.DoubleType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_edge_pixels": pd.Series(
+                        [r[0] for r in res], dtype="int32"
+                    ),
+                    "mean_gradient": pd.Series(
+                        [r[1] for r in res], dtype="float64"
+                    ),
+                    "decode_ok": pd.Series(
+                        [r[2] for r in res], dtype="bool"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )

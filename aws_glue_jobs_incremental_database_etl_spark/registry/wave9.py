@@ -2466,3 +2466,68 @@ def rmst_q(spark, sf_dir):
             ).alias("rmst_days"),
         )
     )
+
+
+def _image_edge_oracle(grid: int = 8, threshold: int = 250_000) -> str:
+    """SQL twin of ``image_edge_stats``' fake path: acc recurrence →
+    integer cells, per interior pixel the exact-integer Sobel pair,
+    one sqrt per pixel summed in row-major order."""
+    from .wave8 import _acc_chain_ctes
+
+    ctes, last = _acc_chain_ctes(grid * grid)
+    c = lambda y, x: f"a{y * grid + x}"
+    m2s, sqrts = [], []
+    for y in range(1, grid - 1):
+        for x in range(1, grid - 1):
+            gx = (
+                f"(({c(y-1,x+1)} + 2 * {c(y,x+1)} + {c(y+1,x+1)})"
+                f" - ({c(y-1,x-1)} + 2 * {c(y,x-1)} + {c(y+1,x-1)}))"
+            )
+            gy = (
+                f"(({c(y+1,x-1)} + 2 * {c(y+1,x)} + {c(y+1,x+1)})"
+                f" - ({c(y-1,x-1)} + 2 * {c(y-1,x)} + {c(y-1,x+1)}))"
+            )
+            m2 = f"({gx} * {gx} + {gy} * {gy})"
+            m2s.append(f"(CASE WHEN {m2} > {threshold} THEN 1 ELSE 0 END)")
+            sqrts.append(f"sqrt({m2})")
+    n_int = (grid - 2) * (grid - 2)
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), {ctes}
+    SELECT media_id,
+           CAST({" + ".join(m2s)} AS INT) AS n_edge_pixels,
+           ROUND(({" + ".join(sqrts)}) / {n_int}, 6) AS mean_gradient
+    FROM {last}
+    """
+
+
+@query("image_edge_density_stats", None)  # oracle attached below (generated)
+def image_edge_q(spark, sf_dir):
+    """Sobel edge density + mean gradient magnitude per gate image
+    (operators.multimodal.image_edge_stats): the blur/blank/synthetic
+    detector of every image-quality filter — near-zero edge density
+    means a flat or heavily blurred payload that no perceptual hash
+    should be trusted on (the hash-family gates assume texture; this
+    gate is their precondition).  Fake-decoder raster → exact-integer
+    Sobel pairs at the 36 interior pixels; the generated SQL twin
+    replays the identical chains with one sqrt per pixel."""
+    from ..operators.multimodal import image_edge_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return image_edge_stats(media, grid=8).select(
+        "media_id",
+        "n_edge_pixels",
+        F.round("mean_gradient", 6).alias("mean_gradient"),
+    )
+
+
+O["image_edge_density_stats"] = _image_edge_oracle()

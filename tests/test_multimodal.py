@@ -516,3 +516,50 @@ def test_audio_zcr_rms_known_waveforms(spark):
 
     with pytest.raises(NotImplementedError):
         audio_zcr_rms(df, decoder="real")
+
+
+def test_image_edge_stats_step_edge_and_flat(spark):
+    """Hand-checkable rasters through the REAL PPM decode path: a
+    constant image has zero Sobel response everywhere (0 edge pixels,
+    mean gradient 0); a hard vertical black→white step at the image
+    center lights up exactly the two interior columns adjacent to the
+    step (12 of 36 interior pixels at |g| = 4 — full Sobel weight):
+    gx there is ±4 in normalized-luma units, everywhere else 0."""
+    import pyspark.sql.types as T
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        image_edge_stats,
+    )
+
+    g = 8
+    flat = _ppm_bytes(g, g, [128, 128, 128] * (g * g))
+    step_pix = []
+    for y in range(g):
+        for x in range(g):
+            v = 0 if x < g // 2 else 255
+            step_pix += [v, v, v]
+    step = _ppm_bytes(g, g, step_pix)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, flat), (2, step)], schema)
+    # threshold in normalized-luma units: gx at the step is ±4.0
+    got = {
+        r.media_id: r
+        for r in image_edge_stats(df, grid=g, threshold=1, decoder="ppm").collect()
+    }
+    assert got[1].n_edge_pixels == 0
+    assert abs(got[1].mean_gradient) < 1e-12
+    # columns x=3 and x=4 of the 6 interior columns, all 6 interior
+    # rows -> 12 edge pixels; |g| = 4 at each -> mean = 12*4/36
+    assert got[2].n_edge_pixels == 12
+    assert abs(got[2].mean_gradient - 12 * 4.0 / 36) < 1e-9
+    assert all(r.decode_ok for r in got.values())
+
+    import pytest as _p
+
+    with _p.raises(NotImplementedError):
+        image_edge_stats(df, decoder="real")
