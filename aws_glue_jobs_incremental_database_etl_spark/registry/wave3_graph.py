@@ -717,7 +717,7 @@ def _pq_adc_oracle() -> str:
       FROM q
     )
     SELECT enc.vec_id, enc.code_0, enc.code_1, enc.code_2, enc.code_3,
-           {adc} AS adc_dist
+           ROUND({adc}, 6) AS adc_dist
     FROM enc CROSS JOIN l
     ORDER BY adc_dist ASC, enc.vec_id ASC
     LIMIT 10
@@ -740,7 +740,11 @@ def pq_adc_topk_q(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return pq_adc_topk(emb, list(qvec), pq_codebooks(64, 4, 16, seed=11), k=10)
+    out = pq_adc_topk(emb, list(qvec), pq_codebooks(64, 4, 16, seed=11), k=10)
+    # ROUND the reported distance at the cross-engine fold boundary:
+    # the Python-literal LUT and DuckDB's computed LUT chains agree to
+    # 1 ulp, not bit-for-bit on every input (observed once at sf0.001)
+    return out.withColumn("adc_dist", F.round("adc_dist", 6))
 
 
 O["pq_adc_topk_embeddings"] = _pq_adc_oracle()
@@ -1368,7 +1372,7 @@ def _pq_ivf_oracle() -> str:
       FROM q
     )
     SELECT enc.vec_id, enc.code_0, enc.code_1, enc.code_2, enc.code_3,
-           {adc} AS adc_dist
+           ROUND({adc}, 6) AS adc_dist
     FROM enc CROSS JOIN l
     ORDER BY adc_dist ASC, enc.vec_id ASC
     LIMIT 10
@@ -1393,7 +1397,7 @@ def ivfpq_topk_q(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return pq_ivf_topk(
+    out = pq_ivf_topk(
         emb,
         list(qvec),
         fixed_centroids(64, 8, seed=7),
@@ -1401,6 +1405,9 @@ def ivfpq_topk_q(spark, sf_dir):
         k=10,
         nprobe=2,
     )
+    # see pq_adc_topk_q: 1-ulp LUT drift observed at sf0.001 — report
+    # the distance rounded; ranking stays on the raw value
+    return out.withColumn("adc_dist", F.round("adc_dist", 6))
 
 
 O["ivfpq_topk_embeddings"] = _pq_ivf_oracle()
