@@ -19,6 +19,16 @@ from tests.test_plans import plan_of
 # averages) or a literal-bounded table (≤bins sketch rows, ≤100
 # fusion candidates, per-bucket summaries, the 64-row PCA vector).
 SINGLE_PARTITION_OK = {
+    # ---- round-9 wave batch 8: bounded-grid windows / 1-row folds
+    "mood_median_test_orders",        # cumulative window over the
+    # quantized-cents value domain (the CvM audited shape) for the
+    # pooled median + the 1-row (ta, n) fold over the k=5 cells
+    "bartlett_variance_orders",       # 1-row log-moment fold from the
+    # k=5 priority cells
+    "energy_distance_drift_orders",   # cumulative window over the
+    # quantized-cents grid (the Wasserstein audited shape) + 1-row fold
+    "goodman_kruskal_gamma_orders",   # 1-row C/D fold from the
+    # 5×4 contingency grid pair sweep
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -259,6 +269,14 @@ SINGLE_PARTITION_OK = {
 # is a 1-row (or literal dimension) broadcast cross join: scalar
 # state fanned back onto rows, or the explicit region×nation cross.
 BNLJ_OK = {
+    # ---- round-9 wave batch 8: broadcast scalar/tiny-frame joins
+    "mood_median_test_orders",        # 1-row N total + 1-row median
+    # crossJoins onto the cents grid / obs stream + 1-row (ta, n)
+    # totals crossJoin onto the k=5 cells
+    "energy_distance_drift_orders",   # 1-row (n1, n2) totals crossJoin
+    # onto the cents grid
+    "goodman_kruskal_gamma_orders",   # 5×4-cell broadcast inequality
+    # pair join (the tukey_hsd audited shape)
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells
