@@ -356,3 +356,345 @@ def gk_gamma_q(spark, sf_dir):
             6,
         ).alias("gamma"),
     )
+
+
+# =====================================================================
+# Round-9 wave 9: concordance and agreement measures
+# =====================================================================
+
+@query(
+    "kendalls_w_dow_weeks_events",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), complete AS (
+      SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+    ), blocks AS (
+      SELECT d.wk, d.dow, d.y FROM daily d JOIN complete c ON d.wk = c.wk
+    ), ranked AS (
+      SELECT wk, dow,
+             COALESCE(SUM(1) OVER (PARTITION BY wk ORDER BY y
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (SUM(1) OVER (PARTITION BY wk ORDER BY y
+                RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1) / 2.0
+               AS r
+      FROM blocks
+    ), ties AS (
+      SELECT SUM(t * t * t - t) AS tsum FROM (
+        SELECT wk, y, COUNT(*) AS t FROM blocks GROUP BY wk, y
+      )
+    ), sums AS (
+      SELECT dow, SUM(r) AS rj FROM ranked GROUP BY dow
+    ), m AS (
+      SELECT COUNT(*) AS b FROM complete
+    )
+    SELECT CAST(ANY_VALUE(m.b) AS BIGINT) AS n_blocks,
+           CAST(7 AS BIGINT) AS n_treatments,
+           ROUND(12.0 * SUM((s.rj - m.b * 4.0) * (s.rj - m.b * 4.0))
+                 / (CAST(ANY_VALUE(m.b) AS DOUBLE) * ANY_VALUE(m.b)
+                      * (7 * 7 * 7 - 7)
+                    - ANY_VALUE(m.b) * ANY_VALUE(t.tsum)), 6)
+             AS kendalls_w
+    FROM sums s CROSS JOIN m CROSS JOIN ties t
+    """,
+)
+def kendalls_w_q(spark, sf_dir):
+    """Kendall's coefficient of concordance W across weeks ranking the
+    seven days-of-week by event volume — "do the weeks AGREE on the
+    weekly shape?" (Friedman answers whether day-of-week matters at
+    all; W ∈ [0,1] quantifies how reproducible the ordering is, the
+    number a seasonality model's confidence should key on).
+    Tie-corrected: W = 12·Σ(R_j − m(k+1)/2)² / (m²(k³−k) − m·ΣT) with
+    T = Σ(t³−t) over tied groups per block.  Midranks reuse the
+    Friedman two-window trick on ≤7-row partitions; ties reduce to a
+    (wk, y)-keyed count agg — events contribute only daily count
+    deltas at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = e.groupBy(
+        F.date_trunc("week", day).cast("date").alias("wk"),
+        (F.weekday(day) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    complete = daily.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("nd")
+    ).filter(F.col("nd") == 7).select("wk")
+    blocks = daily.join(complete, "wk")
+    w_lt = (
+        Window.partitionBy("wk")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("wk").orderBy("y").rangeBetween(0, 0)
+    ranked = blocks.select(
+        "dow",
+        (
+            F.coalesce(F.sum(F.lit(1)).over(w_lt), F.lit(0))
+            + (F.sum(F.lit(1)).over(w_eq) + 1) / 2.0
+        ).alias("r"),
+    )
+    ties = (
+        blocks.groupBy("wk", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    m = complete.agg(F.count(F.lit(1)).alias("b"))
+    sums = ranked.groupBy("dow").agg(F.sum("r").alias("rj"))
+    k = 7
+    return (
+        sums.join(F.broadcast(m), F.lit(True))
+        .join(F.broadcast(ties), F.lit(True))
+        .agg(
+            F.first("b").cast("bigint").alias("n_blocks"),
+            F.lit(k).cast("bigint").alias("n_treatments"),
+            F.round(
+                12.0
+                * F.sum(
+                    (F.col("rj") - F.col("b") * (k + 1) / 2.0)
+                    * (F.col("rj") - F.col("b") * (k + 1) / 2.0)
+                )
+                / (
+                    F.first("b").cast("double")
+                    * F.first("b")
+                    * (k * k * k - k)
+                    - F.first("b") * F.first("tsum")
+                ),
+                6,
+            ).alias("kendalls_w"),
+        )
+    )
+
+
+@query(
+    "fleiss_kappa_quality_docs",
+    r"""
+    WITH rated AS (
+      SELECT doc_id,
+             (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+              + CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END
+              + CASE WHEN len(string_split_regex(lower(trim(text)),
+                              '\s+')) >= 40 THEN 1 ELSE 0 END) AS n1
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), agg AS (
+      SELECT COUNT(*) AS n, SUM(n1) AS s1,
+             SUM(n1 * n1 + (3 - n1) * (3 - n1) - 3) / (COUNT(*) * 6.0)
+               AS pbar
+      FROM rated
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(pbar, 6) AS p_bar,
+           ROUND((pbar - (CAST(s1 AS DOUBLE) / (3 * n)
+                            * (CAST(s1 AS DOUBLE) / (3 * n))
+                          + (1 - CAST(s1 AS DOUBLE) / (3 * n))
+                            * (1 - CAST(s1 AS DOUBLE) / (3 * n))))
+                 / (1 - (CAST(s1 AS DOUBLE) / (3 * n)
+                           * (CAST(s1 AS DOUBLE) / (3 * n))
+                         + (1 - CAST(s1 AS DOUBLE) / (3 * n))
+                           * (1 - CAST(s1 AS DOUBLE) / (3 * n)))), 6)
+             AS fleiss_kappa
+    FROM agg
+    """,
+)
+def fleiss_kappa_q(spark, sf_dir):
+    """Fleiss' kappa across three deterministic quality raters
+    (length ≥ 200 chars, contains ' the ', word count ≥ 40) judging
+    every document keep/drop — the multi-rater generalization of
+    Cohen's kappa (which caps at two raters; curation ensembles
+    routinely run 3+ heuristic judges and need chance-corrected
+    agreement, not raw overlap).  κ = (P̄ − P̄e)/(1 − P̄e) with
+    P̄ᵢ = (Σⱼ nᵢⱼ² − m)/(m(m−1)), m = 3.  One map + one 1-row fold —
+    exact integers until the final divisions, map-only at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    low = F.lower(F.col("text"))
+    wc = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n1 = (
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+        + F.when(low.like("% the %"), 1).otherwise(0)
+        + F.when(wc >= 40, 1).otherwise(0)
+    )
+    rated = d.select(n1.alias("n1"))
+    agg = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n1").alias("s1"),
+        (
+            F.sum(
+                F.col("n1") * F.col("n1")
+                + (3 - F.col("n1")) * (3 - F.col("n1"))
+                - 3
+            )
+            / (F.count(F.lit(1)) * 6.0)
+        ).alias("pbar"),
+    )
+    p1 = F.col("s1").cast("double") / (3 * F.col("n"))
+    pe = p1 * p1 + (1 - p1) * (1 - p1)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("pbar"), 6).alias("p_bar"),
+        F.round((F.col("pbar") - pe) / (1 - pe), 6).alias(
+            "fleiss_kappa"
+        ),
+    )
+
+
+@query(
+    "lin_ccc_quality_docs",
+    r"""
+    WITH paired AS (
+      SELECT CAST(n_chars AS BIGINT) AS a,
+             5 * CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                      AS BIGINT) AS b
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+             SUM(CAST(a AS HUGEINT) * a) AS saa,
+             SUM(CAST(b AS HUGEINT) * b) AS sbb,
+             SUM(CAST(a AS HUGEINT) * b) AS sab
+      FROM paired
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND((CAST(sab AS DOUBLE) / n - CAST(sa AS DOUBLE) / n
+                    * (CAST(sb AS DOUBLE) / n))
+                 / SQRT((CAST(saa AS DOUBLE) / n - CAST(sa AS DOUBLE)
+                           / n * (CAST(sa AS DOUBLE) / n))
+                        * (CAST(sbb AS DOUBLE) / n - CAST(sb AS DOUBLE)
+                           / n * (CAST(sb AS DOUBLE) / n))), 6)
+             AS pearson_r,
+           ROUND(2 * (CAST(sab AS DOUBLE) / n - CAST(sa AS DOUBLE) / n
+                        * (CAST(sb AS DOUBLE) / n))
+                 / ((CAST(saa AS DOUBLE) / n - CAST(sa AS DOUBLE) / n
+                       * (CAST(sa AS DOUBLE) / n))
+                    + (CAST(sbb AS DOUBLE) / n - CAST(sb AS DOUBLE) / n
+                       * (CAST(sb AS DOUBLE) / n))
+                    + (CAST(sa AS DOUBLE) / n - CAST(sb AS DOUBLE) / n)
+                      * (CAST(sa AS DOUBLE) / n - CAST(sb AS DOUBLE)
+                         / n)), 6) AS lin_ccc
+    FROM m
+    """,
+)
+def lin_ccc_q(spark, sf_dir):
+    """Lin's concordance correlation coefficient between two document
+    size scores (char count vs 5× whitespace token count) — the
+    agreement number method-comparison studies use instead of Pearson
+    r: CCC = 2·s_ab / (s_a² + s_b² + (ā − b̄)²) penalizes location and
+    scale bias that correlation is blind to (two scorers can
+    correlate at r = 1 yet disagree on every document; CCC < 1 flags
+    it).  Corpus reduces to one 1-row fold of exact integer cross
+    moments (HUGEINT ≡ decimal(38,0)); population (1/n) variances on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    wc = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    paired = d.select(
+        F.col("n_chars").cast("bigint").alias("a"),
+        (5 * wc.cast("bigint")).alias("b"),
+    )
+    m = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).alias("saa"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+    )
+    n = F.col("n")
+    ma = F.col("sa").cast("double") / n
+    mb = F.col("sb").cast("double") / n
+    va = F.col("saa").cast("double") / n - ma * ma
+    vb = F.col("sbb").cast("double") / n - mb * mb
+    cab = F.col("sab").cast("double") / n - ma * mb
+    return m.select(
+        n.cast("bigint").alias("n_docs"),
+        F.round(cab / F.sqrt(va * vb), 6).alias("pearson_r"),
+        F.round(
+            2 * cab / (va + vb + (ma - mb) * (ma - mb)), 6
+        ).alias("lin_ccc"),
+    )
+
+
+@query(
+    "icc_design_effect_events",
+    """
+    WITH obs AS (
+      SELECT user_id, CAST(ROUND(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), cells AS (
+      SELECT user_id, COUNT(*) AS n_i, SUM(v) AS s_i,
+             SUM(CAST(v AS HUGEINT) * v) AS ss_i
+      FROM obs GROUP BY user_id
+    ), agg AS (
+      SELECT COUNT(*) AS k, SUM(n_i) AS n, SUM(s_i) AS s,
+             SUM(CAST(ss_i AS DOUBLE)) AS ss,
+             SUM(CAST(s_i AS DOUBLE) * s_i / n_i) AS sbn,
+             SUM(CAST(n_i AS DOUBLE) * n_i) AS sn2
+      FROM cells
+    ), ms AS (
+      SELECT k, n,
+             (sbn - CAST(s AS DOUBLE) * s / n) / (k - 1) AS msb,
+             (ss - sbn) / (n - k) AS msw,
+             (n - sn2 / n) / (k - 1) AS n0
+      FROM agg
+    )
+    SELECT CAST(k AS BIGINT) AS n_users,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc1,
+           ROUND(1 + (CAST(n AS DOUBLE) / k - 1)
+                     * ((msb - msw) / (msb + (n0 - 1) * msw)), 6)
+             AS design_effect
+    FROM ms
+    """,
+)
+def icc_deff_q(spark, sf_dir):
+    """One-way intraclass correlation of event value within users and
+    the resulting cluster design effect — the number that decides
+    whether a user-randomized experiment can be analyzed at the event
+    grain (DEFF = 1 + (m̄−1)·ICC inflates every variance; ignoring it
+    is the classic false-positive factory in clustered A/B tests).
+    ANOVA estimator on unbalanced clusters: ICC(1) =
+    (MSB − MSW)/(MSB + (n₀−1)·MSW) with n₀ = (N − Σnᵢ²/N)/(k−1).
+    Values quantize to exact integer micro-units, users reduce to
+    (nᵢ, sᵢ, ssᵢ) cells, then one 1-row fold — two hash-aggs at any
+    scale."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    obs = e.select(
+        "user_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    cells = obs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("v").alias("s_i"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss_i"),
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        F.sum("s_i").alias("s"),
+        F.sum(F.col("ss_i").cast("double")).alias("ss"),
+        F.sum(
+            F.col("s_i").cast("double") * F.col("s_i") / F.col("n_i")
+        ).alias("sbn"),
+        F.sum(F.col("n_i").cast("double") * F.col("n_i")).alias("sn2"),
+    )
+    msb = (
+        F.col("sbn") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("k") - 1)
+    msw = (F.col("ss") - F.col("sbn")) / (F.col("n") - F.col("k"))
+    n0 = (F.col("n") - F.col("sn2") / F.col("n")) / (F.col("k") - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_users"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(icc, 6).alias("icc1"),
+        F.round(
+            1 + (F.col("n").cast("double") / F.col("k") - 1) * icc, 6
+        ).alias("design_effect"),
+    )

@@ -29,6 +29,12 @@ SINGLE_PARTITION_OK = {
     # quantized-cents grid (the Wasserstein audited shape) + 1-row fold
     "goodman_kruskal_gamma_orders",   # 1-row C/D fold from the
     # 5×4 contingency grid pair sweep
+    "kendalls_w_dow_weeks_events",    # 1-row ΣT tie fold + 1-row W
+    # fold over the ≤7-row rank-sum grid (the Friedman audited shape)
+    "fleiss_kappa_quality_docs",      # 1-row P̄/P̄e fold
+    "lin_ccc_quality_docs",           # 1-row cross-moment fold
+    "icc_design_effect_events",       # 1-row ANOVA moment fold over
+    # the per-user cells
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -277,6 +283,8 @@ BNLJ_OK = {
     # onto the cents grid
     "goodman_kruskal_gamma_orders",   # 5×4-cell broadcast inequality
     # pair join (the tukey_hsd audited shape)
+    "kendalls_w_dow_weeks_events",    # 1-row b-count + 1-row tie-sum
+    # crossJoins onto the 7-row rank-sum grid
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells
