@@ -698,3 +698,437 @@ def icc_deff_q(spark, sf_dir):
             1 + (F.col("n").cast("double") / F.col("k") - 1) * icc, 6
         ).alias("design_effect"),
     )
+
+
+# =====================================================================
+# Round-9 wave 10: regression diagnostics / econometrics (daily grid)
+# =====================================================================
+
+@query(
+    "breusch_pagan_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS DOUBLE) AS t
+      FROM daily
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS stt,
+             SUM(y) AS sy, SUM(t * y) AS sty
+      FROM idx GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, n,
+             (sty - st * sy / n) / (stt - st * st / n) AS b,
+             (sy - (sty - st * sy / n) / (stt - st * st / n) * st) / n AS a
+      FROM m
+    ), g AS (
+      SELECT i.event_type, i.t,
+             (i.y - f.a - f.b * i.t) * (i.y - f.a - f.b * i.t) AS e2,
+             f.n AS n
+      FROM idx i JOIN fit f ON i.event_type = f.event_type
+    ), m2 AS (
+      SELECT event_type, ANY_VALUE(n) AS n, SUM(t) AS st,
+             SUM(t * t) AS stt, SUM(e2) AS sg, SUM(e2 * e2) AS sgg,
+             SUM(t * e2) AS stg
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(n * (stg - st * sg / n) * (stg - st * sg / n)
+                 / ((stt - st * st / n) * (sgg - sg * sg / n)), 6)
+             AS bp_lm,
+           CAST(1 AS BIGINT) AS df
+    FROM m2 ORDER BY event_type
+    """,
+)
+def breusch_pagan_q(spark, sf_dir):
+    """Breusch–Pagan (Koenker studentized form) heteroscedasticity
+    test on the per-type daily trend residuals — LM = n·R² of e² on
+    the day index.  Durbin–Watson catches serial correlation; this
+    catches variance drift over time, the other way OLS trend
+    standard errors lie (growing traffic almost always grows the
+    variance too, shrinking early residuals and faking precision).
+    Same bounded daily-grid OLS moments as the DW/Cook's gates; the
+    e²-on-t regression is one more moment fold per type."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("y")
+    )
+    idx = daily.withColumn(
+        "t",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("double"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    sxx = F.col("stt") - F.col("st") * F.col("st") / F.col("n")
+    b = (F.col("sty") - F.col("st") * F.col("sy") / F.col("n")) / sxx
+    fit = m.select(
+        "event_type",
+        "n",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("st")) / F.col("n")).alias("a"),
+    )
+    eres = F.col("y") - F.col("a") - F.col("b") * F.col("t")
+    g = idx.join(fit, "event_type").select(
+        "event_type", "t", "n", (eres * eres).alias("e2")
+    )
+    m2 = g.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("e2").alias("sg"),
+        F.sum(F.col("e2") * F.col("e2")).alias("sgg"),
+        F.sum(F.col("t") * F.col("e2")).alias("stg"),
+    )
+    n = F.col("n")
+    sxt = F.col("stt") - F.col("st") * F.col("st") / n
+    sgt = F.col("sgg") - F.col("sg") * F.col("sg") / n
+    cxg = F.col("stg") - F.col("st") * F.col("sg") / n
+    return m2.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.round(n * cxg * cxg / (sxt * sgt), 6).alias("bp_lm"),
+        F.lit(1).cast("bigint").alias("df"),
+    ).orderBy("event_type")
+
+
+@query(
+    "chow_break_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS DOUBLE) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), seg AS (
+      SELECT event_type, n, t, y,
+             CASE WHEN t <= n // 2 THEN 1 ELSE 2 END AS s
+      FROM idx
+    ), cells AS (
+      SELECT event_type, s, ANY_VALUE(n) AS n, COUNT(*) AS ns,
+             SUM(t) AS st, SUM(t * t) AS stt, SUM(y) AS sy,
+             SUM(y * y) AS syy, SUM(t * y) AS sty
+      FROM seg GROUP BY event_type, s
+    ), rss AS (
+      SELECT event_type, s, n, ns,
+             (syy - sy * sy / ns)
+               - (sty - st * sy / ns) * (sty - st * sy / ns)
+                 / (stt - st * st / ns) AS r
+      FROM cells
+    ), pooled AS (
+      SELECT event_type, ANY_VALUE(n) AS n, COUNT(*) AS ns,
+             SUM(t) AS st, SUM(t * t) AS stt, SUM(y) AS sy,
+             SUM(y * y) AS syy, SUM(t * y) AS sty
+      FROM seg GROUP BY event_type
+    ), prss AS (
+      SELECT event_type, n,
+             (syy - sy * sy / ns)
+               - (sty - st * sy / ns) * (sty - st * sy / ns)
+                 / (stt - st * st / ns) AS rp
+      FROM pooled
+    )
+    SELECT r.event_type, CAST(ANY_VALUE(r.n) AS BIGINT) AS n_days,
+           ROUND((ANY_VALUE(p.rp) - SUM(r.r)) / 2
+                 / (SUM(r.r) / (ANY_VALUE(r.n) - 4)), 6) AS chow_f,
+           CAST(2 AS BIGINT) AS df1,
+           CAST(ANY_VALUE(r.n) - 4 AS BIGINT) AS df2
+    FROM rss r JOIN prss p ON r.event_type = p.event_type
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+)
+def chow_break_q(spark, sf_dir):
+    """Chow structural-break test at the series midpoint for each
+    event type's daily trend — did (intercept, slope) change between
+    the two halves?  The changepoint/CUSUM gates LOCATE a mean shift;
+    Chow tests whether a REGRESSION regime changed, the question
+    behind "did the launch bend the curve or just shift it?":
+    F = ((RSSp − RSS₁ − RSS₂)/k) / ((RSS₁+RSS₂)/(n−2k)), k = 2.
+    Every RSS is the closed-form Syy − Sxy²/Sxx over (type, half)
+    moment cells — two hash-aggs on the bounded daily grid."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("y")
+    )
+    wt = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("double")
+        .alias("t"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    seg = idx.withColumn(
+        "s",
+        F.when(F.col("t") <= F.floor(F.col("n") / 2), 1).otherwise(2),
+    )
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.first("n").alias("n"),
+            F.count(F.lit(1)).alias("ns"),
+            F.sum("t").alias("st"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("t") * F.col("y")).alias("sty"),
+        )
+
+    rss_expr = (
+        F.col("syy") - F.col("sy") * F.col("sy") / F.col("ns")
+    ) - (
+        (F.col("sty") - F.col("st") * F.col("sy") / F.col("ns"))
+        * (F.col("sty") - F.col("st") * F.col("sy") / F.col("ns"))
+        / (F.col("stt") - F.col("st") * F.col("st") / F.col("ns"))
+    )
+    rss = moments(seg, ["event_type", "s"]).select(
+        "event_type", "n", rss_expr.alias("r")
+    )
+    prss = moments(seg, ["event_type"]).select(
+        "event_type", rss_expr.alias("rp")
+    )
+    return (
+        rss.join(prss, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n_days"),
+            F.round(
+                (F.first("rp") - F.sum("r"))
+                / 2
+                / (F.sum("r") / (F.first("n") - 4)),
+                6,
+            ).alias("chow_f"),
+            F.lit(2).cast("bigint").alias("df1"),
+            (F.first("n") - 4).cast("bigint").alias("df2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "newey_west_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT event_type, AVG(y) AS m, COUNT(*) AS n
+      FROM daily GROUP BY event_type
+    ), dem AS (
+      SELECT d.event_type, d.day, d.y - u.m AS z, u.n
+      FROM daily d JOIN mu u ON d.event_type = u.event_type
+    ), lagged AS (
+      SELECT event_type, n, z,
+             LAG(z, 1) OVER w AS z1, LAG(z, 2) OVER w AS z2,
+             LAG(z, 3) OVER w AS z3, LAG(z, 4) OVER w AS z4,
+             LAG(z, 5) OVER w AS z5
+      FROM dem WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), gam AS (
+      SELECT event_type, ANY_VALUE(n) AS n,
+             SUM(z * z) / ANY_VALUE(n) AS g0,
+             SUM(CASE WHEN z1 IS NULL THEN 0 ELSE z * z1 END)
+               / ANY_VALUE(n) AS g1,
+             SUM(CASE WHEN z2 IS NULL THEN 0 ELSE z * z2 END)
+               / ANY_VALUE(n) AS g2,
+             SUM(CASE WHEN z3 IS NULL THEN 0 ELSE z * z3 END)
+               / ANY_VALUE(n) AS g3,
+             SUM(CASE WHEN z4 IS NULL THEN 0 ELSE z * z4 END)
+               / ANY_VALUE(n) AS g4,
+             SUM(CASE WHEN z5 IS NULL THEN 0 ELSE z * z5 END)
+               / ANY_VALUE(n) AS g5
+      FROM lagged GROUP BY event_type
+    )
+    SELECT g.event_type, CAST(g.n AS BIGINT) AS n_days,
+           ROUND(u.m, 6) AS mean_value,
+           ROUND(SQRT(g.g0 / g.n), 6) AS se_iid,
+           ROUND(SQRT(GREATEST(g.g0
+                 + 2 * ((1 - 1 / 6.0) * g.g1 + (1 - 2 / 6.0) * g.g2
+                        + (1 - 3 / 6.0) * g.g3 + (1 - 4 / 6.0) * g.g4
+                        + (1 - 5 / 6.0) * g.g5), 0) / g.n), 6)
+             AS se_hac
+    FROM gam g JOIN mu u ON g.event_type = u.event_type
+    ORDER BY g.event_type
+    """,
+)
+def newey_west_q(spark, sf_dir):
+    """Newey–West HAC standard error of each event type's daily mean
+    value (Bartlett kernel, L = 5 lags) next to the iid one — the
+    honest uncertainty for autocorrelated daily metrics (DW DETECTS
+    the autocorrelation; this prices it: with positive serial
+    correlation se_hac > se_iid, and the ratio is exactly how much
+    the naive CI was too narrow).  Demeaned daily series → five LAG
+    windows per type → one moment fold; the variance is floored at 0
+    (the kernel guarantees PSD only as n→∞)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("y")
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.avg("y").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    dem = daily.join(mu, "event_type").select(
+        "event_type", "day", (F.col("y") - F.col("m")).alias("z"), "n"
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dem.select(
+        "event_type",
+        "n",
+        "z",
+        *[F.lag("z", i).over(w).alias(f"z{i}") for i in range(1, 6)],
+    )
+    gcols = [
+        (
+            F.sum(
+                F.when(F.col(f"z{i}").isNull(), 0.0).otherwise(
+                    F.col("z") * F.col(f"z{i}")
+                )
+            )
+            / F.first("n")
+        ).alias(f"g{i}")
+        for i in range(1, 6)
+    ]
+    gam = lagged.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        (F.sum(F.col("z") * F.col("z")) / F.first("n")).alias("g0"),
+        *gcols,
+    )
+    hac = F.col("g0") + 2 * sum(
+        (1 - i / 6.0) * F.col(f"g{i}") for i in range(1, 6)
+    )
+    return (
+        gam.join(mu.select("event_type", "m"), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round("m", 6).alias("mean_value"),
+            F.round(F.sqrt(F.col("g0") / F.col("n")), 6).alias("se_iid"),
+            F.round(
+                F.sqrt(F.greatest(hac, F.lit(0.0)) / F.col("n")), 6
+            ).alias("se_hac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ar2_yule_walker_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT event_type, AVG(y) AS m, COUNT(*) AS n
+      FROM daily GROUP BY event_type
+    ), dem AS (
+      SELECT d.event_type, d.day, d.y - u.m AS z, u.n
+      FROM daily d JOIN mu u ON d.event_type = u.event_type
+    ), lagged AS (
+      SELECT event_type, n, z,
+             LAG(z, 1) OVER w AS z1, LAG(z, 2) OVER w AS z2
+      FROM dem WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), gam AS (
+      SELECT event_type, ANY_VALUE(n) AS n,
+             SUM(z * z) AS g0,
+             SUM(CASE WHEN z1 IS NULL THEN 0 ELSE z * z1 END) AS g1,
+             SUM(CASE WHEN z2 IS NULL THEN 0 ELSE z * z2 END) AS g2
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND((g1 / g0) * (1 - g2 / g0)
+                 / (1 - (g1 / g0) * (g1 / g0)), 6) AS phi1,
+           ROUND((g2 / g0 - (g1 / g0) * (g1 / g0))
+                 / (1 - (g1 / g0) * (g1 / g0)), 6) AS phi2,
+           ROUND(1 - ((g1 / g0) * (1 - g2 / g0)
+                      / (1 - (g1 / g0) * (g1 / g0))) * (g1 / g0)
+                   - ((g2 / g0 - (g1 / g0) * (g1 / g0))
+                      / (1 - (g1 / g0) * (g1 / g0))) * (g2 / g0), 6)
+             AS noise_var_ratio
+    FROM gam ORDER BY event_type
+    """,
+)
+def ar2_yw_q(spark, sf_dir):
+    """AR(2) fit by Yule–Walker for each event type's daily series —
+    the minimal model that captures oscillation (AR(1)/SES can only
+    decay; a negative φ₂ is the signature of overshoot-correction
+    dynamics that the smoothing gates silently misforecast):
+    φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), innovation share
+    1 − φ₁r₁ − φ₂r₂.  Two LAG windows on the bounded daily grid and
+    one moment fold per type — the ACF gate's machinery pointed at
+    model fitting."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("y")
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.avg("y").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    dem = daily.join(mu, "event_type").select(
+        "event_type", "day", (F.col("y") - F.col("m")).alias("z"), "n"
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dem.select(
+        "event_type",
+        "n",
+        "z",
+        F.lag("z", 1).over(w).alias("z1"),
+        F.lag("z", 2).over(w).alias("z2"),
+    )
+    gam = lagged.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("z") * F.col("z")).alias("g0"),
+        F.sum(
+            F.when(F.col("z1").isNull(), 0.0).otherwise(
+                F.col("z") * F.col("z1")
+            )
+        ).alias("g1"),
+        F.sum(
+            F.when(F.col("z2").isNull(), 0.0).otherwise(
+                F.col("z") * F.col("z2")
+            )
+        ).alias("g2"),
+    )
+    r1 = F.col("g1") / F.col("g0")
+    r2 = F.col("g2") / F.col("g0")
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return gam.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(1 - phi1 * r1 - phi2 * r2, 6).alias("noise_var_ratio"),
+    ).orderBy("event_type")

@@ -35,6 +35,14 @@ SINGLE_PARTITION_OK = {
     "lin_ccc_quality_docs",           # 1-row cross-moment fold
     "icc_design_effect_events",       # 1-row ANOVA moment fold over
     # the per-user cells
+    "breusch_pagan_daily_events",     # final orderBy on the ≤|types|
+    # report rows (the durbin_watson audited shape)
+    "chow_break_daily_events",        # final orderBy on the ≤|types|
+    # report rows
+    "newey_west_daily_events",        # final orderBy on the ≤|types|
+    # report rows
+    "ar2_yule_walker_daily_events",   # final orderBy on the ≤|types|
+    # report rows
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
