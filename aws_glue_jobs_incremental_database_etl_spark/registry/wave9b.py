@@ -1132,3 +1132,258 @@ def ar2_yw_q(spark, sf_dir):
         F.round(phi2, 6).alias("phi2"),
         F.round(1 - phi1 * r1 - phi2 * r2, 6).alias("noise_var_ratio"),
     ).orderBy("event_type")
+
+
+# =====================================================================
+# Round-9 wave 11: experimentation / privacy / eval gates
+# =====================================================================
+
+@query("mcc_threshold_quality_docs", None)  # oracle attached below
+def mcc_q(spark, sf_dir):
+    """Matthews correlation coefficient of the hashed linear quality
+    classifier at threshold 0.5 against the long-document truth —
+    the single-number confusion summary that stays honest under
+    class imbalance (accuracy and even F1 reward the majority-class
+    constant; MCC = 0 for it by construction):
+    MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)).  The
+    corpus reduces to four exact integer cells — one 1-row fold at
+    any scale."""
+    from .wave6_ts import _scored_docs
+
+    scored = _scored_docs(spark, sf_dir).select(
+        "y", (F.col("score") >= 0.5).cast("int").alias("p")
+    )
+    cells = scored.agg(
+        F.sum(F.col("p") * F.col("y")).alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - F.col("p")) * (1 - F.col("y"))).alias("tn"),
+        F.sum((1 - F.col("p")) * F.col("y")).alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c).cast("double") for c in ("tp", "fp", "tn", "fn"))
+    return cells.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+            6,
+        ).alias("mcc"),
+    )
+
+
+def _mcc_oracle() -> str:
+    from .wave6_ts import _scored_sql
+
+    return f"""
+    WITH {_scored_sql()}, cells AS (
+      SELECT SUM(CASE WHEN score >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN score >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN score < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+             SUM(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn
+      FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+           ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / SQRT(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc
+    FROM cells
+    """
+
+
+O["mcc_threshold_quality_docs"] = _mcc_oracle()
+
+
+@query(
+    "srm_check_events",
+    """
+    WITH arms AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS
+                    VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 5000
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ), cells AS (
+      SELECT arm, COUNT(*) AS n FROM arms GROUP BY arm
+    ), tot AS (
+      SELECT SUM(n) AS t FROM cells
+    )
+    SELECT CAST(SUM(CASE WHEN arm = 'A' THEN n ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(SUM(CASE WHEN arm = 'B' THEN n ELSE 0 END) AS BIGINT)
+             AS n_b,
+           ROUND(SUM((n - t.t / 2.0) * (n - t.t / 2.0)
+                     / (t.t / 2.0)), 6) AS srm_chi2,
+           CAST(1 AS BIGINT) AS df
+    FROM cells CROSS JOIN tot t
+    """,
+)
+def srm_q(spark, sf_dir):
+    """Sample-ratio-mismatch check on the md5 user split — THE
+    pre-test every experiment readout must pass (a 50/50 assignment
+    that lands 51/49 with enough users means the logging or the
+    bucketing is broken, and every downstream lift number is fiction;
+    chi-square against the designed ratio is the standard alarm).
+    Distinct users → deterministic md5 arm → 2-cell χ² with 1 df.
+    The distinct is user-keyed (map-side combinable); the fold is
+    two integers."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.select(
+        "user_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+            < 5000,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    ).distinct()
+    cells = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    half = F.first("t") / 2.0
+    return cells.join(F.broadcast(tot), F.lit(True)).agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.round(
+            F.sum(
+                (F.col("n") - F.col("t") / 2.0)
+                * (F.col("n") - F.col("t") / 2.0)
+                / (F.col("t") / 2.0)
+            ),
+            6,
+        ).alias("srm_chi2"),
+        F.lit(1).cast("bigint").alias("df"),
+    )
+
+
+@query(
+    "dp_noisy_counts_events",
+    """
+    WITH cells AS (
+      SELECT event_type, COUNT(*) AS n,
+             (CAST(('0x' || substring(md5(event_type), 1, 8)) AS BIGINT)
+              % 10000 + 0.5) / 10000.0 AS u
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS true_count,
+           ROUND(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * LN(1 - 2 * ABS(u - 0.5)), 4) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM cells ORDER BY event_type
+    """,
+)
+def dp_noisy_q(spark, sf_dir):
+    """ε-differentially-private event-type counts via the Laplace
+    mechanism (ε = 1, sensitivity 1 for count queries) — the release
+    shape for sharing aggregate usage externally.  The noise draw is
+    the inverse-CDF transform of a DETERMINISTIC md5-derived uniform
+    per key (a seeded release: same key, same noise — re-running the
+    job cannot average the noise away, which is exactly the DP
+    re-release discipline), so both engines reproduce the draw
+    bit-for-bit.  True counts stay in the report because this gate
+    tests the mechanism; a production release would drop them.
+    Map-side count + scalar math — no extra pass at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+        + 0.5
+    ) / 10000.0
+    noise = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * F.log(
+        1 - 2 * F.abs(u - 0.5)
+    )
+    return cells.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("true_count"),
+        F.round(F.col("n") + noise, 4).alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("event_type")
+
+
+@query(
+    "hedges_g_quantity_returnflag",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS g, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS s,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS ss
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+    ), w AS (
+      SELECT SUM(CASE WHEN g = 'R' THEN n ELSE 0 END) AS n1,
+             SUM(CASE WHEN g = 'N' THEN n ELSE 0 END) AS n2,
+             SUM(CASE WHEN g = 'R' THEN CAST(s AS DOUBLE) / n END) AS m1,
+             SUM(CASE WHEN g = 'N' THEN CAST(s AS DOUBLE) / n END) AS m2,
+             SUM((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)) AS ssw
+      FROM cells
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_r, CAST(n2 AS BIGINT) AS n_n,
+           ROUND((m1 - m2) / SQRT(ssw / (n1 + n2 - 2)), 6) AS cohens_d,
+           ROUND((m1 - m2) / SQRT(ssw / (n1 + n2 - 2))
+                 * (1 - 3.0 / (4.0 * (n1 + n2) - 9)), 6) AS hedges_g
+    FROM w
+    """,
+)
+def hedges_g_q(spark, sf_dir):
+    """Cohen's d and Hedges' g for line-item quantity between returned
+    and non-returned items — the standardized-mean-difference effect
+    sizes that translate a t-test's verdict into MAGNITUDE (Cliff's δ
+    is the rank-based cousin already shipped; d/g are what power
+    calculations and meta-analyses consume, g adding the small-sample
+    bias correction J = 1 − 3/(4N−9)).  Exact integer quantity
+    moments per flag → 1-row pooled-SD fold."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    cells = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s"),
+        F.sum(q.cast("decimal(38,0)") * q).alias("ss"),
+    )
+    w = cells.agg(
+        F.sum(F.when(F.col("g") == "R", F.col("n")).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("g") == "N", F.col("n")).otherwise(0)).alias(
+            "n2"
+        ),
+        F.sum(
+            F.when(
+                F.col("g") == "R",
+                F.col("s").cast("double") / F.col("n"),
+            )
+        ).alias("m1"),
+        F.sum(
+            F.when(
+                F.col("g") == "N",
+                F.col("s").cast("double") / F.col("n"),
+            )
+        ).alias("m2"),
+        F.sum(
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("ssw"),
+    )
+    sp = F.sqrt(F.col("ssw") / (F.col("n1") + F.col("n2") - 2))
+    d = (F.col("m1") - F.col("m2")) / sp
+    j = 1 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9)
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_r"),
+        F.col("n2").cast("bigint").alias("n_n"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * j, 6).alias("hedges_g"),
+    )

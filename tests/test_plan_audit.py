@@ -43,6 +43,12 @@ SINGLE_PARTITION_OK = {
     # report rows
     "ar2_yule_walker_daily_events",   # final orderBy on the ≤|types|
     # report rows
+    "mcc_threshold_quality_docs",     # 1-row 4-cell confusion fold
+    "srm_check_events",               # 1-row 2-arm χ² fold
+    "dp_noisy_counts_events",         # final orderBy on the ≤|types|
+    # report rows
+    "hedges_g_quantity_returnflag",   # 1-row pooled-moment fold from
+    # the 2 flag cells
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -293,6 +299,8 @@ BNLJ_OK = {
     # pair join (the tukey_hsd audited shape)
     "kendalls_w_dow_weeks_events",    # 1-row b-count + 1-row tie-sum
     # crossJoins onto the 7-row rank-sum grid
+    "srm_check_events",               # 1-row user-total crossJoin
+    # onto the 2 arm cells
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells
