@@ -1387,3 +1387,370 @@ def hedges_g_q(spark, sf_dir):
         F.round(d, 6).alias("cohens_d"),
         F.round(d * j, 6).alias("hedges_g"),
     )
+
+
+# =====================================================================
+# Round-9 wave 12: lexical richness / graph topology / inequality /
+# weighted blocked ranks
+# =====================================================================
+
+@query(
+    "hapax_richness_docs",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)),
+                            '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), freq AS (
+      SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w
+    ), cells AS (
+      SELECT source, COUNT(*) AS v, SUM(c) AS n,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS v2
+      FROM freq GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab,
+           CAST(v1 AS BIGINT) AS hapax,
+           ROUND(100.0 * LN(n) / (1 - CAST(v1 AS DOUBLE) / v), 4)
+             AS honore_r,
+           ROUND(CAST(v2 AS DOUBLE) / v, 6) AS sichel_s,
+           ROUND(CAST(v AS DOUBLE) / n, 6) AS ttr
+    FROM cells ORDER BY source
+    """,
+)
+def hapax_richness_q(spark, sf_dir):
+    """Lexical-richness profile per source from the frequency
+    spectrum's low end: Honoré's R = 100·ln N/(1 − V₁/V) (hapax
+    share — diverges as every token becomes unique), Sichel's S =
+    V₂/V (dis legomena share — remarkably stable per author, the
+    forensic attribution constant), and raw TTR.  Yule's K reads the
+    spectrum's heavy tail; these read the singleton fringe — together
+    they bracket template-generated text (low R, high K) vs natural
+    prose.  Token-keyed count agg → per-source spectrum cells: two
+    hash-aggs, map-side combinable at any scale."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    freq = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    cells = freq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("v2"),
+    )
+    return cells.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("vocab"),
+        F.col("v1").cast("bigint").alias("hapax"),
+        F.round(
+            100.0
+            * F.log(F.col("n"))
+            / (1 - F.col("v1").cast("double") / F.col("v")),
+            4,
+        ).alias("honore_r"),
+        F.round(F.col("v2").cast("double") / F.col("v"), 6).alias(
+            "sichel_s"
+        ),
+        F.round(F.col("v").cast("double") / F.col("n"), 6).alias("ttr"),
+    ).orderBy("source")
+
+
+@query(
+    "rich_club_suppliers",
+    """
+    WITH e AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+             CAST(l_suppkey AS BIGINT) AS s
+      FROM lineitem
+    ), pdeg AS (
+      SELECT p, COUNT(*) AS d FROM e GROUP BY p
+    ), edges AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      JOIN pdeg d ON d.p = a.p
+      WHERE d.d <= 256
+    ), deg AS (
+      SELECT s, COUNT(*) AS d FROM (
+        SELECT u AS s FROM edges UNION ALL SELECT v AS s FROM edges
+      ) GROUP BY s
+    ), ks AS (
+      SELECT unnest([4, 8, 16]) AS k
+    ), nk AS (
+      SELECT k.k, COUNT(*) AS n_k
+      FROM deg CROSS JOIN ks k WHERE deg.d > k.k GROUP BY k.k
+    ), ek AS (
+      SELECT k.k, COUNT(*) AS e_k
+      FROM edges
+      JOIN deg du ON du.s = edges.u
+      JOIN deg dv ON dv.s = edges.v
+      CROSS JOIN ks k
+      WHERE du.d > k.k AND dv.d > k.k
+      GROUP BY k.k
+    )
+    SELECT n.k AS k, CAST(n.n_k AS BIGINT) AS n_nodes,
+           CAST(COALESCE(e.e_k, 0) AS BIGINT) AS n_edges,
+           ROUND(2.0 * COALESCE(e.e_k, 0)
+                 / (CAST(n.n_k AS DOUBLE) * (n.n_k - 1)), 6)
+             AS rich_club_phi
+    FROM nk n LEFT JOIN ek e ON n.k = e.k ORDER BY n.k
+    """,
+)
+def rich_club_q(spark, sf_dir):
+    """Rich-club coefficient φ(k) of the supplier co-supply graph at
+    k ∈ {4, 8, 16} — do high-degree suppliers preferentially link to
+    EACH OTHER (φ→1: an oligopoly core shares parts among itself) or
+    spread across the periphery?  Assortativity (shipped) gives the
+    correlation; φ(k) profiles WHERE in the degree ladder the club
+    forms.  Edges are the capped part-keyed postings self-join
+    (cap_key_fanout ≤ 256, the Adamic–Adar guard, replayed in the
+    oracle by the same degree filter); degrees, club membership, and
+    edge counts are key-equi joins plus a 3-row broadcast threshold
+    sweep."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.skew import cap_key_fanout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").cast("bigint").alias("p"),
+        F.col("l_suppkey").cast("bigint").alias("s"),
+    ).distinct()
+    e, _ = cap_key_fanout(
+        e, "p", max_df=256, what="part-degree", return_counts=True
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("s"))
+        .unionAll(edges.select(F.col("v").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("k")
+    )
+    nk = (
+        deg.join(F.broadcast(ks), F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    ek = (
+        edges.join(deg.withColumnRenamed("s", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("s", "v").withColumnRenamed("d", "dv"), "v")
+        .join(
+            F.broadcast(ks),
+            (F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k",
+            F.col("n_k").cast("bigint").alias("n_nodes"),
+            F.coalesce(F.col("e_k"), F.lit(0))
+            .cast("bigint")
+            .alias("n_edges"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("e_k"), F.lit(0))
+                / (F.col("n_k").cast("double") * (F.col("n_k") - 1)),
+                6,
+            ).alias("rich_club_phi"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "atkinson_index_users_events",
+    """
+    WITH totals AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS x
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ), pos AS (
+      SELECT x FROM totals WHERE x > 0
+    ), agg AS (
+      SELECT COUNT(*) AS n, SUM(x) AS s, SUM(SQRT(x)) AS sr FROM pos
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(s / n, 4) AS mean_value,
+           ROUND(1 - (sr / n) * (sr / n) / (s / n), 6) AS atkinson_05
+    FROM agg
+    """,
+)
+def atkinson_q(spark, sf_dir):
+    """Atkinson inequality index (ε = 0.5) over per-user total event
+    value — the WELFARE-weighted inequality number: unlike Gini
+    (shipped) it answers "what share of total value could be given
+    up if it were distributed equally, at this inequality aversion?",
+    and it is subgroup-decomposable where Gini is not.  A_0.5 = 1 −
+    ((1/n)Σ√xᵢ)²/μ.  Users reduce to exact micro-unit totals, then
+    one 1-row moment fold — two hash-aggs at any scale."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    totals = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.round(F.col("value") * 1000000).cast("bigint")
+            ).cast("double")
+            / 1000000.0
+        ).alias("x")
+    )
+    pos = totals.filter(F.col("x") > 0)
+    agg = pos.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.sqrt(F.col("x"))).alias("sr"),
+    )
+    mu = F.col("s") / F.col("n")
+    ede = (F.col("sr") / F.col("n")) * (F.col("sr") / F.col("n"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mu, 4).alias("mean_value"),
+        F.round(1 - ede / mu, 6).alias("atkinson_05"),
+    )
+
+
+@query(
+    "quade_test_dow_weeks_events",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), complete AS (
+      SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+    ), blocks AS (
+      SELECT d.wk, d.dow, d.y FROM daily d JOIN complete c ON d.wk = c.wk
+    ), ranked AS (
+      SELECT wk, dow,
+             COALESCE(SUM(1) OVER (PARTITION BY wk ORDER BY y
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (SUM(1) OVER (PARTITION BY wk ORDER BY y
+                RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1) / 2.0
+               AS r
+      FROM blocks
+    ), ranges AS (
+      SELECT wk, MAX(y) - MIN(y) AS rng FROM blocks GROUP BY wk
+    ), qrank AS (
+      SELECT wk,
+             COALESCE(SUM(1) OVER (ORDER BY rng
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (SUM(1) OVER (ORDER BY rng
+                RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1) / 2.0
+               AS q
+      FROM ranges
+    ), s AS (
+      SELECT r.wk, r.dow, q.q * (r.r - 4.0) AS sij
+      FROM ranked r JOIN qrank q ON r.wk = q.wk
+    ), folds AS (
+      SELECT SUM(sij * sij) AS a2,
+             COUNT(DISTINCT wk) AS b
+      FROM s
+    ), bsum AS (
+      SELECT SUM(sj * sj) AS sb FROM (
+        SELECT dow, SUM(sij) AS sj FROM s GROUP BY dow
+      )
+    )
+    SELECT CAST(f.b AS BIGINT) AS n_blocks,
+           CAST(7 AS BIGINT) AS n_treatments,
+           ROUND((f.b - 1) * (bs.sb / f.b)
+                 / (f.a2 - bs.sb / f.b), 6) AS quade_f,
+           CAST(6 AS BIGINT) AS df1,
+           CAST((f.b - 1) * 6 AS BIGINT) AS df2
+    FROM folds f CROSS JOIN bsum bs
+    """,
+)
+def quade_q(spark, sf_dir):
+    """Quade test across weeks ranking days-of-week — the weighted
+    Friedman: blocks with a LARGER within-week range carry more
+    weight (Friedman treats a flat week and a wildly swinging week as
+    equally informative; Quade scores Sᵢⱼ = Qᵢ·(rᵢⱼ − (k+1)/2) with
+    Qᵢ the week's range rank, which is more powerful for k ≤ 5 and
+    competitive at k = 7).  F = (b−1)·B/(A−B), B = ΣSⱼ²/b, A = ΣSᵢⱼ².
+    The same ≤7-row midrank windows as Friedman plus one ≤|weeks|-row
+    range-rank window — all bounded grids."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = e.groupBy(
+        F.date_trunc("week", day).cast("date").alias("wk"),
+        (F.weekday(day) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    complete = daily.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("nd")
+    ).filter(F.col("nd") == 7).select("wk")
+    blocks = daily.join(complete, "wk")
+    w_lt = (
+        Window.partitionBy("wk")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("wk").orderBy("y").rangeBetween(0, 0)
+    ranked = blocks.select(
+        "wk",
+        "dow",
+        (
+            F.coalesce(F.sum(F.lit(1)).over(w_lt), F.lit(0))
+            + (F.sum(F.lit(1)).over(w_eq) + 1) / 2.0
+        ).alias("r"),
+    )
+    ranges = blocks.groupBy("wk").agg(
+        (F.max("y") - F.min("y")).alias("rng")
+    )
+    q_lt = Window.orderBy("rng").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    q_eq = Window.orderBy("rng").rangeBetween(0, 0)
+    qrank = ranges.select(
+        "wk",
+        (
+            F.coalesce(F.sum(F.lit(1)).over(q_lt), F.lit(0))
+            + (F.sum(F.lit(1)).over(q_eq) + 1) / 2.0
+        ).alias("q"),
+    )
+    s = ranked.join(qrank, "wk").select(
+        "wk", "dow", (F.col("q") * (F.col("r") - 4.0)).alias("sij")
+    )
+    folds = s.agg(
+        F.sum(F.col("sij") * F.col("sij")).alias("a2"),
+        F.countDistinct("wk").alias("b"),
+    )
+    bsum = (
+        s.groupBy("dow")
+        .agg(F.sum("sij").alias("sj"))
+        .agg(F.sum(F.col("sj") * F.col("sj")).alias("sb"))
+    )
+    k = 7
+    return (
+        folds.join(F.broadcast(bsum), F.lit(True))
+        .select(
+            F.col("b").cast("bigint").alias("n_blocks"),
+            F.lit(k).cast("bigint").alias("n_treatments"),
+            F.round(
+                (F.col("b") - 1)
+                * (F.col("sb") / F.col("b"))
+                / (F.col("a2") - F.col("sb") / F.col("b")),
+                6,
+            ).alias("quade_f"),
+            F.lit(k - 1).cast("bigint").alias("df1"),
+            ((F.col("b") - 1) * (k - 1)).cast("bigint").alias("df2"),
+        )
+    )

@@ -49,6 +49,13 @@ SINGLE_PARTITION_OK = {
     # report rows
     "hedges_g_quantity_returnflag",   # 1-row pooled-moment fold from
     # the 2 flag cells
+    "hapax_richness_docs",            # final orderBy on the ≤|sources|
+    # report rows
+    "rich_club_suppliers",            # final orderBy on the 3 k rows
+    "atkinson_index_users_events",    # 1-row moment fold over the
+    # per-user totals
+    "quade_test_dow_weeks_events",    # ≤|weeks|-row range-rank window
+    # (the Friedman audited shape) + 1-row A/B folds
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -301,6 +308,10 @@ BNLJ_OK = {
     # crossJoins onto the 7-row rank-sum grid
     "srm_check_events",               # 1-row user-total crossJoin
     # onto the 2 arm cells
+    "rich_club_suppliers",            # 3-row broadcast k-threshold
+    # frame inequality-joined onto degrees/edges (bounded by 3×)
+    "quade_test_dow_weeks_events",    # 1-row B-fold crossJoin onto
+    # the 1-row A-fold
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells
