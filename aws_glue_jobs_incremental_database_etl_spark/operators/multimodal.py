@@ -1192,3 +1192,232 @@ def image_edge_stats(
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=out_schema
     )
+
+
+def image_contrast_stats(
+    df: DataFrame,
+    grid: int = 8,
+    bins: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """RMS contrast + intensity-histogram entropy per image →
+    ``(media_id, rms_contrast, hist_entropy, decode_ok)``: decode to
+    a ``grid``×``grid`` intensity raster, RMS contrast =
+    √(Σ(cᵢ−c̄)²/n) (the flat/washed-out detector — near-zero means a
+    blank or single-tone payload) and Shannon entropy of the
+    ``bins``-bucket intensity histogram (low = posterized/synthetic,
+    high = natural tonal range).  Together with edge density they
+    triage decode junk before any perceptual hash is trusted.
+
+    Decoder contract matches the hash family: ``'fake'`` rasterizes
+    the deterministic accumulator stream (integer cells 0..996 —
+    the bin index (c·bins)//997 and the cell sum are EXACT integers;
+    mean, squared deviations, and entropy terms accumulate in
+    index/bin order so the generated SQL twin is bit-identical
+    before the final ROUND), ``'ppm'`` rasterizes real pixels via
+    the stdlib parser, ``'real'`` stays the PIL/opencv integration
+    point.  mapInPandas, map-only."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "full-format image decoding requires an image library "
+            "(PIL/opencv) not present in this environment; use "
+            "decoder='ppm' (real stdlib PPM decode) or 'fake'"
+        )
+    if decoder not in ("fake", "ppm"):
+        raise ValueError(f"unknown decoder: {decoder}")
+    import math
+
+    n = grid * grid
+
+    def _cells_ppm(payload: bytes) -> list[float]:
+        w, h, raster = decode_ppm(payload)
+        cells = []
+        for gy_ in range(grid):
+            r0 = h * gy_ // grid
+            r1 = max(h * (gy_ + 1) // grid, r0 + 1)
+            for gx_ in range(grid):
+                c0 = w * gx_ // grid
+                c1 = max(w * (gx_ + 1) // grid, c0 + 1)
+                tot = cnt = 0
+                for y in range(r0, min(r1, h)):
+                    seg = raster[3 * w * y : 3 * w * (y + 1)][3 * c0 : 3 * c1]
+                    tot += sum(seg)
+                    cnt += len(seg)
+                cells.append(tot / (255.0 * cnt))
+        return cells
+
+    def one(payload: bytes) -> tuple[float, float, bool]:
+        if decoder == "fake":
+            cells = _fake_decode_acc(payload, n)
+            hist = [0] * bins
+            s = 0
+            for c in cells:  # index order = the SQL chain order
+                s += c
+                hist[(c * bins) // 997] += 1
+        else:
+            try:
+                cells = _cells_ppm(payload)
+            except (ValueError, IndexError, ZeroDivisionError):
+                return 0.0, 0.0, False
+            hist = [0] * bins
+            s = 0.0
+            for c in cells:
+                s += c
+                hist[min(bins - 1, int(c * bins))] += 1
+        mean = s / n
+        ssd = 0.0
+        for c in cells:  # index order = the SQL chain order
+            ssd += (c - mean) * (c - mean)
+        ent = 0.0
+        for cnt in hist:  # bin order = the SQL chain order
+            if cnt > 0:
+                p = cnt / n
+                ent -= p * math.log(p)
+        return (ssd / n) ** 0.5, ent, True
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("rms_contrast", T.DoubleType()),
+            T.StructField("hist_entropy", T.DoubleType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "rms_contrast": pd.Series(
+                        [r[0] for r in res], dtype="float64"
+                    ),
+                    "hist_entropy": pd.Series(
+                        [r[1] for r in res], dtype="float64"
+                    ),
+                    "decode_ok": pd.Series(
+                        [r[2] for r in res], dtype="bool"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def audio_spectral_flatness(
+    df: DataFrame,
+    window_samples: int = 32,
+    n_bins: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Windowed spectral flatness (Wiener entropy) per audio payload
+    → ``(media_id, window_id, flatness, total_power, decode_ok)``:
+    per frame the same exact literal-weight DFT as the centroid gate,
+    then flatness = geometric mean / arithmetic mean of the bin
+    powers — →1 for noise-like frames, →0 for tonal ones (the
+    noise/music/speech triage feature; centroid says WHERE the energy
+    sits, flatness says how PEAKED it is).  Log/exp/power sums
+    accumulate in bin order so the generated SQL twin matches
+    bit-for-bit before the final ROUND.  Decoder contract matches the
+    centroid gate (``'fake'`` accumulator samples, ``'wav'`` stdlib
+    PCM, ``'real'`` the ffmpeg integration point).  mapInPandas,
+    map-only."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "full-format audio decoding requires ffmpeg/libsndfile, "
+            "not present in this environment; use decoder='wav' "
+            "(real stdlib PCM WAV decode) or 'fake'"
+        )
+    if decoder not in ("fake", "wav"):
+        raise ValueError(f"unknown decoder: {decoder}")
+    import math
+
+    weights = _dft_weights(window_samples, n_bins)
+
+    def windows_of(payload: bytes, duration_ms) -> list[list[float]]:
+        if decoder == "fake":
+            n = max(
+                window_samples,
+                (int(duration_ms) // 50) if duration_ms is not None else 64,
+            )
+            acc = _fake_decode_acc(payload, n)
+            samples = [float(2 * a - 997) for a in acc]
+        else:
+            _, raw = decode_wav(payload)
+            samples = [float(s) for s in raw]
+        return [
+            samples[s : s + window_samples]
+            for s in range(0, len(samples) - window_samples + 1, window_samples)
+        ]
+
+    def one(payload: bytes, duration_ms):
+        rows = []
+        try:
+            wins = windows_of(payload, duration_ms)
+        except (ValueError, IndexError):
+            return [(0, 0.0, 0.0, False)]
+        for wid, w in enumerate(wins):
+            ps = []
+            for k, cosw, sinw in weights:
+                a = 0.0
+                b = 0.0
+                for t in range(window_samples):  # sample order = SQL
+                    a += w[t] * cosw[t]
+                    b += w[t] * sinw[t]
+                ps.append(a * a + b * b)
+            ptot = 0.0
+            for p in ps:  # bin order = the SQL chain order
+                ptot += p
+            if any(p <= 0.0 for p in ps):
+                rows.append((wid, 0.0, ptot, True))
+                continue
+            lg = 0.0
+            for p in ps:  # bin order = the SQL chain order
+                lg += math.log(p)
+            rows.append(
+                (wid, math.exp(lg / n_bins) / (ptot / n_bins), ptot, True)
+            )
+        return rows
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("window_id", T.IntegerType()),
+            T.StructField("flatness", T.DoubleType()),
+            T.StructField("total_power", T.DoubleType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, wids, fls, pws, oks = [], [], [], [], []
+            durs = (
+                pdf["duration_ms"]
+                if "duration_ms" in pdf.columns
+                else [None] * len(pdf)
+            )
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], durs):
+                for wid, fl, pw, ok in one(payload, dur):
+                    mids.append(mid)
+                    wids.append(wid)
+                    fls.append(fl)
+                    pws.append(pw)
+                    oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "window_id": pd.Series(wids, dtype="int32"),
+                    "flatness": pd.Series(fls, dtype="float64"),
+                    "total_power": pd.Series(pws, dtype="float64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    cols = ["media_id", "payload"] + (
+        ["duration_ms"] if "duration_ms" in df.columns else []
+    )
+    return df.select(*cols).mapInPandas(batches, schema=out_schema)

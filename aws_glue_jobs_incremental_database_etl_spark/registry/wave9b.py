@@ -1754,3 +1754,169 @@ def quade_q(spark, sf_dir):
             ((F.col("b") - 1) * (k - 1)).cast("bigint").alias("df2"),
         )
     )
+
+
+# =====================================================================
+# Round-9 wave 13: multimodal quality companions
+# =====================================================================
+
+def _image_contrast_oracle(grid: int = 8, bins: int = 8) -> str:
+    """SQL twin of ``image_contrast_stats``' fake path: acc recurrence
+    → integer cells, integer cell sum / bin histogram, then the
+    squared-deviation and entropy chains in the kernel's exact
+    index/bin order (zero-count bins contribute exact +0)."""
+    from .wave8 import _acc_chain_ctes
+
+    n = grid * grid
+    ctes, last = _acc_chain_ctes(n)
+    ssum = " + ".join(f"a{i}" for i in range(n))
+    ssd = " + ".join(f"(a{i} - m) * (a{i} - m)" for i in range(n))
+    hcols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN (a{i} * {bins}) // 997 = {b} THEN 1 ELSE 0 END)"
+            for i in range(n)
+        )
+        + f") AS h{b}"
+        for b in range(bins)
+    )
+    ent = " + ".join(
+        f"(CASE WHEN h{b} > 0 THEN h{b} / {n}.0 * LN(h{b} / {n}.0) "
+        "ELSE 0 END)"
+        for b in range(bins)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), {ctes}, st AS (
+      SELECT media_id, ({ssum}) / {n}.0 AS m, * FROM {last}
+    ), hh AS (
+      SELECT media_id, ({ssd}) AS ssd, {hcols} FROM st
+    )
+    SELECT media_id, ROUND(sqrt(ssd / {n}.0), 6) AS rms_contrast,
+           ROUND(-({ent}), 6) AS hist_entropy
+    FROM hh
+    """
+
+
+@query("image_contrast_entropy_stats", None)  # oracle attached below
+def image_contrast_q(spark, sf_dir):
+    """RMS contrast + intensity-histogram entropy per gate image
+    (operators.multimodal.image_contrast_stats): the flat/posterized
+    detector that completes the image-quality triage next to the
+    Sobel edge gate — near-zero contrast means a blank payload, low
+    histogram entropy a synthetic/posterized one; both are
+    preconditions for trusting any perceptual hash.  Fake-decoder
+    raster → exact integer cell sum and bin histogram; the generated
+    SQL twin replays the deviation/entropy chains in identical
+    order."""
+    from ..operators.multimodal import image_contrast_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return image_contrast_stats(media, grid=8, bins=8).select(
+        "media_id",
+        F.round("rms_contrast", 6).alias("rms_contrast"),
+        F.round("hist_entropy", 6).alias("hist_entropy"),
+    )
+
+
+O["image_contrast_entropy_stats"] = _image_contrast_oracle()
+
+
+def _audio_flatness_oracle(
+    n_samples: int = 64, ws: int = 32, nb: int = 8
+) -> str:
+    """SQL twin of ``audio_spectral_flatness``' fake path at the
+    gate's fixed duration: acc recurrence → c = 2·acc − 997, per
+    window the literal cos/sin DFT chains in sample order, then the
+    power/log-power folds in bin order."""
+    from ..operators.multimodal import _dft_weights
+
+    weights = _dft_weights(ws, nb)
+    from .wave8 import _acc_chain_ctes
+
+    ctes, last = _acc_chain_ctes(n_samples)
+    cs = ", ".join(f"(2 * a{k} - 997) AS s{k}" for k in range(n_samples))
+    windows = []
+    for win in range(n_samples // ws):
+        lo = win * ws
+        ab = ", ".join(
+            "("
+            + " + ".join(
+                f"s{lo + t} * CAST({float(cosw[t])!r} AS DOUBLE)"
+                for t in range(ws)
+            )
+            + f") AS a{k}, ("
+            + " + ".join(
+                f"s{lo + t} * CAST({float(sinw[t])!r} AS DOUBLE)"
+                for t in range(ws)
+            )
+            + f") AS b{k}"
+            for k, cosw, sinw in weights
+        )
+        ps = ", ".join(
+            f"(a{k} * a{k} + b{k} * b{k}) AS p{k}" for k, _, _ in weights
+        )
+        ptot = " + ".join(f"p{k}" for k, _, _ in weights)
+        lg = " + ".join(f"LN(p{k})" for k, _, _ in weights)
+        allpos = " AND ".join(f"p{k} > 0" for k, _, _ in weights)
+        windows.append(
+            f"""    SELECT media_id, {win} AS window_id,
+           ROUND(CASE WHEN {allpos}
+                 THEN exp(({lg}) / {nb}.0) / (({ptot}) / {nb}.0)
+                 ELSE 0 END, 6) AS flatness,
+           ROUND({ptot}, 2) AS total_power
+    FROM (SELECT media_id, {ps} FROM
+          (SELECT media_id, {ab} FROM sam) ab_{win}) p_{win}"""
+        )
+    body = "\n    UNION ALL\n".join(windows)
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), {ctes}, sam AS (
+      SELECT media_id, {cs} FROM {last}
+    )
+    {body}
+    """
+
+
+@query("audio_spectral_flatness_windows", None)  # oracle attached below
+def audio_flatness_q(spark, sf_dir):
+    """Windowed spectral flatness (operators.multimodal.
+    audio_spectral_flatness): geometric / arithmetic mean of the
+    8-bin DFT powers per 32-sample frame — →1 noise-like, →0 tonal,
+    the noise/music/speech triage feature that complements the
+    centroid gate's brightness.  Gate media at the audio gate's fixed
+    3200 ms → 64 samples → 2 windows; kernel and generated SQL twin
+    share weight floats and summation order bit-for-bit."""
+    from ..operators.multimodal import audio_spectral_flatness
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(3200).cast("long").alias("duration_ms"),
+    )
+    return audio_spectral_flatness(
+        media, window_samples=32, n_bins=8
+    ).select(
+        "media_id",
+        "window_id",
+        F.round("flatness", 6).alias("flatness"),
+        F.round("total_power", 2).alias("total_power"),
+    )
+
+
+O["audio_spectral_flatness_windows"] = _audio_flatness_oracle()

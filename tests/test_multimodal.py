@@ -563,3 +563,112 @@ def test_image_edge_stats_step_edge_and_flat(spark):
 
     with _p.raises(NotImplementedError):
         image_edge_stats(df, decoder="real")
+
+
+def test_image_contrast_entropy_known_rasters(spark):
+    """Hand-checkable rasters through the REAL PPM decode path: a
+    solid image has zero RMS contrast and zero histogram entropy
+    (one occupied bin); a half-black/half-white image has RMS
+    contrast 0.5 and entropy ln 2 (two equal bins).  decoder='real'
+    stays an explicit stub."""
+    import math
+
+    import pyspark.sql.types as T
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        image_contrast_stats,
+    )
+
+    w = h = 8
+    solid = [128, 128, 128] * (w * h)
+    # left half black, right half white -> cells 0.0 and 1.0
+    half = [
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((0, 0, 0) if x < w // 2 else (255, 255, 255))
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, _ppm_bytes(w, h, solid)),
+            (2, _ppm_bytes(w, h, half)),
+            (3, b"garbage"),
+        ],
+        schema,
+    )
+    got = {
+        r.media_id: r
+        for r in image_contrast_stats(df, grid=8, decoder="ppm").collect()
+    }
+    assert got[1].decode_ok and got[2].decode_ok
+    assert abs(got[1].rms_contrast) < 1e-12
+    assert abs(got[1].hist_entropy) < 1e-12
+    assert abs(got[2].rms_contrast - 0.5) < 1e-12
+    assert abs(got[2].hist_entropy - math.log(2)) < 1e-12
+    assert not got[3].decode_ok
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        image_contrast_stats(df, decoder="real")
+
+
+def test_audio_spectral_flatness_tone_vs_noise(spark):
+    """A pure cosine at DFT bin k concentrates power in one bin →
+    flatness near 0; an equal-power mix of all 8 bins spreads power
+    evenly → flatness near 1.  Real WAV decode path; decoder='real'
+    stays an explicit stub."""
+    import math
+
+    import pyspark.sql.types as T
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        audio_spectral_flatness,
+    )
+
+    ws = 32
+    tone = [
+        int(round(10000 * math.cos(2 * math.pi * 4 * t / ws)))
+        for t in range(ws)
+    ]
+    mix = [
+        int(
+            round(
+                sum(
+                    1200 * math.cos(2 * math.pi * k * t / ws)
+                    for k in range(1, 9)
+                )
+            )
+        )
+        for t in range(ws)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(tone)), (2, _wav_bytes(mix))], schema
+    )
+    got = {
+        r.media_id: r
+        for r in audio_spectral_flatness(
+            df, window_samples=ws, n_bins=8, decoder="wav"
+        ).collect()
+    }
+    assert got[1].decode_ok and got[2].decode_ok
+    assert got[1].flatness < 0.01  # tonal: one dominant bin
+    assert got[2].flatness > 0.95  # equal-power mix: flat spectrum
+    assert got[1].total_power > 0 and got[2].total_power > 0
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        audio_spectral_flatness(df, decoder="real")
