@@ -1920,3 +1920,195 @@ def audio_flatness_q(spark, sf_dir):
 
 
 O["audio_spectral_flatness_windows"] = _audio_flatness_oracle()
+
+
+# =====================================================================
+# Round-9 wave 14: embedding-space diagnostics
+# =====================================================================
+
+@query(
+    "hopkins_statistic_embeddings",
+    """
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), dims AS (
+      SELECT i.j, MIN(e[i.j]) AS lo, MAX(e[i.j]) AS hi
+      FROM emb CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
+      GROUP BY i.j
+    ), coords AS (
+      SELECT p.p, d.j,
+             d.lo + ((CAST(('0x' || substring(md5(p.p || '_' || d.j),
+                       1, 8)) AS BIGINT) % 10000 + 0.5) / 10000.0)
+                    * (d.hi - d.lo) AS c
+      FROM dims d CROSS JOIN (SELECT unnest(range(0, 24)) AS p) p
+    ), synth AS (
+      SELECT p, list(c ORDER BY j) AS s FROM coords GROUP BY p
+    ), u AS (
+      SELECT s.p, MIN(list_distance(s.s, e.e)) AS d
+      FROM synth s CROSS JOIN emb e GROUP BY s.p
+    ), w AS (
+      SELECT r.vec_id, MIN(list_distance(r.e, e.e)) AS d
+      FROM emb r JOIN emb e ON e.vec_id <> r.vec_id
+      WHERE r.vec_id < 24 GROUP BY r.vec_id
+    ), folds AS (
+      SELECT (SELECT SUM(d) FROM u) AS su, (SELECT SUM(d) FROM w) AS sw
+    )
+    SELECT CAST(24 AS BIGINT) AS n_probes,
+           ROUND(su, 4) AS sum_u, ROUND(sw, 4) AS sum_w,
+           ROUND(su / (su + sw), 6) AS hopkins_h
+    FROM folds
+    """,
+)
+def hopkins_q(spark, sf_dir):
+    """Hopkins clusterability statistic over the embedding corpus —
+    the GO/NO-GO before any clustering index is trusted (silhouette,
+    Davies–Bouldin, and Calinski–Harabasz all happily score clusters
+    in uniform noise; Hopkins asks whether structure exists AT ALL):
+    H = Σu/(Σu+Σw) with u = nearest-real distances from 24 synthetic
+    uniform points in the per-dim bounding box and w = nearest-OTHER
+    distances from 24 real probes.  H→1 clustered, ≈0.5 uniform.
+    Synthetic coordinates are md5-derived (deterministic, replayed in
+    SQL); both probe sets are broadcast against ONE corpus scan each
+    — the kNN audited shape, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    d = 64
+    dims = (
+        emb.select(F.posexplode("e").alias("j0", "x"))
+        .groupBy((F.col("j0") + 1).alias("j"))
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    probes = spark.range(0, 24).select(F.col("id").alias("p"))
+    u_rand = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("p"), F.col("j"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+        + 0.5
+    ) / 10000.0
+    coords = dims.crossJoin(F.broadcast(probes)).select(
+        "p",
+        "j",
+        (F.col("lo") + u_rand * (F.col("hi") - F.col("lo"))).alias("c"),
+    )
+    synth = coords.groupBy("p").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))),
+            lambda s: s.c,
+        ).alias("s")
+    )
+    dist = lambda a, b: F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    u = (
+        F.broadcast(synth)
+        .crossJoin(emb)
+        .groupBy("p")
+        .agg(F.min(dist(F.col("s"), F.col("e"))).alias("d"))
+        .agg(F.sum("d").alias("su"))
+    )
+    r = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("rid"), F.col("e").alias("re")
+    )
+    w = (
+        F.broadcast(r)
+        .join(emb, F.col("vec_id") != F.col("rid"))
+        .groupBy("rid")
+        .agg(F.min(dist(F.col("re"), F.col("e"))).alias("d"))
+        .agg(F.sum("d").alias("sw"))
+    )
+    return (
+        u.join(F.broadcast(w), F.lit(True))
+        .select(
+            F.lit(24).cast("bigint").alias("n_probes"),
+            F.round("su", 4).alias("sum_u"),
+            F.round("sw", 4).alias("sum_w"),
+            F.round(
+                F.col("su") / (F.col("su") + F.col("sw")), 6
+            ).alias("hopkins_h"),
+        )
+    )
+
+
+@query(
+    "mahalanobis_diag_outliers_embeddings",
+    """
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), flat AS (
+      SELECT vec_id, i.j, e[i.j] AS x
+      FROM emb CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
+    ), dims AS (
+      SELECT j, AVG(x) AS mu,
+             SUM(x * x) / COUNT(*) - AVG(x) * AVG(x) AS v
+      FROM flat GROUP BY j
+    ), scores AS (
+      SELECT f.vec_id,
+             ROUND(SUM((f.x - d.mu) * (f.x - d.mu) / d.v), 4) AS m2
+      FROM flat f JOIN dims d ON f.j = d.j
+      GROUP BY f.vec_id
+    )
+    SELECT vec_id, m2 AS mahalanobis2
+    FROM scores ORDER BY m2 DESC, vec_id ASC LIMIT 10
+    """,
+)
+def mahalanobis_diag_q(spark, sf_dir):
+    """Top-10 outliers by DIAGONAL Mahalanobis distance (per-dim
+    z-score energy m² = Σⱼ(xⱼ−μⱼ)²/σⱼ²) — the axis-aligned member of
+    the outlier ladder between raw-norm outliers and the PCA gate's
+    rotated one: it catches points extreme in LOW-variance dimensions
+    that Euclidean distance drowns out, at the cost of one μ/σ pass
+    instead of a covariance eigendecomposition.  posexplode → 64
+    per-dim moment cells (broadcast back onto the flat stream) →
+    per-vector fold → TakeOrdered 10 on the ROUNDED score (the
+    cosine_topk rank-key convention) — two scans, no pairwise
+    anything, at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    flat = emb.select(
+        "vec_id", F.posexplode("e").alias("j0", "x")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+    dims = flat.groupBy("j").agg(
+        F.avg("x").alias("mu"),
+        (
+            F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+            - F.avg("x") * F.avg("x")
+        ).alias("v"),
+    )
+    scores = (
+        flat.join(F.broadcast(dims), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("x") - F.col("mu"))
+                    * (F.col("x") - F.col("mu"))
+                    / F.col("v")
+                ),
+                4,
+            ).alias("m2")
+        )
+    )
+    w = Window.orderBy(F.col("m2").desc(), F.col("vec_id").asc())
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", F.col("m2").alias("mahalanobis2"))
+        .orderBy(F.col("mahalanobis2").desc(), "vec_id")
+    )

@@ -56,6 +56,10 @@ SINGLE_PARTITION_OK = {
     # per-user totals
     "quade_test_dow_weeks_events",    # ≤|weeks|-row range-rank window
     # (the Friedman audited shape) + 1-row A/B folds
+    "hopkins_statistic_embeddings",   # two 1-row Σu/Σw folds (each
+    # from a 24-probe min-distance group)
+    "mahalanobis_diag_outliers_embeddings",  # TakeOrdered top-10 on
+    # the rounded score (the cosine_topk rank-key shape)
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -312,6 +316,9 @@ BNLJ_OK = {
     # frame inequality-joined onto degrees/edges (bounded by 3×)
     "quade_test_dow_weeks_events",    # 1-row B-fold crossJoin onto
     # the 1-row A-fold
+    "hopkins_statistic_embeddings",   # 24-row synthetic/real probe
+    # frames broadcast against one corpus scan each (the
+    # knn_label_accuracy audited shape) + the 1-row H fold
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells
