@@ -848,8 +848,10 @@ def breusch_pagan_q(spark, sf_dir):
       FROM pooled
     )
     SELECT r.event_type, CAST(ANY_VALUE(r.n) AS BIGINT) AS n_days,
-           ROUND((ANY_VALUE(p.rp) - SUM(r.r)) / 2
-                 / (SUM(r.r) / (ANY_VALUE(r.n) - 4)), 6) AS chow_f,
+           CASE WHEN SUM(r.r) > 0 THEN
+             ROUND((ANY_VALUE(p.rp) - SUM(r.r)) / 2
+                   / (SUM(r.r) / (ANY_VALUE(r.n) - 4)), 6)
+           ELSE NULL END AS chow_f,
            CAST(2 AS BIGINT) AS df1,
            CAST(ANY_VALUE(r.n) - 4 AS BIGINT) AS df2
     FROM rss r JOIN prss p ON r.event_type = p.event_type
@@ -916,11 +918,16 @@ def chow_break_q(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.first("n").cast("bigint").alias("n_days"),
-            F.round(
-                (F.first("rp") - F.sum("r"))
-                / 2
-                / (F.sum("r") / (F.first("n") - 4)),
-                6,
+            # a perfectly-fit half makes RSS1+RSS2 = 0 (F undefined);
+            # report NULL instead of dividing by zero under ANSI mode
+            F.when(
+                F.sum("r") > 0,
+                F.round(
+                    (F.first("rp") - F.sum("r"))
+                    / 2
+                    / (F.sum("r") / (F.first("n") - 4)),
+                    6,
+                ),
             ).alias("chow_f"),
             F.lit(2).cast("bigint").alias("df1"),
             (F.first("n") - 4).cast("bigint").alias("df2"),

@@ -1,0 +1,421 @@
+"""Hand-computed semantic pins for the round-9 second-module wave —
+the cross-engine oracle proves Spark ≡ DuckDB; these prove the
+formulas themselves on inputs where the answer is known by hand
+(Mood 1950, Bartlett 1937, Goodman–Kruskal 1954, Kendall–Babington
+Smith 1939, Fleiss 1971, Lin 1989, the one-way ANOVA ICC, the 1-D
+Cramér/energy identity, Quade 1979, Atkinson 1970, Hedges 1981, and
+the frequency-spectrum richness constants)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(rows, EV_SCHEMA).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    return str(tmp_path)
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/{table}.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_mood_median_hand_2x2(spark, tmp_path):
+    """Groups A={1,2,3}, B={4,5,6} dollars: pooled lower median = 3
+    (smallest v with 2F ≥ N), above-median counts 0 vs 3, expected
+    1.5 each → χ² = 4·(1.5²/1.5) = 6 with df 1."""
+    rows = [(i + 1, g, float(v)) for i, (g, v) in enumerate(
+        [("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6)]
+    )]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    r = Q["mood_median_test_orders"](spark, sf).collect()[0]
+    assert r.n_groups == 2 and r.df == 1
+    assert abs(r.pooled_median - 3.0) < 1e-9
+    assert abs(r.chi2 - 6.0) < 1e-9
+
+
+def test_bartlett_two_group_textbook(spark, tmp_path):
+    """A=(10,20,30) s²=100, B=(40,60,80) s²=400: Sp²=250,
+    T = (4·ln250 − 2·ln100 − 2·ln400) / C with
+    C = 1 + (1/2 + 1/2 − 1/4)/3 = 1.25 — and the cents² unit
+    constants must cancel exactly between the pooled and per-group
+    logs."""
+    rows = [(i + 1, g, float(v)) for i, (g, v) in enumerate(
+        [("A", 10), ("A", 20), ("A", 30), ("B", 40), ("B", 60), ("B", 80)]
+    )]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    r = Q["bartlett_variance_orders"](spark, sf).collect()[0]
+    expect = (
+        4 * math.log(250) - 2 * math.log(100) - 2 * math.log(400)
+    ) / 1.25
+    assert r.n_groups == 2 and r.df == 1
+    assert abs(r.bartlett_t - expect) < 1e-6
+
+
+def test_gk_gamma_hand_grid(spark, tmp_path):
+    """Priority 1: 3 low-band + 1 high-band orders; priority 2:
+    1 low + 3 high.  Concordant = 3·3 = 9, discordant = 1·1 = 1
+    → γ = 8/10 = 0.8 (same-band pairs are ties and must NOT count)."""
+    rows = []
+    k = 0
+    for p, band, n in [("1-U", 0, 3), ("1-U", 1, 1), ("2-H", 0, 1), ("2-H", 1, 3)]:
+        for _ in range(n):
+            k += 1
+            rows.append((k, p, 100.0 if band == 0 else 200000.0))
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    r = Q["goodman_kruskal_gamma_orders"](spark, sf).collect()[0]
+    assert r.concordant == 9 and r.discordant == 1
+    assert abs(r.gamma - 0.8) < 1e-9
+
+
+def _two_identical_weeks(scale2=1):
+    """Two complete Mon–Sun weeks whose daily counts rank 1..7
+    identically; week 2's counts scaled by ``scale2``."""
+    rows = []
+    eid = 0
+    for wi, wk_start in enumerate((dt.date(2024, 3, 4), dt.date(2024, 3, 11))):
+        mult = 1 if wi == 0 else scale2
+        for d in range(7):
+            day = wk_start + dt.timedelta(days=d)
+            for i in range((d + 1) * 10 * mult):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime.combine(day, dt.time(10, 0))
+                        + dt.timedelta(seconds=i),
+                        i,
+                        "view",
+                        0.0,
+                        "",
+                    )
+                )
+    return rows
+
+
+def test_kendalls_w_perfect_concordance(spark, tmp_path):
+    """Two weeks ranking the days identically, no ties → W must be
+    exactly 1: S = Σ(2j−8)² = 112 and m²(k³−k) = 4·336 = 1344 =
+    12·112."""
+    sf = _write_events(spark, tmp_path, _two_identical_weeks())
+    r = Q["kendalls_w_dow_weeks_events"](spark, sf).collect()[0]
+    assert r.n_blocks == 2 and r.n_treatments == 7
+    assert abs(r.kendalls_w - 1.0) < 1e-9
+
+
+def test_quade_two_block_hand(spark, tmp_path):
+    """Week 1 counts 10..70 (range 60), week 2 counts 20..140 (range
+    120): range ranks Q = (1, 2), identical within-week day ranks →
+    S_j = 3(j−4), B = 9·28/2 = 126, A = 5·28 = 140,
+    F = (b−1)B/(A−B) = 126/14 = 9 with df (6, 6)."""
+    sf = _write_events(spark, tmp_path, _two_identical_weeks(scale2=2))
+    r = Q["quade_test_dow_weeks_events"](spark, sf).collect()[0]
+    assert r.n_blocks == 2 and r.n_treatments == 7
+    assert r.df1 == 6 and r.df2 == 6
+    assert abs(r.quade_f - 9.0) < 1e-9
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_fleiss_kappa_hand_five_docs(spark, tmp_path):
+    """Raters: n_chars ≥ 200, contains ' the ', word count ≥ 40.
+    Docs with rater-positive counts (3, 3, 0, 0, 2):
+    P̄ = (1+1+1+1+1/3)/5 = 13/15, p₁ = 8/15,
+    P̄e = (64+49)/225 = 113/225 → κ = 82/112."""
+    yes3 = "a the " + "w " * 45  # ' the ', 47 words
+    no0 = "short text here"
+    yes2 = "a the b"  # ' the ', 3 words
+    rows = [
+        (1, yes3, "en", "s", 300),
+        (2, yes3, "en", "s", 300),
+        (3, no0, "en", "s", 50),
+        (4, no0, "en", "s", 50),
+        (5, yes2, "en", "s", 300),
+    ]
+    sf = _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    r = Q["fleiss_kappa_quality_docs"](spark, sf).collect()[0]
+    assert r.n_docs == 5
+    assert abs(r.p_bar - 13.0 / 15.0) < 1e-6
+    assert abs(r.fleiss_kappa - 82.0 / 112.0) < 1e-6
+
+
+def test_lin_ccc_shift_penalized(spark, tmp_path):
+    """a = n_chars = (20, 30, 40), b = 5·wc = (10, 20, 30): perfectly
+    correlated (r = 1) but location-biased — CCC must drop to
+    2·(200/3)/(400/3 + 100) = 4/7, the exact penalty Pearson is
+    blind to."""
+    rows = [
+        (1, "w w", "en", "s", 20),
+        (2, "w w w w", "en", "s", 30),
+        (3, "w w w w w w", "en", "s", 40),
+    ]
+    sf = _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    r = Q["lin_ccc_quality_docs"](spark, sf).collect()[0]
+    assert r.n_docs == 3
+    assert abs(r.pearson_r - 1.0) < 1e-9
+    assert abs(r.lin_ccc - 4.0 / 7.0) < 1e-6
+
+
+def test_icc_perfect_clustering(spark, tmp_path):
+    """Two users, two events each, values (0, 0) and (10, 10):
+    MSW = 0 so ICC(1) = 1 exactly, and with m̄ = 2 the design effect
+    doubles every variance: DEFF = 2."""
+    t0 = dt.datetime(2024, 3, 4, 10, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0, 1, "view", 0.0, ""),
+        (3, t0, 2, "view", 10.0, ""),
+        (4, t0, 2, "view", 10.0, ""),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["icc_design_effect_events"](spark, sf).collect()[0]
+    assert r.n_users == 2 and r.n_events == 4
+    assert abs(r.icc1 - 1.0) < 1e-9
+    assert abs(r.design_effect - 2.0) < 1e-9
+
+
+def test_energy_distance_hand_grid(spark, tmp_path):
+    """F = {1, 2}, O = {2, 3} dollars: the CDF gap is 1/2 on both
+    unit segments, so 2∫(F−G)²dv = 2·(0.25 + 0.25) = 1.0 dollar —
+    the 1-D Cramér identity on an enumerable grid."""
+    rows = [
+        (1, "F", 1.0),
+        (2, "F", 2.0),
+        (3, "O", 2.0),
+        (4, "O", 3.0),
+    ]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    r = Q["energy_distance_drift_orders"](spark, sf).collect()[0]
+    assert r.n_f == 2 and r.n_o == 2
+    assert abs(r.energy_dist - 1.0) < 1e-9
+
+
+def test_atkinson_two_user_hand(spark, tmp_path):
+    """User totals (1, 4): μ = 2.5, EDE = ((1+2)/2)² = 2.25 →
+    A₀.₅ = 1 − 2.25/2.5 = 0.1 exactly."""
+    t0 = dt.datetime(2024, 3, 4, 10, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, ""),
+        (2, t0, 2, "view", 4.0, ""),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["atkinson_index_users_events"](spark, sf).collect()[0]
+    assert r.n_users == 2
+    assert abs(r.mean_value - 2.5) < 1e-9
+    assert abs(r.atkinson_05 - 0.1) < 1e-9
+
+
+def test_hedges_g_hand_correction(spark, tmp_path):
+    """R = (10, 20, 30), N = (20, 30, 40): pooled s = 10 so
+    d = −1 exactly, and J = 1 − 3/(4·6−9) = 0.8 → g = −0.8 (a wrong
+    N in the correction, the classic slip, moves g off by > 0.02)."""
+    rows = [(i + 1, g, float(v)) for i, (g, v) in enumerate(
+        [("R", 10), ("R", 20), ("R", 30), ("N", 20), ("N", 30), ("N", 40)]
+    )]
+    sf = _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_returnflag string, l_quantity double",
+    )
+    r = Q["hedges_g_quantity_returnflag"](spark, sf).collect()[0]
+    assert r.n_r == 3 and r.n_n == 3
+    assert abs(r.cohens_d - (-1.0)) < 1e-9
+    assert abs(r.hedges_g - (-0.8)) < 1e-9
+
+
+def test_hapax_richness_hand_spectrum(spark, tmp_path):
+    """Tokens 'a a b c': V = 3, V₁ = 2, V₂ = 1, N = 4 →
+    Honoré R = 100·ln4/(1 − 2/3) = 300·ln4, Sichel S = 1/3,
+    TTR = 3/4."""
+    rows = [(1, "a a b c", "en", "src", 7)]
+    sf = _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    r = Q["hapax_richness_docs"](spark, sf).collect()[0]
+    assert r.n_tokens == 4 and r.vocab == 3 and r.hapax == 2
+    assert abs(r.honore_r - 300 * math.log(4)) < 1e-3
+    assert abs(r.sichel_s - 1.0 / 3.0) < 1e-6
+    assert abs(r.ttr - 0.75) < 1e-6
+
+
+def test_rich_club_complete_clique(spark, tmp_path):
+    """Six suppliers co-supplying two parts form K₆ (every degree 5):
+    at k = 4 the club is all six nodes with all 15 edges → φ = 1
+    exactly; k = 8 and 16 have no members and no rows."""
+    rows = []
+    i = 0
+    for p, sups in [(1, range(1, 6)), (2, range(1, 7))]:
+        for s in sups:
+            i += 1
+            rows.append((i, p, s))
+    sf = _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    out = {r.k: r for r in Q["rich_club_suppliers"](spark, sf).collect()}
+    assert set(out) == {4}
+    assert out[4].n_nodes == 6 and out[4].n_edges == 15
+    assert abs(out[4].rich_club_phi - 1.0) < 1e-9
+
+
+def test_chow_break_detects_level_shift(spark, tmp_path):
+    """Ten days of daily mean value [1..5, 11..15] (same slope, +10
+    level jump at the midpoint): the two half-fits are exact
+    (RSS₁ = RSS₂ = 0) while the pooled line is not, so F must be
+    +infinity-like (null under 0/0 guard is a fail) — pin against the
+    closed-form pooled RSS computed here from first principles."""
+    rows = []
+    eid = 0
+    t0 = dt.date(2024, 3, 4)
+    ys = [1, 2, 3, 4, 5, 11, 12, 13, 14, 15]
+    for d, y in enumerate(ys):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10)),
+                1,
+                "view",
+                float(y),
+                "",
+            )
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["chow_break_daily_events"](spark, sf).collect()[0]
+    # pooled regression of ys on t=1..10 from first principles
+    n = 10
+    ts = list(range(1, 11))
+    st, stt = sum(ts), sum(t * t for t in ts)
+    sy = sum(ys)
+    syy = sum(y * y for y in ys)
+    sty = sum(t * y for t, y in zip(ts, ys))
+    rss_p = (syy - sy * sy / n) - (sty - st * sy / n) ** 2 / (
+        stt - st * st / n
+    )
+    assert r.n_days == 10 and r.df1 == 2 and r.df2 == 6
+    # RSS1 = RSS2 = 0 -> F undefined: both engines report NULL (the
+    # guard this pin forced in) while the pooled RSS stays positive
+    assert r.chow_f is None and rss_p > 0
+    # noisy variant: halves are no longer exact fits, F is finite
+    rows2 = list(rows)
+    # perturb one day per half so the halves are not exact fits
+    rows2[0] = rows2[0][:4] + (2.0,) + rows2[0][5:]
+    rows2[5] = rows2[5][:4] + (12.0,) + rows2[5][5:]
+    sf2 = _write_events(spark, f"{tmp_path}_2", rows2)
+    r2 = Q["chow_break_daily_events"](spark, sf2).collect()[0]
+    ys2 = [2, 2, 3, 4, 5, 12, 12, 13, 14, 15]
+
+    def rss(ts_, ys_):
+        n_ = len(ts_)
+        st_, stt_ = sum(ts_), sum(t * t for t in ts_)
+        sy_ = sum(ys_)
+        syy_ = sum(y * y for y in ys_)
+        sty_ = sum(t * y for t, y in zip(ts_, ys_))
+        return (syy_ - sy_ * sy_ / n_) - (sty_ - st_ * sy_ / n_) ** 2 / (
+            stt_ - st_ * st_ / n_
+        )
+
+    rss_p2 = rss(ts, ys2)
+    rss_1 = rss(ts[:5], ys2[:5])
+    rss_2 = rss(ts[5:], ys2[5:])
+    f_expect = ((rss_p2 - rss_1 - rss_2) / 2) / ((rss_1 + rss_2) / 6)
+    assert abs(r2.chow_f - f_expect) < 1e-4
+
+
+def test_newey_west_iid_vs_alternating(spark, tmp_path):
+    """An alternating daily series ±1 around its mean has negative
+    lag-1 autocovariance, so se_hac < se_iid — and both must match
+    the explicit Bartlett-kernel fold computed here from first
+    principles on the same 12 numbers."""
+    rows = []
+    eid = 0
+    t0 = dt.date(2024, 3, 4)
+    ys = [10 + (1 if d % 2 == 0 else -1) for d in range(12)]
+    for d, y in enumerate(ys):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10)),
+                1,
+                "view",
+                float(y),
+                "",
+            )
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["newey_west_daily_events"](spark, sf).collect()[0]
+    n = len(ys)
+    m = sum(ys) / n
+    z = [y - m for y in ys]
+    g = [
+        sum(z[t] * z[t - l] for t in range(l, n)) / n for l in range(6)
+    ]
+    var_hac = g[0] + 2 * sum((1 - l / 6.0) * g[l] for l in range(1, 6))
+    assert r.n_days == n
+    assert abs(r.mean_value - m) < 1e-6
+    assert abs(r.se_iid - math.sqrt(g[0] / n)) < 1e-6
+    assert abs(r.se_hac - math.sqrt(max(var_hac, 0.0) / n)) < 1e-6
+    assert r.se_hac < r.se_iid  # negative serial correlation shrinks
+
+
+def test_ar2_yule_walker_known_acf(spark, tmp_path):
+    """Daily series with period-3 pattern (1, 2, 3, 1, 2, 3, ...):
+    the Yule–Walker solve must reproduce φ from the empirical r₁/r₂
+    computed here from first principles (and the oscillatory pattern
+    forces φ₂ < 0)."""
+    rows = []
+    eid = 0
+    t0 = dt.date(2024, 3, 4)
+    ys = [(d % 3) + 1 for d in range(12)]
+    for d, y in enumerate(ys):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10)),
+                1,
+                "view",
+                float(y),
+                "",
+            )
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["ar2_yule_walker_daily_events"](spark, sf).collect()[0]
+    n = len(ys)
+    m = sum(ys) / n
+    z = [y - m for y in ys]
+    g0 = sum(v * v for v in z)
+    g1 = sum(z[t] * z[t - 1] for t in range(1, n))
+    g2 = sum(z[t] * z[t - 2] for t in range(2, n))
+    r1, r2 = g1 / g0, g2 / g0
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert r.n_days == n
+    assert abs(r.phi1 - phi1) < 1e-6
+    assert abs(r.phi2 - phi2) < 1e-6
+    assert r.phi2 < 0
+    assert abs(r.noise_var_ratio - (1 - phi1 * r1 - phi2 * r2)) < 1e-6
