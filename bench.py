@@ -176,6 +176,21 @@ HEADLINE = [
     "audio_zcr_rms_windows",          # integer window folds per media
     "logrank_weekend_repurchase_events",  # gap grid + reverse cum
     "ljung_box_daily_events",         # 7-lag window over daily grid
+    # round-9 second wave
+    "mood_median_test_orders",        # cents-grid median + 2×k cells
+    "energy_distance_drift_orders",   # cents-grid CDF segments
+    "goodman_kruskal_gamma_orders",   # 5×4 grid pair sweep
+    "kendalls_w_dow_weeks_events",    # week-block midranks + tie fold
+    "icc_design_effect_events",       # per-user ANOVA cells
+    "newey_west_daily_events",        # 5-lag HAC fold per type
+    "srm_check_events",               # distinct users + md5 arms
+    "hapax_richness_docs",            # (source, token) freq spectrum
+    "rich_club_suppliers",            # capped postings + degree sweep
+    "hopkins_statistic_embeddings",   # 2×24 probes × corpus scans
+    "mahalanobis_diag_outliers_embeddings",  # posexplode moment cells
+    "image_contrast_entropy_stats",   # 64-cell contrast + histogram
+    "audio_spectral_flatness_windows",  # 16 DFT chains + log folds
+    "hedges_g_quantity_returnflag",   # 2-cell exact moment fold
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -231,6 +246,11 @@ SF1_SPOT = [
     "yuen_trimmed_ttest_orders",
     "containment_near_dup_docs",
     "term_burstiness_docs",
+    # round-9 second wave: cents-grid window growth, capped co-supply
+    # pair growth feeding the degree sweep, and token-spectrum growth
+    "energy_distance_drift_orders",
+    "rich_club_suppliers",
+    "hapax_richness_docs",
 ]
 
 
