@@ -2119,3 +2119,406 @@ def mahalanobis_diag_q(spark, sf_dir):
         .select("vec_id", F.col("m2").alias("mahalanobis2"))
         .orderBy(F.col("mahalanobis2").desc(), "vec_id")
     )
+
+
+# =====================================================================
+# Round-9 wave 15: k-sample distribution / related-binary / partial
+# correlation / rank changepoint
+# =====================================================================
+
+@query(
+    "anderson_darling_two_sample_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), hist AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS c2
+      FROM obs GROUP BY v
+    ), tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2, SUM(c1 + c2) AS n FROM hist
+    ), cum AS (
+      SELECT v, c1 + c2 AS l,
+             SUM(c1) OVER w - c1 / 2.0 AS m1,
+             SUM(c2) OVER w - c2 / 2.0 AS m2,
+             SUM(c1 + c2) OVER w - (c1 + c2) / 2.0 AS b
+      FROM hist WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), terms AS (
+      SELECT SUM(CAST(l AS DOUBLE) / t.n
+                 * ((t.n * m1 - t.n1 * b) * (t.n * m1 - t.n1 * b) / t.n1
+                    + (t.n * m2 - t.n2 * b) * (t.n * m2 - t.n2 * b) / t.n2)
+                 / (b * (t.n - b) - t.n * l / 4.0)) AS s,
+             ANY_VALUE(t.n1) AS n1, ANY_VALUE(t.n2) AS n2,
+             ANY_VALUE(t.n) AS n
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+           ROUND((n - 1.0) / n * s, 6) AS a2_akn
+    FROM terms
+    """,
+)
+def ad_two_sample_q(spark, sf_dir):
+    """Scholz–Stephens k-sample Anderson–Darling statistic (k = 2,
+    the tie-aware midrank A²ₐₖₙ) between finished and open order
+    prices — the member of the drift ladder that weights the TAILS
+    (KS sees the middle's max gap, CvM weights uniformly; AD divides
+    by B(N−B), exploding exactly where the CDFs approach 0/1 — tail
+    drift is what breaks pricing models first).  The corpus reduces
+    to the quantized-cents histogram; midrank cumulatives are one
+    ordered window (the CvM audited shape), the statistic one 1-row
+    fold.  The small-sample standardization (Scholz–Stephens σ_N)
+    needs O(N²) harmonic sums, so the gate reports the raw A²ₐₖₙ
+    (E[A²] = k−1 = 1 under H₀)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    obs = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("c2"),
+    )
+    tot = hist.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).alias("n"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        (F.col("c1") + F.col("c2")).alias("l"),
+        (F.sum("c1").over(w) - F.col("c1") / 2.0).alias("m1"),
+        (F.sum("c2").over(w) - F.col("c2") / 2.0).alias("m2"),
+        (
+            F.sum(F.col("c1") + F.col("c2")).over(w)
+            - (F.col("c1") + F.col("c2")) / 2.0
+        ).alias("b"),
+    )
+    j = cum.join(F.broadcast(tot), F.lit(True))
+    t1 = (F.col("n") * F.col("m1") - F.col("n1") * F.col("b"))
+    t2 = (F.col("n") * F.col("m2") - F.col("n2") * F.col("b"))
+    term = (
+        F.col("l").cast("double")
+        / F.col("n")
+        * (t1 * t1 / F.col("n1") + t2 * t2 / F.col("n2"))
+        / (
+            F.col("b") * (F.col("n") - F.col("b"))
+            - F.col("n") * F.col("l") / 4.0
+        )
+    )
+    return j.agg(
+        F.first("n1").cast("bigint").alias("n_f"),
+        F.first("n2").cast("bigint").alias("n_o"),
+        F.round(
+            (F.first("n") - 1.0) / F.first("n") * F.sum(term), 6
+        ).alias("a2_akn"),
+    )
+
+
+@query(
+    "cochran_q_funnel_events",
+    """
+    WITH peru AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'view'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS xv,
+             CASE WHEN SUM(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS xc,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS xp
+      FROM events GROUP BY user_id
+    ), folds AS (
+      SELECT COUNT(*) AS n_users, SUM(xv) AS gv, SUM(xc) AS gc,
+             SUM(xp) AS gp, SUM(xv + xc + xp) AS t,
+             SUM((xv + xc + xp) * (xv + xc + xp)) AS l2
+      FROM peru
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(gv AS BIGINT) AS n_view, CAST(gc AS BIGINT) AS n_click,
+           CAST(gp AS BIGINT) AS n_purchase,
+           CASE WHEN 3.0 * t - l2 > 0 THEN
+             ROUND(3 * 2 * ((gv - t / 3.0) * (gv - t / 3.0)
+                            + (gc - t / 3.0) * (gc - t / 3.0)
+                            + (gp - t / 3.0) * (gp - t / 3.0))
+                   / (3.0 * t - l2), 6)
+           ELSE NULL END AS cochran_q,
+           CAST(2 AS BIGINT) AS df
+    FROM folds
+    """,
+)
+def cochran_q_q(spark, sf_dir):
+    """Cochran's Q across the three funnel stages as related binary
+    treatments per user (ever-viewed / ever-clicked / ever-purchased)
+    — McNemar's k > 2 generalization: are the k marginal rates equal
+    when every user is their own control?  Q = k(k−1)Σ(Gⱼ−T/k)² /
+    (kT − ΣLᵢ²) with df k−1.  All-zero and all-one users contribute
+    nothing to the denominator — the test automatically conditions on
+    discordant users, which is why it beats k separate z-tests.  One
+    user-keyed hash-agg + a 1-row exact-integer fold at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    peru = e.groupBy("user_id").agg(
+        F.when(cnt("view") >= 14, 1).otherwise(0).alias("xv"),
+        F.when(cnt("click") >= 14, 1).otherwise(0).alias("xc"),
+        F.when(cnt("purchase") >= 14, 1).otherwise(0).alias("xp"),
+    )
+    li = F.col("xv") + F.col("xc") + F.col("xp")
+    folds = peru.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("xv").alias("gv"),
+        F.sum("xc").alias("gc"),
+        F.sum("xp").alias("gp"),
+        F.sum(li).alias("t"),
+        F.sum(li * li).alias("l2"),
+    )
+    k = 3
+    dev = lambda g: (F.col(g) - F.col("t") / float(k)) * (
+        F.col(g) - F.col("t") / float(k)
+    )
+    return folds.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("gv").cast("bigint").alias("n_view"),
+        F.col("gc").cast("bigint").alias("n_click"),
+        F.col("gp").cast("bigint").alias("n_purchase"),
+        # all-concordant users zero the denominator (Q undefined);
+        # report NULL instead of dividing by zero under ANSI mode
+        F.when(
+            float(k) * F.col("t") - F.col("l2") > 0,
+            F.round(
+                k
+                * (k - 1)
+                * (dev("gv") + dev("gc") + dev("gp"))
+                / (float(k) * F.col("t") - F.col("l2")),
+                6,
+            ),
+        ).alias("cochran_q"),
+        F.lit(k - 1).cast("bigint").alias("df"),
+    )
+
+
+@query(
+    "partial_corr_daily_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS z
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(z AS HUGEINT) * z) AS szz,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * z) AS sxz,
+             SUM(CAST(y AS HUGEINT) * z) AS syz
+      FROM daily
+    ), r AS (
+      SELECT n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+               AS rxy,
+             (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
+               / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz))
+               AS rxz,
+             (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
+               / SQRT((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                      * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz))
+               AS ryz
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(rxy, 6) AS r_click_purchase,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS partial_r,
+           ROUND(0.5 * LN((1 + (rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)))
+                 / (1 - (rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)))), 6)
+             AS fisher_z
+    FROM r
+    """,
+)
+def partial_corr_q(spark, sf_dir):
+    """Partial correlation of daily click and purchase volume
+    CONTROLLING for view volume — the confounder-adjusted version of
+    the raw correlation (overall traffic drives both series, so raw
+    r_click,purchase is mostly "busy days are busy"; the partial r
+    answers whether clicks move purchases BEYOND the shared traffic
+    level): r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), plus
+    the Fisher z for CI construction.  Events reduce to exact integer
+    (day × 3-type) count cells, then one 1-row cross-moment fold."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("z"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("z") * F.col("z")).alias("szz"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("z")).alias("sxz"),
+        F.sum(dec("y") * F.col("z")).alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (
+            n * F.col(sab).cast("double")
+            - F.col(sa).cast("double") * F.col(sb)
+        ) / F.sqrt(
+            (
+                n * F.col(saa).cast("double")
+                - F.col(sa).cast("double") * F.col(sa)
+            )
+            * (
+                n * F.col(sbb).cast("double")
+                - F.col(sb).cast("double") * F.col(sb)
+            )
+        )
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    pr = (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    return m.select(
+        n.cast("bigint").alias("n_days"),
+        F.round(rxy, 6).alias("r_click_purchase"),
+        F.round(pr, 6).alias("partial_r"),
+        F.round(0.5 * F.log((1 + pr) / (1 - pr)), 6).alias("fisher_z"),
+    )
+
+
+@query(
+    "pettitt_changepoint_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, day,
+             COALESCE(SUM(1) OVER (PARTITION BY event_type ORDER BY y
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (SUM(1) OVER (PARTITION BY event_type ORDER BY y
+                RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1) / 2.0
+               AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), u AS (
+      SELECT event_type, day, n,
+             2 * SUM(r) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING)
+               - ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) * (n + 1) AS ut
+      FROM ranked
+    ), best AS (
+      SELECT event_type, day, n, ABS(ut) AS aut,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(ut) DESC, day ASC) AS rn
+      FROM u
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(aut, 1) AS k_stat, day AS break_day,
+           ROUND(2 * EXP(-6.0 * aut * aut
+                 / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)),
+                 6) AS p_approx
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def pettitt_q(spark, sf_dir):
+    """Pettitt rank changepoint per event type — the nonparametric
+    single-break test (the shipped CUSUM/changepoint gates are
+    mean/variance-based and outlier-sensitive; Pettitt works on ranks,
+    so one crazy day cannot fake or hide a break):
+    U_t = 2·Σ_{i≤t}R_i − t(n+1), K = max|U_t|, with the classic
+    p ≈ 2·exp(−6K²/(n³+n²)).  Midranks via the two-window trick over
+    the bounded per-type daily grid, U via one cumulative window —
+    never the O(n²) sign-pair sum."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w_lt = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = (
+        Window.partitionBy("event_type").orderBy("y").rangeBetween(0, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        (
+            F.coalesce(F.sum(F.lit(1)).over(w_lt), F.lit(0))
+            + (F.sum(F.lit(1)).over(w_eq) + 1) / 2.0
+        ).alias("r"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    u = ranked.select(
+        "event_type",
+        "day",
+        "n",
+        (
+            2
+            * F.sum("r").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.row_number().over(wd) * (F.col("n") + 1)
+        ).alias("ut"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("ut")).desc(), F.col("day").asc()
+    )
+    nd = F.col("n").cast("double")
+    return (
+        u.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(F.abs(F.col("ut")), 1).alias("k_stat"),
+            F.col("day").alias("break_day"),
+            F.round(
+                2
+                * F.exp(
+                    -6.0
+                    * F.abs(F.col("ut"))
+                    * F.abs(F.col("ut"))
+                    / (nd * nd * nd + nd * nd)
+                ),
+                6,
+            ).alias("p_approx"),
+        )
+        .orderBy("event_type")
+    )

@@ -60,6 +60,14 @@ SINGLE_PARTITION_OK = {
     # from a 24-probe min-distance group)
     "mahalanobis_diag_outliers_embeddings",  # TakeOrdered top-10 on
     # the rounded score (the cosine_topk rank-key shape)
+    "anderson_darling_two_sample_orders",  # cumulative window over
+    # the quantized-cents grid (the CvM audited shape) + 1-row fold
+    "cochran_q_funnel_events",        # 1-row Q fold from per-user
+    # binary cells
+    "partial_corr_daily_events",      # 1-row cross-moment fold over
+    # the bounded daily grid
+    "pettitt_changepoint_daily_events",  # final orderBy on the
+    # ≤|types| report rows (ranks/U windows are type-partitioned)
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -319,6 +327,8 @@ BNLJ_OK = {
     "hopkins_statistic_embeddings",   # 24-row synthetic/real probe
     # frames broadcast against one corpus scan each (the
     # knn_label_accuracy audited shape) + the 1-row H fold
+    "anderson_darling_two_sample_orders",  # 1-row (n1, n2, n) totals
+    # crossJoin onto the cents grid
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells

@@ -419,3 +419,106 @@ def test_ar2_yule_walker_known_acf(spark, tmp_path):
     assert abs(r.phi2 - phi2) < 1e-6
     assert r.phi2 < 0
     assert abs(r.noise_var_ratio - (1 - phi1 * r1 - phi2 * r2)) < 1e-6
+
+
+def test_ad_two_sample_hand_grids(spark, tmp_path):
+    """F={1}, O={2}: every midrank term folds to 1 → A²ₐₖₙ = 1,
+    exactly E[A²] under H₀.  F={1,1}, O={2,2} (maximal separation):
+    both value cells contribute 2 → A²ₐₖₙ = 3.  Both worked by hand
+    from the Scholz–Stephens midrank formula."""
+    sch = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    sf = _write(
+        spark, tmp_path, "orders",
+        [(1, "F", 1.0), (2, "O", 2.0)], sch,
+    )
+    r = Q["anderson_darling_two_sample_orders"](spark, sf).collect()[0]
+    assert r.n_f == 1 and r.n_o == 1
+    assert abs(r.a2_akn - 1.0) < 1e-9
+    sf2 = _write(
+        spark, f"{tmp_path}_2", "orders",
+        [(1, "F", 1.0), (2, "F", 1.0), (3, "O", 2.0), (4, "O", 2.0)],
+        sch,
+    )
+    r2 = Q["anderson_darling_two_sample_orders"](spark, sf2).collect()[0]
+    assert abs(r2.a2_akn - 3.0) < 1e-9
+
+
+def test_cochran_q_hand_four_users(spark, tmp_path):
+    """User positives (threshold 14 events/type): (v,c), (v), (v,c,p),
+    (): G = (3,2,1), T = 6, ΣL² = 14 → Q = 6·Σ(G−2)²/(18−14) = 3."""
+    t0 = dt.datetime(2024, 3, 4, 10, 0)
+    rows = []
+    eid = 0
+
+    def add(uid, etype, n):
+        nonlocal eid
+        for i in range(n):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(seconds=eid), uid, etype, 0.0, ""))
+
+    add(1, "view", 14); add(1, "click", 14)
+    add(2, "view", 14)
+    add(3, "view", 14); add(3, "click", 14); add(3, "purchase", 14)
+    add(4, "view", 1)
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["cochran_q_funnel_events"](spark, sf).collect()[0]
+    assert r.n_users == 4 and r.df == 2
+    assert (r.n_view, r.n_click, r.n_purchase) == (3, 2, 1)
+    assert abs(r.cochran_q - 3.0) < 1e-9
+
+
+def test_partial_corr_first_principles(spark, tmp_path):
+    """Four days with per-type counts (click, purchase, view) =
+    (1,2,3), (2,1,1), (3,4,2), (4,3,5): the reported r's must match
+    the closed-form pairwise/partial correlations computed here on
+    the same 12 integers."""
+    counts = [(1, 2, 3), (2, 1, 1), (3, 4, 2), (4, 3, 5)]
+    t0 = dt.date(2024, 3, 4)
+    rows = []
+    eid = 0
+    for d, (c, p, v) in enumerate(counts):
+        day = dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10))
+        for etype, n in (("click", c), ("purchase", p), ("view", v)):
+            for i in range(n):
+                eid += 1
+                rows.append((eid, day + dt.timedelta(seconds=i), 1, etype, 0.0, ""))
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["partial_corr_daily_events"](spark, sf).collect()[0]
+    xs = [c for c, _, _ in counts]
+    ys = [p for _, p, _ in counts]
+    zs = [v for _, _, v in counts]
+    n = len(counts)
+
+    def corr(a, b):
+        sa, sb = sum(a), sum(b)
+        return (n * sum(x * y for x, y in zip(a, b)) - sa * sb) / math.sqrt(
+            (n * sum(x * x for x in a) - sa * sa)
+            * (n * sum(y * y for y in b) - sb * sb)
+        )
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    pr = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert r.n_days == 4
+    assert abs(r.r_click_purchase - rxy) < 1e-6
+    assert abs(r.partial_r - pr) < 1e-6
+    assert abs(r.fisher_z - 0.5 * math.log((1 + pr) / (1 - pr))) < 1e-6
+
+
+def test_pettitt_monotone_series(spark, tmp_path):
+    """Daily counts 1..6 (no ties): ranks equal the day order, so
+    U_t = 2·Σt − t·7 is minimized at t = 3 with |U| = 9 → K = 9,
+    break day 3, p = 2·exp(−486/252)."""
+    t0 = dt.date(2024, 3, 4)
+    rows = []
+    eid = 0
+    for d in range(6):
+        day = dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10))
+        for i in range(d + 1):
+            eid += 1
+            rows.append((eid, day + dt.timedelta(seconds=i), 1, "view", 0.0, ""))
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["pettitt_changepoint_daily_events"](spark, sf).collect()[0]
+    assert r.n_days == 6
+    assert abs(r.k_stat - 9.0) < 1e-9
+    assert r.break_day == dt.date(2024, 3, 6)
+    assert abs(r.p_approx - 2 * math.exp(-486.0 / 252.0)) < 1e-6
