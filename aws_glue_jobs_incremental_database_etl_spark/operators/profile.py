@@ -1048,3 +1048,66 @@ def cusum_chart_report(
             | (F.col("sn") > h * F.col("sigma"))
         ).alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------- SRM
+#
+# Shared between the batch gate (registry ``srm_check_events``) and
+# the streaming monitor (streaming.run_srm_monitor): ONE place for
+# the arm coin and the chi-square report, so streamed and batch
+# readouts agree bit-for-bit on the same events.
+
+def srm_user_arms(df: DataFrame) -> DataFrame:
+    """Distinct (user_id, arm) assignment frame: the deterministic
+    md5 coin (hex-prefix bucket % 10000 < 5000 → 'A') — a user's arm
+    never changes as data accumulates, so the distinct frame is a
+    MONOTONE SET under ingestion: any batch split of the same events
+    unions to the identical state (the mergeability contract the
+    streaming fold needs)."""
+    return df.select(
+        "user_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+            < 5000,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    ).distinct()
+
+
+def merge_srm_user_arms(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Set-union merge for the SRM state: idempotent (replayed users
+    dedup) and order-independent — per-batch ∘ merge ≡ one whole-
+    stream build."""
+    return prev.unionByName(delta).distinct()
+
+
+def srm_report(arms: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch chi-square against the designed 50/50
+    split over a distinct (user_id, arm) frame — the shared report
+    both the batch gate and the streaming readout fold."""
+    cells = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    return cells.join(F.broadcast(tot), F.lit(True)).agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.round(
+            F.sum(
+                (F.col("n") - F.col("t") / 2.0)
+                * (F.col("n") - F.col("t") / 2.0)
+                / (F.col("t") / 2.0)
+            ),
+            6,
+        ).alias("srm_chi2"),
+        F.lit(1).cast("bigint").alias("df"),
+    )

@@ -1235,43 +1235,14 @@ def srm_q(spark, sf_dir):
     chi-square against the designed ratio is the standard alarm).
     Distinct users → deterministic md5 arm → 2-cell χ² with 1 df.
     The distinct is user-keyed (map-side combinable); the fold is
-    two integers."""
+    two integers.  Arm coin and report are the SHARED
+    ``operators.profile.srm_user_arms`` / ``srm_report`` expressions
+    the streaming monitor (``streaming.run_srm_monitor`` +
+    ``srm_series``) folds — streamed ≡ batch bit-for-bit."""
+    from ..operators.profile import srm_report, srm_user_arms
+
     e = load_table(spark, sf_dir, "events")
-    arms = e.select(
-        "user_id",
-        F.when(
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 10000
-            < 5000,
-            "A",
-        )
-        .otherwise("B")
-        .alias("arm"),
-    ).distinct()
-    cells = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
-    tot = cells.agg(F.sum("n").alias("t"))
-    half = F.first("t") / 2.0
-    return cells.join(F.broadcast(tot), F.lit(True)).agg(
-        F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("n_a"),
-        F.sum(F.when(F.col("arm") == "B", F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("n_b"),
-        F.round(
-            F.sum(
-                (F.col("n") - F.col("t") / 2.0)
-                * (F.col("n") - F.col("t") / 2.0)
-                / (F.col("t") / 2.0)
-            ),
-            6,
-        ).alias("srm_chi2"),
-        F.lit(1).cast("bigint").alias("df"),
-    )
+    return srm_report(srm_user_arms(e))
 
 
 @query(
@@ -2521,4 +2492,93 @@ def pettitt_q(spark, sf_dir):
             ).alias("p_approx"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "twonn_intrinsic_dim_embeddings",
+    """
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS pid, e AS pe FROM emb WHERE vec_id < 24
+    ), dists AS (
+      SELECT p.pid, ROUND(list_distance(p.pe, c.e), 4) AS d, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY ROUND(list_distance(p.pe, c.e), 4)
+                                         ASC, c.vec_id ASC) AS rn
+      FROM probes p JOIN emb c ON c.vec_id <> p.pid
+    ), nn2 AS (
+      SELECT pid,
+             MAX(CASE WHEN rn = 1 THEN d END) AS r1,
+             MAX(CASE WHEN rn = 2 THEN d END) AS r2
+      FROM dists WHERE rn <= 2 GROUP BY pid
+    ), mu AS (
+      SELECT pid, r2 / r1 AS m FROM nn2 WHERE r1 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(AVG(m), 6) AS mean_mu,
+           ROUND(COUNT(*) / SUM(LN(m)), 4) AS intrinsic_dim
+    FROM mu
+    """,
+)
+def twonn_q(spark, sf_dir):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) from 24
+    probe points — the number that explains WHY the ANN family works
+    or doesn't: μᵢ = r₂/r₁ of each probe's two nearest neighbors
+    depends ONLY on the manifold's local dimension (Pareto with shape
+    d), so d̂ = m/Σln μ.  Ambient 64-dim embeddings with d̂ ≪ 64 is
+    the regime where IVF/PQ recall holds; d̂ → ambient means distance
+    concentration and every index degrades.  Probes broadcast against
+    one corpus scan (the kNN audited shape), ranks on ROUNDED
+    distances with vec_id tie-breaks (the cross-engine rank-key
+    convention); zero-distance duplicates are excluded from the
+    MLE."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    probes = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("pid"), F.col("e").alias("pe")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("pe"), F.col("e"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        4,
+    )
+    dists = (
+        F.broadcast(probes)
+        .join(emb, F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id", dist.alias("d"))
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("d").asc(), F.col("vec_id").asc()
+    )
+    nn2 = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("pid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("r1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("r2"),
+        )
+    )
+    mu = nn2.filter(F.col("r1") > 0).select(
+        (F.col("r2") / F.col("r1")).alias("m")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.round(F.avg("m"), 6).alias("mean_mu"),
+        F.round(F.count(F.lit(1)) / F.sum(F.log("m")), 4).alias(
+            "intrinsic_dim"
+        ),
     )

@@ -727,3 +727,44 @@ def drift_cusum_series(spark: SparkSession, state_path: str) -> DataFrame:
     from ..operators.profile import cusum_chart_report
 
     return cusum_chart_report(read_sketch(spark, state_path))
+
+
+def run_srm_monitor(
+    stream_df: DataFrame, checkpoint: str, state_path: str
+) -> None:
+    """Streaming twin of the sample-ratio-mismatch gate (registry
+    ``srm_check_events``): drain everything currently available,
+    folding each micro-batch's distinct (user_id, arm) assignments
+    into persisted state via :func:`sketch_fold_writer` —
+    exactly-once batch-id commits, staging + atomic-rename publishes,
+    replay-safe.  The fold is a SET UNION (a user's md5 arm never
+    changes), so any batch split of the same events produces an
+    identical state set, and :func:`srm_series` over it equals the
+    batch gate bit-for-bit (same shared ``profile.srm_report``
+    expressions).  The state is one row per user — the exact monitor;
+    at extreme user counts swap the build/merge pair for per-arm HLL
+    registers, same fold contract."""
+    from ..operators.profile import merge_srm_user_arms, srm_user_arms
+
+    writer = sketch_fold_writer(
+        state_path, srm_user_arms, merge_srm_user_arms
+    )
+    q = (
+        stream_df.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def srm_series(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current SRM readout of a streaming assignment monitor: the
+    chi-square report over the persisted (user_id, arm) set — the
+    identical ``profile.srm_report`` expressions the batch gate uses,
+    so streamed and batch readouts agree bit-for-bit on the same
+    events."""
+    from ..operators.profile import srm_report
+
+    return srm_report(read_sketch(spark, state_path))

@@ -68,6 +68,8 @@ SINGLE_PARTITION_OK = {
     # the bounded daily grid
     "pettitt_changepoint_daily_events",  # final orderBy on the
     # ≤|types| report rows (ranks/U windows are type-partitioned)
+    "twonn_intrinsic_dim_embeddings",  # 1-row MLE fold from the
+    # 24-probe μ frame (NN ranks are pid-partitioned)
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -329,6 +331,8 @@ BNLJ_OK = {
     # knn_label_accuracy audited shape) + the 1-row H fold
     "anderson_darling_two_sample_orders",  # 1-row (n1, n2, n) totals
     # crossJoin onto the cents grid
+    "twonn_intrinsic_dim_embeddings",  # 24-row probe frame broadcast
+    # against one corpus scan (the knn_label_accuracy audited shape)
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells

@@ -1073,3 +1073,52 @@ def test_streaming_cusum_readout_equals_batch_gate(spark, sf_dir, tmp_path):
         for r in Q["cusum_chart_daily_events"](spark, sf_dir).collect()
     ]
     assert streamed == batch and len(streamed) > 20
+
+
+def test_streaming_srm_monitor_matches_batch_and_replays(
+    spark, tmp_path, sf_dir
+):
+    """The SRM gate's streaming twin: draining the events corpus in
+    two uneven file batches and reading the chi-square report from
+    the persisted (user_id, arm) set must equal the batch gate
+    bit-for-bit (set-union state + the shared profile.srm_report
+    expressions), and a replayed drain must change nothing — a user
+    seen in both batches must count once."""
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        run_srm_monitor,
+        srm_series,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+
+    ev = load_table(spark, sf_dir, "events")
+    # uneven split by event (NOT by user): most users appear in both
+    # batches, so the set-union dedup is actually exercised
+    ev.filter(F.col("event_id") % 4 == 0).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_srm_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    ev.filter(F.col("event_id") % 4 != 0).write.mode("append").parquet(src)
+    run_srm_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+
+    def key(r):
+        return (r.n_a, r.n_b, r.srm_chi2, r.df)
+
+    streamed = [key(r) for r in srm_series(spark, state).collect()]
+    batch = [key(r) for r in Q["srm_check_events"](spark, sf_dir).collect()]
+    assert streamed == batch
+    assert streamed[0][0] > 0 and streamed[0][1] > 0
+
+    # replayed drain with no new data: state unchanged
+    run_srm_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    again = [key(r) for r in srm_series(spark, state).collect()]
+    assert again == streamed
