@@ -2582,3 +2582,438 @@ def twonn_q(spark, sf_dir):
             "intrinsic_dim"
         ),
     )
+
+
+# =====================================================================
+# Round-9 wave 17: modern rank inference / stationarity / spectrum
+# =====================================================================
+
+@query(
+    "brunner_munzel_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), hist AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS c2
+      FROM obs GROUP BY v
+    ), tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2, SUM(c1 + c2) AS n FROM hist
+    ), cum AS (
+      SELECT c1, c2,
+             SUM(c1 + c2) OVER w - (c1 + c2 - 1) / 2.0 AS rp,
+             SUM(c1) OVER w - (c1 - 1) / 2.0 AS rw1,
+             SUM(c2) OVER w - (c2 - 1) / 2.0 AS rw2
+      FROM hist WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), means AS (
+      SELECT SUM(c1 * rp) / ANY_VALUE(t.n1) AS m1,
+             SUM(c2 * rp) / ANY_VALUE(t.n2) AS m2,
+             ANY_VALUE(t.n1) AS n1, ANY_VALUE(t.n2) AS n2,
+             ANY_VALUE(t.n) AS n
+      FROM cum CROSS JOIN tot t
+    ), vs AS (
+      SELECT m.n1, m.n2, m.n, m.m1, m.m2,
+             SUM(c.c1 * (c.rp - c.rw1 - m.m1 + (m.n1 + 1) / 2.0)
+                      * (c.rp - c.rw1 - m.m1 + (m.n1 + 1) / 2.0))
+               / (m.n1 - 1) AS v1,
+             SUM(c.c2 * (c.rp - c.rw2 - m.m2 + (m.n2 + 1) / 2.0)
+                      * (c.rp - c.rw2 - m.m2 + (m.n2 + 1) / 2.0))
+               / (m.n2 - 1) AS v2
+      FROM cum c CROSS JOIN means m
+      GROUP BY m.n1, m.n2, m.n, m.m1, m.m2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+           ROUND((m2 - (n2 + 1) / 2.0) / n1, 6) AS p_hat,
+           ROUND(n1 * n2 * (m2 - m1) / n
+                 / SQRT(n1 * v1 + n2 * v2), 6) AS bm_stat,
+           ROUND((n1 * v1 + n2 * v2) * (n1 * v1 + n2 * v2)
+                 / ((n1 * v1) * (n1 * v1) / (n1 - 1)
+                    + (n2 * v2) * (n2 * v2) / (n2 - 1)), 4) AS df
+    FROM vs
+    """,
+)
+def brunner_munzel_q(spark, sf_dir):
+    """Brunner–Munzel rank test between finished and open order
+    prices — the modern replacement for Mann–Whitney when the two
+    groups may differ in SHAPE as well as location (MWU's variance
+    assumes exchangeability under H₀; BM estimates each group's rank
+    variance separately, the rank-world Welch): p̂ = P(X_F < X_O) +
+    ½P(=), studentized with per-group variances of (pooled − within)
+    midranks and a Welch-type df.  Every quantity is a grid-weighted
+    moment over the quantized-cents histogram (three cumulative
+    windows, one fold) — observations never materialize
+    individually."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    obs = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("c2"),
+    )
+    tot = hist.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).alias("n"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "c1",
+        "c2",
+        (
+            F.sum(F.col("c1") + F.col("c2")).over(w)
+            - (F.col("c1") + F.col("c2") - 1) / 2.0
+        ).alias("rp"),
+        (F.sum("c1").over(w) - (F.col("c1") - 1) / 2.0).alias("rw1"),
+        (F.sum("c2").over(w) - (F.col("c2") - 1) / 2.0).alias("rw2"),
+    ).join(F.broadcast(tot), F.lit(True))
+    means = cum.agg(
+        (F.sum(F.col("c1") * F.col("rp")) / F.first("n1")).alias("m1"),
+        (F.sum(F.col("c2") * F.col("rp")) / F.first("n2")).alias("m2"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.first("n").alias("n"),
+    )
+    j = cum.join(F.broadcast(means), F.lit(True))
+    d1 = (
+        F.col("rp")
+        - F.col("rw1")
+        - F.col("m1")
+        + (means["n1"] + 1) / 2.0
+    )
+    d2 = (
+        F.col("rp")
+        - F.col("rw2")
+        - F.col("m2")
+        + (means["n2"] + 1) / 2.0
+    )
+    vs = j.groupBy(
+        means["n1"].alias("n1"),
+        means["n2"].alias("n2"),
+        means["n"].alias("n"),
+        "m1",
+        "m2",
+    ).agg(
+        (F.sum(F.col("c1") * d1 * d1) / (means["n1"] - 1)).alias("v1"),
+        (F.sum(F.col("c2") * d2 * d2) / (means["n2"] - 1)).alias("v2"),
+    )
+    nv = F.col("n1") * F.col("v1") + F.col("n2") * F.col("v2")
+    return vs.select(
+        F.col("n1").cast("bigint").alias("n_f"),
+        F.col("n2").cast("bigint").alias("n_o"),
+        F.round(
+            (F.col("m2") - (F.col("n2") + 1) / 2.0) / F.col("n1"), 6
+        ).alias("p_hat"),
+        F.round(
+            F.col("n1")
+            * F.col("n2")
+            * (F.col("m2") - F.col("m1"))
+            / F.col("n")
+            / F.sqrt(nv),
+            6,
+        ).alias("bm_stat"),
+        F.round(
+            nv
+            * nv
+            / (
+                F.col("n1")
+                * F.col("v1")
+                * F.col("n1")
+                * F.col("v1")
+                / (F.col("n1") - 1)
+                + F.col("n2")
+                * F.col("v2")
+                * F.col("n2")
+                * F.col("v2")
+                / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("df"),
+    )
+
+
+@query(
+    "dunn_posthoc_priority_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ), hist AS (
+      SELECT v, g, COUNT(*) AS c FROM obs GROUP BY v, g
+    ), pooled AS (
+      SELECT v, SUM(c) AS l FROM hist GROUP BY v
+    ), ranked AS (
+      SELECT v, SUM(l) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (l - 1) / 2.0 AS rp, l
+      FROM pooled
+    ), tot AS (
+      SELECT SUM(l) AS n, SUM(l * l * l - l) AS tie FROM ranked
+    ), cells AS (
+      SELECT h.g, SUM(h.c) AS n_g, SUM(h.c * r.rp) / SUM(h.c) AS mr
+      FROM hist h JOIN ranked r ON h.v = r.v GROUP BY h.g
+    )
+    SELECT a.g AS g_a, b.g AS g_b,
+           ROUND((a.mr - b.mr)
+                 / SQRT((CAST(t.n AS DOUBLE) * (t.n + 1) / 12.0
+                         - CAST(t.tie AS DOUBLE) / (12.0 * (t.n - 1)))
+                        * (1.0 / a.n_g + 1.0 / b.n_g)), 6) AS dunn_z
+    FROM cells a JOIN cells b ON a.g < b.g CROSS JOIN tot t
+    ORDER BY g_a, g_b
+    """,
+)
+def dunn_posthoc_q(spark, sf_dir):
+    """Dunn's post-hoc test for every priority pair — the step after
+    a significant Kruskal–Wallis (which only says SOME group
+    differs): zᵢⱼ = (R̄ᵢ−R̄ⱼ)/√((N(N+1)/12 − ΣT/(12(N−1)))(1/nᵢ+1/nⱼ))
+    with the tie correction, on the SAME pooled midranks KW used
+    (re-ranking per pair, the common mistake, breaks the
+    comparisons' coherence).  Pooled midranks from one cents-grid
+    window; the pair sweep is the k²-bounded Tukey shape."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+    pooled = hist.groupBy("v").agg(F.sum("c").alias("l"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pooled.select(
+        "v",
+        "l",
+        (F.sum("l").over(w) - (F.col("l") - 1) / 2.0).alias("rp"),
+    )
+    tot = ranked.agg(
+        F.sum("l").alias("n"),
+        F.sum(F.col("l") * F.col("l") * F.col("l") - F.col("l")).alias(
+            "tie"
+        ),
+    )
+    cells = (
+        hist.join(ranked.select("v", "rp"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_g"),
+            (F.sum(F.col("c") * F.col("rp")) / F.sum("c")).alias("mr"),
+        )
+    )
+    a = cells.select(
+        F.col("g").alias("g_a"),
+        F.col("n_g").alias("na"),
+        F.col("mr").alias("ma"),
+    )
+    b = cells.select(
+        F.col("g").alias("g_b"),
+        F.col("n_g").alias("nb"),
+        F.col("mr").alias("mb"),
+    )
+    var = (
+        F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+        - F.col("tie").cast("double") / (12.0 * (F.col("n") - 1))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "g_a",
+            "g_b",
+            F.round(
+                (F.col("ma") - F.col("mb"))
+                / F.sqrt(var * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+                6,
+            ).alias("dunn_z"),
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+@query(
+    "dickey_fuller_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, y - LAG(y) OVER w AS dy, LAG(y) OVER w AS yl
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(yl) AS sx,
+             SUM(yl * yl) AS sxx, SUM(dy) AS sy, SUM(dy * dy) AS syy,
+             SUM(yl * dy) AS sxy
+      FROM lagged WHERE dy IS NOT NULL GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, n,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta,
+             ((syy - sy * sy / n)
+              - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                / (sxx - sx * sx / n)) / (n - 2) AS s2,
+             sxx - sx * sx / n AS sxx_c
+      FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           ROUND(beta, 6) AS beta,
+           ROUND(beta / SQRT(s2 / sxx_c), 6) AS df_stat
+    FROM fit ORDER BY event_type
+    """,
+)
+def dickey_fuller_q(spark, sf_dir):
+    """Dickey–Fuller unit-root test per event type's daily value
+    series — the stationarity gate every AR/smoothing fit upstream
+    silently assumes (fit an AR(2) to a random walk and the
+    coefficients are meaningless): Δy_t = α + βy_{t−1} + ε, DF =
+    β̂/se(β̂), strongly negative ⇒ mean-reverting, ≈0 ⇒ unit root.
+    Closed-form OLS on the bounded daily grid — one LAG window + one
+    moment fold (critical values are the Dickey–Fuller table's, not
+    Student's t; the gate reports the statistic)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("yl"),
+    ).filter(F.col("dy").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yl").alias("sx"),
+        F.sum(F.col("yl") * F.col("yl")).alias("sxx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("yl") * F.col("dy")).alias("sxy"),
+    )
+    n = F.col("n")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / n
+    beta = sxy_c / sxx_c
+    s2 = (syy_c - sxy_c * sxy_c / sxx_c) / (n - 2)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_obs"),
+        F.round(beta, 6).alias("beta"),
+        F.round(beta / F.sqrt(s2 / sxx_c), 6).alias("df_stat"),
+    ).orderBy("event_type")
+
+
+@query(
+    "effective_rank_embeddings",
+    """
+    WITH emb AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), flat AS (
+      SELECT i.j, e[i.j] AS xj, e AS e2
+      FROM emb CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
+    ), pairs AS (
+      SELECT j, k.k, xj * e2[k.k] AS p
+      FROM flat CROSS JOIN (SELECT unnest(range(1, 65)) AS k) k
+      WHERE k.k >= j
+    ), cov AS (
+      SELECT p.j, p.k,
+             SUM(p.p) / t.n - (mj.mu * mk.mu) AS c
+      FROM pairs p
+      JOIN (SELECT COUNT(*) AS n FROM emb) t ON TRUE
+      JOIN (SELECT i.j, AVG(e[i.j]) AS mu
+            FROM emb CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
+            GROUP BY i.j) mj ON mj.j = p.j
+      JOIN (SELECT i.j AS k, AVG(e[i.j]) AS mu
+            FROM emb CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
+            GROUP BY i.j) mk ON mk.k = p.k
+      GROUP BY p.j, p.k, t.n, mj.mu, mk.mu
+    ), traces AS (
+      SELECT SUM(CASE WHEN j = k THEN c ELSE 0 END) AS tr,
+             SUM(CASE WHEN j = k THEN c * c ELSE 2 * c * c END) AS tr2
+      FROM cov
+    )
+    SELECT CAST(64 AS BIGINT) AS ambient_dim,
+           ROUND(tr, 6) AS trace_cov,
+           ROUND(tr * tr / tr2, 4) AS effective_rank
+    FROM traces
+    """,
+)
+def effective_rank_q(spark, sf_dir):
+    """Participation-ratio effective rank of the embedding covariance
+    — tr(C)²/tr(C²), the eigen-spectrum concentration WITHOUT an
+    eigendecomposition (tr C = Σλ, tr C² = Σλ², so the ratio is the
+    inverse Herfindahl of the spectrum: 1 if one direction carries
+    everything, 64 if isotropic).  The anisotropy number behind PCA
+    truncation depth, Matryoshka prefix choice, and random-projection
+    dimension.  Two chained posexplodes build the j ≤ k upper
+    triangle as a map-only stream into a (64×65/2)-cell hash agg —
+    dimension-bounded, never a vector×vector join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    flat = emb.select(
+        F.posexplode("e").alias("j0", "xj"), F.col("e").alias("e2")
+    )
+    pairs = flat.select(
+        (F.col("j0") + 1).alias("j"),
+        F.posexplode("e2").alias("k0", "xk"),
+        F.col("xj"),
+    ).filter(F.col("k0") + 1 >= F.col("j")).select(
+        "j",
+        (F.col("k0") + 1).alias("k"),
+        (F.col("xj") * F.col("xk")).alias("p"),
+    )
+    n_tot = emb.agg(F.count(F.lit(1)).alias("n"))
+    mus = (
+        emb.select(F.posexplode("e").alias("j0", "x"))
+        .groupBy((F.col("j0") + 1).alias("j"))
+        .agg(F.avg("x").alias("mu"))
+    )
+    cov = (
+        pairs.groupBy("j", "k")
+        .agg(F.sum("p").alias("sp"))
+        .join(F.broadcast(n_tot), F.lit(True))
+        .join(F.broadcast(mus.withColumnRenamed("mu", "muj")), "j")
+        .join(
+            F.broadcast(
+                mus.withColumnRenamed("j", "k").withColumnRenamed(
+                    "mu", "muk"
+                )
+            ),
+            "k",
+        )
+        .select(
+            "j",
+            "k",
+            (
+                F.col("sp") / F.col("n") - F.col("muj") * F.col("muk")
+            ).alias("c"),
+        )
+    )
+    traces = cov.agg(
+        F.sum(
+            F.when(F.col("j") == F.col("k"), F.col("c")).otherwise(0.0)
+        ).alias("tr"),
+        F.sum(
+            F.when(
+                F.col("j") == F.col("k"), F.col("c") * F.col("c")
+            ).otherwise(2 * F.col("c") * F.col("c"))
+        ).alias("tr2"),
+    )
+    return traces.select(
+        F.lit(64).cast("bigint").alias("ambient_dim"),
+        F.round("tr", 6).alias("trace_cov"),
+        F.round(F.col("tr") * F.col("tr") / F.col("tr2"), 4).alias(
+            "effective_rank"
+        ),
+    )

@@ -70,6 +70,14 @@ SINGLE_PARTITION_OK = {
     # ≤|types| report rows (ranks/U windows are type-partitioned)
     "twonn_intrinsic_dim_embeddings",  # 1-row MLE fold from the
     # 24-probe μ frame (NN ranks are pid-partitioned)
+    "brunner_munzel_orders",          # cumulative windows over the
+    # quantized-cents grid (the CvM audited shape) + 1-row folds
+    "dunn_posthoc_priority_orders",   # cents-grid rank window + the
+    # k²-bounded pair sweep report
+    "dickey_fuller_daily_events",     # final orderBy on the ≤|types|
+    # report rows
+    "effective_rank_embeddings",      # 1-row trace fold from the
+    # 2080-cell dimension-bounded covariance grid
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -333,6 +341,12 @@ BNLJ_OK = {
     # crossJoin onto the cents grid
     "twonn_intrinsic_dim_embeddings",  # 24-row probe frame broadcast
     # against one corpus scan (the knn_label_accuracy audited shape)
+    "brunner_munzel_orders",          # 1-row totals/means crossJoins
+    # onto the cents grid
+    "dunn_posthoc_priority_orders",   # 5-row cell frame inequality
+    # pair join + 1-row totals crossJoin (the tukey_hsd shape)
+    "effective_rank_embeddings",      # 1-row n + 64-row μ broadcasts
+    # onto the dimension-bounded covariance grid
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells

@@ -522,3 +522,115 @@ def test_pettitt_monotone_series(spark, tmp_path):
     assert abs(r.k_stat - 9.0) < 1e-9
     assert r.break_day == dt.date(2024, 3, 6)
     assert abs(r.p_approx - 2 * math.exp(-486.0 / 252.0)) < 1e-6
+
+
+def test_brunner_munzel_hand_interleaved(spark, tmp_path):
+    """F = {1, 3}, O = {2, 4}: pooled ranks (1,3) vs (2,4), within
+    ranks (1,2) each → v₁ = v₂ = 0.5, p̂ = 0.75, BM = 4·1/(4·√2) =
+    1/√2, Welch df = 4/(1+1) = 2 — worked by hand from Brunner &
+    Munzel (2000)."""
+    rows = [(1, "F", 1.0), (2, "F", 3.0), (3, "O", 2.0), (4, "O", 4.0)]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    r = Q["brunner_munzel_orders"](spark, sf).collect()[0]
+    assert r.n_f == 2 and r.n_o == 2
+    assert abs(r.p_hat - 0.75) < 1e-9
+    assert abs(r.bm_stat - 1 / math.sqrt(2)) < 1e-6
+    assert abs(r.df - 2.0) < 1e-6
+
+
+def test_dunn_posthoc_no_tie_ladder(spark, tmp_path):
+    """A={1,2}, B={3,4}, C={5,6}: pooled mean ranks 1.5/3.5/5.5, no
+    ties → z_AB = −2/√(3.5·1) for every adjacent pair and
+    z_AC = −4/√3.5 — the pooled-rank coherence a per-pair re-rank
+    would break."""
+    rows = [(i + 1, g, float(v)) for i, (g, v) in enumerate(
+        [("A", 1), ("A", 2), ("B", 3), ("B", 4), ("C", 5), ("C", 6)]
+    )]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    out = {
+        (r.g_a, r.g_b): r.dunn_z
+        for r in Q["dunn_posthoc_priority_orders"](spark, sf).collect()
+    }
+    s = math.sqrt(3.5)
+    assert abs(out[("A", "B")] - (-2 / s)) < 1e-6
+    assert abs(out[("B", "C")] - (-2 / s)) < 1e-6
+    assert abs(out[("A", "C")] - (-4 / s)) < 1e-6
+
+
+def test_dickey_fuller_first_principles(spark, tmp_path):
+    """Mean-reverting daily series (alternating 10±1): β̂ of
+    Δy on y₋₁ must match the closed-form OLS computed here on the
+    same numbers, and be strongly negative (β → −2 for a perfect
+    alternation)."""
+    t0 = dt.date(2024, 3, 4)
+    ys = [10 + (1 if d % 2 == 0 else -1) for d in range(10)]
+    rows = []
+    eid = 0
+    for d, y in enumerate(ys):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10)),
+                1,
+                "view",
+                float(y),
+                "",
+            )
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["dickey_fuller_daily_events"](spark, sf).collect()[0]
+    dys = [ys[t] - ys[t - 1] for t in range(1, len(ys))]
+    yls = ys[:-1]
+    n = len(dys)
+    sx, sy = sum(yls), sum(dys)
+    sxx = sum(x * x for x in yls)
+    sxy = sum(x * y for x, y in zip(yls, dys))
+    beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert r.n_obs == n
+    assert abs(r.beta - beta) < 1e-6
+    assert r.beta < -1.5  # strong mean reversion
+    assert r.df_stat < 0
+
+
+def test_effective_rank_constructed_spectra(spark, tmp_path):
+    """Variance confined to dim 1 → effective rank 1 exactly; equal
+    variance split across dims 1 and 2 → exactly 2 (the participation
+    ratio tr²/tr(C²) needs no eigendecomposition to see it)."""
+    import pyspark.sql.types as T
+
+    def write(vectors, path):
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField(
+                    "embedding", T.ArrayType(T.FloatType())
+                ),
+                T.StructField("label", T.IntegerType()),
+            ]
+        )
+        rows = [
+            (i, [float(x) for x in v] + [0.0] * (64 - len(v)), 0)
+            for i, v in enumerate(vectors)
+        ]
+        spark.createDataFrame(rows, schema).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/embeddings.parquet")
+        return str(path)
+
+    sf1 = write([[1.0], [-1.0], [2.0], [-2.0]], tmp_path)
+    r1 = Q["effective_rank_embeddings"](spark, sf1).collect()[0]
+    assert abs(r1.effective_rank - 1.0) < 1e-6
+
+    sf2 = write(
+        [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]],
+        f"{tmp_path}_2",
+    )
+    r2 = Q["effective_rank_embeddings"](spark, sf2).collect()[0]
+    assert abs(r2.effective_rank - 2.0) < 1e-6
