@@ -3017,3 +3017,232 @@ def effective_rank_q(spark, sf_dir):
             "effective_rank"
         ),
     )
+
+
+# =====================================================================
+# Round-9 wave 18: seasonal trend / random-walk diagnostics
+# =====================================================================
+
+@query(
+    "seasonal_mann_kendall_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.dow = a.dow AND b.d > a.d
+      GROUP BY a.event_type
+    ), nn AS (
+      SELECT event_type, dow, COUNT(*) AS n
+      FROM daily GROUP BY event_type, dow
+    ), ties AS (
+      SELECT event_type, dow,
+             SUM(CAST(t * (t - 1) AS BIGINT) * (2 * t + 5)) AS tie_term
+      FROM (SELECT event_type, dow, c, COUNT(*) AS t
+            FROM daily GROUP BY event_type, dow, c) g
+      WHERE t > 1 GROUP BY event_type, dow
+    ), v AS (
+      SELECT nn.event_type,
+             SUM(nn.n) AS n,
+             SUM((CAST(nn.n * (nn.n - 1) AS BIGINT) * (2 * nn.n + 5)
+                  - COALESCE(ties.tie_term, 0)) / 18.0) AS var_s
+      FROM nn LEFT JOIN ties USING (event_type, dow)
+      GROUP BY nn.event_type
+    )
+    SELECT v.event_type, CAST(v.n AS BIGINT) AS n_days,
+           CAST(s.s_stat AS BIGINT) AS s_stat,
+           ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt(v.var_s)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt(v.var_s)
+                      ELSE 0.0 END, 6) AS z
+    FROM v JOIN s USING (event_type) ORDER BY v.event_type
+    """,
+)
+def seasonal_mk_q(spark, sf_dir):
+    """Seasonal Mann–Kendall per event type (Hirsch–Slack): the S
+    statistic summed over day-of-week STRATA — Mondays compare only
+    to Mondays — so a strong weekly cycle cannot masquerade as (or
+    mask) a monotone trend the way it can in the plain MK gate.
+    Sₛₑₐₛ = Σ_dow S_dow, Var = Σ_dow Var_dow (tie-corrected per
+    stratum), continuity-corrected z.  The pair join is per-(type,
+    dow) on the bounded daily grid — strata cut each pair bucket to
+    ~1/7th of plain MK's."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = e.groupBy(
+        "event_type",
+        day.alias("d"),
+        (F.weekday(day) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.dow") == F.col("a.dow"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "dow", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum(
+                (F.col("t") * (F.col("t") - 1)).cast("bigint")
+                * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(ties, ["event_type", "dow"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(
+                (
+                    (F.col("n") * (F.col("n") - 1)).cast("bigint")
+                    * (2 * F.col("n") + 5)
+                    - F.coalesce(F.col("tie_term"), F.lit(0))
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    return (
+        v.join(s, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("s_stat").cast("bigint").alias("s_stat"),
+            F.round(
+                F.when(
+                    F.col("s_stat") > 0,
+                    (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+                )
+                .when(
+                    F.col("s_stat") < 0,
+                    (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+                )
+                .otherwise(0.0),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "variance_ratio_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type,
+             y - LAG(y, 1) OVER w AS d1,
+             y - LAG(y, 5) OVER w AS d5
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), m1 AS (
+      SELECT event_type, COUNT(d1) AS n1, AVG(d1) AS mu
+      FROM lagged GROUP BY event_type
+    ), v AS (
+      SELECT l.event_type, ANY_VALUE(m.n1) AS n,
+             SUM((l.d1 - m.mu) * (l.d1 - m.mu)) / (ANY_VALUE(m.n1) - 1)
+               AS v1,
+             SUM(CASE WHEN l.d5 IS NULL THEN 0
+                      ELSE (l.d5 - 5 * m.mu) * (l.d5 - 5 * m.mu) END)
+               / (COUNT(l.d5) - 1) AS v5
+      FROM lagged l JOIN m1 m ON l.event_type = m.event_type
+      WHERE l.d1 IS NOT NULL
+      GROUP BY l.event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_diffs,
+           ROUND(v5 / (5 * v1), 6) AS vr5,
+           ROUND((v5 / (5 * v1) - 1)
+                 / SQRT(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n)),
+                 6) AS z
+    FROM v ORDER BY event_type
+    """,
+)
+def variance_ratio_q(spark, sf_dir):
+    """Lo–MacKinlay variance-ratio test (q = 5) per event type's
+    daily value series — the random-walk diagnostic that reads
+    AGGREGATION behavior (a true random walk has var(5-day diff) =
+    5·var(1-day diff); VR < 1 ⇒ mean reversion, VR > 1 ⇒ momentum),
+    complementing Dickey–Fuller's regression view of the same
+    question.  Overlapping q-differences from one LAG window,
+    homoscedastic z = (VR−1)/√(2(2q−1)(q−1)/(3qn)).  Bounded daily
+    grid, one moment fold per type."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0
+        ).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        (F.col("y") - F.lag("y", 1).over(w)).alias("d1"),
+        (F.col("y") - F.lag("y", 5).over(w)).alias("d5"),
+    )
+    m1 = lagged.groupBy("event_type").agg(
+        F.count("d1").alias("n1"), F.avg("d1").alias("mu")
+    )
+    v = (
+        lagged.filter(F.col("d1").isNotNull())
+        .join(m1, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n1").alias("n"),
+            (
+                F.sum(
+                    (F.col("d1") - F.col("mu"))
+                    * (F.col("d1") - F.col("mu"))
+                )
+                / (F.first("n1") - 1)
+            ).alias("v1"),
+            (
+                F.sum(
+                    F.when(F.col("d5").isNull(), 0.0).otherwise(
+                        (F.col("d5") - 5 * F.col("mu"))
+                        * (F.col("d5") - 5 * F.col("mu"))
+                    )
+                )
+                / (F.count("d5") - 1)
+            ).alias("v5"),
+        )
+    )
+    q = 5
+    vr = F.col("v5") / (q * F.col("v1"))
+    return v.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_diffs"),
+        F.round(vr, 6).alias("vr5"),
+        F.round(
+            (vr - 1)
+            / F.sqrt(
+                2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * F.col("n"))
+            ),
+            6,
+        ).alias("z"),
+    ).orderBy("event_type")

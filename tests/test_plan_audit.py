@@ -78,6 +78,10 @@ SINGLE_PARTITION_OK = {
     # report rows
     "effective_rank_embeddings",      # 1-row trace fold from the
     # 2080-cell dimension-bounded covariance grid
+    "seasonal_mann_kendall_events",   # final orderBy on the ≤|types|
+    # report rows (the mann_kendall audited shape)
+    "variance_ratio_daily_events",    # final orderBy on the ≤|types|
+    # report rows
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
