@@ -3246,3 +3246,295 @@ def variance_ratio_q(spark, sf_dir):
             6,
         ).alias("z"),
     ).orderBy("event_type")
+
+
+# =====================================================================
+# Round-9 wave 19: joint location-scale / robust shift / ordinal
+# agreement
+# =====================================================================
+
+@query(
+    "cucconi_location_scale_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), hist AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS c2
+      FROM obs GROUP BY v
+    ), tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2, SUM(c1 + c2) AS n FROM hist
+    ), cum AS (
+      SELECT c2,
+             SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (c1 + c2 - 1) / 2.0 AS rp
+      FROM hist
+    ), folds AS (
+      SELECT SUM(c.c2 * c.rp * c.rp) AS sr2,
+             SUM(c.c2 * (t.n + 1 - c.rp) * (t.n + 1 - c.rp)) AS sc2,
+             ANY_VALUE(t.n1) AS n1, ANY_VALUE(t.n2) AS n2,
+             ANY_VALUE(t.n) AS n
+      FROM cum c CROSS JOIN tot t
+    ), uv AS (
+      SELECT n1, n2, n,
+             (6 * sr2 - n2 * (n + 1.0) * (2 * n + 1))
+               / SQRT(n1 * n2 * (n + 1.0) * (2 * n + 1) * (8 * n + 11)
+                      / 5.0) AS u,
+             (6 * sc2 - n2 * (n + 1.0) * (2 * n + 1))
+               / SQRT(n1 * n2 * (n + 1.0) * (2 * n + 1) * (8 * n + 11)
+                      / 5.0) AS w,
+             2.0 * (n * n - 4) / ((2 * n + 1.0) * (8 * n + 11)) - 1
+               AS rho
+      FROM folds
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+           ROUND(u, 6) AS u_stat, ROUND(w, 6) AS v_stat,
+           ROUND((u * u + w * w - 2 * rho * u * w)
+                 / (2 * (1 - rho * rho)), 6) AS cucconi_c
+    FROM uv
+    """,
+)
+def cucconi_q(spark, sf_dir):
+    """Cucconi joint location-scale test between finished and open
+    order prices — ONE test for "did the center or the spread move?"
+    (running MWU + Ansari-type scale tests separately needs a
+    multiplicity correction and misses the correlation between the
+    two questions; Cucconi's C combines the standardized squared-rank
+    sum U and its contrary-rank mirror V with their exact H₀
+    correlation ρ): C = (U² + V² − 2ρUV)/(2(1−ρ²)).  Midrank sums
+    are grid-weighted folds over the quantized-cents histogram — one
+    window, one fold."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    obs = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("c2"),
+    )
+    tot = hist.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).alias("n"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "c2",
+        (
+            F.sum(F.col("c1") + F.col("c2")).over(w)
+            - (F.col("c1") + F.col("c2") - 1) / 2.0
+        ).alias("rp"),
+    ).join(F.broadcast(tot), F.lit(True))
+    folds = cum.agg(
+        F.sum(F.col("c2") * F.col("rp") * F.col("rp")).alias("sr2"),
+        F.sum(
+            F.col("c2")
+            * (F.col("n") + 1 - F.col("rp"))
+            * (F.col("n") + 1 - F.col("rp"))
+        ).alias("sc2"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.first("n").alias("n"),
+    )
+    n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
+    den = F.sqrt(
+        n1 * n2 * (n + 1.0) * (2 * n + 1) * (8 * n + 11) / 5.0
+    )
+    u = (6 * F.col("sr2") - n2 * (n + 1.0) * (2 * n + 1)) / den
+    vv = (6 * F.col("sc2") - n2 * (n + 1.0) * (2 * n + 1)) / den
+    rho = 2.0 * (n * n - 4) / ((2 * n + 1.0) * (8 * n + 11)) - 1
+    return folds.select(
+        n1.cast("bigint").alias("n_f"),
+        n2.cast("bigint").alias("n_o"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(vv, 6).alias("v_stat"),
+        F.round(
+            (u * u + vv * vv - 2 * rho * u * vv)
+            / (2 * (1 - rho * rho)),
+            6,
+        ).alias("cucconi_c"),
+    )
+
+
+@query(
+    "hodges_lehmann_shift_lineitem",
+    """
+    WITH obs AS (
+      SELECT l_returnflag AS g, CAST(ROUND(l_quantity) AS BIGINT) AS q
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), g1 AS (
+      SELECT q, COUNT(*) AS c FROM obs WHERE g = 'R' GROUP BY q
+    ), g2 AS (
+      SELECT q, COUNT(*) AS c FROM obs WHERE g = 'N' GROUP BY q
+    ), diffs AS (
+      SELECT g1.q - g2.q AS d,
+             SUM(CAST(g1.c AS HUGEINT) * g2.c) AS w
+      FROM g1 CROSS JOIN g2 GROUP BY g1.q - g2.q
+    ), cum AS (
+      SELECT d, w,
+             SUM(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS f,
+             (SELECT SUM(w) FROM diffs) AS tw
+      FROM diffs
+    )
+    SELECT CAST(ANY_VALUE(tw) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN 2 * f >= tw THEN d END) AS BIGINT)
+             AS hl_shift
+    FROM cum
+    """,
+)
+def hodges_lehmann_q(spark, sf_dir):
+    """Hodges–Lehmann shift estimator between returned and
+    non-returned line-item quantities — the ROBUST effect size in
+    UNITS (median of all n₁·n₂ pairwise differences; Hedges' g gives
+    standardized magnitude, Cliff's δ a probability — HL answers "how
+    many units higher?", immune to outliers that wreck the mean
+    difference).  The pairwise-difference distribution is the
+    convolution of two ≤50-value quantity grids: a bounded 50×50
+    grid join with exact HUGEINT pair weights, then one cumulative
+    window for the weighted lower median — never an n₁·n₂ row
+    materialization."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    obs = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+    )
+    g1 = obs.filter(F.col("g") == "R").groupBy("q").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g2 = (
+        obs.filter(F.col("g") == "N")
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumnRenamed("q", "q2")
+        .withColumnRenamed("c", "c2")
+    )
+    diffs = (
+        g1.join(F.broadcast(g2), F.lit(True))
+        .groupBy((F.col("q") - F.col("q2")).alias("d"))
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c2")
+            ).alias("w")
+        )
+    )
+    tw = diffs.agg(F.sum("w").alias("tw"))
+    wv = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = diffs.select(
+        "d", F.sum("w").over(wv).alias("f")
+    ).join(F.broadcast(tw), F.lit(True))
+    return cum.agg(
+        F.first("tw").cast("bigint").alias("n_pairs"),
+        F.min(
+            F.when(2 * F.col("f") >= F.col("tw"), F.col("d"))
+        )
+        .cast("bigint")
+        .alias("hl_shift"),
+    )
+
+
+@query(
+    "weighted_kappa_quality_docs",
+    r"""
+    WITH rated AS (
+      SELECT LEAST(3, n_chars // 150) AS a,
+             LEAST(3, CAST(len(string_split_regex(lower(trim(text)),
+                           '\s+')) AS BIGINT) // 30) AS b
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), grid AS (
+      SELECT a, b, COUNT(*) AS c FROM rated GROUP BY a, b
+    ), tot AS (
+      SELECT SUM(c) AS n FROM grid
+    ), ma AS (
+      SELECT a, SUM(c) AS ca FROM grid GROUP BY a
+    ), mb AS (
+      SELECT b, SUM(c) AS cb FROM grid GROUP BY b
+    ), po AS (
+      SELECT SUM((1 - ABS(g.a - g.b) / 3.0) * g.c) / ANY_VALUE(t.n)
+               AS p_obs
+      FROM grid g CROSS JOIN tot t
+    ), pe AS (
+      SELECT SUM((1 - ABS(ma.a - mb.b) / 3.0)
+                 * (CAST(ma.ca AS DOUBLE) / t.n)
+                 * (CAST(mb.cb AS DOUBLE) / t.n)) AS p_exp
+      FROM ma CROSS JOIN mb CROSS JOIN tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_docs,
+           ROUND(po.p_obs, 6) AS p_obs,
+           ROUND(pe.p_exp, 6) AS p_exp,
+           ROUND((po.p_obs - pe.p_exp) / (1 - pe.p_exp), 6)
+             AS weighted_kappa
+    FROM po CROSS JOIN pe CROSS JOIN tot t
+    """,
+)
+def weighted_kappa_q(spark, sf_dir):
+    """Linear-weighted Cohen's kappa between two ORDINAL document
+    size raters (char-count band vs token-count band, 4 levels) —
+    the ordinal agreement measure (plain kappa treats a one-band
+    disagreement as badly as a three-band one; linear weights
+    wᵢⱼ = 1 − |i−j|/(k−1) credit near-misses, which is what graded
+    quality raters need): κ_w = (p_o(w) − p_e(w))/(1 − p_e(w)).
+    The corpus reduces to a 4×4 contingency grid plus its marginals
+    — one hash-agg and bounded broadcast folds."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    wc = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    rated = d.select(
+        F.least(
+            F.lit(3), (F.col("n_chars") / 150).cast("bigint")
+        ).alias("a"),
+        F.least(F.lit(3), (wc / 30).cast("bigint")).alias("b"),
+    )
+    grid = rated.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = grid.agg(F.sum("c").alias("n"))
+    ma = grid.groupBy("a").agg(F.sum("c").alias("ca"))
+    mb = grid.groupBy("b").agg(F.sum("c").alias("cb"))
+    po = (
+        grid.join(F.broadcast(tot), F.lit(True))
+        .agg(
+            (
+                F.sum(
+                    (1 - F.abs(F.col("a") - F.col("b")) / 3.0)
+                    * F.col("c")
+                )
+                / F.first("n")
+            ).alias("p_obs")
+        )
+    )
+    pe = (
+        ma.join(F.broadcast(mb), F.lit(True))
+        .join(F.broadcast(tot), F.lit(True))
+        .agg(
+            F.sum(
+                (1 - F.abs(F.col("a") - F.col("b")) / 3.0)
+                * (F.col("ca").cast("double") / F.col("n"))
+                * (F.col("cb").cast("double") / F.col("n"))
+            ).alias("p_exp")
+        )
+    )
+    return (
+        po.join(F.broadcast(pe), F.lit(True))
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round("p_obs", 6).alias("p_obs"),
+            F.round("p_exp", 6).alias("p_exp"),
+            F.round(
+                (F.col("p_obs") - F.col("p_exp"))
+                / (1 - F.col("p_exp")),
+                6,
+            ).alias("weighted_kappa"),
+        )
+    )

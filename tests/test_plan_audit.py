@@ -82,6 +82,12 @@ SINGLE_PARTITION_OK = {
     # report rows (the mann_kendall audited shape)
     "variance_ratio_daily_events",    # final orderBy on the ≤|types|
     # report rows
+    "cucconi_location_scale_orders",  # cumulative window over the
+    # quantized-cents grid (the CvM audited shape) + 1-row folds
+    "hodges_lehmann_shift_lineitem",  # cumulative window over the
+    # ≤99-value difference grid + 1-row weighted-median fold
+    "weighted_kappa_quality_docs",    # 1-row p_o/p_e folds from the
+    # 4×4 contingency grid
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -351,6 +357,12 @@ BNLJ_OK = {
     # pair join + 1-row totals crossJoin (the tukey_hsd shape)
     "effective_rank_embeddings",      # 1-row n + 64-row μ broadcasts
     # onto the dimension-bounded covariance grid
+    "cucconi_location_scale_orders",  # 1-row totals crossJoin onto
+    # the cents grid
+    "hodges_lehmann_shift_lineitem",  # ≤50-row × ≤50-row quantity
+    # grid crossJoin (the convolution) + 1-row weight total
+    "weighted_kappa_quality_docs",    # 4-row marginal / 1-row total
+    # broadcasts onto the bounded grid
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells

@@ -634,3 +634,73 @@ def test_effective_rank_constructed_spectra(spark, tmp_path):
     )
     r2 = Q["effective_rank_embeddings"](spark, sf2).collect()[0]
     assert abs(r2.effective_rank - 2.0) < 1e-6
+
+
+def test_cucconi_hand_interleaved(spark, tmp_path):
+    """F = {1, 3}, O = {2, 4}: ΣR²(O) = 20, contrary Σ = 10, so
+    U = 30/(6√43), V = −U, ρ = 24/387 − 1 — C follows from Marozzi's
+    closed form, worked by hand (a sign slip in the contrary ranks
+    or a wrong ρ polynomial moves C by > 0.1)."""
+    rows = [(1, "F", 1.0), (2, "F", 3.0), (3, "O", 2.0), (4, "O", 4.0)]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    r = Q["cucconi_location_scale_orders"](spark, sf).collect()[0]
+    den = 6 * math.sqrt(43)
+    u = 30 / den
+    v = -30 / den
+    rho = 24.0 / 387.0 - 1
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert r.n_f == 2 and r.n_o == 2
+    assert abs(r.u_stat - u) < 1e-6
+    assert abs(r.v_stat - v) < 1e-6
+    assert abs(r.cucconi_c - c) < 1e-6
+
+
+def test_hodges_lehmann_hand_grid(spark, tmp_path):
+    """R = {10, 20}, N = {11, 12}: the four pairwise differences are
+    (−1, −2, 9, 8) → sorted (−2, −1, 8, 9), lower weighted median =
+    −1 (the robust shift; the MEAN difference is +3.5, dragged by
+    the outlier pair)."""
+    rows = [(i + 1, g, float(v)) for i, (g, v) in enumerate(
+        [("R", 10), ("R", 20), ("N", 11), ("N", 12)]
+    )]
+    sf = _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_returnflag string, l_quantity double",
+    )
+    r = Q["hodges_lehmann_shift_lineitem"](spark, sf).collect()[0]
+    assert r.n_pairs == 4
+    assert r.hl_shift == -1
+
+
+def test_weighted_kappa_near_miss_credit(spark, tmp_path):
+    """Bands (a, b) = (0,0), (1,1), (2,3), (3,3): plain agreement is
+    3/4 but linear weights credit the one-band miss at 2/3 →
+    p_o = (3 + 2/3)/4 = 11/12; p_e from the marginals; κ_w follows
+    exactly (computed here from the same 4 cells)."""
+    docs = [
+        (1, "w " * 10, "en", "s", 10),     # a=0 (10//150), b=0 (10//30)
+        (2, "w " * 35, "en", "s", 160),    # a=1, b=1
+        (3, "w " * 95, "en", "s", 310),    # a=2, b=3
+        (4, "w " * 95, "en", "s", 460),    # a=3, b=3
+    ]
+    sf = _write(spark, tmp_path, "documents", docs, DOC_SCHEMA)
+    r = Q["weighted_kappa_quality_docs"](spark, sf).collect()[0]
+    cells = [(0, 0), (1, 1), (2, 3), (3, 3)]
+    n = 4
+    p_obs = sum(1 - abs(a - b) / 3.0 for a, b in cells) / n
+    ca = {0: 1, 1: 1, 2: 1, 3: 1}
+    cb = {0: 1, 1: 1, 3: 2}
+    p_exp = sum(
+        (1 - abs(a - b) / 3.0) * (ca[a] / n) * (cb.get(b, 0) / n)
+        for a in ca
+        for b in cb
+    )
+    assert r.n_docs == 4
+    assert abs(r.p_obs - p_obs) < 1e-6
+    assert abs(r.p_exp - p_exp) < 1e-6
+    assert abs(
+        r.weighted_kappa - (p_obs - p_exp) / (1 - p_exp)
+    ) < 1e-6
