@@ -191,6 +191,20 @@ HEADLINE = [
     "image_contrast_entropy_stats",   # 64-cell contrast + histogram
     "audio_spectral_flatness_windows",  # 16 DFT chains + log folds
     "hedges_g_quantity_returnflag",   # 2-cell exact moment fold
+    "anderson_darling_two_sample_orders",  # cents-grid midrank fold
+    "cochran_q_funnel_events",        # per-user binary cells
+    "partial_corr_daily_events",      # daily 3-type cross moments
+    "pettitt_changepoint_daily_events",  # rank + U windows per type
+    "brunner_munzel_orders",          # 3 cents-grid rank windows
+    "dunn_posthoc_priority_orders",   # pooled ranks + k² pair sweep
+    "dickey_fuller_daily_events",     # LAG + closed-form OLS
+    "effective_rank_embeddings",      # 2-stage posexplode cov grid
+    "twonn_intrinsic_dim_embeddings",  # 24 probes × corpus NN ranks
+    "seasonal_mann_kendall_events",   # dow-stratified day-pair join
+    "variance_ratio_daily_events",    # 2-lag windows + moment fold
+    "cucconi_location_scale_orders",  # squared-rank grid folds
+    "hodges_lehmann_shift_lineitem",  # 50×50 convolution grid
+    "weighted_kappa_quality_docs",    # 4×4 grid + marginal folds
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -251,6 +265,13 @@ SF1_SPOT = [
     "energy_distance_drift_orders",
     "rich_club_suppliers",
     "hapax_richness_docs",
+    # round-9 third/fourth batch sets: dow-stratified day-pair growth,
+    # the ×2080 posexplode row multiplier, cents-grid rank windows,
+    # and the probe×corpus NN rank sweep
+    "seasonal_mann_kendall_events",
+    "effective_rank_embeddings",
+    "brunner_munzel_orders",
+    "twonn_intrinsic_dim_embeddings",
 ]
 
 
