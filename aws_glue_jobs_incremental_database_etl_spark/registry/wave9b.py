@@ -3538,3 +3538,80 @@ def weighted_kappa_q(spark, sf_dir):
             ).alias("weighted_kappa"),
         )
     )
+
+
+# =====================================================================
+# Round-9 wave 20: curation economics
+# =====================================================================
+
+@query(
+    "semdedup_yield_curve_embeddings",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(
+                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))),
+                   4) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+    ), taus AS (
+      SELECT CAST(unnest([0.5, 0.7, 0.9]) AS DOUBLE) AS tau
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM embeddings
+    )
+    SELECT t.tau,
+           CAST(COUNT(p.id_b) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.id_b) AS BIGINT) AS n_dropped,
+           ROUND(1.0 - CAST(COUNT(DISTINCT p.id_b) AS DOUBLE)
+                   / ANY_VALUE(c.n), 6) AS keep_fraction
+    FROM taus t
+    LEFT JOIN pairs p ON p.cosine >= t.tau
+    CROSS JOIN tot c
+    GROUP BY t.tau ORDER BY t.tau
+    """,
+)
+def semdedup_yield_q(spark, sf_dir):
+    """Semantic-dedup yield curve: what fraction of the corpus
+    survives greedy keep-smallest-id dedup at cosine thresholds
+    τ ∈ {0.5, 0.7, 0.9} — the CURATION KNOB curve (every semantic
+    dedup ships one τ; this query prices the alternatives in one
+    pass, which is how the threshold should be chosen — from the
+    yield curve, not folklore).  Candidate pairs come from the
+    multi-table hyperplane LSH kernel ONCE at the loosest τ (recall 1
+    at these settings, judge-verified against the exact oracle);
+    thresholding on the ROUNDED cosine (the cross-engine rank-key
+    convention) makes the sweep 3 conditional counts over one pair
+    frame — the 3-row τ broadcast never re-runs the LSH."""
+    from ..operators.dedup import embedding_near_dup_pairs_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    pairs = embedding_near_dup_pairs_bucketed(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4, num_tables=64
+    ).select("id_b", F.round("cosine", 4).alias("cosine"))
+    taus = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(0.5), F.lit(0.7), F.lit(0.9))
+        ).alias("tau")
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(taus)
+        .join(pairs, F.col("cosine") >= F.col("tau"), "left")
+        .join(F.broadcast(tot), F.lit(True))
+        .groupBy("tau")
+        .agg(
+            F.count("cosine").cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("n_dropped"),
+            F.round(
+                1.0
+                - F.countDistinct("id_b").cast("double") / F.first("n"),
+                6,
+            ).alias("keep_fraction"),
+        )
+        .orderBy("tau")
+    )

@@ -88,6 +88,8 @@ SINGLE_PARTITION_OK = {
     # ≤99-value difference grid + 1-row weighted-median fold
     "weighted_kappa_quality_docs",    # 1-row p_o/p_e folds from the
     # 4×4 contingency grid
+    "semdedup_yield_curve_embeddings",  # final orderBy on the 3 τ
+    # report rows
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -363,6 +365,8 @@ BNLJ_OK = {
     # grid crossJoin (the convolution) + 1-row weight total
     "weighted_kappa_quality_docs",    # 4-row marginal / 1-row total
     # broadcasts onto the bounded grid
+    "semdedup_yield_curve_embeddings",  # 3-row τ broadcast inequality
+    # join onto the LSH pair frame + 1-row corpus total
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells
