@@ -1421,3 +1421,82 @@ def audio_spectral_flatness(
         ["duration_ms"] if "duration_ms" in df.columns else []
     )
     return df.select(*cols).mapInPandas(batches, schema=out_schema)
+
+
+def video_shot_boundaries(
+    df: DataFrame,
+    n_frames: int = 8,
+    grid: int = 4,
+    threshold: int = 2_650_000,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Shot-boundary detection per video payload → ``(media_id,
+    frame_idx, diff_energy, is_boundary, decode_ok)``: decode
+    ``n_frames`` consecutive ``grid``×``grid`` intensity rasters and
+    score each transition by its frame-difference energy
+    Σ(cellₜ − cellₜ₋₁)² — the first feature of every shot/scene
+    segmenter (a cut spikes the energy, a hold keeps it near the
+    sensor-noise floor).  ``threshold`` defaults to the expected
+    energy of two INDEPENDENT uniform rasters (16·2σ², σ² ≈ 997²/12)
+    — transitions above it look like cuts, below like continuity.
+
+    Decoder contract matches the image family: ``'fake'`` slices one
+    deterministic accumulator stream into frames (all-integer cells →
+    the energies are EXACT integers and the generated SQL twin
+    replays them bit-for-bit), ``'real'`` stays the ffmpeg
+    integration point (frame extraction + real rasters feed the same
+    per-transition fold).  mapInPandas, 1-row-in → (n_frames−1)-out,
+    map-only."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "video frame decoding requires ffmpeg, not present in "
+            "this environment; use decoder='fake'"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder}")
+    cells_per_frame = grid * grid
+
+    def one(payload: bytes):
+        cells = _fake_decode_acc(payload, n_frames * cells_per_frame)
+        rows = []
+        for t in range(1, n_frames):
+            prev = cells[(t - 1) * cells_per_frame : t * cells_per_frame]
+            cur = cells[t * cells_per_frame : (t + 1) * cells_per_frame]
+            e = 0
+            for a, b in zip(prev, cur):  # cell order = SQL chain order
+                e += (b - a) * (b - a)
+            rows.append((t, e, e > threshold))
+        return rows
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("diff_energy", T.LongType()),
+            T.StructField("is_boundary", T.BooleanType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, idxs, es, bs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, e, b in one(payload):
+                    mids.append(mid)
+                    idxs.append(idx)
+                    es.append(e)
+                    bs.append(b)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "diff_energy": pd.Series(es, dtype="int64"),
+                    "is_boundary": pd.Series(bs, dtype="bool"),
+                    "decode_ok": pd.Series([True] * len(mids), dtype="bool"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )

@@ -3615,3 +3615,66 @@ def semdedup_yield_q(spark, sf_dir):
         )
         .orderBy("tau")
     )
+
+
+def _shot_boundary_oracle(
+    n_frames: int = 8, grid: int = 4, threshold: int = 2_650_000
+) -> str:
+    """SQL twin of ``video_shot_boundaries``' fake path: one acc
+    chain of n_frames·grid² integer cells, per transition the exact
+    squared-difference chain in cell order."""
+    from .wave8 import _acc_chain_ctes
+
+    cpf = grid * grid
+    ctes, last = _acc_chain_ctes(n_frames * cpf)
+    rows = []
+    for t in range(1, n_frames):
+        e = " + ".join(
+            f"(a{t * cpf + i} - a{(t - 1) * cpf + i})"
+            f" * (a{t * cpf + i} - a{(t - 1) * cpf + i})"
+            for i in range(cpf)
+        )
+        rows.append(
+            f"""    SELECT media_id, {t} AS frame_idx,
+           CAST({e} AS BIGINT) AS diff_energy,
+           ({e}) > {threshold} AS is_boundary
+    FROM {last}"""
+        )
+    body = "\n    UNION ALL\n".join(rows)
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS H,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), {ctes}
+    {body}
+    """
+
+
+@query("video_shot_boundaries", None)  # oracle attached below
+def shot_boundaries_q(spark, sf_dir):
+    """Shot-boundary detection over gate video payloads
+    (operators.multimodal.video_shot_boundaries): frame-difference
+    energy per transition of 8 consecutive 4×4 rasters, cut flag
+    above the independent-frames expectation — the scene segmenter's
+    first feature, completing the video story beyond frame SAMPLING
+    (which picks timestamps; this scores the content between them).
+    Fake-decoder frames are exact-integer slices of one accumulator
+    stream; the generated SQL twin replays every squared-difference
+    chain bit-for-bit.  ffmpeg remains the documented 'real' decoder
+    integration point."""
+    from ..operators.multimodal import video_shot_boundaries
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return video_shot_boundaries(media, n_frames=8, grid=4).select(
+        "media_id", "frame_idx", "diff_energy", "is_boundary"
+    )
+
+
+O["video_shot_boundaries"] = _shot_boundary_oracle()

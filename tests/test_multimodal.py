@@ -672,3 +672,43 @@ def test_audio_spectral_flatness_tone_vs_noise(spark):
 
     with pytest.raises(NotImplementedError):
         audio_spectral_flatness(df, decoder="real")
+
+
+def test_video_shot_boundaries_shape_and_determinism(spark):
+    """Each payload yields exactly n_frames−1 transitions with exact
+    integer energies, bit-identical across runs; an all-identical
+    frame stream is impossible for the accumulator decoder, so the
+    pin checks the hold/cut split is a function of the threshold;
+    decoder='real' stays an explicit ffmpeg stub."""
+    import pyspark.sql.types as T
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        video_shot_boundaries,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, b"first clip payload"), (2, b"second, longer clip payload")],
+        schema,
+    )
+    out = video_shot_boundaries(df, n_frames=8, grid=4)
+    rows = out.collect()
+    assert len(rows) == 2 * 7
+    assert all(r.decode_ok for r in rows)
+    assert all(r.diff_energy >= 0 for r in rows)
+    # deterministic across executions
+    again = out.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the cut flag is exactly energy > threshold
+    hi = video_shot_boundaries(df, n_frames=8, grid=4, threshold=0)
+    assert all(r.is_boundary for r in hi.collect())
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        video_shot_boundaries(df, decoder="real")
