@@ -205,6 +205,8 @@ HEADLINE = [
     "cucconi_location_scale_orders",  # squared-rank grid folds
     "hodges_lehmann_shift_lineitem",  # 50×50 convolution grid
     "weighted_kappa_quality_docs",    # 4×4 grid + marginal folds
+    "semdedup_yield_curve_embeddings",  # LSH pairs + 3-τ sweep
+    "video_shot_boundaries",          # 8-frame diff-energy chains
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -272,6 +274,8 @@ SF1_SPOT = [
     "effective_rank_embeddings",
     "brunner_munzel_orders",
     "twonn_intrinsic_dim_embeddings",
+    # LSH candidate-pair growth under the τ sweep
+    "semdedup_yield_curve_embeddings",
 ]
 
 
