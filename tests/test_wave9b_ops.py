@@ -704,3 +704,99 @@ def test_weighted_kappa_near_miss_credit(spark, tmp_path):
     assert abs(
         r.weighted_kappa - (p_obs - p_exp) / (1 - p_exp)
     ) < 1e-6
+
+
+def test_breusch_pagan_first_principles(spark, tmp_path):
+    """Daily means with variance growing over time (residual spread
+    doubles in the second half): the Koenker LM = n·R²(e² on t) must
+    match the closed-form computed here on the same 10 numbers, and
+    be comfortably positive."""
+    t0 = dt.date(2024, 3, 4)
+    ys = [10.0, 10.2, 9.8, 10.1, 9.9, 11.0, 8.0, 12.0, 7.0, 13.0]
+    rows = []
+    eid = 0
+    for d, y in enumerate(ys):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10)),
+                1,
+                "view",
+                y,
+                "",
+            )
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["breusch_pagan_daily_events"](spark, sf).collect()[0]
+    n = len(ys)
+    ts = [float(t) for t in range(1, n + 1)]
+    st, stt = sum(ts), sum(t * t for t in ts)
+    sy, sty = sum(ys), sum(t * y for t, y in zip(ts, ys))
+    b = (sty - st * sy / n) / (stt - st * st / n)
+    a = (sy - b * st) / n
+    g = [(y - a - b * t) ** 2 for t, y in zip(ts, ys)]
+    sg, sgg = sum(g), sum(x * x for x in g)
+    stg = sum(t * x for t, x in zip(ts, g))
+    r2 = (stg - st * sg / n) ** 2 / (
+        (stt - st * st / n) * (sgg - sg * sg / n)
+    )
+    assert r.n_days == n and r.df == 1
+    assert abs(r.bp_lm - n * r2) < 1e-4
+    assert r.bp_lm > 1.0
+
+
+def test_variance_ratio_first_principles(spark, tmp_path):
+    """Alternating daily series: 1-day differences flip sign every
+    step so 5-day sums partially cancel — VR(5) must match the
+    explicit overlapping-difference fold computed here and sit well
+    below 1 (mean reversion)."""
+    t0 = dt.date(2024, 3, 4)
+    ys = [10.0 + (1 if d % 2 == 0 else -1) for d in range(15)]
+    rows = []
+    eid = 0
+    for d, y in enumerate(ys):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10)),
+                1,
+                "view",
+                y,
+                "",
+            )
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["variance_ratio_daily_events"](spark, sf).collect()[0]
+    d1 = [ys[t] - ys[t - 1] for t in range(1, len(ys))]
+    d5 = [ys[t] - ys[t - 5] for t in range(5, len(ys))]
+    n = len(d1)
+    mu = sum(d1) / n
+    v1 = sum((x - mu) ** 2 for x in d1) / (n - 1)
+    v5 = sum((x - 5 * mu) ** 2 for x in d5) / (len(d5) - 1)
+    vr = v5 / (5 * v1)
+    assert r.n_diffs == n
+    assert abs(r.vr5 - vr) < 1e-6
+    assert r.vr5 < 0.5  # strong mean reversion
+    z = (vr - 1) / math.sqrt(2 * 9 * 4 / (3.0 * 5 * n))
+    assert abs(r.z - z) < 1e-6
+
+
+def test_seasonal_mk_monotone_weeks(spark, tmp_path):
+    """Two weeks with strictly increasing daily counts: each dow
+    stratum is a 2-point increasing series → S = 7, Var = 7·(2·1·9/18)
+    = 7, z = 6/√7 — and plain-MK's cross-dow pairs must NOT leak in."""
+    t0 = dt.date(2024, 3, 4)  # a Monday
+    rows = []
+    eid = 0
+    for d in range(14):
+        day = dt.datetime.combine(t0 + dt.timedelta(days=d), dt.time(10))
+        for i in range(d + 1):  # strictly increasing counts 1..14
+            eid += 1
+            rows.append((eid, day + dt.timedelta(seconds=i), 1, "view", 0.0, ""))
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["seasonal_mann_kendall_events"](spark, sf).collect()[0]
+    assert r.n_days == 14
+    assert r.s_stat == 7
+    assert abs(r.z - 6 / math.sqrt(7)) < 1e-6
