@@ -768,3 +768,58 @@ def srm_series(spark: SparkSession, state_path: str) -> DataFrame:
     from ..operators.profile import srm_report
 
     return srm_report(read_sketch(spark, state_path))
+
+
+def run_hll_monitor(
+    stream_df: DataFrame, checkpoint: str, state_path: str
+) -> None:
+    """Streaming twin of the grouped daily-distinct HLL gate
+    (registry ``hll_distinct_users_daily``): drain everything
+    currently available, folding each micro-batch's per-(day, bucket)
+    register deltas (``functions.hll.hll_build`` at b = 8) into
+    persisted state via :func:`sketch_fold_writer` — exactly-once
+    batch-id commits, staging + atomic-rename publishes, replay-safe.
+    The fold is a per-(day, bucket) MAX (idempotent, commutative,
+    associative), so any batch split of the same events — including
+    the same user appearing in every batch — produces bit-identical
+    register state, and :func:`hll_daily_series` over it equals the
+    batch gate's estimate columns bit-for-bit.  State is ≤ 256 rows
+    per day FOREVER: the streaming dashboard's distinct-users curve
+    without ever re-scanning history."""
+    from ..functions.hll import hll_build
+
+    def build(batch: DataFrame) -> DataFrame:
+        base = batch.select(
+            F.to_date(F.col("ts")).alias("day"), "user_id"
+        )
+        return hll_build(base, "user_id", b=8, group_cols=("day",))
+
+    def merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(delta)
+            .groupBy("day", "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+
+    writer = sketch_fold_writer(state_path, build, merge)
+    q = (
+        stream_df.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def hll_daily_series(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current per-day distinct-user estimates of a streaming HLL
+    monitor: ``(day, zero_registers, est_distinct)`` from the
+    persisted register state — the identical ``hll_estimate``
+    expressions the batch gate uses, so streamed and batch estimates
+    agree bit-for-bit on the same events."""
+    from ..functions.hll import hll_estimate
+
+    return hll_estimate(
+        read_sketch(spark, state_path), b=8, group_cols=("day",)
+    ).select("day", "zero_registers", "est_distinct").orderBy("day")

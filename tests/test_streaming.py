@@ -1122,3 +1122,54 @@ def test_streaming_srm_monitor_matches_batch_and_replays(
     )
     again = [key(r) for r in srm_series(spark, state).collect()]
     assert again == streamed
+
+
+def test_streaming_hll_monitor_matches_batch_and_replays(
+    spark, tmp_path, sf_dir
+):
+    """The grouped daily-HLL gate's streaming twin: draining events
+    in two uneven batches (users overlap across batches) and reading
+    the estimates from the persisted register state must equal the
+    batch gate's estimate columns bit-for-bit (per-(day, bucket) MAX
+    state + the shared hll_estimate expressions), and a replayed
+    drain must change nothing."""
+    from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+    from aws_glue_jobs_incremental_database_etl_spark.streaming.stream import (
+        hll_daily_series,
+        run_hll_monitor,
+    )
+    from aws_glue_jobs_incremental_database_etl_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_hll_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    ev.filter(F.col("event_id") % 3 != 0).write.mode("append").parquet(src)
+    run_hll_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+
+    def key(r):
+        return (str(r.day), r.zero_registers, r.est_distinct)
+
+    streamed = [key(r) for r in hll_daily_series(spark, state).collect()]
+    batch = [
+        (str(r.day), r.zero_registers, r.est_distinct)
+        for r in Q["hll_distinct_users_daily"](spark, sf_dir)
+        .select("day", "zero_registers", "est_distinct")
+        .orderBy("day")
+        .collect()
+    ]
+    assert streamed == batch and len(streamed) > 5
+
+    run_hll_monitor(
+        spark.readStream.schema(schema).parquet(src), ckpt, state
+    )
+    again = [key(r) for r in hll_daily_series(spark, state).collect()]
+    assert again == streamed
