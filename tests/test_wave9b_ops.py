@@ -800,3 +800,34 @@ def test_seasonal_mk_monotone_weeks(spark, tmp_path):
     assert r.n_days == 14
     assert r.s_stat == 7
     assert abs(r.z - 6 / math.sqrt(7)) < 1e-6
+
+
+def test_wasserstein_hand_grid(spark, tmp_path):
+    """F = {1, 2}, O = {2, 3} dollars: the CDF gap is 1/2 on both
+    unit segments, so W₁ = ∫|F−G|dv = 1.0 dollar exactly — and the
+    energy-distance pin's same fixture gives 2∫(F−G)² = 1.0 too,
+    pinning that the two integrals share the grid but NOT the
+    integrand."""
+    rows = [(1, "F", 1.0), (2, "F", 2.0), (3, "O", 2.0), (4, "O", 3.0)]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    r = Q["wasserstein_drift_orders"](spark, sf).collect()[0]
+    assert r.n_f == 2 and r.n_o == 2
+    assert abs(r.wasserstein_1 - 1.0) < 1e-9
+
+
+def test_yules_k_hand_spectrum(spark, tmp_path):
+    """Tokens 'a a b': Σf² = 5, N = 3 → K = 10⁴·(5−3)/9 = 20000/9;
+    a second source of three distinct tokens has K = 0 exactly (no
+    repetition)."""
+    rows = [
+        (1, "a a b", "en", "rep", 5),
+        (2, "x y z", "en", "uni", 5),
+    ]
+    sf = _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {r.source: r for r in Q["yules_k_sources_docs"](spark, sf).collect()}
+    assert out["rep"].n_tokens == 3 and out["rep"].n_types == 2
+    assert abs(out["rep"].yules_k - 20000.0 / 9.0) < 1e-4
+    assert abs(out["uni"].yules_k) < 1e-9
