@@ -10,6 +10,8 @@ shared dicts from ``._core``.
 
 from __future__ import annotations
 
+import tempfile  # noqa: F401  (the txn time-travel gate stages a lake)
+
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
@@ -3678,3 +3680,62 @@ def shot_boundaries_q(spark, sf_dir):
 
 
 O["video_shot_boundaries"] = _shot_boundary_oracle()
+
+
+# =====================================================================
+# Round-9 wave 21: txn-layer time travel (driver-visible surface)
+# =====================================================================
+
+@query(
+    "etl_snapshot_asof",
+    """
+    SELECT * FROM orders
+    WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT)
+                         FROM orders)
+    """,
+)
+def etl_snapshot_asof_q(spark, sf_dir):
+    """Time-travel read over the exactly-once staged-commit layer
+    (txn.read_table_asof ≙ Iceberg snapshot reads): two exactly-once
+    incremental publishes (half the orders, then the rest), then the
+    table AS OF the FIRST commit — which must be exactly the first
+    half even though the lake now holds everything.  This puts the
+    txn layer's manifest history on the driver-visible oracle surface
+    (previously pytest-only): a wrong manifest filter, a seq
+    off-by-one, or a mangled partition path (the round-9 ADVICE bug)
+    all produce a wrong row set here.  The snapshot file list is
+    metadata-only; the read is a normal distributed scan."""
+    from ..bookmarks import BookmarkStore
+    from ..catalog import FileCatalog
+    from ..config import TableConfig
+    from ..pipeline import IncrementalPipeline
+    from ..txn import published_history, read_table_asof
+
+    work = tempfile.mkdtemp(prefix="etl_asof_")
+    full = load_table(spark, sf_dir, "orders")
+    mid = full.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("bigint")
+    ).first()[0]
+    src = f"{work}/src_orders"
+    full.filter(F.col("o_orderkey") <= mid).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def mk(run):
+        return IncrementalPipeline(
+            spark,
+            FileCatalog(f"{work}/catalog"),
+            BookmarkStore(f"{work}/bm.json"),
+            target_location=f"{work}/lake",
+            target_prefix="tgt_",
+            job_run_id=run,
+            exactly_once=True,
+        )
+
+    cfg = TableConfig("orders", ["o_orderkey"], "ASC", ["o_orderstatus"])
+    mk("run-1").run([cfg], {"orders": src})
+    full.write.mode("overwrite").parquet(src)
+    mk("run-2").run([cfg], {"orders": src})
+    first_seq = published_history(f"{work}/lake")[0]["seq"]
+    snap = read_table_asof(spark, f"{work}/lake", "tgt_orders", first_seq)
+    return snap.select(*full.columns)
