@@ -3739,3 +3739,148 @@ def etl_snapshot_asof_q(spark, sf_dir):
     first_seq = published_history(f"{work}/lake")[0]["seq"]
     snap = read_table_asof(spark, f"{work}/lake", "tgt_orders", first_seq)
     return snap.select(*full.columns)
+
+
+@query(
+    "gehan_wilcoxon_repurchase_events",
+    """
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nd
+      FROM events WHERE event_type = 'purchase'
+    ), subj AS (
+      SELECT CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS grp,
+             CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                  ELSE datediff('day', d, nd) END AS life,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS died
+      FROM p, bounds
+    ), cells AS (
+      SELECT life, grp, COUNT(*) AS n_all, SUM(died) AS deaths
+      FROM subj GROUP BY life, grp
+    ), dense AS (
+      SELECT l.life, g.grp, COALESCE(c.n_all, 0) AS n_all,
+             COALESCE(c.deaths, 0) AS deaths
+      FROM (SELECT DISTINCT life FROM cells) l
+      CROSS JOIN (SELECT unnest([0, 1]) AS grp) g
+      LEFT JOIN cells c ON c.life = l.life AND c.grp = g.grp
+    ), risk AS (
+      SELECT life, grp, deaths,
+             SUM(n_all) OVER (PARTITION BY grp ORDER BY life DESC
+                              ROWS UNBOUNDED PRECEDING) AS at_risk
+      FROM dense
+    ), times AS (
+      SELECT life,
+             SUM(CASE WHEN grp = 1 THEN deaths ELSE 0 END) AS d1,
+             SUM(deaths) AS dt,
+             SUM(CASE WHEN grp = 1 THEN at_risk ELSE 0 END) AS n1,
+             SUM(at_risk) AS nt
+      FROM risk GROUP BY life
+      HAVING SUM(deaths) > 0 AND SUM(at_risk) > 1
+    ), folds AS (
+      SELECT SUM(CAST(nt AS DOUBLE) * (d1 - CAST(dt AS DOUBLE) * n1 / nt))
+               AS u,
+             SUM(CAST(nt AS DOUBLE) * nt
+                 * (CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt)
+                    * (1 - CAST(n1 AS DOUBLE) / nt)
+                    * (nt - dt) / (nt - 1))) AS v
+      FROM times
+    )
+    SELECT ROUND(u, 4) AS gehan_u,
+           ROUND(u / sqrt(v), 6) AS z_gehan,
+           ROUND(u * u / v, 6) AS chi2_gehan
+    FROM folds
+    """,
+)
+def gehan_wilcoxon_q(spark, sf_dir):
+    """Gehan–Wilcoxon weighted log-rank on the same repurchase
+    curves — weights each death time by the TOTAL at-risk count, so
+    EARLY differences dominate (the plain log-rank weights all times
+    equally and is most powerful under proportional hazards; curves
+    that separate early and re-converge — a launch-week effect that
+    fades — light up Gehan and not log-rank, so the PAIR localizes
+    WHEN the cohorts differ).  U = Σ nₜ(d₁ − dₜn₁/nₜ), Var = Σ nₜ²·
+    hypergeometric variance — one extra weight column over the
+    identical dense (life × 2 groups) risk grid."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.to_date("ts").alias("d"), "ts", "event_id"
+        )
+        .withColumn("nd", F.lead("d").over(wp))
+    )
+    subj = p.join(F.broadcast(bounds), F.lit(True)).select(
+        F.when((F.weekday("d") + 1) >= 6, 1).otherwise(0).alias("grp"),
+        F.when(
+            F.col("nd").isNull(), F.datediff("maxd", "d")
+        ).otherwise(F.datediff("nd", "d")).alias("life"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("died"),
+    )
+    cells = subj.groupBy("life", "grp").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("died").alias("deaths")
+    )
+    grps = spark.range(0, 2).select(F.col("id").cast("int").alias("grp"))
+    dense = (
+        cells.select("life")
+        .distinct()
+        .crossJoin(F.broadcast(grps))
+        .join(cells, ["life", "grp"], "left")
+        .select(
+            "life",
+            "grp",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+            F.coalesce("deaths", F.lit(0)).alias("deaths"),
+        )
+    )
+    wr = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("life").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = dense.select(
+        "life", "grp", "deaths", F.sum("n_all").over(wr).alias("at_risk")
+    )
+    times = (
+        risk.groupBy("life")
+        .agg(
+            F.sum(
+                F.when(F.col("grp") == 1, F.col("deaths")).otherwise(0)
+            ).alias("d1"),
+            F.sum("deaths").alias("dt"),
+            F.sum(
+                F.when(F.col("grp") == 1, F.col("at_risk")).otherwise(0)
+            ).alias("n1"),
+            F.sum("at_risk").alias("nt"),
+        )
+        .filter((F.col("dt") > 0) & (F.col("nt") > 1))
+    )
+    n1r = F.col("n1").cast("double") / F.col("nt")
+    hyp = (
+        F.col("dt").cast("double")
+        * n1r
+        * (1 - n1r)
+        * (F.col("nt") - F.col("dt"))
+        / (F.col("nt") - 1)
+    )
+    folds = times.agg(
+        F.sum(
+            F.col("nt").cast("double")
+            * (
+                F.col("d1")
+                - F.col("dt").cast("double") * F.col("n1") / F.col("nt")
+            )
+        ).alias("u"),
+        F.sum(F.col("nt").cast("double") * F.col("nt") * hyp).alias("v"),
+    )
+    return folds.select(
+        F.round("u", 4).alias("gehan_u"),
+        F.round(F.col("u") / F.sqrt(F.col("v")), 6).alias("z_gehan"),
+        F.round(
+            F.col("u") * F.col("u") / F.col("v"), 6
+        ).alias("chi2_gehan"),
+    )

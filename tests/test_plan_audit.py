@@ -90,6 +90,9 @@ SINGLE_PARTITION_OK = {
     # 4×4 contingency grid
     "semdedup_yield_curve_embeddings",  # final orderBy on the 3 τ
     # report rows
+    "gehan_wilcoxon_repurchase_events",  # reverse-cumulative window
+    # over the dense (life × 2 groups) risk grid (the logrank audited
+    # shape) + 1-row fold
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold
@@ -367,6 +370,8 @@ BNLJ_OK = {
     # broadcasts onto the bounded grid
     "semdedup_yield_curve_embeddings",  # 3-row τ broadcast inequality
     # join onto the LSH pair frame + 1-row corpus total
+    "gehan_wilcoxon_repurchase_events",  # 1-row max-day bound + the
+    # broadcast 2-row group frame onto the life grid (logrank shape)
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells
