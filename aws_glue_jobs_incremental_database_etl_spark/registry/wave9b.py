@@ -3884,3 +3884,54 @@ def gehan_wilcoxon_q(spark, sf_dir):
             F.col("u") * F.col("u") / F.col("v"), 6
         ).alias("chi2_gehan"),
     )
+
+
+@query(
+    "bucketed_join_revenue_segments",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def bucketed_join_q(spark, sf_dir):
+    """Revenue by market segment through the BUCKETED join path
+    (operators.bucketing): both sides are published bucketBy(custkey)
+    tables, so the join and the downstream aggregation run without a
+    single Exchange — the write-once-shuffle-never-again layout every
+    repeatedly-joined ETL target should use (the plan contract is
+    pinned in tests/test_bucketing.py; THIS gate pins that the
+    shuffle-free plan still produces the exactly-right numbers).
+    Results must equal the plain shuffled join's — bucketing changes
+    the plan, never the answer."""
+    import uuid
+
+    from ..operators.bucketing import bucketed_join, write_bucketed_table
+
+    tag = uuid.uuid4().hex[:8]
+    bo, bc = f"b9_orders_{tag}", f"b9_customer_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    write_bucketed_table(orders, bo, "o_custkey", 8)
+    write_bucketed_table(cust, bc, "o_custkey", 8)
+    out = (
+        bucketed_join(spark, bo, bc, "o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+    # materialize before dropping the temp catalog tables (lazy frames
+    # must not outlive their source tables — the compact() contract)
+    rows = out.collect()
+    spark.sql(f"DROP TABLE IF EXISTS {bo}")
+    spark.sql(f"DROP TABLE IF EXISTS {bc}")
+    return spark.createDataFrame(rows, out.schema)
