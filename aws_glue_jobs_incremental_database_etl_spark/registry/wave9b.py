@@ -3935,3 +3935,271 @@ def bucketed_join_q(spark, sf_dir):
     spark.sql(f"DROP TABLE IF EXISTS {bo}")
     spark.sql(f"DROP TABLE IF EXISTS {bc}")
     return spark.createDataFrame(rows, out.schema)
+
+
+# =====================================================================
+# Round-9 wave 22: asymmetric association / robust shape / retention
+# decay
+# =====================================================================
+
+@query(
+    "theils_u_lang_source_docs",
+    """
+    WITH grid AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents
+      GROUP BY lang, source
+    ), tot AS (
+      SELECT SUM(c) AS n FROM grid
+    ), hl AS (
+      SELECT -SUM((CAST(cl AS DOUBLE) / t.n)
+                  * LN(CAST(cl AS DOUBLE) / t.n)) AS h_lang
+      FROM (SELECT lang, SUM(c) AS cl FROM grid GROUP BY lang) m
+      CROSS JOIN tot t
+    ), hcond AS (
+      SELECT -SUM((CAST(g.c AS DOUBLE) / t.n)
+                  * LN(CAST(g.c AS DOUBLE) / s.cs)) AS h_lang_given_src
+      FROM grid g
+      JOIN (SELECT source, SUM(c) AS cs FROM grid GROUP BY source) s
+        ON g.source = s.source
+      CROSS JOIN tot t
+    )
+    SELECT ROUND(hl.h_lang, 6) AS h_lang,
+           ROUND(hc.h_lang_given_src, 6) AS h_lang_given_source,
+           ROUND((hl.h_lang - hc.h_lang_given_src) / hl.h_lang, 6)
+             AS theils_u
+    FROM hl CROSS JOIN hcond hc
+    """,
+)
+def theils_u_q(spark, sf_dir):
+    """Theil's uncertainty coefficient U(lang | source) — the
+    ASYMMETRIC association number (Cramér's V and mutual information,
+    both shipped, are symmetric; U answers the directional question a
+    router cares about: "what fraction of language uncertainty does
+    knowing the source remove?"): U = (H(lang) − H(lang|source)) /
+    H(lang) ∈ [0, 1].  The corpus reduces to the (lang × source)
+    contingency grid and its marginals — one hash-agg and bounded
+    entropy folds."""
+    d = load_table(spark, sf_dir, "documents")
+    grid = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    tot = grid.agg(F.sum("c").alias("n"))
+    ml = grid.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = grid.groupBy("source").agg(F.sum("c").alias("cs"))
+    hl = ml.join(F.broadcast(tot), F.lit(True)).agg(
+        (
+            -F.sum(
+                (F.col("cl").cast("double") / F.col("n"))
+                * F.log(F.col("cl").cast("double") / F.col("n"))
+            )
+        ).alias("h_lang")
+    )
+    hcond = (
+        grid.join(ms, "source")
+        .join(F.broadcast(tot), F.lit(True))
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("cs"))
+                )
+            ).alias("h_lang_given_src")
+        )
+    )
+    return hl.join(F.broadcast(hcond), F.lit(True)).select(
+        F.round("h_lang", 6).alias("h_lang"),
+        F.round("h_lang_given_src", 6).alias("h_lang_given_source"),
+        F.round(
+            (F.col("h_lang") - F.col("h_lang_given_src"))
+            / F.col("h_lang"),
+            6,
+        ).alias("theils_u"),
+    )
+
+
+@query(
+    "bowley_moors_shape_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ), grid AS (
+      SELECT g, v, COUNT(*) AS c FROM obs GROUP BY g, v
+    ), cum AS (
+      SELECT g, v,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS f,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM grid
+    ), octs AS (
+      SELECT g, ANY_VALUE(n) AS n,
+             MIN(CASE WHEN 8 * f >= 1 * n THEN v END) AS e1,
+             MIN(CASE WHEN 8 * f >= 2 * n THEN v END) AS e2,
+             MIN(CASE WHEN 8 * f >= 3 * n THEN v END) AS e3,
+             MIN(CASE WHEN 8 * f >= 4 * n THEN v END) AS e4,
+             MIN(CASE WHEN 8 * f >= 5 * n THEN v END) AS e5,
+             MIN(CASE WHEN 8 * f >= 6 * n THEN v END) AS e6,
+             MIN(CASE WHEN 8 * f >= 7 * n THEN v END) AS e7
+      FROM cum GROUP BY g
+    )
+    SELECT g AS priority, CAST(n AS BIGINT) AS n_orders,
+           ROUND((e6 + e2 - 2.0 * e4) / (e6 - e2), 6) AS bowley_skew,
+           ROUND(((e7 - e5) + (e3 - e1)) / (CAST(e6 AS DOUBLE) - e2), 6)
+             AS moors_kurtosis
+    FROM octs ORDER BY priority
+    """,
+)
+def bowley_moors_q(spark, sf_dir):
+    """Quantile-based distribution shape per priority: Bowley
+    (quartile) skewness (Q₃+Q₁−2Q₂)/(Q₃−Q₁) and Moors (octile)
+    kurtosis ((E₇−E₅)+(E₃−E₁))/(E₆−E₂) — the ROBUST moments (the
+    classical m₃/m₄ gates explode on one fat order; these read eight
+    order statistics and ignore everything past them).  Type-1
+    octiles are exact on both engines: smallest v with 8·F(v) ≥ i·n —
+    integer comparisons on the per-group cents-grid cumulative, no
+    interpolation to disagree over."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    grid = obs.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("g")
+    cum = grid.select(
+        "g",
+        "v",
+        F.sum("c").over(wv).alias("f"),
+        F.sum("c").over(wg).alias("n"),
+    )
+    octs = cum.groupBy("g").agg(
+        F.first("n").alias("n"),
+        *[
+            F.min(
+                F.when(8 * F.col("f") >= i * F.col("n"), F.col("v"))
+            ).alias(f"e{i}")
+            for i in range(1, 8)
+        ],
+    )
+    return octs.select(
+        F.col("g").alias("priority"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(
+            (F.col("e6") + F.col("e2") - 2.0 * F.col("e4"))
+            / (F.col("e6") - F.col("e2")),
+            6,
+        ).alias("bowley_skew"),
+        F.round(
+            (
+                (F.col("e7") - F.col("e5"))
+                + (F.col("e3") - F.col("e1"))
+            )
+            / (F.col("e6").cast("double") - F.col("e2")),
+            6,
+        ).alias("moors_kurtosis"),
+    ).orderBy("priority")
+
+
+@query(
+    "cohort_halflife_events",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    ), tri AS (
+      SELECT f.cohort_week,
+             CAST((a.active_week - f.cohort_week) / 7 AS BIGINT) AS w,
+             COUNT(*) AS n_users
+      FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+      GROUP BY f.cohort_week, w
+    ), base AS (
+      SELECT cohort_week, n_users AS n0 FROM tri WHERE w = 0
+    ), pts AS (
+      SELECT t.cohort_week, CAST(t.w AS DOUBLE) AS x,
+             LN(CAST(t.n_users AS DOUBLE) / b.n0) AS y
+      FROM tri t JOIN base b ON t.cohort_week = b.cohort_week
+      WHERE t.w >= 1
+    ), fit AS (
+      SELECT cohort_week, COUNT(*) AS k,
+             (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+               / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) AS slope
+      FROM pts GROUP BY cohort_week HAVING COUNT(*) >= 3
+    )
+    SELECT cohort_week, CAST(k AS BIGINT) AS n_weeks,
+           ROUND(slope, 6) AS decay_slope,
+           CASE WHEN slope < 0
+                THEN ROUND(-LN(2) / slope, 4) ELSE NULL END
+             AS halflife_weeks
+    FROM fit ORDER BY cohort_week
+    """,
+)
+def cohort_halflife_q(spark, sf_dir):
+    """Retention half-life per weekly cohort: fit ln(retained
+    fraction) on week offset (w ≥ 1) and report −ln2/slope — the ONE
+    number the retention triangle (shipped) boils down to for
+    forecasting LTV and comparing cohorts ("the March cohort decays
+    in 5 weeks, April in 7" is actionable where the full triangle is
+    not).  Same two user-keyed aggs + join as the triangle; the fit
+    is a closed-form OLS per cohort over ≤|weeks| points; cohorts
+    with < 3 observed offsets or non-decaying fits report NULL
+    rather than an extrapolated fiction."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+    ).distinct()
+    tri = (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = tri.filter(F.col("w") == 0).select(
+        "cohort_week", F.col("n_users").alias("n0")
+    )
+    pts = (
+        tri.filter(F.col("w") >= 1)
+        .join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("w").cast("double").alias("x"),
+            F.log(
+                F.col("n_users").cast("double") / F.col("n0")
+            ).alias("y"),
+        )
+    )
+    k = F.count(F.lit(1))
+    slope = (
+        F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / k
+    ) / (F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / k)
+    fit = (
+        pts.groupBy("cohort_week")
+        .agg(k.alias("k"), slope.alias("slope"))
+        .filter(F.col("k") >= 3)
+    )
+    return fit.select(
+        "cohort_week",
+        F.col("k").cast("bigint").alias("n_weeks"),
+        F.round("slope", 6).alias("decay_slope"),
+        F.when(
+            F.col("slope") < 0,
+            F.round(-F.log(F.lit(2.0)) / F.col("slope"), 4),
+        ).alias("halflife_weeks"),
+    ).orderBy("cohort_week")

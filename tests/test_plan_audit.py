@@ -93,6 +93,12 @@ SINGLE_PARTITION_OK = {
     "gehan_wilcoxon_repurchase_events",  # reverse-cumulative window
     # over the dense (life × 2 groups) risk grid (the logrank audited
     # shape) + 1-row fold
+    "theils_u_lang_source_docs",      # 1-row entropy folds from the
+    # (lang × source) contingency grid
+    "bowley_moors_shape_orders",      # final orderBy on the k=5
+    # report rows (octiles from per-group cents-grid windows)
+    "cohort_halflife_events",         # final orderBy on the ≤|weeks|
+    # cohort report rows
     # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
     "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
     # k=5 priority cells + the final 1-row W* fold

@@ -831,3 +831,38 @@ def test_yules_k_hand_spectrum(spark, tmp_path):
     assert out["rep"].n_tokens == 3 and out["rep"].n_types == 2
     assert abs(out["rep"].yules_k - 20000.0 / 9.0) < 1e-4
     assert abs(out["uni"].yules_k) < 1e-9
+
+
+def test_bowley_moors_uniform_ladder(spark, tmp_path):
+    """Values 1..8 once each in one group: type-1 octiles are exactly
+    1..7, so Bowley skew = (6+2−8)/4 = 0 and Moors kurtosis =
+    ((7−5)+(3−1))/4 = 1 — the symmetric-uniform reference point."""
+    rows = [(i, "1-U", float(i)) for i in range(1, 9)]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    r = Q["bowley_moors_shape_orders"](spark, sf).collect()[0]
+    assert r.n_orders == 8
+    assert abs(r.bowley_skew) < 1e-9
+    assert abs(r.moors_kurtosis - 1.0) < 1e-9
+
+
+def test_theils_u_determined_vs_independent(spark, tmp_path):
+    """Each source publishing exactly one language → U = 1 (source
+    fully determines language); a balanced independent grid → U = 0
+    exactly."""
+    det = [
+        (1, "t", "en", "s1", 1), (2, "t", "en", "s1", 1),
+        (3, "t", "fr", "s2", 1), (4, "t", "fr", "s2", 1),
+    ]
+    sf = _write(spark, tmp_path, "documents", det, DOC_SCHEMA)
+    r = Q["theils_u_lang_source_docs"](spark, sf).collect()[0]
+    assert abs(r.theils_u - 1.0) < 1e-9
+    ind = [
+        (1, "t", "en", "s1", 1), (2, "t", "fr", "s1", 1),
+        (3, "t", "en", "s2", 1), (4, "t", "fr", "s2", 1),
+    ]
+    sf2 = _write(spark, f"{tmp_path}_2", "documents", ind, DOC_SCHEMA)
+    r2 = Q["theils_u_lang_source_docs"](spark, sf2).collect()[0]
+    assert abs(r2.theils_u) < 1e-9
