@@ -378,6 +378,8 @@ BNLJ_OK = {
     # join onto the LSH pair frame + 1-row corpus total
     "gehan_wilcoxon_repurchase_events",  # 1-row max-day bound + the
     # broadcast 2-row group frame onto the life grid (logrank shape)
+    "theils_u_lang_source_docs",      # 1-row corpus-total and
+    # entropy-fold crossJoins onto the bounded contingency grid
     # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
     "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
     # the k=5 weighted cells
