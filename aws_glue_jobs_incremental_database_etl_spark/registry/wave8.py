@@ -1088,19 +1088,24 @@ def pq_distortion_q(spark, sf_dir):
     distance chains the ADC gate pins), averaged corpus-wide, plus
     the worst-reconstructed vector.  Map-only over vectors, one
     m-row report; the per-row chains are bit-identical in SQL, the
-    per-subspace mean rounds at 6 (ulp-level fold-order drift only)."""
-    from ..operators.similarity import _subspace_distances, pq_codebooks
+    per-subspace mean rounds at 6 (ulp-level fold-order drift only).
+
+    The per-row min-distance projection runs on the
+    ``pq_subspace_errors_arrow`` numpy kernel, NOT the literal
+    expression chains: 4×16×16 = 1024 chained terms blow janino's
+    64 KB whole-stage-codegen method limit, so the old single wide
+    projection+aggregate threw ``InternalCompilerException: Code
+    grows beyond 64 KB`` and silently ran interpreted (VERDICT r9
+    #1).  The kernel accumulates per codeword in the same
+    left-to-right IEEE-double order as the chains (parity pinned in
+    test_wave8_ops), so the SQL oracle is unchanged; the downstream
+    aggregate is 3m+1 small expressions that compile fine."""
+    from ..operators.similarity import pq_codebooks, pq_subspace_errors_arrow
 
     cb = pq_codebooks(64, 4, 16, seed=11)
     m, _, sub = cb.shape
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    cols = [
-        F.array_min(_subspace_distances(cb[s], s * sub)).alias(f"e{s}")
-        for s in range(m)
-    ]
-    errs = emb.select("vec_id", *cols)
+    emb = load_table(spark, sf_dir, "embeddings")
+    errs = pq_subspace_errors_arrow(emb, cb)
     # ALL per-subspace stats in ONE aggregation pass (VERDICT r8 #2:
     # the old per-subspace .agg() loop launched 16 jobs = 16 full
     # corpus scans; at 100 TB that is 16 reads where one suffices) —

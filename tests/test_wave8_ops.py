@@ -244,3 +244,43 @@ def test_theil_decomposition_two_cohorts(spark, tmp_path):
     assert abs(r.theil_total - exp_total) < 1e-6
     # the additive identity the Theil index is chosen for
     assert abs(r.theil_between + r.theil_within - r.theil_total) < 2e-6
+
+
+def test_pq_subspace_errors_arrow_matches_expression_chains(spark):
+    """VERDICT r9 #1: pq_distortion now projects per-subspace errors
+    through the mapInArrow numpy kernel because the 1024-term literal
+    chains blow janino's 64 KB codegen limit.  The kernel's contract
+    is BIT-IDENTITY with the expression path (same left-to-right IEEE
+    accumulation per codeword, min over exact doubles) — pinned here
+    on a synthetic batch so the SQL oracle stays valid for the
+    kernel."""
+    import pyspark.sql.functions as F
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.similarity import (
+        _subspace_distances,
+        pq_codebooks,
+        pq_subspace_errors_arrow,
+    )
+
+    cb = pq_codebooks(8, 2, 4, seed=11)  # dim 8, 2 subspaces, 4 codewords
+    m, _, sub = cb.shape
+    rows = [
+        (int(i), [float(((i * 7 + j * 3) % 13) - 6) / 3.0 for j in range(8)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.e0, r.e1)
+        for r in pq_subspace_errors_arrow(df, cb).collect()
+    }
+    expr = df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    ).select(
+        "vec_id",
+        *[
+            F.array_min(_subspace_distances(cb[s], s * sub)).alias(f"e{s}")
+            for s in range(m)
+        ],
+    )
+    want = {r.vec_id: (r.e0, r.e1) for r in expr.collect()}
+    assert got == want  # exact float equality: bit-identity, not tolerance
