@@ -1359,6 +1359,12 @@ def audio_spectral_flatness(
             wins = windows_of(payload, duration_ms)
         except (ValueError, IndexError):
             return [(0, 0.0, 0.0, False)]
+        if not wins:
+            # Successfully-decoded audio shorter than one window
+            # (ADVICE r9 #4): emit a sentinel so the media_id is not
+            # silently absent — decode_ok=True + NULL flatness
+            # distinguishes short-but-valid from decode failure.
+            return [(0, None, 0.0, True)]
         for wid, w in enumerate(wins):
             ps = []
             for k, cosw, sinw in weights:
@@ -1411,7 +1417,9 @@ def audio_spectral_flatness(
                 {
                     "media_id": pd.Series(mids, dtype="int64"),
                     "window_id": pd.Series(wids, dtype="int32"),
-                    "flatness": pd.Series(fls, dtype="float64"),
+                    # nullable Float64: the short-audio sentinel's
+                    # None must arrive as SQL NULL, not NaN
+                    "flatness": pd.array(fls, dtype="Float64"),
                     "total_power": pd.Series(pws, dtype="float64"),
                     "decode_ok": pd.Series(oks, dtype="bool"),
                 }

@@ -1091,8 +1091,22 @@ def merge_srm_user_arms(prev: DataFrame, delta: DataFrame) -> DataFrame:
 def srm_report(arms: DataFrame) -> DataFrame:
     """Sample-ratio-mismatch chi-square against the designed 50/50
     split over a distinct (user_id, arm) frame — the shared report
-    both the batch gate and the streaming readout fold."""
-    cells = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    both the batch gate and the streaming readout fold.
+
+    The 2-cell grid is DENSIFIED to both designed arms before the
+    fold (ADVICE r9 #1): if every user lands in one arm (tiny/early
+    streaming state), the missing arm must still contribute its
+    ``(0 − t/2)²/(t/2)`` expected-count term — summing only observed
+    cells halves χ² exactly in the most extreme mismatch.  The t=0
+    degenerate (no users at all) yields NULL χ², not a NaN, per the
+    ANSI guard."""
+    observed = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    designed = arms.sparkSession.createDataFrame(
+        [("A",), ("B",)], "arm string"
+    )
+    cells = designed.join(F.broadcast(observed), "arm", "left").select(
+        "arm", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
     tot = cells.agg(F.sum("n").alias("t"))
     return cells.join(F.broadcast(tot), F.lit(True)).agg(
         F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0))
@@ -1103,9 +1117,12 @@ def srm_report(arms: DataFrame) -> DataFrame:
         .alias("n_b"),
         F.round(
             F.sum(
-                (F.col("n") - F.col("t") / 2.0)
-                * (F.col("n") - F.col("t") / 2.0)
-                / (F.col("t") / 2.0)
+                F.when(
+                    F.col("t") > 0,
+                    (F.col("n") - F.col("t") / 2.0)
+                    * (F.col("n") - F.col("t") / 2.0)
+                    / (F.col("t") / 2.0),
+                )
             ),
             6,
         ).alias("srm_chi2"),

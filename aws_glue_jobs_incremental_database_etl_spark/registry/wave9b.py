@@ -10,6 +10,7 @@ shared dicts from ``._core``.
 
 from __future__ import annotations
 
+import shutil  # the txn time-travel gate cleans up its staged lake
 import tempfile  # noqa: F401  (the txn time-travel gate stages a lake)
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
@@ -1214,8 +1215,14 @@ O["mcc_threshold_quality_docs"] = _mcc_oracle()
                     VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 5000
                   THEN 'A' ELSE 'B' END AS arm
       FROM events
-    ), cells AS (
+    ), observed AS (
       SELECT arm, COUNT(*) AS n FROM arms GROUP BY arm
+    ), cells AS (
+      -- densified to BOTH designed arms (ADVICE r9 #1): a missing
+      -- arm still contributes its (0 - t/2)^2/(t/2) term
+      SELECT d.arm, COALESCE(o.n, 0) AS n
+      FROM (VALUES ('A'), ('B')) AS d(arm)
+      LEFT JOIN observed o ON d.arm = o.arm
     ), tot AS (
       SELECT SUM(n) AS t FROM cells
     )
@@ -1223,8 +1230,9 @@ O["mcc_threshold_quality_docs"] = _mcc_oracle()
              AS n_a,
            CAST(SUM(CASE WHEN arm = 'B' THEN n ELSE 0 END) AS BIGINT)
              AS n_b,
-           ROUND(SUM((n - t.t / 2.0) * (n - t.t / 2.0)
-                     / (t.t / 2.0)), 6) AS srm_chi2,
+           ROUND(SUM(CASE WHEN t.t > 0 THEN
+                     (n - t.t / 2.0) * (n - t.t / 2.0)
+                     / (t.t / 2.0) END), 6) AS srm_chi2,
            CAST(1 AS BIGINT) AS df
     FROM cells CROSS JOIN tot t
     """,
@@ -3712,33 +3720,45 @@ def etl_snapshot_asof_q(spark, sf_dir):
     from ..txn import published_history, read_table_asof
 
     work = tempfile.mkdtemp(prefix="etl_asof_")
-    full = load_table(spark, sf_dir, "orders")
-    mid = full.agg(
-        F.floor(F.max("o_orderkey") / 2).cast("bigint")
-    ).first()[0]
-    src = f"{work}/src_orders"
-    full.filter(F.col("o_orderkey") <= mid).write.mode(
-        "overwrite"
-    ).parquet(src)
+    try:
+        full = load_table(spark, sf_dir, "orders")
+        mid = full.agg(
+            F.floor(F.max("o_orderkey") / 2).cast("bigint")
+        ).first()[0]
+        src = f"{work}/src_orders"
+        full.filter(F.col("o_orderkey") <= mid).write.mode(
+            "overwrite"
+        ).parquet(src)
 
-    def mk(run):
-        return IncrementalPipeline(
-            spark,
-            FileCatalog(f"{work}/catalog"),
-            BookmarkStore(f"{work}/bm.json"),
-            target_location=f"{work}/lake",
-            target_prefix="tgt_",
-            job_run_id=run,
-            exactly_once=True,
+        def mk(run):
+            return IncrementalPipeline(
+                spark,
+                FileCatalog(f"{work}/catalog"),
+                BookmarkStore(f"{work}/bm.json"),
+                target_location=f"{work}/lake",
+                target_prefix="tgt_",
+                job_run_id=run,
+                exactly_once=True,
+            )
+
+        cfg = TableConfig(
+            "orders", ["o_orderkey"], "ASC", ["o_orderstatus"]
         )
-
-    cfg = TableConfig("orders", ["o_orderkey"], "ASC", ["o_orderstatus"])
-    mk("run-1").run([cfg], {"orders": src})
-    full.write.mode("overwrite").parquet(src)
-    mk("run-2").run([cfg], {"orders": src})
-    first_seq = published_history(f"{work}/lake")[0]["seq"]
-    snap = read_table_asof(spark, f"{work}/lake", "tgt_orders", first_seq)
-    return snap.select(*full.columns)
+        mk("run-1").run([cfg], {"orders": src})
+        full.write.mode("overwrite").parquet(src)
+        mk("run-2").run([cfg], {"orders": src})
+        first_seq = published_history(f"{work}/lake")[0]["seq"]
+        snap = read_table_asof(
+            spark, f"{work}/lake", "tgt_orders", first_seq
+        )
+        # materialize before rmtree (ADVICE r9 #3: the lazy frame must
+        # not outlive its on-disk lake — and every registry/bench/test
+        # invocation would otherwise leak a staging dir with data)
+        rows = snap.select(*full.columns).collect()
+        schema = snap.select(*full.columns).schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(

@@ -301,6 +301,71 @@ SF1_RATIO_BOUND = {
 }
 
 
+# Codegen-health tripwire (VERDICT r9 Next-round #2): a whole-stage
+# codegen compile failure (janino 64 KB method limit, codegen bugs)
+# silently falls back to interpreted evaluation — correct answers, a
+# multiple-x throughput hit at scale, and the only symptom is a stack
+# in stderr that BENCH_r09's tail carried unacknowledged.  The bench
+# now tees its own stderr (which the local JVM inherits) to a file
+# and fails loudly when a compiler stack shows up.  Overrides use the
+# same documented-exception mechanism as SF1_RATIO_BOUND: a substring
+# that identifies the known failure, mapped to the reason it is
+# acceptable.  Currently empty — the pq_distortion mapInArrow rewrite
+# (VERDICT r9 #1) removed the one known offender.
+CODEGEN_ERROR_PATTERNS = (
+    "InternalCompilerException",
+    "Code grows beyond",
+    "failed to compile",
+)
+CODEGEN_OVERRIDES: dict[str, str] = {}
+
+
+def codegen_violations(
+    stderr_text: str,
+    patterns: tuple[str, ...] = CODEGEN_ERROR_PATTERNS,
+    overrides: dict[str, str] | None = None,
+) -> list[str]:
+    """Lines of captured stderr that indicate a whole-stage-codegen
+    compile failure, minus documented overrides (empty = healthy).
+    Pure function so the tripwire is unit-testable on synthetic
+    stacks."""
+    ov = CODEGEN_OVERRIDES if overrides is None else overrides
+    hits = []
+    for line in stderr_text.splitlines():
+        if any(p in line for p in patterns) and not any(
+            k in line for k in ov
+        ):
+            hits.append(line.strip()[:300])
+    return hits
+
+
+def _tee_stderr(path: str):
+    """Mirror fd 2 into ``path`` via a tee child while keeping the
+    original stderr stream — the Spark JVM inherits fd 2, so its
+    codegen stacks land in the capture file too.  Returns (tee_proc,
+    saved_fd); callers restore with ``_untee_stderr``."""
+    import subprocess
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    saved = os.dup(2)
+    tee = subprocess.Popen(
+        ["tee", path], stdin=subprocess.PIPE, stdout=saved, stderr=saved
+    )
+    os.dup2(tee.stdin.fileno(), 2)
+    return tee, saved
+
+
+def _untee_stderr(tee, saved: int) -> None:
+    sys.stderr.flush()
+    os.dup2(saved, 2)
+    try:
+        tee.stdin.close()
+        tee.wait(timeout=10)
+    except Exception:
+        tee.kill()
+    os.close(saved)
+
+
 def sf1_ratio_violations(
     base: dict[str, float],
     sf1: dict[str, float],
@@ -355,6 +420,13 @@ def host_load() -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # Start the stderr tee BEFORE the JVM exists so every codegen
+    # stack it ever prints is captured (fd 2 is inherited at launch).
+    stderr_log = os.path.join(here, ".benchdata", "bench_stderr.log")
+    tee, saved_fd = _tee_stderr(stderr_log)
+
     from aws_glue_jobs_incremental_database_etl_spark.session import get_spark
     from aws_glue_jobs_incremental_database_etl_spark import registry
 
@@ -421,7 +493,6 @@ def main() -> None:
     # round's per-query timings at this point (we overwrite it below)
     # — report the total over the intersection of query sets, so
     # adding headline queries never reads as a regression.
-    here = os.path.dirname(os.path.abspath(__file__))
     prev_path = os.path.join(here, "BENCH_LOCAL.json")
     try:
         with open(prev_path) as f:
@@ -458,6 +529,7 @@ def main() -> None:
                 return round(time.time() - t0, 2)
 
             sf1_timings: dict[str, float] = {}
+            retries: dict[str, list[float]] = {}
             for name in SF1_SPOT:
                 sf1_timings[name] = probe(name)
             ratios, violations = sf1_ratio_violations(timings, sf1_timings)
@@ -471,7 +543,13 @@ def main() -> None:
                 # still trips the wire.
                 flagged = [v.split(":", 1)[0] for v in violations]
                 for name in flagged:
-                    sf1_timings[name] = min(sf1_timings[name], probe(name))
+                    again = probe(name)
+                    # BOTH observations land in the snapshot (ADVICE
+                    # r9 #2): a bimodal real regression that gets one
+                    # lucky fast retry is still visible to the judge,
+                    # not silently cleared by the min.
+                    retries[name] = [sf1_timings[name], again]
+                    sf1_timings[name] = min(sf1_timings[name], again)
                 ratios, violations = sf1_ratio_violations(
                     timings, sf1_timings
                 )
@@ -481,10 +559,24 @@ def main() -> None:
                 "rows_factor": 10,
                 "ratio_vs_sf01": ratios,
             }
+            if retries:
+                result["sf1"]["retries"] = retries
             if violations:
                 result["sf1"]["violations"] = violations
         except Exception as e:  # sf1 setup is additive — never fail the bench
             result["sf1_error"] = f"{type(e).__name__}: {e}"
+
+    # Codegen-health scan (VERDICT r9 #2): stop the tee, read back
+    # everything the JVM wrote to stderr, and flag compiler stacks.
+    _untee_stderr(tee, saved_fd)
+    try:
+        with open(stderr_log, errors="replace") as f:
+            cg_hits = codegen_violations(f.read())
+    except OSError:
+        cg_hits = ["<stderr capture file unreadable>"]
+    if cg_hits:
+        # first few distinct lines are enough to attribute the stack
+        result["codegen_violations"] = cg_hits[:10]
 
     # Full result (pretty) always lands next to the repo for the judge.
     # The driver's tail-capture buffer is ~3 KB and two rounds of
@@ -506,6 +598,8 @@ def main() -> None:
     }
     if "common_subset" in result:
         summary["common_subset"] = result["common_subset"]
+    if "codegen_violations" in result:
+        summary["codegen_violations"] = len(result["codegen_violations"])
     if "sf1" in result:
         summary["sf1_total_s"] = result["sf1"]["value"]
         if "violations" in result["sf1"]:
@@ -515,11 +609,20 @@ def main() -> None:
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) <= 1024, f"bench summary line too long: {len(line)}"
     print(line, flush=True)
+    failed = False
     if result.get("sf1", {}).get("violations"):
         # the regression tripwire: superlinear growth past the bound
         # fails the bench run loudly (details in BENCH_LOCAL.json)
         for v in result["sf1"]["violations"]:
             print(f"SF1 RATIO VIOLATION: {v}", file=sys.stderr)
+        failed = True
+    if cg_hits:
+        # the codegen tripwire: a compile-failure fallback to
+        # interpreted evaluation fails the bench run loudly
+        for v in cg_hits[:10]:
+            print(f"CODEGEN VIOLATION: {v}", file=sys.stderr)
+        failed = True
+    if failed:
         sys.exit(1)
 
 

@@ -68,3 +68,51 @@ def test_host_load_snapshot_shape():
     snap = host_load()
     assert snap["cpus"] >= 1
     assert "load1" in snap and snap["load1"] >= 0.0
+
+
+def test_codegen_violations_detects_janino_stack():
+    from bench import codegen_violations
+
+    text = (
+        "26/08/16 WARN CodeGenerator: Error calculating stats\n"
+        "org.codehaus.commons.compiler.InternalCompilerException: "
+        "Compiling \"GeneratedClass\": Code of method grows beyond 64 KB\n"
+        "\tat org.codehaus.janino.CodeContext.makeSpace\n"
+        "ordinary stderr noise\n"
+    )
+    hits = codegen_violations(text)
+    assert len(hits) == 1 and "InternalCompilerException" in hits[0]
+    # "failed to compile" is the CodeGenerator ERROR-path message
+    hits = codegen_violations("ERROR CodeGenerator: failed to compile: x")
+    assert len(hits) == 1
+    assert codegen_violations("all quiet on the stderr front") == []
+
+
+def test_codegen_violations_override_mechanism():
+    from bench import codegen_violations
+
+    text = "InternalCompilerException: Code grows beyond 64 KB in Q_KNOWN"
+    assert len(codegen_violations(text)) == 1
+    assert (
+        codegen_violations(text, overrides={"Q_KNOWN": "documented"}) == []
+    )
+
+
+def test_stderr_tee_captures_child_process(tmp_path):
+    """The tee must capture stderr written by a CHILD process (the
+    Spark JVM inherits fd 2) while still forwarding to the original
+    stream."""
+    import subprocess
+
+    from bench import _tee_stderr, _untee_stderr
+
+    log = str(tmp_path / "cap.log")
+    tee, saved = _tee_stderr(log)
+    try:
+        subprocess.run(
+            ["sh", "-c", "echo CHILD_STACK_MARKER 1>&2"], check=True
+        )
+    finally:
+        _untee_stderr(tee, saved)
+    with open(log) as f:
+        assert "CHILD_STACK_MARKER" in f.read()

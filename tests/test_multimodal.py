@@ -712,3 +712,39 @@ def test_video_shot_boundaries_shape_and_determinism(spark):
 
     with pytest.raises(NotImplementedError):
         video_shot_boundaries(df, decoder="real")
+
+
+def test_audio_spectral_flatness_short_audio_sentinel(spark):
+    """ADVICE r9 #4: a successfully-decoded payload shorter than one
+    window must emit a sentinel row (decode_ok=True, NULL flatness),
+    not silently vanish — distinguishable from both decode failure
+    (decode_ok=False) and a real all-zero window (flatness 0.0)."""
+    import pyspark.sql.types as T
+
+    from aws_glue_jobs_incremental_database_etl_spark.operators.multimodal import (
+        audio_spectral_flatness,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, _wav_bytes([100, -100, 50, -50])),  # 4 samples < 32
+            (2, b"not a wav at all"),  # decode failure
+        ],
+        schema,
+    )
+    got = {
+        r.media_id: r
+        for r in audio_spectral_flatness(
+            df, window_samples=32, n_bins=8, decoder="wav"
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # the short payload is NOT dropped
+    assert got[1].decode_ok is True and got[1].flatness is None
+    assert got[1].window_id == 0 and got[1].total_power == 0.0
+    assert got[2].decode_ok is False and got[2].flatness == 0.0

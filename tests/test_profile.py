@@ -216,3 +216,23 @@ def test_minmax_normalize_bounds_and_degenerate(spark):
     assert out[("a", 10.0)] == 0.0 and out[("a", 20.0)] == 1.0
     assert out[("a", 15.0)] == 0.5
     assert out[("b", 7.0)] == 0.5  # single-value group
+
+
+def test_srm_report_densifies_missing_arm(spark):
+    """ADVICE r9 #1: with every user in one arm, the missing arm's
+    (0 - t/2)^2/(t/2) expected-count term must still contribute —
+    chi2 = t/2 + t/2 = t exactly in the all-one-arm extreme (here 4),
+    not t/2.  And the t=0 degenerate yields NULL, not NaN."""
+    from aws_glue_jobs_incremental_database_etl_spark.operators.profile import (
+        srm_report,
+    )
+
+    arms = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "A")], "user_id long, arm string"
+    )
+    r = srm_report(arms).collect()[0]
+    assert (r.n_a, r.n_b, r.df) == (4, 0, 1)
+    assert r.srm_chi2 == 4.0
+    empty = spark.createDataFrame([], "user_id long, arm string")
+    r0 = srm_report(empty).collect()[0]
+    assert (r0.n_a, r0.n_b) == (0, 0) and r0.srm_chi2 is None
