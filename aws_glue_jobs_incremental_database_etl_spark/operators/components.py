@@ -55,12 +55,12 @@ def connected_components(
     for _ in range(max_iterations):
         # min label over the closed neighborhood: own label ∪ neighbors'
         neighbor_min = (
-            sym.join(labels, sym.v == labels.id)
+            sym.join(labels.hint("merge"), sym.v == labels.id)
             .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            labels.join(neighbor_min.hint("merge"), labels.id == neighbor_min.u, "left")
             .select(
                 "id",
                 F.least(
@@ -71,7 +71,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(labels.alias("o").hint("merge"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
@@ -97,7 +97,7 @@ def cluster_dedup(
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(losers, on=id_col, how="left_anti")
+    return df.join(losers.hint("merge"), on=id_col, how="left_anti")
 
 
 def connected_components_star(
@@ -154,7 +154,7 @@ def connected_components_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         large = (
-            nb.join(mins, "u")
+            nb.join(mins.hint("merge"), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -164,7 +164,7 @@ def connected_components_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         small = (
-            small_nb.join(mins_s, "u")
+            small_nb.join(mins_s.hint("merge"), "u")
             .select(
                 F.col("v").alias("n"), F.col("u").alias("self"), "m"
             )
@@ -194,7 +194,7 @@ def connected_components_star(
         if not changed:
             break
     stars = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
-    return all_nodes.join(stars, "id", "left").select(
+    return all_nodes.join(stars.hint("merge"), "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
 
@@ -257,7 +257,7 @@ def pagerank(
         # materialize the seed-flagged node list ONCE — every
         # iteration's rank rebuild reads it
         nodes = (
-            nodes.join(seeds.withColumn("_s", F.lit(1)), "id", "left")
+            nodes.join(seeds.withColumn("_s", F.lit(1)).hint("merge"), "id", "left")
             .select(
                 "id",
                 F.when(F.col("_s") == 1, F.lit(1.0 / n_seeds))
@@ -275,17 +275,17 @@ def pagerank(
         base_col = F.lit((1.0 - damping) / n)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
-    e_deg = e.join(outdeg, "u").repartition("u").persist()
+    e_deg = e.join(outdeg.hint("merge"), "u").repartition("u").persist()
 
     for i in range(iterations):
         contribs = (
-            e_deg.join(ranks, e_deg.u == ranks.id)
+            e_deg.join(ranks.hint("merge"), e_deg.u == ranks.id)
             .select("v", (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("v")
             .agg(F.sum("_c").alias("_in"))
         )
         ranks = (
-            nodes.join(contribs, nodes.id == contribs.v, "left")
+            nodes.join(contribs.hint("merge"), nodes.id == contribs.v, "left")
             .select(
                 "id",
                 (
@@ -358,8 +358,8 @@ def local_clustering(
     # orient a→b iff (deg[a], a) < (deg[b], b)
     da, db = deg.alias("da"), deg.alias("db")
     o = (
-        e.join(da, F.col("a") == F.col("da.id"))
-        .join(db, F.col("b") == F.col("db.id"))
+        e.join(da.hint("merge"), F.col("a") == F.col("da.id"))
+        .join(db.hint("merge"), F.col("b") == F.col("db.id"))
         .select(
             F.when(
                 (F.col("da.degree") < F.col("db.degree"))
@@ -391,7 +391,7 @@ def local_clustering(
     # sort by id and the closing edge is looked up both ways below.
     w1, w2 = o.alias("w1"), o.alias("w2")
     wedges = w1.join(
-        w2,
+        w2.hint("merge"),
         (F.col("w1.lo") == F.col("w2.lo"))
         & (F.col("w1.hi") < F.col("w2.hi")),
     ).select(
@@ -407,7 +407,7 @@ def local_clustering(
         F.least("lo", "hi").alias("p"), F.greatest("lo", "hi").alias("q")
     )
     tri = wedges.join(
-        closing,
+        closing.hint("merge"),
         (F.col("y") == F.col("p")) & (F.col("z") == F.col("q")),
     ).select("x", "y", "z")
     per_node = (
@@ -416,7 +416,7 @@ def local_clustering(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     out = (
-        deg.join(per_node, "id", "left")
+        deg.join(per_node.hint("merge"), "id", "left")
         .select(
             "id",
             "degree",
@@ -487,7 +487,7 @@ def label_propagation(
     )
     for _ in range(iterations):
         cnt = (
-            sym.join(labels, sym.v == labels.id)
+            sym.join(labels.hint("merge"), sym.v == labels.id)
             .groupBy("u", "label")
             .agg(F.count(F.lit(1)).alias("_n"))
         )
@@ -545,7 +545,7 @@ def bfs_distances(
     )
     for _ in range(max_hops):
         relaxed = (
-            sym.join(dist, sym.v == dist.id)
+            sym.join(dist.hint("merge"), sym.v == dist.id)
             .select(sym.u.alias("id"), (F.col("dist") + 1).alias("dist"))
             .unionByName(dist)
             .groupBy("id")
@@ -598,8 +598,8 @@ def kcore(
     for _ in range(peel_rounds):
         keep = deg.filter(F.col("degree") >= k).select("u")
         e = (
-            e.join(keep, "u")
-            .join(keep.select(F.col("u").alias("v")), "v")
+            e.join(keep.hint("merge"), "u")
+            .join(keep.select(F.col("u").alias("v")).hint("merge"), "v")
             .select("u", "v")
             .localCheckpoint()
         )
@@ -649,7 +649,7 @@ def merge_components(
         .unionByName(delta.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    return universe.join(merged, "id", "left").select(
+    return universe.join(merged.hint("merge"), "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
 
@@ -711,24 +711,24 @@ def dbscan_from_pairs(
         F.col("u").alias("id")
     )
     ce = (
-        sym.join(core.select(F.col("id").alias("u")), "u")
-        .join(core.select(F.col("id").alias("v")), "v")
+        sym.join(core.select(F.col("id").alias("u")).hint("merge"), "u")
+        .join(core.select(F.col("id").alias("v")).hint("merge"), "v")
         .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
     )
     comp = connected_components(ce, "id_a", "id_b")
-    core_cl = core.join(comp, "id", "left").select(
+    core_cl = core.join(comp.hint("merge"), "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("cluster")
     )
     border = (
         sym.join(
-            core_cl.select(
+            core_cl.hint("merge").select(
                 F.col("id").alias("v"), F.col("cluster").alias("_c")
             ),
             "v",
         )
         .groupBy("u")
         .agg(F.min("_c").alias("cluster"))
-        .join(core.select(F.col("id").alias("u")), "u", "left_anti")
+        .join(core.select(F.col("id").alias("u")).hint("merge"), "u", "left_anti")
         .select(F.col("u").alias("id"), "cluster")
     )
     labeled = core_cl.withColumn("role", F.lit("core")).unionByName(
@@ -736,7 +736,7 @@ def dbscan_from_pairs(
     )
     return (
         universe.select(F.col(id_col).alias("id"))
-        .join(labeled, "id", "left")
+        .join(labeled.hint("merge"), "id", "left")
         .select(
             "id",
             F.coalesce("role", F.lit("noise")).alias("role"),

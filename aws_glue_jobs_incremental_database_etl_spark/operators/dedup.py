@@ -16,6 +16,21 @@ Scale design notes (the point of each algorithm):
 - **n-gram Jaccard**: exact verify kernel, also usable standalone on
   a bounded candidate set.
 - **embedding near-dup**: cosine ≥ τ pairs via the similarity module.
+
+Join-strategy discipline (round-10 sf10 probe finding): every join in
+this module whose BOTH sides scale with the corpus (postings
+self-joins, banded-bucket self-joins, candidate→signature joins,
+survivor anti-joins) carries an explicit ``hint("merge")``.  Without
+it, Catalyst's plan-time size estimate of derived frames (persisted /
+exploded / aggregated) can undershoot the 64 MB auto-broadcast
+threshold and BROADCAST a side that scales with the data — measured:
+the minhash banded self-join planned as BroadcastHashJoin at sf1 and
+died with notEnoughMemoryToBuildAndBroadcastTableError at sf10; at
+100 TB that is a guaranteed OOM.  The merge hint pins the plan-time
+strategy to the designed shuffle join, while AQE remains free to
+convert back to broadcast AT RUNTIME from actual (not estimated)
+sizes — so small-corpus performance is unchanged and large-corpus
+execution is safe.
 """
 
 from __future__ import annotations
@@ -191,7 +206,7 @@ def minhash_near_dup_pairs(
     b = banded.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.id") < F.col("b.id")),
@@ -259,10 +274,10 @@ def jaccard_near_dup_pairs(
         .filter(F.col("df_") <= max_postings)
         .select("shingle")
     )
-    postings = postings.join(rare, "shingle")
+    postings = postings.join(rare.hint("merge"), "shingle")
     a, b = postings.alias("a"), postings.alias("b")
     pair_shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b.hint("merge"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -320,10 +335,10 @@ def containment_near_dup_pairs(
         .filter(F.col("df_") <= max_postings)
         .select("shingle")
     )
-    postings = postings.join(rare, "shingle")
+    postings = postings.join(rare.hint("merge"), "shingle")
     a, b = postings.alias("a"), postings.alias("b")
     pair_shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b.hint("merge"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -395,7 +410,7 @@ def jaccard_near_dup_pairs_prefix(
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: τ|A| ≤ |B| ≤ |A|/τ (symmetric via min/max)
@@ -408,8 +423,8 @@ def jaccard_near_dup_pairs_prefix(
     sig_a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sig_b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        cand.join(sig_a.hint("merge"), "id_a")
+        .join(sig_b.hint("merge"), "id_b")
         .withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -425,7 +440,7 @@ def minhash_dedup(
     practice)."""
     pairs = minhash_near_dup_pairs(df, id_col, text_col, threshold, **kw)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, on=id_col, how="left_anti")
+    return df.join(losers.hint("merge"), on=id_col, how="left_anti")
 
 
 def quality_survivor_dedup(
@@ -461,7 +476,7 @@ def quality_survivor_dedup(
         df.select(
             F.col(id_col).alias("id"), F.col(quality_col).alias("_q")
         )
-        .join(comp, "id", "left")
+        .join(comp.hint("merge"), "id", "left")
         .select(
             "id", "_q", F.coalesce("component", F.col("id")).alias("cluster")
         )
@@ -621,7 +636,7 @@ def simhash_near_dup_pairs(
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.ckey") == F.col("b.ckey"))
             & (F.col("a.id") < F.col("b.id")),
@@ -886,7 +901,9 @@ def semantic_dedup(
         .applyInPandas(losers_in_cluster, loser_schema)
     )
     return assigned.join(
-        losers, assigned[id_col] == losers["__loser_id"], "left_anti"
+        losers.hint("merge"),
+        assigned[id_col] == losers["__loser_id"],
+        "left_anti",
     )
 
 
@@ -1110,7 +1127,7 @@ def winnow_near_dup_pairs(
     a = fp.alias("a")
     b = fp.alias("b")
     shared = (
-        a.join(b, "fp_hash")
+        a.join(b.hint("merge"), "fp_hash")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -1125,8 +1142,8 @@ def winnow_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b")
     )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        shared.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .withColumn(
             "overlap",
             F.round(
@@ -1179,7 +1196,7 @@ def tfidf_cosine_pairs(
         F.count(F.lit(1)).alias("n_docs")
     )
     weighted = (
-        toks.join(dfreq.filter(F.col("df_") <= max_postings), "token")
+        toks.join(dfreq.filter(F.col("df_") <= max_postings).hint("merge"), "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "id",
@@ -1208,7 +1225,7 @@ def tfidf_cosine_pairs(
     a, b = weighted.alias("a"), weighted.alias("b")
     dots = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.id") < F.col("b.id")),
         )
@@ -1220,8 +1237,8 @@ def tfidf_cosine_pairs(
     na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2_a"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2_b"))
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
+        dots.join(na.hint("merge"), "id_a")
+        .join(nb.hint("merge"), "id_b")
         .withColumn(
             "cos",
             F.round(

@@ -330,7 +330,7 @@ class MinHashIndex:
         a, b = new_banded.alias("a"), all_banded.alias("b")
         cand = (
             a.join(
-                b,
+                b.hint("merge"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.bsig") == F.col("b.bsig"))
                 & (F.col("a.id") != F.col("b.id"))
@@ -378,7 +378,7 @@ class MinHashIndex:
         to_index = new_sig.join(losers, on="id", how="left_anti")
         if index is not None:
             to_index = to_index.join(
-                index.select("id"), on="id", how="left_anti"
+                index.select("id").hint("merge"), on="id", how="left_anti"
             )
         to_index.select("id", "sh", "mh").write.mode("append").parquet(self.path)
         # the index append was new_sig's last consumer → drop its cache.
@@ -460,7 +460,7 @@ class WinnowIndex:
             .distinct()
         )
         sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
-        return fp.join(sizes, "id")
+        return fp.join(sizes.hint("merge"), "id")
 
     def _load(self, spark: SparkSession) -> DataFrame | None:
         return _load_snapshot(spark, self.path)
@@ -497,7 +497,7 @@ class WinnowIndex:
         a, b = new_fp.alias("a"), all_fp.alias("b")
         shared = (
             a.join(
-                b,
+                b.hint("merge"),
                 (F.col("a.fp_hash") == F.col("b.fp_hash"))
                 & (F.col("a.id") != F.col("b.id"))
                 & (F.col("b.is_old") | (F.col("b.id") < F.col("a.id"))),
@@ -529,7 +529,9 @@ class WinnowIndex:
         to_index = new_fp.join(losers, on="id", how="left_anti")
         if index is not None:
             to_index = to_index.join(
-                index.select("id").distinct(), on="id", how="left_anti"
+                index.select("id").distinct().hint("merge"),
+                on="id",
+                how="left_anti",
             )
         to_index.select("id", "fp_hash", "n_fp").write.mode(
             "append"

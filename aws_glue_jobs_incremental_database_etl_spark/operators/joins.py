@@ -344,7 +344,7 @@ def edit_distance_join(
         ).alias("_lb"),
     )
     return (
-        a.join(b, ["block", "_lb"])
+        a.join(b.hint("merge"), ["block", "_lb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "dist", F.levenshtein(F.col("_s_a"), F.col("_s_b"), max_dist)
@@ -525,7 +525,7 @@ def jaro_winkler_join(
         F.col(text_col).alias("t_b"),
         F.length(text_col).alias("l_b"),
     )
-    cand = a.join(b, "block").filter(
+    cand = a.join(b.hint("merge"), "block").filter(
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("l_a") - F.col("l_b")) <= length_band)
     )

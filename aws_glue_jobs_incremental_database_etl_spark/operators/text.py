@@ -213,7 +213,7 @@ def lexicon_score(
     )
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(hits, "id", "left")
+        .join(hits.hint("merge"), "id", "left")
         .select(
             "id",
             F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
@@ -375,7 +375,7 @@ def repetition_signals(
     )
     return (
         base.drop("_toks")
-        .join(per_doc, "id", "left")
+        .join(per_doc.hint("merge"), "id", "left")
         .select(
             "id",
             "n_words",
@@ -431,7 +431,7 @@ def lm_cross_entropy(
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
     # fold C(w1) into the (much smaller) distinct-bigram model table
     # first, so the full bigram STREAM pays one join, not two
-    model = bc.join(uni, "w1").select(
+    model = bc.join(uni.hint("merge"), "w1").select(
         "w1",
         "w2",
         F.log(
@@ -439,7 +439,7 @@ def lm_cross_entropy(
         ).alias("_logp"),
     )
     scored = (
-        bi.join(model, ["w1", "w2"])
+        bi.join(model.hint("merge"), ["w1", "w2"])
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -448,7 +448,7 @@ def lm_cross_entropy(
     )
     return (
         base.select("id")
-        .join(scored, "id", "left")
+        .join(scored.hint("merge"), "id", "left")
         .select(
             "id",
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
@@ -639,12 +639,12 @@ def dedup_segments(
         kept = (F.col("id") == F.col("_first.id")) & (
             F.col("pos") == F.col("_first.pos")
         )
-        marked = segs.join(winners, "seg").withColumn("_keep", kept)
+        marked = segs.join(winners.hint("merge"), "seg").withColumn("_keep", kept)
     else:
         counts = segs.groupBy("seg").agg(
             F.count_distinct("id").alias("_ndocs")
         )
-        marked = segs.join(counts, "seg").withColumn(
+        marked = segs.join(counts.hint("merge"), "seg").withColumn(
             "_keep", F.col("_ndocs") <= max_docs
         )
 
@@ -859,7 +859,7 @@ def dsir_importance(
     )
     kv = F.lit(float(k))
     model = (
-        cc.join(ct, "w", "left")
+        cc.join(ct.hint("merge"), "w", "left")
         .crossJoin(F.broadcast(consts))
         .select(
             "w",
@@ -876,7 +876,7 @@ def dsir_importance(
     )
     model = _dsir_cached_model(df, target, model, id_col, text_col, k)
     return (
-        stream.join(model, "w")
+        stream.join(model.hint("merge"), "w")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
@@ -957,7 +957,7 @@ def hashed_classifier_score(
     base_score = round(1.0 / (1.0 + math.exp(-bias)), 6)
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(scored, "id", "left")
+        .join(scored.hint("merge"), "id", "left")
         .select(
             "id",
             F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
@@ -1098,7 +1098,7 @@ def dup_ngram_profile(
         grams = grams.select("id", F.xxhash64("gram").alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_c"))
     profiled = (
-        grams.join(counts, "gram")
+        grams.join(counts.hint("merge"), "gram")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
@@ -1107,7 +1107,7 @@ def dup_ngram_profile(
     )
     out = (
         df.select(F.col(id_col).alias("id"))
-        .join(profiled, "id", "left")
+        .join(profiled.hint("merge"), "id", "left")
         .select(
             "id",
             F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
@@ -1171,7 +1171,7 @@ def oov_rate(
     )
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(scored, "id", "left")
+        .join(scored.hint("merge"), "id", "left")
         .select(
             "id",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
@@ -1272,7 +1272,7 @@ def bm25_score(
     )
     return (
         base.select("id", "n_tokens")
-        .join(scored, "id", "left")
+        .join(scored.hint("merge"), "id", "left")
         .select(
             "id",
             "n_tokens",
@@ -1339,8 +1339,8 @@ def lm_heldout_cross_entropy(
         / (F.coalesce("_cu", F.lit(0)) + F.lit(k * vocab_size))
     )
     scored = (
-        bi.join(bc, ["w1", "w2"], "left")
-        .join(uni, "w1", "left")
+        bi.join(bc.hint("merge"), ["w1", "w2"], "left")
+        .join(uni.hint("merge"), "w1", "left")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -1349,7 +1349,7 @@ def lm_heldout_cross_entropy(
     )
     return (
         te.select("id")
-        .join(scored, "id", "left")
+        .join(scored.hint("merge"), "id", "left")
         .select(
             "id",
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
@@ -1425,7 +1425,7 @@ def remove_duplicate_spans(
         .select("gram")
     )
     covered = (
-        grams.join(dup, "gram")
+        grams.join(dup.hint("merge"), "gram")
         .select(
             "id",
             F.explode(
@@ -1437,7 +1437,7 @@ def remove_duplicate_spans(
     tok_stream = base.select(
         "id", F.posexplode("_w").alias("p", "word")
     )
-    kept = tok_stream.join(covered, ["id", "p"], "left_anti")
+    kept = tok_stream.join(covered.hint("merge"), ["id", "p"], "left_anti")
     reassembled = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("_n_kept"),
         F.array_join(
@@ -1448,7 +1448,7 @@ def remove_duplicate_spans(
             " ",
         ).alias("_ktext"),
     )
-    return base.join(reassembled, "id", "left").select(
+    return base.join(reassembled.hint("merge"), "id", "left").select(
         "id",
         F.size("_w").cast("bigint").alias("n_tokens"),
         (F.size("_w") - F.coalesce("_n_kept", F.lit(0)))

@@ -1212,14 +1212,27 @@ def association_rules_q(spark, sf_dir):
     nb = it.agg(F.countDistinct("b").alias("nb"))
     a, bb = it.alias("a"), it.alias("bb")
     pr = (
-        a.join(bb, (F.col("a.b") == F.col("bb.b")) & (F.col("a.i") < F.col("bb.i")))
+        a.join(
+            bb.hint("merge"),
+            (F.col("a.b") == F.col("bb.b")) & (F.col("a.i") < F.col("bb.i")),
+        )
         .groupBy(F.col("a.i").alias("ia"), F.col("bb.i").alias("ib"))
         .agg(F.count("*").alias("sp"))
         .filter(F.col("sp") >= 2)
     )
     j = (
-        pr.join(si.withColumnRenamed("i", "ia").withColumnRenamed("s", "sa"), "ia")
-        .join(si.withColumnRenamed("i", "ib").withColumnRenamed("s", "sb"), "ib")
+        pr.join(
+            si.withColumnRenamed("i", "ia")
+            .withColumnRenamed("s", "sa")
+            .hint("merge"),
+            "ia",
+        )
+        .join(
+            si.withColumnRenamed("i", "ib")
+            .withColumnRenamed("s", "sb")
+            .hint("merge"),
+            "ib",
+        )
         .crossJoin(F.broadcast(nb))
     )
     conf = F.col("sp").cast("double") / F.col("sa").cast("double")

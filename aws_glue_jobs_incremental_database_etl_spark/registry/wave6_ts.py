@@ -1465,8 +1465,8 @@ def split_leakage_q(spark, sf_dir):
     sa = split.select(F.col("doc_id").alias("id_a"), F.col("sp").alias("spa"))
     sb = split.select(F.col("doc_id").alias("id_b"), F.col("sp").alias("spb"))
     tagged = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .select(
             F.least("spa", "spb").alias("split_a"),
             F.greatest("spa", "spb").alias("split_b"),
@@ -2781,7 +2781,8 @@ def er_clusters_q(spark, sf_dir):
         comp.groupBy(F.col("component").alias("cluster_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .join(
-            names, F.col("cluster_id") == F.col("cluster_id_key")
+            names.hint("merge"),
+            F.col("cluster_id") == F.col("cluster_id_key"),
         )
         .select(
             F.col("cluster_id").cast("bigint").alias("cluster_id"),

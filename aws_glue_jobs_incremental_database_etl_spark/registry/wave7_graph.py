@@ -88,9 +88,17 @@ def adamic_adar_q(spark, sf_dir):
     deg = deg.withColumnRenamed("_df", "d")
     a, b = e.alias("a"), e.alias("b")
     pairs = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        # hint("merge"): both sides are corpus-scaled (postings and the
+        # per-part degree frame) — Catalyst's size estimate of derived
+        # frames must never pick a broadcast here (sf10 probe finding)
+        a.join(
+            b.hint("merge"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
         .join(
-            deg.filter(F.col("d") >= 2).withColumnRenamed("p", "dp"),
+            deg.filter(F.col("d") >= 2)
+            .withColumnRenamed("p", "dp")
+            .hint("merge"),
             F.col("a.p") == F.col("dp"),
         )
         .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
@@ -285,7 +293,7 @@ def ngram_novelty_q(spark, sf_dir):
     n_sh = staged.select(
         "doc_id", "source", F.size("sh").alias("n_sh")
     )
-    per_doc = n_sh.join(n_new, "doc_id", "left").select(
+    per_doc = n_sh.join(n_new.hint("merge"), "doc_id", "left").select(
         "doc_id",
         "source",
         "n_sh",

@@ -87,7 +87,7 @@ def item_cooccur_q(spark, sf_dir):
     a, b = li.alias("a"), li.alias("b")
     co = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
@@ -100,11 +100,15 @@ def item_cooccur_q(spark, sf_dir):
     )
     scored = (
         co.join(
-            n.select(F.col("l_partkey").alias("p_a"), F.col("cnt").alias("na")),
+            n.select(
+                F.col("l_partkey").alias("p_a"), F.col("cnt").alias("na")
+            ).hint("merge"),
             "p_a",
         )
         .join(
-            n.select(F.col("l_partkey").alias("p_b"), F.col("cnt").alias("nb")),
+            n.select(
+                F.col("l_partkey").alias("p_b"), F.col("cnt").alias("nb")
+            ).hint("merge"),
             "p_b",
         )
         .select(

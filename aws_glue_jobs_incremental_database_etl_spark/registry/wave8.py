@@ -803,8 +803,10 @@ def char_trigram_sim_q(spark, sf_dir):
     )
     a, b = grams.alias("a"), grams.alias("b")
     dots = (
+        # hint("merge"): the gram-keyed frame scales with corpus
+        # vocabulary — never broadcast on a plan-time size estimate
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.source") < F.col("b.source")),
         )

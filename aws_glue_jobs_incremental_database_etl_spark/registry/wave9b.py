@@ -1514,8 +1514,10 @@ def rich_club_q(spark, sf_dir):
     )
     a, b = e.alias("a"), e.alias("b")
     edges = (
+        # hint("merge"): corpus-scaled self-join — never broadcast on a
+        # plan-time size estimate (round-10 sf10 probe finding)
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
         )
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
@@ -1536,8 +1538,18 @@ def rich_club_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_k"))
     )
     ek = (
-        edges.join(deg.withColumnRenamed("s", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("s", "v").withColumnRenamed("d", "dv"), "v")
+        edges.join(
+            deg.withColumnRenamed("s", "u")
+            .withColumnRenamed("d", "du")
+            .hint("merge"),
+            "u",
+        )
+        .join(
+            deg.withColumnRenamed("s", "v")
+            .withColumnRenamed("d", "dv")
+            .hint("merge"),
+            "v",
+        )
         .join(
             F.broadcast(ks),
             (F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")),

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""One-off sf10 probe of the worst sf1 growth ratios (VERDICT r9
+Next-round #4): the sf1 tripwire proves one decade (10× rows); a
+100 TB claim spans three, so the five queries with the largest
+sf1/sf0.1 ratios get a second-decade measurement — sf10/sf1 must not
+exceed sf1/sf0.1, or the growth exponent is creeping and the query
+needs a re-plan.
+
+sf10 is composed with the SAME replication scheme as the sf1 bench
+data (tools/scale_data), directly from sf0.1 at factor=100 — NOT from
+the sf1 directory, whose keys already occupy the replica-shift ranges
+(re-replicating them at the same SHIFT would collide keys and
+manufacture cross-replica duplicate pairs no real growth produces).
+
+Prints one JSON line and appends nothing; the results are transcribed
+into SCALE.md by hand so the committed table carries the host-load
+context of the run that produced it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the 5 worst sf1/sf0.1 ratios from BENCH_r09 (judge-ranked)
+PROBES = [
+    "simhash_near_dup_docs",
+    "association_rules_lineitem",
+    "adamic_adar_links_suppliers",
+    "minhash_near_dup_docs",
+    "rich_club_suppliers",
+]
+
+
+def main() -> None:
+    from aws_glue_jobs_incremental_database_etl_spark.session import get_spark
+    from aws_glue_jobs_incremental_database_etl_spark import registry
+    from tools.scale_data import ensure_scaled
+    from bench import host_load
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="sf10_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf1 = ensure_scaled(
+        spark, sf01, os.path.join(here, ".benchdata", "sf1"), 10
+    )
+    sf10 = ensure_scaled(
+        spark, sf01, os.path.join(here, ".benchdata", "sf10"), 100
+    )
+
+    def run(name: str, sf_dir: str, reps: int = 1) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            registry.Q[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    # warm the JVM + Python-worker paths
+    registry.Q["topk_orders"](spark, sf01).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    out: dict = {"metric": "sf10_probe", "host_load": host_load(), "queries": {}}
+    for name in PROBES:
+        t01 = run(name, sf01, reps=2)  # min-of-2: the stable base
+        t1 = run(name, sf1)
+        t10 = run(name, sf10)
+        r1 = round(t1 / t01, 2) if t01 else None
+        r10 = round(t10 / t1, 2) if t1 else None
+        out["queries"][name] = {
+            "sf0.1_s": t01,
+            "sf1_s": t1,
+            "sf10_s": t10,
+            "ratio_sf1_over_sf01": r1,
+            "ratio_sf10_over_sf1": r10,
+            "exponent_holds": (r10 is not None and r1 is not None and r10 <= r1),
+        }
+        print(
+            f"{name}: sf0.1={t01}s sf1={t1}s sf10={t10}s "
+            f"decade1={r1}x decade2={r10}x",
+            file=sys.stderr,
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
