@@ -1,0 +1,1232 @@
+"""Round-10 wave: distribution diagnostics (Jarque–Bera, Benford),
+ordinal association (Somers' D / Stuart's τc, Goodman–Kruskal λ),
+reliability (Cronbach's α), time-series stationarity/randomness/trend
+(KPSS, Bartels RVN, Cox–Stuart, Theil–Sen), experimentation (CUPED),
+engagement (DAU/MAU), survival concordance (Harrell's C), and the
+contrastive-representation alignment/uniformity diagnostic.
+
+Same conventions as every wave (see ``_core``): identical aliases in
+Spark and DuckDB, exact integer cells wherever a value can be
+quantized, ANSI-safe guards on every 0/0, deterministic tie-breaks on
+every rank/median boundary, bounded grids for every SinglePartition
+fold (audited in plans/audit.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+from ._core import O, Q, query  # noqa: F401
+
+
+# =====================================================================
+# Jarque–Bera normality per group (exact integer moment cells)
+# =====================================================================
+
+@query(
+    "jarque_bera_quantity_lineitem",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS grp, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS s1,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS s2,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS s3,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS s4
+      FROM lineitem GROUP BY 1
+    ), m AS (
+      SELECT grp, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM cells
+    ), c AS (
+      SELECT grp, n, mu,
+             r2 - mu * mu AS m2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                - 3.0 * mu * mu * mu * mu AS m4
+      FROM m
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n_rows,
+           ROUND(CASE WHEN m2 > 0 THEN m3 / (m2 * SQRT(m2)) END, 6)
+             AS skewness,
+           ROUND(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 6)
+             AS excess_kurtosis,
+           ROUND(CASE WHEN m2 > 0 THEN n / 6.0 *
+                 ((m3 / (m2 * SQRT(m2))) * (m3 / (m2 * SQRT(m2)))
+                  + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                    / 4.0) END, 6) AS jarque_bera
+    FROM c ORDER BY grp
+    """,
+)
+def jarque_bera_q(spark, sf_dir):
+    """Jarque–Bera normality test per return-flag group — the
+    moment-based normality screen (JB = n/6·(S² + K²/4), χ²₂ under
+    H₀) that decides whether the t/ANOVA family upstream is even
+    applicable.  Complements ``dagostino_k2_totalprice`` (same moments,
+    different standardization — D'Agostino transforms S and K to
+    z-scores before summing; JB is the asymptotic form every
+    econometrics package defaults to).
+
+    Quantities round to EXACT integers, so the four raw power sums
+    are integer cells (bigint on Spark, HUGEINT in the twin — equal
+    until 2⁶³, i.e. far past any tested scale) and every downstream
+    double is the same IEEE expression in both engines before the
+    ROUND.  One map-side-combined aggregate; the k-row fold is the
+    hedges_g audited shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("bigint")
+    cells = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        r4
+        - F.lit(4.0) * mu * r3
+        + F.lit(6.0) * mu * mu * r2
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    return cells.select(
+        "grp",
+        n.cast("bigint").alias("n_rows"),
+        F.round(F.when(m2 > 0, skew), 6).alias("skewness"),
+        F.round(F.when(m2 > 0, exk), 6).alias("excess_kurtosis"),
+        F.round(
+            F.when(
+                m2 > 0,
+                n / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0)),
+            ),
+            6,
+        ).alias("jarque_bera"),
+    ).orderBy("grp")
+
+
+# =====================================================================
+# Somers' D + Stuart's τc (ordinal association on a bounded grid)
+# =====================================================================
+
+_SOMERS_SQL = """
+    WITH cells AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 5) AS y,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(n) AS nt, COUNT(DISTINCT x) AS nx, COUNT(DISTINCT y) AS ny
+      FROM cells
+    ), pairs AS (
+      SELECT SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                      THEN a.n * b.n ELSE 0 END) AS c,
+             SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                      THEN a.n * b.n ELSE 0 END) AS d,
+             SUM(CASE WHEN b.x = a.x AND b.y > a.y
+                      THEN a.n * b.n ELSE 0 END) AS tx,
+             SUM(CASE WHEN b.x > a.x AND b.y = a.y
+                      THEN a.n * b.n ELSE 0 END) AS ty
+      FROM cells a JOIN cells b
+        ON (b.x > a.x) OR (b.x = a.x AND b.y > a.y)
+    )
+    SELECT CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           ROUND(CASE WHEN c + d + ty > 0 THEN
+                 CAST(c - d AS DOUBLE) / (c + d + ty) END, 6)
+             AS somers_d_yx,
+           ROUND(CASE WHEN c + d + tx > 0 THEN
+                 CAST(c - d AS DOUBLE) / (c + d + tx) END, 6)
+             AS somers_d_xy,
+           ROUND(CASE WHEN LEAST(t.nx, t.ny) > 1 THEN
+                 2.0 * LEAST(t.nx, t.ny) * CAST(c - d AS DOUBLE)
+                 / (CAST(t.nt AS DOUBLE) * t.nt
+                    * (LEAST(t.nx, t.ny) - 1)) END, 6) AS stuart_tau_c
+    FROM pairs CROSS JOIN tot t
+    """
+
+
+@query("somers_d_priority_price_orders", _SOMERS_SQL)
+def somers_d_q(spark, sf_dir):
+    """Somers' D (both directions) + Stuart's τc between order
+    priority (ordinal 1–5) and totalprice bucket (ordinal 0–5) — the
+    asymmetric ordinal-association battery: D(Y|X) is THE effect size
+    under every rank-based model with a designated response (it is
+    the Gini/AUC − .5 doubled), τc corrects Kendall for non-square
+    tables; together with the existing γ (ties dropped) they span the
+    standard contingency-ordinal toolkit.
+
+    The data collapses to a ≤5×6 integer grid in one aggregate; the
+    pair sweep is the grid's self-join (≤30×30 literal rows, the
+    goodman_kruskal audited shape), so concordant/discordant counts
+    are exact integers at any corpus size (bigint here ≙ the twin's
+    HUGEINT until 2⁶³)."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("x"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint"),
+            F.lit(5).cast("bigint"),
+        ).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("nt"),
+        F.countDistinct("x").alias("nx"),
+        F.countDistinct("y").alias("ny"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    ax, bx, ay, by = F.col("a.x"), F.col("b.x"), F.col("a.y"), F.col("b.y")
+    pairs = a.join(
+        b,
+        (bx > ax) | ((bx == ax) & (by > ay)),
+    ).agg(
+        F.sum(F.when((bx > ax) & (by > ay), an * bn).otherwise(0)).alias("c"),
+        F.sum(F.when((bx > ax) & (by < ay), an * bn).otherwise(0)).alias("d"),
+        F.sum(F.when((bx == ax) & (by > ay), an * bn).otherwise(0)).alias(
+            "tx"
+        ),
+        F.sum(F.when((bx > ax) & (by == ay), an * bn).otherwise(0)).alias(
+            "ty"
+        ),
+    )
+    c, d = F.col("c"), F.col("d")
+    out = pairs.join(F.broadcast(tot), F.lit(True))
+    m = F.least(F.col("nx"), F.col("ny"))
+    return out.select(
+        c.cast("bigint").alias("concordant"),
+        d.cast("bigint").alias("discordant"),
+        F.round(
+            F.when(
+                c + d + F.col("ty") > 0,
+                (c - d).cast("double") / (c + d + F.col("ty")),
+            ),
+            6,
+        ).alias("somers_d_yx"),
+        F.round(
+            F.when(
+                c + d + F.col("tx") > 0,
+                (c - d).cast("double") / (c + d + F.col("tx")),
+            ),
+            6,
+        ).alias("somers_d_xy"),
+        F.round(
+            F.when(
+                m > 1,
+                F.lit(2.0)
+                * m
+                * (c - d).cast("double")
+                / (
+                    F.col("nt").cast("double")
+                    * F.col("nt")
+                    * (m - F.lit(1))
+                ),
+            ),
+            6,
+        ).alias("stuart_tau_c"),
+    )
+
+
+# =====================================================================
+# Goodman–Kruskal λ (proportional-reduction-in-error, nominal)
+# =====================================================================
+
+@query(
+    "gk_lambda_lang_source_docs",
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), byrow AS (
+      SELECT lang, MAX(n) AS mx FROM cells GROUP BY lang
+    ), bycol AS (
+      SELECT source, MAX(n) AS mx FROM cells GROUP BY source
+    ), rowtot AS (
+      SELECT lang, SUM(n) AS n FROM cells GROUP BY lang
+    ), coltot AS (
+      SELECT source, SUM(n) AS n FROM cells GROUP BY source
+    ), tots AS (
+      SELECT (SELECT SUM(n) FROM cells) AS nt,
+             (SELECT SUM(mx) FROM byrow) AS srow,
+             (SELECT SUM(mx) FROM bycol) AS scol,
+             (SELECT MAX(n) FROM coltot) AS mcol,
+             (SELECT MAX(n) FROM rowtot) AS mrow
+    )
+    SELECT CAST(nt AS BIGINT) AS n_docs,
+           ROUND(CASE WHEN nt > mcol THEN
+                 CAST(srow - mcol AS DOUBLE) / (nt - mcol) END, 6)
+             AS lambda_source_given_lang,
+           ROUND(CASE WHEN nt > mrow THEN
+                 CAST(scol - mrow AS DOUBLE) / (nt - mrow) END, 6)
+             AS lambda_lang_given_source
+    FROM tots
+    """,
+)
+def gk_lambda_q(spark, sf_dir):
+    """Goodman–Kruskal λ on the (lang, source) contingency grid — the
+    proportional-reduction-in-error measure for NOMINAL association
+    (how much does knowing the language cut the error of guessing the
+    source by its mode?).  Completes the nominal toolkit next to
+    Cramér's V (effect size), mutual information (bits), and Theil's
+    U (entropy fraction): λ is the only one stated in guessing-error
+    units, and the only one that can be exactly 0 under real
+    dependence (mode-invariant) — which is why reports quote it
+    alongside V, never instead.
+
+    One |langs|×|sources| integer grid → per-row/per-column maxima →
+    a 1-row fold (the theils_u audited shape).  Exact integers until
+    the final ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    byrow = cells.groupBy("lang").agg(F.max("n").alias("mx"))
+    bycol = cells.groupBy("source").agg(F.max("n").alias("mx"))
+    rowtot = cells.groupBy("lang").agg(F.sum("n").alias("n"))
+    coltot = cells.groupBy("source").agg(F.sum("n").alias("n"))
+    tots = (
+        cells.agg(F.sum("n").alias("nt"))
+        .join(F.broadcast(byrow.agg(F.sum("mx").alias("srow"))), F.lit(True))
+        .join(F.broadcast(bycol.agg(F.sum("mx").alias("scol"))), F.lit(True))
+        .join(
+            F.broadcast(coltot.agg(F.max("n").alias("mcol"))), F.lit(True)
+        )
+        .join(
+            F.broadcast(rowtot.agg(F.max("n").alias("mrow"))), F.lit(True)
+        )
+    )
+    nt, srow, scol = F.col("nt"), F.col("srow"), F.col("scol")
+    mcol, mrow = F.col("mcol"), F.col("mrow")
+    return tots.select(
+        nt.cast("bigint").alias("n_docs"),
+        F.round(
+            F.when(nt > mcol, (srow - mcol).cast("double") / (nt - mcol)),
+            6,
+        ).alias("lambda_source_given_lang"),
+        F.round(
+            F.when(nt > mrow, (scol - mrow).cast("double") / (nt - mrow)),
+            6,
+        ).alias("lambda_lang_given_source"),
+    )
+
+
+# =====================================================================
+# Cronbach's α (internal-consistency reliability over event types)
+# =====================================================================
+
+@query(
+    "cronbach_alpha_event_types",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), k AS (
+      SELECT COUNT(DISTINCT event_type) AS k FROM events
+    ), n AS (
+      SELECT COUNT(*) AS n FROM u
+    ), cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), item AS (
+      -- absent (user, type) cells are zeros: only s1/s2 over present
+      -- rows are needed because 0 contributes nothing to either sum
+      SELECT event_type, SUM(c) AS s1,
+             SUM(CAST(c AS HUGEINT) * c) AS s2
+      FROM cnt GROUP BY 1
+    ), itemvar AS (
+      SELECT SUM((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n.n)
+                 / (n.n - 1)) AS sv
+      FROM item CROSS JOIN n
+    ), usr AS (
+      SELECT user_id, SUM(c) AS t FROM cnt GROUP BY 1
+    ), totvar AS (
+      SELECT (SUM(CAST(t AS HUGEINT) * t)
+              - CAST(SUM(t) AS DOUBLE) * SUM(t) / MAX(n.n))
+             / (MAX(n.n) - 1) AS vt
+      FROM usr CROSS JOIN n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_users, CAST(k.k AS BIGINT) AS k_items,
+           ROUND(CASE WHEN k.k > 1 AND vt > 0 THEN
+                 CAST(k.k AS DOUBLE) / (k.k - 1) * (1.0 - sv / vt)
+                 END, 6) AS cronbach_alpha,
+           ROUND(CAST(vt AS DOUBLE), 4) AS var_total
+    FROM n CROSS JOIN k CROSS JOIN itemvar CROSS JOIN totvar
+    """,
+)
+def cronbach_alpha_q(spark, sf_dir):
+    """Cronbach's α with event types as items and users as subjects
+    (score = per-user count of each type) — the internal-consistency
+    check behind every composite engagement score: if a product team
+    sums a user's pageviews+clicks+purchases into one "activity
+    index", α says whether those components co-vary enough for the
+    sum to mean anything (α = k/(k−1)·(1 − Σσᵢ²/σ_T²)).
+
+    Everything is exact integer cells: per-(user, type) counts, per-
+    item raw sums (absent cells are zeros and contribute nothing to
+    s1/s2 — the N in the variance denominators is ALL users), and
+    per-user totals.  Two user-keyed aggregates + 1-row folds (the
+    icc_design_effect audited shape)."""
+    e = load_table(spark, sf_dir, "events")
+    n_df = e.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k_df = e.agg(F.countDistinct("event_type").alias("k"))
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    item = cnt.groupBy("event_type").agg(
+        F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    itemvar = item.join(F.broadcast(n_df), F.lit(True)).agg(
+        F.sum(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sv")
+    )
+    usr = cnt.groupBy("user_id").agg(F.sum("c").alias("t"))
+    totvar = usr.join(F.broadcast(n_df), F.lit(True)).agg(
+        (
+            (
+                F.sum(F.col("t") * F.col("t"))
+                - F.sum("t").cast("double") * F.sum("t") / F.max("n")
+            )
+            / (F.max("n") - 1)
+        ).alias("vt")
+    )
+    out = (
+        n_df.join(F.broadcast(k_df), F.lit(True))
+        .join(F.broadcast(itemvar), F.lit(True))
+        .join(F.broadcast(totvar), F.lit(True))
+    )
+    k, vt, sv = F.col("k"), F.col("vt"), F.col("sv")
+    return out.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        k.cast("bigint").alias("k_items"),
+        F.round(
+            F.when(
+                (k > 1) & (vt > 0),
+                k.cast("double") / (k - 1) * (F.lit(1.0) - sv / vt),
+            ),
+            6,
+        ).alias("cronbach_alpha"),
+        F.round(vt.cast("double"), 4).alias("var_total"),
+    )
+
+
+# =====================================================================
+# KPSS stationarity (partial-sum test on the bounded daily grid)
+# =====================================================================
+
+@query(
+    "kpss_stationarity_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT event_type, AVG(y) AS m, COUNT(*) AS t FROM daily GROUP BY 1
+    ), e AS (
+      SELECT d.event_type, d.day, d.y - mu.m AS e, mu.t
+      FROM daily d JOIN mu USING (event_type)
+    ), s AS (
+      SELECT event_type, day, t, e,
+             SUM(e) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cs,
+             LAG(e, 1) OVER (PARTITION BY event_type ORDER BY day) AS e1,
+             LAG(e, 2) OVER (PARTITION BY event_type ORDER BY day) AS e2,
+             LAG(e, 3) OVER (PARTITION BY event_type ORDER BY day) AS e3,
+             LAG(e, 4) OVER (PARTITION BY event_type ORDER BY day) AS e4
+      FROM e
+    ), fold AS (
+      SELECT event_type, MAX(t) AS t,
+             SUM(cs * cs) AS sc,
+             SUM(e * e) AS g0,
+             SUM(e * e1) AS g1, SUM(e * e2) AS g2,
+             SUM(e * e3) AS g3, SUM(e * e4) AS g4
+      FROM s GROUP BY 1
+    ), lrv AS (
+      SELECT event_type, t, sc,
+             (g0 + 2.0 * ((1.0 - 1.0 / 5.0) * COALESCE(g1, 0.0)
+                        + (1.0 - 2.0 / 5.0) * COALESCE(g2, 0.0)
+                        + (1.0 - 3.0 / 5.0) * COALESCE(g3, 0.0)
+                        + (1.0 - 4.0 / 5.0) * COALESCE(g4, 0.0))) / t
+               AS v
+      FROM fold
+    )
+    SELECT event_type, CAST(t AS BIGINT) AS n_days,
+           ROUND(CASE WHEN v > 0 THEN sc / (CAST(t AS DOUBLE) * t * v)
+                 END, 6) AS kpss_stat,
+           ROUND(v, 6) AS longrun_var
+    FROM lrv ORDER BY event_type
+    """,
+)
+def kpss_q(spark, sf_dir):
+    """KPSS level-stationarity test per event type's daily count
+    series (Kwiatkowski–Phillips–Schmidt–Shin 1992) — the
+    REVERSED-null complement to the Dickey–Fuller gate: DF's null is
+    a unit root, KPSS's null is stationarity, and the 2×2 of their
+    verdicts is the standard triage (both reject → neither model
+    fits; used before every AR/smoothing fit upstream).  η = Σ Sₜ² /
+    (T²·σ̂²_lr) with Sₜ the partial sums of demeaned counts and the
+    long-run variance Bartlett-weighted at lag 4.
+
+    Daily counts are exact integers; partial sums and lag products
+    ride the bounded per-type day grid (window + one fold — the
+    ljung_box audited shape)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.avg("y").alias("m"), F.count(F.lit(1)).alias("t")
+    )
+    dem = daily.join(mu, "event_type").select(
+        "event_type", "day", (F.col("y") - F.col("m")).alias("e"), "t"
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = dem.select(
+        "event_type",
+        "t",
+        "e",
+        F.sum("e").over(cum).alias("cs"),
+        F.lag("e", 1).over(w).alias("e1"),
+        F.lag("e", 2).over(w).alias("e2"),
+        F.lag("e", 3).over(w).alias("e3"),
+        F.lag("e", 4).over(w).alias("e4"),
+    )
+    fold = s.groupBy("event_type").agg(
+        F.max("t").alias("t"),
+        F.sum(F.col("cs") * F.col("cs")).alias("sc"),
+        F.sum(F.col("e") * F.col("e")).alias("g0"),
+        F.sum(F.col("e") * F.col("e1")).alias("g1"),
+        F.sum(F.col("e") * F.col("e2")).alias("g2"),
+        F.sum(F.col("e") * F.col("e3")).alias("g3"),
+        F.sum(F.col("e") * F.col("e4")).alias("g4"),
+    )
+    t = F.col("t")
+    v = (
+        F.col("g0")
+        + F.lit(2.0)
+        * (
+            (F.lit(1.0) - F.lit(1.0) / F.lit(5.0))
+            * F.coalesce("g1", F.lit(0.0))
+            + (F.lit(1.0) - F.lit(2.0) / F.lit(5.0))
+            * F.coalesce("g2", F.lit(0.0))
+            + (F.lit(1.0) - F.lit(3.0) / F.lit(5.0))
+            * F.coalesce("g3", F.lit(0.0))
+            + (F.lit(1.0) - F.lit(4.0) / F.lit(5.0))
+            * F.coalesce("g4", F.lit(0.0))
+        )
+    ) / t
+    return fold.select(
+        "event_type",
+        t.cast("bigint").alias("n_days"),
+        F.round(
+            F.when(v > 0, F.col("sc") / (t.cast("double") * t * v)), 6
+        ).alias("kpss_stat"),
+        F.round(v, 6).alias("longrun_var"),
+    ).orderBy("event_type")
+
+
+# =====================================================================
+# Bartels rank test (von Neumann ratio of ranks — randomness)
+# =====================================================================
+
+@query(
+    "bartels_rank_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, day,
+             RANK() OVER (PARTITION BY event_type ORDER BY y)
+               + (COUNT(*) OVER (PARTITION BY event_type, y) - 1) / 2.0
+               AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS t
+      FROM daily
+    ), seq AS (
+      SELECT event_type, t, r,
+             LEAD(r) OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM ranked
+    )
+    SELECT event_type, CAST(MAX(t) AS BIGINT) AS n_days,
+           ROUND(CASE WHEN SUM((r - (t + 1) / 2.0)
+                              * (r - (t + 1) / 2.0)) > 0 THEN
+                 SUM(CASE WHEN rn IS NOT NULL
+                          THEN (r - rn) * (r - rn) ELSE 0.0 END)
+                 / SUM((r - (t + 1) / 2.0)
+                       * (r - (t + 1) / 2.0)) END, 6) AS rvn
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bartels_rank_q(spark, sf_dir):
+    """Bartels rank test per event type's daily series — the
+    nonparametric von Neumann ratio: RVN = Σ(Rₜ−Rₜ₊₁)² / Σ(Rₜ−R̄)²
+    over day-order ranks, ≈2 under randomness, <2 for trend/positive
+    autocorrelation, >2 for oscillation.  The rank-based complement
+    to runs_test (which dichotomizes at the median and discards
+    magnitude order): Bartels keeps full rank information and is the
+    standard randomness screen when ties are light.
+
+    Midranks handle ties exactly ((min-rank + (#same−1)/2), the
+    kendalls_w convention); R̄ = (T+1)/2 exactly.  One rank window +
+    one LEAD + a per-type fold on the bounded day grid."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    wv = Window.partitionBy("event_type").orderBy("y")
+    wt = Window.partitionBy("event_type")
+    wsame = Window.partitionBy("event_type", "y")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        (
+            F.rank().over(wv)
+            + (F.count(F.lit(1)).over(wsame) - 1) / F.lit(2.0)
+        ).alias("r"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    seq = ranked.select(
+        "event_type", "t", "r", F.lead("r").over(wd).alias("rn")
+    )
+    # rbar from the per-row t column ((T+1)/2 is constant per type);
+    # F.max("t") here would nest aggregates and fail analysis
+    rbar = (F.col("t") + 1) / F.lit(2.0)
+    den = F.sum((F.col("r") - rbar) * (F.col("r") - rbar))
+    num = F.sum(
+        F.when(
+            F.col("rn").isNotNull(),
+            (F.col("r") - F.col("rn")) * (F.col("r") - F.col("rn")),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.max("t").cast("bigint").alias("n_days"),
+            F.round(F.when(den > 0, num / den), 6).alias("rvn"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# Cox–Stuart trend test (sign test on half-offset day pairs)
+# =====================================================================
+
+@query(
+    "cox_stuart_trend_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS t
+      FROM daily
+    ), paired AS (
+      SELECT a.event_type,
+             CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS plus,
+             CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS minus
+      FROM num a JOIN num b
+        ON a.event_type = b.event_type
+       -- FLOOR, not bare /: DuckDB integer / yields DOUBLE (and its
+       -- CAST rounds where Spark's truncates — the FLOOR pins both)
+       AND b.rn = a.rn + (a.t - CAST(FLOOR(a.t / 2.0) AS BIGINT))
+      WHERE a.rn <= CAST(FLOOR(a.t / 2.0) AS BIGINT)
+    )
+    SELECT event_type,
+           CAST(SUM(plus) AS BIGINT) AS s_plus,
+           CAST(SUM(minus) AS BIGINT) AS s_minus,
+           ROUND(CASE WHEN SUM(plus) + SUM(minus) > 0 THEN
+                 (SUM(plus) - (SUM(plus) + SUM(minus)) / 2.0)
+                 / SQRT((SUM(plus) + SUM(minus)) / 4.0) END, 6) AS z
+    FROM paired GROUP BY event_type ORDER BY event_type
+    """,
+)
+def cox_stuart_q(spark, sf_dir):
+    """Cox–Stuart trend test per event type — the sign test on
+    half-offset pairs (day i vs day i+⌈T/2⌉; odd series drop the
+    middle day): distribution-free, robust to any monotone
+    transformation, and the textbook quick check before committing
+    to a parametric trend fit (Mann–Kendall is its heavier
+    all-pairs sibling, already gated — Cox–Stuart is O(T) where MK
+    is O(T²)).  z = (S⁺ − n/2)/√(n/4) over non-tied pairs.
+
+    Integer day counts → exact signs; the pairing is a bounded
+    day-grid self-equi-join on (type, rn+offset).  DuckDB's integer
+    division truncates like Spark's FLOOR here because t ≥ 0."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    num = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    a, b = num.alias("a"), num.alias("b")
+    m = F.col("a.t") - (F.col("a.t") / 2).cast("bigint")  # = ceil(t/2)
+    paired = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.rn") == F.col("a.rn") + m),
+    ).filter(F.col("a.rn") <= (F.col("a.t") / 2).cast("bigint"))
+    plus = F.when(F.col("b.y") > F.col("a.y"), 1).otherwise(0)
+    minus = F.when(F.col("b.y") < F.col("a.y"), 1).otherwise(0)
+    g = paired.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.sum(plus).alias("sp"), F.sum(minus).alias("sm")
+    )
+    n = F.col("sp") + F.col("sm")
+    return g.select(
+        "event_type",
+        F.col("sp").cast("bigint").alias("s_plus"),
+        F.col("sm").cast("bigint").alias("s_minus"),
+        F.round(
+            F.when(
+                n > 0,
+                (F.col("sp") - n / F.lit(2.0)) / F.sqrt(n / F.lit(4.0)),
+            ),
+            6,
+        ).alias("z"),
+    ).orderBy("event_type")
+
+
+# =====================================================================
+# Theil–Sen robust slope (median of bounded day-pair slopes)
+# =====================================================================
+
+@query(
+    "theil_sen_slope_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), num AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM daily
+    ), slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / (b.rn - a.rn) AS s,
+             a.rn AS i, b.rn AS j
+      FROM num a JOIN num b
+        ON a.event_type = b.event_type AND b.rn > a.rn
+    ), ranked AS (
+      SELECT event_type, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s, i, j) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM slopes
+    )
+    SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+           ROUND(MAX(CASE WHEN r = CAST(FLOOR((np + 1) / 2.0) AS BIGINT)
+                          THEN s END), 6) AS theil_sen_slope
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def theil_sen_q(spark, sf_dir):
+    """Theil–Sen robust trend slope per event type's daily series —
+    the median of all pairwise slopes (yⱼ−yᵢ)/(j−i): 29% breakdown
+    point where OLS has 0, THE standard robust-trend magnitude to
+    pair with Mann–Kendall's direction verdict (already gated; MK
+    answers "is there a monotone trend", Theil–Sen answers "how
+    steep").
+
+    Day pairs are the bounded per-type grid self-join (the
+    mann_kendall audited shape — days², never events²); the median is
+    the LOWER median at rank ⌊(n+1)/2⌋ with a deterministic
+    (slope, i, j) tie-break, so both engines pick the identical
+    element (no two-middle averaging ambiguity)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    num = daily.select(
+        "event_type", "y", F.row_number().over(wd).alias("rn")
+    )
+    a, b = num.alias("a"), num.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.rn") > F.col("a.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.rn") - F.col("a.rn"))
+        ).alias("s"),
+        F.col("a.rn").alias("i"),
+        F.col("b.rn").alias("j"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("s", "i", "j")
+    wt = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wt).alias("np"),
+    )
+    mid = F.floor((F.col("np") + 1) / F.lit(2.0)).cast("bigint")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("np").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.max(F.when(F.col("r") == mid, F.col("s"))), 6
+            ).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# CUPED variance-reduced experiment readout
+# =====================================================================
+
+@query(
+    "cuped_adjusted_lift_events",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS mind, MAX(CAST(ts AS DATE)) AS maxd
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN CAST(ts AS DATE) <= mind
+                           + CAST(FLOOR(datediff('day', mind, maxd)
+                                        / 2.0) AS INTEGER)
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x,
+             SUM(CASE WHEN CAST(ts AS DATE) > mind
+                           + CAST(FLOOR(datediff('day', mind, maxd)
+                                        / 2.0) AS INTEGER)
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events CROSS JOIN bounds GROUP BY user_id
+    ), armed AS (
+      SELECT user_id, x, y,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS
+                    VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 5000
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM per_user
+    ), mom AS (
+      SELECT COUNT(*) AS n, SUM(CAST(x AS DOUBLE)) AS sx,
+             SUM(CAST(y AS DOUBLE)) AS sy,
+             SUM(CAST(x AS DOUBLE) * x) AS sxx,
+             SUM(CAST(x AS DOUBLE) * y) AS sxy
+      FROM armed
+    ), th AS (
+      SELECT n, sx, sy,
+             CASE WHEN sxx - sx * sx / n > 0
+                  THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                  ELSE 0.0 END AS theta
+      FROM mom
+    ), adj AS (
+      SELECT a.arm,
+             COUNT(*) AS na,
+             AVG(CAST(a.y AS DOUBLE)) AS my,
+             AVG(CAST(a.y AS DOUBLE)
+                 - t.theta * (CAST(a.x AS DOUBLE) - t.sx / t.n)) AS madj
+      FROM armed a CROSS JOIN th t GROUP BY a.arm
+    )
+    SELECT CAST(SUM(CASE WHEN arm = 'A' THEN na ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(SUM(CASE WHEN arm = 'B' THEN na ELSE 0 END) AS BIGINT)
+             AS n_b,
+           ROUND(MAX((SELECT theta FROM th)), 6) AS theta,
+           ROUND((SUM(CASE WHEN arm = 'B' THEN my END)
+                  - SUM(CASE WHEN arm = 'A' THEN my END)) / 100.0, 4)
+             AS lift_raw,
+           ROUND((SUM(CASE WHEN arm = 'B' THEN madj END)
+                  - SUM(CASE WHEN arm = 'A' THEN madj END)) / 100.0, 4)
+             AS lift_cuped
+    FROM adj
+    """,
+)
+def cuped_q(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 —
+    the industry-standard pre-period adjustment): split the span into
+    pre/post halves, per user X = pre-period value and Y = post-
+    period value, θ = cov(X,Y)/var(X), and compare arms on
+    Y − θ(X − X̄) instead of Y.  Same deterministic md5 arm coin as
+    the SRM gate, so the two readouts describe the same experiment.
+    The adjusted lift equals the raw lift in expectation but with
+    variance shrunk by corr² — the reason every mature platform
+    CUPEDs by default.
+
+    Per-event values quantize to cents at the EVENT level (exact
+    bigint per-user sums, the dickey_fuller precedent), so only the
+    final moment folds are doubles.  Two user-keyed aggregates +
+    1-row θ fold + a 2-row arm fold — the srm/icc audited shapes."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("mind"),
+        F.max(F.to_date("ts")).alias("maxd"),
+    )
+    eb = e.join(F.broadcast(bounds), F.lit(True))
+    mid_off = F.floor(
+        F.datediff(F.col("maxd"), F.col("mind")) / F.lit(2.0)
+    ).cast("int")
+    is_pre = F.to_date("ts") <= F.date_add(F.col("mind"), mid_off)
+    per_user = eb.groupBy("user_id").agg(
+        F.sum(F.when(is_pre, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(~is_pre, cents).otherwise(F.lit(0))).alias("y"),
+    )
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+        < 5000,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    armed = per_user.select("user_id", "x", "y", arm.alias("arm"))
+    mom = armed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum(F.col("y").cast("double")).alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    th = mom.select(
+        n,
+        sx,
+        sy,
+        F.when(
+            sxx - sx * sx / n > 0,
+            (sxy - sx * sy / n) / (sxx - sx * sx / n),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+    )
+    adj = (
+        armed.join(F.broadcast(th), F.lit(True))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("na"),
+            F.avg(F.col("y").cast("double")).alias("my"),
+            F.avg(
+                F.col("y").cast("double")
+                - F.col("theta")
+                * (F.col("x").cast("double") - F.col("sx") / F.col("n"))
+            ).alias("madj"),
+            F.max("theta").alias("theta"),
+        )
+    )
+    return adj.agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("na")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("na")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.round(F.max("theta"), 6).alias("theta"),
+        F.round(
+            (
+                F.sum(F.when(F.col("arm") == "B", F.col("my")))
+                - F.sum(F.when(F.col("arm") == "A", F.col("my")))
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("lift_raw"),
+        F.round(
+            (
+                F.sum(F.when(F.col("arm") == "B", F.col("madj")))
+                - F.sum(F.when(F.col("arm") == "A", F.col("madj")))
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("lift_cuped"),
+    )
+
+
+# =====================================================================
+# DAU / trailing-28-day MAU stickiness
+# =====================================================================
+
+@query(
+    "dau_mau_stickiness_events",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), obs AS (
+      SELECT DISTINCT day FROM ud
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+    ), win AS (
+      SELECT ud.day + CAST(o.i AS INTEGER) AS snap, ud.user_id
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS i) o
+    ), mau AS (
+      SELECT snap AS day, COUNT(DISTINCT user_id) AS mau
+      FROM win GROUP BY snap
+    )
+    SELECT CAST(d.day AS DATE) AS day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM dau d JOIN mau m ON d.day = m.day
+    JOIN obs ON obs.day = d.day
+    ORDER BY day
+    """,
+)
+def dau_mau_q(spark, sf_dir):
+    """DAU / trailing-28-day MAU stickiness per observed day — THE
+    engagement ratio every consumer product reports (DAU/MAU ≈ the
+    fraction of monthly users active on a given day; 0.5+ is the
+    benchmark for habit-forming).  MAU(d) counts distinct users over
+    [d−27, d].
+
+    Distinct (user, day) first (one dedup shuffle ≤ events), then the
+    trailing window materializes as a bounded ×28 day-offset explode
+    + per-day distinct count — the kmv_jaccard_daily shape; no
+    distinct-inside-window (which Spark cannot express) and no
+    quadratic day×day join.  Linear in users×28 at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    win = ud.select(
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i"),
+        "user_id",
+        "day",
+    ).select(F.date_add(F.col("day"), F.col("i")).alias("day"), "user_id")
+    mau = win.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
+    obs = ud.select("day").distinct()
+    return (
+        dau.join(mau.hint("merge"), "day")
+        .join(obs.hint("merge"), "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+# =====================================================================
+# Benford first-digit conformance
+# =====================================================================
+
+@query(
+    "benford_first_digit_orders",
+    """
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), cells AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), grid AS (
+      SELECT unnest(range(1, 10)) AS digit
+    ), tot AS (
+      SELECT SUM(n) AS t FROM cells
+    )
+    SELECT CAST(g.digit AS BIGINT) AS digit,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_obs,
+           ROUND(LN(1.0 + 1.0 / g.digit) / LN(10.0), 6) AS expected_p,
+           ROUND(CASE WHEN t.t > 0 THEN
+                 (COALESCE(c.n, 0) - t.t * (LN(1.0 + 1.0 / g.digit)
+                                            / LN(10.0)))
+                 * (COALESCE(c.n, 0) - t.t * (LN(1.0 + 1.0 / g.digit)
+                                              / LN(10.0)))
+                 / (t.t * (LN(1.0 + 1.0 / g.digit) / LN(10.0)))
+                 END, 6) AS chi2_term
+    FROM grid g LEFT JOIN cells c ON g.digit = c.digit
+    CROSS JOIN tot t
+    ORDER BY digit
+    """,
+)
+def benford_q(spark, sf_dir):
+    """Benford first-digit conformance of order totals — the
+    fraud/quality screen on any naturally-spanning monetary column:
+    genuine multi-scale amounts put P(d) = log₁₀(1 + 1/d) mass on
+    first digit d; fabricated or truncated data flunks the 9-cell
+    χ².  Reports the dense digit grid with per-digit χ² terms (the
+    sum is the screening statistic, df = 8).
+
+    The first digit comes from the CENTS integer's decimal string,
+    not from log10 arithmetic — libm log10 at a power-of-ten boundary
+    could disagree between engines, string extraction cannot.  The
+    grid is densified to all 9 digits so missing digits (huge
+    conformance failures) still show.  One map-side aggregate + a
+    9-row literal grid."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("bigint")
+    cells = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = o.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit")
+    )
+    tot = cells.agg(F.sum("n").alias("t"))
+    p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    nobs = F.coalesce(F.col("n"), F.lit(0))
+    t = F.col("t")
+    return (
+        grid.join(F.broadcast(cells), "digit", "left")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            nobs.cast("bigint").alias("n_obs"),
+            F.round(p, 6).alias("expected_p"),
+            F.round(
+                F.when(
+                    t > 0,
+                    (nobs - t * p) * (nobs - t * p) / (t * p),
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# =====================================================================
+# Alignment / uniformity (Wang & Isola 2020) over deterministic probes
+# =====================================================================
+
+@query(
+    "alignment_uniformity_embeddings",
+    """
+    WITH probes AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      ORDER BY vec_id LIMIT 24
+    ), x AS (
+      SELECT vec_id, label, i,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM probes CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    ), nrm AS (
+      SELECT vec_id, SQRT(SUM(v * v)) AS nv FROM x GROUP BY vec_id
+    ), u AS (
+      SELECT x.vec_id, x.label, x.i,
+             CASE WHEN nrm.nv > 0 THEN x.v / nrm.nv ELSE 0.0 END AS v
+      FROM x JOIN nrm USING (vec_id)
+    ), pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ANY_VALUE(a.label) AS la, ANY_VALUE(b.label) AS lb,
+             SUM((a.v - b.v) * (a.v - b.v)) AS sq
+      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_aligned_pairs,
+           ROUND(CASE WHEN SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) > 0
+                 THEN SUM(CASE WHEN la = lb THEN sq END)
+                      / SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                 END, 6) AS alignment,
+           ROUND(LN(AVG(EXP(-2.0 * sq))), 6) AS uniformity
+    FROM pair
+    """,
+)
+def alignment_uniformity_q(spark, sf_dir):
+    """Alignment & uniformity of the embedding space (Wang & Isola,
+    ICML 2020) — the two-number diagnostic of contrastive
+    representation quality: alignment = E‖x−y‖² over same-label
+    (positive) pairs (small = semantically-close points embed close),
+    uniformity = ln E exp(−2‖x−y‖²) over all pairs (small = mass
+    spreads over the hypersphere instead of collapsing).  Together
+    they predict downstream linear-probe accuracy better than either
+    alone — THE check before shipping an embedding model for
+    dedup/retrieval.
+
+    Estimated on the 24 smallest-id L2-normalized probe vectors (the
+    hopkins/twonn deterministic-probe convention): 276 pairs, exact
+    same-dimension term chains, one bounded fold — map-only over a
+    24-row frame at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(24)
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.transform("embedding", lambda v: v.cast("double"))
+            ).alias("i", "v"),
+        )
+    )
+    nrm = probes.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv")
+    )
+    u = probes.join(F.broadcast(nrm), "vec_id").select(
+        "vec_id",
+        "label",
+        "i",
+        F.when(F.col("nv") > 0, F.col("v") / F.col("nv"))
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    a, b = u.alias("a"), u.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .agg(
+            F.any_value(F.col("a.label")).alias("la"),
+            F.any_value(F.col("b.label")).alias("lb"),
+            F.sum(
+                (F.col("a.v") - F.col("b.v"))
+                * (F.col("a.v") - F.col("b.v"))
+            ).alias("sq"),
+        )
+    )
+    same = F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+    return pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(same).cast("bigint").alias("n_aligned_pairs"),
+        F.round(
+            F.when(
+                F.sum(same) > 0,
+                F.sum(F.when(F.col("la") == F.col("lb"), F.col("sq")))
+                / F.sum(same),
+            ),
+            6,
+        ).alias("alignment"),
+        F.round(
+            F.log(F.avg(F.exp(F.lit(-2.0) * F.col("sq")))), 6
+        ).alias("uniformity"),
+    )

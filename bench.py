@@ -207,6 +207,15 @@ HEADLINE = [
     "weighted_kappa_quality_docs",    # 4×4 grid + marginal folds
     "semdedup_yield_curve_embeddings",  # LSH pairs + 3-τ sweep
     "video_shot_boundaries",          # 8-frame diff-energy chains
+    # round-10 additions
+    "jarque_bera_quantity_lineitem",  # 4 integer moment cells
+    "somers_d_priority_price_orders",  # 5×6 grid pair sweep
+    "cronbach_alpha_event_types",     # per-(user,type) exact cells
+    "kpss_stationarity_daily_events",  # partial-sum windows + HAC fold
+    "theil_sen_slope_daily_events",   # bounded day-pair median
+    "cuped_adjusted_lift_events",     # user cents cells + θ fold
+    "dau_mau_stickiness_events",      # ×28 day-offset distinct counts
+    "alignment_uniformity_embeddings",  # 24-probe 276-pair folds
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -276,6 +285,10 @@ SF1_SPOT = [
     "twonn_intrinsic_dim_embeddings",
     # LSH candidate-pair growth under the τ sweep
     "semdedup_yield_curve_embeddings",
+    # round-10: the ×28 day-offset explode (users×28 linear growth)
+    # and the day-pair slope grid
+    "dau_mau_stickiness_events",
+    "theil_sen_slope_daily_events",
 ]
 
 

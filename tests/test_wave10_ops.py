@@ -1,0 +1,356 @@
+"""Hand-computed semantic pins for the round-10 wave.
+
+The DuckDB oracle gate proves CROSS-ENGINE EQUALITY; these tests
+prove the SEMANTICS on crafted inputs where the right answer is known
+by hand or recomputed from the defining formula independently in the
+test (Jarque–Bera from textbook moments, Somers' D from an enumerable
+2×2, Cronbach's α from the classic two-item case, Bartels RVN on a
+monotone series, Cox–Stuart's exact sign counts, Theil–Sen on a known
+line with one outlier, Benford's log law, CUPED's θ on a perfectly
+correlated pre/post, alignment/uniformity on orthogonal unit
+vectors)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from aws_glue_jobs_incremental_database_etl_spark.registry import Q
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _write_lineitem(spark, tmp_path, quantities_by_flag):
+    rows = []
+    i = 0
+    for flag, qs in quantities_by_flag.items():
+        for q in qs:
+            i += 1
+            rows.append(
+                (i, i, i, 1, float(q), 1.0, 0.0, 0.0, flag, "O",
+                 dt.datetime(2024, 1, 1))
+            )
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_jarque_bera_textbook_moments(spark, tmp_path):
+    """Hand case: values (1,2,3,4,10) — mu=4, m2=10.0, m3=30.0,
+    m4=230.8 → skew = 30/10^1.5 = 0.948683, exkurt = 230.8/100 - 3 =
+    -0.692, JB = 5/6*(0.9² + 0.692²/4) recomputed below."""
+    sf = _write_lineitem(spark, tmp_path, {"R": [1, 2, 3, 4, 10]})
+    r = Q["jarque_bera_quantity_lineitem"](spark, sf).collect()[0]
+    xs = [1, 2, 3, 4, 10]
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((x - mu) ** 2 for x in xs) / n
+    m3 = sum((x - mu) ** 3 for x in xs) / n
+    m4 = sum((x - mu) ** 4 for x in xs) / n
+    skew = m3 / m2**1.5
+    exk = m4 / m2**2 - 3
+    jb = n / 6 * (skew**2 + exk**2 / 4)
+    assert r.n_rows == 5
+    assert abs(r.skewness - skew) < 1e-6
+    assert abs(r.excess_kurtosis - exk) < 1e-6
+    assert abs(r.jarque_bera - jb) < 1e-6
+
+
+def test_cronbach_alpha_two_item_textbook(spark, tmp_path):
+    """Two items (event types a, b), three users with per-type counts
+    a: (1,2,3), b: (2,4,6) — perfectly correlated items.  var_a = 1,
+    var_b = 4, totals (3,6,9) → var_T = 9, α = 2/1 · (1 − 5/9) = 8/9.
+    """
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    for u, (ca, cb) in enumerate([(1, 2), (2, 4), (3, 6)], start=1):
+        for _ in range(ca):
+            eid += 1
+            rows.append((eid, t0, u, "a", 1.0, ""))
+        for _ in range(cb):
+            eid += 1
+            rows.append((eid, t0, u, "b", 1.0, ""))
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["cronbach_alpha_event_types"](spark, sf).collect()[0]
+    assert (r.n_users, r.k_items) == (3, 2)
+    assert abs(r.cronbach_alpha - 8.0 / 9.0) < 1e-6
+    assert abs(r.var_total - 9.0) < 1e-9
+
+
+def test_bartels_rvn_monotone_series_is_minimal(spark, tmp_path):
+    """A strictly increasing daily series of length 5 has ranks
+    1..5 → NM = Σ(Rₜ−Rₜ₊₁)² = 4, D = Σ(Rₜ−3)² = 10, RVN = 0.4 —
+    far below the E[RVN]=2 of a random series."""
+    rows = []
+    for d in range(5):
+        for k in range(d + 1):  # 1,2,3,4,5 events per day
+            rows.append(
+                (
+                    d * 100 + k,
+                    dt.datetime(2024, 3, 1 + d, 10, 0),
+                    1,
+                    "a",
+                    1.0,
+                    "",
+                )
+            )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["bartels_rank_daily_events"](spark, sf).collect()[0]
+    assert r.n_days == 5
+    assert abs(r.rvn - 0.4) < 1e-9
+
+
+def test_cox_stuart_exact_signs(spark, tmp_path):
+    """Six days with counts (1,2,3,4,5,6): pairs (1,4),(2,5),(3,6)
+    all increase → s_plus=3, s_minus=0, z = (3−1.5)/√0.75."""
+    rows = []
+    eid = 0
+    for d in range(6):
+        for _ in range(d + 1):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + d, 10, 0), 1, "a", 1.0, "")
+            )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["cox_stuart_trend_daily_events"](spark, sf).collect()[0]
+    assert (r.s_plus, r.s_minus) == (3, 0)
+    assert abs(r.z - (3 - 1.5) / math.sqrt(0.75)) < 1e-6
+
+
+def test_cox_stuart_odd_length_drops_middle(spark, tmp_path):
+    """Five days: m=⌊5/2⌋=2 pairs with offset ⌈5/2⌉=3 — (d1,d4),
+    (d2,d5); the middle day never pairs."""
+    counts = [5, 1, 9, 2, 4]  # d1>d4 (5>2): minus; d2<d5 (1<4): plus
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + d, 10, 0), 1, "a", 1.0, "")
+            )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["cox_stuart_trend_daily_events"](spark, sf).collect()[0]
+    assert (r.s_plus, r.s_minus) == (1, 1)
+
+
+def test_theil_sen_known_line_with_outlier(spark, tmp_path):
+    """Daily counts 10,12,14,16,100: all pairs not involving day 5
+    have slope exactly 2; the 4 outlier pairs are huge.  10 pairs →
+    lower median = rank 5 → slope 2 (OLS would be wrecked)."""
+    counts = [10, 12, 14, 16, 100]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + d, 10, 0), 1, "a", 1.0, "")
+            )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["theil_sen_slope_daily_events"](spark, sf).collect()[0]
+    assert r.n_pairs == 10
+    assert abs(r.theil_sen_slope - 2.0) < 1e-9
+
+
+def test_benford_expected_probs_and_digits(spark, tmp_path):
+    """expected_p must be log10(1+1/d) for every digit and the digit
+    extraction must read the CENTS integer's first character: 123.45
+    → 12345 → digit 1."""
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string"
+    )
+    rows = [
+        (1, 1, "O", 123.45, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 9.99, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (3, 1, "O", 0.07, dt.datetime(2024, 1, 1), "1-URGENT"),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    out = {
+        r.digit: r
+        for r in Q["benford_first_digit_orders"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(range(1, 10))  # densified grid
+    assert out[1].n_obs == 1  # 12345
+    assert out[9].n_obs == 1  # 999
+    assert out[7].n_obs == 1  # 7 cents -> "7"
+    for d in range(1, 10):
+        assert abs(out[d].expected_p - math.log10(1 + 1 / d)) < 1e-6
+
+
+def test_cuped_theta_on_perfectly_correlated_pre_post(spark, tmp_path):
+    """Users whose post value = 2× their pre value exactly →
+    θ = cov/var = 2 and the CUPED lift equals the raw lift minus
+    θ·(pre-period imbalance); with X̄-centering the adjusted readout
+    still reproduces additivity, checked against the definition
+    recomputed here."""
+    # span 2024-03-01..2024-03-04 → mid offset 1 → pre = days 1-2
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        pre = float(u)  # pre value on day 1
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 3, 1, 10, 0), u, "p", pre, "")
+        )
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 3, 4, 10, 0), u, "p", 2.0 * pre, "")
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["cuped_adjusted_lift_events"](spark, sf).collect()[0]
+    assert r.n_a + r.n_b == 8
+    assert abs(r.theta - 2.0) < 1e-6
+    # Y − θ(X − X̄) = 2X − 2X + 2X̄ = const ⇒ adjusted lift is 0
+    assert abs(r.lift_cuped) < 1e-9
+
+
+def test_alignment_uniformity_orthogonal_unit_vectors(spark, tmp_path):
+    """Orthogonal unit vectors: every pair has ‖x−y‖² = 2 exactly, so
+    alignment = 2 and uniformity = ln(exp(−4)) = −4."""
+    rows = []
+    for i in range(24):
+        v = [0.0] * 64
+        v[i] = 3.0  # non-unit input: the query must L2-normalize
+        rows.append((i, v, i % 2))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    r = Q["alignment_uniformity_embeddings"](spark, str(tmp_path)).collect()[0]
+    assert r.n_pairs == 276
+    assert r.n_aligned_pairs == 132  # 2 * C(12,2)
+    assert abs(r.alignment - 2.0) < 1e-6
+    assert abs(r.uniformity - (-4.0)) < 1e-6
+
+
+def test_somers_d_enumerable_two_by_two(spark, tmp_path):
+    """2×2 hand case via priorities 1/2 and price buckets 0/1:
+    cells n11=3 (x1,y0), n12=1 (x1,y1), n21=1 (x2,y0), n22=3 (x2,y1).
+    C = 3·3 = 9, D = 1·1 = 1, TY = 3·1 + 1·3 = 6, TX = 3·1 + 1·3 = 6
+    → D(Y|X) = 8/16 = 0.5, D(X|Y) = 0.5, τc = 2·2·8/(8²·1) = 0.5."""
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string"
+    )
+    rows = []
+    k = 0
+    for pri, price, n in [
+        ("1-URGENT", 10000.0, 3),   # x=1, y=0
+        ("1-URGENT", 60000.0, 1),   # x=1, y=1
+        ("2-HIGH", 10000.0, 1),     # x=2, y=0
+        ("2-HIGH", 60000.0, 3),     # x=2, y=1
+    ]:
+        for _ in range(n):
+            k += 1
+            rows.append((k, 1, "O", price, dt.datetime(2024, 1, 1), pri))
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    r = Q["somers_d_priority_price_orders"](spark, str(tmp_path)).collect()[0]
+    assert (r.concordant, r.discordant) == (9, 1)
+    assert abs(r.somers_d_yx - 0.5) < 1e-9
+    assert abs(r.somers_d_xy - 0.5) < 1e-9
+    assert abs(r.stuart_tau_c - 0.5) < 1e-9
+
+
+def test_gk_lambda_textbook_grid(spark, tmp_path):
+    """Classic λ case: two langs, two sources.
+    lang a: 60 s1, 10 s2; lang b: 10 s1, 20 s2.  N=100, col totals
+    s1=70, s2=30 → modal col = 70.  Σ row maxima = 60+20 = 80.
+    λ(source|lang) = (80−70)/(100−70) = 1/3.  Row totals 70/30 →
+    modal row 70; Σ col maxima = 60+20 = 80 → λ(lang|source) = 1/3."""
+    rows = []
+    k = 0
+    for lang, source, n in [
+        ("a", "s1", 60),
+        ("a", "s2", 10),
+        ("b", "s1", 10),
+        ("b", "s2", 20),
+    ]:
+        for _ in range(n):
+            k += 1
+            rows.append((k, "text words here", lang, source, 15))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = Q["gk_lambda_lang_source_docs"](spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 100
+    assert abs(r.lambda_source_given_lang - 1.0 / 3.0) < 1e-6
+    assert abs(r.lambda_lang_given_source - 1.0 / 3.0) < 1e-6
+
+
+def test_kpss_white_noise_small_and_trend_large(spark, tmp_path):
+    """The alternating ±0.5-residual series has a fully hand-derivable
+    KPSS: Sₜ alternates −0.5/0 → ΣSₜ² = 1.5; γ₀ = 0.25, γⱼ alternate
+    sign with (12−j)/12 weights → Bartlett lrv = 0.05 exactly, so
+    η = 1.5/(144·0.05) = 0.208333.  The trending series must score
+    strictly higher (the defining discrimination)."""
+    rows = []
+    eid = 0
+    # type 'flat': counts alternate 5,6,5,6... (stationary)
+    # type 'trend': counts 1..12 (integrated-looking)
+    for d in range(12):
+        for _ in range(5 + (d % 2)):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + d, 10, 0), 1, "flat", 1.0, "")
+            )
+        for _ in range(d + 1):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + d, 11, 0), 1, "trend", 1.0, "")
+            )
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r.event_type: r
+        for r in Q["kpss_stationarity_daily_events"](spark, sf).collect()
+    }
+    assert out["flat"].n_days == 12 and out["trend"].n_days == 12
+    assert abs(out["flat"].kpss_stat - 0.208333) < 1e-6
+    assert abs(out["flat"].longrun_var - 0.05) < 1e-6
+    assert out["trend"].kpss_stat > out["flat"].kpss_stat
+
+
+def test_dau_mau_single_day_and_window(spark, tmp_path):
+    """3 users on day 1, 1 returning user on day 10: DAU(d1)=3,
+    MAU(d1)=3; DAU(d10)=1, MAU(d10) counts the trailing 28 days =
+    all 3 distinct users → stickiness 1/3."""
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 3, 1, 10, 0), u, "a", 1.0, "")
+        )
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 3, 10, 10, 0), 1, "a", 1.0, ""))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        str(r.day): r for r in Q["dau_mau_stickiness_events"](spark, sf).collect()
+    }
+    assert set(out) == {"2024-03-01", "2024-03-10"}  # observed days only
+    assert (out["2024-03-01"].dau, out["2024-03-01"].mau) == (3, 3)
+    assert (out["2024-03-10"].dau, out["2024-03-10"].mau) == (1, 3)
+    assert abs(out["2024-03-10"].stickiness - 1.0 / 3.0) < 1e-6
