@@ -14,553 +14,30 @@ from __future__ import annotations
 from aws_glue_jobs_incremental_database_etl_spark import registry
 from tests.test_plans import plan_of
 
-# Queries whose plan contains Exchange SinglePartition — every entry
-# is a ≤1-row reduction (global scalar state: totals, min/max, corpus
-# averages) or a literal-bounded table (≤bins sketch rows, ≤100
-# fusion candidates, per-bucket summaries, the 64-row PCA vector).
-SINGLE_PARTITION_OK = {
-    # ---- round-9 wave batch 8: bounded-grid windows / 1-row folds
-    "mood_median_test_orders",        # cumulative window over the
-    # quantized-cents value domain (the CvM audited shape) for the
-    # pooled median + the 1-row (ta, n) fold over the k=5 cells
-    "bartlett_variance_orders",       # 1-row log-moment fold from the
-    # k=5 priority cells
-    "energy_distance_drift_orders",   # cumulative window over the
-    # quantized-cents grid (the Wasserstein audited shape) + 1-row fold
-    "goodman_kruskal_gamma_orders",   # 1-row C/D fold from the
-    # 5×4 contingency grid pair sweep
-    "kendalls_w_dow_weeks_events",    # 1-row ΣT tie fold + 1-row W
-    # fold over the ≤7-row rank-sum grid (the Friedman audited shape)
-    "fleiss_kappa_quality_docs",      # 1-row P̄/P̄e fold
-    "lin_ccc_quality_docs",           # 1-row cross-moment fold
-    "icc_design_effect_events",       # 1-row ANOVA moment fold over
-    # the per-user cells
-    "breusch_pagan_daily_events",     # final orderBy on the ≤|types|
-    # report rows (the durbin_watson audited shape)
-    "chow_break_daily_events",        # final orderBy on the ≤|types|
-    # report rows
-    "newey_west_daily_events",        # final orderBy on the ≤|types|
-    # report rows
-    "ar2_yule_walker_daily_events",   # final orderBy on the ≤|types|
-    # report rows
-    "mcc_threshold_quality_docs",     # 1-row 4-cell confusion fold
-    "srm_check_events",               # 1-row 2-arm χ² fold
-    "dp_noisy_counts_events",         # final orderBy on the ≤|types|
-    # report rows
-    "hedges_g_quantity_returnflag",   # 1-row pooled-moment fold from
-    # the 2 flag cells
-    "hapax_richness_docs",            # final orderBy on the ≤|sources|
-    # report rows
-    "rich_club_suppliers",            # final orderBy on the 3 k rows
-    "atkinson_index_users_events",    # 1-row moment fold over the
-    # per-user totals
-    "quade_test_dow_weeks_events",    # ≤|weeks|-row range-rank window
-    # (the Friedman audited shape) + 1-row A/B folds
-    "hopkins_statistic_embeddings",   # two 1-row Σu/Σw folds (each
-    # from a 24-probe min-distance group)
-    "mahalanobis_diag_outliers_embeddings",  # TakeOrdered top-10 on
-    # the rounded score (the cosine_topk rank-key shape)
-    "anderson_darling_two_sample_orders",  # cumulative window over
-    # the quantized-cents grid (the CvM audited shape) + 1-row fold
-    "cochran_q_funnel_events",        # 1-row Q fold from per-user
-    # binary cells
-    "partial_corr_daily_events",      # 1-row cross-moment fold over
-    # the bounded daily grid
-    "pettitt_changepoint_daily_events",  # final orderBy on the
-    # ≤|types| report rows (ranks/U windows are type-partitioned)
-    "twonn_intrinsic_dim_embeddings",  # 1-row MLE fold from the
-    # 24-probe μ frame (NN ranks are pid-partitioned)
-    "brunner_munzel_orders",          # cumulative windows over the
-    # quantized-cents grid (the CvM audited shape) + 1-row folds
-    "dunn_posthoc_priority_orders",   # cents-grid rank window + the
-    # k²-bounded pair sweep report
-    "dickey_fuller_daily_events",     # final orderBy on the ≤|types|
-    # report rows
-    "effective_rank_embeddings",      # 1-row trace fold from the
-    # 2080-cell dimension-bounded covariance grid
-    "seasonal_mann_kendall_events",   # final orderBy on the ≤|types|
-    # report rows (the mann_kendall audited shape)
-    "variance_ratio_daily_events",    # final orderBy on the ≤|types|
-    # report rows
-    "cucconi_location_scale_orders",  # cumulative window over the
-    # quantized-cents grid (the CvM audited shape) + 1-row folds
-    "hodges_lehmann_shift_lineitem",  # cumulative window over the
-    # ≤99-value difference grid + 1-row weighted-median fold
-    "weighted_kappa_quality_docs",    # 1-row p_o/p_e folds from the
-    # 4×4 contingency grid
-    "semdedup_yield_curve_embeddings",  # final orderBy on the 3 τ
-    # report rows
-    "gehan_wilcoxon_repurchase_events",  # reverse-cumulative window
-    # over the dense (life × 2 groups) risk grid (the logrank audited
-    # shape) + 1-row fold
-    "theils_u_lang_source_docs",      # 1-row entropy folds from the
-    # (lang × source) contingency grid
-    "bowley_moors_shape_orders",      # final orderBy on the k=5
-    # report rows (octiles from per-group cents-grid windows)
-    "cohort_halflife_events",         # final orderBy on the ≤|weeks|
-    # cohort report rows
-    # ---- round-9 wave: bounded-grid windows / 1-row scalar folds
-    "welch_anova_priority_orders",    # 1-row Σw/Σwm fold from the
-    # k=5 priority cells + the final 1-row W* fold
-    "dagostino_k2_totalprice",        # 1-row raw-moment fold; the Z
-    # transforms are scalar math on that row
-    "cochran_armitage_priority_returns",  # 1-row score-moment fold
-    # from the k=5 cells
-    "mantel_haenszel_weekend_purchase_events",  # 1-row MH fold from
-    # the ≤|weeks| stratum cells
-    "jonckheere_priority_totalprice_orders",  # 1-row JT/moment folds;
-    # the two cumulative windows are (value-grid × 5)-bounded and
-    # partitioned by v / by score
-    "friedman_dow_weeks_events",      # 1-row A1/ΣR² folds from the
-    # ≤(weeks×7) rank grid; midranks windowed per 7-row block
-    "yuen_trimmed_ttest_orders",      # per-group cumulative window
-    # over the quantized-cents price domain (the CvM audited shape)
-    # + the final 2-group pivot fold
-    "lorenz_curve_customers",         # cumulative window over the
-    # whole-dollar customer-total grid + 1-row totals fold
-    "holm_bonferroni_dow_events",     # ranked/running-max windows over
-    # the m = |types|·7 p-value grid (the fdr_bh audited shape)
-    "davies_bouldin_embeddings",      # k=10 centroid/scatter folds;
-    # the k² pair sweep and the 1-row DB mean are label-bounded
-    "calinski_harabasz_embeddings",   # 1-row W/B moment folds from
-    # the k=10 label cells
-    "term_burstiness_docs",           # TakeOrdered top-20 terms + the
-    # 1-row corpus doc-count fold
-    "logrank_weekend_repurchase_events",  # reverse-cumulative window
-    # over the (≤day-span × 2 groups) dense risk grid + 1-row fold
-    "pages_trend_dow_weeks_events",   # 1-row L fold from the
-    # ≤(weeks×7) midrank grid (the Friedman audited shape)
-    "wasserstein_drift_orders",       # cumulative window over the
-    # quantized-cents grid (the CvM audited shape) + 1-row fold
-    "rmst_repurchase_events",         # KM survival windows over the
-    # ≤day-span death grid + 1-row step-integral fold
-    "gesd_outliers_totalprice",       # three 1-row moment folds +
-    # struct-max argmaxes (r = 3 bounded rounds by design)
-    # ---- round-8 wave: bounded-grid windows / 1-row scalar folds
-    "g_test_dow_events",              # marginal windows run over the
-    # r×c contingency grid (≤ |types|·7 rows after the hash agg)
-    "brown_forsythe_orders",          # 1-row global moment fold from
-    # the k=5 group cells
-    "tukey_hsd_priority_orders",      # 1-row MSW scalar broadcast over
-    # the k² pair sweep of the 5-row cell frame
-    "sprt_purchase_rate_events",      # ordered cumulation over the
-    # bounded daily series (≤366 rows after the day agg)
-    "ewma_control_chart_events",      # per-type recursion on the
-    # bounded daily array; final orderBy only
-    "kruskal_wallis_dow_value_events",  # final orderBy on the ≤|types|
-    # report rows (ranks come from the quantized-histogram window,
-    # partitioned by type)
-    "page_hinkley_daily_events",      # final orderBy on the bounded
-    # per-(type, day) report
-    "ks_separation_quality_docs",     # cumulative window over the
-    # LITERAL 1001-bucket score grid (the AUC-family audited shape)
-    "pq_distortion_embeddings",       # four 1-row per-subspace moment
-    # folds (agg, not rank windows) unioned into the m-row report
-    "rp_distance_preservation_embeddings",  # 1-row ratio-summary fold
-    # over the literal 1225-pair anchor sweep
-    "pps_sampling_ht_orders",         # 1-row corpus-total fold + the
-    # 1-row HT summary
-    "mcnemar_paired_quality_docs",    # 1-row 4-cell fold
-    "cvm_two_sample_orders",          # cumulative window over the
-    # quantized-cents value domain (bounded grid) + 1-row fold
-    "cliffs_delta_quantity_returnflag",  # cumulative window over the
-    # ≤50-value quantity domain + 1-row U fold
-    "theil_inequality_users_events",  # 1-row corpus totals + 1-row
-    # decomposition fold over the ≤|event-types| group rows
-    "fightin_words_lang_docs",        # 1-row vocab-size/corpus-total
-    # fold (the only global step; the z grid is (lang, word)-keyed)
-    "anova_two_way_interaction_events",  # 1-row grand/marginal moment
-    # folds from the a×b cell grid
-    "textrank_keywords_docs",         # 1-row node-count fold; ranking
-    # runs on the literal ≤30-word vocabulary grid
-    "hhi_concentration_customers",    # 1-row total + 1-row top-4 fold
-    # ---- round-7 wave 6: bounded pivots
-    "qte_quantile_lift_events",       # 2-row arm quantile frame
-    # pivoted to the literal 4-row QTE report
-    # ---- round-7 wave 5: 1-row scalar folds / literal-101-row folds
-    "gumbel_tail_events",             # ≤366-row daily-max moment fold
-    # → 1-row fit
-    "poisson_surprise_events",        # 1-row day-count scalar
-    "hill_tail_index_orders",         # the log fold runs on the
-    # literal 101-row top-k frame + its 1-row threshold broadcast
-    # ---- round-7 wave 4: 1-row scalar folds
-    "james_stein_user_shrinkage_events",  # 1-row pooled-moment state
-    # (m, s2w, tau2) folded back as a broadcast cross join
-    "delta_method_ratio_metric_events",  # 2-row arm fold + the 1-row
-    # z report
-    "mde_power_events",               # 2-row arm fold + 1-row report
-    # ---- round-7 wave 3: bounded daily-grid windows / 1-row scalars
-    "group_sequential_monitor_events",  # cumulative-moment windows
-    # over the ≤observation-days grid (the xcorr/isotonic audited
-    # shape); events contribute only day-level moment deltas
-    "runs_test_daily_events",         # LAG over the bounded daily
-    # grid + the 1-row median broadcast + 1-row closing counts
-    "negbin_overdispersion_events",   # 1-row day-count scalar
-    "laspeyres_price_index_lineitem",  # 1-row base-year + 1-row
-    # basket-denominator broadcasts; the basket join is part-keyed
-    # ---- round-7 wave 2: 1-row scalar folds / bounded-grid windows
-    "brier_decomposition_quality_docs",  # 1-row totals + the final
-    # fold over the LITERAL 10-bucket calibration table (the eval
-    # suite's audited bounded-sweep shape)
-    "nelson_aalen_hazard_events",     # ≤366-bucket gap histogram:
-    # at-risk reverse cumsum + hazard forward cumsum on the bounded
-    # lifetime grid, plus the 1-row max-date broadcast (the
-    # kaplan_meier audited shape)
-    "hits_authority_suppliers",       # 1-row L1 normalizer — the two
-    # power-iteration rounds themselves are key-partitioned join+agg
-    "fano_factor_users_events",       # 1-row observation-window
-    # day-count scalar broadcast
-    "did_lift_events",                # 1-row date-bounds scalar + the
-    # single-row conditional-aggregate result
-    # ---- round-7 wave: 1-row scalar folds / literal-grid reductions
-    "cramers_v_lang_source_docs",     # 1-row n/r/c totals + the 1-row
-    # chi-square fold over the langs×sources bounded grid
-    "hellinger_lang_by_source_docs",  # 1-row corpus-count scalar
-    "granger_lag1_events",            # 1-row 10-moment fold over the
-    # bounded daily frame — everything after is scalar algebra
-    "entropy_rate_transitions_events",  # 1-row totals over the
-    # |states|²-bounded transition grid
-    "kendall_tau_chars_score_docs",   # 1-row C/D reduction + 1-row
-    # tie-term folds — the dominance windows themselves partition by
-    # the literal 64/63 bin keys, never single-partition
-    "neyman_allocation_orders",       # 1-row allocation denominator
-    "t_closeness_report_orders",      # 1-row corpus count + 1-row
-    # TV report fold over the dimension-bounded group grid
-    "best_split_gini_docs",           # cumulative window over the
-    # LITERAL 1001-bucket score grid + 1-row totals (the best-F1
-    # gate's audited shape with a Gini objective)
-    # ---- round-6 wave: bounded global-scalar / tiny-grid plans
-    "kaplan_meier_retention_events",  # ≤366-bucket gap histogram:
-    # global reverse-cumsum + survival windows run on the bounded
-    # lifetime grid, plus the 1-row max-date broadcast
-    "cuped_adjusted_lift_events",     # 1-row theta/moment state
-    # folded back as a broadcast cross join
-    "fdr_bh_dow_value_events",        # BH step-up runs on the 35-row
-    # (type × dow) test grid — bounded by the grid, not data
-    "modularity_lpa_part_supplier",   # 1-row edge-count m broadcast
-    "mutual_info_lang_source_docs",   # all-rows MI window over the
-    # langs×sources grid (bounded by cardinality product)
-    "naive_bayes_langid_docs",        # 1-row vocab/train-count state
-    "xcorr_leadlag_events",           # daily two-series frame (≤366
-    # rows): global row_number + the 1-row moments broadcast
-    "isotonic_calibration_events",    # cumsum window over the 12-bin
-    # calibration table + 1-row min/max range broadcast — bounded by
-    # the literal bin count, never data volume
-    "roc_auc_quality_docs",           # cumulative windows over the
-    # LITERAL 1001-bucket score grid (clip-binned sweep) + 1-row agg
-    "average_precision_quality_docs", # same literal-bounded grid
-    "best_f1_threshold_quality_docs", # same literal-bounded grid
-    "decile_lift_quality_docs",       # 1-row count/base-rate scalar
-    # state only — the rank itself is the distributed two-level
-    # exact_global_rank construction (VERDICT r6 #6 swap landed r7)
-    "spearman_chars_score_docs",      # value-domain cumsum windows
-    # (n_chars domain + the 1001-bin grid — the Mann-Whitney rule)
-    # plus the 1-row moment fold
-    "degree_assortativity_part_supplier",  # 1-row moment fold (the
-    # edge⋈degree join itself is distributed; only the 6-scalar
-    # reduction is single-partition)
-    "agg_lineitem_stats",        # 1-row global aggregate result
-    "benford_digits_totalprice", # 1-row total for the share divide
-    "bloom_prefilter_docs",      # packed filter → 1-row broadcast map
-    "bm25_score_docs",           # corpus N/avg-len scalar state
-    "calibration_ece_docs",      # 1-row ECE normalizer folded over
-    # the 10-bin reliability table (bin count is a literal)
-    "cms_token_counts_docs",     # packed sketch → 1-row broadcast map
-    "dsir_scores_docs",          # 1-row model constants (corpus/target
-    # totals + vocab size) folded in as a broadcast cross join — the
-    # round-4 single-lazy-plan rewrite of dsir_importance
-    "association_rules_lineitem",  # 1-row basket-count scalar state
-    # (countDistinct) folded back as a broadcast cross join
-    "bootstrap_ci_orders",       # rank window + order-statistic fold
-    # over the 64-row replicate-means table (B is a literal)
-    "funnel_time_to_convert",    # 1-row percentile/mean fold over
-    # the per-user conversion deltas
-    "funnel_view_click_purchase",# 1-row funnel-stage counts
-    "hybrid_retrieval_pipeline", # rank windows over two ≤100-row
-    # top-k tables + the 20-candidate fusion/MMR (rrf_fusion shape)
-    "hll_distinct_tokens_docs",  # final fold over the 256-register
-    # frame — the sketch size, a literal, bounds the single partition
-    "interval_join_events_windows",  # literal-bounded window table
-    "ks_drift_orders",           # cumulative walk + sup fold over
-    # the literal 32-bin grid (the sketch_quantiles shape)
-    "jsd_sources_docs",          # 1-row vocab-size scalar state
-    # (countDistinct) folded onto the bounded pair grid
-    "join_size_estimate_cms",    # 1-row min over the d=4 per-row
-    # inner products of two ≤d·w-cell sketches + 1-row true count
-    "mannwhitney_quantity_returnflag",  # cumulative walk + final fold
-    # over the ≤50-row (quantity, counts) table — the integer value
-    # domain, not the corpus, bounds the single partition
-    "outliers_totalprice",       # 1-row mean/stddev state
-    "pack_sequences_512",        # per-bucket summaries (corpus/10k)
-    "pca_outliers_embeddings",   # 1-row stddev scalar state
-    # (registry.py pca_outliers_q: proj.agg(stddev_samp) is a global
-    # ≤1-row reduction broadcast back onto the projection — the same
-    # bounded class as outliers_totalprice)
-    "pca_top_component_embeddings",  # 1-row norm reduction
-    "profile_orders",            # 1-row wide profile before unpivot
-    "q11_part_value_share",      # 1-row global value total
-    "q14_promo_revenue",         # 1-row result
-    "q15_top_supplier",          # 1-row max-revenue scalar
-    "q17_small_quantity_revenue",# 1-row result
-    "q19_disjunctive_revenue",   # 1-row result
-    "q22_dormant_customers",     # 1-row avg-balance scalar
-    "q6_forecast_revenue",       # 1-row result
-    "quality_checks_orders",     # 1-row constraint report base
-    "rbo_lsh_vs_exact",          # rank windows over two 10-row top-k
-    # tables + the 10-depth fold — k, a literal, bounds everything
-    "revenue_share_of_parent",   # windows over the 25-row hierarchy
-    "rrf_fusion_docs",           # rank windows over ≤100 candidates
-    "sketch_quantiles_totalprice",  # cumulative walk over ≤64 bins
-    "skew_stats_lineitem_suppkey",  # 1-row skew summary state
-    "table_checksum_orders",     # 1-row checksum fold
-    "zorder_value_orders",       # 1-row min/max range state
-    "attribution_path_removal_events",  # two 1-row scalar totals
-    # (converting-journey count, credit sum) broadcast back onto the
-    # 4-channel report
-    "gini_user_activity_events",  # 1-row Gini summary state (the
-    # rank itself is the distributed two-level construction)
-    "expectations_report_tpch",  # six 1-row violation-count reports
-    # unioned — each a global aggregate over a predicate filter
-    "tfidf_cosine_pairs_docs",   # 1-row corpus-count scalar (n_docs)
-    # broadcast into the idf weights
-    "cohens_kappa_quality_docs", # 1-row 2x2 agreement-matrix fold
-    "k_anonymity_report_orders", # 1-row privacy report fold over the
-    # bounded quasi-identifier group frame
-    "heaps_law_fit_docs",        # 1-row OLS fold over the literal
-    # 10-checkpoint log-log frame (plus the 1-row n_docs scalar)
-    "vocab_coverage_curve_docs", # rank window + totals over the TYPE
-    # table — vocab-bounded, not corpus-bounded (the Mann-Whitney
-    # design rule)
-    "rtbf_cascade_report",       # three 1-row per-table count reports
-    # (before/deleted) unioned — each a global aggregate
-}
-
-# Queries whose plan contains BroadcastNestedLoopJoin — every entry
-# is a 1-row (or literal dimension) broadcast cross join: scalar
-# state fanned back onto rows, or the explicit region×nation cross.
-BNLJ_OK = {
-    # ---- round-9 wave batch 8: broadcast scalar/tiny-frame joins
-    "mood_median_test_orders",        # 1-row N total + 1-row median
-    # crossJoins onto the cents grid / obs stream + 1-row (ta, n)
-    # totals crossJoin onto the k=5 cells
-    "energy_distance_drift_orders",   # 1-row (n1, n2) totals crossJoin
-    # onto the cents grid
-    "goodman_kruskal_gamma_orders",   # 5×4-cell broadcast inequality
-    # pair join (the tukey_hsd audited shape)
-    "kendalls_w_dow_weeks_events",    # 1-row b-count + 1-row tie-sum
-    # crossJoins onto the 7-row rank-sum grid
-    "srm_check_events",               # 1-row user-total crossJoin
-    # onto the 2 arm cells
-    "rich_club_suppliers",            # 3-row broadcast k-threshold
-    # frame inequality-joined onto degrees/edges (bounded by 3×)
-    "quade_test_dow_weeks_events",    # 1-row B-fold crossJoin onto
-    # the 1-row A-fold
-    "hopkins_statistic_embeddings",   # 24-row synthetic/real probe
-    # frames broadcast against one corpus scan each (the
-    # knn_label_accuracy audited shape) + the 1-row H fold
-    "anderson_darling_two_sample_orders",  # 1-row (n1, n2, n) totals
-    # crossJoin onto the cents grid
-    "twonn_intrinsic_dim_embeddings",  # 24-row probe frame broadcast
-    # against one corpus scan (the knn_label_accuracy audited shape)
-    "brunner_munzel_orders",          # 1-row totals/means crossJoins
-    # onto the cents grid
-    "dunn_posthoc_priority_orders",   # 5-row cell frame inequality
-    # pair join + 1-row totals crossJoin (the tukey_hsd shape)
-    "effective_rank_embeddings",      # 1-row n + 64-row μ broadcasts
-    # onto the dimension-bounded covariance grid
-    "cucconi_location_scale_orders",  # 1-row totals crossJoin onto
-    # the cents grid
-    "hodges_lehmann_shift_lineitem",  # ≤50-row × ≤50-row quantity
-    # grid crossJoin (the convolution) + 1-row weight total
-    "weighted_kappa_quality_docs",    # 4-row marginal / 1-row total
-    # broadcasts onto the bounded grid
-    "semdedup_yield_curve_embeddings",  # 3-row τ broadcast inequality
-    # join onto the LSH pair frame + 1-row corpus total
-    "gehan_wilcoxon_repurchase_events",  # 1-row max-day bound + the
-    # broadcast 2-row group frame onto the life grid (logrank shape)
-    "theils_u_lang_source_docs",      # 1-row corpus-total and
-    # entropy-fold crossJoins onto the bounded contingency grid
-    # ---- round-9 wave: broadcast scalar/tiny-frame crossJoins
-    "welch_anova_priority_orders",    # 1-row Σw totals crossJoin onto
-    # the k=5 weighted cells
-    "jonckheere_priority_totalprice_orders",  # broadcast 5-row literal
-    # score frame onto the value grid + two 1-row moment crossJoins
-    "friedman_dow_weeks_events",      # 1-row ΣR² crossJoin onto the
-    # 1-row A1 fold
-    "lorenz_curve_customers",         # broadcast 10-row decile-
-    # threshold frame probed against the cumulative grid (inequality
-    # join bounded by 10 × grid)
-    "holm_bonferroni_dow_events",     # 1-row grand-moment crossJoin
-    # onto the |types|·7 cell grid (the fdr_bh audited shape)
-    "davies_bouldin_embeddings",      # k×k centroid pair sweep +
-    # 1-row DB-mean crossJoin (k = 10 labels)
-    "calinski_harabasz_embeddings",   # 1-row global-centroid fold
-    # crossJoined onto the k=10 cells
-    "term_burstiness_docs",           # 1-row corpus doc-count
-    # crossJoin onto the top-20 term rows
-    "logrank_weekend_repurchase_events",  # 1-row max-day bound + the
-    # broadcast 2-row group frame onto the life grid
-    "gesd_outliers_totalprice",       # three 1-row moment crossJoins
-    # onto the shrinking remaining set
-    "wasserstein_drift_orders",       # 1-row (n1, n2) totals crossJoin
-    # onto the cents grid
-    "rmst_repurchase_events",         # 1-row max-day bound + 1-row
-    # gap-count crossJoins
-    # ---- round-8 wave: 1-row scalar broadcasts / k-row pair sweeps
-    "tukey_hsd_priority_orders",      # 1-row MSW crossJoin + the
-    # 5-row×5-row inequality pair join (both broadcast literals)
-    "rp_distance_preservation_embeddings",  # 50-row anchor-set
-    # inequality pair join (1225 pairs, bounded by the literal id cap)
-    "pps_sampling_ht_orders",         # 1-row corpus-total crossJoin
-    "burrows_delta_sources_docs",     # |sources|×20-word literal grid
-    # crossJoin (the rate grid both z-scores and pairs read)
-    "theil_inequality_users_events",  # 1-row totals crossJoin onto
-    # the ≤|event-types| group rows
-    "fightin_words_lang_docs",        # 1-row vocab-totals crossJoin
-    # onto the (lang, word) grid
-    "anova_two_way_interaction_events",  # 1-row marginal-fold
-    # crossJoins onto the 1-row totals
-    "textrank_keywords_docs",         # 1-row node-count crossJoin per
-    # damped round over the ≤30-node grid
-    "hhi_concentration_customers",    # 1-row total + 1-row top-4
-    # crossJoins onto the per-customer frame
-    # ---- round-7 wave 5: 1-row scalar broadcasts
-    "poisson_surprise_events",        # 1-row day-count crossJoin
-    "hill_tail_index_orders",         # 1-row threshold crossJoin onto
-    # the literal 101-row top-k frame
-    # ---- round-7 wave 4: 1-row scalar broadcasts
-    "james_stein_user_shrinkage_events",  # 1-row (m, s2w, tau2)
-    # crossJoin onto the per-user frame
-    # ---- round-7 wave 3: 1-row scalar broadcasts
-    "negbin_overdispersion_events",   # 1-row day-count crossJoin
-    "laspeyres_price_index_lineitem",  # 1-row base-year pick + 1-row
-    # denominator crossJoin
-    "runs_test_daily_events",         # 1-row median crossJoin onto
-    # the bounded daily grid
-    # ---- round-7 wave 2: 1-row scalar broadcasts
-    "brier_decomposition_quality_docs",  # 1-row (n, Σy) totals
-    # crossJoin onto the 10-bucket calibration table
-    "nelson_aalen_hazard_events",     # 1-row max-date broadcast onto
-    # the purchase-gap frame (the kaplan_meier audited shape)
-    "hits_authority_suppliers",       # 1-row normalizer crossJoin
-    "fano_factor_users_events",       # 1-row day-count crossJoin
-    "did_lift_events",                # 1-row date-bounds crossJoin
-    # ---- round-7 wave: 1-row scalar / literal-dimension broadcasts
-    "cramers_v_lang_source_docs",     # 1-row totals crossJoin onto
-    # the dimension-bounded contingency grid
-    "hellinger_lang_by_source_docs",  # 1-row corpus count crossJoin
-    "hurst_rs_daily_events",          # 3-row literal window-size
-    # frame × the bounded per-type daily index
-    "pacf_daily_events",              # 3-row literal lag frame (the
-    # acf gate's audited shape) + 1-row moment broadcast
-    "entropy_rate_transitions_events",  # 1-row totals crossJoin
-    "kendall_tau_chars_score_docs",   # two 1-row tie-term broadcasts
-    # onto the 1-row C/D frame
-    "neyman_allocation_orders",       # 1-row denominator crossJoin
-    "t_closeness_report_orders",      # segments-dimension × group
-    # grid cross join (chisq class) + 1-row corpus count
-    "best_split_gini_docs",           # 1-row totals crossJoin
-    # ---- round-6 wave: 1-row scalar broadcasts and bounded grids
-    "acf_daily_events",               # 7-row lag table × daily frame
-    "kaplan_meier_retention_events",  # 1-row max-date broadcast
-    "cuped_adjusted_lift_events",     # 1-row bounds + theta broadcasts
-    "fdr_bh_dow_value_events",        # 1-row pooled-moment broadcast
-    "silhouette_labels_embeddings",   # labels-row centroid broadcast
-    # (≤ label-cardinality rows against the point frame)
-    "modularity_lpa_part_supplier",   # 1-row m broadcast
-    "mutual_info_lang_source_docs",   # 1-row total broadcast
-    "naive_bayes_langid_docs",        # 1-row vocab/train-count state
-    "xcorr_leadlag_events",           # 7-row lag table + 1-row moments
-    "isotonic_calibration_events",    # 1-row range broadcast + the
-    # 12-bin i≤j≤k theta grid (≤ B³ = 1728 rows by the literal bin
-    # count)
-    "average_precision_quality_docs", # 1-row totals broadcast
-    "decile_lift_quality_docs",       # 1-row base-rate broadcast
-    "best_f1_threshold_quality_docs", # 1-row n1 broadcast
-    "ann_recall_lsh_vs_exact",
-    "benford_digits_totalprice",
-    "chisq_lang_drift_by_source",  # sources × langs expected grid —
-    # an explicit cross join of two dimension-bounded aggregates
-    # (≤ tens of rows each); caught by this audit on first commit,
-    # audited in as bounded-by-construction
-    "bloom_prefilter_docs",
-    "bm25_score_docs",
-    "cms_token_counts_docs",
-    "association_rules_lineitem",  # 1-row basket-count crossJoin
-    "bootstrap_ci_orders",       # 1-row point-mean crossJoin back
-    "calibration_ece_docs",      # 1-row ECE normalizer crossJoin
-    "join_size_estimate_cms",    # 1-row estimate crossJoin onto the
-    # 1-row true count
-    "cosine_topk_many_embeddings",
-    "cross_join_region_nation",
-    "hybrid_retrieval_pipeline", # 20-candidate pairwise-sim grid
-    "mmr_rerank_embeddings",     # pool² (≤400-row) pairwise-sim
-    # inequality join of the broadcast top-20 candidate set with
-    # itself — the candidate pool, a literal, bounds both sides
-    "welch_ttest_orders",        # 5×5 priority-pair grid: inequality
-    # self-join of the 5-row grouped aggregate, both sides bounded
-    # by the dimension's cardinality
-    "dsir_scores_docs",          # 1-row model-constants crossJoin
-    "funnel_view_click_purchase",
-    "hard_negatives_embeddings", # bounded anchor set (10 rows)
-    # broadcast against the corpus with a label-inequality predicate —
-    # the cosine_topk_many shape; the nested-loop side is the anchors
-    "jsd_sources_docs",          # bounded source-pair grid (C(s,2))
-    # broadcast against the vocab table — the pair count, a dimension
-    # property, bounds the nested-loop side; amplification is
-    # pairs × vocab, documented in the query
-    "knn_label_accuracy_embeddings",  # bounded probe set (50 rows)
-    # broadcast with a self-exclusion predicate — same shape
-    "outliers_totalprice",
-    "pca_outliers_embeddings",   # 1-row stddev state crossJoin back
-    "pca_top_component_embeddings",
-    "profile_orders",
-    "psi_drift_orders",
-    "q11_part_value_share",
-    "q22_dormant_customers",
-    "rbo_lsh_vs_exact",          # 10-row × 10-row × 10-depth grid
-    "rrf_fusion_docs",
-    "sketch_quantiles_totalprice",
-    "skew_stats_lineitem_suppkey",
-    "zorder_value_orders",
-    "attribution_path_removal_events",  # the two 1-row scalar
-    # totals cross-joined back onto the 4-channel report
-    "tfidf_cosine_pairs_docs",  # 1-row n_docs scalar cross join
-    "heaps_law_fit_docs",       # 1-row n_docs scalar cross join into
-    # the 10-row checkpoint frame
-    "vocab_coverage_curve_docs",  # literal 5-row k frame × the
-    # vocab-bounded type table + 1-row totals
-    "centroid_drift_labels_embeddings",  # labels × labels theta join
-    # over the ≤|labels|-row centroid frame — dimension-bounded grid
-    "rtbf_cascade_report",      # 1-row deleted-count scalar cross
-    # joins onto the 1-row before-count frames
-    "hll_rolling_7d_users",  # days × daily-register interval join —
-    # the probe side is the ≤span-days distinct-day frame (broadcast),
-    # the build side ≤ days×256 register rows; bounded by the time
-    # span, never by event volume
-}
+# The whitelists and scanner live in the package so the driver-visible
+# PLANS.md generator (tools/plan_report.py) runs the IDENTICAL audit.
+from aws_glue_jobs_incremental_database_etl_spark.plans.audit import (  # noqa: F401
+    BNLJ_OK,
+    SINGLE_PARTITION_OK,
+    scan_violations,
+)
 
 
 def test_every_registered_query_plan_is_scale_safe(spark, sf_dir):
-    bad_sp, bad_bnlj, bad_cart = [], [], []
-    stray_sp = set(SINGLE_PARTITION_OK)
-    stray_bnlj = set(BNLJ_OK)
-    for name, fn in registry.Q.items():
-        p = plan_of(fn(spark, sf_dir))
-        if "CartesianProduct" in p:
-            bad_cart.append(name)
-        if "Exchange SinglePartition" in p:
-            if name not in SINGLE_PARTITION_OK:
-                bad_sp.append(name)
-            stray_sp.discard(name)
-        if "BroadcastNestedLoopJoin" in p:
-            if name not in BNLJ_OK:
-                bad_bnlj.append(name)
-            stray_bnlj.discard(name)
-    assert not bad_cart, f"CartesianProduct (never allowed): {bad_cart}"
-    assert not bad_sp, f"unaudited Exchange SinglePartition: {bad_sp}"
-    assert not bad_bnlj, f"unaudited BroadcastNestedLoopJoin: {bad_bnlj}"
-    # stray_* = whitelist entries whose bounded shape no longer
-    # appears (AQE re-plans at small sf, or the query was improved);
-    # that is fine — it only means the whitelist can shrink.  Not
-    # asserted: shrinkage is progress, growth is what the lists gate.
+    plans = {
+        name: plan_of(fn(spark, sf_dir)) for name, fn in registry.Q.items()
+    }
+    v = scan_violations(plans)
+    assert not v["cartesian_product"], (
+        f"CartesianProduct (never allowed): {v['cartesian_product']}"
+    )
+    assert not v["unaudited_single_partition"], (
+        f"unaudited Exchange SinglePartition: "
+        f"{v['unaudited_single_partition']}"
+    )
+    assert not v["unaudited_bnlj"], (
+        f"unaudited BroadcastNestedLoopJoin: {v['unaudited_bnlj']}"
+    )
+    # Whitelist entries whose bounded shape no longer appears (AQE
+    # re-plans at small sf, or the query was improved) are fine —
+    # shrinkage is progress, growth is what the lists gate.

@@ -51,25 +51,57 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from aws_glue_jobs_incremental_database_etl_spark.plans.audit import (
+        registry_names_hash,
+        scan_violations,
+    )
+
     rows = []
+    plans: dict[str, str] = {}
     totals = {k: 0 for k, _ in MARKS}
+    plan_errors = 0
     for name, fn in registry.Q.items():
         try:
             p = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - report, don't die
             rows.append((name, {"error": f"{type(e).__name__}"}))
+            plan_errors += 1
             continue
+        plans[name] = p
         counts = {k: len(re.findall(rx, p)) for k, rx in MARKS}
         for k, v in counts.items():
             totals[k] += 1 if v else 0
         rows.append((name, counts))
 
+    # The driver-visible audit (VERDICT r9 #5): the IDENTICAL scan the
+    # pytest gate runs, over the plans just built — an unaudited
+    # SinglePartition/BNLJ/CartesianProduct fails this script (exit 1)
+    # and is recorded in the committed artifact either way.
+    violations = scan_violations(plans)
+    n_viol = sum(len(v) for v in violations.values())
+    audit_line = (
+        "Audit: CLEAN — no CartesianProduct; every SinglePartition/BNLJ "
+        "on the audited bounded whitelist."
+        if not n_viol
+        else "Audit: **VIOLATIONS** — " + "; ".join(
+            f"{k}: {', '.join(v)}" for k, v in violations.items() if v
+        )
+    )
+
     out = ["# PLANS — physical-plan shapes per query",
            "",
            f"Built (not executed) at `{SF_DIR}`, local[4].  Counts of",
            "plan nodes per query; the hard rules live in",
-           "`tests/test_plan_audit.py` (no CartesianProduct anywhere;",
-           "SinglePartition/BNLJ only on the audited bounded whitelist).",
+           "`aws_glue_jobs_incremental_database_etl_spark/plans/audit.py` (no CartesianProduct",
+           "anywhere; SinglePartition/BNLJ only on the audited bounded",
+           "whitelist) and are enforced BOTH by tests/test_plan_audit.py",
+           "and by this generator (exit 1 on violation).",
+           "",
+           f"Registry hash: `{registry_names_hash()}` "
+           "(pinned by tests/test_doc_sync.py — a stale PLANS.md fails "
+           "the suite)",
+           "",
+           audit_line,
            "",
            f"Queries: {len(rows)}.  With ≥1: " + ", ".join(
                f"{k}={totals[k]}" for k, _ in MARKS),
@@ -89,6 +121,12 @@ def main() -> int:
     with open(os.path.join(here, "PLANS.md"), "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"PLANS.md written: {len(rows)} queries")
+    if n_viol:
+        print(f"PLAN AUDIT VIOLATIONS: {violations}", file=sys.stderr)
+        return 1
+    if plan_errors:
+        print(f"PLAN BUILD ERRORS: {plan_errors}", file=sys.stderr)
+        return 1
     return 0
 
 
