@@ -349,6 +349,11 @@ SINGLE_PARTITION_OK = {
     # 1-row total fold
     "alignment_uniformity_embeddings",  # 24-probe LIMIT + 276-pair
     # bounded folds (the hopkins/twonn probe convention)
+    "harrell_c_repurchase_events",    # reverse-cumulative window over
+    # the dense (life × 2 groups) risk grid + 1-row pair-count fold
+    # (the gehan/logrank audited shape)
+    "ansari_bradley_scale_orders",    # cumulative window over the
+    # quantized-cents grid (the CvM audited shape) + 1-row AB fold
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -568,6 +573,10 @@ BNLJ_OK = {
     # the 9-row digit grid
     "alignment_uniformity_embeddings",  # 24-row probe-norm frame
     # joins (bounded by the probe count, never the corpus)
+    "harrell_c_repurchase_events",    # 1-row max-date bounds + 2-row
+    # group-grid broadcast crossJoins (the gehan audited shape)
+    "ansari_bradley_scale_orders",    # 1-row (n, n1, n2, m) totals +
+    # 1-row ā crossJoins onto the cents grid
 }
 
 

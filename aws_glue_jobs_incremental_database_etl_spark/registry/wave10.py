@@ -13,6 +13,9 @@ fold (audited in plans/audit.py)."""
 
 from __future__ import annotations
 
+import shutil  # the expire-history gate cleans up its staged lake
+import tempfile
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1230,3 +1233,454 @@ def alignment_uniformity_q(spark, sf_dir):
             F.log(F.avg(F.exp(F.lit(-2.0) * F.col("sq")))), 6
         ).alias("uniformity"),
     )
+
+
+# =====================================================================
+# Harrell's C (survival concordance on the repurchase gap grid)
+# =====================================================================
+
+@query(
+    "harrell_c_repurchase_events",
+    """
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nd
+      FROM events WHERE event_type = 'purchase'
+    ), subj AS (
+      SELECT CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS grp,
+             CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                  ELSE datediff('day', d, nd) END AS life,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS died
+      FROM p, bounds
+    ), cells AS (
+      SELECT life, grp, COUNT(*) AS n_all, SUM(died) AS deaths
+      FROM subj GROUP BY life, grp
+    ), dense AS (
+      SELECT l.life, g.grp, COALESCE(c.n_all, 0) AS n_all,
+             COALESCE(c.deaths, 0) AS deaths
+      FROM (SELECT DISTINCT life FROM cells) l
+      CROSS JOIN (SELECT unnest([0, 1]) AS grp) g
+      LEFT JOIN cells c ON c.life = l.life AND c.grp = g.grp
+    ), risk AS (
+      SELECT life, grp, deaths, n_all,
+             SUM(n_all) OVER (PARTITION BY grp ORDER BY life DESC
+                              ROWS UNBOUNDED PRECEDING) AS at_risk
+      FROM dense
+    ), times AS (
+      SELECT life,
+             SUM(CASE WHEN grp = 1 THEN deaths ELSE 0 END) AS d1,
+             SUM(CASE WHEN grp = 0 THEN deaths ELSE 0 END) AS d0,
+             SUM(CASE WHEN grp = 1 THEN at_risk - n_all ELSE 0 END) AS s1,
+             SUM(CASE WHEN grp = 0 THEN at_risk - n_all ELSE 0 END) AS s0
+      FROM risk GROUP BY life
+    ), folds AS (
+      SELECT SUM(d1 * s0) AS conc, SUM(d0 * s1) AS disc,
+             SUM(d1 * s1 + d0 * s0) AS tied
+      FROM times
+    )
+    SELECT CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(tied AS BIGINT) AS tied_predictor,
+           ROUND(CASE WHEN conc + disc + tied > 0 THEN
+                 (conc + 0.5 * tied) / (conc + disc + tied) END, 6)
+             AS c_index
+    FROM folds
+    """,
+)
+def harrell_c_q(spark, sf_dir):
+    """Harrell's concordance index for the weekend-vs-weekday
+    repurchase model — the standard discrimination metric of every
+    survival model (C = P(the subject the model calls riskier fails
+    first), 0.5 = coin flip): usable pairs are (death at t, subject
+    observed past t); the binary weekend score makes same-group pairs
+    predictor-ties worth ½.  The number that tells you whether the
+    log-rank/Gehan SIGNIFICANCE (already gated on the same curves)
+    corresponds to any usable DISCRIMINATION.
+
+    Same dense (life × 2 groups) risk grid as the log-rank family
+    (one reverse-cumulative window), then exact integer pair counts:
+    conc = Σₜ d₁·s₀(t⁺), disc = Σₜ d₀·s₁(t⁺), ties = Σₜ d·s_same —
+    never a subject×subject join.  Equal observed times are
+    incomparable and drop, the textbook simplification (full Harrell
+    also credits censored-vs-death ties at equal t)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"), "ts", "event_id")
+        .withColumn("nd", F.lead("d").over(wp))
+    )
+    subj = p.join(F.broadcast(bounds), F.lit(True)).select(
+        F.when((F.weekday("d") + 1) >= 6, 1).otherwise(0).alias("grp"),
+        F.when(F.col("nd").isNull(), F.datediff("maxd", "d"))
+        .otherwise(F.datediff("nd", "d"))
+        .alias("life"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("died"),
+    )
+    cells = subj.groupBy("life", "grp").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("died").alias("deaths")
+    )
+    grps = spark.range(0, 2).select(F.col("id").cast("int").alias("grp"))
+    dense = (
+        cells.select("life")
+        .distinct()
+        .crossJoin(F.broadcast(grps))
+        .join(cells, ["life", "grp"], "left")
+        .select(
+            "life",
+            "grp",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+            F.coalesce("deaths", F.lit(0)).alias("deaths"),
+        )
+    )
+    wr = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("life").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = dense.select(
+        "life",
+        "grp",
+        "deaths",
+        "n_all",
+        F.sum("n_all").over(wr).alias("at_risk"),
+    )
+    times = risk.groupBy("life").agg(
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("deaths")).otherwise(0)
+        ).alias("d1"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("deaths")).otherwise(0)
+        ).alias("d0"),
+        F.sum(
+            F.when(
+                F.col("grp") == 1, F.col("at_risk") - F.col("n_all")
+            ).otherwise(0)
+        ).alias("s1"),
+        F.sum(
+            F.when(
+                F.col("grp") == 0, F.col("at_risk") - F.col("n_all")
+            ).otherwise(0)
+        ).alias("s0"),
+    )
+    folds = times.agg(
+        F.sum(F.col("d1") * F.col("s0")).alias("conc"),
+        F.sum(F.col("d0") * F.col("s1")).alias("disc"),
+        F.sum(
+            F.col("d1") * F.col("s1") + F.col("d0") * F.col("s0")
+        ).alias("tied"),
+    )
+    conc, disc, tied = F.col("conc"), F.col("disc"), F.col("tied")
+    return folds.select(
+        conc.cast("bigint").alias("concordant"),
+        disc.cast("bigint").alias("discordant"),
+        tied.cast("bigint").alias("tied_predictor"),
+        F.round(
+            F.when(
+                conc + disc + tied > 0,
+                (conc + F.lit(0.5) * tied) / (conc + disc + tied),
+            ),
+            6,
+        ).alias("c_index"),
+    )
+
+
+# =====================================================================
+# Ansari–Bradley scale test (closed-form midranks on the cents grid)
+# =====================================================================
+
+@query(
+    "ansari_bradley_scale_orders",
+    """
+    WITH cells AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             COUNT(*) AS c,
+             SUM(CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')
+                      THEN 1 ELSE 0 END) AS c1
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c) AS n, SUM(c1) AS n1, SUM(c - c1) AS n2,
+             CAST(FLOOR((SUM(c) + 1) / 2.0) AS BIGINT) AS m
+      FROM cells
+    ), pos AS (
+      SELECT cents, c, c1, t.n, t.n1, t.n2, t.m,
+             SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS hi
+      FROM cells CROSS JOIN tot t
+    ), mid AS (
+      -- S(r) = sum_{k<=r} min(k, n+1-k) via triangular numbers,
+      -- piecewise at m = floor((n+1)/2); all in double (exact until
+      -- n ~ 1e8, far past any tested scale)
+      SELECT cents, c, c1, n, n1, n2,
+             ((CASE WHEN hi <= m THEN hi * (hi + 1) / 2.0
+                    ELSE m * (m + 1) / 2.0
+                         + ((n - m) * (n - m + 1) / 2.0
+                            - (n - hi) * (n - hi + 1) / 2.0) END)
+              - (CASE WHEN hi - c <= m
+                      THEN (hi - c) * (hi - c + 1) / 2.0
+                      ELSE m * (m + 1) / 2.0
+                           + ((n - m) * (n - m + 1) / 2.0
+                              - (n - hi + c) * (n - hi + c + 1) / 2.0)
+                      END)) / c AS a
+      FROM pos
+    ), abar AS (
+      SELECT SUM(c * a) / MAX(n) AS ab FROM mid
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_urgent,
+           CAST(MAX(n2) AS BIGINT) AS n_other,
+           ROUND(SUM(c1 * a), 4) AS ab_stat,
+           ROUND(MAX(n1) * MAX(ab.ab), 4) AS ab_expected,
+           ROUND(CASE WHEN SUM(c * (a - ab.ab) * (a - ab.ab)) > 0
+                      AND MAX(n) > 1 THEN
+                 (SUM(c1 * a) - MAX(n1) * MAX(ab.ab))
+                 / SQRT(CAST(MAX(n1) AS DOUBLE) * MAX(n2)
+                        / (MAX(n) * (MAX(n) - 1.0))
+                        * SUM(c * (a - ab.ab) * (a - ab.ab)))
+                 END, 6) AS z
+    FROM mid CROSS JOIN abar ab
+    """,
+)
+def ansari_bradley_q(spark, sf_dir):
+    """Ansari–Bradley scale test, urgent (priority 1–2) vs other
+    orders on totalprice — the rank test for DISPERSION differences
+    with equal medians assumed: rank 1 to both extremes, rising
+    toward the middle (a(r) = min(r, n+1−r)), so a group whose values
+    crowd the middle scores high.  Complements Mood (squared ranks)
+    and Cucconi (location+scale jointly): AB is the classic
+    distribution-free dispersion-only alternative whose null
+    mean/variance are exact finite-sample quantities, both reported.
+
+    The pooled sample lives on the quantized-cents grid (the CvM
+    audited shape): one cumulative window gives each distinct value's
+    rank block [lo, hi]; the block's Σ min(k, n+1−k) has a CLOSED
+    triangular-number form piecewise at m = ⌊(n+1)/2⌋, so midranks
+    under ties are exact without per-row ranking.  z standardizes by
+    the tie-adjusted sampling variance n₁n₂/(n(n−1))·Σc(a−ā)²."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
+    ).otherwise(0)
+    cells = o.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    ).agg(F.count(F.lit(1)).alias("c"), F.sum(urgent).alias("c1"))
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.floor((F.sum("c") + 1) / F.lit(2.0)).cast("bigint").alias("m"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pos = cells.join(F.broadcast(tot), F.lit(True)).select(
+        "cents",
+        "c",
+        "c1",
+        "n",
+        "n1",
+        "n2",
+        "m",
+        F.sum("c").over(wcum).alias("hi"),
+    )
+
+    def s_of(r):
+        n, m = F.col("n"), F.col("m")
+        return F.when(r <= m, r * (r + 1) / F.lit(2.0)).otherwise(
+            m * (m + 1) / F.lit(2.0)
+            + (
+                (n - m) * (n - m + 1) / F.lit(2.0)
+                - (n - r) * (n - r + 1) / F.lit(2.0)
+            )
+        )
+
+    mid = pos.select(
+        "cents",
+        "c",
+        "c1",
+        "n",
+        "n1",
+        "n2",
+        (
+            (s_of(F.col("hi")) - s_of(F.col("hi") - F.col("c")))
+            / F.col("c")
+        ).alias("a"),
+    )
+    abar = mid.agg(
+        (F.sum(F.col("c") * F.col("a")) / F.max("n")).alias("ab")
+    )
+    j = mid.join(F.broadcast(abar), F.lit(True))
+    ab = F.col("ab")
+    ss = F.sum(F.col("c") * (F.col("a") - ab) * (F.col("a") - ab))
+    stat = F.sum(F.col("c1") * F.col("a"))
+    exp_ = F.max("n1") * F.max(ab)
+    var = (
+        F.max("n1").cast("double")
+        * F.max("n2")
+        / (F.max("n") * (F.max("n") - F.lit(1.0)))
+        * ss
+    )
+    return j.agg(
+        F.max("n1").cast("bigint").alias("n_urgent"),
+        F.max("n2").cast("bigint").alias("n_other"),
+        F.round(stat, 4).alias("ab_stat"),
+        F.round(exp_, 4).alias("ab_expected"),
+        F.round(
+            F.when(
+                (ss > 0) & (F.max("n") > 1),
+                (stat - exp_) / F.sqrt(var),
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# =====================================================================
+# Tokenizer fertility by source (BPE tokens per word)
+# =====================================================================
+
+def _fertility_oracle() -> str:
+    """Reuses the recursive-CTE BPE twin (wave2._bpe_oracle) and
+    swaps its final per-doc SELECT for a per-source aggregate — ONE
+    place owns the merge-loop semantics."""
+    from .wave2 import _bpe_oracle
+
+    base = _bpe_oracle()
+    marker = "SELECT d.doc_id AS id,"
+    head = base[: base.index(marker)]
+    return head + """SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT) AS total_words,
+           CAST(SUM(COALESCE(p.n_bpe_tokens, 0)) AS BIGINT)
+             AS total_bpe_tokens,
+           ROUND(CASE WHEN SUM(COALESCE(p.n_words, 0)) > 0 THEN
+                 CAST(SUM(COALESCE(p.n_bpe_tokens, 0)) AS DOUBLE)
+                 / SUM(COALESCE(p.n_words, 0)) END, 6) AS fertility
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@query("tokenizer_fertility_by_source_docs", None)  # oracle below
+def tokenizer_fertility_q(spark, sf_dir):
+    """Tokenizer fertility (BPE tokens per whitespace word) per
+    source — the compute-cost lens every multilingual/multi-domain
+    training mix is budgeted through: a source at fertility 2.5 costs
+    2.5× the context window per word of one at 1.0, so mixture
+    weights stated in documents or words silently mis-state the
+    TOKEN mix (the quantity the loss actually sees).  Reuses the real
+    per-word BPE merge loop (``operators.text.bpe_token_count``, the
+    Arrow-batched kernel) and its recursive-CTE SQL twin — this gate
+    only re-aggregates the per-doc counts by source."""
+    from ..operators.text import bpe_token_count
+    from .wave2 import _BPE_MERGES
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = bpe_token_count(d, _BPE_MERGES)
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    return (
+        src.join(per_doc.hint("merge"), "id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("n_words", F.lit(0)))
+            .cast("bigint")
+            .alias("total_words"),
+            F.sum(F.coalesce("n_bpe_tokens", F.lit(0)))
+            .cast("bigint")
+            .alias("total_bpe_tokens"),
+            F.round(
+                F.when(
+                    F.sum(F.coalesce("n_words", F.lit(0))) > 0,
+                    F.sum(F.coalesce("n_bpe_tokens", F.lit(0))).cast(
+                        "double"
+                    )
+                    / F.sum(F.coalesce("n_words", F.lit(0))),
+                ),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+O["tokenizer_fertility_by_source_docs"] = _fertility_oracle()
+
+
+# =====================================================================
+# Txn-layer history expiry on the driver surface
+# =====================================================================
+
+@query(
+    "etl_expire_history",
+    """
+    SELECT * FROM orders
+    """,
+)
+def etl_expire_history_q(spark, sf_dir):
+    """Retention enforcement over the exactly-once staged-commit
+    layer (txn.expire_history ≙ Iceberg expire_snapshots): two
+    exactly-once publishes (half the orders, then the rest), expire
+    everything below the latest commit, then read the CURRENT table —
+    which must still be the complete dataset even though the manifest
+    history below the horizon is gone, and the pre-expiry snapshot
+    must now REFUSE time travel (asserted inline — a wrong horizon
+    silently un-expiring or an expire that eats live data both fail
+    this gate).  Puts the compaction path on the driver-visible
+    surface next to the etl_snapshot_asof time-travel gate."""
+    from ..bookmarks import BookmarkStore
+    from ..catalog import FileCatalog
+    from ..config import TableConfig
+    from ..pipeline import IncrementalPipeline
+    from ..txn import expire_history, published_history, read_table_asof
+
+    work = tempfile.mkdtemp(prefix="etl_expire_")
+    try:
+        full = load_table(spark, sf_dir, "orders")
+        third = full.agg(
+            F.floor(F.max("o_orderkey") / 3).cast("bigint")
+        ).first()[0]
+        src = f"{work}/src_orders"
+
+        def mk(run):
+            return IncrementalPipeline(
+                spark,
+                FileCatalog(f"{work}/catalog"),
+                BookmarkStore(f"{work}/bm.json"),
+                target_location=f"{work}/lake",
+                target_prefix="tgt_",
+                job_run_id=run,
+                exactly_once=True,
+            )
+
+        cfg = TableConfig(
+            "orders", ["o_orderkey"], "ASC", ["o_orderstatus"]
+        )
+        for i, cut in enumerate((third, 2 * third, None)):
+            batch = full if cut is None else full.filter(
+                F.col("o_orderkey") <= cut
+            )
+            batch.write.mode("overwrite").parquet(src)
+            mk(f"run-{i + 1}").run([cfg], {"orders": src})
+        hist = published_history(f"{work}/lake")
+        first_seq, last_seq = hist[0]["seq"], hist[-1]["seq"]
+        # roll up everything but the newest manifest; run-1's seq now
+        # sits strictly below the base horizon
+        expire_history(f"{work}/lake", keep_last=1)
+        try:
+            read_table_asof(spark, f"{work}/lake", "tgt_orders", first_seq)
+        except Exception:
+            pass
+        else:  # pragma: no cover - the gate exists to catch this
+            raise AssertionError(
+                "read_table_asof below the expire horizon must raise"
+            )
+        cur = read_table_asof(spark, f"{work}/lake", "tgt_orders", last_seq)
+        rows = cur.select(*full.columns).collect()
+        schema = cur.select(*full.columns).schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -216,6 +216,9 @@ HEADLINE = [
     "cuped_adjusted_lift_events",     # user cents cells + θ fold
     "dau_mau_stickiness_events",      # ×28 day-offset distinct counts
     "alignment_uniformity_embeddings",  # 24-probe 276-pair folds
+    "harrell_c_repurchase_events",    # dense risk grid pair counts
+    "ansari_bradley_scale_orders",    # closed-form cents-grid ranks
+    "tokenizer_fertility_by_source_docs",  # BPE kernel + source agg
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
