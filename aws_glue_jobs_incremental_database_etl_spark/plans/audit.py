@@ -354,6 +354,8 @@ SINGLE_PARTITION_OK = {
     # (the gehan/logrank audited shape)
     "ansari_bradley_scale_orders",    # cumulative window over the
     # quantized-cents grid (the CvM audited shape) + 1-row AB fold
+    "bradley_terry_event_types",      # MM iterations + final report
+    # on the |types|²-bounded comparison grid (1-row norm fold)
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -577,6 +579,8 @@ BNLJ_OK = {
     # group-grid broadcast crossJoins (the gehan audited shape)
     "ansari_bradley_scale_orders",    # 1-row (n, n1, n2, m) totals +
     # 1-row ā crossJoins onto the cents grid
+    "bradley_terry_event_types",      # 1-row (tot, k) norm crossJoin
+    # onto the ≤|types|-row report
 }
 
 

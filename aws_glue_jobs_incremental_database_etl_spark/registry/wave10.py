@@ -1684,3 +1684,184 @@ def etl_expire_history_q(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# =====================================================================
+# Bradley–Terry preference ranking (3 unrolled MM iterations)
+# =====================================================================
+
+@query(
+    "bradley_terry_event_types",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE),
+                                event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ), f AS (
+      SELECT user_id, day, event_type, ts, event_id
+      FROM firsts WHERE rn = 1
+    ), duels AS (
+      SELECT CASE WHEN a.ts < b.ts
+                    OR (a.ts = b.ts AND a.event_id < b.event_id)
+                  THEN a.event_type ELSE b.event_type END AS w,
+             CASE WHEN a.ts < b.ts
+                    OR (a.ts = b.ts AND a.event_id < b.event_id)
+                  THEN b.event_type ELSE a.event_type END AS l
+      FROM f a JOIN f b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+    ), wins AS (
+      SELECT w, l, COUNT(*) AS n FROM duels GROUP BY w, l
+    ), sym AS (
+      SELECT i, j, SUM(n) AS nij FROM (
+        SELECT w AS i, l AS j, n FROM wins
+        UNION ALL SELECT l AS i, w AS j, n FROM wins
+      ) GROUP BY i, j
+    ), wi AS (
+      SELECT w AS i, SUM(n) AS wins_i FROM wins GROUP BY w
+    ), types AS (
+      SELECT DISTINCT event_type AS i FROM events
+    ), it1 AS (
+      SELECT s.i, w.wins_i / SUM(s.nij / 2.0) AS sc
+      FROM sym s JOIN wi w USING (i) GROUP BY s.i, w.wins_i
+    ), it2 AS (
+      SELECT s.i, w.wins_i / SUM(s.nij / (a.sc + b.sc)) AS sc
+      FROM sym s JOIN wi w USING (i)
+      JOIN it1 a ON a.i = s.i JOIN it1 b ON b.i = s.j
+      GROUP BY s.i, w.wins_i
+    ), it3 AS (
+      SELECT s.i, w.wins_i / SUM(s.nij / (a.sc + b.sc)) AS sc
+      FROM sym s JOIN wi w USING (i)
+      JOIN it2 a ON a.i = s.i JOIN it2 b ON b.i = s.j
+      GROUP BY s.i, w.wins_i
+    ), norm AS (
+      SELECT SUM(sc) AS tot, COUNT(*) AS k FROM it3
+    )
+    SELECT t.i AS event_type,
+           CAST(COALESCE(w.wins_i, 0) AS BIGINT) AS n_wins,
+           CAST(COALESCE((SELECT SUM(nij) FROM sym WHERE sym.i = t.i),
+                         0) AS BIGINT) AS n_comparisons,
+           ROUND(CASE WHEN norm.tot > 0 THEN
+                 it3.sc * norm.k / norm.tot END, 6) AS bt_score
+    FROM types t
+    LEFT JOIN it3 ON it3.i = t.i
+    LEFT JOIN wi w ON w.i = t.i
+    CROSS JOIN norm
+    ORDER BY event_type
+    """,
+)
+def bradley_terry_q(spark, sf_dir):
+    """Bradley–Terry preference strengths over event types — THE
+    pairwise-comparison model behind reward-model training and
+    LLM-arena leaderboards (Hunter 2004 MM algorithm): within each
+    (user, day), each pair of event types present "duels" and the one
+    occurring FIRST wins (a total order via (ts, event_id), so no tie
+    cells); three unrolled minorize–maximize iterations
+    sᵢ ← Wᵢ / Σⱼ nᵢⱼ/(sᵢ+sⱼ) on the |types|² comparison grid, reported
+    sum-normalized to k.  Fixed iteration count keeps the whole
+    computation an exact unrolled SQL twin (the PageRank/power-
+    iteration convention of this repo).
+
+    The duel generation is a per-(user, day) first-occurrence
+    self-join (fan-out ≤ |types|² per user-day, both sides
+    corpus-scaled → merge-hinted); everything after lives on the
+    bounded |types|² grid."""
+    e = load_table(spark, sf_dir, "events")
+    wf = Window.partitionBy(
+        "user_id", F.to_date("ts"), "event_type"
+    ).orderBy("ts", "event_id")
+    f = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    a, b = f.alias("a"), f.alias("b")
+    a_first = (F.col("a.ts") < F.col("b.ts")) | (
+        (F.col("a.ts") == F.col("b.ts"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    duels = a.join(
+        b.hint("merge"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.when(a_first, F.col("a.event_type"))
+        .otherwise(F.col("b.event_type"))
+        .alias("w"),
+        F.when(a_first, F.col("b.event_type"))
+        .otherwise(F.col("a.event_type"))
+        .alias("l"),
+    )
+    wins = duels.groupBy("w", "l").agg(F.count(F.lit(1)).alias("n"))
+    sym = (
+        wins.select(F.col("w").alias("i"), F.col("l").alias("j"), "n")
+        .unionAll(
+            wins.select(F.col("l").alias("i"), F.col("w").alias("j"), "n")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("nij"))
+    )
+    wi = wins.groupBy(F.col("w").alias("i")).agg(
+        F.sum("n").alias("wins_i")
+    )
+
+    def mm_step(s_prev):
+        # one minorize–maximize update on the bounded grid
+        si = s_prev.select(F.col("i").alias("_si_i"), F.col("sc").alias("si"))
+        sj = s_prev.select(F.col("i").alias("_sj_i"), F.col("sc").alias("sj"))
+        return (
+            sym.join(F.broadcast(si), F.col("i") == F.col("_si_i"))
+            .join(F.broadcast(sj), F.col("j") == F.col("_sj_i"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("nij") / (F.col("si") + F.col("sj"))
+                ).alias("den")
+            )
+            .join(F.broadcast(wi), "i")
+            .select("i", (F.col("wins_i") / F.col("den")).alias("sc"))
+        )
+
+    s1 = (
+        sym.groupBy("i")
+        .agg(F.sum(F.col("nij") / F.lit(2.0)).alias("den"))
+        .join(F.broadcast(wi), "i")
+        .select("i", (F.col("wins_i") / F.col("den")).alias("sc"))
+    )
+    s3 = mm_step(mm_step(s1))
+    norm = s3.agg(
+        F.sum("sc").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    comps = sym.groupBy("i").agg(F.sum("nij").alias("nc"))
+    types = e.select(F.col("event_type").alias("i")).distinct()
+    return (
+        types.join(F.broadcast(s3), "i", "left")
+        .join(F.broadcast(wi), "i", "left")
+        .join(F.broadcast(comps), "i", "left")
+        .join(F.broadcast(norm), F.lit(True))
+        .select(
+            F.col("i").alias("event_type"),
+            F.coalesce("wins_i", F.lit(0)).cast("bigint").alias("n_wins"),
+            F.coalesce("nc", F.lit(0))
+            .cast("bigint")
+            .alias("n_comparisons"),
+            F.round(
+                F.when(
+                    F.col("tot") > 0,
+                    F.col("sc") * F.col("k") / F.col("tot"),
+                ),
+                6,
+            ).alias("bt_score"),
+        )
+        .orderBy("event_type")
+    )

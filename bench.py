@@ -219,6 +219,7 @@ HEADLINE = [
     "harrell_c_repurchase_events",    # dense risk grid pair counts
     "ansari_bradley_scale_orders",    # closed-form cents-grid ranks
     "tokenizer_fertility_by_source_docs",  # BPE kernel + source agg
+    "bradley_terry_event_types",      # duel grid + 3 MM iterations
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

@@ -499,3 +499,35 @@ def test_etl_expire_history_gate_runs(spark):
     assert out.count() == full.count()
     assert out.agg(F.sum("o_orderkey")).first()[0] == \
         full.agg(F.sum("o_orderkey")).first()[0]
+
+
+def test_bradley_terry_two_type_closed_form(spark, tmp_path):
+    """Two types with wins a>b twice, b>a once (three user-days).
+    W_a = 2, W_b = 1, n_ab = 3.  MM fixed point: s_a/s_b = 2 —
+    reached exactly at iteration 1 from s=1 and stable after; the
+    sum-normalized report is (4/3, 2/3).  Also pins the duel rule:
+    the EARLIER (ts, event_id) wins."""
+    rows = []
+    eid = 0
+    # day 1 + day 2: a before b; day 3: b before a (same ts, smaller
+    # event_id wins -> order by event_id)
+    for d, first in [(1, "a"), (2, "a"), (3, "b")]:
+        second = "b" if first == "a" else "a"
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 3, d, 10, 0), 1, first, 1.0, "")
+        )
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 3, d, 11, 0), 1, second, 1.0, "")
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r.event_type: r
+        for r in Q["bradley_terry_event_types"](spark, sf).collect()
+    }
+    assert (out["a"].n_wins, out["b"].n_wins) == (2, 1)
+    assert out["a"].n_comparisons == 3 and out["b"].n_comparisons == 3
+    # scores are ROUND(..., 6): pin to rounding tolerance
+    assert abs(out["a"].bt_score - 4.0 / 3.0) < 1e-6
+    assert abs(out["b"].bt_score - 2.0 / 3.0) < 1e-6
