@@ -26,11 +26,16 @@ exploded / aggregated) can undershoot the 64 MB auto-broadcast
 threshold and BROADCAST a side that scales with the data — measured:
 the minhash banded self-join planned as BroadcastHashJoin at sf1 and
 died with notEnoughMemoryToBuildAndBroadcastTableError at sf10; at
-100 TB that is a guaranteed OOM.  The merge hint pins the plan-time
-strategy to the designed shuffle join, while AQE remains free to
-convert back to broadcast AT RUNTIME from actual (not estimated)
-sizes — so small-corpus performance is unchanged and large-corpus
-execution is safe.
+100 TB that is a guaranteed OOM.  The merge hint pins the strategy to
+the designed shuffle join END-TO-END (verified empirically: AQE
+honors the hint and does NOT convert back to broadcast even when the
+runtime size is small), costing a measured ~6% on the sf0.1 bench
+total — the explicit price of never OOMing on an estimate.  A
+deployment that wants runtime-size broadcasts instead can set
+plan-time ``spark.sql.autoBroadcastJoinThreshold=-1`` and rely on
+``spark.sql.adaptive.autoBroadcastJoinThreshold`` (AQE converts
+unhinted joins from ACTUAL sizes); the hints are kept because they
+are local, reviewable, and independent of session configuration.
 """
 
 from __future__ import annotations
