@@ -356,6 +356,10 @@ SINGLE_PARTITION_OK = {
     # quantized-cents grid (the CvM audited shape) + 1-row AB fold
     "bradley_terry_event_types",      # MM iterations + final report
     # on the |types|²-bounded comparison grid (1-row norm fold)
+    "rbo_bm25_vs_classifier_docs",    # two TakeOrdered top-20s →
+    # ≤20-row rank windows + 1-row RBO fold
+    "ipf_raking_dow_type_events",     # IPF half-step window rescales
+    # + report on the ≤7×|types| grid
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -581,6 +585,10 @@ BNLJ_OK = {
     # 1-row ā crossJoins onto the cents grid
     "bradley_terry_event_types",      # 1-row (tot, k) norm crossJoin
     # onto the ≤|types|-row report
+    "rbo_bm25_vs_classifier_docs",    # 20-row depth grid × ≤20-row
+    # common-rank frame (m ≤ d inequality) + 1-row count crossJoin
+    "ipf_raking_dow_type_events",     # 1-row (nt, ndow) totals
+    # crossJoin onto the bounded grid (each IPF row half-step)
 }
 
 

@@ -1865,3 +1865,265 @@ def bradley_terry_q(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# =====================================================================
+# Rank-biased overlap between two retrieval rankings
+# =====================================================================
+
+@query(
+    "rbo_bm25_vs_classifier_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\s+')
+             END AS w
+      FROM documents
+    ), b2 AS (
+      SELECT doc_id, len(w) AS n_tokens, w FROM base
+    ), g AS (
+      SELECT COUNT(*) AS n_docs, AVG(n_tokens) AS avg_len FROM b2
+    ), tf AS (
+      SELECT doc_id, n_tokens, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, n_tokens, unnest(w) AS term FROM b2)
+      WHERE term IN ('spark', 'stream', 'window')
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), bm AS (
+      SELECT tf.doc_id AS id,
+             ROUND(SUM(
+               LN(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.n_tokens / g.avg_len))
+             ), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN g GROUP BY 1
+    ), bm_all AS (
+      SELECT d.doc_id AS id, COALESCE(bm.score, 0.0) AS score
+      FROM documents d LEFT JOIN bm ON bm.id = d.doc_id
+    ), tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(
+               unnest(string_split_regex(lower(trim(text)), '\s+'))), 1, 8))
+               AS BIGINT) % 4096 AS b
+      FROM documents
+    ), model AS (
+      SELECT DISTINCT b AS bucket,
+             (CAST(b % 101 AS DOUBLE) - 50.0) / 500.0 AS w
+      FROM tok
+    ), scored AS (
+      SELECT tok.doc_id, SUM(model.w) AS sw
+      FROM tok JOIN model ON model.bucket = tok.b GROUP BY tok.doc_id
+    ), cl_all AS (
+      SELECT d.doc_id AS id,
+             ROUND(1.0 / (1.0 + exp(-(0.1 + COALESCE(s.sw, 0.0)))), 6)
+               AS score
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ), s_rank AS (
+      SELECT id, rs FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rs
+        FROM bm_all
+      ) WHERE rs <= 20
+    ), t_rank AS (
+      SELECT id, rt FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rt
+        FROM cl_all
+      ) WHERE rt <= 20
+    ), common AS (
+      SELECT GREATEST(s.rs, t.rt) AS m
+      FROM s_rank s JOIN t_rank t USING (id)
+    ), depths AS (
+      SELECT unnest(range(1, 21)) AS d
+    ), agreement AS (
+      SELECT d.d,
+             (SELECT COUNT(*) FROM common WHERE common.m <= d.d) AS ov
+      FROM depths d
+    )
+    SELECT CAST((SELECT COUNT(*) FROM common) AS BIGINT)
+             AS n_common_at_20,
+           ROUND((1.0 - 0.9) * SUM(POWER(0.9, d - 1)
+                                   * (CAST(ov AS DOUBLE) / d)), 6)
+             AS rbo_at_20
+    FROM agreement
+    """,
+)
+def rbo_q(spark, sf_dir):
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010; p=0.9,
+    truncated at depth 20) between the BM25 top-20 and the hashed-
+    classifier top-20 — the standard indefinite-ranking agreement
+    metric for comparing retrieval/curation policies (Kendall-family
+    distances need conjoint rankings; RBO is top-weighted and handles
+    non-overlapping lists, which is why search teams report it for
+    ranker A/Bs).  RBO = (1−p)·Σ_d p^{d−1}·|S₍:d₎∩T₍:d₎|/d — the
+    truncated lower bound (tail residual omitted, documented).
+
+    Both rankers are the EXISTING gate pipelines (bm25_score /
+    hashed_classifier_score), ranked on their rounded scores with a
+    doc_id tie-break so both engines produce the identical order; the
+    two top-20s come from TakeOrderedAndProject, and everything after
+    lives on ≤20-row frames crossed with a 20-row literal depth grid."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import bm25_score, hashed_classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = bm25_score(d, ["spark", "stream", "window"], "doc_id", "text")
+    dim = 4096
+    model = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("_t")
+        )
+        .select(hash_bucket(F.col("_t"), dim).alias("bucket"))
+        .distinct()
+        .select(
+            "bucket",
+            (
+                ((F.col("bucket") % 101).cast("double") - 50.0) / 500.0
+            ).alias("w"),
+        )
+    )
+    cl = hashed_classifier_score(d, model, dim=dim, bias=0.1)
+
+    def top20(df, score_col):
+        t = df.select("id", F.col(score_col).alias("sc")).orderBy(
+            F.col("sc").desc(), F.col("id").asc()
+        ).limit(20)
+        w = Window.orderBy(F.col("sc").desc(), F.col("id").asc())
+        return t.select("id", F.row_number().over(w).alias("r"))
+
+    s = top20(bm, "score").withColumnRenamed("r", "rs")
+    t = top20(cl, "score").withColumnRenamed("r", "rt")
+    common = s.join(t, "id").select(
+        F.greatest("rs", "rt").alias("m")
+    )
+    depths = spark.range(1, 21).select(F.col("id").alias("d"))
+    agreement = (
+        depths.join(F.broadcast(common), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").alias("ov"))
+    )
+    n_common = common.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        agreement.agg(
+            F.round(
+                F.lit(1.0 - 0.9)
+                * F.sum(
+                    F.pow(F.lit(0.9), F.col("d") - 1)
+                    * (F.col("ov").cast("double") / F.col("d"))
+                ),
+                6,
+            ).alias("rbo_at_20")
+        )
+        .join(F.broadcast(n_common), F.lit(True))
+        .select(
+            F.col("nc").cast("bigint").alias("n_common_at_20"),
+            "rbo_at_20",
+        )
+    )
+
+
+# =====================================================================
+# Iterative proportional fitting (raking) on the dow × type grid
+# =====================================================================
+
+@query(
+    "ipf_raking_dow_type_events",
+    """
+    WITH cells AS (
+      SELECT isodow(CAST(ts AS DATE)) AS dow, event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(n) AS nt, COUNT(DISTINCT dow) AS ndow FROM cells
+    ), coltgt AS (
+      SELECT event_type, SUM(n) AS ct FROM cells GROUP BY event_type
+    ), r1 AS (
+      -- round 1: scale rows to the uniform-dow target nt/ndow
+      SELECT c.dow, c.event_type,
+             c.n * (t.nt / t.ndow)
+               / SUM(c.n) OVER (PARTITION BY c.dow) AS w
+      FROM cells c CROSS JOIN tot t
+    ), c1 AS (
+      -- ...then columns back to the observed type totals
+      SELECT r.dow, r.event_type,
+             r.w * g.ct / SUM(r.w) OVER (PARTITION BY r.event_type) AS w
+      FROM r1 r JOIN coltgt g USING (event_type)
+    ), r2 AS (
+      SELECT c.dow, c.event_type,
+             c.w * (t.nt / t.ndow)
+               / SUM(c.w) OVER (PARTITION BY c.dow) AS w
+      FROM c1 c CROSS JOIN tot t
+    ), c2 AS (
+      SELECT r.dow, r.event_type,
+             r.w * g.ct / SUM(r.w) OVER (PARTITION BY r.event_type) AS w
+      FROM r2 r JOIN coltgt g USING (event_type)
+    )
+    SELECT CAST(c2.dow AS BIGINT) AS dow,
+           c2.event_type AS event_type,
+           CAST(cells.n AS BIGINT) AS n_raw,
+           ROUND(c2.w, 4) AS weight,
+           ROUND(c2.w / cells.n, 6) AS raking_factor
+    FROM c2 JOIN cells ON c2.dow = cells.dow
+                      AND c2.event_type = cells.event_type
+    ORDER BY 1, 2
+    """,
+)
+def ipf_raking_q(spark, sf_dir):
+    """Iterative proportional fitting (raking, Deming–Stephan 1940)
+    of the day-of-week × event-type grid toward UNIFORM day-of-week
+    margins while preserving the observed type totals — the survey-
+    weighting primitive a training-mix pipeline uses to de-bias a
+    collection skew (weekend crawls over-representing one source)
+    without changing the per-type token budget.  Two unrolled
+    row→column rounds (IPF converges geometrically; fixed depth keeps
+    the exact SQL twin, the Bradley–Terry/PageRank convention);
+    reported per cell as the fitted weight and the raking factor w/n.
+
+    One aggregate to the ≤7×|types| grid; each IPF half-step is a
+    window-sum rescale on that bounded grid."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.weekday(F.to_date("ts")) + 1).alias("dow"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("nt"), F.countDistinct("dow").alias("ndow")
+    )
+    coltgt = cells.groupBy("event_type").agg(F.sum("n").alias("ct"))
+    wrow = Window.partitionBy("dow")
+    wcol = Window.partitionBy("event_type")
+
+    def row_step(df, wcolname):
+        return df.join(F.broadcast(tot), F.lit(True)).select(
+            "dow",
+            "event_type",
+            (
+                F.col(wcolname)
+                * (F.col("nt") / F.col("ndow"))
+                / F.sum(wcolname).over(wrow)
+            ).alias("w"),
+        )
+
+    def col_step(df):
+        return df.join(F.broadcast(coltgt), "event_type").select(
+            "dow",
+            "event_type",
+            (
+                F.col("w") * F.col("ct") / F.sum("w").over(wcol)
+            ).alias("w"),
+        )
+
+    w = col_step(row_step(cells, "n"))
+    w = col_step(row_step(w, "w"))
+    return (
+        w.join(cells, ["dow", "event_type"])
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n_raw"),
+            F.round("w", 4).alias("weight"),
+            F.round(F.col("w") / F.col("n"), 6).alias("raking_factor"),
+        )
+        .orderBy("dow", "event_type")
+    )

@@ -220,6 +220,8 @@ HEADLINE = [
     "ansari_bradley_scale_orders",    # closed-form cents-grid ranks
     "tokenizer_fertility_by_source_docs",  # BPE kernel + source agg
     "bradley_terry_event_types",      # duel grid + 3 MM iterations
+    "rbo_bm25_vs_classifier_docs",    # two rankers + 20-depth fold
+    "ipf_raking_dow_type_events",     # 4 window rescales on the grid
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

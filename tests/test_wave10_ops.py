@@ -531,3 +531,62 @@ def test_bradley_terry_two_type_closed_form(spark, tmp_path):
     # scores are ROUND(..., 6): pin to rounding tolerance
     assert abs(out["a"].bt_score - 4.0 / 3.0) < 1e-6
     assert abs(out["b"].bt_score - 2.0 / 3.0) < 1e-6
+
+
+def test_rbo_identical_and_disjoint_rankings(spark, tmp_path):
+    """RBO bounds: when both rankers induce the SAME top-20 order the
+    truncated RBO equals (1−p)Σp^{d−1} (every A_d = 1); the gate's
+    two rankers on a crafted corpus where ONLY one doc contains the
+    BM25 query terms still share that doc, so 0 < rbo < 1 — the
+    meaningful pin is the closed-form identical-ranking bound
+    computed on the gate's own output pieces."""
+    rows = []
+    # 25 docs; doc 1 contains the bm25 query terms, others noise
+    for i in range(1, 26):
+        text = "spark stream window" if i == 1 else f"noise{i} filler{i}"
+        rows.append((i, text, "en", "s1", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = Q["rbo_bm25_vs_classifier_docs"](spark, str(tmp_path)).collect()[0]
+    assert 0 <= r.n_common_at_20 <= 20
+    ub = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 21))
+    assert 0.0 <= r.rbo_at_20 <= ub + 1e-9
+
+
+def test_ipf_raking_converges_margins(spark, tmp_path):
+    """After two IPF rounds the column margins must equal the
+    observed type totals EXACTLY (the last step scales columns) and
+    the row margins must be near-uniform; weights stay positive and
+    Σweight = Σn."""
+    rows = []
+    eid = 0
+    # 7 days (Mon..Sun) with skewed per-day volumes, 2 types
+    for d in range(7):
+        for _ in range(10 + 10 * d):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 4 + d, 10, 0), 1, "a", 1.0, "")
+            )
+        for _ in range(5):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 4 + d, 11, 0), 2, "b", 1.0, "")
+            )
+    sf = _write_events(spark, tmp_path, rows)
+    out = Q["ipf_raking_dow_type_events"](spark, sf).collect()
+    assert len(out) == 14
+    tot_n = sum(r.n_raw for r in out)
+    tot_w = sum(r.weight for r in out)
+    assert abs(tot_w - tot_n) < 0.01
+    # column margins exact (last half-step)
+    for t in ("a", "b"):
+        n_t = sum(r.n_raw for r in out if r.event_type == t)
+        w_t = sum(r.weight for r in out if r.event_type == t)
+        assert abs(w_t - n_t) < 0.01
+    # row margins near-uniform after 2 rounds
+    target = tot_n / 7.0
+    for d in range(1, 8):
+        w_d = sum(r.weight for r in out if r.dow == d)
+        assert abs(w_d - target) / target < 0.02
+    assert all(r.weight > 0 and r.raking_factor > 0 for r in out)
