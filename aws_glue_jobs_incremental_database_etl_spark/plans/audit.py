@@ -360,6 +360,10 @@ SINGLE_PARTITION_OK = {
     # ≤20-row rank windows + 1-row RBO fold
     "ipf_raking_dow_type_events",     # IPF half-step window rescales
     # + report on the ≤7×|types| grid
+    "cohens_h_weekend_purchase_events",  # 1-row fold from the 2
+    # weekend cells (the hedges_g audited shape)
+    "meta_analysis_sources_docs",     # 1-row inverse-variance fold
+    # over the ≤|sources| study frame
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -589,6 +593,8 @@ BNLJ_OK = {
     # common-rank frame (m ≤ d inequality) + 1-row count crossJoin
     "ipf_raking_dow_type_events",     # 1-row (nt, ndow) totals
     # crossJoin onto the bounded grid (each IPF row half-step)
+    "meta_analysis_sources_docs",     # 1-row pooled (k, sw, mu)
+    # crossJoin onto the ≤|sources| study frame
 }
 
 

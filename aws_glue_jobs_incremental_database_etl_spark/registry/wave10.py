@@ -2127,3 +2127,187 @@ def ipf_raking_q(spark, sf_dir):
         )
         .orderBy("dow", "event_type")
     )
+
+
+# =====================================================================
+# Cohen's h (proportion effect size, arcsine-stabilized)
+# =====================================================================
+
+@query(
+    "cohens_h_weekend_purchase_events",
+    """
+    WITH cells AS (
+      SELECT CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END
+               AS wk,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS k
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(SUM(CASE WHEN wk = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_weekend,
+           CAST(SUM(CASE WHEN wk = 0 THEN n ELSE 0 END) AS BIGINT)
+             AS n_weekday,
+           ROUND(SUM(CASE WHEN wk = 1 THEN CAST(k AS DOUBLE) / n END),
+                 6) AS p_weekend,
+           ROUND(SUM(CASE WHEN wk = 0 THEN CAST(k AS DOUBLE) / n END),
+                 6) AS p_weekday,
+           ROUND(2.0 * ASIN(SQRT(SUM(CASE WHEN wk = 1
+                                     THEN CAST(k AS DOUBLE) / n END)))
+                 - 2.0 * ASIN(SQRT(SUM(CASE WHEN wk = 0
+                                       THEN CAST(k AS DOUBLE) / n END))),
+                 6) AS cohens_h
+    FROM cells
+    """,
+)
+def cohens_h_q(spark, sf_dir):
+    """Cohen's h for the weekend-vs-weekday purchase rate — the
+    standard EFFECT SIZE for two proportions (h = 2·asin√p₁ −
+    2·asin√p₂): the arcsine transform makes equal h equally
+    detectable at any base rate, which raw risk difference does not
+    (0.51 vs 0.50 and 0.02 vs 0.01 differ 10× in power at equal
+    Δp) — the number that goes into every proportion power
+    calculation next to the significance tests already gated (MH,
+    Cochran–Armitage, SRM).  Two integer cells → scalar math."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.when(
+        (F.weekday(F.to_date("ts")) + 1) >= 6, 1
+    ).otherwise(0)
+    cells = e.groupBy(wk.alias("wk")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    p1 = F.sum(
+        F.when(F.col("wk") == 1, F.col("k").cast("double") / F.col("n"))
+    )
+    p0 = F.sum(
+        F.when(F.col("wk") == 0, F.col("k").cast("double") / F.col("n"))
+    )
+    return cells.agg(
+        F.sum(F.when(F.col("wk") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_weekend"),
+        F.sum(F.when(F.col("wk") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_weekday"),
+        F.round(p1, 6).alias("p_weekend"),
+        F.round(p0, 6).alias("p_weekday"),
+        F.round(
+            F.lit(2.0) * F.asin(F.sqrt(p1))
+            - F.lit(2.0) * F.asin(F.sqrt(p0)),
+            6,
+        ).alias("cohens_h"),
+    )
+
+
+# =====================================================================
+# Fixed-effect meta-analysis across sources (inverse-variance pooling)
+# =====================================================================
+
+@query(
+    "meta_analysis_sources_docs",
+    """
+    WITH study AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(n_chars) AS s1,
+             SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+      FROM documents GROUP BY source
+    ), eff AS (
+      SELECT source, n,
+             CAST(s1 AS DOUBLE) / n AS theta,
+             ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+              / (n - 1)) / n AS v
+      FROM study WHERE n > 1
+    ), ok AS (
+      SELECT * FROM eff WHERE v > 0
+    ), fold AS (
+      SELECT COUNT(*) AS k,
+             SUM(1.0 / v) AS sw,
+             SUM(theta / v) AS swt
+      FROM ok
+    ), pooled AS (
+      SELECT k, sw, swt / sw AS mu FROM fold
+    )
+    SELECT CAST(p.k AS BIGINT) AS k_studies,
+           ROUND(p.mu, 4) AS pooled_mean,
+           ROUND(SQRT(1.0 / p.sw), 6) AS pooled_se,
+           ROUND(SUM((o.theta - p.mu) * (o.theta - p.mu) / o.v), 6)
+             AS q_het,
+           ROUND(CASE WHEN SUM((o.theta - p.mu) * (o.theta - p.mu)
+                               / o.v) > p.k - 1
+                      AND SUM((o.theta - p.mu) * (o.theta - p.mu)
+                              / o.v) > 0
+                 THEN (SUM((o.theta - p.mu) * (o.theta - p.mu) / o.v)
+                       - (p.k - 1))
+                      / SUM((o.theta - p.mu) * (o.theta - p.mu) / o.v)
+                 ELSE 0.0 END, 6) AS i_squared
+    FROM ok o CROSS JOIN pooled p
+    GROUP BY p.k, p.mu, p.sw
+    """,
+)
+def meta_analysis_q(spark, sf_dir):
+    """Fixed-effect inverse-variance meta-analysis of mean document
+    length across sources — the pooling discipline for any per-shard/
+    per-source metric (treat each source as a study: θᵢ = mean,
+    vᵢ = s²ᵢ/nᵢ, pool with wᵢ = 1/vᵢ), plus Cochran's Q_het and
+    Higgins' I² = (Q−(k−1))/Q — the heterogeneity check that says
+    whether \"the corpus mean\" is even one number or the sources
+    genuinely differ (I² > 75% = don't pool, stratify).
+
+    n_chars are exact integers, so per-study moments are integer
+    cells; studies with n ≤ 1 or zero variance are excluded (their
+    weight is undefined), and the pooled fold is 1-row over ≤|sources|
+    studies."""
+    d = load_table(spark, sf_dir, "documents")
+    study = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    n = F.col("n")
+    theta = F.col("s1").cast("double") / n
+    v = (
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n)
+        / (n - 1)
+    ) / n
+    eff = study.filter(n > 1).select(
+        "source", n, theta.alias("theta"), v.alias("v")
+    )
+    ok = eff.filter(F.col("v") > 0)
+    fold = ok.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.lit(1.0) / F.col("v")).alias("sw"),
+        F.sum(F.col("theta") / F.col("v")).alias("swt"),
+    )
+    pooled = fold.select(
+        "k", "sw", (F.col("swt") / F.col("sw")).alias("mu")
+    )
+    j = ok.join(F.broadcast(pooled), F.lit(True))
+    q = F.sum(
+        (F.col("theta") - F.col("mu"))
+        * (F.col("theta") - F.col("mu"))
+        / F.col("v")
+    )
+    return (
+        j.groupBy("k", "mu", "sw")
+        .agg(q.alias("q_raw"))  # UNROUNDED — i² must use the raw Q
+        .select(
+            F.col("k").cast("bigint").alias("k_studies"),
+            F.round(F.col("mu"), 4).alias("pooled_mean"),
+            F.round(F.sqrt(F.lit(1.0) / F.col("sw")), 6).alias(
+                "pooled_se"
+            ),
+            F.round(F.col("q_raw"), 6).alias("q_het"),
+            F.round(
+                F.when(
+                    (F.col("q_raw") > F.col("k") - 1)
+                    & (F.col("q_raw") > 0),
+                    (F.col("q_raw") - (F.col("k") - 1))
+                    / F.col("q_raw"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("i_squared"),
+        )
+    )

@@ -222,6 +222,7 @@ HEADLINE = [
     "bradley_terry_event_types",      # duel grid + 3 MM iterations
     "rbo_bm25_vs_classifier_docs",    # two rankers + 20-depth fold
     "ipf_raking_dow_type_events",     # 4 window rescales on the grid
+    "meta_analysis_sources_docs",     # per-source moments + 1-row fold
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

@@ -590,3 +590,62 @@ def test_ipf_raking_converges_margins(spark, tmp_path):
         w_d = sum(r.weight for r in out if r.dow == d)
         assert abs(w_d - target) / target < 0.02
     assert all(r.weight > 0 and r.raking_factor > 0 for r in out)
+
+
+def test_cohens_h_textbook_proportions(spark, tmp_path):
+    """p_weekend = 1/4, p_weekday = 1/2 → h = 2asin(.5) − 2asin(√.5)
+    = π/3 − π/2 = −π/6."""
+    rows = []
+    eid = 0
+    # Sat 2024-03-02: 4 events, 1 purchase; Mon 2024-03-04: 4, 2
+    for i in range(4):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                dt.datetime(2024, 3, 2, 10, i),
+                1,
+                "purchase" if i == 0 else "view",
+                1.0,
+                "",
+            )
+        )
+    for i in range(4):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                dt.datetime(2024, 3, 4, 10, i),
+                1,
+                "purchase" if i < 2 else "view",
+                1.0,
+                "",
+            )
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    r = Q["cohens_h_weekend_purchase_events"](spark, sf).collect()[0]
+    assert (r.n_weekend, r.n_weekday) == (4, 4)
+    assert abs(r.p_weekend - 0.25) < 1e-9
+    assert abs(r.p_weekday - 0.5) < 1e-9
+    assert abs(r.cohens_h - (-math.pi / 6)) < 1e-6
+
+
+def test_meta_analysis_two_identical_studies(spark, tmp_path):
+    """Two sources with IDENTICAL per-doc lengths: θ₁ = θ₂ = pooled
+    mean, Q = 0, I² = 0, and the pooled SE is the single-study SE/√2.
+    """
+    rows = []
+    k = 0
+    for src in ("s1", "s2"):
+        for length in (10, 20, 30):
+            k += 1
+            rows.append((k, "x", "en", src, length))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = Q["meta_analysis_sources_docs"](spark, str(tmp_path)).collect()[0]
+    assert r.k_studies == 2
+    assert abs(r.pooled_mean - 20.0) < 1e-9
+    # per-study var = 100, v = 100/3 → pooled se = sqrt(1/(2·3/100))
+    assert abs(r.pooled_se - math.sqrt(100.0 / 6.0)) < 1e-6
+    assert r.q_het == 0.0 and r.i_squared == 0.0
