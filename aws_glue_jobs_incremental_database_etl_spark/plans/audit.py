@@ -364,6 +364,10 @@ SINGLE_PARTITION_OK = {
     # weekend cells (the hedges_g audited shape)
     "meta_analysis_sources_docs",     # 1-row inverse-variance fold
     # over the ≤|sources| study frame
+    "actuarial_life_table_events",    # cumulative/reverse-cumulative
+    # windows on the bounded weekly-interval grid (the KM shape)
+    "winsorized_corr_lineitem",       # 1-row percentile-cut fold +
+    # 1-row moment fold (the winsorized_mean audited shape)
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -595,6 +599,10 @@ BNLJ_OK = {
     # crossJoin onto the bounded grid (each IPF row half-step)
     "meta_analysis_sources_docs",     # 1-row pooled (k, sw, mu)
     # crossJoin onto the ≤|sources| study frame
+    "actuarial_life_table_events",    # 1-row max-date bounds
+    # crossJoin onto the purchase stream (the KM/gehan shape)
+    "winsorized_corr_lineitem",       # 1-row percentile cuts
+    # crossJoin onto lineitem (the winsorized_mean shape)
 }
 
 

@@ -2311,3 +2311,238 @@ def meta_analysis_q(spark, sf_dir):
             ).alias("i_squared"),
         )
     )
+
+
+# =====================================================================
+# Actuarial (life-table) survival estimator on grouped intervals
+# =====================================================================
+
+@query(
+    "actuarial_life_table_events",
+    """
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nd
+      FROM events WHERE event_type = 'purchase'
+    ), subj AS (
+      SELECT CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                  ELSE datediff('day', d, nd) END AS life,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS died
+      FROM p, bounds
+    ), iv AS (
+      SELECT CAST(FLOOR(life / 7.0) AS BIGINT) AS k,
+             COUNT(*) AS n_all, SUM(died) AS deaths,
+             SUM(1 - died) AS censored
+      FROM subj GROUP BY 1
+    ), risk AS (
+      SELECT k, deaths, censored,
+             SUM(n_all) OVER (ORDER BY k DESC
+                              ROWS UNBOUNDED PRECEDING) AS entering
+      FROM iv
+    ), q AS (
+      SELECT k, entering, deaths, censored,
+             CASE WHEN entering - censored / 2.0 > 0
+                  THEN deaths / (entering - censored / 2.0)
+                  ELSE 0.0 END AS qk
+      FROM risk
+    ), s AS (
+      SELECT k, entering, deaths, censored, qk,
+             CASE WHEN MIN(1.0 - qk) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    <= 0.0
+                  THEN 0.0
+                  -- LN argument guarded: the window sum is evaluated
+                  -- eagerly even on rows the outer CASE zeroes, so a
+                  -- q=1 interval must contribute ln(1)=0, not ln(0)
+                  ELSE COALESCE(EXP(SUM(LN(CASE WHEN 1.0 - qk > 0.0
+                                            THEN 1.0 - qk ELSE 1.0 END))
+                    OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+                    1.0)
+             END AS surv
+      FROM q
+    )
+    SELECT CAST(k AS BIGINT) AS interval_wk,
+           CAST(entering AS BIGINT) AS n_entering,
+           CAST(deaths AS BIGINT) AS deaths,
+           CAST(censored AS BIGINT) AS censored,
+           ROUND(qk, 6) AS q_interval,
+           ROUND(surv, 6) AS surv_at_start
+    FROM s ORDER BY interval_wk
+    """,
+)
+def actuarial_life_table_q(spark, sf_dir):
+    """Actuarial (life-table) estimator of repurchase survival on
+    weekly intervals — the GROUPED-data sibling of the Kaplan–Meier
+    gate (Cutler–Ederer 1958): censored subjects count half an
+    interval at risk (qₖ = dₖ/(nₖ − cₖ/2), the actuarial adjustment
+    KM has no equivalent for), which is the standard when event times
+    arrive binned (weekly retention reports) rather than exact.
+    S(start of k) = Π_{j<k}(1 − qⱼ), computed as exp(Σ ln) with an
+    explicit zero short-circuit once any interval kills everyone.
+
+    Same purchase-gap subjects as the KM/log-rank family; one
+    interval aggregate + reverse-cumulative and cumulative windows on
+    the bounded weekly grid."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"), "ts", "event_id")
+        .withColumn("nd", F.lead("d").over(wp))
+    )
+    subj = p.join(F.broadcast(bounds), F.lit(True)).select(
+        F.when(F.col("nd").isNull(), F.datediff("maxd", "d"))
+        .otherwise(F.datediff("nd", "d"))
+        .alias("life"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("died"),
+    )
+    iv = subj.groupBy(
+        F.floor(F.col("life") / 7.0).cast("bigint").alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("died").alias("deaths"),
+        F.sum(1 - F.col("died")).alias("censored"),
+    )
+    wrev = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = iv.select(
+        "k",
+        "deaths",
+        "censored",
+        F.sum("n_all").over(wrev).alias("entering"),
+    )
+    eff = F.col("entering") - F.col("censored") / F.lit(2.0)
+    q = risk.select(
+        "k",
+        "entering",
+        "deaths",
+        "censored",
+        F.when(eff > 0, F.col("deaths") / eff)
+        .otherwise(F.lit(0.0))
+        .alias("qk"),
+    )
+    wpre = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # log argument guarded identically to the SQL twin: a q=1
+    # interval contributes ln(1)=0 and the MIN short-circuit zeroes
+    # every later row's survival
+    safe_p = F.when(
+        F.lit(1.0) - F.col("qk") > 0.0, F.lit(1.0) - F.col("qk")
+    ).otherwise(F.lit(1.0))
+    surv = F.when(
+        F.min(F.lit(1.0) - F.col("qk")).over(wpre) <= 0.0, F.lit(0.0)
+    ).otherwise(
+        F.coalesce(F.exp(F.sum(F.log(safe_p)).over(wpre)), F.lit(1.0))
+    )
+    return q.select(
+        F.col("k").cast("bigint").alias("interval_wk"),
+        F.col("entering").cast("bigint").alias("n_entering"),
+        F.col("deaths").cast("bigint").alias("deaths"),
+        F.col("censored").cast("bigint").alias("censored"),
+        F.round("qk", 6).alias("q_interval"),
+        F.round(surv, 6).alias("surv_at_start"),
+    ).orderBy("interval_wk")
+
+
+# =====================================================================
+# Winsorized (robust) correlation
+# =====================================================================
+
+@query(
+    "winsorized_corr_lineitem",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(l_quantity, 0.05) AS qlo,
+             quantile_cont(l_quantity, 0.95) AS qhi,
+             quantile_cont(l_extendedprice, 0.05) AS plo,
+             quantile_cont(l_extendedprice, 0.95) AS phi
+      FROM lineitem
+    ), clipped AS (
+      SELECT GREATEST(LEAST(l_quantity, qhi), qlo) AS x,
+             GREATEST(LEAST(l_extendedprice, phi), plo) AS y,
+             l_quantity AS rx, l_extendedprice AS ry
+      FROM lineitem CROSS JOIN cuts
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             SUM(rx) AS rsx, SUM(ry) AS rsy, SUM(rx * ry) AS rsxy,
+             SUM(rx * rx) AS rsxx, SUM(ry * ry) AS rsyy
+      FROM clipped
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(CASE WHEN (sxx - sx * sx / n) > 0
+                       AND (syy - sy * sy / n) > 0 THEN
+                 (sxy - sx * sy / n)
+                 / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+                 END, 6) AS r_winsorized,
+           ROUND(CASE WHEN (rsxx - rsx * rsx / n) > 0
+                       AND (rsyy - rsy * rsy / n) > 0 THEN
+                 (rsxy - rsx * rsy / n)
+                 / SQRT((rsxx - rsx * rsx / n)
+                        * (rsyy - rsy * rsy / n)) END, 6) AS r_raw
+    FROM m
+    """,
+)
+def winsorized_corr_q(spark, sf_dir):
+    """Winsorized Pearson correlation between quantity and extended
+    price — the robust-association companion to the rank methods
+    already gated (Spearman/Kendall lose the linear scale; winsorized
+    r keeps Pearson's interpretation while bounding each tail's
+    leverage at the 5th/95th percentile, the standard robust-corr
+    recipe).  Reported next to the raw r so the gap itself is the
+    outlier-influence diagnostic.
+
+    Exact type-7 percentile cuts (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the winsorized_mean precedent) broadcast back;
+    one moment fold.  Double sums drift at the ulp level only —
+    ROUND(6) absorbs fold-order differences."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.expr("percentile(l_quantity, 0.05)").alias("qlo"),
+        F.expr("percentile(l_quantity, 0.95)").alias("qhi"),
+        F.expr("percentile(l_extendedprice, 0.05)").alias("plo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("phi"),
+    )
+    x = F.greatest(F.least(F.col("l_quantity"), F.col("qhi")), F.col("qlo"))
+    y = F.greatest(
+        F.least(F.col("l_extendedprice"), F.col("phi")), F.col("plo")
+    )
+    rx, ry = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.join(F.broadcast(cuts), F.lit(True)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(rx).alias("rsx"),
+        F.sum(ry).alias("rsy"),
+        F.sum(rx * ry).alias("rsxy"),
+        F.sum(rx * rx).alias("rsxx"),
+        F.sum(ry * ry).alias("rsyy"),
+    )
+    n = F.col("n")
+
+    def pearson(sx, sy, sxy, sxx, syy):
+        cx = F.col(sxx) - F.col(sx) * F.col(sx) / n
+        cy = F.col(syy) - F.col(sy) * F.col(sy) / n
+        cxy = F.col(sxy) - F.col(sx) * F.col(sy) / n
+        return F.when((cx > 0) & (cy > 0), cxy / F.sqrt(cx * cy))
+
+    return m.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round(pearson("sx", "sy", "sxy", "sxx", "syy"), 6).alias(
+            "r_winsorized"
+        ),
+        F.round(
+            pearson("rsx", "rsy", "rsxy", "rsxx", "rsyy"), 6
+        ).alias("r_raw"),
+    )

@@ -223,6 +223,7 @@ HEADLINE = [
     "rbo_bm25_vs_classifier_docs",    # two rankers + 20-depth fold
     "ipf_raking_dow_type_events",     # 4 window rescales on the grid
     "meta_analysis_sources_docs",     # per-source moments + 1-row fold
+    "actuarial_life_table_events",    # weekly-interval risk windows
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with

