@@ -343,7 +343,7 @@ SINGLE_PARTITION_OK = {
     # |langs|×|sources| contingency grid (the theils_u audited shape)
     "cronbach_alpha_event_types",     # 1-row item/total variance
     # folds from per-type and per-user exact cells (the icc shape)
-    "cuped_adjusted_lift_events",     # 1-row θ moment fold + 2-row
+    "cuped_arm_lift_events",          # 1-row θ moment fold + 2-row
     # arm fold (the srm/icc audited shapes)
     "benford_first_digit_orders",     # 9-row literal digit grid +
     # 1-row total fold
@@ -581,7 +581,7 @@ BNLJ_OK = {
     # scalar folds crossJoined into the 1-row report
     "cronbach_alpha_event_types",     # 1-row n/k/itemvar/totvar
     # scalar folds crossJoined into the 1-row report
-    "cuped_adjusted_lift_events",     # 1-row bounds + 1-row θ
+    "cuped_arm_lift_events",          # 1-row bounds + 1-row θ
     # crossJoins onto the event stream / 2-row arm fold
     "benford_first_digit_orders",     # 1-row total crossJoin onto
     # the 9-row digit grid

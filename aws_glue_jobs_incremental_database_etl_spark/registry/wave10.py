@@ -815,7 +815,7 @@ def theil_sen_q(spark, sf_dir):
 # =====================================================================
 
 @query(
-    "cuped_adjusted_lift_events",
+    "cuped_arm_lift_events",
     """
     WITH bounds AS (
       SELECT MIN(CAST(ts AS DATE)) AS mind, MAX(CAST(ts AS DATE)) AS maxd

@@ -213,7 +213,7 @@ HEADLINE = [
     "cronbach_alpha_event_types",     # per-(user,type) exact cells
     "kpss_stationarity_daily_events",  # partial-sum windows + HAC fold
     "theil_sen_slope_daily_events",   # bounded day-pair median
-    "cuped_adjusted_lift_events",     # user cents cells + θ fold
+    "cuped_arm_lift_events",          # user cents cells + θ fold
     "dau_mau_stickiness_events",      # ×28 day-offset distinct counts
     "alignment_uniformity_embeddings",  # 24-probe 276-pair folds
     "harrell_c_repurchase_events",    # dense risk grid pair counts

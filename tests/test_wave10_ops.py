@@ -219,7 +219,7 @@ def test_cuped_theta_on_perfectly_correlated_pre_post(spark, tmp_path):
             (eid, dt.datetime(2024, 3, 4, 10, 0), u, "p", 2.0 * pre, "")
         )
     sf = _write_events(spark, tmp_path, rows)
-    r = Q["cuped_adjusted_lift_events"](spark, sf).collect()[0]
+    r = Q["cuped_arm_lift_events"](spark, sf).collect()[0]
     assert r.n_a + r.n_b == 8
     assert abs(r.theta - 2.0) < 1e-6
     # Y − θ(X − X̄) = 2X − 2X + 2X̄ = const ⇒ adjusted lift is 0
