@@ -79,6 +79,17 @@ _SHINGLE_INTER_SQL = """posts AS MATERIALIZED (
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # Name collisions are otherwise SILENT dict overwrites that
+        # shadow an existing gate (round 10: a new CUPED variant
+        # replaced wave-6's cuped_adjusted_lift_events unnoticed
+        # until the registry count came up one short) — fail at
+        # import time instead.
+        if name in Q:
+            raise ValueError(
+                f"query name {name!r} is already registered "
+                f"(by {Q[name].__module__}.{Q[name].__qualname__}); "
+                "pick a distinct name"
+            )
         Q[name] = fn
         if oracle is not None:
             O[name] = oracle
