@@ -34,6 +34,14 @@ def _prepare(spark: SparkSession) -> None:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": cpus,
+        # AQE can only coalesce DOWN from the initial count, so the
+        # largest shuffle needs headroom above cpus: start at 8× cores
+        # and let parallelismFirst coalesce small shuffles back to ~cpus
+        # (VERDICT r10 #1 — 60M-row sf10 shuffles through 32 fixed
+        # partitions manufactured fake 12.5× decade ratios).
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            max(256, 8 * int(cpus))
+        ),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
