@@ -368,6 +368,22 @@ SINGLE_PARTITION_OK = {
     # windows on the bounded weekly-interval grid (the KM shape)
     "winsorized_corr_lineitem",       # 1-row percentile-cut fold +
     # 1-row moment fold (the winsorized_mean audited shape)
+    # ---- round-11 wave: bounded grids / 1-row folds
+    "kendall_w_dow_events",           # 7-row rank-sum grid + 1-row
+    # 4·Σdev² fold (the kendalls_w audited shape)
+    "pages_l_trend_dow_events",       # 1-row L fold from the ≤(weeks×7)
+    # rank grid (the pages_trend audited shape)
+    "buishand_range_daily_events",    # cumulative window over the
+    # bounded DAY grid + 1-row moment fold (the pettitt/dickey_fuller
+    # audited shape)
+    "chapman_population_users_events",  # 1-row (n1, n2, m) fold from
+    # the per-user capture flags
+    "bowker_symmetry_priority_orders",  # 1-row χ²/df folds from the
+    # densified ≤5×5 transition grid
+    "shewhart_xbar_r_weekly_events",  # 1-row (X̿, R̄, k) center-line
+    # fold over the ≤weeks subgroup frame
+    "seq_trigram_patterns_events",    # top-10 rank window + 1-row
+    # total fold over the ≤|types|³ pattern grid
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -603,7 +619,54 @@ BNLJ_OK = {
     # crossJoin onto the purchase stream (the KM/gehan shape)
     "winsorized_corr_lineitem",       # 1-row percentile cuts
     # crossJoin onto lineitem (the winsorized_mean shape)
+    # ---- round-11 wave: 1-row / literal-grid broadcast cross joins
+    "kendall_w_dow_events",           # |types| × 7-row literal dow
+    # frame cross join (grid densification — the chisq audited shape)
+    "buishand_range_daily_events",    # 1-row (n, ȳ, σ) moments
+    # crossJoin onto the bounded day grid
+    "chapman_population_users_events",  # 1-row date-bounds crossJoin
+    # onto the event stream (the did_lift/KM audited shape)
+    "bowker_symmetry_priority_orders",  # 1-row date-bounds crossJoin +
+    # the 5×5 priority inequality pair grid (the tukey_hsd shape) +
+    # the 1-row χ² fold crossJoined onto the 1-row customer total
+    "shewhart_xbar_r_weekly_events",  # 1-row center-line crossJoin
+    # onto the ≤weeks subgroup frame
+    "seq_trigram_patterns_events",    # 1-row trigram-total crossJoin
+    # onto the ≤10-row top-pattern report
+    "chebyshev_topk_embeddings",      # 4-row probe frame broadcast
+    # against one corpus scan with a self-exclusion predicate (the
+    # cosine_topk_many / knn_label_accuracy audited shape)
 }
+
+
+# Embeddings-family queries whose physical plan legitimately contains
+# ZERO whole-stage-codegen spans — name → documented reason.  Every
+# other embeddings query must carry at least one codegen stage: a plan
+# that lost ALL of them fell back to interpreted evaluation (janino
+# 64 KB blow-up on the wide per-dimension term chains this family
+# generates — the pq_distortion failure mode of VERDICT r9 #1), which
+# is correct-but-multiple-×-slower at scale.  This is the STATIC
+# complement to bench.py's stderr codegen tripwire (VERDICT r9 #8 /
+# r10 #8): the tripwire catches the compiler stack at run time, this
+# catches a plan that never entered codegen at all.
+#
+# IMPORTANT CALLER CONTRACT: the ``*(n)`` markers only exist on plans
+# built WITHOUT AQE (CollapseCodegenStages runs per-stage under AQE,
+# so an un-executed AdaptiveSparkPlan string carries none) — build the
+# audited plans with ``spark.sql.adaptive.enabled=false`` (see
+# tools/plan_report.py / tests/test_plan_audit.py).
+CODEGEN_FREE_OK: dict[str, str] = {}
+
+
+def codegen_absent(plans: dict[str, str]) -> list[str]:
+    """Queries whose (AQE-disabled) physical plan carries no
+    WholeStageCodegen span (no ``*(n)`` operator prefix) and are not
+    audited as legitimately codegen-free.  Empty = healthy."""
+    return sorted(
+        name
+        for name, p in plans.items()
+        if "*(" not in p and name not in CODEGEN_FREE_OK
+    )
 
 
 def scan_violations(plans: dict[str, str]) -> dict[str, list[str]]:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..tables import load_table
-from ._core import O, Q, query  # noqa: F401
+from ._core import O, Q, query, scratch_dir  # noqa: F401
 
 
 # =====================================================================
@@ -1679,11 +1679,16 @@ def etl_expire_history_q(spark, sf_dir):
                 "read_table_asof below the expire horizon must raise"
             )
         cur = read_table_asof(spark, f"{work}/lake", "tgt_orders", last_seq)
-        rows = cur.select(*full.columns).collect()
-        schema = cur.select(*full.columns).schema
+        # Persist the snapshot to session-scratch parquet and return a
+        # LAZY read: the result never rides through the driver, so the
+        # gate stays bounded at any table size (VERDICT r10 #5).  The
+        # scratch outlives the lake teardown below and is removed at
+        # interpreter exit.
+        out = scratch_dir("etl_expire_snap_")
+        cur.select(*full.columns).write.mode("overwrite").parquet(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return spark.read.parquet(out)
 
 
 # =====================================================================

@@ -24,6 +24,7 @@ from ._core import (  # noqa: F401
     O,
     Q,
     query,
+    scratch_dir,
 )
 
 
@@ -3763,14 +3764,17 @@ def etl_snapshot_asof_q(spark, sf_dir):
         snap = read_table_asof(
             spark, f"{work}/lake", "tgt_orders", first_seq
         )
-        # materialize before rmtree (ADVICE r9 #3: the lazy frame must
-        # not outlive its on-disk lake — and every registry/bench/test
-        # invocation would otherwise leak a staging dir with data)
-        rows = snap.select(*full.columns).collect()
-        schema = snap.select(*full.columns).schema
+        # Persist the snapshot to session-scratch parquet and return a
+        # LAZY read: the frame must not outlive its on-disk lake
+        # (ADVICE r9 #3), but collecting it to the driver broke the
+        # bounded-collect invariant at table scale (VERDICT r10 #5) —
+        # the scratch write keeps both properties, and the scratch is
+        # removed at interpreter exit so nothing leaks across runs.
+        out = scratch_dir("etl_asof_snap_")
+        snap.select(*full.columns).write.mode("overwrite").parquet(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return spark.read.parquet(out)
 
 
 @query(

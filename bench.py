@@ -297,6 +297,11 @@ SF1_SPOT = [
     # and the day-pair slope grid
     "dau_mau_stickiness_events",
     "theil_sen_slope_daily_events",
+    # round-11: the year-stratified day-pair grids (VERDICT r10 #6) —
+    # these must stay LINEAR where the unstratified twin grows with
+    # calendar span², because pairs never cross a year boundary
+    "theil_sen_yearly_events",
+    "mann_kendall_yearly_events",
 ]
 
 
@@ -312,10 +317,11 @@ SF1_SPOT = [
 SF1_RATIO_BOUND_DEFAULT = 9.0
 SF1_MIN_SECONDS = 5.0
 SF1_RATIO_BOUND = {
-    # co-supply degree grows with SF, so pair fan-out grows faster
-    # than rows until the max_df=256 cap binds (measured 8.15× in r7
-    # pre-cap, 5.46× post-cap); headroom for the cap-threshold region
-    "adamic_adar_links_suppliers": 12.0,
+    # (adamic_adar's 12× override retired in r11: with AQE-upward
+    # shuffle sizing — initialPartitionNum 256 over the fixed-32
+    # ceiling — its 60M-row sf1 shuffles stopped grinding through 32
+    # partitions and the measured ratio fell 11.84× → 5.56×, well
+    # under the 9.0 default; VERDICT r10 Next-round #1/#3)
     # (kmv_jaccard's 12× override retired in r9: the per-partition
     # bottom-64 pre-fold + explode equi-join replaced the global
     # union-rank window and the OR-join — VERDICT r8 #5)

@@ -41,3 +41,32 @@ def test_every_registered_query_plan_is_scale_safe(spark, sf_dir):
     # Whitelist entries whose bounded shape no longer appears (AQE
     # re-plans at small sf, or the query was improved) are fine —
     # shrinkage is progress, growth is what the lists gate.
+
+
+def test_embeddings_family_plans_enter_codegen(spark, sf_dir):
+    """Static codegen health (VERDICT r9 #8 / r10 #8): every
+    embeddings-family plan must carry ≥1 WholeStageCodegen span — this
+    family generates the wide per-dimension term chains that blow the
+    janino 64 KB method limit (the pq_distortion failure of r9), and a
+    plan with ZERO codegen stages has silently fallen back to
+    interpreted evaluation.  ``*(n)`` markers only exist on non-AQE
+    plans, so the audited plans are built with AQE off."""
+    from aws_glue_jobs_incremental_database_etl_spark.plans.audit import (
+        codegen_absent,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plans = {
+            name: plan_of(fn(spark, sf_dir))
+            for name, fn in registry.Q.items()
+            if "embedding" in name
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plans, "no embeddings-family queries found"
+    missing = codegen_absent(plans)
+    assert not missing, (
+        "embeddings plans with ZERO WholeStageCodegen spans "
+        f"(interpreted-eval fallback): {missing}"
+    )

@@ -52,6 +52,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from aws_glue_jobs_incremental_database_etl_spark.plans.audit import (
+        codegen_absent,
         registry_names_hash,
         scan_violations,
     )
@@ -78,6 +79,30 @@ def main() -> int:
     # SinglePartition/BNLJ/CartesianProduct fails this script (exit 1)
     # and is recorded in the committed artifact either way.
     violations = scan_violations(plans)
+
+    # Static codegen health (VERDICT r9 #8 / r10 #8): embeddings-family
+    # plans rebuilt with AQE OFF (``*(n)`` markers only exist there)
+    # must each carry ≥1 WholeStageCodegen span — zero means the wide
+    # per-dimension term chains fell back to interpreted evaluation.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cg_plans = {}
+        for name, fn in registry.Q.items():
+            if "embedding" not in name:
+                continue
+            try:
+                cg_plans[name] = (
+                    fn(spark, SF_DIR)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+            except Exception:
+                pass  # plan errors already reported above
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    violations["codegen_absent_embeddings"] = codegen_absent(cg_plans)
+
     n_viol = sum(len(v) for v in violations.values())
     audit_line = (
         "Audit: CLEAN — no CartesianProduct; every SinglePartition/BNLJ "

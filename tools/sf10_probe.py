@@ -33,6 +33,19 @@ PROBES = [
     "adamic_adar_links_suppliers",
     "minhash_near_dup_docs",
     "rich_club_suppliers",
+    # ---- round-11 extension (VERDICT r10 Next-round #7): the worst
+    # CURRENT sf1 ratios folded into the recorded table each round —
+    # after the r11 shuffle-sizing fix the top-5 are simhash 7.02×,
+    # rich_club 6.71×, containment 5.67×, adamic_adar 5.56×,
+    # closeness 5.09× (three already above; fold in the other two)
+    "containment_near_dup_docs",
+    "closeness_centrality_suppliers",
+    # ---- the stratified trend variants (VERDICT r10 #6): their
+    # bounded-per-year pair grids must show bounded growth on the
+    # SAME span-growing composition that blows the unstratified
+    # theil_sen up 43× per decade
+    "theil_sen_yearly_events",
+    "mann_kendall_yearly_events",
 ]
 
 
