@@ -384,6 +384,11 @@ SINGLE_PARTITION_OK = {
     # fold over the ≤weeks subgroup frame
     "seq_trigram_patterns_events",    # top-10 rank window + 1-row
     # total fold over the ≤|types|³ pattern grid
+    "tail_dependence_lineitem",       # cumulative windows over the
+    # quantized-cents / integer-quantity VALUE grids (the
+    # mannwhitney audited shape) + 1-row threshold/total folds
+    "beta_moments_purchase_users",    # 1-row moment fold over the
+    # per-user rate frame (the atkinson audited shape)
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -636,6 +641,10 @@ BNLJ_OK = {
     "chebyshev_topk_embeddings",      # 4-row probe frame broadcast
     # against one corpus scan with a self-exclusion predicate (the
     # cosine_topk_many / knn_label_accuracy audited shape)
+    "median_polish_dow_type_events",  # |types| × 7-row literal dow
+    # frame cross join (grid densification — the kendall_w shape)
+    "tail_dependence_lineitem",       # 1-row threshold/total
+    # crossJoins onto the scan / 1-row tail fold
 }
 
 

@@ -1238,3 +1238,628 @@ def seq_trigram_q(spark, sf_dir):
         )
         .orderBy("rnk")
     )
+
+
+# =====================================================================
+# Tukey median polish on the dow × type activity grid
+# =====================================================================
+
+@query(
+    "median_polish_dow_type_events",
+    """
+    WITH dows AS (
+      SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS dow
+    ), cnt AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), cells AS (
+      SELECT t.event_type, dows.dow,
+             CAST(COALESCE(cnt.c, 0) AS DOUBLE) AS v
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN dows
+      LEFT JOIN cnt ON cnt.event_type = t.event_type
+                   AND cnt.dow = dows.dow
+    ), rm1 AS (
+      SELECT dow, MAX(CASE WHEN r = mid THEN v END) AS med FROM (
+        SELECT dow, v,
+               ROW_NUMBER() OVER (PARTITION BY dow
+                                  ORDER BY v, event_type) AS r,
+               CAST(FLOOR((COUNT(*) OVER (PARTITION BY dow) + 1) / 2.0)
+                    AS BIGINT) AS mid
+        FROM cells) x GROUP BY dow
+    ), r1 AS (
+      SELECT c.event_type, c.dow, c.v - rm1.med AS v
+      FROM cells c JOIN rm1 USING (dow)
+    ), cm1 AS (
+      SELECT event_type, MAX(CASE WHEN r = mid THEN v END) AS med FROM (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v, dow) AS r,
+               CAST(FLOOR((COUNT(*) OVER (PARTITION BY event_type) + 1)
+                          / 2.0) AS BIGINT) AS mid
+        FROM r1) x GROUP BY event_type
+    ), r2 AS (
+      SELECT r1.event_type, r1.dow, r1.v - cm1.med AS v
+      FROM r1 JOIN cm1 USING (event_type)
+    ), rm2 AS (
+      SELECT dow, MAX(CASE WHEN r = mid THEN v END) AS med FROM (
+        SELECT dow, v,
+               ROW_NUMBER() OVER (PARTITION BY dow
+                                  ORDER BY v, event_type) AS r,
+               CAST(FLOOR((COUNT(*) OVER (PARTITION BY dow) + 1) / 2.0)
+                    AS BIGINT) AS mid
+        FROM r2) x GROUP BY dow
+    ), r3 AS (
+      SELECT r2.event_type, r2.dow, r2.v - rm2.med AS v
+      FROM r2 JOIN rm2 USING (dow)
+    ), cm2 AS (
+      SELECT event_type, MAX(CASE WHEN r = mid THEN v END) AS med FROM (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v, dow) AS r,
+               CAST(FLOOR((COUNT(*) OVER (PARTITION BY event_type) + 1)
+                          / 2.0) AS BIGINT) AS mid
+        FROM r3) x GROUP BY event_type
+    )
+    SELECT r3.event_type, CAST(r3.dow AS BIGINT) AS dow,
+           ROUND(r3.v - cm2.med, 6) AS residual
+    FROM r3 JOIN cm2 USING (event_type)
+    ORDER BY r3.event_type, r3.dow
+    """,
+)
+def median_polish_q(spark, sf_dir):
+    """Tukey median polish of the day-of-week × event-type activity
+    grid — the robust two-way decomposition (value = overall + row
+    effect + column effect + residual, fitted by alternately sweeping
+    out row and column MEDIANS; Tukey 1977, EDA ch. 10–11): the
+    residual surface is what seasonal-adjustment should look at AFTER
+    removing dow and type effects without letting one anomalous cell
+    drag the means.  Two full sweeps (row, column, row, column)
+    unrolled; every median is the deterministic LOWER median at rank
+    ⌊(n+1)/2⌋ with a (value, key) tie-break so both engines sweep
+    identically (and integer cell counts stay exact through every
+    subtraction).  The whole computation lives on the densified
+    ≤7×|types| grid after one map-side count."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = e.select("event_type").distinct()
+    dows = spark.range(1, 8).select(F.col("id").cast("int").alias("dow"))
+    cells = (
+        types.crossJoin(F.broadcast(dows))
+        .join(cnt, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce("c", F.lit(0)).cast("double").alias("v"),
+        )
+    )
+
+    def sweep(df, key, tiebreak):
+        w = Window.partitionBy(key).orderBy("v", tiebreak)
+        wc = Window.partitionBy(key)
+        mid = F.floor(
+            (F.count(F.lit(1)).over(wc) + 1) / F.lit(2.0)
+        ).cast("bigint")
+        med = (
+            df.select(
+                key,
+                tiebreak,
+                "v",
+                F.row_number().over(w).alias("r"),
+                mid.alias("mid"),
+            )
+            .groupBy(key)
+            .agg(
+                F.max(
+                    F.when(F.col("r") == F.col("mid"), F.col("v"))
+                ).alias("med")
+            )
+        )
+        return df.join(F.broadcast(med), key).select(
+            "event_type", "dow", (F.col("v") - F.col("med")).alias("v")
+        )
+
+    r = cells
+    for key, tie in (
+        ("dow", "event_type"),
+        ("event_type", "dow"),
+        ("dow", "event_type"),
+        ("event_type", "dow"),
+    ):
+        r = sweep(r, key, tie)
+    return r.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.round("v", 6).alias("residual"),
+    ).orderBy("event_type", "dow")
+
+
+# =====================================================================
+# RBF-kernel maximum mean discrepancy between probe cohorts
+# =====================================================================
+
+@query(
+    "mmd_rbf_embeddings",
+    """
+    WITH probes AS (
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      FROM embeddings QUALIFY rn <= 48
+    ), g AS (
+      SELECT vec_id, CASE WHEN rn <= 24 THEN 0 ELSE 1 END AS grp,
+             embedding
+      FROM probes
+    ), x AS (
+      SELECT vec_id, grp, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    ), sq AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ANY_VALUE(a.grp) AS ga, ANY_VALUE(b.grp) AS gb,
+             SUM((a.v - b.v) * (a.v - b.v)) AS d2
+      FROM x a JOIN x b ON a.i = b.i
+      GROUP BY a.vec_id, b.vec_id
+    ), k AS (
+      SELECT ga, gb, AVG(EXP(-0.5 * d2)) AS mk
+      FROM sq GROUP BY ga, gb
+    )
+    SELECT CAST(24 AS BIGINT) AS n_a, CAST(24 AS BIGINT) AS n_b,
+           ROUND(MAX(CASE WHEN ga = 0 AND gb = 0 THEN mk END)
+                 + MAX(CASE WHEN ga = 1 AND gb = 1 THEN mk END)
+                 - 2 * MAX(CASE WHEN ga = 0 AND gb = 1 THEN mk END),
+                 6) AS mmd2
+    FROM k
+    """,
+)
+def mmd_rbf_q(spark, sf_dir):
+    """Maximum mean discrepancy (biased V-statistic) with an RBF
+    kernel (γ = 0.5) between two deterministic 24-vector probe cohorts
+    (the 48 smallest vec_ids split in id order) — the kernel two-sample
+    test (Gretton et al., JMLR 2012) that detects DISTRIBUTION shift
+    between embedding batches where mean-vector drift tests see
+    nothing (MMD² = E k(a,a′) + E k(b,b′) − 2 E k(a,b) ≥ 0, zero iff
+    the distributions match, for a characteristic kernel).  This is
+    the standard drift alarm between embedding-model versions before
+    re-clustering 100 TB.  All 48² kernel entries come from one
+    dimension-keyed join on the probe frame — constant cost at any
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(48)
+        .select("vec_id", "embedding", F.row_number().over(w).alias("rn"))
+    )
+    g = probes.select(
+        "vec_id",
+        F.when(F.col("rn") <= 24, 0).otherwise(1).alias("grp"),
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("i", "v"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    sq = (
+        a.join(b, F.col("a.i") == F.col("b.i"))
+        .groupBy(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .agg(
+            F.any_value(F.col("a.grp")).alias("ga"),
+            F.any_value(F.col("b.grp")).alias("gb"),
+            F.sum(
+                (F.col("a.v") - F.col("b.v"))
+                * (F.col("a.v") - F.col("b.v"))
+            ).alias("d2"),
+        )
+    )
+    k = sq.groupBy("ga", "gb").agg(
+        F.avg(F.exp(F.lit(-0.5) * F.col("d2"))).alias("mk")
+    )
+    pick = lambda i, j: F.max(  # noqa: E731
+        F.when((F.col("ga") == i) & (F.col("gb") == j), F.col("mk"))
+    )
+    return k.agg(
+        F.lit(24).cast("bigint").alias("n_a"),
+        F.lit(24).cast("bigint").alias("n_b"),
+        F.round(pick(0, 0) + pick(1, 1) - 2 * pick(0, 1), 6).alias("mmd2"),
+    )
+
+
+# =====================================================================
+# Empirical upper-tail dependence between price and quantity
+# =====================================================================
+
+@query(
+    "tail_dependence_lineitem",
+    """
+    WITH li AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ), n AS (
+      SELECT COUNT(*) AS n FROM li
+    ), pgrid AS (
+      SELECT pc, SUM(COUNT(*)) OVER (ORDER BY pc) AS cum
+      FROM li GROUP BY pc
+    ), qgrid AS (
+      SELECT q, SUM(COUNT(*)) OVER (ORDER BY q) AS cum
+      FROM li GROUP BY q
+    ), tp AS (
+      SELECT MIN(pc) AS thresh_p FROM pgrid CROSS JOIN n
+      WHERE cum >= CAST(CEIL(0.95 * n) AS BIGINT)
+    ), tq AS (
+      SELECT MIN(q) AS thresh_q FROM qgrid CROSS JOIN n
+      WHERE cum >= CAST(CEIL(0.95 * n) AS BIGINT)
+    ), tails AS (
+      SELECT SUM(CASE WHEN pc > thresh_p AND q > thresh_q
+                      THEN 1 ELSE 0 END) AS n_joint,
+             SUM(CASE WHEN q > thresh_q THEN 1 ELSE 0 END) AS n_qtail
+      FROM li CROSS JOIN tp CROSS JOIN tq
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_rows,
+           ROUND(CAST(tp.thresh_p AS DOUBLE) / 100, 6) AS var95_price,
+           CAST(tq.thresh_q AS BIGINT) AS var95_quantity,
+           CAST(tails.n_joint AS BIGINT) AS n_joint_tail,
+           CAST(tails.n_qtail AS BIGINT) AS n_quantity_tail,
+           ROUND(CASE WHEN tails.n_qtail > 0
+                      THEN CAST(tails.n_joint AS DOUBLE) / tails.n_qtail
+                      END, 6) AS lambda_upper
+    FROM tails CROSS JOIN tp CROSS JOIN tq CROSS JOIN n
+    """,
+)
+def tail_dependence_q(spark, sf_dir):
+    """Empirical upper-tail dependence λ_U between extended price and
+    quantity — P(price in its top 5% | quantity in its top 5%), the
+    copula-margin diagnostic for "do extremes co-occur?" that a
+    Pearson/Spearman number hides (two series can correlate 0.9 yet be
+    tail-independent, and risk/anomaly budgets care about the joint
+    tail).  The 95th-percentile thresholds come from exact integer
+    cumulative counts over the quantized-cents / integer-quantity
+    value grids (the Mann–Whitney audited shape: the VALUE DOMAIN, not
+    the corpus, bounds each window), then one conditional-count pass
+    with the two 1-row thresholds broadcast.  NULL-guarded when the
+    conditioning tail is empty."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("pc"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n"))
+
+    def thresh(col):
+        grid = (
+            li.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                col,
+                F.sum("cnt").over(Window.orderBy(col)).alias("cum"),
+            )
+        )
+        return (
+            grid.crossJoin(F.broadcast(n))
+            .filter(
+                F.col("cum")
+                >= F.ceil(F.lit(0.95) * F.col("n")).cast("bigint")
+            )
+            .agg(F.min(col).alias(f"thresh_{col}"))
+        )
+
+    tp, tq = thresh("pc"), thresh("q")
+    tails = (
+        li.crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tq))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pc") > F.col("thresh_pc"))
+                    & (F.col("q") > F.col("thresh_q")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_joint"),
+            F.sum(
+                F.when(F.col("q") > F.col("thresh_q"), 1).otherwise(0)
+            ).alias("n_qtail"),
+        )
+    )
+    return (
+        tails.crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(F.col("thresh_pc").cast("double") / 100, 6).alias(
+                "var95_price"
+            ),
+            F.col("thresh_q").cast("bigint").alias("var95_quantity"),
+            F.col("n_joint").cast("bigint").alias("n_joint_tail"),
+            F.col("n_qtail").cast("bigint").alias("n_quantity_tail"),
+            F.round(
+                F.when(
+                    F.col("n_qtail") > 0,
+                    F.col("n_joint").cast("double") / F.col("n_qtail"),
+                ),
+                6,
+            ).alias("lambda_upper"),
+        )
+    )
+
+
+# =====================================================================
+# Expected shortfall (CVaR) of event values per type
+# =====================================================================
+
+@query(
+    "expected_shortfall_value_events",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), grid AS (
+      SELECT event_type, vc, COUNT(*) AS cnt
+      FROM ev GROUP BY event_type, vc
+    ), cum AS (
+      SELECT event_type, vc, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS c,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM grid
+    ), thr AS (
+      SELECT event_type, MIN(vc) AS var_c, MAX(n) AS n
+      FROM cum WHERE c >= CAST(CEIL(0.95 * n) AS BIGINT)
+      GROUP BY event_type
+    ), tail AS (
+      SELECT g.event_type,
+             SUM(g.cnt) AS n_tail,
+             SUM(g.cnt * g.vc) AS sum_c
+      FROM grid g JOIN thr ON g.event_type = thr.event_type
+      WHERE g.vc >= thr.var_c
+      GROUP BY g.event_type
+    )
+    SELECT thr.event_type, CAST(thr.n AS BIGINT) AS n_events,
+           ROUND(CAST(thr.var_c AS DOUBLE) / 100, 6) AS var95,
+           CAST(tail.n_tail AS BIGINT) AS n_tail,
+           ROUND(CAST(tail.sum_c AS DOUBLE) / tail.n_tail / 100, 6)
+             AS es95
+    FROM thr JOIN tail ON thr.event_type = tail.event_type
+    ORDER BY thr.event_type
+    """,
+)
+def expected_shortfall_q(spark, sf_dir):
+    """95% value-at-risk and expected shortfall (CVaR) of the event
+    value per type — the coherent tail-risk pair (Artzner et al. 1999;
+    Basel's ES replaced VaR precisely because VaR ignores HOW BAD the
+    tail is): VaR₉₅ is the smallest value whose exact cumulative count
+    reaches ⌈0.95n⌉ on the quantized-cents grid, ES₉₅ the
+    exact-integer mean of all values at or above it (the upper-tail
+    conditional mean form — ties at the threshold are included, which
+    keeps both engines byte-identical without interpolation).
+    Everything runs on type-partitioned cents-grid windows (the
+    Mann–Whitney audited shape) — the value DOMAIN bounds the windows,
+    never event volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    grid = ev.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("event_type").orderBy("vc")
+    wt = Window.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        "vc",
+        "cnt",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    thr = (
+        cum.filter(
+            F.col("c") >= F.ceil(F.lit(0.95) * F.col("n")).cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(F.min("vc").alias("var_c"), F.max("n").alias("n"))
+    )
+    tail = (
+        grid.join(F.broadcast(thr), "event_type")
+        .filter(F.col("vc") >= F.col("var_c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_tail"),
+            F.sum(F.col("cnt") * F.col("vc")).alias("sum_c"),
+        )
+    )
+    return (
+        thr.join(tail, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.col("var_c").cast("double") / 100, 6).alias("var95"),
+            F.col("n_tail").cast("bigint").alias("n_tail"),
+            F.round(
+                F.col("sum_c").cast("double") / F.col("n_tail") / 100, 6
+            ).alias("es95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# Beta method-of-moments fit of per-user purchase rates
+# =====================================================================
+
+@query(
+    "beta_moments_purchase_users",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS k,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    ), rates AS (
+      SELECT CAST(k AS DOUBLE) / n AS r FROM per_user
+    ), mom AS (
+      SELECT COUNT(*) AS nu, AVG(r) AS m,
+             AVG(r * r) - AVG(r) * AVG(r) AS v
+      FROM rates
+    )
+    SELECT CAST(nu AS BIGINT) AS n_users,
+           ROUND(m, 6) AS mean_rate,
+           ROUND(v, 6) AS var_rate,
+           ROUND(CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                      THEN m * (m * (1 - m) / v - 1) END, 6) AS alpha,
+           ROUND(CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                      THEN (1 - m) * (m * (1 - m) / v - 1) END, 6)
+             AS beta
+    FROM mom
+    """,
+)
+def beta_moments_q(spark, sf_dir):
+    """Beta(α, β) method-of-moments fit of the per-user purchase-rate
+    distribution — the empirical-Bayes PRIOR for rate smoothing (the
+    Beta-Binomial companion to the gated James–Stein gate, which
+    shrinks normal means; this one shrinks RATES): with m and v the
+    population mean/variance of per-user rates, t = m(1−m)/v − 1 and
+    α = mt, β = (1−m)t.  A user with k purchases in n events then gets
+    the shrunken posterior rate (k+α)/(n+α+β) — the right ranking
+    statistic when per-user n varies by orders of magnitude.  Guarded
+    NULL when v = 0 or the moment factor is non-positive (the MoM
+    precondition v < m(1−m); both engines return NULL, no ANSI 0/0).
+    Cost: one per-user aggregate and a 1-row moment fold."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rates = per_user.select(
+        (F.col("k").cast("double") / F.col("n")).alias("r")
+    )
+    mom = rates.agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.avg("r").alias("m"),
+        (F.avg(F.col("r") * F.col("r")) - F.avg("r") * F.avg("r")).alias(
+            "v"
+        ),
+    )
+    t = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    ok = (F.col("v") > 0) & (t > 0)
+    return mom.select(
+        F.col("nu").cast("bigint").alias("n_users"),
+        F.round("m", 6).alias("mean_rate"),
+        F.round("v", 6).alias("var_rate"),
+        F.round(F.when(ok, F.col("m") * t), 6).alias("alpha"),
+        F.round(F.when(ok, (1 - F.col("m")) * t), 6).alias("beta"),
+    )
+
+
+# =====================================================================
+# Chatterjee's ξ dependence coefficient on the daily series
+# =====================================================================
+
+@query(
+    "chatterjee_xi_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), vals AS (
+      SELECT event_type, y AS v, COUNT(*) AS cnt
+      FROM daily GROUP BY event_type, y
+    ), cums AS (
+      SELECT event_type, v,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS le,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v DESC)
+               AS ge
+      FROM vals
+    ), seq AS (
+      SELECT d.event_type, d.day, c.le AS r, c.ge AS l,
+             COUNT(*) OVER (PARTITION BY d.event_type) AS n
+      FROM daily d JOIN cums c
+        ON d.event_type = c.event_type AND d.y = c.v
+    ), diffs AS (
+      SELECT event_type, n, l,
+             ABS(r - LAG(r) OVER (PARTITION BY event_type
+                                  ORDER BY day)) AS dr
+      FROM seq
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+           ROUND(CASE WHEN SUM(CAST(l * (n - l) AS BIGINT)) > 0
+                      THEN 1 - CAST(MAX(n) AS DOUBLE)
+                               * SUM(COALESCE(dr, 0))
+                               / (2.0 * SUM(CAST(l * (n - l) AS BIGINT)))
+                      END, 6) AS xi
+    FROM diffs GROUP BY event_type ORDER BY event_type
+    """,
+)
+def chatterjee_xi_q(spark, sf_dir):
+    """Chatterjee's ξ coefficient of the daily count as a function of
+    TIME, per event type (Chatterjee, JASA 2021) — the new rank
+    correlation that is 0 iff independent and 1 iff y is a measurable
+    FUNCTION of x, catching nonmonotone dependence (U-shapes,
+    seasonality) that Spearman/Kendall score as ~0.  The
+    ties-general form: with r_i = #{j: y_j ≤ y_i}, l_i = #{j: y_j ≥
+    y_i} and the series in x-order, ξ = 1 − n·Σ|r_{i+1}−r_i| /
+    (2·Σ l_i(n−l_i)).  Ranks come from exact integer cumulative
+    counts over the per-type VALUE grid (never a row-wise rank over
+    raw events) joined back to the day series; x is the day order, so
+    the adjacent-difference walk is one LAG over the bounded daily
+    grid.  NULL-guarded when all days tie (denominator 0)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    vals = daily.groupBy("event_type", F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wle = Window.partitionBy("event_type").orderBy("v")
+    wge = Window.partitionBy("event_type").orderBy(F.col("v").desc())
+    # rename the grid keys before joining back onto `daily`: cums
+    # DERIVES from daily, and a parent⋈child join on same-name
+    # columns is an ambiguous self-reference to Catalyst
+    cums = vals.select(
+        F.col("event_type").alias("et"),
+        "v",
+        F.sum("cnt").over(wle).alias("le"),
+        F.sum("cnt").over(wge).alias("ge"),
+    )
+    wt = Window.partitionBy("event_type")
+    seq = daily.join(
+        cums,
+        (F.col("event_type") == F.col("et")) & (F.col("y") == F.col("v")),
+    ).select(
+        "event_type",
+        "day",
+        F.col("le").alias("r"),
+        F.col("ge").alias("l"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    diffs = seq.select(
+        "event_type",
+        "n",
+        "l",
+        F.abs(F.col("r") - F.lag("r").over(wd)).alias("dr"),
+    )
+    denom = F.sum((F.col("l") * (F.col("n") - F.col("l"))).cast("bigint"))
+    return (
+        diffs.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.round(
+                F.when(
+                    denom > 0,
+                    1
+                    - F.max("n").cast("double")
+                    * F.sum(F.coalesce("dr", F.lit(0)))
+                    / (2.0 * denom),
+                ),
+                6,
+            ).alias("xi"),
+        )
+        .orderBy("event_type")
+    )

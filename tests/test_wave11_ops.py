@@ -277,3 +277,113 @@ def test_seq_trigrams_literal_stream(spark, tmp_path):
         (2, "b", "c", "a", 1, third),
         (3, "c", "a", "b", 1, third),
     ]
+
+
+def test_median_polish_additive_grid_zero_residuals(spark, tmp_path):
+    """Perfectly additive grid — type a: count = dow, type b:
+    count = dow + 7 → after one row sweep the type effects are
+    constant, after the column sweep all residuals are exactly 0
+    (median polish converges on additive data in one cycle)."""
+    per = {}
+    for d in range(7):
+        day = dt.date(2024, 3, 4) + dt.timedelta(days=d)
+        per[(day, "a")] = d + 1
+        per[(day, "b")] = d + 8
+    sf = _write(spark, tmp_path, "events", _events_daily_counts(per), EV_SCHEMA)
+    rows = Q["median_polish_dow_type_events"](spark, sf).collect()
+    assert len(rows) == 14
+    assert all(abs(r.residual) < 1e-9 for r in rows)
+
+
+def test_mmd_two_point_masses(spark, tmp_path):
+    """Cohort A = 24 copies of e₁, cohort B = 24 copies of e₂ →
+    within-group kernel 1, cross kernel exp(−0.5·2) = e⁻¹, so
+    MMD² = 2 − 2e⁻¹ exactly."""
+    rows = []
+    for i in range(48):
+        v = [0.0] * 64
+        v[0 if i < 24 else 1] = 1.0
+        rows.append((i, v, 0))
+    sf = _write(spark, tmp_path, "embeddings", rows, EMB_SCHEMA)
+    row = Q["mmd_rbf_embeddings"](spark, sf).collect()[0]
+    assert (row.n_a, row.n_b) == (24, 24)
+    assert abs(row.mmd2 - round(2 - 2 * math.exp(-1), 6)) < 5e-7
+
+
+def test_tail_dependence_comonotone(spark, tmp_path):
+    """20 comonotone rows (price = quantity in dollars) → both 95%
+    thresholds cut at value 19, one joint exceedance out of one
+    quantity exceedance → λ_U = 1 (perfect upper-tail dependence)."""
+    rows = []
+    for i in range(1, 21):
+        rows.append(
+            (i, i, i, 1, float(i), float(i), 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1))
+        )
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    row = Q["tail_dependence_lineitem"](spark, sf).collect()[0]
+    assert row.n_rows == 20
+    assert abs(row.var95_price - 19.0) < 1e-9
+    assert row.var95_quantity == 19
+    assert (row.n_joint_tail, row.n_quantity_tail) == (1, 1)
+    assert abs(row.lambda_upper - 1.0) < 1e-9
+
+
+def test_expected_shortfall_uniform_values(spark, tmp_path):
+    """One type, values 1..100 → VaR₉₅ is the 95th smallest (95.0)
+    and ES₉₅ the mean of 95..100 = 97.5 over 6 tail values."""
+    rows = []
+    for i in range(1, 101):
+        rows.append(
+            (i, dt.datetime(2024, 3, 4, 10, 0, i % 60, i), 1, "a",
+             float(i), "{}")
+        )
+    sf = _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    row = Q["expected_shortfall_value_events"](spark, sf).collect()[0]
+    assert (row.event_type, row.n_events, row.n_tail) == ("a", 100, 6)
+    assert abs(row.var95 - 95.0) < 1e-9
+    assert abs(row.es95 - 97.5) < 1e-9
+
+
+def test_beta_moments_three_known_rates(spark, tmp_path):
+    """Users with rates 0.2, 0.4, 0.6 (k purchases in 5 events) →
+    m = 0.4, v = 2/75, t = 0.24/v − 1 = 8 → α = 3.2, β = 4.8."""
+    rows, eid = [], 0
+    for u, k in [(1, 1), (2, 2), (3, 3)]:
+        for i in range(5):
+            eid += 1
+            typ = "purchase" if i < k else "click"
+            rows.append(
+                (eid, dt.datetime(2024, 3, 4, 10, 0, eid % 60), u, typ,
+                 1.0, "{}")
+            )
+    sf = _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    row = Q["beta_moments_purchase_users"](spark, sf).collect()[0]
+    assert row.n_users == 3
+    assert abs(row.mean_rate - 0.4) < 1e-9
+    assert abs(row.var_rate - round(2 / 75, 6)) < 5e-7
+    assert abs(row.alpha - 3.2) < 2e-4  # α = m·t built from rounded v
+    assert abs(row.beta - 4.8) < 3e-4
+
+
+def test_chatterjee_xi_monotone_series(spark, tmp_path):
+    """Daily counts 1,2,3,4 strictly increasing in time (no ties):
+    r = (1,2,3,4), l = (4,3,2,1) → Σ|Δr| = 3, Σl(n−l) = 10,
+    ξ = 1 − 4·3/(2·10) = 0.4 (the exact finite-n value for a
+    monotone function of time)."""
+    per = {}
+    for i, c in enumerate([1, 2, 3, 4]):
+        per[(dt.date(2024, 3, 4) + dt.timedelta(days=i), "a")] = c
+    sf = _write(spark, tmp_path, "events", _events_daily_counts(per), EV_SCHEMA)
+    row = Q["chatterjee_xi_daily_events"](spark, sf).collect()[0]
+    assert row.n_days == 4
+    assert abs(row.xi - 0.4) < 1e-9
