@@ -14,7 +14,14 @@ Rounds needed = graph diameter (near-dup clusters are tiny and
 dense, so 2-4 rounds in practice); each round is one shuffle keyed on
 node id.  ``localCheckpoint`` truncates the growing lineage each
 round — without it the plan doubles per iteration and Catalyst
-analysis dominates after ~10 rounds.
+analysis dominates after ~10 rounds.  Every truncation in this
+package stores its blocks DISK_ONLY: the checkpointed frames are
+corpus-scaled (label maps, edge lists), and the default
+MEMORY_AND_DISK level parks them in the storageFraction-protected
+pool where they starve join/aggregate execution memory at scale
+(SparkOutOfMemoryError UNABLE_TO_ACQUIRE on the sf10 probe, round
+11); disk blocks ride the OS page cache at near-RAM speed without
+Spark-side accounting.
 
 Scale notes (100 TB corpora): ``connected_components`` is the simple
 propagation variant, O(rounds × |edges|) shuffle volume, the right
@@ -27,6 +34,7 @@ DataFrame primitives, O(log n) rounds on any graph shape.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,7 +75,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # truncate per-round lineage
         )
         changed = (
             new_labels.alias("n")
@@ -133,13 +141,13 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     all_nodes = (
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
 
     def _bidir(g: DataFrame) -> DataFrame:
@@ -184,7 +192,7 @@ def connected_components_star(
             large.unionByName(small)
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         changed = (
             new_e.exceptAll(e).limit(1).count()
@@ -265,7 +273,7 @@ def pagerank(
                 .alias("_t"),
             )
             .repartition("id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         base_col = F.lit(1.0 - damping) * F.col("_t")
         ranks = nodes.select("id", F.col("_t").alias("rank"))
@@ -299,12 +307,12 @@ def pagerank(
             and (i + 1) % checkpoint_every == 0
             and i + 1 < iterations
         ):
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     # materialize the result, then release the per-call caches — a
     # long-lived session calling pagerank repeatedly must not pin a
     # fresh copy of the edge list in storage memory per call (same
     # convention as connected_components)
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     nodes.unpersist()
     e_deg.unpersist()
     return ranks
@@ -346,14 +354,14 @@ def local_clustering(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # orient a→b iff (deg[a], a) < (deg[b], b)
     da, db = deg.alias("da"), deg.alias("db")
@@ -435,7 +443,7 @@ def local_clustering(
             .otherwise(F.lit(0.0))
             .alias("coefficient"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     o.unpersist()
     return out
@@ -495,9 +503,9 @@ def label_propagation(
             cnt.withColumn("_rn", F.row_number().over(rank_w))
             .filter(F.col("_rn") == 1)
             .select(F.col("u").alias("id"), "label")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     sym.unpersist()
     return labels
 
@@ -550,10 +558,10 @@ def bfs_distances(
             .unionByName(dist)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
         dist = relaxed
-    dist = dist.localCheckpoint(eager=True)
+    dist = dist.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     sym.unpersist()
     return dist
 
@@ -592,7 +600,7 @@ def kcore(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     for _ in range(peel_rounds):
@@ -601,7 +609,7 @@ def kcore(
             e.join(keep.hint("merge"), "u")
             .join(keep.select(F.col("u").alias("v")).hint("merge"), "v")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     return deg.filter(F.col("degree") >= k).select(
@@ -704,7 +712,7 @@ def dbscan_from_pairs(
             pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     ncount = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_n"))
     core = ncount.filter(F.col("_n") >= min_pts).select(

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1096,7 +1097,7 @@ def winnow_near_dup_pairs(
     fp = (
         raw.select(id_col, "fp_hash")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     if max_df is not None:
         # Anti-join against the OVER-cap hashes (small by construction
@@ -1107,7 +1108,7 @@ def winnow_near_dup_pairs(
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("fp_hash")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
         # Observability (the guard defaults ON since round 6): when it
         # actually drops fingerprints, results are corpus-dependent —

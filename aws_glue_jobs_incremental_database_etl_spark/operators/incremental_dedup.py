@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -368,7 +369,7 @@ class MinHashIndex:
         if sc.getCheckpointDir() is not None:
             losers = losers.checkpoint(eager=True)
         else:
-            losers = losers.localCheckpoint()
+            losers = losers.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         survivors = batch_df.join(
             losers.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
         )
@@ -521,7 +522,7 @@ class WinnowIndex:
             )
             .select("id")
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
         survivors = batch_df.join(
             losers.withColumnRenamed("id", id_col), on=id_col, how="left_anti"

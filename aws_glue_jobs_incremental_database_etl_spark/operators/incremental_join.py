@@ -36,6 +36,7 @@ import os
 import shutil
 import uuid
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,12 +121,12 @@ class IncrementalJoinView:
         l_old = self._read(spark, self.left_dir, exclude_batch=bid)
         r_old = self._read(spark, self.right_dir, exclude_batch=bid)
         dl = (
-            left_delta.localCheckpoint(eager=True)
+            left_delta.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             if left_delta is not None
             else None
         )
         dr = (
-            right_delta.localCheckpoint(eager=True)
+            right_delta.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             if right_delta is not None
             else None
         )
@@ -207,12 +208,12 @@ class WeightedIncrementalJoinView(IncrementalJoinView):
         l_old = self._read(spark, self.left_dir, exclude_batch=bid)
         r_old = self._read(spark, self.right_dir, exclude_batch=bid)
         dl = (
-            left_delta.localCheckpoint(eager=True)
+            left_delta.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             if left_delta is not None
             else None
         )
         dr = (
-            right_delta.localCheckpoint(eager=True)
+            right_delta.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             if right_delta is not None
             else None
         )

@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1075,7 +1076,7 @@ def top_principal_component(
         a.join(b, F.col("a._id") == F.col("b._id"))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg((F.sum(F.col("a.c") * F.col("b.c")) / F.lit(n)).alias("val"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     spark = df.sparkSession
     v = spark.range(dim).select(
@@ -1090,7 +1091,7 @@ def top_principal_component(
             # the normalizer and the next vector BOTH read w — without a
             # checkpoint the matvec subplan doubles per reference and
             # the plan grows 2^iterations (64 rows: materializing is free)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nv"))
         v = w.crossJoin(F.broadcast(norm)).select(
@@ -1142,7 +1143,7 @@ def lloyd_kmeans(
         F.posexplode(
             F.transform(F.col(vec_col), lambda v: v.cast("double"))
         ).alias("j", "xj"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     init = fixed_centroids(dim, k, seed)
     cent = spark.createDataFrame(
         [
@@ -1191,9 +1192,9 @@ def lloyd_kmeans(
             .select(
                 "c", "j", F.coalesce("new_cj", F.col("cj")).alias("cj")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
-        counts = counts.localCheckpoint(eager=True)
+        counts = counts.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     return cent.join(counts, "c", "left").select(
         F.col("c").alias("cluster"),
         F.col("j").alias("dim_index"),
@@ -1246,7 +1247,7 @@ def principal_components(
         a.join(b, F.col("a._id") == F.col("b._id"))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg((F.sum(F.col("a.c") * F.col("b.c")) / F.lit(n)).alias("val"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     outs = []
     for comp in range(k):
@@ -1259,7 +1260,7 @@ def principal_components(
                 cells.join(v, "j")
                 .groupBy("i")
                 .agg(F.sum(F.col("val") * F.col("v")).alias("w"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             )
             norm = w.agg(
                 F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nv")
@@ -1271,7 +1272,7 @@ def principal_components(
         # quantize BEFORE the Rayleigh quotient and deflation: the
         # engine-identity contract for everything downstream
         v = v.select("j", F.round("v", 6).alias("v")).localCheckpoint(
-            eager=True
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
         vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
         lam_row = (
@@ -1304,7 +1305,7 @@ def principal_components(
                         - F.lit(lam) * F.col("vi") * F.col("v")
                     ).alias("val"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             )
     out = outs[0]
     for o in outs[1:]:

@@ -17,6 +17,7 @@ suspicious keys here.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -110,7 +111,7 @@ def cap_key_fanout(
     counts = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_df"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     over = counts.filter(F.col("_df") > max_df).select(key_col)
     n_over = over.count()

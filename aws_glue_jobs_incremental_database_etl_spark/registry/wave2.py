@@ -11,6 +11,7 @@ import tempfile  # noqa: F401  (several queries stage scratch dirs)
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -322,7 +323,7 @@ def lm_buckets_q(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     scored = lm_cross_entropy(d, "doc_id", "text").select(
         "id", F.col("cross_entropy").alias("ce")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     return (
         exact_ntile(scored, 3, "ce", "id", coarse_buckets=16)
         .groupBy("bucket")

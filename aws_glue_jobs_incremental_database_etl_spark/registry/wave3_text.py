@@ -11,6 +11,7 @@ import tempfile  # noqa: F401  (several queries stage scratch dirs)
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -771,7 +772,7 @@ def pmi_q(spark, sf_dir):
         F.posexplode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("p", "word"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cu"))
     n_tok = float(toks.count())
     ctx = toks.select(
@@ -787,7 +788,7 @@ def pmi_q(spark, sf_dir):
         ctx.join(t2, ["doc_id", "cp"])
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cpair"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     n_pair = float(pairs.agg(F.sum("cpair")).first()[0])
     ua = uni.select(F.col("word").alias("center"), F.col("cu").alias("ca"))
@@ -1496,7 +1497,7 @@ def incremental_components_q(spark, sf_dir):
     )
     pairs = edit_distance_join(
         p, "p_partkey", "p_name", "_blk", max_dist=2
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    ).select("id_a", "id_b").localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     mid = p.agg(
         (F.min("p_partkey") + F.max("p_partkey")) / 2
     ).first()[0]

@@ -11,6 +11,7 @@ import tempfile  # noqa: F401  (several queries stage scratch dirs)
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -2308,7 +2309,7 @@ def lof_ivf_q(spark, sf_dir):
                 ),
             ).alias("v"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     from ..operators.similarity import knn_exact_grouped
 
@@ -2331,7 +2332,7 @@ def lof_ivf_q(spark, sf_dir):
             "idb",
             (F.sqrt(F.col("d2").cast("double")) / 1_000_000).alias("dd"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     kd = nk.groupBy(F.col("ida").alias("id")).agg(F.max("dd").alias("kdist"))
     lrd = (
@@ -2939,7 +2940,7 @@ def khop_q(spark, sf_dir):
         seeds.join(und, seeds["id"] == und["u"])
         .select("id", F.col("v").alias("n"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     h2 = (
         h1.join(und, h1["n"] == und["u"])
@@ -2947,7 +2948,7 @@ def khop_q(spark, sf_dir):
         .filter(F.col("n2") != F.col("id"))
         .select("id", F.col("n2").alias("n"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     h3 = (
         h2.join(und, h2["n"] == und["u"])

@@ -11,6 +11,7 @@ import tempfile  # noqa: F401  (several queries stage scratch dirs)
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -281,7 +282,7 @@ def ngram_novelty_q(spark, sf_dir):
         d.withColumn("_toks", tokens_of(F.col("text")))
         .withColumn("sh", shingles_from_tokens(F.col("_toks"), 3))
         .select("doc_id", "source", "sh")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     n_new = (
         staged.select("doc_id", F.explode("sh").alias("g"))
@@ -576,7 +577,7 @@ def facility_location_q(spark, sf_dir):
             "c",
             F.greatest(dot, F.lit(0).cast("long")).alias("sp"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     best = sims.select("x").distinct().select(
         "x", F.lit(0).cast("long").alias("best")
@@ -602,7 +603,7 @@ def facility_location_q(spark, sf_dir):
                 sims.filter(F.col("c") == pick["c"]).select("x", "sp"), "x"
             )
             .select("x", F.greatest("best", "sp").alias("best"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
     return spark.createDataFrame(
         [

@@ -11,6 +11,7 @@ import tempfile  # noqa: F401  (several queries stage scratch dirs)
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -611,7 +612,7 @@ def ktruss_q(spark, sf_dir):
         co.withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= 500)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
 
     def truss_round(e):
@@ -630,7 +631,7 @@ def ktruss_q(spark, sf_dir):
         o = ed.select(
             F.when(first_lo, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(first_lo, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         w1, w2 = o.alias("w1"), o.alias("w2")
         wedges = w1.join(
             w2,
@@ -645,7 +646,7 @@ def ktruss_q(spark, sf_dir):
             e,
             (F.least("y", "z") == F.col("u"))
             & (F.greatest("y", "z") == F.col("v")),
-        ).select("x", "y", "z").localCheckpoint(eager=False)
+        ).select("x", "y", "z").localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         se = (
             tri.select(
                 F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
@@ -665,7 +666,7 @@ def ktruss_q(spark, sf_dir):
         )
         sup = se.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
         keep = sup.filter(F.col("sup") >= 2).select("u", "v").localCheckpoint(
-            eager=False
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
         )
         return tri, keep
 

@@ -2069,11 +2069,27 @@ def closeness_q(spark, sf_dir):
     ).distinct()
     raw = cap_key_fanout(raw, "p", max_df=256, what="part-degree")
     a, b = raw.alias("a"), raw.alias("b")
+    # The edge list and hop frontiers are each reused by multiple
+    # consumers, and the joins reference their columns ACROSS the
+    # reuse (e["v"] against h1⋈e), so each needs a lineage-TRUNCATING
+    # materialization, not a mere persist (persist keeps the plan and
+    # the parent⋈derived column references turn ambiguous).  The
+    # truncating blocks go to DISK_ONLY, not the default
+    # MEMORY_AND_DISK: the edge list is CORPUS-scaled, and parking it
+    # in storage memory starved the hop-join execution pool at sf10
+    # (SparkOutOfMemoryError UNABLE_TO_ACQUIRE, r11 probe —
+    # storageFraction protects cached blocks from eviction).  Spark
+    # 4's localCheckpoint(storageLevel=...) gives all three at once:
+    # one computation, a truncated plan, and zero storage-memory
+    # competition (a reliable checkpoint() would recompute its input
+    # a second time — measured +60% at sf1).
+    from pyspark import StorageLevel
+
     e = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = e.groupBy(F.col("u").alias("s")).agg(F.count(F.lit(1)).alias("d"))
     anchors = deg.orderBy(F.col("d").desc(), F.col("s").asc()).limit(20)
@@ -2082,7 +2098,7 @@ def closeness_q(spark, sf_dir):
         .join(e, F.col("id") == F.col("u"))
         .select("id", F.col("v").alias("n"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     h2 = (
         h1.join(e, h1["n"] == e["u"])
@@ -2091,7 +2107,7 @@ def closeness_q(spark, sf_dir):
         .select("id", F.col("n2").alias("n"))
         .distinct()
     )
-    h2new = h2.exceptAll(h1).distinct().localCheckpoint(eager=False)
+    h2new = h2.exceptAll(h1).distinct().localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     h3 = (
         h2new.join(e, h2new["n"] == e["u"])
         .select("id", e["v"].alias("n2"))
@@ -2100,7 +2116,7 @@ def closeness_q(spark, sf_dir):
         .distinct()
     )
     h3new = (
-        h3.exceptAll(h2new).exceptAll(h1).distinct().localCheckpoint(eager=False)
+        h3.exceptAll(h2new).exceptAll(h1).distinct().localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     c1 = h1.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     c2 = h2new.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
@@ -3086,7 +3102,7 @@ def textrank_q(spark, sf_dir):
         )
         .groupBy("u", "v")
         .agg(F.sum("c").alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     nodes = e.select(F.col("u").alias("id")).distinct()
     n_nodes = nodes.agg(
