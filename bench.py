@@ -224,6 +224,10 @@ HEADLINE = [
     "ipf_raking_dow_type_events",     # 4 window rescales on the grid
     "meta_analysis_sources_docs",     # per-source moments + 1-row fold
     "actuarial_life_table_events",    # weekly-interval risk windows
+    # round-11: the year-stratified trend gates (their SF1_SPOT ratio
+    # gate reads this run's sf0.1 headline timing as its base)
+    "theil_sen_yearly_events",        # within-year day-pair medians
+    "mann_kendall_yearly_events",     # within-year S + summed var
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -297,7 +301,8 @@ SF1_SPOT = [
     # and the day-pair slope grid
     "dau_mau_stickiness_events",
     "theil_sen_slope_daily_events",
-    # round-11: the year-stratified day-pair grids (VERDICT r10 #6) —
+    # round-11 (also appended to HEADLINE: the SF1 ratio gate reads
+    # this run's sf0.1 headline timing as its base) —
     # these must stay LINEAR where the unstratified twin grows with
     # calendar span², because pairs never cross a year boundary
     "theil_sen_yearly_events",
