@@ -2107,7 +2107,16 @@ def closeness_q(spark, sf_dir):
         .select("id", F.col("n2").alias("n"))
         .distinct()
     )
-    h2new = h2.exceptAll(h1).distinct().localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # frontier de-dup via merge-hinted LEFT ANTI joins, not exceptAll:
+    # both sides are already DISTINCT (the hop selects end .distinct()),
+    # so anti-join ≡ EXCEPT here — without exceptAll's per-row count
+    # maps, whose build was the biggest GC source at sf10, and with the
+    # corpus×corpus merge-hint contract the pair-join family follows
+    h2new = (
+        h2.hint("merge")
+        .join(h1, ["id", "n"], "left_anti")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
     h3 = (
         h2new.join(e, h2new["n"] == e["u"])
         .select("id", e["v"].alias("n2"))
@@ -2116,7 +2125,11 @@ def closeness_q(spark, sf_dir):
         .distinct()
     )
     h3new = (
-        h3.exceptAll(h2new).exceptAll(h1).distinct().localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        h3.hint("merge")
+        .join(h2new, ["id", "n"], "left_anti")
+        .hint("merge")
+        .join(h1, ["id", "n"], "left_anti")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     c1 = h1.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
     c2 = h2new.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))

@@ -38,19 +38,26 @@ def test_noise_floor_skips_tiny_probes():
 
 
 def test_per_query_bound_override():
-    base = {"adamic_adar_links_suppliers": 2.0, "other_q": 2.0}
-    sf1 = {"adamic_adar_links_suppliers": 22.0, "other_q": 22.0}
-    ratios, violations = sf1_ratio_violations(base, sf1)
-    # 11x: within adamic_adar's documented 12x override, past the
-    # default 9x for everything else
-    assert ratios["adamic_adar_links_suppliers"] == 11.0
+    # the shipped override table is EMPTY again (adamic_adar's 12×
+    # entry retired in r11 after the shuffle-sizing fix measured
+    # 5.56×) — the override MECHANISM is exercised via the bounds
+    # param, which merges over the table
+    assert SF1_RATIO_BOUND == {}
+    base = {"slow_growth_q": 2.0, "other_q": 2.0}
+    sf1 = {"slow_growth_q": 22.0, "other_q": 22.0}
+    ratios, violations = sf1_ratio_violations(
+        base, sf1, bounds={"slow_growth_q": 12.0}
+    )
+    # 11x: within slow_growth_q's 12x override, past the default 9x
+    # for everything else
+    assert ratios["slow_growth_q"] == 11.0
     assert len(violations) == 1 and violations[0].startswith("other_q:")
-    # explicit bounds param overrides the table
+    # tighter explicit bound flips the verdict
     _, violations = sf1_ratio_violations(
-        base, sf1, bounds={"other_q": 15.0, "adamic_adar_links_suppliers": 10.0}
+        base, sf1, bounds={"other_q": 15.0, "slow_growth_q": 10.0}
     )
     assert len(violations) == 1
-    assert violations[0].startswith("adamic_adar_links_suppliers:")
+    assert violations[0].startswith("slow_growth_q:")
 
 
 def test_unknown_base_query_skipped():
