@@ -389,6 +389,27 @@ SINGLE_PARTITION_OK = {
     # mannwhitney audited shape) + 1-row threshold/total folds
     "beta_moments_purchase_users",    # 1-row moment fold over the
     # per-user rate frame (the atkinson audited shape)
+    # ---- round-11 wave C
+    "fisher_price_index_lineitem",    # 1-row base-year scalar fold
+    # (the laspeyres audited shape); the basket join is distributed
+    "sample_entropy_daily_events",    # 1-row global max-day fold; the
+    # pair grid is per-type windows bounded at ≤365 templates
+    "breslow_day_weekend_purchase_events",  # 1-row pooled-ψ fold +
+    # 1-row BD/Tarone folds over the ≤weeks strata frame (MH shape)
+    "kuiper_drift_orders",            # cumulative walk + sup folds
+    # over the literal 32-bin grid (the ks_drift audited shape)
+    "err_bm25_graded_docs",           # cumulative walk over the
+    # quantized classifier score VALUE grid (mannwhitney rule) +
+    # rank/product windows on the 20-row post-limit frame
+    "l_diversity_report_orders",      # 1-row min/frac fold over the
+    # (priority × month) bounded group frame
+    "cka_linear_embeddings",          # 1-row block-Frobenius folds
+    # over the 64²-cell covariance frame (the pca audited shape)
+    "self_bleu_sample_docs",          # 1-row (m, Σlen) corpus-length
+    # fold + 1-row final averages; gram joins are distributed
+    "zero_inflation_purchase_events", # 1-row 4-integer moment fold
+    "lorenz_asymmetry_customers",     # 1-row mean/total fold + 1-row
+    # boundary-statistic fold over the customer frame
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -645,6 +666,21 @@ BNLJ_OK = {
     # frame cross join (grid densification — the kendall_w shape)
     "tail_dependence_lineitem",       # 1-row threshold/total
     # crossJoins onto the scan / 1-row tail fold
+    # ---- round-11 wave C: 1-row scalar-state crossJoins
+    "fisher_price_index_lineitem",    # 1-row base-year crossJoin onto
+    # the part-year frame (the laspeyres audited shape)
+    "sample_entropy_daily_events",    # 1-row max-day bound crossJoin
+    # onto the scan; 1-row per-type r broadcast onto ≤365-day strata
+    "breslow_day_weekend_purchase_events",  # 1-row pooled-ψ crossJoin
+    # onto the ≤weeks strata frame
+    "err_bm25_graded_docs",           # 1-row quartile-threshold
+    # crossJoin onto the classifier scores (the outliers shape)
+    "cka_linear_embeddings",          # 1-row half-split bound + 1-row
+    # corpus count crossJoined onto the 64²-cell / 1-row block frame
+    "self_bleu_sample_docs",          # 1-row (m, Σlen) length-stats
+    # crossJoin onto the sampled-doc frame
+    "lorenz_asymmetry_customers",     # 1-row mean/total crossJoin
+    # onto the customer frame (the outliers audited shape)
 }
 
 

@@ -12,6 +12,7 @@ import tempfile  # noqa: F401
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel  # noqa: F401
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -2083,8 +2084,6 @@ def closeness_q(spark, sf_dir):
     # one computation, a truncated plan, and zero storage-memory
     # competition (a reliable checkpoint() would recompute its input
     # a second time — measured +60% at sf1).
-    from pyspark import StorageLevel
-
     e = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))

@@ -74,8 +74,11 @@ def test_compaction_preserves_dedup_results(spark, tmp_path, cls):
         r.id for r in b.indexed_ids(spark).collect()
     }
 
-    # second compaction folds the old compact dir + the new batch file
-    assert a.compact(spark) == 2
+    # second compaction folds the old compact dir + the new batch's
+    # file(s) — the per-batch part-file count is a distribution detail
+    # (it tracks the session's shuffle parallelism, e.g. AQE
+    # initialPartitionNum), so assert the fold happened, not the count
+    assert a.compact(spark) >= 2
     assert os.path.isdir(os.path.join(a.path, "compact-2"))
     assert not os.path.isdir(os.path.join(a.path, "compact-1"))
 
