@@ -410,6 +410,23 @@ SINGLE_PARTITION_OK = {
     "zero_inflation_purchase_events", # 1-row 4-integer moment fold
     "lorenz_asymmetry_customers",     # 1-row mean/total fold + 1-row
     # boundary-statistic fold over the customer frame
+    # ---- round-11 wave D
+    "krippendorff_alpha_quality_docs",  # 1-row 5-scalar coincidence
+    # fold (the fleiss_kappa audited shape)
+    "gwet_ac1_quality_docs",          # 1-row 4-integer agreement fold
+    "bland_altman_tokenizers_docs",   # 1-row (μ, SD) fold + 1-row
+    # coverage fold, both broadcast back
+    "fisher_g_periodicity_events",    # 1-row global max-day fold; the
+    # periodogram grid is per-type windows bounded at ≤365×182 cells
+    "participation_ratio_embeddings", # 1-row trace/Frobenius fold
+    # over the 64²-cell covariance frame (the pca audited shape)
+    "biweight_midvariance_totalprice",  # 1-row exact-percentile state
+    # (median, MAD) + the 1-row weighted fold (the mad audited shape)
+    "blomqvist_beta_lineitem",        # 1-row two-median state + the
+    # 1-row 4-cell quadrant fold
+    "ad_exponential_interarrivals_events",  # cumulative walk over the
+    # integer-seconds gap VALUE grid (the mannwhitney rule) + 1-row
+    # (n, Σx) fold
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -681,6 +698,19 @@ BNLJ_OK = {
     # crossJoin onto the sampled-doc frame
     "lorenz_asymmetry_customers",     # 1-row mean/total crossJoin
     # onto the customer frame (the outliers audited shape)
+    # ---- round-11 wave D: 1-row scalar-state crossJoins
+    "bland_altman_tokenizers_docs",   # 1-row LoA frame crossJoined
+    # onto the diff stream for the coverage pass
+    "fisher_g_periodicity_events",    # 1-row max-day bound crossJoin
+    # + 1-row per-type periodogram totals broadcast onto the ordinates
+    "participation_ratio_embeddings", # 1-row n/dim crossJoins onto
+    # the 1-row fold
+    "biweight_midvariance_totalprice",  # 1-row median/MAD crossJoins
+    # onto the scan (the outliers audited shape)
+    "blomqvist_beta_lineitem",        # 1-row two-median crossJoin
+    # onto the scan
+    "ad_exponential_interarrivals_events",  # 1-row (n, Σx) crossJoin
+    # onto the bounded gap grid
 }
 
 

@@ -228,6 +228,27 @@ HEADLINE = [
     # gate reads this run's sf0.1 headline timing as its base)
     "theil_sen_yearly_events",        # within-year day-pair medians
     "mann_kendall_yearly_events",     # within-year S + summed var
+    # round-11 wave C
+    "sample_entropy_daily_events",    # 365-day-window template pairs
+    "distance_corr_daily_events",     # year-strata pair grid
+    "cka_linear_embeddings",          # dim²-per-row covariance cells
+    "self_bleu_sample_docs",          # sampled gram-postings joins
+    "err_bm25_graded_docs",           # two scorers + 20-row cascade
+    "breslow_day_weekend_purchase_events",  # weekly strata fold
+    "fisher_price_index_lineitem",    # part-keyed basket join
+    "kuiper_drift_orders",            # 32-bin grid walk
+    "l_diversity_report_orders",      # (priority, month) group fold
+    "zero_inflation_purchase_events", # (user, day) fold
+    "lorenz_asymmetry_customers",     # customer-frame folds
+    # round-11 wave D
+    "krippendorff_alpha_quality_docs",  # 3-rater coincidence fold
+    "gwet_ac1_quality_docs",          # 2-rater agreement fold
+    "bland_altman_tokenizers_docs",   # diff fold + coverage pass
+    "fisher_g_periodicity_events",    # 365-day × 182-freq periodogram
+    "participation_ratio_embeddings", # dim²-cell trace/Frobenius
+    "biweight_midvariance_totalprice",# percentile state + fold
+    "blomqvist_beta_lineitem",        # two medians + quadrant fold
+    "ad_exponential_interarrivals_events",  # gap value-grid walk
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -307,6 +328,20 @@ SF1_SPOT = [
     # calendar span², because pairs never cross a year boundary
     "theil_sen_yearly_events",
     "mann_kendall_yearly_events",
+    # round-11 wave C: the 365-day recency window must keep SampEn's
+    # pair grid FLAT as the table span grows; the dCor year-strata
+    # grid must stay linear in years; CKA's dim²-per-row covariance
+    # self-join and self-BLEU's gram-postings joins are the corpus-
+    # scaled growth risks of the wave
+    "sample_entropy_daily_events",
+    "distance_corr_daily_events",
+    "cka_linear_embeddings",
+    "self_bleu_sample_docs",
+    # round-11 wave D: the 365-day×182-freq periodogram grid must stay
+    # flat as span grows; the gap value-grid walk grows with the gap
+    # DOMAIN (shrinks per-user at higher density), not the corpus
+    "fisher_g_periodicity_events",
+    "ad_exponential_interarrivals_events",
 ]
 
 
