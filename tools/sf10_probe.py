@@ -46,6 +46,16 @@ PROBES = [
     # theil_sen up 43× per decade
     "theil_sen_yearly_events",
     "mann_kendall_yearly_events",
+    # ---- round-11 waves C/D: the bounded-window gates (SampEn's
+    # 365-day templates, Fisher g's 365×182 periodogram, dCor's
+    # year strata) must stay FLAT on the span-growing composition;
+    # CKA's dim²-per-row self-join and self-BLEU's gram postings are
+    # the wave's corpus-scaled joins
+    "sample_entropy_daily_events",
+    "fisher_g_periodicity_events",
+    "distance_corr_daily_events",
+    "cka_linear_embeddings",
+    "self_bleu_sample_docs",
 ]
 
 
