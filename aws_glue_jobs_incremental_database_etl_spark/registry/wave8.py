@@ -2106,15 +2106,14 @@ def closeness_q(spark, sf_dir):
         .select("id", F.col("n2").alias("n"))
         .distinct()
     )
-    # frontier de-dup via merge-hinted LEFT ANTI joins, not exceptAll:
-    # both sides are already DISTINCT (the hop selects end .distinct()),
-    # so anti-join ≡ EXCEPT here — without exceptAll's per-row count
-    # maps, whose build was the biggest GC source at sf10, and with the
-    # corpus×corpus merge-hint contract the pair-join family follows
-    h2new = (
-        h2.hint("merge")
-        .join(h1, ["id", "n"], "left_anti")
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # frontier de-dup stays exceptAll, NOT a merge-hinted anti-join:
+    # the anti-join rewrite was ~1.5 s faster at sf0.1 but its SMJ
+    # sort of the frontier DIED at sf10 (ShuffleExternalSorter
+    # "Unable to grow the pointer array" → executor loss) where this
+    # formulation completes in one 8 GB JVM (SCALE.md round-11 probe,
+    # 424 s GC-bound) — the sf0.1 win was not worth the decade-2 OOM
+    h2new = h2.exceptAll(h1).distinct().localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
     h3 = (
         h2new.join(e, h2new["n"] == e["u"])
@@ -2124,10 +2123,9 @@ def closeness_q(spark, sf_dir):
         .distinct()
     )
     h3new = (
-        h3.hint("merge")
-        .join(h2new, ["id", "n"], "left_anti")
-        .hint("merge")
-        .join(h1, ["id", "n"], "left_anti")
+        h3.exceptAll(h2new)
+        .exceptAll(h1)
+        .distinct()
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     c1 = h1.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
