@@ -427,6 +427,15 @@ SINGLE_PARTITION_OK = {
     "ad_exponential_interarrivals_events",  # cumulative walk over the
     # integer-seconds gap VALUE grid (the mannwhitney rule) + 1-row
     # (n, Σx) fold
+    # ---- round-11 wave E
+    "cohort_ltv_curve_events",        # 1-row max-week fold; the age
+    # fan-out is the 8-row literal grid, cum windows are per-user
+    "sign_flip_test_weekend_events",  # 1-row T_obs fold + the final
+    # fold over the 64-row literal flip grid
+    "gk_tau_lang_source_docs",        # 1-row Gini-variation folds
+    # over the bounded |source|×|lang| grid
+    "dunn_index_labels_embeddings",   # 1-row min/max folds over the
+    # k-row diameter and k² centroid-pair frames
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -711,6 +720,15 @@ BNLJ_OK = {
     # onto the scan
     "ad_exponential_interarrivals_events",  # 1-row (n, Σx) crossJoin
     # onto the bounded gap grid
+    # ---- round-11 wave E: 1-row / literal-grid crossJoins
+    "cohort_ltv_curve_events",        # 8-row literal age grid fanned
+    # per user + 1-row max-week bound crossJoin
+    "sign_flip_test_weekend_events",  # 64-row literal flip grid
+    # crossJoin onto the ≤weeks paired frame + 1-row T_obs broadcast
+    "gk_tau_lang_source_docs",        # 1-row total crossJoins onto
+    # the bounded contingency marginals
+    "dunn_index_labels_embeddings",   # 1-row k/inter/diam crossJoins
+    # assembling the report row
 }
 
 

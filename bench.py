@@ -249,6 +249,13 @@ HEADLINE = [
     "biweight_midvariance_totalprice",# percentile state + fold
     "blomqvist_beta_lineitem",        # two medians + quadrant fold
     "ad_exponential_interarrivals_events",  # gap value-grid walk
+    # round-11 wave E
+    "cohort_ltv_curve_events",        # user×8 age fan-out + windows
+    "price_elasticity_lineitem",      # part join + cell/moment folds
+    "sign_flip_test_weekend_events",  # 64-flip randomization grid
+    "kendall_taub_daily_events",      # year-strata day-pair grid
+    "gk_tau_lang_source_docs",        # contingency Gini folds
+    "dunn_index_labels_embeddings",   # centroid/radius corpus pass
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -342,6 +349,10 @@ SF1_SPOT = [
     # DOMAIN (shrinks per-user at higher density), not the corpus
     "fisher_g_periodicity_events",
     "ad_exponential_interarrivals_events",
+    # round-11 wave E: the user×8 age fan-out must stay linear in
+    # users; the τ-b year-strata pair grid must stay linear in years
+    "cohort_ltv_curve_events",
+    "kendall_taub_daily_events",
 ]
 
 
