@@ -436,6 +436,27 @@ SINGLE_PARTITION_OK = {
     # over the bounded |source|×|lang| grid
     "dunn_index_labels_embeddings",   # 1-row min/max folds over the
     # k-row diameter and k² centroid-pair frames
+    # ---- round-11 wave F
+    "wilcoxon_signed_rank_weekend_events",  # global rank window over
+    # the (types × weeks) calendar-bounded pair grid + 1-row W+/tie
+    # folds (the sign_flip/kendalls_w audited shape)
+    "conover_squared_ranks_orders",   # cumulative window over the
+    # quantized |cents − μ_g| deviation grid (the ansari_bradley CvM
+    # audited shape) + 1-row moment fold
+    "engle_granger_click_purchase_events",  # global LAG window over
+    # the calendar-bounded daily grid + two 1-row moment folds (the
+    # dickey_fuller/buishand audited shape)
+    "hosmer_lemeshow_quality_docs",   # 1-row percentile-cut fold (the
+    # winsorized_corr shape) + 1-row χ² fold over the 10-bin grid
+    # ---- round-11 wave G
+    "aalen_johansen_competing_events",  # reverse/forward cumulative
+    # windows over the ≤31-row life grid (the kaplan_meier/actuarial
+    # audited shape) + 1-row maxd bound
+    "simpson_reversal_events",        # 1-row pooled-slope fold over
+    # the calendar-bounded daily grid + |types|-row strata fold (the
+    # dickey_fuller audited shape)
+    "tornqvist_price_index_lineitem", # 1-row base-year fold broadcast
+    # over the (part, yr) cells (the fisher_price audited shape)
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -729,6 +750,23 @@ BNLJ_OK = {
     # the bounded contingency marginals
     "dunn_index_labels_embeddings",   # 1-row k/inter/diam crossJoins
     # assembling the report row
+    "jaccard_yield_curve_docs",       # 5-row literal τ grid broadcast
+    # onto the shingle-candidate pair frame (the semdedup_yield shape
+    # — the GRID is the broadcast side, never the pair frame)
+    # ---- round-11 wave F: 1-row fold crossJoins
+    "wilcoxon_signed_rank_weekend_events",  # 1-row tie-correction
+    # fold crossJoined with the 1-row W+ fold
+    "engle_granger_click_purchase_events",  # 1-row OLS fit broadcast
+    # back over the calendar-bounded daily grid (dickey_fuller shape)
+    "hosmer_lemeshow_quality_docs",   # 1-row decile-cut vector and
+    # 1-row χ² fold broadcast onto the corpus scan / 10-bin grid
+    # ---- round-11 wave G: 1-row fold crossJoins
+    "aalen_johansen_competing_events",  # 1-row observation-end bound
+    # broadcast onto the per-user first-event frame (the KM shape)
+    "simpson_reversal_events",        # 1-row pooled-slope broadcast
+    # onto the |types|-row strata frame
+    "tornqvist_price_index_lineitem", # 1-row base-year broadcast onto
+    # the (part, yr) cell frame (the fisher_price audited shape)
 }
 
 

@@ -660,3 +660,94 @@ def dunn_index_q(spark, sf_dir):
             ).alias("dunn_index"),
         )
     )
+
+
+# =====================================================================
+# Jaccard dedup threshold yield curve (policy sweep)
+# =====================================================================
+
+from ._core import _SHINGLE_INTER_SQL  # noqa: E402
+
+
+@query(
+    "jaccard_yield_curve_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM toks
+    ), {_SHINGLE_INTER_SQL}, j AS (
+      SELECT c::DOUBLE / (na + nb - c) AS jac FROM inter
+    ), taus AS (
+      SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS tau
+    )
+    SELECT taus.tau,
+           CAST(SUM(CASE WHEN j.jac >= taus.tau THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           ROUND(AVG(CASE WHEN j.jac >= taus.tau THEN j.jac END), 4)
+             AS mean_jaccard
+    FROM taus LEFT JOIN j ON j.jac >= 0.0
+    GROUP BY taus.tau ORDER BY taus.tau
+    """,
+)
+def jaccard_yield_curve_q(spark, sf_dir):
+    """Dedup-policy threshold sweep: how many exact 3-gram-Jaccard
+    near-dup pairs each candidate threshold τ ∈ {0.5..0.9} would
+    surface, with the mean similarity above each cut — the text-side
+    twin of semdedup_yield_curve_embeddings, and the number a
+    curation team reads BEFORE committing to a τ (the single-τ gates
+    answer "who is a dup at 0.7", this answers "what does moving τ
+    cost/buy").  Candidate pairs come from the same inverted shingle
+    index as the jaccard/minhash gates (never all-pairs); the sweep
+    is a 5-row literal τ grid folded over the candidate-pair scores.
+
+    Scale: identical candidate-generation shape to
+    jaccard_near_dup_pairs (gram-keyed postings join, merge-hinted in
+    the operator); the τ fan-out is ≤5× the PAIR frame, not the
+    corpus."""
+    from ..operators.dedup import jaccard_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.0, shingle_k=3
+    ).select(F.col("jaccard").alias("jac"))
+    taus = spark.createDataFrame(
+        [(t,) for t in [0.5, 0.6, 0.7, 0.8, 0.9]], "tau double"
+    )
+    # fan the 5-row literal grid over the pair frame (broadcast the
+    # GRID, never the corpus-scaled pair set), then densify zero-pair
+    # thresholds by joining the grid back
+    agg = (
+        pairs.join(F.broadcast(taus), F.lit(True))
+        .groupBy("tau")
+        .agg(
+            F.sum(
+                F.when(F.col("jac") >= F.col("tau"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.round(
+                F.avg(
+                    F.when(F.col("jac") >= F.col("tau"), F.col("jac"))
+                ),
+                4,
+            ).alias("mean_jaccard"),
+        )
+    )
+    return (
+        taus.join(agg, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias(
+                "n_pairs"
+            ),
+            "mean_jaccard",
+        )
+        .orderBy("tau")
+    )

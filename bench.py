@@ -256,6 +256,23 @@ HEADLINE = [
     "kendall_taub_daily_events",      # year-strata day-pair grid
     "gk_tau_lang_source_docs",        # contingency Gini folds
     "dunn_index_labels_embeddings",   # centroid/radius corpus pass
+    "jaccard_yield_curve_docs",       # shingle pairs + 5-τ sweep
+    # round-11 wave F
+    "wilcoxon_signed_rank_weekend_events",  # type-week rank grid
+    "conover_squared_ranks_orders",   # deviation-grid midranks
+    "arch_lm_daily_events",           # LAG + moment fold per type
+    "croston_forecast_orders",        # per-customer SES windows
+    "pinball_backtest_daily_events",  # 7-day window quantile loss
+    "partition_volume_anomaly_events",  # median/MAD robust z grid
+    "hosmer_lemeshow_quality_docs",   # hashed scores + decile cuts
+    "engle_granger_click_purchase_events",  # OLS + residual DF fold
+    # round-11 wave G
+    "entropy_bias_corrected_docs",    # (source, token) count folds
+    "aalen_johansen_competing_events",  # life-grid CIF windows
+    "weibull_interarrival_fit_events",  # per-(user,type) LAG + fold
+    "simpson_reversal_events",        # pooled vs strata slope folds
+    "tornqvist_price_index_lineitem", # matched-basket index folds
+    "lsh_scurve_recall_docs",         # shingle pairs + band fold
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -353,6 +370,21 @@ SF1_SPOT = [
     # users; the τ-b year-strata pair grid must stay linear in years
     "cohort_ltv_curve_events",
     "kendall_taub_daily_events",
+    # round-11 wave F: the τ sweep rides the shingle-postings pair
+    # growth (the semdedup_yield twin); the Conover deviation grid's
+    # single-partition cumulative window grows with distinct values
+    # (the ansari/energy_distance shape); Croston's per-customer SES
+    # windows must stay linear in customers
+    "jaccard_yield_curve_docs",
+    "conover_squared_ranks_orders",
+    "croston_forecast_orders",
+    # round-11 wave G: the S-curve rides the same shingle-postings
+    # pair growth; the (source, token) vocab count shuffle grows with
+    # the token stream (the hapax/vocab_top_terms shape); Törnqvist
+    # rides the fisher matched-basket part join
+    "lsh_scurve_recall_docs",
+    "entropy_bias_corrected_docs",
+    "tornqvist_price_index_lineitem",
 ]
 
 

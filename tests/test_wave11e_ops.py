@@ -170,3 +170,33 @@ def test_dunn_index_separated_literal_clusters(spark, tmp_path):
     assert abs(r.min_intercentroid - 11.0) < 1e-6
     assert abs(r.max_diameter - 4.0) < 1e-6
     assert abs(r.dunn_index - 2.75) < 1e-6
+
+
+def test_jaccard_yield_curve_hand_computed(spark, tmp_path):
+    """Three disjoint-alphabet near-dup pairs with exact 3-gram
+    Jaccard 0.75, 1.0 and 0.5 → the τ sweep must read
+    n_pairs = 3,2,2,1,1 with means 0.75, 0.875, 0.875, 1.0, 1.0
+    (densified grid, every τ present even when nothing clears it)."""
+    rows = [
+        (1, "a b c d e f", "en", "s", 11),
+        (2, "a b c d e", "en", "s", 9),     # jac(1,2) = 3/4
+        (3, "p q r s", "en", "s", 7),
+        (4, "p q r s", "en", "s", 7),       # jac(3,4) = 1
+        (5, "x y z w t", "en", "s", 9),
+        (6, "x y z w u", "en", "s", 9),     # jac(5,6) = 2/4
+    ]
+    sf = _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = Q["jaccard_yield_curve_docs"](spark, sf).collect()
+    got = [(r.tau, r.n_pairs, r.mean_jaccard) for r in out]
+    want = [
+        (0.5, 3, 0.75),
+        (0.6, 2, 0.875),
+        (0.7, 2, 0.875),
+        (0.8, 1, 1.0),
+        (0.9, 1, 1.0),
+    ]
+    assert len(got) == 5
+    for (gt, gn, gm), (wt, wn, wm) in zip(got, want):
+        assert abs(gt - wt) < 1e-9
+        assert gn == wn
+        assert abs(gm - wm) < 5e-7

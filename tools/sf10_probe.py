@@ -56,6 +56,20 @@ PROBES = [
     "distance_corr_daily_events",
     "cka_linear_embeddings",
     "self_bleu_sample_docs",
+    # ---- round-11 wave F: the τ sweep rides the shingle-postings
+    # pair growth (semdedup_yield twin); the Conover deviation grid's
+    # single-partition cumulative window grows with distinct values;
+    # Croston's per-customer SES windows must stay linear in
+    # customers
+    "jaccard_yield_curve_docs",
+    "conover_squared_ranks_orders",
+    "croston_forecast_orders",
+    # ---- round-11 wave G: S-curve = shingle-postings pair growth;
+    # entropy = (source, token) vocab-count shuffle growth; Törnqvist
+    # = fisher-shaped matched-basket part join growth
+    "lsh_scurve_recall_docs",
+    "entropy_bias_corrected_docs",
+    "tornqvist_price_index_lineitem",
 ]
 
 
