@@ -457,6 +457,13 @@ SINGLE_PARTITION_OK = {
     # dickey_fuller audited shape)
     "tornqvist_price_index_lineitem", # 1-row base-year fold broadcast
     # over the (part, yr) cells (the fisher_price audited shape)
+    # ---- round-11 wave H
+    "variance_homogeneity_screen_orders",  # rank windows + final fold
+    # over the k=5 priority variance cells (bounded by the group key)
+    "benjamini_yekutieli_dow_events",  # ranked/running-min windows
+    # over the 35-cell dow test grid (the fdr_bh audited shape)
+    "embedding_norm_audit",           # 1-row percentile/extreme fold
+    # (the winsorized/biweight percentile-state audited shape)
 }
 
 # Queries whose plan contains BroadcastNestedLoopJoin — every entry
@@ -767,6 +774,9 @@ BNLJ_OK = {
     # onto the |types|-row strata frame
     "tornqvist_price_index_lineitem", # 1-row base-year broadcast onto
     # the (part, yr) cell frame (the fisher_price audited shape)
+    # ---- round-11 wave H
+    "benjamini_yekutieli_dow_events", # 1-row pooled-moment broadcast
+    # onto the 35-cell dow grid (the fdr_bh audited shape)
 }
 
 

@@ -273,6 +273,12 @@ HEADLINE = [
     "simpson_reversal_events",        # pooled vs strata slope folds
     "tornqvist_price_index_lineitem", # matched-basket index folds
     "lsh_scurve_recall_docs",         # shingle pairs + band fold
+    # round-11 wave H
+    "variance_homogeneity_screen_orders",  # k=5 variance cells
+    "boilerplate_ngrams_docs",        # 5-gram spread count shuffle
+    "diebold_mariano_daily_events",   # LAG-1/-7 loss folds
+    "benjamini_yekutieli_dow_events", # 35-cell grid + rank windows
+    "embedding_norm_audit",           # map-only norm percentile fold
 ]
 
 # sf1 spot set: the queries whose cost could grow NONlinearly with
@@ -385,6 +391,10 @@ SF1_SPOT = [
     "lsh_scurve_recall_docs",
     "entropy_bias_corrected_docs",
     "tornqvist_price_index_lineitem",
+    # round-11 wave H: the 5-gram spread report is a gram-keyed count
+    # shuffle whose stream grows with corpus tokens (the rake/hapax
+    # shape)
+    "boilerplate_ngrams_docs",
 ]
 
 

@@ -70,6 +70,8 @@ PROBES = [
     "lsh_scurve_recall_docs",
     "entropy_bias_corrected_docs",
     "tornqvist_price_index_lineitem",
+    # ---- round-11 wave H: gram-keyed spread-count shuffle growth
+    "boilerplate_ngrams_docs",
 ]
 
 
