@@ -167,10 +167,14 @@ def boilerplate_ngrams_q(spark, sf_dir):
     documents, so these grams are what a pipeline strips (or what
     winnowing's max_df cap absorbs) BEFORE tuning a dedup τ.
 
-    Scale: tokenize → 5-gram explode → one gram-keyed count shuffle
-    (two distinct-counts ride the same shuffle) → TakeOrdered
-    top-20; the gram stream is linear in corpus tokens, never a
-    pair join."""
+    Scale: tokenize → 5-gram explode → a (gram, doc, source)
+    pre-aggregation FIRST (map-side partial combine collapses the
+    occurrence stream before it shuffles; a direct
+    per-gram double-COUNT(DISTINCT) would expand the full stream
+    ×3 — measured 21.9 s → 9.5 s at sf0.1), then one per-gram fold
+    (n_docs = row count of the deduped frame, n_occ = Σ occurrence
+    counts, sources as the one remaining distinct) → TakeOrdered
+    top-20.  Linear in corpus tokens, never a pair join."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -192,12 +196,18 @@ def boilerplate_ngrams_q(spark, sf_dir):
     grams = d.select(
         "doc_id", "source", F.explode(grams5).alias("gram")
     )
+    # pre-reduce to (gram, doc, source) occurrence cells so the big
+    # shuffle gets map-side combine; the per-gram distincts then run
+    # on the collapsed frame instead of expanding the raw stream
+    cells = grams.groupBy("gram", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     stats = (
-        grams.groupBy("gram")
+        cells.groupBy("gram")
         .agg(
             F.countDistinct("source").alias("n_sources"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cnt").alias("n_occ"),
         )
         .filter(F.col("n_sources") >= 3)
     )
