@@ -16,6 +16,7 @@ from __future__ import annotations
 import shutil  # the expire-history gate cleans up its staged lake
 import tempfile
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1807,7 +1808,16 @@ def bradley_terry_q(spark, sf_dir):
         .otherwise(F.col("a.event_type"))
         .alias("l"),
     )
-    wins = duels.groupBy("w", "l").agg(F.count(F.lit(1)).alias("n"))
+    # |types|²-row grid consumed by SIX subtrees (sym twice via the
+    # union, wi, comps, and each MM iteration's rebuild): without a
+    # lineage cut every consumer re-runs the events window + the
+    # merge-hinted self-join — the before-plan held 182 parquet scans
+    # of events (plans/r11/bradley_terry_event_types_before.txt).
+    # localCheckpoint computes the duel grid ONCE; DISK_ONLY keeps the
+    # corpus-scaled lineage out of storage memory (repo convention).
+    wins = duels.groupBy("w", "l").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     sym = (
         wins.select(F.col("w").alias("i"), F.col("l").alias("j"), "n")
         .unionAll(
@@ -2000,9 +2010,14 @@ def rbo_q(spark, sf_dir):
 
     s = top20(bm, "score").withColumnRenamed("r", "rs")
     t = top20(cl, "score").withColumnRenamed("r", "rt")
+    # ≤20 rows, consumed by the depth sweep AND the n_common fold —
+    # cut the lineage so both rankers (BM25 + hashed classifier, the
+    # whole corpus pipeline) run once, not once per consumer (the
+    # before-plan held 28 parquet scans — plans/r11/rbo_bm25_vs_
+    # classifier_docs_before.txt)
     common = s.join(t, "id").select(
         F.greatest("rs", "rt").alias("m")
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     depths = spark.range(1, 21).select(F.col("id").alias("d"))
     agreement = (
         depths.join(F.broadcast(common), F.col("m") <= F.col("d"), "left")

@@ -835,7 +835,12 @@ def err_bm25_q(spark, sf_dir):
             ).alias("w"),
         )
     )
-    cl = hashed_classifier_score(d, model, dim=dim, bias=0.1)
+    # consumed by the threshold grid AND the per-doc grade pass: cut
+    # the lineage so the hashed-classifier pipeline runs once (same
+    # multi-consumer recomputation as the _scored_docs family)
+    cl = hashed_classifier_score(d, model, dim=dim, bias=0.1).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     sgrid = cl.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
     wv = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, 0

@@ -25,6 +25,7 @@ top-10 customers) — never corpus² — on the join side.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -823,12 +824,17 @@ def hosmer_lemeshow_q(spark, sf_dir):
         )
     )
     scored = hashed_classifier_score(d, model, dim=dim, bias=0.1)
+    # consumed by the percentile fold AND the binned pass: cut the
+    # lineage so the hashed-classifier pipeline (token explode + vocab
+    # distinct + score join) runs once, not once per consumer — the
+    # before-plan held 32 parquet scans (plans/r11/hosmer_lemeshow_
+    # quality_docs_before.txt)
     prob = scored.join(
         d.select("doc_id", "lang"), scored["id"] == F.col("doc_id")
     ).select(
         F.col("score").alias("p"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     cuts = prob.agg(
         *[
             F.expr(f"percentile(p, {q / 10.0})").alias(f"c{q}")

@@ -178,7 +178,19 @@ def boilerplate_ngrams_q(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # materialize the token array ONCE per row before the gram lambda:
+    # higher-order functions run interpreted (no whole-stage codegen,
+    # no common-subexpression elimination inside the lambda), so an
+    # inline split() here is re-evaluated by every element_at of every
+    # sequence element — O(tokens × text_len) per doc, measured 16.3 s
+    # at sf0.1; with the array projected first the lambda is 5 O(1)
+    # indexes and the same query runs in ~1 s (guide §1.2 step 2)
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    )
+    w = F.col("w")
     grams5 = F.when(
         F.size(w) >= 5,
         F.transform(
@@ -193,7 +205,7 @@ def boilerplate_ngrams_q(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array())
-    grams = d.select(
+    grams = toks.select(
         "doc_id", "source", F.explode(grams5).alias("gram")
     )
     # pre-reduce to (gram, doc, source) occurrence cells so the big

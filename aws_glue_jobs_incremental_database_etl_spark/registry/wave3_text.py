@@ -3700,25 +3700,30 @@ def centroid_drift_q(spark, sf_dir):
             lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
         ).alias("v"),
     )
+    # per-dim chains as single F.expr strings (identical parsed trees,
+    # ~100× fewer py4j calls at plan build — see davies_bouldin)
     c = e.groupBy("label").agg(
-        F.array(
-            *[
-                F.sum(F.element_at("v", i + 1)).cast("long")
+        F.expr(
+            "array("
+            + ",".join(
+                f"CAST(SUM(element_at(v, {i + 1})) AS BIGINT)"
                 for i in range(64)
-            ]
+            )
+            + ")"
         ).alias("cent"),
         F.count(F.lit(1)).alias("n"),
     )
     a, b = c.alias("a"), c.alias("b")
 
     def dot(x, y):
-        acc = None
-        for i in range(64):
-            t = F.element_at(x, i + 1) * F.element_at(y, i + 1)
-            acc = t if acc is None else acc + t
-        return acc
+        return F.expr(
+            " + ".join(
+                f"(element_at({x}, {i + 1}) * element_at({y}, {i + 1}))"
+                for i in range(64)
+            )
+        )
 
-    ca, cb = F.col("a.cent"), F.col("b.cent")
+    ca, cb = "a.cent", "b.cent"
     return (
         a.join(b, F.col("a.label") < F.col("b.label"))
         .select(

@@ -721,20 +721,29 @@ def silhouette_q(spark, sf_dir):
             lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
         ).alias("v"),
     )
+    # per-dim chains as single F.expr strings (identical parsed trees,
+    # ~100× fewer py4j calls at plan build — see davies_bouldin)
     c = e.groupBy(F.col("label").alias("cl")).agg(
-        F.array(
-            *[F.sum(F.element_at("v", i + 1)).cast("long") for i in range(64)]
+        F.expr(
+            "array("
+            + ",".join(
+                f"CAST(SUM(element_at(v, {i + 1})) AS BIGINT)"
+                for i in range(64)
+            )
+            + ")"
         ).alias("cent"),
         F.count(F.lit(1)).alias("n"),
     )
-    d2 = None
-    for i in range(64):
-        t = (
-            F.element_at("v", i + 1).cast("double")
-            - F.element_at("cent", i + 1).cast("double") / F.col("n")
+    _st = (
+        "(CAST(element_at(v, {i}) AS DOUBLE)"
+        " - CAST(element_at(cent, {i}) AS DOUBLE) / n)"
+    )
+    d2 = F.expr(
+        " + ".join(
+            f"({_st.format(i=i + 1)} * {_st.format(i=i + 1)})"
+            for i in range(64)
         )
-        term = t * t
-        d2 = term if d2 is None else d2 + term
+    )
     dist = e.join(F.broadcast(c), F.lit(True)).select(
         "vec_id",
         F.col("label").alias("own"),
@@ -2409,7 +2418,16 @@ def _scored_docs(spark, sf_dir):
     lab = d.select(
         "doc_id", (F.col("n_chars") >= 300).cast("int").alias("y")
     )
-    return sc.join(lab, "doc_id")
+    # every model-eval gate reads this frame through SEVERAL subtrees
+    # (rank windows, bucket folds, both ranker sides...) and without a
+    # lineage cut each consumer re-runs the hashed-classifier token
+    # explode + vocab distinct + score join — the before-plans held
+    # 28-32 parquet scans per gate (plans/r11/{hosmer_lemeshow,rbo,
+    # kendall_tau}_*_before.txt).  One doc-sized materialization,
+    # DISK_ONLY (repo convention for corpus-scaled lineage cuts).
+    return sc.join(lab, "doc_id").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
 
 
 def _score_bin(score):

@@ -1294,23 +1294,36 @@ def davies_bouldin_q(spark, sf_dir):
             lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
         ).alias("v"),
     )
+    # The three 64-term distance chains below are built as ONE SQL
+    # string each (F.expr) instead of a Python loop of Column ops:
+    # the loop form is ~2000 py4j round-trips and measured ~4 s of
+    # DRIVER time per plan build at 32 cores (the bench re-builds the
+    # plan every rep, so that cost is paid per run — guide §7.3
+    # "planning time itself can become the bottleneck").  The parsed
+    # tree is identical (same left-to-right Add chain, same
+    # ElementAt/Cast nodes), so the IEEE float result and the oracle
+    # hash are unchanged.
     c = e.groupBy(F.col("label").alias("cl")).agg(
-        F.array(
-            *[
-                F.sum(F.element_at("v", i + 1)).cast("long")
+        F.expr(
+            "array("
+            + ",".join(
+                f"CAST(SUM(element_at(v, {i + 1})) AS BIGINT)"
                 for i in range(_EMB_DIM)
-            ]
+            )
+            + ")"
         ).alias("cent"),
         F.count(F.lit(1)).alias("n"),
     )
-    d2 = None
-    for i in range(_EMB_DIM):
-        t = (
-            F.element_at("v", i + 1).cast("double")
-            - F.element_at("cent", i + 1).cast("double") / F.col("n")
+    _pt = (
+        "(CAST(element_at(v, {i}) AS DOUBLE)"
+        " - CAST(element_at(cent, {i}) AS DOUBLE) / n)"
+    )
+    d2 = F.expr(
+        " + ".join(
+            f"({_pt.format(i=i + 1)} * {_pt.format(i=i + 1)})"
+            for i in range(_EMB_DIM)
         )
-        term = t * t
-        d2 = term if d2 is None else d2 + term
+    )
     dist = e.join(F.broadcast(c), e["label"] == c["cl"]).select(
         F.col("label").alias("own"),
         (F.sqrt(d2) / 1_000_000).alias("d"),
@@ -1319,15 +1332,16 @@ def davies_bouldin_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_points"), F.avg("d").alias("s_i")
     )
     a, b = c.alias("a"), c.alias("b")
-    m2 = None
-    for i in range(_EMB_DIM):
-        t = (
-            F.element_at(F.col("a.cent"), i + 1).cast("double") / F.col("a.n")
-            - F.element_at(F.col("b.cent"), i + 1).cast("double")
-            / F.col("b.n")
+    _ct = (
+        "(CAST(element_at(a.cent, {i}) AS DOUBLE) / a.n"
+        " - CAST(element_at(b.cent, {i}) AS DOUBLE) / b.n)"
+    )
+    m2 = F.expr(
+        " + ".join(
+            f"({_ct.format(i=i + 1)} * {_ct.format(i=i + 1)})"
+            for i in range(_EMB_DIM)
         )
-        term = t * t
-        m2 = term if m2 is None else m2 + term
+    )
     m = a.join(F.broadcast(b), F.col("a.cl") != F.col("b.cl")).select(
         F.col("a.cl").alias("la"),
         F.col("b.cl").alias("lb"),
@@ -1431,14 +1445,18 @@ def calinski_harabasz_q(spark, sf_dir):
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, x: acc + x,
     )
+    # per-dim chains as single F.expr strings (identical parsed trees,
+    # ~100× fewer py4j calls at plan build — see davies_bouldin above)
     cells = e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(point_ss).alias("ss_all"),
-        F.array(
-            *[
-                F.sum(F.element_at("v", i + 1)).cast("long")
+        F.expr(
+            "array("
+            + ",".join(
+                f"CAST(SUM(element_at(v, {i + 1})) AS BIGINT)"
                 for i in range(_EMB_DIM)
-            ]
+            )
+            + ")"
         ).alias("cent"),
     )
     cent2 = F.aggregate(
@@ -1458,21 +1476,25 @@ def calinski_harabasz_q(spark, sf_dir):
         (F.sum("w_g") / 1e12).alias("w_ss"),
         F.sum("n").alias("nn"),
         F.count(F.lit(1)).alias("k"),
-        F.array(
-            *[
-                F.sum(F.element_at("cent", i + 1)).cast("long")
+        F.expr(
+            "array("
+            + ",".join(
+                f"CAST(SUM(element_at(cent, {i + 1})) AS BIGINT)"
                 for i in range(_EMB_DIM)
-            ]
+            )
+            + ")"
         ).alias("gsum"),
     )
-    b2 = None
-    for i in range(_EMB_DIM):
-        t = (
-            F.element_at("cent", i + 1).cast("double") / F.col("n")
-            - F.element_at("gsum", i + 1).cast("double") / F.col("nn")
+    _bt = (
+        "(CAST(element_at(cent, {i}) AS DOUBLE) / n"
+        " - CAST(element_at(gsum, {i}) AS DOUBLE) / nn)"
+    )
+    b2 = F.expr(
+        " + ".join(
+            f"({_bt.format(i=i + 1)} * {_bt.format(i=i + 1)})"
+            for i in range(_EMB_DIM)
         )
-        term = t * t
-        b2 = term if b2 is None else b2 + term
+    )
     b = (
         wp.join(F.broadcast(w), F.lit(True))
         .select((F.col("n") * b2).alias("b_g"))

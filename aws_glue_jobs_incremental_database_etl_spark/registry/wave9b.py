@@ -15,6 +15,7 @@ import tempfile  # noqa: F401  (the txn time-travel gate stages a lake)
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -1523,12 +1524,19 @@ def rich_club_q(spark, sf_dir):
         )
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
+        # edges feed deg AND the φ(k) edge count, deg feeds nk AND both
+        # ek sides: without lineage cuts every consumer re-runs the
+        # capped part-keyed self-join — the before-plan held 28 parquet
+        # scans (plans/r11/rich_club_suppliers_before.txt).  DISK_ONLY,
+        # the closeness/khop convention for corpus-scaled frames.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = (
         edges.select(F.col("u").alias("s"))
         .unionAll(edges.select(F.col("v").alias("s")))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     ks = spark.range(1).select(
         F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("k")
