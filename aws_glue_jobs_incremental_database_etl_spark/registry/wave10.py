@@ -382,13 +382,17 @@ def cronbach_alpha_q(spark, sf_dir):
     per-user totals.  Two user-keyed aggregates + 1-row folds (the
     icc_design_effect audited shape)."""
     e = load_table(spark, sf_dir, "events")
+    # n_df feeds both variance folds AND the report (3×), cnt feeds
+    # the item and user aggregates (2×) — cut lineages so the distinct
+    # count and the (user, type) cells each compute once (6 parquet
+    # scans in the pre-cut plan)
     n_df = e.select("user_id").distinct().agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     k_df = e.agg(F.countDistinct("event_type").alias("k"))
     cnt = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     item = cnt.groupBy("event_type").agg(
         F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2")
     )
@@ -2104,9 +2108,15 @@ def ipf_raking_q(spark, sf_dir):
     One aggregate to the ≤7×|types| grid; each IPF half-step is a
     window-sum rescale on that bounded grid."""
     e = load_table(spark, sf_dir, "events")
+    # ≤7×|types| grid consumed by tot, coltgt, the first IPF step and
+    # the final report join — cut the lineage so the events aggregate
+    # runs once, not once per consumer (12 parquet scans in the
+    # before-plan, plans/r11/ipf_raking_dow_type_events_before.txt)
     cells = e.groupBy(
         (F.weekday(F.to_date("ts")) + 1).alias("dow"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     tot = cells.agg(
         F.sum("n").alias("nt"), F.countDistinct("dow").alias("ndow")
     )

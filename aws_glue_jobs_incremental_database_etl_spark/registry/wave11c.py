@@ -93,7 +93,12 @@ def fisher_price_index_q(spark, sf_dir):
         ).alias("sp"),
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"),
-    ).filter(F.col("q") > 0)
+    ).filter(F.col("q") > 0).localCheckpoint(
+        # py feeds the base-year fold AND both matched-basket sides —
+        # cut the lineage so the part×year aggregate runs once (same
+        # multi-consumer shape as the Törnqvist twin)
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     base_yr = py.agg(F.min("yr").alias("y0"))
     withy0 = py.join(F.broadcast(base_yr), F.lit(True))
     b = withy0.filter(F.col("yr") == F.col("y0")).select(
@@ -211,6 +216,10 @@ def sample_entropy_q(spark, sf_dir):
         .filter(day > F.date_sub(F.col("dmax"), 365))
         .groupBy("event_type", day.alias("day"))
         .agg(F.count(F.lit(1)).alias("y"))
+        # daily feeds the σ fold AND the template windows; tt feeds
+        # both pair-join sides — cut lineages so the events aggregate
+        # runs once (8 parquet scans in the pre-cut plan)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     sig = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -241,7 +250,9 @@ def sample_entropy_q(spark, sf_dir):
         F.lead("y", 1).over(w).cast("double").alias("y1"),
         F.lead("y", 2).over(w).cast("double").alias("y2"),
     )
-    tt = tmpl.filter(F.col("rn") <= F.col("n") - 2)
+    tt = tmpl.filter(F.col("rn") <= F.col("n") - 2).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     a, b = tt.alias("a"), tt.alias("b")
     bmatch = (
         F.abs(F.col("a.y0") - F.col("b.y0")) <= F.col("a.r")
@@ -631,7 +642,13 @@ def distance_corr_q(spark, sf_dir):
         ).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    t = num.filter(F.col("n") >= 30)
+    # t feeds both pair-join sides, pairs feeds rm/gm/cent, rm feeds
+    # both centering sides — cut lineages so the daily aggregate and
+    # the year-strata pair grid each compute once (9 parquet scans in
+    # the pre-cut plan); DISK_ONLY per repo convention
+    t = num.filter(F.col("n") >= 30).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     a, b = t.alias("a"), t.alias("b")
     pairs = a.join(b, F.col("a.yr") == F.col("b.yr")).select(
         F.col("a.yr").alias("yr"),
@@ -639,10 +656,10 @@ def distance_corr_q(spark, sf_dir):
         F.col("b.rn").alias("k"),
         F.abs(F.col("a.x").cast("double") - F.col("b.x")).alias("da"),
         F.abs(F.col("a.y") - F.col("b.y")).alias("db"),
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     rm = pairs.groupBy("yr", "j").agg(
         F.avg("da").alias("am"), F.avg("db").alias("bm")
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     gm = pairs.groupBy("yr").agg(
         F.avg("da").alias("ag"), F.avg("db").alias("bg")
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -623,6 +624,11 @@ def tornqvist_price_index_q(spark, sf_dir):
             F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"),
         )
         .filter(F.col("q") > 0)
+        # py feeds the base-year fold AND both matched-basket sides;
+        # j feeds the revenue totals AND the index fold — cut lineages
+        # so the part×year aggregate and the basket join each run once
+        # (8 parquet scans in the pre-cut plan)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     base_yr = py.agg(F.min("yr").alias("y0"))
     withy0 = py.join(F.broadcast(base_yr), F.lit(True))
@@ -637,7 +643,9 @@ def tornqvist_price_index_q(spark, sf_dir):
         (F.col("sp").cast("double") / F.col("cnt")).alias("pt"),
         F.col("q").alias("qt"),
     )
-    j = t.hint("merge").join(b, "part")
+    j = t.hint("merge").join(b, "part").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     rev = j.groupBy("yr").agg(
         F.sum(F.col("p0") * F.col("q0")).alias("r0"),
         F.sum(F.col("pt") * F.col("qt")).alias("rt"),

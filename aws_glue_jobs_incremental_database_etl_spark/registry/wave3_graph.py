@@ -11,6 +11,7 @@ import tempfile  # noqa: F401  (several queries stage scratch dirs)
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -3024,6 +3025,12 @@ def hybrid_retrieval_q(spark, sf_dir):
         )
         .orderBy(F.col("rrf").desc(), F.col("id").asc())
         .limit(20)
+        # ≤20 rows, but mmr_greedy's pairwise frame reads it through
+        # BOTH self-join sides — without a lineage cut each side
+        # re-runs BM25 + the dense cosine pass over the corpus (the
+        # before-plan held 17 parquet scans).  DISK_ONLY per repo
+        # convention.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     cand = fused.select(F.col("id").alias("vec_id"), F.col("rrf").alias("rel"))
     sel = mmr_greedy(cand, emb, k=5, lam=0.5)

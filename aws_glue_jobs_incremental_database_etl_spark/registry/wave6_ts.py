@@ -1106,11 +1106,16 @@ def lof_q(spark, sf_dir):
             lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
         ).alias("v"),
     )
+    # nk feeds kd, lrd AND both lof sides; lrd feeds lof twice plus the
+    # report join — without lineage cuts every consumer re-runs the
+    # whole knn_exact Arrow-kernel pass (the before-plan held 18
+    # parquet scans, plans/r11/lof_outliers_embeddings_before.txt).
+    # Same DISK_ONLY localCheckpoint the lof_ivf twin already uses.
     nk = knn_exact(emb, "vec_id", "embedding", k=10).select(
         "ida",
         "idb",
         (F.sqrt(F.col("d2").cast("double")) / 1_000_000).alias("d"),
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     kd = nk.groupBy(F.col("ida").alias("id")).agg(F.max("d").alias("kdist"))
     lrd = (
         nk.join(kd.select(F.col("id").alias("idb"), "kdist"), "idb")
@@ -1120,6 +1125,7 @@ def lof_q(spark, sf_dir):
                 F.lit(10.0) / F.sum(F.greatest(F.col("kdist"), F.col("d")))
             ).alias("lrd")
         )
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     lof = (
         nk.join(lrd.select(F.col("id").alias("ida"), F.col("lrd").alias("lrd_a")), "ida")
@@ -1234,7 +1240,13 @@ def naive_bayes_q(spark, sf_dir):
         cl.filter((F.col("doc_id") % 2 == 0) & (F.length("clean") >= 2))
         .select("lang", F.explode(grams).alias("g"))
     )
-    tc = train_g.groupBy("g", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # tc feeds ls, gl AND the matched join; tg feeds dt AND matched —
+    # without lineage cuts each consumer re-runs the bigram explode +
+    # count (the before-plan held 22 parquet scans).  DISK_ONLY, the
+    # repo convention for corpus-scaled lineage cuts.
+    tc = train_g.groupBy("g", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     ls = tc.groupBy("lang").agg(F.sum("c").alias("tok"))
     tr = cl.filter(F.col("doc_id") % 2 == 0)
     pri = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
@@ -1244,7 +1256,9 @@ def naive_bayes_q(spark, sf_dir):
         cl.filter((F.col("doc_id") % 2 == 1) & (F.length("clean") >= 2))
         .select("doc_id", F.explode(grams).alias("g"))
     )
-    tg = test_g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    tg = test_g.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     dt = (
         cl.filter(F.col("doc_id") % 2 == 1)
         .select("doc_id", F.col("lang").alias("actual"))

@@ -1072,9 +1072,14 @@ def hits_q(spark, sf_dir):
     'supplies the well-stocked parts' (mutual reinforcement).  Two
     key-partitioned join+agg rounds, O(E) exchange each, distributed
     top-15 tail."""
+    # the distinct edge list feeds all three power-round joins and a2
+    # feeds the norm fold + the report — cut lineages so the distinct
+    # runs once (6 parquet scans in the pre-cut plan)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    ).distinct().localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     a1 = li.groupBy("s").agg(F.count(F.lit(1)).alias("a"))
     h1 = (
         li.join(a1, "s")
@@ -1085,6 +1090,7 @@ def hits_q(spark, sf_dir):
         li.join(h1, "p")
         .groupBy("s")
         .agg(F.sum("h").alias("a"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     norm = a2.agg(F.sum("a").alias("z"))
     return (

@@ -1414,7 +1414,12 @@ def kmv_jaccard_q(spark, sf_dir):
         )
         .cast("long")
         .alias("hv"),
-    ).distinct()
+    ).distinct().localCheckpoint(
+        # h feeds the day frame (both pair-join sides) AND the 2-row
+        # explode — cut the lineage so the md5+distinct pass runs once
+        # (6 parquet scans in the pre-cut plan)
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     days = h.select("day").distinct()
     pairs = days.alias("d1").join(
         days.alias("d2"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pandas as pd  # noqa: F401  resolves pandas_udf string annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql.window import Window  # noqa: F401
@@ -1313,7 +1314,13 @@ def davies_bouldin_q(spark, sf_dir):
             + ")"
         ).alias("cent"),
         F.count(F.lit(1)).alias("n"),
-    )
+        # k-row frame read by the point-distance pass, both k² pair-
+        # join sides and the final report — cut the lineage so the
+        # 64-sum centroid aggregate runs once (14 parquet scans in the
+        # pre-cut plan); localCheckpoint, NOT persist: the columnar
+        # cache build for the 64-long array column measured 2-4×
+        # slower than the checkpoint's one-shot RDD materialization
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     _pt = (
         "(CAST(element_at(v, {i}) AS DOUBLE)"
         " - CAST(element_at(cent, {i}) AS DOUBLE) / n)"
@@ -1330,7 +1337,7 @@ def davies_bouldin_q(spark, sf_dir):
     )
     s = dist.groupBy(F.col("own").alias("label")).agg(
         F.count(F.lit(1)).alias("n_points"), F.avg("d").alias("s_i")
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a, b = c.alias("a"), c.alias("b")
     _ct = (
         "(CAST(element_at(a.cent, {i}) AS DOUBLE) / a.n"

@@ -85,7 +85,13 @@ def mood_median_q(spark, sf_dir):
         F.col("o_orderpriority").alias("g"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
     )
-    grid = obs.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    # grid feeds the N fold AND the cumulative walk; cells feeds the
+    # column totals AND the χ² fold — cut lineages so the cents
+    # histogram and the contingency cells each compute once (6 parquet
+    # scans in the pre-cut plan)
+    grid = obs.groupBy("v").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     wv = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -100,7 +106,7 @@ def mood_median_q(spark, sf_dir):
         F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0)).alias("a"),
         F.count(F.lit(1)).alias("n_g"),
         F.first("m").alias("m"),
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     tot = cells.agg(F.sum("a").alias("ta"), F.sum("n_g").alias("n"))
     ea = F.col("n_g") * F.col("ta").cast("double") / F.col("n")
     eb = F.col("n_g") * (F.col("n") - F.col("ta")).cast("double") / F.col("n")
