@@ -74,17 +74,20 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
+                # change flag computed IN the update pass: the old
+                # formulation re-joined new vs old labels per round
+                # just to detect convergence — a second full SMJ per
+                # iteration that this column makes a cheap scan of the
+                # already-checkpointed RDD
+                (
+                    F.coalesce(F.col("nmin"), F.col("component"))
+                    < F.col("component")
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # truncate per-round lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o").hint("merge"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("id", "component")
         if not changed:
             break
     sym.unpersist()

@@ -560,15 +560,33 @@ def pack_sequences(
 def fixed_token_segments(text_col, segment_tokens: int):
     """Array of consecutive ``segment_tokens``-word segments (the
     "lines" of a corpus that has no newlines) — pure Catalyst:
-    tokenize once, slice per segment index."""
-    toks = F.split(F.trim(text_col), r"\s+")
-    n_segs = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
+    tokenize once, slice per segment index.
+
+    The tokenization happens INSIDE the per-segment lambda's slice, so
+    it must not be the raw split() expression: higher-order-function
+    lambdas are interpreted with no common-subexpression elimination,
+    and an inlined split() would re-tokenize the document once per
+    segment — O(n_segs × text_len) per doc (the boilerplate_ngrams
+    finding, OPTIMIZATION_r11.md §1).  ``with_field`` pins the token
+    array as a named lambda variable via ``zip_with`` over a 1-element
+    wrapper so the split is evaluated exactly once per row while the
+    function still composes as a single column expression."""
+    return F.zip_with(
+        # 1-element array carrying the materialized token array: the
+        # outer lambda evaluates split() once, the inner per-segment
+        # lambda then indexes the lambda VARIABLE (never re-splits)
+        F.array(F.split(F.trim(text_col), r"\s+")),
+        F.array(F.lit(0)),
+        lambda toks, _z: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int") - 1,
+            ),
+            lambda i: F.array_join(
+                F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
+            ),
         ),
-    )
+    ).getItem(0)
 
 
 def dedup_segments(

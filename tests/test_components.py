@@ -18,6 +18,27 @@ def test_transitive_closure_resolves_chains(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_cc_inline_change_flag_converges_and_drops_helper_column(spark):
+    """r11 optimization: the convergence check moved from a second
+    full labels-vs-labels join per round into a ``_chg`` flag computed
+    in the update pass.  Pin (a) the flag never leaks into the output
+    schema, (b) a worst-case chain (needs diameter rounds, exercising
+    the early-exit on the final no-change round) still resolves, and
+    (c) max_iterations=1 shows the flag actually gates the loop (a
+    partially-converged snapshot comes back, proving the loop ran
+    exactly once rather than to convergence)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    out = connected_components(chain)
+    assert out.columns == ["id", "component"]
+    assert {r["component"] for r in out.collect()} == {1}
+    partial = connected_components(chain, max_iterations=1)
+    # after exactly one min-label round the tail of the chain cannot
+    # have reached label 1 yet
+    assert {r["component"] for r in partial.collect()} != {1}
+
+
 def test_cluster_dedup_keeps_one_per_component_and_isolated_rows(spark):
     df = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long, t string"
