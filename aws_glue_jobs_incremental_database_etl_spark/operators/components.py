@@ -55,34 +55,40 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist()
     )
-    labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
-        "component", F.col("id")
+    # Self-loops folded into the edge stream make the per-round update
+    # a SINGLE join: min over the closed neighborhood {u} ∪ N(u) comes
+    # straight out of one sym⋈labels + groupBy, and the self-loop row
+    # (v = u, carrying u's own label) doubles as the old-label channel
+    # for the convergence flag — the previous shape needed a second
+    # labels⋈neighbor_min SMJ per round just to re-attach each node's
+    # own label.  |V| extra rows on a |2E| stream buy one fewer
+    # shuffle join per iteration for every consumer.
+    loops = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select(F.col("id").alias("u"), F.col("id").alias("v"))
     )
+    closed = sym.unionByName(loops).persist()
+    labels = loops.select(F.col("u").alias("id"), F.col("u").alias("component"))
     for _ in range(max_iterations):
-        # min label over the closed neighborhood: own label ∪ neighbors'
-        neighbor_min = (
-            sym.join(labels.hint("merge"), sym.v == labels.id)
-            .groupBy("u")
-            .agg(F.min("component").alias("nmin"))
-        )
         new_labels = (
-            labels.join(neighbor_min.hint("merge"), labels.id == neighbor_min.u, "left")
+            closed.join(labels.hint("merge"), closed.v == labels.id)
+            .groupBy("u")
+            .agg(
+                F.min("component").alias("component"),
+                # old label = the component riding the self-loop row
+                # (exactly one per u); change flag computed IN the
+                # update pass so convergence is a cheap scan of the
+                # already-checkpointed round output, not a second join
+                F.min(F.when(F.col("v") == F.col("u"), F.col("component"))).alias(
+                    "_old"
+                ),
+            )
             .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-                # change flag computed IN the update pass: the old
-                # formulation re-joined new vs old labels per round
-                # just to detect convergence — a second full SMJ per
-                # iteration that this column makes a cheap scan of the
-                # already-checkpointed RDD
-                (
-                    F.coalesce(F.col("nmin"), F.col("component"))
-                    < F.col("component")
-                ).alias("_chg"),
+                F.col("u").alias("id"),
+                "component",
+                (F.col("component") < F.col("_old")).alias("_chg"),
             )
             .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # truncate per-round lineage
         )
@@ -90,7 +96,7 @@ def connected_components(
         labels = new_labels.select("id", "component")
         if not changed:
             break
-    sym.unpersist()
+    closed.unpersist()
     return labels
 
 

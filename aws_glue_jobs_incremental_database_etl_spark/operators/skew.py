@@ -108,6 +108,14 @@ def cap_key_fanout(
             )
             return df, counts
         return df
+    # Checkpoint the postings frame FIRST: every caller consumes the
+    # capped result at least twice (both sides of a self-join, often a
+    # count-by-key too) and the count-by-key below is a third pass —
+    # without a lineage cut each consumer re-runs the caller's
+    # scan+distinct from parquet (item_cooccurrence's before-plan held
+    # 8 parquet scans).  DISK_ONLY, the repo convention for
+    # corpus-scaled frames (storage-memory competition at sf10).
+    df = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     counts = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -127,7 +135,12 @@ def cap_key_fanout(
             n_over,
             what,
         )
-    kept = df.join(F.broadcast(over), key_col, "left_anti")
+    # No over-cap keys (the common case at healthy fan-outs): the
+    # anti-join would be a row-preserving no-op — skip it so consumers
+    # read the checkpointed blocks directly.
+    kept = (
+        df if n_over == 0 else df.join(F.broadcast(over), key_col, "left_anti")
+    )
     if return_counts:
         return kept, counts.filter(F.col("_df") <= max_df)
     return kept

@@ -798,6 +798,11 @@ def char_trigram_sim_q(spark, sf_dir):
         )
         .groupBy("source", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        # grams feeds norms AND both sides of the gram-keyed self-join:
+        # without a lineage cut each consumer re-runs the trigram
+        # explode + count from parquet (8 scans in the before-plan).
+        # DISK_ONLY, the repo convention for corpus-scaled frames.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     norms = grams.groupBy("source").agg(
         F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("nrm")
