@@ -51,10 +51,28 @@ def connected_components(
     Nodes appear in the output iff they appear in some edge; isolated
     nodes are the caller's identity mapping.
     """
+    # Build the symmetric edge list in ONE pass over ``edges`` (an
+    # explode of both orientations instead of a union of two selects —
+    # the caller's frame is typically the full near-dup pair pipeline,
+    # and every plan reference re-runs it) and materialize it ONCE:
+    # both the self-loop derivation and the closed-neighborhood union
+    # below read it.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     # Self-loops folded into the edge stream make the per-round update
     # a SINGLE join: min over the closed neighborhood {u} ∪ N(u) comes
@@ -69,7 +87,18 @@ def connected_components(
         .distinct()
         .select(F.col("id").alias("u"), F.col("id").alias("v"))
     )
-    closed = sym.unionByName(loops).persist()
+    # The O(|E|) side of the per-round join is IMMUTABLE across rounds:
+    # hash-partition it on the join key (v) and sort within partitions
+    # ONCE, so every round's sort-merge join reuses both the exchange
+    # and the sort (the pagerank e_deg convention) — only the O(|V|)
+    # label frame moves per round.  Before this, every round
+    # re-shuffled and re-sorted the full closed-neighborhood edge list.
+    closed = (
+        sym.unionByName(loops)
+        .repartition(F.col("v"))
+        .sortWithinPartitions("v")
+        .persist()
+    )
     labels = loops.select(F.col("u").alias("id"), F.col("u").alias("component"))
     for _ in range(max_iterations):
         new_labels = (
@@ -80,7 +109,7 @@ def connected_components(
                 # old label = the component riding the self-loop row
                 # (exactly one per u); change flag computed IN the
                 # update pass so convergence is a cheap scan of the
-                # already-checkpointed round output, not a second join
+                # round output, not a second join
                 F.min(F.when(F.col("v") == F.col("u"), F.col("component"))).alias(
                     "_old"
                 ),
@@ -90,9 +119,15 @@ def connected_components(
                 "component",
                 (F.col("component") < F.col("_old")).alias("_chg"),
             )
-            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # truncate per-round lineage
+            # lazy: the convergence aggregate below is the single
+            # action that both materializes the round's blocks and
+            # answers "did anything change" — one job per round where
+            # the eager-checkpoint-then-count shape paid two
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        changed = new_labels.agg(
+            F.max(F.when(F.col("_chg"), 1).otherwise(0)).alias("c")
+        ).first()["c"]
         labels = new_labels.select("id", "component")
         if not changed:
             break

@@ -108,10 +108,16 @@ def adamic_adar_q(spark, sf_dir):
             F.count(F.lit(1)).alias("common_parts"),
         )
     )
-    w = Window.orderBy(F.col("aa").desc(), F.col("s_a").asc(), F.col("s_b").asc())
+    # top-20 via orderBy+limit (TakeOrderedAndProject): a fully
+    # parallel per-partition top-k + driver merge, replacing the
+    # row_number window's single-partition sort of the whole pair
+    # frame (the order is total — s_a, s_b unique per pair — so the
+    # result is identical; guide §2.4)
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        pairs.orderBy(
+            F.col("aa").desc(), F.col("s_a").asc(), F.col("s_b").asc()
+        )
+        .limit(20)
         .select(
             F.col("s_a").cast("bigint").alias("s_a"),
             F.col("s_b").cast("bigint").alias("s_b"),

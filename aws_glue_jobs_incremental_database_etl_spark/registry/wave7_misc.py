@@ -607,10 +607,13 @@ def ktruss_q(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    wt = Window.orderBy(F.col("w").desc(), F.col("u").asc(), F.col("v").asc())
+    # top-500 via orderBy+limit (TakeOrderedAndProject): per-partition
+    # parallel top-k + driver merge instead of the row_number window's
+    # single-partition sort of the whole co-order pair frame (the
+    # (w, u, v) order is total, so the selected set is identical)
     e0 = (
-        co.withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= 500)
+        co.orderBy(F.col("w").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(500)
         .select("u", "v")
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
@@ -672,9 +675,12 @@ def ktruss_q(spark, sf_dir):
 
     tri1, keep1 = truss_round(e0)
     tri2, keep2 = truss_round(keep1)
+    # count each frame exactly once — keep1 feeds two report cells and
+    # each .count() is a separate Spark job
+    n_e0, n_keep1, n_tri1 = e0.count(), keep1.count(), tri1.count()
     counts = [
-        (1, e0.count(), keep1.count(), tri1.count()),
-        (2, keep1.count(), keep2.count(), tri2.count()),
+        (1, n_e0, n_keep1, n_tri1),
+        (2, n_keep1, keep2.count(), tri2.count()),
     ]
     return spark.createDataFrame(
         counts, "round bigint, edges_in bigint, edges_kept bigint, triangles bigint"

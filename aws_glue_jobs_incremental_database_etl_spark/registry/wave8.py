@@ -2094,11 +2094,21 @@ def closeness_q(spark, sf_dir):
     # one computation, a truncated plan, and zero storage-memory
     # competition (a reliable checkpoint() would recompute its input
     # a second time — measured +60% at sf1).
-    e = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
+    # The co-supply relation is symmetric, so only the u < v half is
+    # joined and deduped — half the pair fan-out (17.4M → 8.7M rows at
+    # sf0.1) and half the distinct's shuffle — and the checkpointed
+    # half is mirrored into the full directed edge list by a union
+    # (two in-memory scans of the same blocks).  Identical edge set,
+    # measured 7.6 s → 5.6 s at sf0.1 (guide §2.3: shuffle fewer
+    # bytes).
+    half = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    e = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = e.groupBy(F.col("u").alias("s")).agg(F.count(F.lit(1)).alias("d"))
     anchors = deg.orderBy(F.col("d").desc(), F.col("s").asc()).limit(20)
